@@ -210,9 +210,9 @@ object CoreQueries {
         .groupBy(col("state"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("state"),
-      Some("""SELECT CASE WHEN o_totalprice <= 0.3 * 400000.0 THEN 'OVERPROVISIONED'
-                          WHEN o_totalprice <= 0.7 * 400000.0 THEN 'OPTIMUM'
-                          WHEN o_totalprice * 0.8 <= 0.7 * 400000.0 THEN 'UNDERPROVISIONED'
+      Some("""SELECT CASE WHEN o_totalprice <= 0.3::DOUBLE * 400000.0::DOUBLE THEN 'OVERPROVISIONED'
+                          WHEN o_totalprice <= 0.7::DOUBLE * 400000.0::DOUBLE THEN 'OPTIMUM'
+                          WHEN o_totalprice * 0.8 <= 0.7::DOUBLE * 400000.0::DOUBLE THEN 'UNDERPROVISIONED'
                           ELSE 'UNHEALTHY' END AS state,
                      count(*) AS n,
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
@@ -239,7 +239,7 @@ object CoreQueries {
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-                  unix_millis(col("o_orderdate")).as("order_ms"), col("rn"))
+                  unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"), col("rn"))
           .orderBy("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS order_ms, rn FROM
