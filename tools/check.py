@@ -44,6 +44,8 @@ for name in sorted(os.listdir(outdir)):
         for c in spark.columns:
             a, b = spark[c].tolist(), duck[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
+                if hasattr(x, "tolist"): x = x.tolist()
+                if hasattr(y, "tolist"): y = y.tolist()
                 same = (x == y) or (x is None and y is None)
                 try:
                     if isinstance(x, float) and isinstance(y, float):
