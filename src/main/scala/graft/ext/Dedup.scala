@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact content hash,
+  * exact n-gram Jaccard via shingle join, MinHash+LSH banded near-dedup, and
+  * SimHash fingerprints.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup groups on a 256-bit content hash, never the raw text, so
+  *     the shuffle carries 32 bytes + doc_id per row;
+  *   - near-dedup NEVER goes all-pairs: candidates come from equi-joins on
+  *     LSH band buckets (or shared shingles), which Spark executes as a
+  *     shuffled hash join on the bucket key. Degenerate buckets (thousands
+  *     of identical docs) are the skew risk — AQE skew-join handles moderate
+  *     cases; pathological ones should cap bucket size upstream.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving (minimum) doc id per distinct content.
+    * Groups on sha2-256 of the text, not the text itself. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Distinct word n-gram shingle set of a text column (docs with fewer than
+    * `n` tokens produce no shingles and drop out of shingle-based dedup). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    // Guard: sequence(1, 0) would generate a DESCENDING sequence in Spark,
+    // so short docs must short-circuit to an empty array.
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exploded (id, shingle) pairs for docs with at least `n` tokens. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), shingleArray(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle join (no all-pairs):
+    * docs sharing ≥1 shingle get their intersection counted by a shuffled
+    * equi-join on the shingle, then Jaccard = |∩| / (|A|+|B|−|∩|).
+    * Output: `ia < ib`, `jacc` rounded to 4. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val sizes = sh.select(col("doc_id"), col("n_sh"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("ia") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("ib") === col("zb.doc_id"))
+      .withColumn("jacc",
+        col("inter").cast("double") / (col("za.n_sh") + col("zb.n_sh") - col("inter")))
+      .filter(col("jacc") >= threshold)
+      .select(col("ia"), col("ib"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
+    * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
+    * astronomically unlikely, so the verified output matches the exact
+    * shingle-join result; false-positive candidates cost only the exact
+    * verification join. */
+  val k = 64
+  val bands = 32
+  val rows = 2
+
+  /** Per-doc MinHash signature columns m0..m63: min over shingles of a
+    * seeded 64-bit hash per permutation (one shuffle, no explosion — the k
+    * hashes are k aggregate expressions over the exploded shingles). */
+  def minHashSignatures(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified: band-bucket equi-join for
+    * candidates, then exact Jaccard over the shingle sets, same output
+    * contract as [[ngramJaccardPairs]]. */
+  def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    val sig = minHashSignatures(sh)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((0 until rows).map(r => col(s"m${j * rows + r}")): _*).as("bh"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    val withSets = cands
+      .join(sh.select(col("doc_id"), col("shs").as("sa"), col("n_sh").as("na")),
+        col("ia") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("shs").as("sb"), col("n_sh").as("nb")),
+        col("ib") === col("doc_id")).drop("doc_id")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= threshold)
+      .select(col("ia"), col("ib"), round(col("jacc"), 4).as("jacc"))
+  }
+
+  /** 64-bit SimHash over the whitespace token stream: bit j of the result is
+    * set iff the sum over tokens of ±1 (by bit j of the token's 64-bit hash)
+    * is positive. Near-identical docs land within a small Hamming distance.
+    * Engine-specific hashing → rows-only checked; unit tests pin behavior. */
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc + when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+}

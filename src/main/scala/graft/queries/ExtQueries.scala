@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data-pipeline query surface over `documents` and
+  * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
+  * (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH), text analysis (tokens, language-ID, quality,
+  * fingerprints), and multimodal binary plumbing.
+  *
+  * Engine-specific hashing (xxhash64, CRC32, LSH hyperplanes) cannot be
+  * mirrored in DuckDB, so those queries carry no oracle (driver records a
+  * rows-only check) and are pinned by unit tests instead; everything else
+  * hash-matches an oracle.
+  */
+object ExtQueries {
+
+  /** Shared oracle for x07/x08: exact word-3-gram Jaccard pairs ≥ 0.6.
+    * x08's LSH path exact-verifies candidates with recall 1−(1−j²)^32
+    * (≈ 1 − 6e-7 at j=0.6), so both produce the identical pair set. */
+  private val jaccardOracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+       s AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             FROM t WHERE len(toks) >= 3),
+       z AS (SELECT doc_id, len(sh) AS n FROM s),
+       e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT ia, ib, round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 4) AS jacc
+       FROM p JOIN z za ON za.doc_id = p.ia JOIN z zb ON zb.doc_id = p.ib
+       WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6
+       ORDER BY ia, ib"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // x01 — exact dedup: one surviving id per distinct content.
+    QueryDef("x01_exact_dedup",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("keep_id"),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // x02 — per-language corpus stats.
+    QueryDef("x02_text_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          round(avg(length(col("text"))), 2).as("avg_chars"),
+          round(avg(TextAnalysis.wsTokenCount(col("text"))), 2).as("avg_words"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                     round(avg(length(text)), 2) AS avg_chars,
+                     round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\s+')) END), 2) AS avg_words
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // x03 — per-doc token counting: whitespace + BPE-ish pre-tokenizer.
+    QueryDef("x03_token_count",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars_calc
+              FROM documents ORDER BY doc_id""")),
+
+    // x04 — heuristic language-ID via stopword profiles (argmax,
+    // alphabetical tie-break — mirrored CASE order in the oracle).
+    QueryDef("x04_lang_id",
+      (s, d) => {
+        val scores = TextAnalysis.langScores(col("text"))
+        Tables.documents(s, d).select(
+          Seq(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess")) ++
+            scores.map { case (code, c) => c.cast("long").as(s"s_$code") }: _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val hits = TextAnalysis.langProfiles.map { case (code, words) =>
+          code -> s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
+        }
+        val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+        val cases = hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
+          case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
+        }
+        s"""SELECT doc_id, $cases AS lang_guess,
+                   ${hits.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // x05 — document quality score.
+    QueryDef("x05_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id"),
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""SELECT doc_id, floor((
+                 least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+               + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+               + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+               ) * 10000.0 + 0.5) / 10000.0 AS score
+            FROM (SELECT doc_id,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                    length(text) AS ch,
+                    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                    len(regexp_extract_all(text, '[A-Z]')) AS u,
+                    len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                  FROM documents) t
+            ORDER BY doc_id"""
+      }),
+
+    // x06a — md5 content fingerprint + routing bucket.
+    QueryDef("x06_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        substring(TextAnalysis.fingerprint(col("text")), 1, 4).as("bucket"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(trim(text))) AS fp,
+                     substr(md5(lower(trim(text))), 1, 4) AS bucket
+              FROM documents ORDER BY doc_id""")),
+
+    // x06b — order-sensitive rolling-hash fingerprint (engine hash → rows-only).
+    QueryDef("x06_rolling_fp",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rolling_fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // x07 — exact n-gram Jaccard near-dup pairs (shingle join, no all-pairs).
+    QueryDef("x07_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+      Some(jaccardOracle)),
+
+    // x08 — MinHash-LSH near-dedup, exact-verified: same contract as x07,
+    // found via banded signature buckets instead of the full shingle join.
+    QueryDef("x08_minhash_lsh",
+      (s, d) => Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+      Some(jaccardOracle)),
+
+    // x09 — SimHash fingerprints (engine hash → rows-only; unit-tested).
+    QueryDef("x09_simhash",
+      (s, d) => Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      None),
+
+    // x10 — exact cosine top-k against vec_id 0 (brute-force baseline).
+    QueryDef("x10_cosine_topk",
+      (s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), queryId = 0L, kTop = 10)
+        .orderBy(col("cos").desc, col("vec_id").asc),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // x11 — exact cosine near-dup pairs above threshold.
+    QueryDef("x11_cosine_pairs",
+      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("ia", "ib"),
+      Some("""SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+              ORDER BY ia, ib""")),
+
+    // x12 — LSH-bucketed approximate pairs (scale path; recall measured in
+    // tests against x11 → rows-only here).
+    QueryDef("x12_lsh_cosine_pairs",
+      (s, d) => Similarity.lshCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("ia", "ib"),
+      None),
+
+    // x13 — LSH multi-probe approximate top-k for one query (rows-only).
+    QueryDef("x13_lsh_topk",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0L, kTop = 10)
+        .orderBy(col("cos").desc, col("vec_id").asc),
+      None),
+
+    // x14 — multimodal feature extraction through the typed mapPartitions
+    // seam (decode is stubbed; schema/bytes/sha are real and oracle-checked).
+    QueryDef("x14_multimodal_features",
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     CAST(strlen(text) AS BIGINT) AS n_bytes,
+                     sha256(text) AS sha
+              FROM documents ORDER BY media_id""")),
+
+    // x15 — deterministic frame sampling over the binary payload: every 2nd
+    // 32-byte block, fingerprinted. Pure column expressions (no UDF).
+    QueryDef("x15_frame_sample",
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+        Multimodal.sampleFrames(media, "content", "media_id", blockBytes = 32, stride = 2)
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+                  md5(col("frame_bytes")).as("frame_md5"))
+          .orderBy("media_id", "frame_no")
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id, text,
+                     greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT) - 1, 0) AS e
+                   FROM documents),
+                 l AS (SELECT media_id,
+                     list_transform(range(0, e + 1, 2),
+                       i -> md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32))) AS fr
+                   FROM d)
+              SELECT media_id, generate_subscripts(fr, 1) - 1 AS frame_no,
+                     unnest(fr) AS frame_md5
+              FROM l ORDER BY media_id, frame_no"""))
+  )
+}
