@@ -1,0 +1,130 @@
+package graft.analyzer
+
+import graft.SparkSpec
+import graft.model._
+
+/** Golden tests for the reference-parity analysis pipeline, driven by the
+  * FIXTURES.md §B scenarios. */
+class AnalyzerSpec extends SparkSpec {
+
+  private def ev(kind: String, time: Long,
+                 jobId: Option[Long] = None,
+                 stageIds: Seq[Int] = Nil,
+                 stageId: Option[Int] = None,
+                 parents: Seq[Int] = Nil,
+                 durationMs: Option[Long] = None,
+                 sqlExecutionId: Option[Long] = None,
+                 queryId: Option[String] = None,
+                 batchId: Option[Long] = None): SchedulerEvent =
+    SchedulerEvent(kind, time, jobId, stageIds, stageId, parents,
+      numTasks = Some(1), taskId = None, executorId = None, host = None,
+      cores = None, durationMs = durationMs, failed = Some(false),
+      sqlExecutionId = sqlExecutionId, queryId = queryId, batchId = batchId)
+
+  private def progress(q: String, b: Long, rows: Long, rps: Double): BatchProgress =
+    BatchProgress(q, b, "2024-01-01T00:00:00.000Z", rows, rps)
+
+  private def analyze(events: Seq[SchedulerEvent],
+                      prog: Seq[BatchProgress],
+                      slas: Seq[QuerySla]): Map[(String, Long), CriticalPathResult] = {
+    import spark.implicits._
+    val jobs = SpanBuilder.jobSpans(events.toDS())
+    val stages = SpanBuilder.stageSpans(events.toDS())
+    BatchAnalyzer.analyze(jobs, stages, prog.toDS(), slas.toDS())
+      .collect().map(r => (r.queryId, r.batchId) -> r).toMap
+  }
+
+  test("readme-sample golden: brt 2094ms, ct 2047ms, SLA 10s => OVERPROVISIONED") {
+    // One batch, one job [1000,3094] (span 2094 = brt), two serial stages
+    // with max tasks 1000 + 1047 => critical time 2047
+    // (matches reference README.md:40-46).
+    val events = Seq(
+      ev("jobStart", 1000, jobId = Some(1), stageIds = Seq(0, 1),
+        sqlExecutionId = Some(11), queryId = Some("q"), batchId = Some(7)),
+      ev("stageSubmitted", 1000, stageId = Some(0)),
+      ev("taskEnd", 1990, stageId = Some(0), durationMs = Some(1000)),
+      ev("stageCompleted", 2000, stageId = Some(0)),
+      ev("stageSubmitted", 2000, stageId = Some(1), parents = Seq(0)),
+      ev("taskEnd", 3090, stageId = Some(1), durationMs = Some(1047)),
+      ev("stageCompleted", 3094, stageId = Some(1)),
+      ev("jobEnd", 3094, jobId = Some(1)))
+    val r = analyze(events,
+      Seq(progress("q", 7, rows = 2094, rps = 1000.0)),
+      Seq(QuerySla("q", 10000)))(("q", 7))
+    assert(r.batchRunningTime === 2094L)
+    assert(r.criticalTime === 2047L)
+    assert(r.streamingQueryState === "OVERPROVISIONED")
+    assert(r.stateOrdinal === 1)
+  }
+
+  test("four-states: each classifier branch reachable incl. boundaries") {
+    // SLA 1000. Batches 1,2 have no jobs => ct = brt.
+    val uhEvents = Seq(
+      // batch 3: one job spanning 800ms with cp 400 => ct = 800-800+400 = 400
+      ev("jobStart", 0, jobId = Some(31), stageIds = Seq(30),
+        sqlExecutionId = Some(3), queryId = Some("q"), batchId = Some(3)),
+      ev("stageSubmitted", 0, stageId = Some(30)),
+      ev("taskEnd", 400, stageId = Some(30), durationMs = Some(400)),
+      ev("stageCompleted", 790, stageId = Some(30)),
+      ev("jobEnd", 800, jobId = Some(31)),
+      // batch 4: job spans 800ms with cp 750 => ct = 800-800+750 = 750
+      ev("jobStart", 0, jobId = Some(41), stageIds = Seq(40),
+        sqlExecutionId = Some(4), queryId = Some("q"), batchId = Some(4)),
+      ev("stageSubmitted", 0, stageId = Some(40)),
+      ev("taskEnd", 750, stageId = Some(40), durationMs = Some(750)),
+      ev("stageCompleted", 790, stageId = Some(40)),
+      ev("jobEnd", 800, jobId = Some(41)))
+    val got = analyze(uhEvents,
+      Seq(
+        progress("q", 1, rows = 300, rps = 1000.0),  // brt 300 = 0.3*sla boundary
+        progress("q", 2, rows = 700, rps = 1000.0),  // brt 700 = 0.7*sla boundary
+        progress("q", 3, rows = 800, rps = 1000.0),  // brt 800, ct 400
+        progress("q", 4, rows = 800, rps = 1000.0)), // brt 800, ct 750
+      Seq(QuerySla("q", 1000)))
+    assert(got(("q", 1L)).streamingQueryState === "OVERPROVISIONED")
+    assert(got(("q", 2L)).streamingQueryState === "OPTIMUM")
+    assert(got(("q", 3L)).streamingQueryState === "UNDERPROVISIONED")
+    assert(got(("q", 3L)).criticalTime === 400L)
+    assert(got(("q", 4L)).streamingQueryState === "UNHEALTHY")
+    assert(got(("q", 4L)).criticalTime === 750L)
+  }
+
+  test("no-new-batches: zero rows or zero rate => NONEWBATCHES, ordinal 0") {
+    val got = analyze(Nil,
+      Seq(progress("q", 1, rows = 0, rps = 100.0),
+        progress("q", 2, rows = 50, rps = 0.0)),
+      Seq(QuerySla("q", 1000)))
+    assert(got(("q", 1L)).streamingQueryState === "NONEWBATCHES")
+    assert(got(("q", 1L)).stateOrdinal === 0)
+    assert(got(("q", 1L)).batchRunningTime === 0L)
+    assert(got(("q", 2L)).streamingQueryState === "NONEWBATCHES")
+  }
+
+  test("parallel-jobs: overlap within a group counts once; serial islands add") {
+    // Group 5: J1 [0,100], J2 [50,150] overlap (island span 150),
+    // J3 [200,300] serial (island span 100) => est = 250.
+    // No stages => cp 0 => ct = brt - 250.
+    val events = Seq(
+      ev("jobStart", 0, jobId = Some(1), sqlExecutionId = Some(5),
+        queryId = Some("q"), batchId = Some(9)),
+      ev("jobEnd", 100, jobId = Some(1)),
+      ev("jobStart", 50, jobId = Some(2), sqlExecutionId = Some(5),
+        queryId = Some("q"), batchId = Some(9)),
+      ev("jobEnd", 150, jobId = Some(2)),
+      ev("jobStart", 200, jobId = Some(3), sqlExecutionId = Some(5),
+        queryId = Some("q"), batchId = Some(9)),
+      ev("jobEnd", 300, jobId = Some(3)))
+    val r = analyze(events,
+      Seq(progress("q", 9, rows = 1000, rps = 1000.0)),
+      Seq(QuerySla("q", 10000)))(("q", 9))
+    assert(r.batchRunningTime === 1000L)
+    assert(r.criticalTime === 1000L - 250L)
+  }
+
+  test("default SLA applies when no per-query row exists") {
+    val r = analyze(Nil,
+      Seq(progress("unknown", 1, rows = 10, rps = 1000.0)),
+      Seq(QuerySla("other", 5)))(("unknown", 1))
+    assert(r.expectedMicroBatchSLA === 120000L)
+  }
+}
