@@ -1,0 +1,112 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.analyzer.{BatchAnalyzer, SpanBuilder}
+import graft.config.GraftConfig
+import graft.ingest.ListenerBridge
+import graft.model.{CriticalPathResult, QuerySla}
+import graft.report.{EventsReporter, Reporting}
+
+/** Public API facade — constructor/lifecycle parity with the reference's
+  * `StreamingLens.scala:28-113`: attach to a SparkSession, ingest scheduler
+  * + query-progress telemetry through listeners, analyze on demand (or on a
+  * caller-driven cadence), report, detach.
+  *
+  * Where the reference hand-schedules per-query threads, analysis here is
+  * one Dataset plan over drained telemetry — [[analyzeNow]] can run on any
+  * cadence (the reference's 5-minute default belongs to the caller's
+  * trigger, ref `QueryInsightsManager.scala:194-196`).
+  */
+class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
+
+  /** Option-map auxiliary constructors (ref `StreamingLens.scala:31-46`). */
+  def this(spark: SparkSession) = this(spark, Map.empty[String, String])
+  def this(spark: SparkSession, options: java.util.Map[String, String]) =
+    this(spark, options.asScala.toMap)
+
+  val config: GraftConfig = GraftConfig(options)
+
+  private val schedulerBridge = new ListenerBridge.SchedulerBridge()
+  private val progressBridge = new ListenerBridge.ProgressBridge()
+  private val slaOverrides = new ConcurrentHashMap[String, Long]()
+  private val reporter: Option[EventsReporter] =
+    config.reporterClassName.map(EventsReporter.load(_, config.reporterOptions, "graft"))
+  @volatile private var registered = false
+
+  registerListeners()
+
+  /** Attach both listeners; roll back the first if the second fails
+    * (ref `StreamingLens.scala:59-79`). */
+  def registerListeners(): Unit = synchronized {
+    if (!registered) {
+      spark.sparkContext.addSparkListener(schedulerBridge)
+      try spark.streams.addListener(progressBridge)
+      catch {
+        case e: Throwable =>
+          spark.sparkContext.removeSparkListener(schedulerBridge)
+          throw e
+      }
+      registered = true
+    }
+  }
+
+  /** Per-query SLA override (ref `StreamingLens.scala:95-101`). */
+  def updateExpectedMicroBatchSLA(queryIdent: String, slaMillis: Long): Unit = {
+    require(slaMillis > 0, "slaMillis must be > 0")
+    slaOverrides.put(queryIdent, slaMillis)
+  }
+
+  /** Run the critical-path analysis over the retained telemetry. Pure
+    * Dataset plan; returns the per-batch results. Retention is applied
+    * after each analysis (ref `QueryInsightsManager.scala:234-244`). */
+  def analyzeNow(): Dataset[CriticalPathResult] = {
+    import spark.implicits._
+    val sched = schedulerBridge.snapshot(spark)
+    val prog = progressBridge.snapshot(spark)
+    val slas = slaOverrides.asScala.toSeq.map { case (q, s) => QuerySla(q, s) }.toDS()
+    val results = BatchAnalyzer.analyze(
+      SpanBuilder.jobSpans(sched),
+      SpanBuilder.stageSpans(sched),
+      SpanBuilder.batchProgress(prog),
+      slas,
+      defaultSlaMillis = config.expectedMicroBatchSLAMillis,
+      lowFrac = config.criticalPathLowerThreshold,
+      highFrac = config.criticalPathUpperThreshold)
+    val collected = results.collect()
+    if (config.shouldLogResults) collected.foreach(r => println(Reporting.logBlock(r)))
+    reporter.foreach { rep =>
+      Reporting.renderJson(spark.createDataset(collected.toIndexedSeq), "graft", "run",
+        org.apache.spark.sql.functions.lit(System.currentTimeMillis()))
+        .collect().foreach(row => rep.sendEvent(row.getString(0)))
+    }
+    progressBridge.evictBeyond(config.maxBatchesRetention)
+    spark.createDataset(collected.toIndexedSeq)
+  }
+
+  /** Detach listeners and close the reporter (ref `StreamingLens.scala:103-113`). */
+  def stop(): Unit = synchronized {
+    if (registered) {
+      spark.sparkContext.removeSparkListener(schedulerBridge)
+      spark.streams.removeListener(progressBridge)
+      registered = false
+    }
+    reporter.foreach(_.close())
+  }
+}
+
+object StreamingGraft {
+  /** Registry mirroring the reference's companion helpers
+    * (`StreamingLens.scala:86-93`): one instance per SparkSession. */
+  private val instances = new ConcurrentHashMap[SparkSession, StreamingGraft]()
+
+  def getOrCreate(spark: SparkSession,
+                  options: Map[String, String] = Map.empty): StreamingGraft =
+    instances.computeIfAbsent(spark, s => new StreamingGraft(s, options))
+
+  def reset(spark: SparkSession): Unit =
+    Option(instances.remove(spark)).foreach(_.stop())
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.ProgressEvent
+
+/** Structured-streaming operators: the same declarative plans the batch
+  * catalog runs, plus the keyed per-query lifecycle state that replaces the
+  * reference's `QueryInsightsManager`-per-query thread choreography
+  * (ref `QueryInsightsManager.scala:91-196`, `QueryProgressListener.scala:39-83`).
+  */
+object StreamingOps {
+
+  /** Tumbling/sliding windowed counts over an event stream — works
+    * identically for batch and streaming inputs; in streaming mode callers
+    * add `.withWatermark("ts_col", ...)` upstream so state is bounded. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, slide: Option[String] = None): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    events
+      .groupBy(win, col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+  }
+
+  /** Built-in session windows (gap-based), the streaming analog of
+    * [[graft.ops.Spans.sessionize]]. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol), col("n"))
+
+  /** Per-query lifecycle state (ref T9 + `QueryProgressListener.scala:39-83`). */
+  case class QueryState(
+      queryId: String,
+      queryName: Option[String],
+      lastBatchId: Long,
+      lastTimestamp: Option[String],
+      nProgressEvents: Long,
+      active: Boolean)
+
+  /** Lifecycle status row emitted on every update. */
+  case class QueryStatus(
+      queryId: String,
+      queryName: Option[String],
+      lastBatchId: Long,
+      nProgressEvents: Long,
+      active: Boolean)
+
+  /** Keyed lifecycle tracker: `started` creates state, `progress` updates
+    * it, `terminated` (or a processing-time timeout) removes it — the
+    * `flatMapGroupsWithState` equivalent of the reference's per-query
+    * manager create/teardown (ref `QueryProgressListener.scala:39-46,73-83`,
+    * retention `QueryInsightsManager.scala:234-244`).
+    */
+  def trackLifecycle(events: Dataset[ProgressEvent],
+                     timeoutMs: Long = 30 * 60 * 1000L): Dataset[QueryStatus] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.queryId)
+      .flatMapGroupsWithState[QueryState, QueryStatus](
+        OutputMode.Append(), timeout) {
+        (queryId: String, it: Iterator[ProgressEvent], state: GroupState[QueryState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(
+              QueryState(queryId, None, -1L, None, 0L, active = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[QueryStatus]
+            // events within a batch are not ordered by the engine; order by kind
+            // lifecycle: started < progress < terminated
+            val ordered = it.toSeq.sortBy(e =>
+              (e.batchId.getOrElse(-1L), e.kind match {
+                case "started" => 0; case "progress" => 1; case _ => 2
+              }))
+            for (e <- ordered) e.kind match {
+              case "started" =>
+                cur = cur.copy(queryName = e.queryName.orElse(cur.queryName), active = true)
+              case "progress" =>
+                cur = cur.copy(
+                  queryName = e.queryName.orElse(cur.queryName),
+                  lastBatchId = math.max(cur.lastBatchId, e.batchId.getOrElse(-1L)),
+                  lastTimestamp = e.timestamp.orElse(cur.lastTimestamp),
+                  nProgressEvents = cur.nProgressEvents + 1,
+                  active = true)
+              case "terminated" =>
+                cur = cur.copy(active = false)
+              case _ =>
+            }
+            if (cur.active) {
+              state.update(cur)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            } else {
+              state.remove()
+            }
+            out += QueryStatus(queryId, cur.queryName, cur.lastBatchId,
+              cur.nProgressEvents, cur.active)
+            out.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.config.GraftConfig
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end: a real Structured Streaming query on a real SparkSession with
+  * the facade attached; the live listeners must capture telemetry and
+  * analyzeNow() must classify the batches. */
+class StreamingGraftSpec extends SparkSpec {
+
+  test("config parses reference-keyed options case-insensitively and validates") {
+    val c = GraftConfig(Map(
+      "streamingLens.analysisIntervalMinutes" -> "2",
+      "STREAMINGLENS.EXPECTEDMICROBATCHSLAMILLIS" -> "9000",
+      "streamingLens.reporter.discountFactor" -> "0.9"))
+    assert(c.analysisIntervalMinutes === 2)
+    assert(c.expectedMicroBatchSLAMillis === 9000L)
+    assert(c.discountFactor === 0.9)
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("streamingLens.criticalPathLowerThreshold" -> "1.5"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("streamingLens.maxRetries" -> "notanumber"))
+    }
+  }
+
+  test("live listeners capture a real streaming query; analyzeNow classifies it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val graft = new StreamingGraft(spark, Map(
+      "streamingLens.expectedMicroBatchSLAMillis" -> "600000",
+      "streamingLens.shouldLogResults" -> "false"))
+    try {
+      val mem = MemoryStream[Int]
+      val query = mem.toDS().map(_ * 2)
+        .writeStream.format("memory").queryName("graft_e2e")
+        .outputMode("append").start()
+      try {
+        mem.addData(1 to 1000: _*)
+        query.processAllAvailable()
+        mem.addData(1001 to 2000: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+      // listener bus is async; poll until the jobEnd events flush
+      var results = graft.analyzeNow().collect()
+      var tries = 0
+      while (results.isEmpty && tries < 20) {
+        Thread.sleep(500); tries += 1
+        results = graft.analyzeNow().collect()
+      }
+      assert(results.nonEmpty, "no batches analyzed - listeners captured nothing")
+      assert(results.forall(_.queryId.nonEmpty))
+      assert(results.forall(r =>
+        graft.config.expectedMicroBatchSLAMillis == r.expectedMicroBatchSLA))
+      // tiny local batches => far under a 10-minute SLA
+      assert(results.forall(r =>
+        r.streamingQueryState == "OVERPROVISIONED" ||
+          r.streamingQueryState == "NONEWBATCHES"))
+    } finally graft.stop()
+  }
+
+  test("updateExpectedMicroBatchSLA rejects non-positive values") {
+    val graft = StreamingGraft.getOrCreate(spark)
+    try {
+      intercept[IllegalArgumentException] {
+        graft.updateExpectedMicroBatchSLA("q", 0L)
+      }
+      graft.updateExpectedMicroBatchSLA("q", 5000L) // accepted
+    } finally StreamingGraft.reset(spark)
+  }
+}
