@@ -26,10 +26,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Distinct word n-gram shingle set of a text column (docs with fewer than
-    * `n` tokens produce no shingles and drop out of shingle-based dedup). */
-  def shingleArray(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Distinct word n-gram shingle set over an ALREADY-MATERIALIZED token
+    * array column. Callers must project the tokenization into its own
+    * column first: inlining `split()` here would re-execute the regex once
+    * per `element_at` reference (≈ 3n per document — measured 22 s for 5k
+    * docs at sf0.1 before the split was hoisted). */
+  def shingleArrayOfTokens(toks: Column, n: Int): Column =
     // Guard: sequence(1, 0) would generate a DESCENDING sequence in Spark,
     // so short docs must short-circuit to an empty array.
     when(size(toks) >= n,
@@ -38,14 +40,32 @@ object Dedup {
           sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Exploded (id, shingle) pairs for docs with at least `n` tokens. */
+  /** Distinct word n-gram shingle set of a text column (docs with fewer than
+    * `n` tokens produce no shingles and drop out of shingle-based dedup). */
+  def shingleArray(text: Column, n: Int): Column =
+    shingleArrayOfTokens(TextAnalysis.tokens(text), n)
+
+  /** Exploded (id, shingle) pairs for docs with at least `n` tokens. The
+    * tokenization is projected into a column of its own so the regex split
+    * runs exactly once per document. */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), shingleArray(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) >= 1)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingleArrayOfTokens(col("toks"), n).as("shs"))
+      // No size()>0 filter here: predicate pushdown would re-inline the whole
+      // shingle expression (incl. the regex split) into the Filter and double
+      // the work; empty arrays explode to zero rows and join nothing anyway.
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
+
+  /** Exploded (doc_id, shingle) rows. `explode_outer` + an output-attribute
+    * null filter instead of plain `explode`: InferFiltersFromGenerate would
+    * otherwise derive `size(shs) > 0` and push the WHOLE shingle expression
+    * (incl. the regex split) into the parquet scan as a data filter,
+    * doubling the evaluation (measured +13 s at sf0.1). */
+  private def explodedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
 
   /** Exact n-gram Jaccard near-dup pairs via shingle join (no all-pairs):
     * docs sharing ≥1 shingle get their intersection counted by a shuffled
@@ -54,7 +74,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = shingles(docs, textCol, idCol, n)
-    val ex = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val ex = explodedShingles(sh)
     val sizes = sh.select(col("doc_id"), col("n_sh"))
     val inter = ex.as("a")
       .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -82,7 +102,7 @@ object Dedup {
     * seeded 64-bit hash per permutation (one shuffle, no explosion — the k
     * hashes are k aggregate expressions over the exploded shingles). */
   def minHashSignatures(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shs")).as("g"))
+    val ex = explodedShingles(sh)
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
