@@ -35,6 +35,8 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
   private val slaOverrides = new ConcurrentHashMap[String, Long]()
   private val reporter: Option[EventsReporter] =
     config.reporterClassName.map(EventsReporter.load(_, config.reporterOptions, "graft"))
+  private val metrics = org.apache.spark.graft.GraftMetricsSource.register()
+  private val consecutiveFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var registered = false
 
   registerListeners()
@@ -76,7 +78,11 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
       defaultSlaMillis = config.expectedMicroBatchSLAMillis,
       lowFrac = config.criticalPathLowerThreshold,
       highFrac = config.criticalPathUpperThreshold)
+    val t0 = System.nanoTime()
     val collected = results.collect()
+    metrics.update(
+      collected.sortBy(r => (r.queryId, r.batchId)).lastOption,
+      (System.nanoTime() - t0) / 1000000L)
     if (config.shouldLogResults) collected.foreach(r => println(Reporting.logBlock(r)))
     reporter.foreach { rep =>
       Reporting.renderJson(spark.createDataset(collected.toIndexedSeq), "graft", "run",
@@ -87,6 +93,32 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     spark.createDataset(collected.toIndexedSeq)
   }
 
+  /** [[analyzeNow]] under the reference's robustness contract
+    * (ref `analyzer/StreamingQueryAnalyzer.scala:69-98`,
+    * `QueryInsightsManager.scala:149-178`): the analysis runs under a
+    * `maxAnalysisTimeSeconds` timeout; a timeout or failure yields a single
+    * ERROR-state result instead of throwing, and `maxRetries` consecutive
+    * failures detach the tool from the session (self-shutdown). */
+  def analyzeGuarded(): Dataset[CriticalPathResult] = {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val out = Await.result(Future(analyzeNow()),
+        config.maxAnalysisTimeSeconds.seconds)
+      consecutiveFailures.set(0)
+      out
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] analysis failed: ${e.getMessage}")
+        if (consecutiveFailures.incrementAndGet() >= config.maxRetries) stop()
+        spark.createDataset(Seq(CriticalPathResult(
+          "analysis", -1L, config.expectedMicroBatchSLAMillis, 0L, 0L,
+          "ERROR", -1)))
+    }
+  }
+
   /** Detach listeners and close the reporter (ref `StreamingLens.scala:103-113`). */
   def stop(): Unit = synchronized {
     if (registered) {
@@ -94,6 +126,7 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
       spark.streams.removeListener(progressBridge)
       registered = false
     }
+    org.apache.spark.graft.GraftMetricsSource.unregister(metrics)
     reporter.foreach(_.close())
   }
 }

@@ -171,6 +171,29 @@ object CoreQueries {
               SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrency
               FROM run GROUP BY event_type ORDER BY event_type""")),
 
+    // Q11b — same semantics via the two-phase bucketed running sum, the
+    // formulation that survives a key whose event count exceeds one
+    // executor's sort budget (same oracle as Q11 by construction).
+    QueryDef("q11_sweepline_scalable",
+      (s, d) => graft.ops.Spans.maxConcurrencyScalable(
+        Tables.events(s, d)
+          .select(col("event_type"), col("ms").as("start_ms"),
+                  (col("ms") + expr("cast(round(value * 1000) as long)")).as("end_ms")),
+        keyCol = "event_type")
+        .orderBy("event_type"),
+      Some("""WITH spans AS (
+                SELECT event_type, epoch_ms(ts) AS s, epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e
+                FROM events),
+              deltas AS (
+                SELECT event_type, s AS t, 1 AS delta FROM spans
+                UNION ALL
+                SELECT event_type, e AS t, -1 AS delta FROM spans),
+              run AS (
+                SELECT event_type, SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta DESC) AS c
+                FROM deltas)
+              SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrency
+              FROM run GROUP BY event_type ORDER BY event_type""")),
+
     // Q12 — session/island split, gaps-and-islands (ref JobOverlapHelper.scala:83-106)
     QueryDef("q12_islands",
       (s, d) => graft.ops.Spans.sessionize(

@@ -98,4 +98,21 @@ class SpansSpec extends SparkSpec {
       }
     }
   }
+
+  test("maxConcurrencyScalable equals the one-window formulation (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 8) {
+      val spans = Seq.fill(40) {
+        val s = rnd.nextLong(500)
+        (if (rnd.nextBoolean()) "a" else "b", s, s + 1 + rnd.nextLong(120))
+      }
+      val df = spans.toDF("k", "start_ms", "end_ms")
+      val one = Spans.maxConcurrency(df, "k")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val two = Spans.maxConcurrencyScalable(df, "k", numBuckets = 7)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(two === one, s"trial $trial")
+    }
+  }
 }
