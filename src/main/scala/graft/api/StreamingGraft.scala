@@ -93,6 +93,33 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     spark.createDataset(collected.toIndexedSeq)
   }
 
+  private val lastAnalyzedBatch = new ConcurrentHashMap[String, Long]()
+  @volatile private var lastAnalysisAtMs = 0L
+
+  /** Throttled analysis — the reference's two gates
+    * (ref `QueryInsightsManager.scala:194-196` time throttle;
+    * `analyzer/StreamingQueryAnalyzer.scala:132-136` batch throttle):
+    * returns None when called again within `analysisIntervalMinutes`;
+    * otherwise analyzes, but only batches at least `analysisMinBatches`
+    * past each query's last analyzed batch id. */
+  def analyzeIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[CriticalPathResult]] = {
+    if (nowMs - lastAnalysisAtMs < config.analysisIntervalMinutes * 60000L) None
+    else {
+      lastAnalysisAtMs = nowMs
+      val results = analyzeGuarded()
+      import spark.implicits._
+      val fresh = results.collect().filter { r =>
+        val last = lastAnalyzedBatch.getOrDefault(r.queryId, Long.MinValue)
+        last == Long.MinValue || r.batchId - last >= config.analysisMinBatches
+      }
+      fresh.foreach { r =>
+        lastAnalyzedBatch.merge(r.queryId, r.batchId,
+          (a, b) => math.max(a, b))
+      }
+      Some(spark.createDataset(fresh.toIndexedSeq))
+    }
+  }
+
   /** [[analyzeNow]] under the reference's robustness contract
     * (ref `analyzer/StreamingQueryAnalyzer.scala:69-98`,
     * `QueryInsightsManager.scala:149-178`): the analysis runs under a

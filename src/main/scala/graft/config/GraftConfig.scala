@@ -7,6 +7,7 @@ package graft.config
   */
 final case class GraftConfig(
     analysisIntervalMinutes: Int = 5,
+    analysisMinBatches: Int = 1,
     criticalPathLowerThreshold: Double = 0.3,
     criticalPathUpperThreshold: Double = 0.7,
     maxResultsRetention: Int = 30,
@@ -21,6 +22,7 @@ final case class GraftConfig(
     reporterOptions: Map[String, String] = Map.empty) {
 
   require(analysisIntervalMinutes > 0, "analysisIntervalMinutes must be > 0")
+  require(analysisMinBatches > 0, "analysisMinBatches must be > 0")
   require(criticalPathLowerThreshold > 0 && criticalPathLowerThreshold < 1,
     "criticalPathLowerThreshold must be in (0, 1)")
   require(criticalPathUpperThreshold > 0 && criticalPathUpperThreshold < 1,
@@ -54,6 +56,7 @@ object GraftConfig {
       }.getOrElse(dflt)
     try GraftConfig(
       analysisIntervalMinutes = num("analysisIntervalMinutes", _.toInt, 5),
+      analysisMinBatches = num("analysisMinBatches", _.toInt, 1),
       criticalPathLowerThreshold = num("criticalPathLowerThreshold", _.toDouble, 0.3),
       criticalPathUpperThreshold = num("criticalPathUpperThreshold", _.toDouble, 0.7),
       maxResultsRetention = num("maxResultsRetention", _.toInt, 30),

@@ -69,4 +69,16 @@ class StreamingGraftSpec extends SparkSpec {
       graft.updateExpectedMicroBatchSLA("q", 5000L) // accepted
     } finally StreamingGraft.reset(spark)
   }
+
+  test("analyzeIfDue throttles by the configured interval") {
+    val graft = new StreamingGraft(spark, Map(
+      "streamingLens.shouldLogResults" -> "false",
+      "streamingLens.analysisIntervalMinutes" -> "5"))
+    try {
+      val t0 = 10L * 60000L
+      assert(graft.analyzeIfDue(t0).isDefined)        // first call runs
+      assert(graft.analyzeIfDue(t0 + 60000L).isEmpty) // 1 min later: throttled
+      assert(graft.analyzeIfDue(t0 + 5 * 60000L).isDefined) // interval elapsed
+    } finally graft.stop()
+  }
 }
