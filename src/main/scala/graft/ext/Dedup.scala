@@ -67,26 +67,48 @@ object Dedup {
     sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle join (no all-pairs):
-    * docs sharing ≥1 shingle get their intersection counted by a shuffled
-    * equi-join on the shingle, then Jaccard = |∩| / (|A|+|B|−|∩|).
-    * Output: `ia < ib`, `jacc` rounded to 4. */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
-    val ex = explodedShingles(sh)
-    val sizes = sh.select(col("doc_id"), col("n_sh"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+  /** Shared-shingle intersection counts per doc pair (`ia < ib`, `inter`),
+    * via postings lists: group the exploded shingles by shingle, emit every
+    * ordered id pair inside each posting, count per pair. One evaluation of
+    * the shingle subtree and two key-partitioned shuffles — vs. a self-join
+    * that evaluates it twice. Quadratic only in per-shingle document
+    * frequency (the usual similarity-join skew caveat: a shingle appearing
+    * in q docs emits q²/2 pairs — cap df upstream if a corpus has
+    * degenerate boilerplate). */
+  private def pairIntersections(sh: DataFrame): DataFrame = {
+    val postings = explodedShingles(sh)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    postings
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .agg(count(lit(1)).as("inter"))
-    inter
+  }
+
+  /** Per-doc distinct shingle counts. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("n_sh"))
+
+  private def jaccardFromCounts(pairs: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
+    pairs
       .join(sizes.as("za"), col("ia") === col("za.doc_id"))
       .join(sizes.as("zb"), col("ib") === col("zb.doc_id"))
       .withColumn("jacc",
         col("inter").cast("double") / (col("za.n_sh") + col("zb.n_sh") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("ia"), col("ib"), round(col("jacc"), 4).as("jacc"))
+
+  /** Exact n-gram Jaccard near-dup pairs via the shingle postings lists (no
+    * all-pairs): docs sharing ≥1 shingle get their intersection counted,
+    * then Jaccard = |∩| / (|A|+|B|−|∩|). Output: `ia < ib`, `jacc` (4dp). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, n)
+    jaccardFromCounts(pairIntersections(sh), shingleSizes(sh), threshold)
   }
 
   /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
@@ -108,8 +130,10 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified: band-bucket equi-join for
-    * candidates, then exact Jaccard over the shingle sets, same output
-    * contract as [[ngramJaccardPairs]]. */
+    * candidates, then exact Jaccard via the postings-list intersection
+    * counts, same output contract as [[ngramJaccardPairs]]. A band-collision
+    * false positive sharing zero shingles drops at the inner join — it could
+    * only ever have Jaccard 0. */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int, threshold: Double): DataFrame = {
     val sh = shingles(docs, textCol, idCol, n)
@@ -127,17 +151,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
-    val withSets = cands
-      .join(sh.select(col("doc_id"), col("shs").as("sa"), col("n_sh").as("na")),
-        col("ia") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("shs").as("sb"), col("n_sh").as("nb")),
-        col("ib") === col("doc_id")).drop("doc_id")
-    withSets
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jacc",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jacc") >= threshold)
-      .select(col("ia"), col("ib"), round(col("jacc"), 4).as("jacc"))
+    jaccardFromCounts(
+      cands.join(pairIntersections(sh), Seq("ia", "ib")),
+      shingleSizes(sh), threshold)
   }
 
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is
