@@ -81,6 +81,40 @@ object SpanBuilder {
       .as[ExecutorSpan]
   }
 
+  /** Job→executor bridge rows (T5 `jobIdToExecutorId`,
+    * ref `StreamingAppTracker.scala:37`): which executors ran tasks of which
+    * job, from taskEnd events resolved through the stage→job mapping. */
+  def jobExecutors(events: Dataset[SchedulerEvent]): DataFrame = {
+    val stageToJob = events.toDF()
+      .filter(col("kind") === "jobStart")
+      .select(col("jobId"), explode(col("stageIds")).as("stageId"))
+    events.toDF()
+      .filter(col("kind") === "taskEnd" &&
+        col("executorId").isNotNull && col("stageId").isNotNull)
+      .select(col("stageId"), col("executorId"))
+      .join(stageToJob, "stageId")
+      .select(col("jobId"), col("executorId"))
+      .distinct()
+  }
+
+  /** Executors active in one batch — the reference's semi-join chain
+    * (ref `common/MicroBatchContext.scala:96-99,123-129`): executors whose
+    * id appears among the batch's jobs' executors. */
+  def batchExecutors(executors: Dataset[ExecutorSpan], jobs: Dataset[JobSpan],
+                     jobExec: DataFrame, queryId: String,
+                     batchId: Long): Dataset[ExecutorSpan] = {
+    import executors.sparkSession.implicits._
+    val batchJobs = jobs.toDF()
+      .filter(col("queryId") === queryId && col("batchId") === batchId)
+      .select(col("jobId"))
+    executors.toDF()
+      .join(
+        jobExec.join(batchJobs, Seq("jobId"), "left_semi")
+          .select(col("executorId")),
+        Seq("executorId"), "left_semi")
+      .as[ExecutorSpan]
+  }
+
   /** Batch progress rows from the progress stream
     * (ref `QueryInsightsManager.scala:198-204`). */
   def batchProgress(events: Dataset[ProgressEvent]): Dataset[BatchProgress] = {

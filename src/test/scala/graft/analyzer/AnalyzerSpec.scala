@@ -127,4 +127,29 @@ class AnalyzerSpec extends SparkSpec {
       Seq(QuerySla("other", 5)))(("unknown", 1))
     assert(r.expectedMicroBatchSLA === 120000L)
   }
+
+  test("jobExecutors bridge + batchExecutors semi-join chain") {
+    import spark.implicits._
+    val events = Seq(
+      ev("jobStart", 0, jobId = Some(1), stageIds = Seq(10),
+        queryId = Some("q"), batchId = Some(1)),
+      ev("jobStart", 0, jobId = Some(2), stageIds = Seq(20),
+        queryId = Some("q"), batchId = Some(2)),
+      SchedulerEvent("taskEnd", 5, None, Nil, Some(10), Nil, None, Some(100L),
+        Some("ex1"), None, None, Some(5L), Some(false), None, None, None),
+      SchedulerEvent("taskEnd", 6, None, Nil, Some(20), Nil, None, Some(101L),
+        Some("ex2"), None, None, Some(5L), Some(false), None, None, None),
+      SchedulerEvent("executorAdded", 0, None, Nil, None, Nil, None, None,
+        Some("ex1"), Some("h1"), Some(4), None, None, None, None, None),
+      SchedulerEvent("executorAdded", 0, None, Nil, None, Nil, None, None,
+        Some("ex2"), Some("h2"), Some(4), None, None, None, None, None)).toDS()
+    val bridge = SpanBuilder.jobExecutors(events)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bridge === Set((1L, "ex1"), (2L, "ex2")))
+    val got = SpanBuilder.batchExecutors(
+      SpanBuilder.executorSpans(events), SpanBuilder.jobSpans(events),
+      SpanBuilder.jobExecutors(events), "q", 1L)
+      .collect().map(_.executorId).toSeq
+    assert(got === Seq("ex1"))
+  }
 }
