@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorFunctions.dotF
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path complementing sign-LSH ([[Similarity.lshTopK]]):
+  *
+  *   1. train k centroids with a deterministic mini k-means (seeded init,
+  *      a few Lloyd iterations — centroid state is k×dim doubles, safely
+  *      driver-side; assignments stay distributed);
+  *   2. assign every vector to its nearest centroid (one scan, the argmin
+  *      over k codegen'd dot products);
+  *   3. at query time, probe only the `nProbe` nearest cells and run exact
+  *      cosine inside them.
+  *
+  * At 100 TB the partition-by-cell layout means a probe touches
+  * nProbe/k of the data; training cost is iters scans. All scoring goes
+  * through the codegen'd dot-product expression.
+  */
+object Ivf {
+
+  /** Nearest-centroid id expression: argmax_j of (x·c_j − |c_j|²/2), which
+    * orders identically to squared euclidean distance. Ties break to the
+    * lowest cluster id (deterministic). */
+  private def clusterOf(centroids: Array[Array[Double]]) = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val norm2 = c.map(x => x * x).sum
+      struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
+        lit(-j).as("negj"))
+    }
+    -greatest(scored: _*).getField("negj")
+  }
+
+  /** Deterministic mini k-means over the embedding column. Init picks the k
+    * vectors with the smallest seeded hash of vec_id (spread pseudo-randomly,
+    * reproducible); each Lloyd iteration reassigns distributed and collects
+    * only the k×dim centroid means. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val initRows = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(lit(7L), col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+    var centroids = initRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val means = emb
+        .withColumn("cluster", clusterOf(centroids))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r: Row =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Vectors with their IVF cell assignment. */
+  def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    emb.withColumn("cluster", clusterOf(centroids))
+
+  /** Approximate top-k for one query: exact cosine restricted to the
+    * `nProbe` cells nearest the query vector. */
+  def ivfTopK(emb: DataFrame, queryId: Long, kTop: Int,
+              nClusters: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, nClusters, iters)
+    val assigned = assign(emb, centroids)
+    val n = Similarity.withNorms(assigned)
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    val qRows = n.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm")).take(1)
+    require(qRows.nonEmpty, s"ivfTopK: no embedding with vec_id=$queryId")
+    val q = qRows.head
+    val qe = q.getSeq[Float](0).map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex
+      .map { case (c, j) =>
+        val dot = c.zip(qe).map { case (a, b) => a * b }.sum
+        val norm2 = c.map(x => x * x).sum
+        (j, dot - norm2 / 2)
+      }
+      .sortBy { case (j, s) => (-s, j) }
+      .take(nProbe).map(_._1)
+    n.filter(col("vec_id") =!= queryId && col("cluster").isin(probed: _*))
+      .select(col("vec_id"),
+        round(dotF(col("embedding"), typedLit(qe.toSeq)) / (col("nrm") * lit(q.getDouble(1))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+}

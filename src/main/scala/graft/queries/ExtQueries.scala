@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline query surface over `documents` and
   * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
@@ -191,6 +191,14 @@ object ExtQueries {
     // x13 — LSH multi-probe approximate top-k for one query (rows-only).
     QueryDef("x13_lsh_topk",
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0L, kTop = 10)
+        .orderBy(col("cos").desc, col("vec_id").asc),
+      None),
+
+    // x16 — IVF ANN: coarse-quantizer cells (deterministic mini k-means),
+    // probe the nearest cells, exact cosine inside them (rows-only; recall
+    // vs the exact x10 measured in tests).
+    QueryDef("x16_ivf_topk",
+      (s, d) => Ivf.ivfTopK(Tables.embeddings(s, d), queryId = 0L, kTop = 10)
         .orderBy(col("cos").desc, col("vec_id").asc),
       None),
 

@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("training is deterministic and assigns every vector to a valid cell") {
+    val c1 = Ivf.trainCentroids(emb, k = 8, iters = 2)
+    val c2 = Ivf.trainCentroids(emb, k = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val clusters = Ivf.assign(emb, c1)
+      .select("cluster").distinct().collect().map(_.getInt(0)).sorted
+    assert(clusters.forall(c => c >= 0 && c < 8))
+    val total = Ivf.assign(emb, c1).count()
+    assert(total === emb.count())
+  }
+
+  test("ivf top-k overlaps the exact top-k (recall sanity)") {
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ivf.ivfTopK(emb, 0L, 10, nClusters = 8, iters = 2, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size === 10)
+    // probing half the cells of near-uniform vectors: expect solid overlap
+    assert((exact & approx).size >= 4,
+      s"recall too low: ${(exact & approx).size}/10")
+  }
+
+  test("probing all cells recovers the exact top-k") {
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Ivf.ivfTopK(emb, 0L, 10, nClusters = 8, iters = 2, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+  }
+}
