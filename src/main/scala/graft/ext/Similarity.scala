@@ -67,6 +67,19 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-level near-dup dedup: keep a vector iff no LOWER-id vector
+    * is cosine-similar above the threshold — each dup cluster keeps its
+    * minimum id as representative (pairwise rule, not transitive closure:
+    * A~B, B~C, A≁C keeps A and C; document accordingly). Built on the exact
+    * pair join; at scale substitute [[lshCosinePairs]] for the candidate
+    * set. Output: `vec_id` of survivors. */
+  def embeddingDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val dominated = cosinePairs(emb, threshold)
+      .select(col("ib").as("vec_id")).distinct()
+    emb.select(col("vec_id"))
+      .join(dominated, Seq("vec_id"), "left_anti")
+  }
+
   /** Fixed random hyperplanes (seeded, deterministic) for sign-LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

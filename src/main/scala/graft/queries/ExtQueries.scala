@@ -194,6 +194,18 @@ object ExtQueries {
         .orderBy(col("cos").desc, col("vec_id").asc),
       None),
 
+    // x17 — embedding-cosine near-dup dedup: survivors have no lower-id
+    // neighbor above the threshold (min-id representative per dup pair).
+    QueryDef("x17_embedding_dedup",
+      (s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id FROM embeddings e
+              WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings o
+                WHERE o.vec_id < e.vec_id
+                  AND round(list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.35)
+              ORDER BY vec_id""")),
+
     // x16 — IVF ANN: coarse-quantizer cells (deterministic mini k-means),
     // probe the nearest cells, exact cosine inside them (rows-only; recall
     // vs the exact x10 measured in tests).

@@ -38,6 +38,24 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col(keyCol), col("n"))
 
+  /** Continuous analysis driver: a rate-source stream whose only job is to
+    * fire `onTick` on the configured cadence — the Structured Streaming
+    * equivalent of the reference's per-query analysis timer
+    * (ref `QueryInsightsManager.scala:194-196`, SURVEY §2.1-H
+    * "Trigger.ProcessingTime on the analysis stream"). The caller passes
+    * e.g. `() => graft.analyzeIfDue()`. */
+  def analysisTicker(spark: org.apache.spark.sql.SparkSession,
+                     intervalSeconds: Int)(onTick: () => Unit) =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", 1)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        s"$intervalSeconds seconds"))
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => onTick() }
+      .start()
+
   /** Per-query lifecycle state (ref T9 + `QueryProgressListener.scala:39-83`). */
   case class QueryState(
       queryId: String,
