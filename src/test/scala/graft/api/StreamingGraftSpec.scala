@@ -81,4 +81,34 @@ class StreamingGraftSpec extends SparkSpec {
       assert(graft.analyzeIfDue(t0 + 5 * 60000L).isDefined) // interval elapsed
     } finally graft.stop()
   }
+
+  test("full loop: live query + analysis ticker accumulating classified results") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val g = new StreamingGraft(spark, Map(
+      "streamingLens.shouldLogResults" -> "false",
+      "streamingLens.expectedMicroBatchSLAMillis" -> "600000"))
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ticker = _root_.graft.streaming.StreamingOps.analysisTicker(spark, 1) { () =>
+      g.analyzeGuarded().collect().foreach(r =>
+        collected.add(s"${r.batchId}:${r.streamingQueryState}"))
+    }
+    try {
+      val mem = MemoryStream[Int]
+      val q = mem.toDS().map(_ * 2).writeStream.format("memory")
+        .queryName("full_loop").outputMode("append").start()
+      try {
+        mem.addData(1 to 2000: _*)
+        q.processAllAvailable()
+        var waited = 0
+        while (collected.isEmpty && waited < 30000) { Thread.sleep(500); waited += 500 }
+      } finally q.stop()
+      assert(!collected.isEmpty, "ticker never produced an analysis result")
+      assert(collected.iterator().next().endsWith("OVERPROVISIONED"))
+    } finally {
+      ticker.stop()
+      g.stop()
+    }
+  }
 }
