@@ -30,6 +30,11 @@ object SpanBuilder {
         max(col("sqlExecutionId")).as("sqlExecutionId"),
         max(col("queryId")).as("queryId"),
         max(col("batchId")).as("batchId"))
+      // In-flight jobs (no jobEnd in the snapshot yet) would deserialize
+      // null into JobSpan's primitive endTime and crash the analysis —
+      // a live monitoring tool snapshots mid-batch routinely. Completed
+      // work only.
+      .filter(col("startTime").isNotNull && col("endTime").isNotNull)
       .select(col("jobId"), col("startTime"), col("endTime"),
         col("sqlExecutionId"), col("queryId"), col("batchId"))
       .as[JobSpan]
@@ -58,6 +63,9 @@ object SpanBuilder {
           .otherwise(lit(0L))).as("maxTaskDurationMs"))
     stageAgg
       .join(stageToJob, "stageId")
+      // Same in-flight guard as jobSpans: stages without a completion event
+      // yet must not reach StageSpan's primitive Long fields.
+      .filter(col("startTime").isNotNull && col("endTime").isNotNull)
       .select(col("stageId"), col("jobId"), col("startTime"), col("endTime"),
         coalesce(col("parentStageIds"), array().cast("array<int>")).as("parentStageIds"),
         col("numTasks"), col("maxTaskDurationMs"))

@@ -90,6 +90,11 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
         .collect().foreach(row => rep.sendEvent(row.getString(0)))
     }
     progressBridge.evictBeyond(config.maxBatchesRetention)
+    // Scheduler telemetry retention: keep a window wide enough for
+    // maxBatchesRetention analysis intervals; without this the queue fills
+    // to its cap and silently drops every new event.
+    schedulerBridge.evictBefore(System.currentTimeMillis() -
+      config.maxBatchesRetention.toLong * config.analysisIntervalMinutes * 60000L)
     spark.createDataset(collected.toIndexedSeq)
   }
 
@@ -126,13 +131,23 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     * `maxAnalysisTimeSeconds` timeout; a timeout or failure yields a single
     * ERROR-state result instead of throwing, and `maxRetries` consecutive
     * failures detach the tool from the session (self-shutdown). */
+  private val analysisBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def analyzeGuarded(): Dataset[CriticalPathResult] = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // A timed-out Await abandons (cannot cancel) the running plan; the busy
+    // flag prevents repeated ticks from stacking zombie analyses, and the
+    // abandoned run clears it when it eventually finishes.
+    if (!analysisBusy.compareAndSet(false, true)) {
+      System.err.println("[graft] analysis still running; skipping this tick")
+      return spark.createDataset(Seq.empty[CriticalPathResult])
+    }
     try {
-      val out = Await.result(Future(analyzeNow()),
+      val out = Await.result(
+        Future { try analyzeNow() finally analysisBusy.set(false) },
         config.maxAnalysisTimeSeconds.seconds)
       consecutiveFailures.set(0)
       out
@@ -164,8 +179,14 @@ object StreamingGraft {
   private val instances = new ConcurrentHashMap[SparkSession, StreamingGraft]()
 
   def getOrCreate(spark: SparkSession,
-                  options: Map[String, String] = Map.empty): StreamingGraft =
+                  options: Map[String, String] = Map.empty): StreamingGraft = {
+    val existing = instances.get(spark)
+    if (existing != null && options.nonEmpty)
+      System.err.println(
+        "[graft] getOrCreate: an instance already exists for this session; " +
+          "the provided options are IGNORED (use reset() first to reconfigure)")
     instances.computeIfAbsent(spark, s => new StreamingGraft(s, options))
+  }
 
   def reset(spark: SparkSession): Unit =
     Option(instances.remove(spark)).foreach(_.stop())

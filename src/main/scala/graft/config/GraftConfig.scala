@@ -50,8 +50,10 @@ object GraftConfig {
     def num[T](key: String, parse: String => T, dflt: T): T =
       get(key).map { v =>
         try parse(v)
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"$Prefix$key: not a valid number: '$v'")
+        // toBoolean throws IllegalArgumentException, the numerics throw
+        // NumberFormatException — both must surface the offending key
+        catch { case _: NumberFormatException | _: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"$Prefix$key: not a valid value: '$v'")
         }
       }.getOrElse(dflt)
     try GraftConfig(

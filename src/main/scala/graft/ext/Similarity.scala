@@ -126,12 +126,15 @@ object Similarity {
         col("bucket") === col("bucket_b") && col("ia") < col("ib"))
       .select(col("ia"), col("ib"))
       .dropDuplicates("ia", "ib")
+    // No broadcast hint: this IS the scale path — the embeddings side can be
+    // arbitrarily large, so the vector re-attachment must stay a shuffled
+    // join (AQE still broadcasts small inputs on its own).
     val n = withNorms(emb)
     cands
-      .join(broadcast(n.select(col("vec_id").as("ia"), col("embedding").as("ea"),
-        col("nrm").as("na"))), "ia")
-      .join(broadcast(n.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-        col("nrm").as("nb"))), "ib")
+      .join(n.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        col("nrm").as("na")), "ia")
+      .join(n.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "ib")
       .select(col("ia"), col("ib"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

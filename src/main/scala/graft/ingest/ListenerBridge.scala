@@ -32,10 +32,14 @@ object ListenerBridge {
 
   class SchedulerBridge(maxBuffered: Int = 1 << 20) extends SparkListener {
     private val queue = new ConcurrentLinkedQueue[SchedulerEvent]()
+    // ConcurrentLinkedQueue.size is O(n); the bus thread must stay O(1),
+    // so the size is tracked separately.
+    private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
     private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
 
     private def offer(e: SchedulerEvent): Unit =
-      if (queue.size < maxBuffered) queue.add(e) else dropped.incrementAndGet()
+      if (queued.get < maxBuffered) { queue.add(e); queued.incrementAndGet() }
+      else dropped.incrementAndGet()
 
     def droppedCount: Long = dropped.get
 
@@ -49,8 +53,10 @@ object ListenerBridge {
 
     /** Retention eviction: drop events older than `horizonMs`
       * (ref purge `StreamingAppTracker.scala:44-74`). */
-    def evictBefore(horizonMs: Long): Unit =
+    def evictBefore(horizonMs: Long): Unit = {
       queue.removeIf(e => e.time < horizonMs)
+      queued.set(queue.size)
+    }
 
     private def base(kind: String, time: Long) = SchedulerEvent(
       kind, time, None, Nil, None, Nil, None, None, None, None, None, None,
@@ -101,6 +107,10 @@ object ListenerBridge {
 
   class ProgressBridge(maxBuffered: Int = 1 << 16) extends StreamingQueryListener {
     private val queue = new ConcurrentLinkedQueue[ProgressEvent]()
+    private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+
+    def droppedCount: Long = dropped.get
 
     /** Snapshot buffered events without consuming them. */
     def snapshot(spark: SparkSession): Dataset[ProgressEvent] = {
@@ -108,12 +118,17 @@ object ListenerBridge {
       spark.createDataset(queue.asScala.toSeq)
     }
 
-    /** Retention eviction: keep only the newest `maxBatches` batch ids per
-      * query (ref `QueryInsightsManager.scala:234-240`). */
+    /** Retention eviction (ref `QueryInsightsManager.scala:234-240`): keep
+      * only the newest `maxBatches` batch ids per query, and drop the
+      * batchId-less started/terminated lifecycle rows of runs that have
+      * terminated AND have no retained batches left — otherwise restarts
+      * accumulate lifecycle rows until the buffer cap silently drops
+      * everything new. */
     def evictBeyond(maxBatches: Int): Unit = {
+      val snapshotSeq = queue.asScala.toSeq
       // .toSeq before flatMap: flatMapping a Map into tuples would rebuild a
       // Map and collapse all batches of a query onto the last one.
-      val keep = queue.asScala.toSeq
+      val keep = snapshotSeq
         .filter(_.batchId.isDefined)
         .groupBy(_.queryId)
         .toSeq
@@ -121,12 +136,19 @@ object ListenerBridge {
           es.flatMap(_.batchId).distinct.sorted.takeRight(maxBatches)
             .map(b => (q, b))
         }.toSet
-      queue.removeIf(e => e.batchId.isDefined &&
-        !keep.contains((e.queryId, e.batchId.get)))
+      val retainedQueries = keep.map(_._1)
+      val terminatedQueries = snapshotSeq.filter(_.kind == "terminated").map(_.queryId).toSet
+      queue.removeIf { e =>
+        (e.batchId.isDefined && !keep.contains((e.queryId, e.batchId.get))) ||
+        (e.batchId.isEmpty && terminatedQueries.contains(e.queryId) &&
+          !retainedQueries.contains(e.queryId))
+      }
+      queued.set(queue.size)
     }
 
     private def offer(e: ProgressEvent): Unit =
-      if (queue.size < maxBuffered) queue.add(e)
+      if (queued.get < maxBuffered) { queue.add(e); queued.incrementAndGet() }
+      else dropped.incrementAndGet()
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
       offer(ProgressEvent("started", e.id.toString, e.runId.toString,

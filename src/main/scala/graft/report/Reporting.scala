@@ -73,11 +73,18 @@ object Reporting {
   }
 
   /** Pretty duration, the reference's `pd()`:
-    * millis → "NNs NNNms" (ref `QueryInsightsManager.scala:228-232`). */
+    * millis → "NNs NNNms" (ref `QueryInsightsManager.scala:228-232`).
+    * `%02d`-style padding — pads short values but never truncates long
+    * ones (`lpad` would cut "120" to "12"). */
+  private def padMin(c: Column, width: Int): Column = {
+    val s = c.cast("string")
+    when(length(s) >= width, s).otherwise(lpad(s, width, "0"))
+  }
+
   def pd(ms: Column): Column =
     concat(
-      lpad((ms / 1000).cast("long").cast("string"), 2, "0"), lit("s "),
-      lpad((ms % 1000).cast("string"), 3, "0"), lit("ms"))
+      padMin((ms / 1000).cast("long"), 2), lit("s "),
+      padMin(ms % 1000, 3), lit("ms"))
 
   /** JSON event rendering of a result row
     * (ref `StreamingLensReportingHelper.scala:80-92`). */

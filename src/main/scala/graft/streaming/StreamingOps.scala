@@ -97,12 +97,14 @@ object StreamingOps {
             var cur = state.getOption.getOrElse(
               QueryState(queryId, None, -1L, None, 0L, active = false))
             val out = scala.collection.mutable.ArrayBuffer.empty[QueryStatus]
-            // events within a batch are not ordered by the engine; order by kind
-            // lifecycle: started < progress < terminated
+            // events within a batch are not ordered by the engine; lifecycle
+            // rank is PRIMARY (started < progress < terminated) — batchId
+            // first would sort a batchId-less terminated (-1) before the
+            // progress events it follows
             val ordered = it.toSeq.sortBy(e =>
-              (e.batchId.getOrElse(-1L), e.kind match {
+              (e.kind match {
                 case "started" => 0; case "progress" => 1; case _ => 2
-              }))
+              }, e.batchId.getOrElse(-1L)))
             for (e <- ordered) e.kind match {
               case "started" =>
                 cur = cur.copy(queryName = e.queryName.orElse(cur.queryName), active = true)

@@ -133,8 +133,10 @@ class AnalyzerSpec extends SparkSpec {
     val events = Seq(
       ev("jobStart", 0, jobId = Some(1), stageIds = Seq(10),
         queryId = Some("q"), batchId = Some(1)),
+      ev("jobEnd", 10, jobId = Some(1)),
       ev("jobStart", 0, jobId = Some(2), stageIds = Seq(20),
         queryId = Some("q"), batchId = Some(2)),
+      ev("jobEnd", 10, jobId = Some(2)),
       SchedulerEvent("taskEnd", 5, None, Nil, Some(10), Nil, None, Some(100L),
         Some("ex1"), None, None, Some(5L), Some(false), None, None, None),
       SchedulerEvent("taskEnd", 6, None, Nil, Some(20), Nil, None, Some(101L),

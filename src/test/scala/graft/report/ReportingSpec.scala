@@ -46,9 +46,9 @@ class ReportingSpec extends SparkSpec {
 
   test("pd renders the reference duration format") {
     import spark.implicits._
-    val got = Seq(2094L, 13L, 61007L).toDF("ms")
+    val got = Seq(2094L, 13L, 61007L, 120000L).toDF("ms")
       .select(Reporting.pd(col("ms"))).collect().map(_.getString(0)).toSeq
-    assert(got === Seq("02s 094ms", "00s 013ms", "61s 007ms"))
+    assert(got === Seq("02s 094ms", "00s 013ms", "61s 007ms", "120s 000ms"))
   }
 
   test("renderJson emits one compact event per result") {

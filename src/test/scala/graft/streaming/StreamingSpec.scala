@@ -72,16 +72,17 @@ class StreamingSpec extends SparkSpec {
         Some("2024-01-01T00:00:00.000Z"), Some(10L), Some(5.0), Nil, None)
       mem.addData(pe("started", None))
       query.processAllAvailable()
-      mem.addData(pe("progress", Some(0L)), pe("progress", Some(1L)))
-      query.processAllAvailable()
-      mem.addData(pe("terminated", None))
+      // progress AND terminated in the SAME micro-batch: the lifecycle
+      // rank must order terminated last even though its batchId is None
+      mem.addData(pe("progress", Some(0L)), pe("progress", Some(1L)),
+        pe("terminated", None))
       query.processAllAvailable()
       val got = spark.table("lifecycle")
         .collect().map(r => (r.getAs[Long]("lastBatchId"), r.getAs[Boolean]("active")))
-      // 3 emissions: after start (active), after progresses (active, batch 1),
-      // after terminate (inactive)
-      assert(got.length === 3)
-      assert(got.map(_._2).toSeq === Seq(true, true, false))
+      // 2 emissions: after start (active), after the combined
+      // progress+terminated batch (inactive, but batch 1 was applied first)
+      assert(got.length === 2)
+      assert(got.map(_._2).toSeq === Seq(true, false))
       assert(got(1)._1 === 1L)
     } finally query.stop()
   }
