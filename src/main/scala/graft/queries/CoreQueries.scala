@@ -241,6 +241,70 @@ object CoreQueries {
                      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
               FROM orders GROUP BY 1 ORDER BY state""")),
 
+    // Q26 — as-of join (beyond the reference, builder brief): for each
+    // event, the latest order of the same customer at or before the event.
+    // Union + ignore-nulls running-last window — one shuffle, no range probe.
+    // The oracle mirrors the same formulation (DuckDB's ASOF JOIN leaves
+    // ties unspecified; this pins greatest-order-key-wins).
+    QueryDef("q26_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ms"))
+        val ord = Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+          col("o_totalprice"))
+        graft.ops.TemporalJoins.joinAsOf(
+          ev, "user_id", "ms", "event_id",
+          ord, "o_custkey", "order_ms", "o_orderkey",
+          valueCols = Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("user_id"), col("ms"),
+            col("o_orderkey").as("last_order_key"),
+            col("o_totalprice").as("last_order_price"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+                SELECT user_id AS k, epoch_ms(ts) AS t, 1 AS tag, event_id AS tie,
+                       event_id, user_id, epoch_ms(ts) AS ms,
+                       NULL::BIGINT AS okey, NULL::DOUBLE AS oprice
+                FROM events
+                UNION ALL
+                SELECT o_custkey, epoch_ms(o_orderdate), 0, o_orderkey,
+                       NULL, NULL, NULL, o_orderkey, o_totalprice
+                FROM orders),
+              c AS (
+                SELECT *,
+                  last_value(okey IGNORE NULLS) OVER w AS last_order_key,
+                  last_value(oprice IGNORE NULLS) OVER w AS last_order_price
+                FROM u
+                WINDOW w AS (PARTITION BY k ORDER BY t, tag, tie
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              SELECT event_id, user_id, ms, last_order_key, last_order_price
+              FROM c WHERE tag = 1 ORDER BY event_id""")),
+
+    // Q27 — range join (beyond the reference): per event, how many events of
+    // the same user fall in the following hour (incl. itself). Bucketed
+    // equi-join — each left row probes two hour-aligned buckets — no
+    // nested loop.
+    QueryDef("q27_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"), col("ms"))
+        val other = Tables.events(s, d)
+          .select(col("user_id").as("o_user"), col("ms").as("o_ms"))
+        graft.ops.TemporalJoins.joinRange(
+          ev, "user_id", "ms",
+          other, "o_user", "o_ms",
+          windowMs = 3600000L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_near"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, count(*) AS n_near
+              FROM events a JOIN events b
+                ON b.user_id = a.user_id
+               AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+               AND epoch_ms(b.ts) < epoch_ms(a.ts) + 3600000
+              GROUP BY 1 ORDER BY 1""")),
+
     // Q15a — top-k (ref JobOverlapHelper.scala:87; TakeOrderedAndProject at scale)
     QueryDef("q15_topk",
       (s, d) => Tables.orders(s, d)
