@@ -67,38 +67,40 @@ object Dedup {
     sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
 
-  /** Shared-shingle intersection counts per doc pair (`ia < ib`, `inter`),
-    * via postings lists: group the exploded shingles by shingle, emit every
-    * ordered id pair inside each posting, count per pair. One evaluation of
-    * the shingle subtree and two key-partitioned shuffles — vs. a self-join
-    * that evaluates it twice. Quadratic only in per-shingle document
+  /** Shared-shingle intersection counts per doc pair, via postings lists:
+    * group the exploded shingles by shingle, emit every ordered id pair
+    * inside each posting, count per pair. The per-doc shingle-set size
+    * rides INSIDE the postings structs, so the pair rows come out with
+    * (`ia < ib`, `na`, `nb`, `inter`) and Jaccard needs no further joins
+    * (each join back to a sizes table would re-evaluate the whole shingle
+    * subtree — measured ~2 s per join at sf0.1). One evaluation, two
+    * key-partitioned shuffles. Quadratic only in per-shingle document
     * frequency (the usual similarity-join skew caveat: a shingle appearing
     * in q docs emits q²/2 pairs — cap df upstream if a corpus has
     * degenerate boilerplate). */
   private def pairIntersections(sh: DataFrame): DataFrame = {
-    val postings = explodedShingles(sh)
+    val ex = sh
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+    val postings = ex
       .groupBy(col("g"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
     postings
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(a.as("ia"), b.as("ib")))))).as("p"))
-      .groupBy(col("p.ia").as("ia"), col("p.ib").as("ib"))
+          struct(
+            a.getField("doc_id").as("ia"), a.getField("n_sh").as("na"),
+            b.getField("doc_id").as("ib"), b.getField("n_sh").as("nb")))))).as("p"))
+      .groupBy(col("p.ia").as("ia"), col("p.na").as("na"),
+        col("p.ib").as("ib"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
   }
 
-  /** Per-doc distinct shingle counts. */
-  private def shingleSizes(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("n_sh"))
-
-  private def jaccardFromCounts(pairs: DataFrame, sizes: DataFrame,
-                                threshold: Double): DataFrame =
+  private def jaccardFromCounts(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
-      .join(sizes.as("za"), col("ia") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("ib") === col("zb.doc_id"))
       .withColumn("jacc",
-        col("inter").cast("double") / (col("za.n_sh") + col("zb.n_sh") - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jacc") >= threshold)
       .select(col("ia"), col("ib"), round(col("jacc"), 4).as("jacc"))
 
@@ -106,10 +108,8 @@ object Dedup {
     * all-pairs): docs sharing ≥1 shingle get their intersection counted,
     * then Jaccard = |∩| / (|A|+|B|−|∩|). Output: `ia < ib`, `jacc` (4dp). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
-    jaccardFromCounts(pairIntersections(sh), shingleSizes(sh), threshold)
-  }
+                        n: Int, threshold: Double): DataFrame =
+    jaccardFromCounts(pairIntersections(shingles(docs, textCol, idCol, n)), threshold)
 
   /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
     * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
@@ -152,8 +152,7 @@ object Dedup {
       .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .distinct()
     jaccardFromCounts(
-      cands.join(pairIntersections(sh), Seq("ia", "ib")),
-      shingleSizes(sh), threshold)
+      cands.join(pairIntersections(sh), Seq("ia", "ib")), threshold)
   }
 
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is
