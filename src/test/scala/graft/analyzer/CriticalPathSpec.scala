@@ -53,4 +53,18 @@ class CriticalPathSpec extends SparkSpec {
     val got = CriticalPath.perJob(stages.toDS()).collect().toMap
     assert(got === Map(1L -> 300L, 2L -> 75L))
   }
+
+  test("invariants on random DAGs: bounded by max task and sum of tasks") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 20) {
+      val n = 2 + rnd.nextInt(8)
+      val stages = (0 until n).map { id =>
+        val parents = (0 until id).filter(_ => rnd.nextBoolean())
+        stage(id, parents, 1 + rnd.nextInt(1000))
+      }
+      val ct = CriticalPath.criticalTimeOfStages(stages)
+      assert(ct >= stages.last.maxTaskDurationMs) // anchored at max id
+      assert(ct <= stages.map(_.maxTaskDurationMs).sum)
+    }
+  }
 }

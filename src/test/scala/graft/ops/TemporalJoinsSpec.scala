@@ -61,4 +61,22 @@ class TemporalJoinsSpec extends SparkSpec {
     }.toMap
     assert(bucketed === brute)
   }
+
+  test("joinAsOf matches a brute-force scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lefts = (0 until 120).map(i => (if (rnd.nextBoolean()) "a" else "b", rnd.nextLong(200), i.toLong))
+    val rights = (0 until 60).map(i => (if (rnd.nextBoolean()) "a" else "b", rnd.nextLong(200), i.toLong, rnd.nextDouble()))
+    val got = TemporalJoins.joinAsOf(
+      lefts.toDF("k", "ts", "lid"), "k", "ts", "lid",
+      rights.toDF("k", "ts2", "rid", "v"), "k", "ts2", "rid",
+      valueCols = Seq("rid", "v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val brute = lefts.map { case (k, t, lid) =>
+      val cands = rights.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3)) // newest ts, greatest rid
+    }.toMap
+    assert(got === brute)
+  }
 }
