@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
@@ -193,6 +194,30 @@ object ExtQueries {
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), queryId = 0L, kTop = 10)
         .orderBy(col("cos").desc, col("vec_id").asc),
       None),
+
+    // x18 — per-language top terms: token explode → (lang, token) counts →
+    // rank window → top 5 per language. The fan-out/aggregate/top-k shape of
+    // a corpus vocabulary report.
+    QueryDef("x18_top_terms",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("tok").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("rnk").cast("long").as("rnk"), col("tok"), col("n"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""SELECT lang, rnk, tok, n FROM (
+                SELECT lang, tok, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rnk
+                FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents) t
+                GROUP BY lang, tok) r
+              WHERE rnk <= 5 ORDER BY lang, rnk""")),
 
     // x17 — embedding-cosine near-dup dedup: survivors have no lower-id
     // neighbor above the threshold (min-id representative per dup pair).

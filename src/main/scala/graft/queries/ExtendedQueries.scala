@@ -187,6 +187,36 @@ object ExtendedQueries {
         .orderBy("event_type"),
       None),
 
+    // Q28 — correlated-subquery shape (orders above their customer's mean),
+    // decorrelated as a window aggregate: one shuffle on the key instead of
+    // a per-row subquery.
+    QueryDef("q28_above_customer_avg",
+      (s, d) => {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val w = Window.partitionBy(col("o_custkey"))
+        // exact decimal sum / count instead of avg(): double summation order
+        // differs across engines and flips the round-4 digit (Canon.dsum
+        // pattern)
+        val custAvg = sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+          .cast(DoubleType) / count(lit(1)).over(w)
+        Tables.orders(s, d)
+          .withColumn("cust_avg", custAvg)
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            // floor(x*1e4+0.5) idiom: round() disagrees across engines on
+            // half-boundary doubles
+            (floor(col("cust_avg") * 10000.0 + 0.5) / 10000.0).as("cust_avg"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                     floor(cust_avg * 10000.0 + 0.5) / 10000.0 AS cust_avg
+              FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                             / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+                    FROM orders) t
+              WHERE o_totalprice > cust_avg
+              ORDER BY o_orderkey""")),
+
     // Q25a — tumbling time window (README micro-batch premise, README.md:5)
     QueryDef("q25_tumbling_window",
       (s, d) => events(s, d)
