@@ -24,11 +24,12 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as Long nanos (legacy flag) and expose `ms` (epoch
-    * millis, floor) which matches DuckDB's `epoch_ms(ts)` on the same file.
+    * rejects; the session must set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * at construction (Verify/Bench/SparkSpec all do) so it arrives as Long
+    * nanos. `ms` (epoch millis) matches DuckDB's `epoch_ms(ts)` on the same
+    * file; `div` truncates toward zero, which equals floor for the post-epoch
+    * timestamps this dataset guarantees (pre-1970 nanos would diverge).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "events").withColumn("ms", expr("ts div 1000000"))
-  }
 }

@@ -67,6 +67,15 @@ object Dedup {
     sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
 
+  /** Per-shingle document-frequency cap: a shingle appearing in q docs emits
+    * q²/2 candidate pairs, so one boilerplate shingle (license header,
+    * template) in 100k docs would emit 5·10⁹ pairs from a single posting.
+    * Standard similarity-join practice drops ultra-common shingles — they
+    * carry almost no similarity signal (an idf≈0 feature) but all of the
+    * quadratic cost. Dropped-posting counts are published through
+    * `df.observe(...)` so the skew guard is visible to listeners/logs. */
+  val defaultMaxDf = 1000
+
   /** Shared-shingle intersection counts per doc pair, via postings lists:
     * group the exploded shingles by shingle, emit every ordered id pair
     * inside each posting, count per pair. The per-doc shingle-set size
@@ -75,10 +84,8 @@ object Dedup {
     * (each join back to a sizes table would re-evaluate the whole shingle
     * subtree — measured ~2 s per join at sf0.1). One evaluation, two
     * key-partitioned shuffles. Quadratic only in per-shingle document
-    * frequency (the usual similarity-join skew caveat: a shingle appearing
-    * in q docs emits q²/2 pairs — cap df upstream if a corpus has
-    * degenerate boilerplate). */
-  private def pairIntersections(sh: DataFrame): DataFrame = {
+    * frequency, which [[defaultMaxDf]] caps. */
+  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -86,6 +93,9 @@ object Dedup {
       .groupBy(col("g"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("graft_postings_cap",
+        count(when(size(col("ids")) > maxDf, 1)).as("dropped_postings"))
+      .filter(size(col("ids")) <= maxDf)
     postings
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
@@ -108,8 +118,10 @@ object Dedup {
     * all-pairs): docs sharing ≥1 shingle get their intersection counted,
     * then Jaccard = |∩| / (|A|+|B|−|∩|). Output: `ia < ib`, `jacc` (4dp). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame =
-    jaccardFromCounts(pairIntersections(shingles(docs, textCol, idCol, n)), threshold)
+                        n: Int, threshold: Double,
+                        maxDf: Int = defaultMaxDf): DataFrame =
+    jaccardFromCounts(
+      pairIntersections(shingles(docs, textCol, idCol, n), maxDf), threshold)
 
   /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
     * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
@@ -135,7 +147,8 @@ object Dedup {
     * false positive sharing zero shingles drops at the inner join — it could
     * only ever have Jaccard 0. */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-                      n: Int, threshold: Double): DataFrame = {
+                      n: Int, threshold: Double,
+                      maxDf: Int = defaultMaxDf): DataFrame = {
     val sh = shingles(docs, textCol, idCol, n)
     val sig = minHashSignatures(sh)
     val bandCols = (0 until bands).map { j =>
@@ -145,14 +158,26 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+    // Bucket postings lists instead of a band self-join: a degenerate bucket
+    // of q identical docs would make the join emit q² probe rows; the
+    // postings form makes the blowup visible as one array whose size the
+    // same maxDf cap bounds (an over-cap bucket means near-identical
+    // boilerplate, which the shingle-postings cap drops anyway).
+    val buckets = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("graft_lsh_bucket_cap",
+        count(when(size(col("ids")) > maxDf, 1)).as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxDf)
+    val cands = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .distinct()
     jaccardFromCounts(
-      cands.join(pairIntersections(sh), Seq("ia", "ib")), threshold)
+      cands.join(pairIntersections(sh, maxDf), Seq("ia", "ib")), threshold)
   }
 
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is

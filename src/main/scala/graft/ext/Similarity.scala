@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double-precision dot product of two float-array columns — a native
-    * codegen'd Catalyst expression ([[graft.functions.DotProductExpr]]);
+    * codegen'd Catalyst expression ([[org.apache.spark.sql.graft.DotProductExpr]]);
     * semantically identical to `aggregate(zip_with(a,b,_*_), 0.0, _+_)`
     * (index-ordered multiply-accumulate in double) but ~10× faster because
     * higher-order lambdas are evaluated interpreted. */
@@ -70,12 +70,21 @@ object Similarity {
   /** Embedding-level near-dup dedup: keep a vector iff no LOWER-id vector
     * is cosine-similar above the threshold — each dup cluster keeps its
     * minimum id as representative (pairwise rule, not transitive closure:
-    * A~B, B~C, A≁C keeps A and C; document accordingly). Built on the exact
-    * pair join; at scale substitute [[lshCosinePairs]] for the candidate
-    * set. Output: `vec_id` of survivors. */
-  def embeddingDedup(emb: DataFrame, threshold: Double): DataFrame = {
-    val dominated = cosinePairs(emb, threshold)
-      .select(col("ib").as("vec_id")).distinct()
+    * A~B, B~C, A≁C keeps A and C; document accordingly).
+    *
+    * `approx = false` (the oracle-checkable default) uses the exact
+    * all-pairs join — quadratic, verification-scale only. `approx = true`
+    * is the production path at scale: candidates from [[lshCosinePairs]]
+    * (bucket equi-join, never all-pairs), so a vector survives unless an
+    * LSH-discovered lower-id near-duplicate dominates it. Recall of the
+    * approx path vs the exact one is asserted in DedupSpec and exposed as a
+    * catalog query. Output: `vec_id` of survivors. */
+  def embeddingDedup(emb: DataFrame, threshold: Double,
+                     approx: Boolean = false, dim: Int = 64): DataFrame = {
+    val pairs =
+      if (approx) lshCosinePairs(emb, threshold, dim)
+      else cosinePairs(emb, threshold)
+    val dominated = pairs.select(col("ib").as("vec_id")).distinct()
     emb.select(col("vec_id"))
       .join(dominated, Seq("vec_id"), "left_anti")
   }
@@ -115,16 +124,30 @@ object Similarity {
     * (equi-join on (table, bucket) — never all-pairs), then exact cosine
     * verification. Recall < 1 by construction; the exact companion query is
     * the baseline for measuring it. */
-  def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+  /** Per-bucket size cap: a degenerate bucket of q near-identical vectors
+    * emits q²/2 candidate pairs. Buckets over the cap are dropped (count
+    * published via `observe`) — at 4 sign bits a bucket holds ~1/16 of a
+    * random corpus, so only true mass-duplicate pathologies hit the cap. */
+  val defaultMaxBucket = 2000
+
+  def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
+                     maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bands = lshBands(emb, dim)
-    // Candidates as BARE id pairs: deduping before re-attaching vectors
-    // keeps the shuffle rows at 16 bytes instead of 2×dim floats.
-    val a = bands.select(col("vec_id").as("ia"), col("t"), col("bucket"))
-    val b = bands.select(col("vec_id").as("ib"), col("t").as("t_b"),
-      col("bucket").as("bucket_b"))
-    val cands = a.join(b, col("t") === col("t_b") &&
-        col("bucket") === col("bucket_b") && col("ia") < col("ib"))
-      .select(col("ia"), col("ib"))
+    // Candidates as BARE id pairs via bucket postings lists: deduping before
+    // re-attaching vectors keeps the shuffle rows at 16 bytes instead of
+    // 2×dim floats, and the postings form bounds the per-bucket blowup.
+    val buckets = bands
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("graft_cos_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxBucket)
+    val cands = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+          struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .dropDuplicates("ia", "ib")
     // No broadcast hint: this IS the scale path — the embeddings side can be
     // arbitrarily large, so the vector re-attachment must stay a shuffled

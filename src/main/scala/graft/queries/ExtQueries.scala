@@ -231,6 +231,46 @@ object ExtQueries {
                   AND round(list_cosine_similarity(o.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.35)
               ORDER BY vec_id""")),
 
+    // x17b — the production-scale twin of x17: candidate pairs from the LSH
+    // bucket equi-join instead of the exact all-pairs join (rows-only;
+    // recall vs the exact form asserted in DedupSpec).
+    QueryDef("x17_embedding_dedup_lsh",
+      (s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d), threshold = 0.35,
+        approx = true).orderBy("vec_id"),
+      None),
+
+    // x19 — driver-visible recall gate for the approximate top-k paths:
+    // |approx ∩ exact|/k as a floor-checked boolean, so ANN quality is a
+    // green/red CORRECTNESS row instead of a test-internal assertion. The
+    // floors are deliberately conservative (LSH multi-table recall at mid
+    // cosine ≈ 0.75 analytically; IVF probes 4/16 cells).
+    QueryDef("x19_lsh_recall",
+      (s, d) => {
+        val exact = Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)
+          .select(col("vec_id"))
+        val appr = Similarity.lshTopK(Tables.embeddings(s, d), 0L, 10)
+          .select(col("vec_id"))
+        exact.join(appr, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select((col("hits") >= 5).as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x20 — same gate for IVF ANN. The synthetic near-uniform embeddings
+    // have little cluster structure (the hard case for a coarse quantizer),
+    // so the gate probes half the cells: measured 7/10 at sf0.01, floor 5.
+    QueryDef("x20_ivf_recall",
+      (s, d) => {
+        val exact = Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)
+          .select(col("vec_id"))
+        val appr = Ivf.ivfTopK(Tables.embeddings(s, d), 0L, 10, nProbe = 8)
+          .select(col("vec_id"))
+        exact.join(appr, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select((col("hits") >= 5).as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
     // x16 — IVF ANN: coarse-quantizer cells (deterministic mini k-means),
     // probe the nearest cells, exact cosine inside them (rows-only; recall
     // vs the exact x10 measured in tests).

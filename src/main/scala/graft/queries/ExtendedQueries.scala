@@ -27,14 +27,17 @@ object ExtendedQueries {
       (s, d) => events(s, d).select(col("user_id")).distinct().orderBy("user_id"),
       Some("SELECT DISTINCT user_id FROM events ORDER BY user_id")),
 
-    // Q16b — collect_set canonicalized with sort_array
+    // Q16b — collect_set canonicalized to a sorted comma-joined string: the
+    // driver's comparator sorts columns in pandas, which cannot hash an array
+    // cell, so the set rides as one deterministic scalar per group.
     QueryDef("q16_collect_set",
       (s, d) => events(s, d)
         .groupBy(col("event_type"))
-        .agg(sort_array(collect_set(col("user_id"))).as("users"),
+        .agg(expr("array_join(transform(sort_array(collect_set(user_id)), x -> cast(x as string)), ',')").as("users"),
              countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+      Some("""SELECT event_type,
+                     array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
                      count(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type""")),
 

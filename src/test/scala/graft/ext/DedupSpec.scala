@@ -70,6 +70,35 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(4L)) > 12, s"unrelated hamming ${hamming(sigs(1L), sigs(4L))}")
   }
 
+  test("maxDf cap bounds a pathological corpus of identical docs") {
+    // 1000 identical docs: every shingle's posting holds all 1000 ids, so an
+    // uncapped join would emit ~500k pairs per shingle. With maxDf=50 the
+    // postings (and LSH buckets) are dropped and the op completes empty.
+    val d = docs((1L to 1000L).map(i => (i, "same boilerplate text repeated in every doc")): _*)
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5, maxDf = 50)
+    assert(exact.count() === 0L)
+    val lsh = Dedup.minHashLshPairs(d, "text", "doc_id", 3, 0.5, maxDf = 50)
+    assert(lsh.count() === 0L)
+    // and with the cap above the corpus size the pairs come back
+    val uncapped = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5, maxDf = 1000)
+    assert(uncapped.count() === 1000L * 999L / 2)
+  }
+
+  test("embeddingDedup approx path recalls most exact-survivor decisions") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.embeddingDedup(emb, 0.35)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.embeddingDedup(emb, 0.35, approx = true)
+      .collect().map(_.getLong(0)).toSet
+    // LSH misses pairs, never invents them => approx keeps a superset
+    assert(exact.subsetOf(approx))
+    val removedExact = emb.count().toInt - exact.size
+    val removedApprox = emb.count().toInt - approx.size
+    assert(removedExact > 0)
+    assert(removedApprox.toDouble / removedExact >= 0.5,
+      s"approx dedup removed only $removedApprox of $removedExact")
+  }
+
   test("shingleArray guards docs shorter than n tokens") {
     import spark.implicits._
     val got = docs((1L, "only two"), (2L, "one"), (3L, ""))
