@@ -58,12 +58,26 @@ object Dedup {
       // the work; empty arrays explode to zero rows and join nothing anyway.
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
 
+  /** Hashed-shingle twin of [[shingles]]: `shs` is the sorted distinct
+    * 64-bit shingle hashes (native codegen'd
+    * [[org.apache.spark.sql.graft.ShingleHashExpr]] — one tight loop per
+    * doc instead of interpreted lambdas), so every downstream postings
+    * shuffle keys on 8-byte longs instead of shingle strings. The pair/
+    * Jaccard operators run on this form; set semantics are identical modulo
+    * ~q²/2⁶⁴ hash collisions. */
+  def hashedShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorFunctions.shingleHashF(col("toks"), n).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
+
   /** Exploded (doc_id, shingle) rows. `explode_outer` + an output-attribute
     * null filter instead of plain `explode`: InferFiltersFromGenerate would
     * otherwise derive `size(shs) > 0` and push the WHOLE shingle expression
     * (incl. the regex split) into the parquet scan as a data filter,
     * doubling the evaluation (measured +13 s at sf0.1). */
-  private def explodedShingles(sh: DataFrame): DataFrame =
+  def explodedShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
 
@@ -85,7 +99,7 @@ object Dedup {
     * subtree — measured ~2 s per join at sf0.1). One evaluation, two
     * key-partitioned shuffles. Quadratic only in per-shingle document
     * frequency, which [[defaultMaxDf]] caps. */
-  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
+  def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -121,7 +135,7 @@ object Dedup {
                         n: Int, threshold: Double,
                         maxDf: Int = defaultMaxDf): DataFrame =
     jaccardFromCounts(
-      pairIntersections(shingles(docs, textCol, idCol, n), maxDf), threshold)
+      pairIntersections(hashedShingles(docs, textCol, idCol, n), maxDf), threshold)
 
   /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
     * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
@@ -145,19 +159,26 @@ object Dedup {
     * candidates, then exact Jaccard via the postings-list intersection
     * counts, same output contract as [[ngramJaccardPairs]]. A band-collision
     * false positive sharing zero shingles drops at the inner join — it could
-    * only ever have Jaccard 0. */
+    * only ever have Jaccard 0.
+    *
+    * Banding is MAP-SIDE: the native
+    * [[org.apache.spark.sql.graft.MinHashBandsExpr]] computes all k minima
+    * and the band bucket keys in one pass over the doc's hashed shingle
+    * array, so the plan has no signature shuffle at all — the only
+    * shuffles are the bucket groupBy and the verification joins.
+    * (`posexplode_outer` + null filter on the OUTPUT attribute: plain
+    * posexplode would let InferFiltersFromGenerate push `size(...) > 0` —
+    * and with it the whole shingle expression — back into the scan.) */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int, threshold: Double,
                       maxDf: Int = defaultMaxDf): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, n)
-    val sig = minHashSignatures(sh)
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        xxhash64((0 until rows).map(r => col(s"m${j * rows + r}")): _*).as("bh"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sh = hashedShingles(docs, textCol, idCol, n)
+    val banded = sh
+      .select(col("doc_id"),
+        posexplode_outer(
+          org.apache.spark.sql.graft.VectorFunctions.minHashBandsF(col("shs"), k, bands))
+          .as(Seq("band", "bh")))
+      .filter(col("bh").isNotNull)
     // Bucket postings lists instead of a band self-join: a degenerate bucket
     // of q identical docs would make the join emit q² probe rows; the
     // postings form makes the blowup visible as one array whose size the

@@ -1,10 +1,10 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, TypeCollection}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType, TypeCollection}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
@@ -76,6 +76,144 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native expression producing the DISTINCT hashed word-`n`-gram shingle
+  * set of a token array, as a sorted `array<long>`.
+  *
+  * The declarative formulation (`transform(sequence(...), i =>
+  * concat_ws(...))` + `array_distinct`) is interpreted per element (Spark
+  * never codegens lambdas) and materializes every shingle STRING, which then
+  * rides the postings shuffle. This expression does one tight loop per row
+  * — token hashes once, 64-bit chained window hashes, sort + dedup — and
+  * emits 8-byte keys, so downstream groupBy-shingle shuffles carry longs
+  * instead of ~30-byte strings. Hash collisions across distinct shingles
+  * (~q²/2⁶⁴) are the standard similarity-join trade and cannot
+  * realistically perturb a Jaccard count.
+  */
+case class ShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_hash"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashExpr.compute(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.ShingleHashExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashExpr {
+  /** Tight-loop shingle hashing, shared by eval and codegen. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    // hash each token's UTF8 bytes once ...
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = toks.getUTF8String(i)
+      th(i) =
+        if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    // ... then chain-hash each n-window (token boundaries preserved by
+    // construction: windows combine token HASHES, never raw bytes)
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Native expression producing the `bandsN` LSH band hashes of a hashed
+  * shingle set in one pass: k MinHash minima (min over shingles of a
+  * seed-chained 64-bit hash per permutation), then each band of `r = k /
+  * bandsN` consecutive minima chain-hashed to one bucket key.
+  *
+  * Doing this inside a single map-side expression removes the whole
+  * explode → 64-aggregate → groupBy(doc_id) signature SHUFFLE from the
+  * MinHash-LSH plan: signatures never leave the row they came from. At
+  * 100 TB that is one fewer full pass of the exploded shingle set over the
+  * network — banding becomes scan-local work.
+  */
+case class MinHashBandsExpr(child: Expression, k: Int, bandsN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && bandsN >= 1 && k % bandsN == 0,
+    s"signature length $k must be a positive multiple of band count $bandsN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashBandsExpr.compute(a.asInstanceOf[ArrayData], k, bandsN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.MinHashBandsExpr.compute($c, $k, $bandsN);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+object MinHashBandsExpr {
+  /** Empty shingle set → empty band array (the doc cannot collide). */
+  def compute(shs: ArrayData, k: Int, bandsN: Int): ArrayData = {
+    val m = shs.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val g = shs.getLong(i)
+      var p = 0
+      while (p < k) {
+        val h = XXH64.hashLong(g, p)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val r = k / bandsN
+    val out = new Array[Long](bandsN)
+    var j = 0
+    while (j < bandsN) {
+      var h = 42L
+      var q = 0
+      while (q < r) { h = XXH64.hashLong(mins(j * r + q), h); q += 1 }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-level entry points for graft's native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two `array<float>` columns, as a double. */
@@ -86,4 +224,12 @@ object VectorFunctions {
   /** Codegen'd L2 norm. */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** Codegen'd sorted distinct hashed n-gram shingles of a token array. */
+  def shingleHashF(toks: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(toks), n))
+
+  /** Codegen'd map-side MinHash-LSH band hashes of a hashed shingle set. */
+  def minHashBandsF(shs: Column, k: Int, bandsN: Int): Column =
+    ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(shs), k, bandsN))
 }

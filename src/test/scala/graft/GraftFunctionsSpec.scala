@@ -20,4 +20,42 @@ class GraftFunctionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(got === 10.0)
   }
+
+  test("shingleHashF: sorted distinct hashes; token boundaries matter; short docs empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.split
+    import org.apache.spark.sql.graft.VectorFunctions.shingleHashF
+    def hashes(text: String, n: Int): Seq[Long] =
+      Seq(text).toDF("t").select(shingleHashF(split($"t", " "), n).as("h"))
+        .head().getSeq[Long](0)
+    // "a b c d" has 2-grams {a b, b c, c d}; repeated windows dedupe
+    assert(hashes("a b c d", 2).length === 3)
+    assert(hashes("a b a b a b", 2).length === 2) // {a b, b a}
+    val h = hashes("a b c", 2)
+    assert(h === h.sorted)
+    assert(hashes("a", 2).isEmpty)
+    // boundary-sensitivity: ("ab","c") vs ("a","bc") share no window hash
+    assert(hashes("ab c", 2).toSet.intersect(hashes("a bc", 2).toSet).isEmpty)
+    // determinism across rows/plans
+    assert(hashes("x y z", 2) === hashes("x y z", 2))
+  }
+
+  test("minHashBandsF: band count, determinism, identical sets collide, empty set empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.split
+    import org.apache.spark.sql.graft.VectorFunctions.{minHashBandsF, shingleHashF}
+    def bandsOf(text: String): Seq[Long] =
+      Seq(text).toDF("t")
+        .select(minHashBandsF(shingleHashF(split($"t", " "), 3), 64, 32).as("b"))
+        .head().getSeq[Long](0)
+    val a = bandsOf("w1 w2 w3 w4 w5 w6")
+    assert(a.length === 32)
+    assert(a === bandsOf("w1 w2 w3 w4 w5 w6"))
+    // a near-identical doc shares most bands, a disjoint doc none
+    val near = bandsOf("w1 w2 w3 w4 w5 zz")
+    assert(a.zip(near).count { case (x, y) => x == y } >= 8)
+    val far = bandsOf("q1 q2 q3 q4 q5 q6")
+    assert(a.zip(far).forall { case (x, y) => x != y })
+    assert(bandsOf("a b").isEmpty) // < n tokens => no shingles => no bands
+  }
 }
