@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.analyzer.{BatchAnalyzer, SpanBuilder}
 import graft.config.GraftConfig
 import graft.ingest.ListenerBridge
-import graft.model.{CriticalPathResult, QuerySla}
+import graft.model.{AggregateStateResult, CriticalPathResult, QuerySla}
 import graft.report.{EventsReporter, Reporting}
 
 /** Public API facade — constructor/lifecycle parity with the reference's
@@ -80,6 +80,7 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
       highFrac = config.criticalPathUpperThreshold)
     val t0 = System.nanoTime()
     val collected = results.collect()
+    buffer(collected.toIndexedSeq)
     metrics.update(
       collected.sortBy(r => (r.queryId, r.batchId)).lastOption,
       (System.nanoTime() - t0) / 1000000L)
@@ -96,6 +97,23 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     schedulerBridge.evictBefore(System.currentTimeMillis() -
       config.maxBatchesRetention.toLong * config.analysisIntervalMinutes * 60000L)
     spark.createDataset(collected.toIndexedSeq)
+  }
+
+  /** Bounded history of analysis results, newest-last — the reference caps
+    * its retained results list the same way
+    * (ref `QueryInsightsManager.scala:241-243`); [[reportNow]] aggregates
+    * over this buffer, so `maxResultsRetention` bounds both memory and the
+    * lookback of a periodic report. */
+  private val resultsBuffer = new java.util.ArrayDeque[CriticalPathResult]()
+
+  private def buffer(rs: Seq[CriticalPathResult]): Unit = resultsBuffer.synchronized {
+    rs.foreach(resultsBuffer.addLast)
+    while (resultsBuffer.size > config.maxResultsRetention) resultsBuffer.removeFirst()
+  }
+
+  /** The retained analysis results (oldest first, ≤ maxResultsRetention). */
+  def recentResults: Seq[CriticalPathResult] = resultsBuffer.synchronized {
+    resultsBuffer.asScala.toIndexedSeq
   }
 
   private val lastAnalyzedBatch = new ConcurrentHashMap[String, Long]()
@@ -123,6 +141,53 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
       }
       Some(spark.createDataset(fresh.toIndexedSeq))
     }
+  }
+
+  private val lastReportedBatch = new ConcurrentHashMap[String, Long]()
+  @volatile private var lastReportAtMs = 0L
+
+  /** Periodic aggregate report on the `reportingIntervalMinutes` cadence
+    * (ref `helper/StreamingLensReportingHelper.scala:66-78,199-201`): rolls
+    * the retained results up to a discounted health score + source-aware
+    * recommendation per query and sends them through the reporter SPI.
+    * Call from the same tick that drives [[analyzeIfDue]]. */
+  def reportIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[AggregateStateResult]] = {
+    if (nowMs - lastReportAtMs < config.reportingIntervalMinutes * 60000L) None
+    else {
+      lastReportAtMs = nowMs
+      Some(reportNow())
+    }
+  }
+
+  /** One aggregate report over the retained results: discounted score →
+    * aggregate state → recommendation specialized by the sources captured
+    * from query progress. Batches already covered by a previous report are
+    * excluded per query (ref `StreamingLensReportingHelper.scala:181-182`). */
+  def reportNow(): Dataset[AggregateStateResult] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fresh = recentResults.filter { r =>
+      r.batchId > lastReportedBatch.getOrDefault(r.queryId, -1L)
+    }
+    // newest sources description per query, from the progress telemetry
+    val sources = progressBridge.snapshot(spark)
+      .filter(col("kind") === "progress" && col("batchId").isNotNull)
+      .groupBy(col("queryId"))
+      .agg(max_by(concat_ws(", ", col("sources")), col("batchId")).as("sourcesDesc"))
+    val agg = Reporting.aggregate(
+      spark.createDataset(fresh.toIndexedSeq), sources, config.discountFactor)
+    val collected = agg.collect()
+    fresh.foreach(r =>
+      lastReportedBatch.merge(r.queryId, r.batchId, (a, b) => math.max(a, b)))
+    if (config.shouldLogResults)
+      collected.foreach(a => println(Reporting.aggregateLogBlock(a)))
+    reporter.foreach { rep =>
+      Reporting.renderAggregateJson(
+        spark.createDataset(collected.toIndexedSeq), "graft", "aggregate",
+        lit(System.currentTimeMillis()))
+        .collect().foreach(row => rep.sendEvent(row.getString(0)))
+    }
+    spark.createDataset(collected.toIndexedSeq)
   }
 
   /** [[analyzeNow]] under the reference's robustness contract

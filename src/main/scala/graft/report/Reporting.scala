@@ -104,6 +104,31 @@ object Reporting {
           lit(", SLA "), pd(col("expectedMicroBatchSLA"))).as("displayText")
       )).as("event"))
 
+  /** JSON event rendering of one aggregate report row
+    * (same envelope as [[renderJson]], ref
+    * `StreamingLensReportingHelper.scala:80-92`). */
+  def renderAggregateJson(agg: Dataset[AggregateStateResult], queryName: String,
+                          runId: String, eventTimeMillis: Column): DataFrame =
+    agg.toDF().select(
+      to_json(struct(
+        concat(col("queryId"), lit("-aggregate")).as("eventId"),
+        lit(queryName).as("name"),
+        lit(runId).as("runId"),
+        eventTimeMillis.as("eventTimeMillis"),
+        col("state"),
+        concat(
+          lit("Aggregate state "), col("state"),
+          lit(" (score "), round(col("score"), 2),
+          lit("): "), col("recommendation")).as("displayText")
+      )).as("event"))
+
+  /** Driver-log pretty block for one aggregate report
+    * (ref `StreamingLensReportingHelper.scala:199-207`); texts our own. */
+  def aggregateLogBlock(a: AggregateStateResult): String =
+    s"""|StreamingLens aggregate - query ${a.queryId}
+        |  Aggregate State:  ${a.state} (score ${"%.2f".format(a.score)})
+        |  Recommendation:   ${a.recommendation}""".stripMargin
+
   /** Driver-log pretty block for one analysis
     * (ref `QueryInsightsManager.scala:206-232`); formatted server-side with
     * format_string, collected only for logging at the API edge. */

@@ -4,6 +4,15 @@ import graft.SparkSpec
 import graft.config.GraftConfig
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+/** Reflection-loaded by the reporter SPI in the aggregate-report test. */
+object CapturingReporter {
+  val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+class CapturingReporter extends graft.report.EventsReporter {
+  override def init(options: Map[String, String], queryId: String): Unit = ()
+  override def sendEvent(json: String): Unit = CapturingReporter.events.add(json)
+}
+
 /** End-to-end: a real Structured Streaming query on a real SparkSession with
   * the facade attached; the live listeners must capture telemetry and
   * analyzeNow() must classify the batches. */
@@ -80,6 +89,57 @@ class StreamingGraftSpec extends SparkSpec {
       assert(graft.analyzeIfDue(t0 + 60000L).isEmpty) // 1 min later: throttled
       assert(graft.analyzeIfDue(t0 + 5 * 60000L).isDefined) // interval elapsed
     } finally graft.stop()
+  }
+
+  test("periodic aggregate report: discounted state through the reporter SPI; bounded results buffer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    CapturingReporter.events.clear()
+    val g = new StreamingGraft(spark, Map(
+      "streamingLens.shouldLogResults" -> "false",
+      "streamingLens.expectedMicroBatchSLAMillis" -> "600000",
+      "streamingLens.maxResultsRetention" -> "4",
+      "streamingLens.reporter.intervalMinutes" -> "60",
+      "streamingLens.reporter.className" -> classOf[CapturingReporter].getName))
+    try {
+      val mem = MemoryStream[Int]
+      val query = mem.toDS().map(_ + 1)
+        .writeStream.format("memory").queryName("graft_agg_report")
+        .outputMode("append").start()
+      try {
+        mem.addData(1 to 500: _*)
+        query.processAllAvailable()
+        mem.addData(501 to 1000: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+      var results = g.analyzeNow().collect()
+      var tries = 0
+      while (results.isEmpty && tries < 20) {
+        Thread.sleep(500); tries += 1
+        results = g.analyzeNow().collect()
+      }
+      assert(results.nonEmpty, "no batches analyzed")
+      // repeated analyses re-buffer the same batches: the ring must cap
+      g.analyzeNow(); g.analyzeNow()
+      assert(g.recentResults.size <= 4, s"buffer ${g.recentResults.size} > cap")
+      // first report is due, runs, and carries a recommendation per query
+      val t0 = 100L * 60000L
+      val agg = g.reportIfDue(t0)
+      assert(agg.isDefined)
+      val rows = agg.get.collect()
+      assert(rows.nonEmpty, "aggregate report empty despite analyzed batches")
+      assert(rows.forall(_.recommendation.nonEmpty))
+      assert(rows.forall(r => r.score > 0))
+      // the reporter SPI received the aggregate events (per-batch events from
+      // analyzeNow also flow through it; aggregates are tagged)
+      val sent = CapturingReporter.events.toArray(Array.empty[String])
+      assert(sent.exists(_.contains("-aggregate")), s"no aggregate event in ${sent.length} sent")
+      // within the interval: throttled; batches already reported stay reported
+      assert(g.reportIfDue(t0 + 60000L).isEmpty)
+      val again = g.reportIfDue(t0 + 61L * 60000L)
+      assert(again.isDefined)
+      assert(again.get.collect().isEmpty, "re-reported batches already covered")
+    } finally g.stop()
   }
 
   test("full loop: live query + analysis ticker accumulating classified results") {
