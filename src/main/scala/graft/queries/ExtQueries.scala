@@ -219,6 +219,100 @@ object ExtQueries {
                 GROUP BY lang, tok) r
               WHERE rnk <= 5 ORDER BY lang, rnk""")),
 
+    // x21 — deterministic stratified sampling: hash the CONTENT into 16
+    // buckets (md5 first hex digit) and keep a per-language bucket quota —
+    // the reproducible corpus-mixing primitive of a training-data pipeline
+    // (rerunnable, no RNG state; at 100 TB it is a pure scan filter that
+    // pushes nothing to the driver).
+    QueryDef("x21_stratified_sample",
+      (s, d) => {
+        val bucket = (expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") - 1).cast("long")
+        val quota = when(col("lang") === "en", 8).when(col("lang") === "de", 4).otherwise(2)
+        Tables.documents(s, d)
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < quota)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+                     CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS bucket
+              FROM documents
+              WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 <
+                    CASE WHEN lang = 'en' THEN 8 WHEN lang = 'de' THEN 4 ELSE 2 END
+              ORDER BY doc_id""")),
+
+    // x22 — overlapping token-window chunking (context-window preparation):
+    // 32-token chunks at stride 24, chunk index carried. posexplode_outer +
+    // null filter on the OUTPUT attribute (the InferFiltersFromGenerate
+    // dodge — see Dedup.explodedShingles).
+    QueryDef("x22_chunking",
+      (s, d) => {
+        val docsT = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        docsT
+          .select(col("doc_id"),
+            when(size(col("toks")) > 0,
+              expr("""transform(sequence(0, cast(floor((size(toks) - 1) / 24) as int)),
+                                i -> array_join(slice(toks, i * 24 + 1, 32), ' '))"""))
+              .otherwise(array().cast("array<string>")).as("chunks"))
+          .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("chunk_no", "chunk")))
+          .filter(col("chunk").isNotNull)
+          .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents WHERE length(trim(text)) > 0),
+                   c AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS o, toks FROM t)
+              SELECT doc_id, o // 24 AS chunk_no,
+                     array_to_string(toks[(o+1):(o+32)], ' ') AS chunk
+              FROM c ORDER BY doc_id, chunk_no""")),
+
+    // x23 — TF-IDF top terms per document: tf from the (doc, tok) counts,
+    // df from distinct docs per tok, idf = ln(N/df); ranking on the ROUNDED
+    // score (unrounded float compare across engines would flip rank ties).
+    QueryDef("x23_tfidf",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfCounts = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok").asc)
+        tf.join(dfCounts, "tok")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 10000.0 + 0.5) / 10000.0)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("tok"), col("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                         FROM documents WHERE length(trim(text)) > 0),
+                   tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+                   df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+                   n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+                   x AS (SELECT tf.doc_id, tf.tok,
+                                floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 10000.0 + 0.5) / 10000.0 AS tfidf
+                         FROM tf JOIN df USING (tok) CROSS JOIN n)
+              SELECT doc_id, rnk, tok, tfidf FROM (
+                SELECT doc_id, tok, tfidf,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+                FROM x) r
+              WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // x24 — corpus length histogram per language (100-char buckets): the
+    // distribution sanity report every ingestion pipeline runs.
+    QueryDef("x24_length_histogram",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"),
+          expr("(length(text) div 100) * 100").cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "len_bucket"),
+      Some("""SELECT lang, (length(text) // 100) * 100 AS len_bucket, count(*) AS n
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // x17 — embedding-cosine near-dup dedup: survivors have no lower-id
     // neighbor above the threshold (min-id representative per dup pair).
     QueryDef("x17_embedding_dedup",

@@ -220,6 +220,41 @@ object ExtendedQueries {
               WHERE o_totalprice > cust_avg
               ORDER BY o_orderkey""")),
 
+    // Q29 — pivot: per-user event-type count matrix (wide-format report, the
+    // transpose shape absent in the reference; values pinned so the output
+    // schema is static and plannable).
+    QueryDef("q29_pivot",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     count(*) FILTER (WHERE event_type = 'click') AS click,
+                     count(*) FILTER (WHERE event_type = 'error') AS error,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                     count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                     count(*) FILTER (WHERE event_type = 'view') AS view
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Q30 — exact interpolated percentiles per group (order statistics are
+    // engine-comparable, unlike accumulation-order-sensitive sums; floor
+    // idiom guards the last rounded digit).
+    QueryDef("q30_percentiles",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          (floor(expr("percentile(value, 0.5)") * 10000.0 + 0.5) / 10000.0).as("p50"),
+          (floor(expr("percentile(value, 0.95)") * 10000.0 + 0.5) / 10000.0).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                     floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+                     floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95,
+                     count(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Q25a — tumbling time window (README micro-batch premise, README.md:5)
     QueryDef("q25_tumbling_window",
       (s, d) => events(s, d)
