@@ -38,6 +38,34 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col(keyCol), col("n"))
 
+  /** Streaming-safe exact dedup — the streaming twin of
+    * [[graft.ext.Dedup.exactDedup]]: first arrival of each content hash
+    * survives. Callers add `.withWatermark(tsCol, delay)` upstream;
+    * `dropDuplicatesWithinWatermark` then bounds the dedup state to the
+    * watermark horizon (plain `dropDuplicates` on a stream keeps every
+    * hash forever — unbounded state at 100 TB/day). Works identically on a
+    * batch frame, where it degenerates to a plain dropDuplicates. */
+  def streamingExactDedup(docs: DataFrame, textCol: String): DataFrame = {
+    val hashed = docs.withColumn("content_hash", sha2(col(textCol), 256))
+    if (docs.isStreaming) hashed.dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  /** Stream-stream interval join: match right rows to left rows on `keyCol`
+    * within `[-boundBefore, boundAfter]` of the left timestamp. The time
+    * bound + upstream watermarks are what let Structured Streaming evict
+    * join state; an unbounded stream-stream equi-join would buffer both
+    * sides forever. Column names: left keeps its columns, right contributes
+    * `rTsCol` and `valueCols`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lTsCol: String, rTsCol: String,
+                   boundBefore: String, boundAfter: String): DataFrame =
+    left.join(right,
+      left(keyCol) === right(keyCol) &&
+        right(rTsCol) >= left(lTsCol) - expr(s"INTERVAL $boundBefore") &&
+        right(rTsCol) <= left(lTsCol) + expr(s"INTERVAL $boundAfter"))
+      .drop(right(keyCol))
+
   /** Continuous analysis driver: a rate-source stream whose only job is to
     * fire `onTick` on the configured cadence — the Structured Streaming
     * equivalent of the reference's per-query analysis timer

@@ -57,6 +57,64 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per content within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(ms: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = mem.toDF().toDF("ts", "doc_id", "text").withWatermark("ts", "10 minutes")
+    val query = StreamingOps.streamingExactDedup(sdf, "text")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((t(0L), 1L, "alpha"), (t(1000L), 2L, "alpha"), (t(2000L), 3L, "beta")))
+      query.processAllAvailable()
+      mem.addData(Seq((t(3000L), 4L, "alpha"), (t(4000L), 5L, "gamma")))
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // one survivor per distinct text; the duplicate-in-batch and the
+      // duplicate-across-batches are both dropped
+      assert(got.map(_._2) === Set("alpha", "beta", "gamma"))
+      assert(got.size === 3)
+      // batch degenerate form agrees on the survivor count
+      val batch = StreamingOps.streamingExactDedup(
+        Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text"), "text")
+      assert(batch.count() === 2L)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches only rows inside the time bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(ms: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(ms))
+    val memL = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, String, String)]
+    val l = memL.toDF().toDF("lts", "k", "v").withWatermark("lts", "1 minute")
+    val r = memR.toDF().toDF("rts", "k", "tag").withWatermark("rts", "1 minute")
+    val joined = StreamingOps.intervalJoin(l, r, "k", "lts", "rts",
+      boundBefore = "0 seconds", boundAfter = "30 seconds")
+    val query = joined.select("k", "v", "tag")
+      .writeStream.format("memory").queryName("ivl_join")
+      .outputMode("append").start()
+    try {
+      memL.addData(Seq((t(10000L), "a", 1L), (t(10000L), "b", 2L)))
+      memR.addData(Seq(
+        (t(20000L), "a", "in_bound"),     // +10s: matches
+        (t(50000L), "a", "out_of_bound"), // +40s: outside the 30s bound
+        (t(20000L), "c", "wrong_key")))
+      memL.addData(Seq((t(300000L), "z", 9L)))  // advance watermark
+      memR.addData(Seq((t(300000L), "z", "zz")))
+      query.processAllAvailable()
+      val got = spark.table("ivl_join")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(got.contains(("a", 1L, "in_bound")))
+      assert(!got.exists(_._3 == "out_of_bound"))
+      assert(!got.exists(_._3 == "wrong_key"))
+    } finally query.stop()
+  }
+
   test("lifecycle tracker: started -> progress -> terminated removes state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
