@@ -201,6 +201,51 @@ object Dedup {
       cands.join(pairIntersections(sh, maxDf), Seq("ia", "ib")), threshold)
   }
 
+  /** Connected-component duplicate clusters over a near-dup pair set:
+    * every doc in a cluster maps to the cluster's MINIMUM doc id. This is
+    * the transitive closure the pairwise keep-lowest rule lacks (A~B, B~C,
+    * A≁C must still land A, B, C in ONE cluster for cluster-level dedup).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the elementwise minimum, converging in O(component diameter)
+    * rounds — near-dup clusters are shallow (diameter rarely exceeds a few
+    * hops), so the loop is short; `maxIters` bounds adversarial chains. Each
+    * round is two key-partitioned shuffles over (node, label) pairs — 16
+    * bytes a row at any corpus size; the driver holds only the changed-row
+    * COUNT. (The alternating-star optimization for deep graphs is a drop-in
+    * upgrade of the same loop.)
+    *
+    * Input: pairs with `ia < ib`. Output: (`doc_id`, `cluster_rep`) for
+    * every doc appearing in a pair. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint(true) // truncate lineage: each round builds on the last
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nrep")).as("mrep"))
+      val next = labels.as("l")
+        .join(viaNbr.as("v"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.rep"), coalesce(col("v.mrep"), col("l.rep"))).as("rep"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("rep").as("old")), "id")
+        .filter(col("n.rep") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is
     * set iff the sum over tokens of ±1 (by bit j of the token's 64-bit hash)
     * is positive. Near-identical docs land within a small Hamming distance.

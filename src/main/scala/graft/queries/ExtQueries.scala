@@ -219,6 +219,37 @@ object ExtQueries {
                 GROUP BY lang, tok) r
               WHERE rnk <= 5 ORDER BY lang, rnk""")),
 
+    // x25 — connected-component dup clusters over the exact Jaccard pairs:
+    // cluster-level dedup needs the transitive closure, not pairwise keeps.
+    // Oracle: DuckDB recursive CTE computing reachability → min per node.
+    QueryDef("x25_dup_clusters",
+      (s, d) => Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          n = 3, threshold = 0.6))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                e AS (SELECT ia AS a, ib AS b FROM pairs
+                      UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM e
+                      UNION
+                      SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach)
+              SELECT id AS doc_id, min(reach) AS cluster_rep
+              FROM r GROUP BY id ORDER BY doc_id""")),
+
     // x21 — deterministic stratified sampling: hash the CONTENT into 16
     // buckets (md5 first hex digit) and keep a per-language bucket quota —
     // the reproducible corpus-mixing primitive of a training-data pipeline

@@ -99,6 +99,15 @@ class DedupSpec extends SparkSpec {
       s"approx dedup removed only $removedApprox of $removedExact")
   }
 
+  test("dupClusters closes chains transitively and keeps components apart") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (diameter 3) plus separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("ia", "ib")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("shingleArray guards docs shorter than n tokens") {
     import spark.implicits._
     val got = docs((1L, "only two"), (2L, "one"), (3L, ""))
