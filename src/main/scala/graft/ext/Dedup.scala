@@ -249,19 +249,13 @@ object Dedup {
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is
     * set iff the sum over tokens of ±1 (by bit j of the token's 64-bit hash)
     * is positive. Near-identical docs land within a small Hamming distance.
-    * Engine-specific hashing → rows-only checked; unit tests pin behavior. */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ex = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val sums = ex.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      acc + when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
+    * Computed entirely map-side by the native
+    * [[org.apache.spark.sql.graft.SimHashExpr]] (one loop per doc inside the
+    * scan projection — the aggregate formulation paid a full shuffle of the
+    * exploded token stream for the same arithmetic). Engine-specific
+    * hashing → rows-only checked; unit tests pin behavior. */
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.VectorFunctions.simHashF(col("toks")).as("simhash"))
 }

@@ -344,6 +344,63 @@ object ExtQueries {
       Some("""SELECT lang, (length(text) // 100) * 100 AS len_bucket, count(*) AS n
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // x26 — per-group quota sampling: keep N docs per language, picked by a
+    // deterministic content-hash order (reproducible, no RNG; the per-source
+    // quota primitive of corpus mixing). rank window per group — one shuffle.
+    QueryDef("x26_group_quota_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""SELECT lang, rnk, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+                FROM documents) t
+              WHERE rnk <= 20 ORDER BY lang, rnk""")),
+
+    // x27 — text normalization: lowercase, strip punctuation, collapse
+    // whitespace, trim — the canonical pre-dedup cleanup pass, pure codegen'd
+    // string expressions over the scan.
+    QueryDef("x27_normalize",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", ""), "\\s+", " ")).as("norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+              FROM documents ORDER BY doc_id""")),
+
+    // x28 — PII-style redaction: mask email-shaped and long-digit-run tokens
+    // (the compliance scrub of a training corpus). regexp_replace replaces
+    // ALL matches in Spark; DuckDB needs the 'g' flag for the same.
+    QueryDef("x28_redact",
+      (s, d) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("text"),
+            emailPat, "<EMAIL>"), "\\d{6,}", "<NUM>").as("redacted"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), emailPat, ""))).cast("long")
+            .as("email_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\d{6,}', '<NUM>', 'g') AS redacted,
+                     CAST(length(text) - length(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')) AS BIGINT)
+                       AS email_chars
+              FROM documents ORDER BY doc_id""")),
+
     // x17 — embedding-cosine near-dup dedup: survivors have no lower-id
     // neighbor above the threshold (min-id representative per dup pair).
     QueryDef("x17_embedding_dedup",

@@ -214,6 +214,60 @@ object MinHashBandsExpr {
   }
 }
 
+/** Native 64-bit SimHash of a token array: per token, a 64-bit hash votes
+  * ±1 on every bit position; the signature sets bit j iff the vote sum is
+  * positive. One map-side loop per document — the aggregate formulation
+  * (explode → 64 conditional sums → groupBy(doc)) pays a full shuffle of
+  * the exploded token stream for the same arithmetic. Token hashing is
+  * XXH64 with seed 42 over the UTF8 bytes — bit-identical to Spark's
+  * `xxhash64(tok)`, so signatures match the aggregate formulation exactly.
+  */
+case class SimHashExpr(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashExpr.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SimHashExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object SimHashExpr {
+  def compute(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      val s = toks.getUTF8String(i)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Column-level entry points for graft's native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two `array<float>` columns, as a double. */
@@ -232,4 +286,8 @@ object VectorFunctions {
   /** Codegen'd map-side MinHash-LSH band hashes of a hashed shingle set. */
   def minHashBandsF(shs: Column, k: Int, bandsN: Int): Column =
     ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(shs), k, bandsN))
+
+  /** Codegen'd map-side 64-bit SimHash of a token array. */
+  def simHashF(toks: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
 }
