@@ -255,6 +255,24 @@ object ExtendedQueries {
                      count(*) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Q31 — skew-safe two-phase salted aggregation (graft.ops.Skew): the
+    // pre-cast to decimal makes the partial sums associative, so the salted
+    // result is bit-identical to a direct GROUP BY — which is exactly what
+    // the oracle computes.
+    QueryDef("q31_salted_agg",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val in = Tables.lineitem(s, d).select(
+          col("l_suppkey"), col("l_quantity").cast(DecimalType(30, 6)).as("q"))
+        graft.ops.Skew.saltedSumCount(in, "l_suppkey", "q")
+          .select(col("l_suppkey"), col("sum").cast("double").as("sum_qty"), col("n"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
     // Q25a — tumbling time window (README micro-batch premise, README.md:5)
     QueryDef("q25_tumbling_window",
       (s, d) => events(s, d)

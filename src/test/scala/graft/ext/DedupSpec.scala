@@ -108,6 +108,35 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters matches brute-force union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 2 + rnd.nextInt(25)
+      val edges = (0 until n).flatMap { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+      }.distinct
+      if (edges.nonEmpty) {
+        // brute force: union-find with min-id representative
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.map(v => v -> find(v)).toMap
+        val got = Dedup.dupClusters(edges.toDF("ia", "ib"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("shingleArray guards docs shorter than n tokens") {
     import spark.implicits._
     val got = docs((1L, "only two"), (2L, "one"), (3L, ""))
