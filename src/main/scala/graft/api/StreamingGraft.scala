@@ -107,6 +107,12 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
   private val resultsBuffer = new java.util.ArrayDeque[CriticalPathResult]()
 
   private def buffer(rs: Seq[CriticalPathResult]): Unit = resultsBuffer.synchronized {
+    // Repeated analyses re-produce the same retained batches; keyed
+    // replacement (newest wins) keeps one row per (queryId, batchId) so the
+    // discounted report never double-weights a batch and duplicates never
+    // evict genuinely distinct older results from the ring.
+    val keys = rs.map(r => (r.queryId, r.batchId)).toSet
+    resultsBuffer.removeIf(r => keys.contains((r.queryId, r.batchId)))
     rs.foreach(resultsBuffer.addLast)
     while (resultsBuffer.size > config.maxResultsRetention) resultsBuffer.removeFirst()
   }
@@ -117,15 +123,17 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
   }
 
   private val lastAnalyzedBatch = new ConcurrentHashMap[String, Long]()
-  @volatile private var lastAnalysisAtMs = 0L
+  private var lastAnalysisAtMs = 0L
+  private val analysisThrottleLock = new Object
 
   /** Throttled analysis — the reference's two gates
     * (ref `QueryInsightsManager.scala:194-196` time throttle;
     * `analyzer/StreamingQueryAnalyzer.scala:132-136` batch throttle):
     * returns None when called again within `analysisIntervalMinutes`;
     * otherwise analyzes, but only batches at least `analysisMinBatches`
-    * past each query's last analyzed batch id. */
-  def analyzeIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[CriticalPathResult]] = {
+    * past each query's last analyzed batch id. The check-and-set is
+    * synchronized so overlapping ticks cannot both pass the gate. */
+  def analyzeIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[CriticalPathResult]] = analysisThrottleLock.synchronized {
     if (nowMs - lastAnalysisAtMs < config.analysisIntervalMinutes * 60000L) None
     else {
       lastAnalysisAtMs = nowMs
@@ -144,26 +152,32 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
   }
 
   private val lastReportedBatch = new ConcurrentHashMap[String, Long]()
-  @volatile private var lastReportAtMs = 0L
+  private var lastReportAtMs = 0L
+  private val reportLock = new Object
 
   /** Periodic aggregate report on the `reportingIntervalMinutes` cadence
     * (ref `helper/StreamingLensReportingHelper.scala:66-78,199-201`): rolls
     * the retained results up to a discounted health score + source-aware
     * recommendation per query and sends them through the reporter SPI.
-    * Call from the same tick that drives [[analyzeIfDue]]. */
-  def reportIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[AggregateStateResult]] = {
-    if (nowMs - lastReportAtMs < config.reportingIntervalMinutes * 60000L) None
-    else {
-      lastReportAtMs = nowMs
-      Some(reportNow())
+    * Call from the same tick that drives [[analyzeIfDue]]; concurrent calls
+    * cannot double-fire the interval. */
+  def reportIfDue(nowMs: Long = System.currentTimeMillis()): Option[Dataset[AggregateStateResult]] =
+    reportLock.synchronized {
+      if (nowMs - lastReportAtMs < config.reportingIntervalMinutes * 60000L) None
+      else {
+        lastReportAtMs = nowMs
+        Some(reportNow())
+      }
     }
-  }
 
   /** One aggregate report over the retained results: discounted score →
     * aggregate state → recommendation specialized by the sources captured
     * from query progress. Batches already covered by a previous report are
-    * excluded per query (ref `StreamingLensReportingHelper.scala:181-182`). */
-  def reportNow(): Dataset[AggregateStateResult] = {
+    * excluded per query (ref `StreamingLensReportingHelper.scala:181-182`);
+    * batches are marked reported only AFTER every reporter send succeeds,
+    * so a transient sink failure means at-least-once redelivery on the next
+    * cadence, never silent loss. */
+  def reportNow(): Dataset[AggregateStateResult] = reportLock.synchronized {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val fresh = recentResults.filter { r =>
@@ -177,8 +191,6 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     val agg = Reporting.aggregate(
       spark.createDataset(fresh.toIndexedSeq), sources, config.discountFactor)
     val collected = agg.collect()
-    fresh.foreach(r =>
-      lastReportedBatch.merge(r.queryId, r.batchId, (a, b) => math.max(a, b)))
     if (config.shouldLogResults)
       collected.foreach(a => println(Reporting.aggregateLogBlock(a)))
     reporter.foreach { rep =>
@@ -187,6 +199,8 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
         lit(System.currentTimeMillis()))
         .collect().foreach(row => rep.sendEvent(row.getString(0)))
     }
+    fresh.foreach(r =>
+      lastReportedBatch.merge(r.queryId, r.batchId, (a, b) => math.max(a, b)))
     spark.createDataset(collected.toIndexedSeq)
   }
 

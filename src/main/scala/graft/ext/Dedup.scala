@@ -46,19 +46,7 @@ object Dedup {
   def shingleArray(text: Column, n: Int): Column =
     shingleArrayOfTokens(TextAnalysis.tokens(text), n)
 
-  /** Exploded (id, shingle) pairs for docs with at least `n` tokens. The
-    * tokenization is projected into a column of its own so the regex split
-    * runs exactly once per document. */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingleArrayOfTokens(col("toks"), n).as("shs"))
-      // No size()>0 filter here: predicate pushdown would re-inline the whole
-      // shingle expression (incl. the regex split) into the Filter and double
-      // the work; empty arrays explode to zero rows and join nothing anyway.
-      .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
-
-  /** Hashed-shingle twin of [[shingles]]: `shs` is the sorted distinct
+  /** Hashed-shingle table: `shs` is the sorted distinct
     * 64-bit shingle hashes (native codegen'd
     * [[org.apache.spark.sql.graft.ShingleHashExpr]] — one tight loop per
     * doc instead of interpreted lambdas), so every downstream postings
@@ -71,15 +59,6 @@ object Dedup {
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorFunctions.shingleHashF(col("toks"), n).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
-
-  /** Exploded (doc_id, shingle) rows. `explode_outer` + an output-attribute
-    * null filter instead of plain `explode`: InferFiltersFromGenerate would
-    * otherwise derive `size(shs) > 0` and push the WHOLE shingle expression
-    * (incl. the regex split) into the parquet scan as a data filter,
-    * doubling the evaluation (measured +13 s at sf0.1). */
-  def explodedShingles(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), explode_outer(col("shs")).as("g"))
-      .filter(col("g").isNotNull)
 
   /** Per-shingle document-frequency cap: a shingle appearing in q docs emits
     * q²/2 candidate pairs, so one boilerplate shingle (license header,
@@ -99,7 +78,7 @@ object Dedup {
     * subtree — measured ~2 s per join at sf0.1). One evaluation, two
     * key-partitioned shuffles. Quadratic only in per-shingle document
     * frequency, which [[defaultMaxDf]] caps. */
-  def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
+  private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -137,23 +116,13 @@ object Dedup {
     jaccardFromCounts(
       pairIntersections(hashedShingles(docs, textCol, idCol, n), maxDf), threshold)
 
-  /** MinHash signature length and LSH banding (b bands × r rows = k). r=2
+  /** MinHash signature length and LSH banding (b bands × r = k/b rows). r=2
     * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
     * astronomically unlikely, so the verified output matches the exact
     * shingle-join result; false-positive candidates cost only the exact
     * verification join. */
   val k = 64
   val bands = 32
-  val rows = 2
-
-  /** Per-doc MinHash signature columns m0..m63: min over shingles of a
-    * seeded 64-bit hash per permutation (one shuffle, no explosion — the k
-    * hashes are k aggregate expressions over the exploded shingles). */
-  def minHashSignatures(sh: DataFrame): DataFrame = {
-    val ex = explodedShingles(sh)
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
-    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
 
   /** MinHash-LSH near-dup pairs, exact-verified: band-bucket equi-join for
     * candidates, then exact Jaccard via the postings-list intersection
@@ -243,6 +212,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // Non-convergence would return labels that map ONE component to several
+    // representatives — silently wrong for cluster-level dedup. Fail loudly;
+    // the caller raises maxIters (each extra round is cheap once converged).
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIters rounds ($changed labels " +
+        "still changing) — a component's diameter exceeds maxIters; raise it")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 

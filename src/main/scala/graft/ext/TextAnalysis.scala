@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token array of a text column. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column =
+    // split("") yields [""], not [] — blank text must tokenize to an EMPTY
+    // array or every downstream explode/chunk/tf operator emits a phantom
+    // empty-string token that their oracles (WHERE length(trim(text)) > 0)
+    // exclude.
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
 
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(text: Column): Column =

@@ -144,16 +144,20 @@ object ExtQueries {
       None),
 
     // x07 — exact n-gram Jaccard near-dup pairs (shingle join, no all-pairs).
+    // maxDf disabled here: the DuckDB oracle is uncapped, so the
+    // oracle-checked entry must honor the full "exact" contract at any sf —
+    // the skew cap is the production default, pinned by DedupSpec instead.
     QueryDef("x07_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+        n = 3, threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
     // x08 — MinHash-LSH near-dedup, exact-verified: same contract as x07,
-    // found via banded signature buckets instead of the full shingle join.
+    // found via banded signature buckets instead of the full shingle join
+    // (uncapped for the same oracle-contract reason as x07).
     QueryDef("x08_minhash_lsh",
       (s, d) => Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+        n = 3, threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
     // x09 — SimHash fingerprints (engine hash → rows-only; unit-tested).
@@ -215,7 +219,7 @@ object ExtQueries {
                 SELECT lang, tok, count(*) AS n,
                        row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rnk
                 FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
-                      FROM documents) t
+                      FROM documents WHERE length(trim(text)) > 0) t
                 GROUP BY lang, tok) r
               WHERE rnk <= 5 ORDER BY lang, rnk""")),
 
@@ -225,7 +229,7 @@ object ExtQueries {
     QueryDef("x25_dup_clusters",
       (s, d) => Dedup.dupClusters(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, threshold = 0.6))
+          n = 3, threshold = 0.6, maxDf = Int.MaxValue))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE
                 t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -119,9 +119,13 @@ class StreamingGraftSpec extends SparkSpec {
         results = g.analyzeNow().collect()
       }
       assert(results.nonEmpty, "no batches analyzed")
-      // repeated analyses re-buffer the same batches: the ring must cap
+      // repeated analyses re-buffer the same batches: the ring must cap AND
+      // hold at most one row per (queryId, batchId) so the discounted report
+      // never double-weights a batch
       g.analyzeNow(); g.analyzeNow()
       assert(g.recentResults.size <= 4, s"buffer ${g.recentResults.size} > cap")
+      val keys = g.recentResults.map(r => (r.queryId, r.batchId))
+      assert(keys.distinct.size === keys.size, s"duplicate batches in buffer: $keys")
       // first report is due, runs, and carries a recommendation per query
       val t0 = 100L * 60000L
       val agg = g.reportIfDue(t0)
