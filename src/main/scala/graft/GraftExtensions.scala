@@ -2,25 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.DotProductExpr
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graft.FunctionRegistration
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
-  * callable from SQL in any session started with
+  * (`graft_dot`, `graft_shingle_hash`, `graft_minhash_bands`,
+  * `graft_simhash`) callable from SQL in any session started with
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   *
   * For an already-running session, use
   * `org.apache.spark.sql.graft.FunctionRegistration.registerGraftFunctions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_dot requires exactly 2 arguments, got ${children.length}")
-        DotProductExpr(children.head, children(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    FunctionRegistration.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

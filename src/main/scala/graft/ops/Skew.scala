@@ -31,6 +31,22 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as("sum"), sum(col("_pcnt")).as("n"))
 
+  /** Skew-safe equi-join: the hot (big) side gets a row-spreading salt, the
+    * small side is replicated across all `buckets` salt values, and the
+    * join keys on (key, salt) — so a hot key's rows split across `buckets`
+    * reduce tasks instead of landing on one straggler. Row-identical to the
+    * plain equi-join (each big row matches exactly the replica carrying its
+    * salt); the cost is a `buckets`× blowup of the SMALL side only. AQE's
+    * runtime skew split covers moderate cases; this is the explicit form
+    * for pipelines that pre-partition or run with AQE off. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("_salt", salt(big, buckets))
+    val replicated = small
+      .withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** min/max per key, skew-safely. */
   def saltedMinMax(df: DataFrame, keyCol: String, valueCol: String,
                    buckets: Int = 16): DataFrame =

@@ -273,6 +273,22 @@ object ExtendedQueries {
                      count(*) AS n
               FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
+    // Q32 — skew-safe salted equi-join (graft.ops.Skew.saltedJoin):
+    // row-identical to the plain join the oracle runs; ties in the
+    // determinism sort are exact duplicate rows, so order within them
+    // cannot affect the value compare.
+    QueryDef("q32_salted_join",
+      (s, d) => {
+        val big = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        val small = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.Skew.saltedJoin(big, small, "l_orderkey")
+          .orderBy("l_orderkey", "l_quantity", "o_orderpriority")
+      },
+      Some("""SELECT l_orderkey, l_quantity, o_orderpriority
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY 1, 2, 3""")),
+
     // Q25a — tumbling time window (README micro-batch premise, README.md:5)
     QueryDef("q25_tumbling_window",
       (s, d) => events(s, d)

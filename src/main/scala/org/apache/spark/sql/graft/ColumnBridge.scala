@@ -18,12 +18,46 @@ object ColumnBridge {
   * `spark.sql.extensions` (the extensions path is [[graft.GraftExtensions]]).
   * Needs the sql namespace: `sessionState.functionRegistry` is private[sql]. */
 object FunctionRegistration {
-  def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => {
-          require(exprs.length == 2,
-            s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
-          DotProductExpr(exprs(0), exprs(1))
-        }, "scala_udf")
+
+  /** Integer literal argument of a SQL function call (widths/counts must be
+    * plan-time constants — they size codegen'd loops). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** The SQL builders, shared by temp registration and the extensions path
+    * (public: `graft.GraftExtensions` lives outside this package tree). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+      DotProductExpr(exprs(0), exprs(1))
+    },
+    "graft_shingle_hash" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_shingle_hash requires (tokens, n), got ${exprs.length} arguments")
+      ShingleHashExpr(exprs(0), litInt(exprs(1), "graft_shingle_hash", "n"))
+    },
+    "graft_minhash_bands" -> { exprs =>
+      require(exprs.length == 3,
+        s"graft_minhash_bands requires (shingles, k, bands), got ${exprs.length} arguments")
+      MinHashBandsExpr(exprs(0),
+        litInt(exprs(1), "graft_minhash_bands", "k"),
+        litInt(exprs(2), "graft_minhash_bands", "bands"))
+    },
+    "graft_simhash" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_simhash requires exactly 1 argument, got ${exprs.length}")
+      SimHashExpr(exprs(0))
+    })
+
+  def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
 }

@@ -21,6 +21,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got === 10.0)
   }
 
+  test("all graft functions are callable from SQL after registration") {
+    FunctionRegistration.registerGraftFunctions(spark)
+    val row = spark.sql(
+      """SELECT size(graft_shingle_hash(array('a','b','c','d'), 2)) AS nsh,
+        |       size(graft_minhash_bands(graft_shingle_hash(array('a','b','c','d'), 2), 64, 32)) AS nb,
+        |       graft_simhash(array('x','y')) AS sh""".stripMargin).head()
+    assert(row.getInt(0) === 3)
+    assert(row.getInt(1) === 32)
+    // simhash of a token list equals the Dedup operator's output
+    import spark.implicits._
+    val viaOp = graft.ext.Dedup.simHash(Seq((1L, "x y")).toDF("doc_id", "text"),
+      "text", "doc_id").head().getLong(1)
+    assert(row.getLong(2) === viaOp)
+  }
+
   test("shingleHashF: sorted distinct hashes; token boundaries matter; short docs empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split

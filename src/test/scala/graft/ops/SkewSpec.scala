@@ -25,6 +25,19 @@ class SkewSpec extends SparkSpec {
     assert(saltedMm === directMm)
   }
 
+  test("salted join is row-identical to the plain equi-join, duplicates included") {
+    import spark.implicits._
+    val big = ((1 to 500).map(_ => ("hot", "payload")) ++
+      Seq(("a", "p1"), ("a", "p1"), ("b", "p2"), ("orphan", "px"))).toDF("k", "v")
+    val small = Seq(("hot", 1L), ("a", 2L), ("b", 3L), ("unmatched", 9L)).toDF("k", "w")
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(salted.length === plain.length) // multiplicity preserved (502 rows)
+    assert(salted === plain)
+  }
+
   test("salting actually spreads the hot key across buckets") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("hot", i.toLong)).toDF("k", "v")
