@@ -170,6 +170,29 @@ object Dedup {
       cands.join(pairIntersections(sh, maxDf), Seq("ia", "ib")), threshold)
   }
 
+  /** Benchmark-decontamination scan: for every (train doc, eval doc) pair
+    * sharing at least `minShared` word n-gram shingles, the shared count —
+    * the standard pre-training check that evaluation data has not leaked
+    * into the training corpus. Both sides shingle through the native hashed
+    * path, so the overlap join keys on 8-byte longs; the equi-join on the
+    * shingle hash is the postings shape (never all-pairs). The usual
+    * boilerplate-shingle skew caveat applies — run the corpus through
+    * [[ngramJaccardPairs]]-style df capping first if it has template text.
+    * Output: `train_id`, `eval_id`, `n_shared` (≥ minShared). */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int, minShared: Long): DataFrame = {
+    def ex(df: DataFrame, name: String) =
+      hashedShingles(df, textCol, idCol, n)
+        .select(col("doc_id").as(name), explode_outer(col("shs")).as(s"g_$name"))
+        .filter(col(s"g_$name").isNotNull)
+    ex(train, "train_id")
+      .join(ex(eval_, "eval_id"), col("g_train_id") === col("g_eval_id"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected-component duplicate clusters over a near-dup pair set:
     * every doc in a cluster maps to the cluster's MINIMUM doc id. This is
     * the transitive closure the pairwise keep-lowest rule lacks (A~B, B~C,

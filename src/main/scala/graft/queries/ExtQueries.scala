@@ -254,6 +254,30 @@ object ExtQueries {
               SELECT id AS doc_id, min(reach) AS cluster_rep
               FROM r GROUP BY id ORDER BY doc_id""")),
 
+    // x29 — benchmark decontamination: the eval split (doc_id % 7 == 0)
+    // checked for 3-gram leakage against the training split.
+    QueryDef("x29_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 3, minShared = 3L)
+          .orderBy("train_id", "eval_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                   s AS (SELECT doc_id,
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                         FROM t WHERE len(toks) >= 3),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   tr AS (SELECT * FROM e WHERE doc_id % 7 <> 0),
+                   ev AS (SELECT * FROM e WHERE doc_id % 7 = 0)
+              SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+              FROM tr JOIN ev ON tr.g = ev.g
+              GROUP BY 1, 2 HAVING count(*) >= 3
+              ORDER BY 1, 2""")),
+
     // x21 — deterministic stratified sampling: hash the CONTENT into 16
     // buckets (md5 first hex digit) and keep a per-language bucket quota —
     // the reproducible corpus-mixing primitive of a training-data pipeline
