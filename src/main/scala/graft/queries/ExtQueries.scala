@@ -489,6 +489,77 @@ object ExtQueries {
         .orderBy(col("cos").desc, col("vec_id").asc),
       None),
 
+    // x30 — Shannon entropy of the token distribution per language, from
+    // exact integer counts: H = ln(N) − (Σ cᵢ·ln cᵢ)/N. A corpus-diversity
+    // gauge (low entropy = repetitive/boilerplate text).
+    QueryDef("x30_token_entropy",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        counts
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_tokens"),
+               sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"),
+               count(lit(1)).as("n_distinct"))
+          .select(col("lang"), col("n_tokens"), col("n_distinct"),
+            (floor((log(col("n_tokens").cast("double")) -
+              col("clc") / col("n_tokens")) * 10000.0 + 0.5) / 10000.0).as("entropy"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, tok, count(*) AS c
+                         FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                               FROM documents WHERE length(trim(text)) > 0) t
+                         GROUP BY 1, 2)
+              SELECT lang, sum(c) AS n_tokens, count(*) AS n_distinct,
+                     floor((ln(CAST(sum(c) AS DOUBLE)) -
+                            sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
+                           * 10000.0 + 0.5) / 10000.0 AS entropy
+              FROM c GROUP BY lang ORDER BY lang""")),
+
+    // x31 — media near-dup via frame-fingerprint Jaccard: two media match
+    // when their sampled-block md5 sets overlap above the threshold — the
+    // binary-content analog of shingle dedup (catches payloads sharing a
+    // long common prefix, e.g. re-encodes with appended metadata).
+    QueryDef("x31_media_near_dup",
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+        val fr = Multimodal.sampleFrames(media, "content", "media_id",
+            blockBytes = 32, stride = 2)
+          .select(col("media_id"), md5(col("frame_bytes")).as("fh"))
+          .distinct()
+        val sized = fr
+          .join(fr.groupBy("media_id").agg(count(lit(1)).as("n")), "media_id")
+        val pairs = sized.select(col("media_id").as("ia"), col("n").as("na"), col("fh"))
+          .join(sized.select(col("media_id").as("ib"), col("n").as("nb"),
+            col("fh").as("fh_b")), col("fh") === col("fh_b") && col("ia") < col("ib"))
+          .groupBy(col("ia"), col("na"), col("ib"), col("nb"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .withColumn("jacc",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jacc") >= 0.2)
+          .select(col("ia"), col("ib"), (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH d AS (SELECT doc_id AS media_id, text,
+                     greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT) - 1, 0) AS e
+                   FROM documents),
+                 l AS (SELECT media_id,
+                     list_distinct(list_transform(range(0, e + 1, 2),
+                       i -> md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)))) AS fr
+                   FROM d),
+                 f AS (SELECT media_id, unnest(fr) AS fh FROM l),
+                 z AS (SELECT media_id, len(fr) AS n FROM l),
+                 p AS (SELECT a.media_id AS ia, b.media_id AS ib, count(*) AS inter
+                       FROM f a JOIN f b ON a.fh = b.fh AND a.media_id < b.media_id
+                       GROUP BY 1, 2)
+              SELECT ia, ib, floor(CAST(inter AS DOUBLE) / (za.n + zb.n - inter) * 10000.0 + 0.5) / 10000.0 AS jacc
+              FROM p JOIN z za ON za.media_id = p.ia JOIN z zb ON zb.media_id = p.ib
+              WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.2
+              ORDER BY ia, ib""")),
+
     // x14 — multimodal feature extraction through the typed mapPartitions
     // seam (decode is stubbed; schema/bytes/sha are real and oracle-checked).
     QueryDef("x14_multimodal_features",
