@@ -66,8 +66,26 @@ object Dedup {
     * Standard similarity-join practice drops ultra-common shingles — they
     * carry almost no similarity signal (an idf≈0 feature) but all of the
     * quadratic cost. Dropped-posting counts are published through
-    * `df.observe(...)` so the skew guard is visible to listeners/logs. */
+    * `df.observe(...)`; AQE can swallow metrics observed below re-planned
+    * exchanges, so [[postingsDfStats]] is the reliable audit path. */
   val defaultMaxDf = 1000
+
+  /** Skew-cap audit: the per-shingle document-frequency distribution as one
+    * row — total distinct shingles, the maximum df, and how many postings a
+    * `maxDf` cap would drop. Pipelines run/log this alongside a capped
+    * dedup; unlike the inline `observe` metric it survives AQE re-planning
+    * (a CollectMetrics node below AQE-replanned exchanges does not reach
+    * `QueryExecution.observedMetrics` — verified empirically on 4.1). */
+  def postingsDfStats(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int, maxDf: Int = defaultMaxDf): DataFrame = {
+    val ex = hashedShingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+    ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > maxDf, 1).otherwise(0)).as("n_over_cap"))
+  }
 
   /** Shared-shingle intersection counts per doc pair, via postings lists:
     * group the exploded shingles by shingle, emit every ordered id pair

@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(4L)) > 12, s"unrelated hamming ${hamming(sigs(1L), sigs(4L))}")
   }
 
+  test("postingsDfStats reports what a maxDf cap drops") {
+    val d = docs((1L to 100L).map(i => (i, "same boilerplate text repeated in every doc")): _*)
+    val row = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = 10).head()
+    // 5 distinct trigrams, each in all 100 docs: every posting is over a
+    // cap of 10 and the audit must say so
+    assert(row.getLong(0) === 5L, "n_shingles")
+    assert(row.getLong(1) === 100L, "max_df")
+    assert(row.getLong(2) === 5L, "n_over_cap")
+    // and with the cap above the df, nothing would drop
+    val ok = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = 100).head()
+    assert(ok.getLong(2) === 0L)
+  }
+
   test("maxDf cap bounds a pathological corpus of identical docs") {
     // 1000 identical docs: every shingle's posting holds all 1000 ids, so an
     // uncapped join would emit ~500k pairs per shingle. With maxDf=50 the
