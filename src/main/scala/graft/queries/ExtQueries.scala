@@ -560,6 +560,38 @@ object ExtQueries {
               WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.2
               ORDER BY ia, ib""")),
 
+    // x32 — sequence packing: assign docs (in doc_id order) to fixed-budget
+    // training sequences by exclusive running token count div budget — the
+    // deterministic contiguous-fill packing of a pretraining data loader.
+    // One window cumsum + one aggregation; the window's global order is the
+    // doc_id sort the pack order REQUIRES (at scale: pack per source shard
+    // — partition the window by a shard key — exactly how loaders do it).
+    QueryDef("x32_sequence_packing",
+      (s, d) => {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+          .withColumn("seq_id", (col("cum") / 512).cast("long"))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("seq_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                 c AS (SELECT doc_id, toks,
+                     sum(toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum
+                   FROM t)
+              SELECT cum // 512 AS seq_id, count(*) AS n_docs, sum(toks) AS n_tokens,
+                     min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY 1""")),
+
     // x14 — multimodal feature extraction through the typed mapPartitions
     // seam (decode is stubbed; schema/bytes/sha are real and oracle-checked).
     QueryDef("x14_multimodal_features",
