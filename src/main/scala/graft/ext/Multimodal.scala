@@ -69,7 +69,13 @@ object Multimodal {
   /** Deterministic "frame sampling": every `stride`-th fixed-size block of
     * the payload, as (media_id, frame_no, frame_bytes) rows — the shape a
     * video pipeline fans out to per-frame feature extraction. Pure column
-    * expressions; no UDF. */
+    * expressions; no UDF.
+    *
+    * Block indexing follows the column type: BINARY content slices
+    * `blockBytes` BYTES (the real media path); STRING content slices
+    * CHARACTERS — which is what the oracle-checked catalog queries use,
+    * because DuckDB has no blob md5/substr, so only character blocks are
+    * cross-engine comparable on non-ASCII text. */
   def sampleFrames(df: DataFrame, contentCol: String, idCol: String,
                    blockBytes: Int, stride: Int): DataFrame = {
     val nBlocks = ceil(length(col(contentCol)).cast("double") / blockBytes).cast("int")

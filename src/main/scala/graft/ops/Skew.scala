@@ -14,19 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic row-spreading salt: a hash of the whole row modulo
-    * `buckets` (any row-dependent value works — the point is only that one
-    * key's rows spread across reducers). */
-  private def salt(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)).cast("int")
+  /** Row-spreading salt: position-derived (monotonically_increasing_id mod
+    * buckets), NOT a row-content hash — byte-identical rows are exactly the
+    * classic hot-key shape (duplicate logs, dedup inputs), and a content
+    * hash would send them all to ONE bucket, silently defeating the salt.
+    * Position also never touches column types (a whole-row hash rejects
+    * MapType columns). The salt varies with partition layout, which is fine:
+    * every salted operator here is salt-value-agnostic — only the spread
+    * matters, and the combine phase erases it. */
+  private def salt(buckets: Int): Column = {
+    require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
+    pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int")
+  }
+
+  /** Internal salt column name — underscored + branded so it cannot collide
+    * with (or silently drop) a user column. */
+  private val SaltCol = "__graft_salt"
 
   /** sum(valueCol) + count per key, computed skew-safely. Identical result
     * to a direct groupBy — associativity makes the two-phase split exact. */
   def saltedSumCount(df: DataFrame, keyCol: String, valueCol: String,
                      buckets: Int = 16): DataFrame =
     df
-      .withColumn("_salt", salt(df, buckets))
-      .groupBy(col(keyCol), col("_salt"))
+      .withColumn(SaltCol, salt(buckets))
+      .groupBy(col(keyCol), col(SaltCol))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(keyCol))
       .agg(sum(col("_psum")).as("sum"), sum(col("_pcnt")).as("n"))
@@ -41,18 +52,20 @@ object Skew {
     * for pipelines that pre-partition or run with AQE off. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
-    val salted = big.withColumn("_salt", salt(big, buckets))
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"input already carries a $SaltCol column")
+    val salted = big.withColumn(SaltCol, salt(buckets).cast("int"))
     val replicated = small
-      .withColumn("_salt", explode(array((0 until buckets).map(lit): _*)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+      .withColumn(SaltCol, explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 
   /** min/max per key, skew-safely. */
   def saltedMinMax(df: DataFrame, keyCol: String, valueCol: String,
                    buckets: Int = 16): DataFrame =
     df
-      .withColumn("_salt", salt(df, buckets))
-      .groupBy(col(keyCol), col("_salt"))
+      .withColumn(SaltCol, salt(buckets))
+      .groupBy(col(keyCol), col(SaltCol))
       .agg(min(col(valueCol)).as("_pmin"), max(col(valueCol)).as("_pmax"))
       .groupBy(col(keyCol))
       .agg(min(col("_pmin")).as("min"), max(col("_pmax")).as("max"))

@@ -524,17 +524,26 @@ object ExtQueries {
     QueryDef("x31_media_near_dup",
       (s, d) => {
         val media = Tables.documents(s, d).select(
-          col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+          col("doc_id").as("media_id"), col("text").as("content"))
+        // set size rides inside the postings structs (the Dedup.scala
+        // pattern): a sizes join-back or self-join would re-evaluate the
+        // whole frame-hash subtree per branch
         val fr = Multimodal.sampleFrames(media, "content", "media_id",
             blockBytes = 32, stride = 2)
           .select(col("media_id"), md5(col("frame_bytes")).as("fh"))
           .distinct()
-        val sized = fr
-          .join(fr.groupBy("media_id").agg(count(lit(1)).as("n")), "media_id")
-        val pairs = sized.select(col("media_id").as("ia"), col("n").as("na"), col("fh"))
-          .join(sized.select(col("media_id").as("ib"), col("n").as("nb"),
-            col("fh").as("fh_b")), col("fh") === col("fh_b") && col("ia") < col("ib"))
-          .groupBy(col("ia"), col("na"), col("ib"), col("nb"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("media_id"))))
+        val pairs = fr
+          .groupBy(col("fh"))
+          .agg(sort_array(collect_set(struct(col("media_id"), col("n")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+              struct(a.getField("media_id").as("ia"), a.getField("n").as("na"),
+                b.getField("media_id").as("ib"), b.getField("n").as("nb")))))).as("p"))
+          .groupBy(col("p.ia").as("ia"), col("p.na").as("na"),
+            col("p.ib").as("ib"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("inter"))
         pairs
           .withColumn("jacc",
@@ -544,7 +553,7 @@ object ExtQueries {
           .orderBy("ia", "ib")
       },
       Some("""WITH d AS (SELECT doc_id AS media_id, text,
-                     greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT) - 1, 0) AS e
+                     greatest(CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 0) AS e
                    FROM documents),
                  l AS (SELECT media_id,
                      list_distinct(list_transform(range(0, e + 1, 2),
@@ -607,19 +616,23 @@ object ExtQueries {
                      sha256(text) AS sha
               FROM documents ORDER BY media_id""")),
 
-    // x15 — deterministic frame sampling over the binary payload: every 2nd
-    // 32-byte block, fingerprinted. Pure column expressions (no UDF).
+    // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
+    // the payload, fingerprinted. Pure column expressions (no UDF).
+    // Character blocks, not bytes: DuckDB's substr is character-indexed and
+    // it cannot md5 blobs, so byte blocks would silently diverge on the
+    // first non-ASCII document. The byte path stays available on binary
+    // columns (unit-tested), just not oracle-checkable.
     QueryDef("x15_frame_sample",
       (s, d) => {
         val media = Tables.documents(s, d).select(
-          col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+          col("doc_id").as("media_id"), col("text").as("content"))
         Multimodal.sampleFrames(media, "content", "media_id", blockBytes = 32, stride = 2)
           .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
                   md5(col("frame_bytes")).as("frame_md5"))
           .orderBy("media_id", "frame_no")
       },
       Some("""WITH d AS (SELECT doc_id AS media_id, text,
-                     greatest(CAST(ceil(strlen(text) / 32.0) AS BIGINT) - 1, 0) AS e
+                     greatest(CAST(ceil(length(text) / 32.0) AS BIGINT) - 1, 0) AS e
                    FROM documents),
                  l AS (SELECT media_id,
                      list_transform(range(0, e + 1, 2),

@@ -38,15 +38,20 @@ class SkewSpec extends SparkSpec {
     assert(salted === plain)
   }
 
-  test("salting actually spreads the hot key across buckets") {
+  test("salting spreads even byte-identical hot rows across buckets") {
     import spark.implicits._
-    val df = (1 to 1000).map(i => ("hot", i.toLong)).toDF("k", "v")
-    val partials = Skew.saltedSumCount(df, "k", "v", buckets = 8)
-    // indirect check: partial stage produced >1 group for the hot key
+    // identical rows are the classic hot-key shape; a content-hash salt
+    // would put all of them in ONE bucket
+    val df = (1 to 1000).map(_ => ("hot", 5L)).toDF("k", "v").repartition(4)
     val nSalts = df
-      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(8L)))
-      .select("_salt").distinct().count()
-    assert(nSalts > 1)
-    assert(partials.count() === 1) // but the final result is still one row
+      .withColumn("s", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("s").distinct().count()
+    assert(nSalts > 1, "identical rows landed in one salt bucket")
+    val result = Skew.saltedSumCount(df, "k", "v", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(result.toSeq === Seq(("hot", 5000L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Skew.saltedSumCount(df, "k", "v", buckets = 0).collect()
+    }
   }
 }
