@@ -66,20 +66,32 @@ object Ivf {
   def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     emb.withColumn("cluster", clusterOf(centroids))
 
-  /** Approximate top-k for one query: exact cosine restricted to the
-    * `nProbe` cells nearest the query vector. */
-  def ivfTopK(emb: DataFrame, queryId: Long, kTop: Int,
-              nClusters: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame = {
+  /** A built IVF index: the k×dim centroid matrix (driver-side, tiny) plus
+    * the cell-assigned, norm-carrying vector table. The production shape is
+    * train ONCE / probe MANY: `assigned` is what a pipeline persists —
+    * written `partitionBy("cluster")`, a probe's scan prunes to nProbe/k of
+    * the files before any compute. */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train the coarse quantizer and assign every vector once. */
+  def buildIndex(emb: DataFrame, nClusters: Int = 16, iters: Int = 3): IvfIndex = {
     val centroids = trainCentroids(emb, nClusters, iters)
     val assigned = assign(emb, centroids)
-    val n = Similarity.withNorms(assigned)
-      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+    IvfIndex(centroids,
+      Similarity.withNorms(assigned)
+        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id"))
+  }
+
+  /** Approximate top-k against a prebuilt index: exact cosine restricted to
+    * the `nProbe` cells nearest the query vector. */
+  def topK(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int): DataFrame = {
+    val n = index.assigned
     val qRows = n.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("nrm").as("qnrm")).take(1)
-    require(qRows.nonEmpty, s"ivfTopK: no embedding with vec_id=$queryId")
+    require(qRows.nonEmpty, s"ivf topK: no embedding with vec_id=$queryId")
     val q = qRows.head
     val qe = q.getSeq[Float](0).map(_.toDouble).toArray
-    val probed = centroids.zipWithIndex
+    val probed = index.centroids.zipWithIndex
       .map { case (c, j) =>
         val dot = c.zip(qe).map { case (a, b) => a * b }.sum
         val norm2 = c.map(x => x * x).sum
@@ -93,4 +105,10 @@ object Ivf {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(kTop)
   }
+
+  /** One-shot convenience: build the index and answer a single query. For
+    * repeated queries, [[buildIndex]] once and [[topK]] against it. */
+  def ivfTopK(emb: DataFrame, queryId: Long, kTop: Int,
+              nClusters: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame =
+    topK(buildIndex(emb, nClusters, iters), queryId, kTop, nProbe)
 }

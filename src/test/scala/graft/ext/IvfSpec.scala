@@ -28,6 +28,23 @@ class IvfSpec extends SparkSpec {
       s"recall too low: ${(exact & approx).size}/10")
   }
 
+  test("a prebuilt index answers multiple queries without retraining") {
+    val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
+    idx.assigned.persist()
+    try {
+      val r0 = Ivf.topK(idx, 0L, 5, nProbe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val r1 = Ivf.topK(idx, 1L, 5, nProbe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(r0.length === 5 && r1.length === 5)
+      assert(!r0.contains(0L) && !r1.contains(1L)) // query excluded
+      // full-probe against the same index matches the one-shot operator
+      val oneShot = Ivf.ivfTopK(emb, 0L, 5, nClusters = 8, iters = 2, nProbe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(r0 === oneShot)
+    } finally idx.assigned.unpersist()
+  }
+
   test("probing all cells recovers the exact top-k") {
     val exact = Similarity.cosineTopK(emb, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
