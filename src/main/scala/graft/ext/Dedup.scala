@@ -108,11 +108,11 @@ object Dedup {
         count(when(size(col("ids")) > maxDf, 1)).as("dropped_postings"))
       .filter(size(col("ids")) <= maxDf)
     postings
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(
-            a.getField("doc_id").as("ia"), a.getField("n_sh").as("na"),
-            b.getField("doc_id").as("ib"), b.getField("n_sh").as("nb")))))).as("p"))
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(
+          a.getField("doc_id").as("ia"), a.getField("n_sh").as("na"),
+          b.getField("doc_id").as("ib"), b.getField("n_sh").as("nb"))
+      }).as("p"))
       .groupBy(col("p.ia").as("ia"), col("p.na").as("na"),
         col("p.ib").as("ib"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -179,9 +179,9 @@ object Dedup {
         count(when(size(col("ids")) > maxDf, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxDf)
     val cands = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.as("ia"), b.as("ib"))
+      }).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .distinct()
     jaccardFromCounts(

@@ -73,13 +73,14 @@ object Ivf {
     * the files before any compute. */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Train the coarse quantizer and assign every vector once. */
+  /** Train the coarse quantizer and assign every vector once. The norm
+    * rides as a withColumn on the assigned frame — a join-back would
+    * re-evaluate the k-way argmax in both branches plus pay a shuffle. */
   def buildIndex(emb: DataFrame, nClusters: Int = 16, iters: Int = 3): IvfIndex = {
     val centroids = trainCentroids(emb, nClusters, iters)
-    val assigned = assign(emb, centroids)
     IvfIndex(centroids,
-      Similarity.withNorms(assigned)
-        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id"))
+      assign(emb, centroids)
+        .withColumn("nrm", Similarity.norm(col("embedding"))))
   }
 
   /** Approximate top-k against a prebuilt index: exact cosine restricted to

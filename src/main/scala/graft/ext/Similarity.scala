@@ -70,30 +70,47 @@ object Similarity {
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val n = withNorms(emb).select(col("vec_id"), col("embedding"), col("nrm"))
-      .as[(Long, Array[Float], Double)]
-    val all = n.collect().sortBy(_._1)
+    // One source scan: the collected copy IS both the broadcast side and the
+    // row source (rows re-derived from index ranges), so constructing this
+    // frame runs one eager job — the documented cost of the baseline.
+    val all = withNorms(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
     val ids = all.map(_._1)
     val vecs = all.map(_._2)
     val nrms = all.map(_._3)
     val bc = spark.sparkContext.broadcast((ids, vecs, nrms))
-    n.mapPartitions { it =>
-      val (ids, vecs, nrms) = bc.value
-      it.flatMap { case (ia, ea, na) =>
-        val found = java.util.Arrays.binarySearch(ids, ia)
-        val start = if (found >= 0) found + 1 else -(found + 1)
-        (start until ids.length).iterator.flatMap { j =>
-          val eb = vecs(j)
-          val m = math.min(ea.length, eb.length)
-          var acc = 0.0
-          var i = 0
-          while (i < m) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
-          val cos = java.math.BigDecimal.valueOf(acc / (na * nrms(j)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= threshold) Some((ia, ids(j), cos)) else None
-        }
-      }
-    }.toDF("ia", "ib", "cos")
+    val slices = spark.sparkContext.defaultParallelism
+    spark.createDataset(
+      spark.sparkContext.parallelize(ids.indices, math.max(1, slices))
+        .flatMap { p =>
+          val (ids, vecs, nrms) = bc.value
+          val ia = ids(p)
+          val ea = vecs(p)
+          val na = nrms(p)
+          // strictly greater id: duplicate vec_ids must not self-pair
+          // (the declarative form's ia < ib predicate excluded them too)
+          var start = p + 1
+          while (start < ids.length && ids(start) == ia) start += 1
+          (start until ids.length).iterator.flatMap { j =>
+            val eb = vecs(j)
+            val m = math.min(ea.length, eb.length)
+            var acc = 0.0
+            var i = 0
+            while (i < m) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
+            val raw = acc / (na * nrms(j))
+            // Spark's round() passes non-finite values through, and its
+            // comparisons order NaN above every double — mirror both (a
+            // zero-norm vector must not crash the baseline)
+            val cos =
+              if (java.lang.Double.isFinite(raw))
+                java.math.BigDecimal.valueOf(raw)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              else raw
+            if (cos >= threshold || cos.isNaN || cos == Double.PositiveInfinity)
+              Some((ia, ids(j), cos))
+            else None
+          }
+        }).toDF("ia", "ib", "cos")
   }
 
   /** Embedding-level near-dup dedup: keep a vector iff no LOWER-id vector
@@ -173,9 +190,9 @@ object Similarity {
         count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
     val cands = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-          struct(a.as("ia"), b.as("ib")))))).as("p"))
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.as("ia"), b.as("ib"))
+      }).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .dropDuplicates("ia", "ib")
     // No broadcast hint: this IS the scale path — the embeddings side can be

@@ -14,17 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Row-spreading salt: position-derived (monotonically_increasing_id mod
-    * buckets), NOT a row-content hash — byte-identical rows are exactly the
-    * classic hot-key shape (duplicate logs, dedup inputs), and a content
-    * hash would send them all to ONE bucket, silently defeating the salt.
-    * Position also never touches column types (a whole-row hash rejects
-    * MapType columns). The salt varies with partition layout, which is fine:
-    * every salted operator here is salt-value-agnostic — only the spread
-    * matters, and the combine phase erases it. */
+  /** Row-spreading salt: a HASH of the position id, not a row-content hash
+    * and not the raw position.
+    *   - Not content: byte-identical rows are exactly the classic hot-key
+    *     shape (duplicate logs, dedup inputs), and a content hash sends
+    *     them all to ONE bucket, silently defeating the salt. It also
+    *     never touches column types (a whole-row hash rejects MapType).
+    *   - Not raw position: monotonically_increasing_id is partitionId·2³³
+    *     + offset, and 2³³ mod any power-of-two bucket count is 0 — raw
+    *     mod degrades to offset-in-partition, so many small partitions
+    *     would all salt to bucket 0. Hashing first mixes both components.
+    * The salt is position-dependent (indeterminate under partition-layout
+    * change); Spark re-executes indeterminate map stages wholesale on
+    * fetch failure rather than reusing partial output, and every operator
+    * here is salt-VALUE-agnostic — the combine phase erases it. */
   private def salt(buckets: Int): Column = {
     require(buckets >= 1, s"salt buckets must be >= 1, got $buckets")
-    pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int")
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets.toLong)).cast("int")
   }
 
   /** Internal salt column name — underscored + branded so it cannot collide

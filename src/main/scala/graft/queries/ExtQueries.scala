@@ -538,10 +538,10 @@ object ExtQueries {
           .groupBy(col("fh"))
           .agg(sort_array(collect_set(struct(col("media_id"), col("n")))).as("ids"))
           .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"), (a, i) =>
-            transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-              struct(a.getField("media_id").as("ia"), a.getField("n").as("na"),
-                b.getField("media_id").as("ib"), b.getField("n").as("nb")))))).as("p"))
+          .select(explode(graft.ext.ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+            struct(a.getField("media_id").as("ia"), a.getField("n").as("na"),
+              b.getField("media_id").as("ib"), b.getField("n").as("nb"))
+          }).as("p"))
           .groupBy(col("p.ia").as("ia"), col("p.na").as("na"),
             col("p.ib").as("ib"), col("p.nb").as("nb"))
           .agg(count(lit(1)).as("inter"))
