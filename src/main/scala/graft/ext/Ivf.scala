@@ -30,7 +30,7 @@ object Ivf {
       struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
         lit(-j).as("negj"))
     }
-    -greatest(scored: _*).getField("negj")
+    -greatest(scored.toIndexedSeq: _*).getField("negj")
   }
 
   /** Deterministic mini k-means over the embedding column. Init picks the k
@@ -100,7 +100,7 @@ object Ivf {
       }
       .sortBy { case (j, s) => (-s, j) }
       .take(nProbe).map(_._1)
-    n.filter(col("vec_id") =!= queryId && col("cluster").isin(probed: _*))
+    n.filter(col("vec_id") =!= queryId && col("cluster").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"),
         round(dotF(col("embedding"), typedLit(qe.toSeq)) / (col("nrm") * lit(q.getDouble(1))), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -601,6 +601,44 @@ object ExtQueries {
                      min(doc_id) AS first_doc, max(doc_id) AS last_doc
               FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // x33 — int8 embedding quantization report: per-vector max-abs scale,
+    // quantized q_i = floor(v_i/scale + 0.5), summarized as (sum, min, max)
+    // so the whole int8 codebook is oracle-checkable without array columns.
+    // The storage op that turns a 100 TB float32 embedding table into 25 TB.
+    QueryDef("x33_quantize_int8",
+      (s, d) => {
+        val maxAbs = expr("array_max(transform(embedding, v -> abs(cast(v as double))))")
+        Tables.embeddings(s, d)
+          .withColumn("max_abs", maxAbs)
+          .withColumn("scale", col("max_abs") / 127.0)
+          .withColumn("q", when(col("max_abs") === 0.0,
+              expr("transform(embedding, v -> 0)"))
+            .otherwise(expr(
+              "transform(embedding, v -> cast(floor(cast(v as double) / (max_abs / 127.0) + 0.5) as int))")))
+          .select(col("vec_id"),
+            size(col("q")).cast("long").as("n_dims"),
+            expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+            expr("array_min(q)").cast("long").as("q_min"),
+            expr("array_max(q)").cast("long").as("q_max"),
+            (floor(col("scale") * 1e8 + 0.5) / 1e8).as("scale"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id,
+                       list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS max_abs,
+                       CASE WHEN list_max(list_transform(embedding, v -> abs(v::DOUBLE))) = 0
+                            THEN list_transform(embedding, v -> 0)
+                            ELSE list_transform(embedding, v ->
+                              CAST(floor(v::DOUBLE / (list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0) + 0.5) AS INTEGER))
+                       END AS qv
+                FROM embeddings)
+              SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+                     CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                     CAST(list_min(qv) AS BIGINT) AS q_min,
+                     CAST(list_max(qv) AS BIGINT) AS q_max,
+                     floor(max_abs / 127.0 * 1e8 + 0.5) / 1e8 AS scale
+              FROM q ORDER BY vec_id""")),
+
     // x14 — multimodal feature extraction through the typed mapPartitions
     // seam (decode is stubbed; schema/bytes/sha are real and oracle-checked).
     QueryDef("x14_multimodal_features",

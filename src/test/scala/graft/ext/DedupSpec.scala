@@ -150,6 +150,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationPairs finds cross-split leaks and counts shared shingles") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material right here"))
+    val eval_ = docs(
+      (10L, "the quick brown fox jumps somewhere else today"),  // shares 3 trigrams with 1
+      (11L, "nothing in common with anything at all"))
+    val got = Dedup.contaminationPairs(train, eval_, "text", "doc_id", 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 10L, 3L)))
+    // raising the floor above the overlap empties the report
+    assert(Dedup.contaminationPairs(train, eval_, "text", "doc_id", 3, minShared = 4L)
+      .count() === 0L)
+  }
+
   test("shingleArray guards docs shorter than n tokens") {
     import spark.implicits._
     val got = docs((1L, "only two"), (2L, "one"), (3L, ""))
