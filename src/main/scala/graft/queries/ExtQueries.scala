@@ -278,6 +278,48 @@ object ExtQueries {
               GROUP BY 1, 2 HAVING count(*) >= 3
               ORDER BY 1, 2""")),
 
+    // x34 — per-source curation report: the provenance-mix table a corpus
+    // pipeline reviews before training (doc counts, language spread, size,
+    // quality). avg quality goes through exact INTEGER units (the per-doc
+    // score is 4dp by construction, so score·10⁴ is integral) — a double
+    // avg would depend on engine summation order.
+    QueryDef("x34_source_stats",
+      (s, d) => {
+        val q4 = floor(TextAnalysis.qualityScore(col("text")) * 10000.0 + 0.5).cast("long")
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"), length(col("text")).as("ch"), q4.as("q4"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            (floor(avg(col("ch")) * 100.0 + 0.5) / 100.0).as("avg_chars"),
+            (floor(sum(col("q4")).cast("double") / count(lit(1)) + 0.5) / 10000.0)
+              .as("avg_quality"))
+          .orderBy("source")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""SELECT source, count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   floor(avg(ch) * 100.0 + 0.5) / 100.0 AS avg_chars,
+                   floor(CAST(sum(q4) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS avg_quality
+            FROM (SELECT source, lang, length(text) AS ch,
+                    CAST(floor((
+                        least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                      + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                      + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch2 AS DOUBLE), 1.0), 1.0)) * 0.2
+                      + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch2 AS DOUBLE), 1.0), 1.0)) * 0.1
+                      ) * 10000.0 + 0.5) AS BIGINT) AS q4
+                  FROM (SELECT source, lang, text,
+                          CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                          length(text) AS ch2,
+                          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                          len(regexp_extract_all(text, '[A-Z]')) AS u,
+                          len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                        FROM documents) t) z
+            GROUP BY source ORDER BY source"""
+      }),
+
     // x21 — deterministic stratified sampling: hash the CONTENT into 16
     // buckets (md5 first hex digit) and keep a per-language bucket quota —
     // the reproducible corpus-mixing primitive of a training-data pipeline
