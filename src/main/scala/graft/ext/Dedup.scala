@@ -60,15 +60,21 @@ object Dedup {
         org.apache.spark.sql.graft.VectorFunctions.shingleHashF(col("toks"), n).as("shs"))
       .select(col("doc_id"), col("shs"), size(col("shs")).as("n_sh"))
 
-  /** Per-shingle document-frequency cap: a shingle appearing in q docs emits
-    * q²/2 candidate pairs, so one boilerplate shingle (license header,
-    * template) in 100k docs would emit 5·10⁹ pairs from a single posting.
-    * Standard similarity-join practice drops ultra-common shingles — they
-    * carry almost no similarity signal (an idf≈0 feature) but all of the
-    * quadratic cost. Dropped-posting counts are published through
-    * `df.observe(...)`; AQE can swallow metrics observed below re-planned
-    * exchanges, so [[postingsDfStats]] is the reliable audit path. */
-  val defaultMaxDf = 1000
+  /** Recommended per-shingle document-frequency cap FOR SCALE RUNS: a
+    * shingle appearing in q docs emits q²/2 candidate pairs, so one
+    * boilerplate shingle (license header, template) in 100k docs would emit
+    * 5·10⁹ pairs from a single posting. Standard similarity-join practice
+    * drops ultra-common shingles — they carry almost no similarity signal
+    * (an idf≈0 feature) but all of the quadratic cost.
+    *
+    * The cap is OPT-IN: the pair operators default to `maxDf = Int.MaxValue`
+    * (exact — no posting dropped), because a silent cap turns an exact
+    * operator into an approximate one under existing callers. Scale
+    * pipelines pass `maxDf = recommendedScaleMaxDf` (or their own bound)
+    * and should run [[postingsDfStats]] alongside to log what the cap
+    * drops — the inline `df.observe(...)` counter is unreliable under AQE
+    * (metrics observed below re-planned exchanges are swallowed). */
+  val recommendedScaleMaxDf = 1000
 
   /** Skew-cap audit: the per-shingle document-frequency distribution as one
     * row — total distinct shingles, the maximum df, and how many postings a
@@ -77,7 +83,7 @@ object Dedup {
     * (a CollectMetrics node below AQE-replanned exchanges does not reach
     * `QueryExecution.observedMetrics` — verified empirically on 4.1). */
   def postingsDfStats(docs: DataFrame, textCol: String, idCol: String,
-                      n: Int, maxDf: Int = defaultMaxDf): DataFrame = {
+                      n: Int, maxDf: Int = recommendedScaleMaxDf): DataFrame = {
     val ex = hashedShingles(docs, textCol, idCol, n)
       .select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -95,7 +101,7 @@ object Dedup {
     * (each join back to a sizes table would re-evaluate the whole shingle
     * subtree — measured ~2 s per join at sf0.1). One evaluation, two
     * key-partitioned shuffles. Quadratic only in per-shingle document
-    * frequency, which [[defaultMaxDf]] caps. */
+    * frequency, which an opt-in `maxDf` ([[recommendedScaleMaxDf]]) caps. */
   private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
@@ -130,7 +136,7 @@ object Dedup {
     * then Jaccard = |∩| / (|A|+|B|−|∩|). Output: `ia < ib`, `jacc` (4dp). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        maxDf: Int = defaultMaxDf): DataFrame =
+                        maxDf: Int = Int.MaxValue): DataFrame =
     jaccardFromCounts(
       pairIntersections(hashedShingles(docs, textCol, idCol, n), maxDf), threshold)
 
@@ -158,7 +164,7 @@ object Dedup {
     * and with it the whole shingle expression — back into the scan.) */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int, threshold: Double,
-                      maxDf: Int = defaultMaxDf): DataFrame = {
+                      maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = hashedShingles(docs, textCol, idCol, n)
     val banded = sh
       .select(col("doc_id"),
@@ -241,18 +247,27 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("rep").as("nrep")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nrep")).as("mrep"))
+      // The changed flag rides in the checkpointed row, so the convergence
+      // check is one cheap agg over the already-materialized blocks instead
+      // of a labels⋈next join job per round.
       val next = labels.as("l")
         .join(viaNbr.as("v"), Seq("id"), "left")
         .select(col("id"),
-          least(col("l.rep"), coalesce(col("v.mrep"), col("l.rep"))).as("rep"))
+          least(col("l.rep"), coalesce(col("v.mrep"), col("l.rep"))).as("rep"),
+          (coalesce(col("v.mrep"), col("l.rep")) < col("l.rep"))
+            .cast("long").as("chg"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("rep").as("old")), "id")
-        .filter(col("n.rep") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      // The new checkpoint is materialized; the previous round's blocks are
+      // dead weight from here on — free them (storage would otherwise grow
+      // linearly with rounds).
+      org.apache.spark.sql.graft.DatasetInternals.unpersistLocalCheckpoint(labels)
+      labels = next.select(col("id"), col("rep"))
       it += 1
     }
     edges.unpersist()
+    // The surviving labels frame stays checkpointed: callers consume it
+    // immediately (the blocks die with the session / GC of the RDD).
     // Non-convergence would return labels that map ONE component to several
     // representatives — silently wrong for cluster-level dedup. Fail loudly;
     // the caller raises maxIters (each extra round is cheap once converged).
@@ -269,7 +284,12 @@ object Dedup {
     * [[org.apache.spark.sql.graft.SimHashExpr]] (one loop per doc inside the
     * scan projection — the aggregate formulation paid a full shuffle of the
     * exploded token stream for the same arithmetic). Engine-specific
-    * hashing → rows-only checked; unit tests pin behavior. */
+    * hashing → rows-only checked; unit tests pin behavior.
+    *
+    * Degenerate-doc contract (pinned in GraftFunctionsSpec): blank or
+    * whitespace-only text has an empty token stream → `simhash = 0`;
+    * null text → null simhash (row retained — callers filter or keep).
+    * Every input doc emits exactly one output row. */
   def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),

@@ -67,12 +67,28 @@ object Similarity {
     * Arithmetic is bit-identical to the declarative form: index-ordered
     * double multiply-accumulate and Spark's own round semantics
     * (BigDecimal.valueOf(x).setScale(6, HALF_UP)). */
-  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Hard row ceiling for [[cosinePairs]]: the baseline collects every
+    * (id, vector, norm) to the driver, so a large table must fail fast with
+    * a pointer at the scale path instead of slow-OOMing the driver. 1M rows
+    * × 64-dim float ≈ 300 MB heap — safely inside a default driver, far
+    * beyond any verification corpus. */
+  val maxExactRows = 1000000L
+
+  def cosinePairs(emb: DataFrame, threshold: Double,
+                  maxRows: Long = maxExactRows): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // One source scan: the collected copy IS both the broadcast side and the
     // row source (rows re-derived from index ranges), so constructing this
-    // frame runs one eager job — the documented cost of the baseline.
+    // frame runs one eager job — the documented cost of the baseline. The
+    // limit+count probe bounds the collect BEFORE it happens: scanning
+    // maxRows+1 rows is cheap next to the collect itself.
+    val nRows = emb.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nRows <= maxRows,
+      s"cosinePairs is the exact quadratic baseline and collects all vectors " +
+        s"to the driver; input exceeds maxRows=$maxRows. Use lshCosinePairs " +
+        s"(or embeddingDedup(approx = true)) at scale, or raise maxRows " +
+        s"explicitly if the driver can hold the table.")
     val all = withNorms(emb).select(col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
     val ids = all.map(_._1)

@@ -553,7 +553,7 @@ object ExtQueries {
                          FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
                                FROM documents WHERE length(trim(text)) > 0) t
                          GROUP BY 1, 2)
-              SELECT lang, sum(c) AS n_tokens, count(*) AS n_distinct,
+              SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
                      floor((ln(CAST(sum(c) AS DOUBLE)) -
                             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c))
                            * 10000.0 + 0.5) / 10000.0 AS entropy
@@ -639,7 +639,7 @@ object ExtQueries {
                      sum(toks) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum
                    FROM t)
-              SELECT cum // 512 AS seq_id, count(*) AS n_docs, sum(toks) AS n_tokens,
+              SELECT cum // 512 AS seq_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
                      min(doc_id) AS first_doc, max(doc_id) AS last_doc
               FROM c GROUP BY 1 ORDER BY 1""")),
 

@@ -14,6 +14,22 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge for Dataset internals the public API does not expose: freeing the
+  * storage blocks behind a `localCheckpoint(eager = true)`. `Dataset
+  * .unpersist()` only uncaches CacheManager entries (from `persist()`), so a
+  * checkpoint-per-round loop (e.g. iterative label propagation) would leak
+  * executor storage linearly with rounds without this. */
+object DatasetInternals {
+
+  /** Unpersist the RDD backing a locally-checkpointed Dataset. No-op for
+    * frames that are not checkpoint-backed. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(blocking = false))
+}
+
 /** Imperative SQL-function registration for sessions created without
   * `spark.sql.extensions` (the extensions path is [[graft.GraftExtensions]]).
   * Needs the sql namespace: `sessionState.functionRegistry` is private[sql]. */

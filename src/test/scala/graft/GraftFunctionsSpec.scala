@@ -36,6 +36,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getLong(2) === viaOp)
   }
 
+  test("simHash blank/null contract: blank text → 0L, null text → null") {
+    // Pins the documented degenerate-doc contract so the rows-only x09
+    // catalog output is intentional: a whitespace-only doc has an EMPTY
+    // token stream (zero bit-votes → signature 0), and a null doc carries
+    // no signal at all (null propagates, row retained for the caller to
+    // filter or keep).
+    import spark.implicits._
+    val d = Seq((1L, "   "), (2L, ""), (3L, null: String), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Dedup.simHash(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(0L))
+    assert(got(2L) === Some(0L))
+    assert(got(3L) === None)
+    assert(got(4L).exists(_ !== 0L))
+    assert(got.size === 4) // every input doc emits exactly one row
+  }
+
   test("shingleHashF: sorted distinct hashes; token boundaries matter; short docs empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.split
