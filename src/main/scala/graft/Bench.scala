@@ -22,14 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: absorb session/codegen/IO-pool init so the first timed query
-    // isn't charged one-time setup. Three representative shapes, because JIT
-    // warmth is per-codegen-shape, not per-session: a scan+distinct, the
-    // wide decimal hash aggregate (q09 measured 13.1 s cold vs 2.1 s warm),
-    // and the window-chain plan.
-    for (w <- Seq("q16_distinct", "q09_tpch_q1", "q11_sweepline_scalable"))
-      try SparkEntry.queries.get(w)
-        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Warm-up: absorb session/codegen/JIT init so timed queries measure
+    // steady state. JIT warmth is per-codegen-shape, not per-session — on a
+    // loaded machine a cold unique shape costs seconds (q09 measured 13.1 s
+    // cold vs 2.1 s warm; q22/x07/x08 showed 4-8 s one-time costs in shared
+    // driver runs) — so EVERY query runs once at the smallest SF first. The
+    // parquet schemas are identical across SFs, so each sf0.001 plan
+    // generates the same codegen source the timed sf run compiles.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    for ((_, q) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      try q(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[String]
