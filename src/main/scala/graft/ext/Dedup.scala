@@ -140,6 +140,93 @@ object Dedup {
     jaccardFromCounts(
       pairIntersections(hashedShingles(docs, textCol, idCol, n), maxDf), threshold)
 
+  /** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style PREFIX
+    * FILTERING — the scale path that stays exact. Same output contract as
+    * [[ngramJaccardPairs]] (`ia < ib`, `jacc` 4dp), but only each document's
+    * PREFIX shingles are indexed: under any global total order, two sets
+    * with `|A∩B| ≥ α` must both contain one common element within their
+    * first `|·| − α + 1` elements (pigeonhole — the α intersection elements
+    * cannot all hide in an (α−1)-long suffix), and `J(A,B) ≥ t` implies
+    * `|A∩B| ≥ t·|A∪B| ≥ ⌈t·max(|A|,|B|)⌉`. Ordering shingles RAREST-FIRST
+    * (ascending global document frequency) puts boilerplate shingles —
+    * license headers, templates, the df≈corpus shingles that make postings
+    * quadratic — at the very END of every document, so they are almost
+    * never indexed: the q²/2 blowup from a degenerate posting disappears
+    * WITHOUT dropping anything (contrast the approximate opt-in `maxDf`
+    * cap on [[ngramJaccardPairs]]). Candidates also pass the length filter
+    * (`min ≥ t·max`, else Jaccard < t); survivors are verified exactly by
+    * joining back to the full sorted hash arrays and counting the
+    * intersection with one codegen'd merge pass
+    * ([[org.apache.spark.sql.graft.SortedIntersectCountExpr]]).
+    *
+    * Plan shape: df groupBy (shuffle on shingle), df join + per-doc prefix
+    * window (shuffles on shingle, doc), prefix-postings groupBy (shuffle on
+    * shingle), two verify joins (shuffles on id) — every stage linear in
+    * the postings volume, never quadratic in df. The shingle subtree is
+    * re-evaluated by the verify joins (map-side CPU, no extra shuffle). */
+  /** Rarest-first per-document prefix of the exploded shingle postings:
+    * keeps each doc's first `|A| − ⌈t·|A|⌉ + 1` shingles under the global
+    * (df asc, hash asc) total order. α = ⌈t·|A|⌉ is computed with a
+    * downward nudge: if t·|A| lands on an integer, fp error must not round
+    * the ceiling UP (a too-short prefix loses pairs; a one-longer prefix
+    * only adds candidates). */
+  private def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+    val dfTab = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val alpha = ceil(col("n_sh") * threshold - 1e-9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("g").asc)
+    ex.join(dfTab, "g")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= (col("n_sh") - alpha + 1))
+      .select(col("doc_id"), col("n_sh"), col("g"))
+  }
+
+  def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, textCol, idCol, n)
+    val cands = prefixPostings(sh, threshold)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(
+          a.getField("doc_id").as("ia"), a.getField("n_sh").as("na"),
+          b.getField("doc_id").as("ib"), b.getField("n_sh").as("nb"))
+      }).as("p"))
+      .select(col("p.ia").as("ia"), col("p.na").as("na"),
+        col("p.ib").as("ib"), col("p.nb").as("nb"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * threshold - 1e-9)
+      .distinct()
+    val verified = cands
+      .join(sh.select(col("doc_id").as("ia"), col("shs").as("sa")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("shs").as("sb")), "ib")
+      .withColumn("inter",
+        org.apache.spark.sql.graft.VectorFunctions.sortedIntersectF(col("sa"), col("sb")))
+      .select(col("ia"), col("na"), col("ib"), col("nb"), col("inter"))
+    jaccardFromCounts(verified, threshold)
+  }
+
+  /** Candidate-pair count audit for [[ngramJaccardPairsPrefix]] vs the full
+    * postings path: one row with both counts, so pipelines can see the
+    * prefix filter collapse a boilerplate corpus's candidate set. */
+  def prefixCandidateStats(docs: DataFrame, textCol: String, idCol: String,
+                           n: Int, threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, textCol, idCol, n)
+    val full = sh
+      .select(col("doc_id"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("g")).agg(count(lit(1)).as("q"))
+      .agg(coalesce(sum(col("q") * (col("q") - 1) / 2), lit(0L)).as("full_candidates"))
+    val pref = prefixPostings(sh, threshold)
+      .groupBy(col("g")).agg(count(lit(1)).as("q"))
+      .agg(coalesce(sum(col("q") * (col("q") - 1) / 2), lit(0L)).as("prefix_candidates"))
+    full.crossJoin(pref)
+  }
+
   /** MinHash signature length and LSH banding (b bands × r = k/b rows). r=2
     * keeps recall ≥ 1−(1−t²)^32 ≈ 0.9999998 at t=0.6 — misses are
     * astronomically unlikely, so the verified output matches the exact
@@ -257,7 +344,7 @@ object Dedup {
           (coalesce(col("v.mrep"), col("l.rep")) < col("l.rep"))
             .cast("long").as("chg"))
         .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head.getLong(0)
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       // The new checkpoint is materialized; the previous round's blocks are
       // dead weight from here on — free them (storage would otherwise grow
       // linearly with rounds).
@@ -276,6 +363,25 @@ object Dedup {
         "still changing) — a component's diameter exceeds maxIters; raise it")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
+
+  /** Canonical-document selection over duplicate clusters: for each cluster
+    * (from [[dupClusters]]) keep the member with the highest score —
+    * tie-broken to the LOWEST doc id, so the pick is deterministic. This is
+    * the curation step after near-dup clustering: one survivor per cluster,
+    * chosen by quality instead of the arbitrary min-id rule. One
+    * key-partitioned join + one hash agg; `max_by` on a (score, −id) struct
+    * keeps the argmax inside the partial-aggregate combiner (no window, no
+    * per-cluster sort). Output: `cluster_rep`, `keep_id`, `n_members`,
+    * `best_score`. */
+  def canonicalPick(clusters: DataFrame, scored: DataFrame,
+                    idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("doc_id"), col(scoreCol).as("score")), "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max_by(col("doc_id"), struct(col("score"), (-col("doc_id")).as("nid"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("score")).as("best_score"))
 
   /** 64-bit SimHash over the whitespace token stream: bit j of the result is
     * set iff the sum over tokens of ±1 (by bit j of the token's 64-bit hash)

@@ -211,9 +211,15 @@ object Similarity {
       }).as("p"))
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .dropDuplicates("ia", "ib")
-    // No broadcast hint: this IS the scale path — the embeddings side can be
-    // arbitrarily large, so the vector re-attachment must stay a shuffled
-    // join (AQE still broadcasts small inputs on its own).
+    verifyCosine(cands, emb, threshold)
+  }
+
+  /** Exact-cosine verification of bare candidate id pairs. No broadcast
+    * hint: this IS the scale path — the embeddings side can be arbitrarily
+    * large, so the vector re-attachment must stay a shuffled join (AQE
+    * still broadcasts small inputs on its own). */
+  private def verifyCosine(cands: DataFrame, emb: DataFrame,
+                           threshold: Double): DataFrame = {
     val n = withNorms(emb)
     cands
       .join(n.select(col("vec_id").as("ia"), col("embedding").as("ea"),
@@ -223,6 +229,56 @@ object Similarity {
       .select(col("ia"), col("ib"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** SRP sketch table: `vec_id`, 64-bit signed-random-projection sketch.
+    * The sketch is computed by the native map-side
+    * [[org.apache.spark.sql.graft.SrpSketchExpr]] — hyperplanes derive
+    * deterministically from the dimension index, so there is no plane
+    * broadcast and no interpreted per-plane dot product (contrast
+    * [[lshBands]], which evaluates `tables × planesPerTable` typedLit dot
+    * products per row). Hamming distance between sketches estimates the
+    * angle: E[popcount(a^b)]/64 = θ/π. */
+  val srpBits = 64
+
+  def srpSketches(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.VectorFunctions.srpSketchF(col("embedding"), srpBits).as("sketch"))
+
+  /** SRP-sketch near-pairs: the single 64-bit sketch is banded into
+    * `bandsN` contiguous bit slices map-side (bit shifts on one long — no
+    * second pass over the vector), candidates collide in ≥1 band bucket,
+    * then exact cosine verification. Same output contract as
+    * [[lshCosinePairs]]; same bucket-postings candidate shape, same cap.
+    * Recall ≈ 1−(1−p^r)^b with p = 1−θ/π, r = 64/bandsN: at 16 bands of 4
+    * bits, ≈0.91 at cosine 0.35 and ≈1 above 0.7. Narrow buckets (4 bits =
+    * 16 values/band) suit verification corpora; at corpus scale use fewer,
+    * wider bands (8×8) or pre-partition by a coarse cluster id first. */
+  def srpCosinePairs(emb: DataFrame, threshold: Double,
+                     bandsN: Int = 16,
+                     maxBucket: Int = defaultMaxBucket): DataFrame = {
+    require(srpBits % bandsN == 0, s"bandsN must divide $srpBits, got $bandsN")
+    val r = srpBits / bandsN
+    val mask = (1L << r) - 1
+    val bandCols = (0 until bandsN).map { b =>
+      struct(lit(b).as("t"),
+        shiftrightunsigned(col("sketch"), b * r).bitwiseAND(mask).as("bucket"))
+    }
+    val banded = srpSketches(emb)
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val buckets = banded
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) <= maxBucket)
+    val cands = buckets
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.as("ia"), b.as("ib"))
+      }).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .dropDuplicates("ia", "ib")
+    verifyCosine(cands, emb, threshold)
   }
 
   /** Approximate top-k for one query: candidates share ≥1 bucket table with

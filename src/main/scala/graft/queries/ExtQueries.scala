@@ -37,6 +37,22 @@ object ExtQueries {
        WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6
        ORDER BY ia, ib"""
 
+  /** 32-token chunks at stride 24, chunk index carried — shared by x22
+    * (chunk emission) and x38 (boilerplate-chunk detection).
+    * posexplode_outer + null filter on the OUTPUT attribute (the
+    * InferFiltersFromGenerate dodge — see Dedup.explodedShingles). */
+  private def tokenChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) > 0,
+          expr("""transform(sequence(0, cast(floor((size(toks) - 1) / 24) as int)),
+                            i -> array_join(slice(toks, i * 24 + 1, 32), ' '))"""))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+      .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("chunk_no", "chunk")))
+      .filter(col("chunk").isNotNull)
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // x01 — exact dedup: one surviving id per distinct content.
@@ -160,6 +176,15 @@ object ExtQueries {
         n = 3, threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
+    // x36 — prefix-filtered exact Jaccard: same pair set as x07 (same
+    // oracle proves it), found by indexing only each doc's rarest-first
+    // prefix — the exact answer to boilerplate-shingle blowup that the
+    // approximate maxDf cap only approximates.
+    QueryDef("x36_jaccard_prefix",
+      (s, d) => Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+      Some(jaccardOracle)),
+
     // x09 — SimHash fingerprints (engine hash → rows-only; unit-tested).
     QueryDef("x09_simhash",
       (s, d) => Dedup.simHash(Tables.documents(s, d), "text", "doc_id")
@@ -254,6 +279,173 @@ object ExtQueries {
               SELECT id AS doc_id, min(reach) AS cluster_rep
               FROM r GROUP BY id ORDER BY doc_id""")),
 
+    // x35 — canonical-document pick: near-dup clusters (x25 machinery) ×
+    // quality scores (x05 formula); each cluster keeps its highest-quality
+    // member, ties to the lowest doc id. The curation step that turns a
+    // pair list into "which copy do we train on".
+    QueryDef("x35_canonical_pick",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+          .orderBy("cluster_rep")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH RECURSIVE
+              t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              sh AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM t WHERE len(toks) >= 3),
+              z AS (SELECT doc_id, len(s) AS n FROM sh),
+              ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+              p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              pairs AS (SELECT ia, ib
+                        FROM p JOIN z za ON za.doc_id = p.ia
+                               JOIN z zb ON zb.doc_id = p.ib
+                        WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+              e AS (SELECT ia AS a, ib AS b FROM pairs
+                    UNION SELECT ib, ia FROM pairs),
+              r AS (SELECT a AS id, a AS reach FROM e
+                    UNION
+                    SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach),
+              c AS (SELECT id AS doc_id, min(reach) AS cluster_rep
+                    FROM r GROUP BY id),
+              q AS (SELECT doc_id, floor((
+                      least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                    + (1.0 - least(CAST(pu AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                    + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                    ) * 10000.0 + 0.5) / 10000.0 AS score
+                  FROM (SELECT doc_id,
+                          CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                          length(text) AS ch,
+                          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS pu,
+                          len(regexp_extract_all(text, '[A-Z]')) AS u,
+                          len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                        FROM documents) raw),
+              win AS (SELECT c.cluster_rep, c.doc_id, q.score,
+                      row_number() OVER (PARTITION BY c.cluster_rep
+                                         ORDER BY q.score DESC, c.doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY c.cluster_rep) AS n_members,
+                      max(q.score) OVER (PARTITION BY c.cluster_rep) AS best_score
+                    FROM c JOIN q USING (doc_id))
+            SELECT cluster_rep, doc_id AS keep_id, n_members, best_score
+            FROM win WHERE rn = 1 ORDER BY cluster_rep"""
+      }),
+
+    // x37 — intra-document repetition signals (Gopher-style quality
+    // filters): duplicate-bigram fraction and most-common-token share.
+    // Distinct bigrams count through the hashed-shingle expression (8-byte
+    // keys; collision-equivalent to string distinct, as x07).
+    QueryDef("x37_repetition",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val base = t.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(org.apache.spark.sql.graft.VectorFunctions.shingleHashF(col("toks"), 2))
+            .cast("long").as("nd2"))
+        val top = t.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+          .filter(col("tok").isNotNull)
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+        base.join(top, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("n_tokens") >= 2,
+              floor((lit(1.0) - col("nd2").cast("double") / (col("n_tokens") - 1))
+                * 10000.0 + 0.5) / 10000.0)
+              .otherwise(0.0).as("dup_bigram_frac"),
+            when(col("n_tokens") >= 1,
+              floor(coalesce(col("top_c"), lit(0L)).cast("double") / col("n_tokens")
+                * 10000.0 + 0.5) / 10000.0)
+              .otherwise(0.0).as("top_token_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents WHERE length(trim(text)) > 0),
+                   b AS (SELECT doc_id, len(toks) AS n,
+                           CASE WHEN len(toks) >= 2
+                                THEN len(list_distinct(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])))
+                                ELSE 0 END AS nd2
+                         FROM t),
+                   u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+                   cc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+                   m AS (SELECT doc_id, max(c) AS top_c FROM cc GROUP BY 1)
+              SELECT d.doc_id, CAST(coalesce(b.n, 0) AS BIGINT) AS n_tokens,
+                     CASE WHEN coalesce(b.n, 0) >= 2
+                          THEN floor((1.0 - CAST(b.nd2 AS DOUBLE) / (b.n - 1)) * 10000.0 + 0.5) / 10000.0
+                          ELSE 0.0 END AS dup_bigram_frac,
+                     CASE WHEN coalesce(b.n, 0) >= 1
+                          THEN floor(CAST(coalesce(m.top_c, 0) AS DOUBLE) / b.n * 10000.0 + 0.5) / 10000.0
+                          ELSE 0.0 END AS top_token_frac
+              FROM documents d
+              LEFT JOIN b USING (doc_id) LEFT JOIN m USING (doc_id)
+              ORDER BY doc_id""")),
+
+    // x38 — boilerplate-chunk detection (CCNet-style): a 32-token chunk
+    // (x22's shape) appearing verbatim in ≥2 distinct docs is boilerplate;
+    // per doc, how many chunks survive. Chunks group on xxhash64 of the
+    // chunk text, so the shuffle carries 8-byte keys (count semantics
+    // collision-equivalent to grouping the strings).
+    QueryDef("x38_chunk_boiler",
+      (s, d) => {
+        val ch = tokenChunks(Tables.documents(s, d))
+          .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+        val dfC = ch.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+        ch.join(dfC, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+            (col("n_chunks") - col("n_boiler")).as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents WHERE length(trim(text)) > 0),
+                   c AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS o, toks FROM t),
+                   k AS (SELECT doc_id, array_to_string(toks[(o+1):(o+32)], ' ') AS chunk FROM c),
+                   dd AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM k GROUP BY 1)
+              SELECT k.doc_id, count(*) AS n_chunks,
+                     CAST(sum(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                     count(*) - CAST(sum(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM k JOIN dd USING (chunk)
+              GROUP BY k.doc_id ORDER BY doc_id""")),
+
+    // x39 — SRP-sketch near-pairs: one native 64-bit sign-random-projection
+    // sketch per vector, banded map-side, exact-cosine verified. Engine
+    // hashing → rows-only; recall vs the exact x11 baseline is pinned in
+    // SimilaritySpec and driver-visible through x40.
+    QueryDef("x39_srp_pairs",
+      (s, d) => Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("ia", "ib"),
+      None),
+
+    // x40 — SRP recall gate: |srp ∩ exact| / |exact| over the x11 pair set,
+    // as an oracle-checkable boolean (both sides deterministic).
+    QueryDef("x40_srp_recall",
+      (s, d) => {
+        val exact = Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib"))
+        val appr = Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib"))
+        val hits = exact.join(appr, Seq("ia", "ib"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val total = exact.agg(count(lit(1)).as("tot"))
+        hits.crossJoin(total)
+          .select((col("hits").cast("double") >=
+            greatest(col("tot"), lit(1L)).cast("double") * 0.85).as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
     // x29 — benchmark decontamination: the eval split (doc_id % 7 == 0)
     // checked for 3-gram leakage against the training split.
     QueryDef("x29_contamination",
@@ -343,24 +535,9 @@ object ExtQueries {
               ORDER BY doc_id""")),
 
     // x22 — overlapping token-window chunking (context-window preparation):
-    // 32-token chunks at stride 24, chunk index carried. posexplode_outer +
-    // null filter on the OUTPUT attribute (the InferFiltersFromGenerate
-    // dodge — see Dedup.explodedShingles).
+    // x22 — token-window chunking (shared tokenChunks helper).
     QueryDef("x22_chunking",
-      (s, d) => {
-        val docsT = Tables.documents(s, d)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        docsT
-          .select(col("doc_id"),
-            when(size(col("toks")) > 0,
-              expr("""transform(sequence(0, cast(floor((size(toks) - 1) / 24) as int)),
-                                i -> array_join(slice(toks, i * 24 + 1, 32), ' '))"""))
-              .otherwise(array().cast("array<string>")).as("chunks"))
-          .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("chunk_no", "chunk")))
-          .filter(col("chunk").isNotNull)
-          .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
-          .orderBy("doc_id", "chunk_no")
-      },
+      (s, d) => tokenChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_no"),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                          FROM documents WHERE length(trim(text)) > 0),
                    c AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS o, toks FROM t)

@@ -67,6 +67,16 @@ object FunctionRegistration {
       require(exprs.length == 1,
         s"graft_simhash requires exactly 1 argument, got ${exprs.length}")
       SimHashExpr(exprs(0))
+    },
+    "graft_sorted_intersect" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_sorted_intersect requires exactly 2 arguments, got ${exprs.length}")
+      SortedIntersectCountExpr(exprs(0), exprs(1))
+    },
+    "graft_srp_sketch" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_srp_sketch requires (vector, nBits), got ${exprs.length} arguments")
+      SrpSketchExpr(exprs(0), litInt(exprs(1), "graft_srp_sketch", "nBits"))
     })
 
   def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {

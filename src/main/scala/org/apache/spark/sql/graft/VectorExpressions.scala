@@ -214,6 +214,54 @@ object MinHashBandsExpr {
   }
 }
 
+/** Native sorted-merge intersection count of two SORTED DISTINCT long
+  * arrays (the form [[ShingleHashExpr]] emits). One O(|a|+|b|) merge pass
+  * per pair inside whole-stage codegen — the declarative
+  * `size(array_intersect(a, b))` builds a hash set per row interpreted,
+  * which is the hot inner loop of any verify-join similarity plan.
+  * Inputs that are not sorted-distinct produce unspecified counts; every
+  * graft caller passes ShingleHashExpr output, which is.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCountExpr.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedIntersectCountExpr.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCountExpr {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Native 64-bit SimHash of a token array: per token, a 64-bit hash votes
   * ±1 on every bit position; the signature sets bit j iff the vote sum is
   * positive. One map-side loop per document — the aggregate formulation
@@ -268,6 +316,70 @@ object SimHashExpr {
   }
 }
 
+/** Native signed-random-projection (SRP) sketch of an embedding vector:
+  * bit `j` of the result is set iff `Σᵢ vᵢ·plane(j,i) > 0`, where
+  * `plane(j,i) = ±1` is bit `j` of a deterministic 64-bit hash of the
+  * dimension index `i` — every row on every executor derives the same
+  * hyperplanes from the index alone, so the sketch needs no broadcast
+  * state. Hamming distance between sketches estimates the angle:
+  * `P(bit agrees) = 1 − θ/π` (Charikar's SimHash-for-cosine). One hash +
+  * `nBits` adds per vector element, map-side, inside codegen.
+  */
+case class SrpSketchExpr(child: Expression, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBits >= 1 && nBits <= 64, s"nBits must be in [1, 64], got $nBits")
+
+  // def, not val: TypeCollection is not serializable (see DotProductExpr)
+  private def floatOrDoubleArray =
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(floatOrDoubleArray)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_srp_sketch"
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    SrpSketchExpr.compute(a.asInstanceOf[ArrayData], elemIsFloat, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.SrpSketchExpr.compute($c, $elemIsFloat, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSketchExpr =
+    copy(child = newChild)
+}
+
+object SrpSketchExpr {
+  def compute(v: ArrayData, isFloat: Boolean, nBits: Int): Long = {
+    val d = v.numElements()
+    val acc = new Array[Double](nBits)
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      // one hash per element: bit j of the word is plane j's ±1 at index i
+      val w = XXH64.hashLong(i.toLong, 1337L)
+      var j = 0
+      while (j < nBits) {
+        acc(j) += (if (((w >>> j) & 1L) == 1L) x else -x)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (acc(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 /** Column-level entry points for graft's native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two `array<float>` columns, as a double. */
@@ -290,4 +402,14 @@ object VectorFunctions {
   /** Codegen'd map-side 64-bit SimHash of a token array. */
   def simHashF(toks: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
+
+  /** Codegen'd sorted-merge intersection count of two sorted distinct
+    * `array<long>` columns. */
+  def sortedIntersectF(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd map-side signed-random-projection sketch of an embedding. */
+  def srpSketchF(vec: Column, nBits: Int): Column =
+    ColumnBridge.column(SrpSketchExpr(ColumnBridge.expression(vec), nBits))
 }
