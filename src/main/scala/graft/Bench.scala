@@ -29,11 +29,19 @@ object Bench {
     // driver runs) — so EVERY query runs once at the smallest SF first. The
     // parquet schemas are identical across SFs, so each sf0.001 plan
     // generates the same codegen source the timed sf run compiles.
-    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-    for ((_, q) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try q(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    val warmDir = sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001")
+    val warmOk = warmDir != sfDir && new java.io.File(warmDir).isDirectory
+    if (!warmOk)
+      // Warming at the timed SF would roughly double wall time (the
+      // quadratic pair queries run twice) and pre-warm OS caches with the
+      // timed data — skip per-query warm-up entirely and say so.
+      System.err.println(s"[bench] WARN: tiny warm-up SF not found at $warmDir " +
+        "(derived from SPARK_GRAFT_SF_DIR); skipping per-query warm-up — " +
+        "first-of-shape queries include codegen/JIT cost")
+    else
+      for ((_, q) <- SparkEntry.queries.toSeq.sortBy(_._1))
+        try q(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
     var errors = List.empty[String]
     val results = names.map { name =>
@@ -48,7 +56,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full per-query map to a file: the driver's captured
+    // stdout tail truncates on long runs (BENCH_r04 lost q01-q15), so the
+    // builder keeps its own untruncated artifact for round-over-round diffs.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] WARN: could not write $out: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -12,9 +12,22 @@ import org.apache.spark.sql.functions._
   *     the shuffle carries 32 bytes + doc_id per row;
   *   - near-dedup NEVER goes all-pairs: candidates come from equi-joins on
   *     LSH band buckets (or shared shingles), which Spark executes as a
-  *     shuffled hash join on the bucket key. Degenerate buckets (thousands
-  *     of identical docs) are the skew risk — AQE skew-join handles moderate
-  *     cases; pathological ones should cap bucket size upstream.
+  *     shuffled hash join on the bucket key.
+  *
+  * WHICH NEAR-DEDUP PATH AT SCALE — in preference order:
+  *   1. [[ngramJaccardPairsPrefix]] (default): exact AND boilerplate-proof.
+  *      Rarest-first prefix indexing makes degenerate postings (license
+  *      headers, templates — the df≈corpus shingles that turn postings
+  *      quadratic) drop out of the index WITHOUT dropping any result pair.
+  *      No cap to tune, no recall loss; audit with [[prefixCandidateStats]].
+  *   2. [[minHashLshPairs]] / [[ngramJaccardPairs]] with an explicit
+  *      `maxDf` ([[recommendedScaleMaxDf]]): approximate under the cap —
+  *      a capped posting's pairs are GONE. Use only when the cheaper
+  *      signature pass matters more than exactness, and always run
+  *      [[postingsDfStats]] alongside to see what the cap dropped.
+  * Degenerate buckets (thousands of identical docs) remain the skew risk
+  * for path 2 — AQE skew-join handles moderate cases; the cap bounds
+  * pathological ones at the cost of those pairs.
   */
 object Dedup {
 
@@ -216,14 +229,16 @@ object Dedup {
   def prefixCandidateStats(docs: DataFrame, textCol: String, idCol: String,
                            n: Int, threshold: Double): DataFrame = {
     val sh = hashedShingles(docs, textCol, idCol, n)
+    // q(q−1) is even, so per-term integer div is exact — `/` on long columns
+    // would be double division (exact only below 2^53; see gotcha list).
     val full = sh
       .select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
       .groupBy(col("g")).agg(count(lit(1)).as("q"))
-      .agg(coalesce(sum(col("q") * (col("q") - 1) / 2), lit(0L)).as("full_candidates"))
+      .agg(coalesce(sum(expr("q * (q - 1) div 2")), lit(0L)).as("full_candidates"))
     val pref = prefixPostings(sh, threshold)
       .groupBy(col("g")).agg(count(lit(1)).as("q"))
-      .agg(coalesce(sum(col("q") * (col("q") - 1) / 2), lit(0L)).as("prefix_candidates"))
+      .agg(coalesce(sum(expr("q * (q - 1) div 2")), lit(0L)).as("prefix_candidates"))
     full.crossJoin(pref)
   }
 

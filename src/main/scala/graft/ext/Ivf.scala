@@ -36,7 +36,15 @@ object Ivf {
   /** Deterministic mini k-means over the embedding column. Init picks the k
     * vectors with the smallest seeded hash of vec_id (spread pseudo-randomly,
     * reproducible); each Lloyd iteration reassigns distributed and collects
-    * only the k×dim centroid means. */
+    * only the k×dim centroid means.
+    *
+    * Cost contract: Lloyd rounds are inherently sequential (round i+1's
+    * assignment depends on round i's means), so training runs `iters + 1`
+    * scans of the corpus — one per reassignment plus the k-row init — and
+    * collects k×dim doubles per round. At 100 TB, train on a SAMPLE
+    * (`emb.sample(...)` upstream; k-means centroids converge on a small
+    * uniform sample) and keep `iters` small; the default 3 rounds is that
+    * posture. The per-round collect is k×dim ≪ driver memory by design. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     val initRows = emb
       .select(col("vec_id"), col("embedding"))
@@ -112,4 +120,72 @@ object Ivf {
   def ivfTopK(emb: DataFrame, queryId: Long, kTop: Int,
               nClusters: Int = 16, iters: Int = 3, nProbe: Int = 4): DataFrame =
     topK(buildIndex(emb, nClusters, iters), queryId, kTop, nProbe)
+
+  /** Top-`nAssign` nearest-centroid structs, best first. Same score as
+    * [[clusterOf]] (x·c_j − |c_j|²/2 orders like squared euclidean); ties
+    * break to the lowest cluster id, so nAssign=1 matches [[clusterOf]]. */
+  private def topCells(centroids: Array[Array[Double]], nAssign: Int) = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val norm2 = c.map(x => x * x).sum
+      struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
+        lit(-j).as("negj"))
+    }
+    // ascending (score, negj) reversed = (score desc, cluster id asc on ties)
+    slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nAssign)
+  }
+
+  /** Multi-assignment: each vector indexed under its `nAssign` nearest
+    * cells. One exploded row per (vector, cell) — the standard fix for
+    * near-neighbor pairs straddling a cell boundary (each pair only needs
+    * ONE shared cell among the two top-`nAssign` sets to be found). */
+  def assignTop(emb: DataFrame, centroids: Array[Array[Double]],
+                nAssign: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        explode(topCells(centroids, math.min(nAssign, centroids.length))).as("sc"))
+      .select(col("vec_id"), col("embedding"), (-col("sc.negj")).as("cluster"))
+
+  /** Cell-partitioned near-pair search — the MID-COSINE scale path that
+    * plain banding cannot reach ([[Similarity.adaptiveBits]]: holding
+    * recall at mid cosine while shrinking buckets needs unbounded tables).
+    * Composition: coarse-quantizer cells bound the candidate universe
+    * (bucket sizes shrink ~k-fold, so candidate volume gains a 1/k factor
+    * and k grows with the corpus), and NARROW 4-bit SRP bands inside each
+    * cell keep per-band collision probability — and with it mid-cosine
+    * recall — high. Multi-assignment (`nAssign` cells per vector) heals
+    * boundary splits; candidates share (cell, band, bucket), verified by
+    * exact cosine. Same output contract as [[Similarity.lshCosinePairs]];
+    * recall vs the exact baseline is driver-visible via the x43 gate.
+    *
+    * Scale knobs: `nClusters` ≈ corpus/target-cell-size (k×dim centroid
+    * state stays driver-side; train on a sample at 100 TB — see
+    * [[trainCentroids]]); `bandsN` wide (16×4 bits) because cells already
+    * bound bucket size; `nAssign` is the dominant RECALL knob (index
+    * duplication factor — measured on the near-uniform sf0.01 corpus at
+    * cos 0.35: 2→0.54, 3→0.73, 4→0.86 with 16 cells; near-uniform data is
+    * the coarse quantizer's hard case, clustered real corpora do better). */
+  def ivfCosinePairs(emb: DataFrame, threshold: Double,
+                     nClusters: Int = 16, iters: Int = 3, nAssign: Int = 3,
+                     bandsN: Int = 16,
+                     maxBucket: Int = Similarity.defaultMaxBucket): DataFrame = {
+    val centroids = trainCentroids(emb, nClusters, iters)
+    val sk = assignTop(emb, centroids, nAssign)
+      .select(col("vec_id"), col("cluster"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpSketchF(col("embedding"), Similarity.srpBits).as("sketch"))
+    val banded = Similarity.bandedSketch(sk, Seq("vec_id", "cluster"), bandsN)
+    val buckets = banded
+      .groupBy(col("cluster"), col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("graft_ivf_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxBucket)
+    val cands = buckets
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.as("ia"), b.as("ib"))
+      }).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .dropDuplicates("ia", "ib")
+    Similarity.verifyCosine(cands, emb, threshold)
+  }
 }

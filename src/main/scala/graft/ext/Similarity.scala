@@ -83,7 +83,11 @@ object Similarity {
     // frame runs one eager job — the documented cost of the baseline. The
     // limit+count probe bounds the collect BEFORE it happens: scanning
     // maxRows+1 rows is cheap next to the collect itself.
-    val nRows = emb.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    // maxRows+1 may overflow (maxRows = Long.MaxValue wraps negative, which
+    // limit(0) would turn into a vacuously-passing probe) — clamp first.
+    val probeLimit =
+      if (maxRows >= Int.MaxValue.toLong) Int.MaxValue else (maxRows + 1).toInt
+    val nRows = emb.limit(probeLimit).count()
     require(nRows <= maxRows,
       s"cosinePairs is the exact quadratic baseline and collects all vectors " +
         s"to the driver; input exceeds maxRows=$maxRows. Use lshCosinePairs " +
@@ -166,12 +170,43 @@ object Similarity {
   val tables = 8
   val planesPerTable = 4
 
+  /** Corpus-adaptive bits per bucket table. Uncorrelated vectors land
+    * n/2^bits to a bucket, so candidate volume per table is ~n²/2^(bits+1):
+    * FIXED bits make candidates quadratic in corpus size, and once buckets
+    * outgrow `maxBucket` the cap silently zeroes recall. Sizing
+    * bits ≈ log₂(n/targetBucket) pins expected bucket size at `targetBucket`
+    * — candidate volume O(n·targetBucket·tables), linear in n, and nothing
+    * hits the cap. Clamped to [4, 24].
+    *
+    * Recall cost is explicit, not a cliff: per-table collision for a pair at
+    * angle θ is p^bits with p = 1−θ/π, so +1 bit multiplies per-table recall
+    * by p. NEAR-DUP thresholds survive banding at corpus scale (cos ≥ 0.9 →
+    * p ≈ 0.86: 7 bits × 8 tables ≈ 0.99 recall); MID-cosine retrieval does
+    * not — that regime needs [[graft.ext.Ivf.ivfCosinePairs]] (coarse cells
+    * first, banding inside each cell). */
+  def adaptiveBits(n: Long, targetBucket: Long): Int = {
+    require(n > 0 && targetBucket > 0,
+      s"adaptiveBits needs positive corpus/target sizes, got n=$n target=$targetBucket")
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
+  /** Expected recall of banded sign-LSH for a pair at cosine `cos`:
+    * 1−(1−p^bits)^tables, p = 1−θ/π. The planning companion of
+    * [[adaptiveBits]] — callers size `nTables` so this stays above their
+    * floor at the similarity level they care about. */
+  def bandingRecall(cos: Double, bits: Int, nTables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bits.toDouble), nTables.toDouble)
+  }
+
   /** Exploded (vec_id, table, bucket) rows: one row per bucket table. */
-  def lshBands(emb: DataFrame, dim: Int): DataFrame = {
-    val planes = hyperplanes(tables * planesPerTable, dim)
-    val bandCols = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).foldLeft(lit(0)) { (acc, j) =>
-        acc + when(dot(col("embedding"), typedLit(planes(t * planesPerTable + j))) > 0,
+  def lshBands(emb: DataFrame, dim: Int,
+               nTables: Int = tables, bits: Int = planesPerTable): DataFrame = {
+    val planes = hyperplanes(nTables * bits, dim)
+    val bandCols = (0 until nTables).map { t =>
+      val bucket = (0 until bits).foldLeft(lit(0)) { (acc, j) =>
+        acc + when(dot(col("embedding"), typedLit(planes(t * bits + j))) > 0,
           lit(1 << j)).otherwise(lit(0))
       }
       struct(lit(t).as("t"), bucket.as("bucket"))
@@ -192,9 +227,22 @@ object Similarity {
     * random corpus, so only true mass-duplicate pathologies hit the cap. */
   val defaultMaxBucket = 2000
 
+  /** Auto band width: size buckets to a quarter of the cap, so the drop
+    * filter is a pathological-duplicates backstop instead of the operating
+    * regime (at fixed bits it becomes the operating regime as n grows). */
+  private def resolveBits(emb: DataFrame, bitsPerTable: Int, maxBucket: Int): Int =
+    if (bitsPerTable > 0) bitsPerTable
+    else adaptiveBits(emb.count(), math.max(1L, maxBucket / 4L))
+
+  /** `bitsPerTable = 0` (default) derives the band width from the corpus
+    * size ([[adaptiveBits]] against `maxBucket/4`) — one count() job buys
+    * candidate volume linear instead of quadratic in n. Pass explicit bits
+    * to pin a plan; check the recall consequence with [[bandingRecall]] and
+    * the bucket distribution with [[lshBucketStats]]. */
   def lshCosinePairs(emb: DataFrame, threshold: Double, dim: Int = 64,
-                     maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val bands = lshBands(emb, dim)
+                     maxBucket: Int = defaultMaxBucket,
+                     nTables: Int = tables, bitsPerTable: Int = 0): DataFrame = {
+    val bands = lshBands(emb, dim, nTables, resolveBits(emb, bitsPerTable, maxBucket))
     // Candidates as BARE id pairs via bucket postings lists: deduping before
     // re-attaching vectors keeps the shuffle rows at 16 bytes instead of
     // 2×dim floats, and the postings form bounds the per-bucket blowup.
@@ -218,8 +266,8 @@ object Similarity {
     * hint: this IS the scale path — the embeddings side can be arbitrarily
     * large, so the vector re-attachment must stay a shuffled join (AQE
     * still broadcasts small inputs on its own). */
-  private def verifyCosine(cands: DataFrame, emb: DataFrame,
-                           threshold: Double): DataFrame = {
+  private[ext] def verifyCosine(cands: DataFrame, emb: DataFrame,
+                                threshold: Double): DataFrame = {
     val n = withNorms(emb)
     cands
       .join(n.select(col("vec_id").as("ia"), col("embedding").as("ea"),
@@ -245,32 +293,62 @@ object Similarity {
     emb.select(col("vec_id"),
       org.apache.spark.sql.graft.VectorFunctions.srpSketchF(col("embedding"), srpBits).as("sketch"))
 
-  /** SRP-sketch near-pairs: the single 64-bit sketch is banded into
-    * `bandsN` contiguous bit slices map-side (bit shifts on one long — no
-    * second pass over the vector), candidates collide in ≥1 band bucket,
-    * then exact cosine verification. Same output contract as
-    * [[lshCosinePairs]]; same bucket-postings candidate shape, same cap.
-    * Recall ≈ 1−(1−p^r)^b with p = 1−θ/π, r = 64/bandsN: at 16 bands of 4
-    * bits, ≈0.91 at cosine 0.35 and ≈1 above 0.7. Narrow buckets (4 bits =
-    * 16 values/band) suit verification corpora; at corpus scale use fewer,
-    * wider bands (8×8) or pre-partition by a coarse cluster id first. */
-  def srpCosinePairs(emb: DataFrame, threshold: Double,
-                     bandsN: Int = 16,
-                     maxBucket: Int = defaultMaxBucket): DataFrame = {
-    require(srpBits % bandsN == 0, s"bandsN must divide $srpBits, got $bandsN")
+  /** Exploded (vec_id, t, bucket) rows from the 64-bit SRP sketch: `bandsN`
+    * contiguous bit slices, map-side (bit shifts on one long — no second
+    * pass over the vector). */
+  def srpBands(emb: DataFrame, bandsN: Int): DataFrame =
+    bandedSketch(srpSketches(emb), Seq("vec_id"), bandsN)
+
+  /** Band-slice a frame carrying a 64-bit `sketch` column into
+    * (keep..., t, bucket) rows — shared by [[srpBands]] and the cell-local
+    * banding of [[graft.ext.Ivf.ivfCosinePairs]] (which keeps the cell id
+    * alongside the vec_id so buckets are scoped per cell). */
+  private[ext] def bandedSketch(withSketch: DataFrame, keep: Seq[String],
+                                bandsN: Int): DataFrame = {
+    require(bandsN > 0 && srpBits % bandsN == 0,
+      s"bandsN must divide $srpBits, got $bandsN")
     val r = srpBits / bandsN
-    val mask = (1L << r) - 1
+    val mask = if (r == 64) -1L else (1L << r) - 1
     val bandCols = (0 until bandsN).map { b =>
       struct(lit(b).as("t"),
         shiftrightunsigned(col("sketch"), b * r).bitwiseAND(mask).as("bucket"))
     }
-    val banded = srpSketches(emb)
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    withSketch
+      .select(keep.map(col) :+ explode(array(bandCols: _*)).as("tb"): _*)
+      .select(keep.map(col) :+ col("tb.t").as("t") :+ col("tb.bucket").as("bucket"): _*)
+  }
+
+  /** Auto SRP band count: the narrowest sketch slice whose width reaches the
+    * corpus-adaptive bit count — band width must divide the 64-bit sketch,
+    * so widths come from {4, 8, 16, 32}. */
+  private def resolveSrpBands(emb: DataFrame, bandsN: Int, maxBucket: Int): Int =
+    if (bandsN > 0) bandsN
+    else {
+      val want = adaptiveBits(emb.count(), math.max(1L, maxBucket / 4L))
+      val width = Seq(4, 8, 16, 32).find(_ >= want).getOrElse(32)
+      srpBits / width
+    }
+
+  /** SRP-sketch near-pairs: candidates collide in ≥1 sketch-band bucket,
+    * then exact cosine verification. Same output contract as
+    * [[lshCosinePairs]]; same bucket-postings candidate shape, same cap,
+    * same `observe` drop counter. Recall ≈ 1−(1−p^r)^b with p = 1−θ/π,
+    * r = 64/bandsN: at 16 bands of 4 bits, ≈0.91 at cosine 0.35 and ≈1
+    * above 0.7. `bandsN = 0` (default) sizes the band width to the corpus
+    * like [[lshCosinePairs]] — verification corpora get 16×4 bits, larger
+    * ones wider/fewer bands; audit the distribution with [[srpBucketStats]].
+    * Mid-cosine retrieval past the banding math belongs to
+    * [[graft.ext.Ivf.ivfCosinePairs]]. */
+  def srpCosinePairs(emb: DataFrame, threshold: Double,
+                     bandsN: Int = 0,
+                     maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val banded = srpBands(emb, resolveSrpBands(emb, bandsN, maxBucket))
     val buckets = banded
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("graft_srp_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
     val cands = buckets
       .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
@@ -280,6 +358,43 @@ object Similarity {
       .dropDuplicates("ia", "ib")
     verifyCosine(cands, emb, threshold)
   }
+
+  /** Bucket-size audit for the sign-LSH candidate paths — the
+    * [[graft.ext.Dedup.postingsDfStats]] pattern for the vector side: one
+    * row with the collision-bucket count, the largest bucket, how many
+    * buckets a `maxBucket` cap would DROP, and the candidate-pair volume
+    * kept vs dropped. Pipelines run this alongside a capped pair job —
+    * unlike the inline `observe` counter it survives AQE re-planning, and
+    * it turns the silent recall cliff (buckets outgrow the cap → all
+    * candidates vanish) into a driver-visible number. */
+  private def bucketStats(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val q = col("q")
+    // integer div: q(q−1) is even, and `/` on longs is double division
+    val pairsOf = expr("q * (q - 1) div 2")
+    banded
+      .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("q"))
+      .filter(q > 1)
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(max(q), lit(0L)).as("max_bucket"),
+        coalesce(sum(when(q > maxBucket, 1L).otherwise(0L)), lit(0L)).as("n_over_cap"),
+        coalesce(sum(when(q <= maxBucket, pairsOf).otherwise(0L)), lit(0L)).as("kept_candidates"),
+        coalesce(sum(when(q > maxBucket, pairsOf).otherwise(0L)), lit(0L)).as("dropped_candidates"))
+  }
+
+  /** [[bucketStats]] over the hyperplane-table banding of [[lshCosinePairs]]
+    * (same auto band-width resolution — pass `bitsPerTable = 0` to audit the
+    * plan the pair query actually runs). */
+  def lshBucketStats(emb: DataFrame, dim: Int = 64,
+                     maxBucket: Int = defaultMaxBucket,
+                     nTables: Int = tables, bitsPerTable: Int = 0): DataFrame =
+    bucketStats(
+      lshBands(emb, dim, nTables, resolveBits(emb, bitsPerTable, maxBucket)),
+      maxBucket)
+
+  /** [[bucketStats]] over the SRP sketch banding of [[srpCosinePairs]]. */
+  def srpBucketStats(emb: DataFrame, bandsN: Int = 0,
+                     maxBucket: Int = defaultMaxBucket): DataFrame =
+    bucketStats(srpBands(emb, resolveSrpBands(emb, bandsN, maxBucket)), maxBucket)
 
   /** Approximate top-k for one query: candidates share ≥1 bucket table with
     * the query (broadcast semi-join on (table, bucket)), exact cosine on the

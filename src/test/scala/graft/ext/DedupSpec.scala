@@ -97,6 +97,40 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 1000L * 999L / 2)
   }
 
+  test("prefix filtering keeps a boilerplate corpus linear without losing pairs") {
+    // Pathological corpus for the postings path: every doc shares a 12-token
+    // license header (df = corpus for every header shingle), plus unique
+    // content; docs 1 and 2 are true near-dups of each other.
+    // Prefix math: n_sh ≈ 25 shingles/doc, threshold 0.5 → prefix keeps the
+    // 13 rarest — the ≥15 df=1 content shingles fill it, so the df=200
+    // header shingles are never indexed.
+    val header = "licensed under the apache license version two point zero see notice file"
+    val payload = "payload alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val d = docs(((1L to 200L).map { i =>
+      val text =
+        if (i == 1L) s"$header $payload one"
+        else if (i == 2L) s"$header $payload two"
+        else s"$header " + ('a' to 'o').map(c => s"unique$i$c").mkString(" ")
+      (i, text)
+    }): _*)
+    val threshold = 0.5
+    val exact = Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id", 3, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // exact AND boilerplate-proof: identical result set, no cap involved
+    assert(prefix === exact)
+    assert(exact.contains((1L, 2L, exact.find(p => p._1 == 1L && p._2 == 2L).get._3)))
+    // the audit shows the collapse: full postings are quadratic in the
+    // header's df (~200^2/2 per header shingle); the rarest-first prefix
+    // index stays linear in the corpus
+    val stats = Dedup.prefixCandidateStats(d, "text", "doc_id", 3, threshold).head()
+    val full = stats.getAs[Long]("full_candidates")
+    val pref = stats.getAs[Long]("prefix_candidates")
+    assert(full > 100000L, s"expected quadratic full postings, got $full")
+    assert(pref <= 3 * 200L, s"prefix candidates not linear: $pref")
+  }
+
   test("embeddingDedup approx path recalls most exact-survivor decisions") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.embeddingDedup(emb, 0.35)

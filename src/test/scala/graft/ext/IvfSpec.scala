@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class IvfSpec extends SparkSpec {
 
@@ -43,6 +44,33 @@ class IvfSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(r0 === oneShot)
     } finally idx.assigned.unpersist()
+  }
+
+  test("assignTop with nAssign=1 matches the single-cell assignment") {
+    val c = Ivf.trainCentroids(emb, k = 8, iters = 2)
+    val single = Ivf.assign(emb, c).select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top1 = Ivf.assignTop(emb, c, nAssign = 1)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(top1 === single)
+    // nAssign=2 indexes every vector exactly twice, under two distinct cells
+    val top2 = Ivf.assignTop(emb, c, nAssign = 2)
+    assert(top2.count() === emb.count() * 2)
+    assert(top2.groupBy("vec_id").count().filter(col("count") =!= 2).count() === 0L)
+    assert(top2.select("vec_id", "cluster").distinct().count() === emb.count() * 2)
+  }
+
+  test("ivfCosinePairs reports only exact-verified pairs and recalls most of them") {
+    val exact = Similarity.cosinePairs(emb, 0.35)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appr = Ivf.ivfCosinePairs(emb, 0.35, nClusters = 8, iters = 2)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates are exact-cosine verified, so no false positives ever
+    assert(appr.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = (exact & appr).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ivf pair recall $recall (${appr.size}/${exact.size})")
   }
 
   test("probing all cells recovers the exact top-k") {

@@ -1,0 +1,103 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Deterministic synthetic corpus: consecutive (2i, 2i+1) pairs are
+    * planted near-duplicates (cos ≥ ~0.999); distinct base vectors are
+    * near-orthogonal random Gaussians, so at threshold 0.9 the exact pair
+    * set is essentially the planted pairs. */
+  private def syntheticEmb(n: Int, dim: Int = 16, seed: Long = 7L) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n / 2).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val near = base.map(v => v + (rnd.nextGaussian() * 0.01).toFloat)
+      Seq((2L * i, base), (2L * i + 1, near))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("adaptiveBits sizes band width to the corpus") {
+    // exact power of two: log2(512000/500) = 10
+    assert(Similarity.adaptiveBits(512000L, 500L) === 10)
+    // one past the boundary rounds UP (buckets must not exceed the target)
+    assert(Similarity.adaptiveBits(512001L, 500L) === 11)
+    // verification-scale corpora clamp to the 4-bit floor
+    assert(Similarity.adaptiveBits(2000L, 500L) === 4)
+    assert(Similarity.adaptiveBits(10L, 1000L) === 4)
+    // and the ceiling stops runaway widths
+    assert(Similarity.adaptiveBits(Long.MaxValue, 1L) === 24)
+  }
+
+  test("bandingRecall matches the closed form at known points") {
+    // identical vectors always collide
+    assert(Similarity.bandingRecall(1.0, 8, 1) === 1.0)
+    // orthogonal vectors: p = 1/2, one 4-bit table -> 1/16
+    assert(math.abs(Similarity.bandingRecall(0.0, 4, 1) - 1.0 / 16) < 1e-12)
+    // more tables only help
+    assert(Similarity.bandingRecall(0.5, 6, 16) > Similarity.bandingRecall(0.5, 6, 8))
+  }
+
+  test("auto band width holds recall where fixed 4-bit banding collapses past 16*maxBucket") {
+    val emb = syntheticEmb(600)
+    val exact = pairSet(Similarity.cosinePairs(emb, 0.9))
+    assert(exact.size >= 250, s"planted pairs missing: ${exact.size}")
+    val maxBucket = 30 // n=600 > 16*30: the regime VERDICT r4 flagged
+    val auto = pairSet(
+      Similarity.lshCosinePairs(emb, 0.9, dim = 16, maxBucket = maxBucket))
+    val fixed = pairSet(
+      Similarity.lshCosinePairs(emb, 0.9, dim = 16, maxBucket = maxBucket,
+        bitsPerTable = 4))
+    val recallAuto = (exact & auto).size.toDouble / exact.size
+    val recallFixed = (exact & fixed).size.toDouble / exact.size
+    assert(recallAuto >= 0.9, s"adaptive-width recall $recallAuto")
+    // the fixed-width plan's buckets outgrow the cap and get dropped
+    assert(recallFixed < recallAuto,
+      s"expected fixed-width collapse, got fixed=$recallFixed auto=$recallAuto")
+    // ... and the audit query makes the difference driver-visible: the
+    // fixed-width plan drops far more buckets/candidates than the adaptive
+    // one (whose over-cap tail is skew outliers, not the operating regime)
+    val autoStats = Similarity.lshBucketStats(emb, dim = 16, maxBucket = maxBucket).head()
+    val fixedStats = Similarity.lshBucketStats(emb, dim = 16, maxBucket = maxBucket,
+      bitsPerTable = 4).head()
+    assert(fixedStats.getAs[Long]("n_over_cap") > 4 * autoStats.getAs[Long]("n_over_cap"))
+    assert(fixedStats.getAs[Long]("dropped_candidates") >
+      4 * autoStats.getAs[Long]("dropped_candidates"))
+  }
+
+  test("srpCosinePairs auto band width reduces to the 16x4 plan at verification scale") {
+    val emb = syntheticEmb(200)
+    val auto = pairSet(Similarity.srpCosinePairs(emb, 0.9))
+    val explicit = pairSet(Similarity.srpCosinePairs(emb, 0.9, bandsN = 16))
+    assert(auto === explicit)
+    assert(auto.nonEmpty)
+  }
+
+  test("bucket stats: kept and dropped candidates partition the same volume across caps") {
+    val emb = syntheticEmb(200)
+    // pin bandsN so both audits see the identical banding
+    val loose = Similarity.srpBucketStats(emb, bandsN = 16, maxBucket = 1000000).head()
+    val tight = Similarity.srpBucketStats(emb, bandsN = 16, maxBucket = 3).head()
+    def vol(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("kept_candidates") + r.getAs[Long]("dropped_candidates")
+    assert(vol(loose) === vol(tight))
+    assert(loose.getAs[Long]("n_over_cap") === 0L)
+    assert(loose.getAs[Long]("dropped_candidates") === 0L)
+    assert(tight.getAs[Long]("n_over_cap") > 0L)
+  }
+
+  test("cosinePairs row ceiling fails fast and Long.MaxValue maxRows does not overflow the probe") {
+    val emb = syntheticEmb(20)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(emb, 0.9, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("lshCosinePairs"))
+    // maxRows = Long.MaxValue used to wrap the probe limit negative
+    assert(Similarity.cosinePairs(emb, 0.9, maxRows = Long.MaxValue).count() >= 10L)
+  }
+}
