@@ -398,7 +398,9 @@ object Similarity {
 
   /** Approximate top-k for one query: candidates share ≥1 bucket table with
     * the query (broadcast semi-join on (table, bucket)), exact cosine on the
-    * candidates only. */
+    * candidates only. Fixed 8×4-bit tables scan ~n/2 candidates — fine for
+    * a one-off query; a repeated-query workload at corpus scale should
+    * [[graft.ext.Ivf.buildIndex]] once and probe cells instead. */
   def lshTopK(emb: DataFrame, queryId: Long, kTop: Int, dim: Int = 64): DataFrame = {
     val bands = lshBands(emb, dim)
     val qBands = bands.filter(col("vec_id") === queryId)
