@@ -521,6 +521,69 @@ object ExtQueries {
               GROUP BY 1, 2 HAVING count(*) >= 3
               ORDER BY 1, 2""")),
 
+    // x44 — per-source token-budget mixture sampling: the data-mixing
+    // primitive of a training run. Docs fill each source's token budget
+    // greedily in deterministic content-hash order (md5 — reproducible,
+    // engine-portable, no RNG state); a doc is taken while the EXCLUSIVE
+    // running token total is under budget, so the first doc of a source is
+    // always taken and the last may overflow (standard greedy fill). The
+    // per-source window parallelizes across sources; a single mega-source
+    // shards the window by a hash-bucket sub-key, same mitigation as x32.
+    QueryDef("x44_token_budget_mix",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("ok"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+            md5(col("text")).as("ok"))
+          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+          .filter(col("cum") < 64)
+          .select(col("doc_id"), col("source"), col("toks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, md5(text) AS ok,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                 c AS (SELECT doc_id, source, toks,
+                     CAST(sum(toks) OVER (PARTITION BY source ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS cum
+                   FROM t)
+              SELECT doc_id, source, toks FROM c WHERE cum < 64 ORDER BY doc_id""")),
+
+    // x45 — decontaminated training split: the removal step completing x29.
+    // Train docs with >= 3 shared 3-gram shingles against any eval doc are
+    // anti-joined out; at scale the anti join keys on doc_id (8 bytes) and
+    // the contamination side is the (small) flagged-id set.
+    QueryDef("x45_decontaminated_train",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val flagged = Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 3, minShared = 3L)
+          .select(col("train_id").as("doc_id")).distinct()
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .join(flagged, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                   s AS (SELECT doc_id,
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                         FROM t WHERE len(toks) >= 3),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   tr AS (SELECT * FROM e WHERE doc_id % 7 <> 0),
+                   ev AS (SELECT * FROM e WHERE doc_id % 7 = 0),
+                   bad AS (SELECT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g
+                           GROUP BY tr.doc_id, ev.doc_id HAVING count(*) >= 3)
+              SELECT d.doc_id, d.source, d.lang FROM documents d
+              WHERE d.doc_id % 7 <> 0
+                AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM bad)
+              ORDER BY d.doc_id""")),
+
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
     // quality). avg quality goes through exact INTEGER units (the per-doc
