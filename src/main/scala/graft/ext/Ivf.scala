@@ -168,10 +168,15 @@ object Ivf {
                      bandsN: Int = 16,
                      maxBucket: Int = Similarity.defaultMaxBucket): DataFrame = {
     val centroids = trainCentroids(emb, nClusters, iters)
-    val sk = assignTop(emb, centroids, nAssign)
-      .select(col("vec_id"), col("cluster"),
+    // Sketch BELOW the cell explode: computed once per vector, replicated as
+    // a value by the generator — after the explode it would run nAssign×.
+    val sk = emb
+      .select(col("vec_id"), col("embedding"),
         org.apache.spark.sql.graft.VectorFunctions
           .srpSketchF(col("embedding"), Similarity.srpBits).as("sketch"))
+      .select(col("vec_id"), col("sketch"),
+        explode(topCells(centroids, math.min(nAssign, centroids.length))).as("sc"))
+      .select(col("vec_id"), col("sketch"), (-col("sc.negj")).as("cluster"))
     val banded = Similarity.bandedSketch(sk, Seq("vec_id", "cluster"), bandsN)
     val buckets = banded
       .groupBy(col("cluster"), col("t"), col("bucket"))
