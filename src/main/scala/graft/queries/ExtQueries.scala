@@ -497,6 +497,28 @@ object ExtQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
+    // x46 — semantic dup clusters (the SemDeDup shape): transitive closure
+    // over embedding near-dup pairs — cluster-level dedup for vectors,
+    // composing x11's pair machinery with x25's min-label propagation. The
+    // exact pair source is the oracle row; a production pipeline swaps in
+    // ivfCosinePairs (x42) as the candidate source, same downstream shape.
+    QueryDef("x46_embedding_dup_clusters",
+      (s, d) => Dedup.dupClusters(
+        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib")))
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+                p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+                e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+                r AS (SELECT a AS id, a AS reach FROM e
+                      UNION
+                      SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach)
+              SELECT id AS vec_id, min(reach) AS cluster_rep
+              FROM r GROUP BY id ORDER BY vec_id""")),
+
     // x29 — benchmark decontamination: the eval split (doc_id % 7 == 0)
     // checked for 3-gram leakage against the training split.
     QueryDef("x29_contamination",
