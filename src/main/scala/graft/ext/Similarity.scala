@@ -232,7 +232,12 @@ object Similarity {
     * regime (at fixed bits it becomes the operating regime as n grows). */
   private def resolveBits(emb: DataFrame, bitsPerTable: Int, maxBucket: Int): Int =
     if (bitsPerTable > 0) bitsPerTable
-    else adaptiveBits(emb.count(), math.max(1L, maxBucket / 4L))
+    else emb.count() match {
+      // empty corpus: no pairs whatever the width — keep the floor, and keep
+      // the operator total (it must return an empty frame, not throw)
+      case 0L => 4
+      case n  => adaptiveBits(n, math.max(1L, maxBucket / 4L))
+    }
 
   /** `bitsPerTable = 0` (default) derives the band width from the corpus
     * size ([[adaptiveBits]] against `maxBucket/4`) — one count() job buys
@@ -324,7 +329,8 @@ object Similarity {
   private def resolveSrpBands(emb: DataFrame, bandsN: Int, maxBucket: Int): Int =
     if (bandsN > 0) bandsN
     else {
-      val want = adaptiveBits(emb.count(), math.max(1L, maxBucket / 4L))
+      val n = emb.count()
+      val want = if (n == 0) 4 else adaptiveBits(n, math.max(1L, maxBucket / 4L))
       val width = Seq(4, 8, 16, 32).find(_ >= want).getOrElse(32)
       srpBits / width
     }

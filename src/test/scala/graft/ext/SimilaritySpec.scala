@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.getAs[Long]("n_over_cap") > 0L)
   }
 
+  test("LSH pair paths return empty (not throw) on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshCosinePairs(empty, 0.5, dim = 16).count() === 0L)
+    assert(Similarity.srpCosinePairs(empty, 0.5).count() === 0L)
+  }
+
+  test("srpCosinePairs single-band edge (64-bit bucket mask) stays a subset of exact") {
+    val emb = syntheticEmb(100)
+    val exact = pairSet(Similarity.cosinePairs(emb, 0.9))
+    val oneBand = pairSet(Similarity.srpCosinePairs(emb, 0.9, bandsN = 1))
+    assert(oneBand.subsetOf(exact))
+  }
+
   test("cosinePairs row ceiling fails fast and Long.MaxValue maxRows does not overflow the probe") {
     val emb = syntheticEmb(20)
     val e = intercept[IllegalArgumentException] {
