@@ -319,6 +319,81 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Serialize a LongType column into one Spark `BloomFilter` binary — the
+    * same catalyst `BloomFilterAggregate` the engine builds runtime join
+    * filters with: each partition fills a local filter, partials OR-merge,
+    * one binary comes out. Deterministic (fixed-seed hashing, sizing from
+    * explicit literals), so bloom-derived results are stable across runs. */
+  private def bloomAgg(c: Column, nItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new BloomFilterAggregate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        Literal(nItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Scan-local membership test against a serialized Bloom filter (catalyst
+    * `BloomFilterMightContain`; the filter bits ride as a literal, so every
+    * task tests locally — no join, no shuffle). */
+  private def bloomMightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloom),
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+  }
+
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[contaminationPairs]]: serialize the EVAL corpus's distinct shingle
+    * hashes into one Bloom filter (distributed aggregate, one small binary
+    * to the driver), then flag train docs by a SCAN-LOCAL membership test.
+    * The train corpus — the 100 TB side — never shuffles and never joins:
+    * each task tests its shingles against the filter bits and only the
+    * per-doc hit counts aggregate. Contrast the exact path, which shuffles
+    * every train shingle posting into the bipartite equi-join.
+    *
+    * Semantics: Bloom filters have NO false negatives and a tunable
+    * false-positive rate `fpp`, so the flagged set is a SUPERSET of any
+    * exact overlap (driver-visible via the x48 gate). Attribution is
+    * corpus-level — a doc is flagged when ≥ `minShared` of its distinct
+    * shingles appear ANYWHERE in the eval corpus — which is exactly what a
+    * keep-or-drop decontamination pass needs; per-eval-doc attribution
+    * stays with [[contaminationPairs]] on the (tiny) flagged subset.
+    *
+    * Sizing: m = ⌈−n·ln(fpp)/ln²2⌉ bits ≈ 1.2 MB per million eval shingles
+    * at fpp 1% — an eval benchmark suite is at most tens of millions of
+    * shingles, so the driver round-trip and per-task literal stay small
+    * while the train side scales freely.
+    *
+    * Output: (`doc_id`, `n_maybe_shared`) for flagged train docs. */
+  def bloomContamination(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int, minShared: Long,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val evalSh = hashedShingles(eval_, textCol, idCol, n)
+      .select(explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val nItems = evalSh.count()
+    if (nItems == 0)
+      // empty eval corpus: nothing can be contaminated — empty frame, same
+      // schema (the operator must stay total, as the empty-corpus LSH paths)
+      return train.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_maybe_shared"))
+        .limit(0)
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = evalSh.agg(bloomAgg(col("g"), nItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    hashedShingles(train, textCol, idCol, n)
+      .select(col("doc_id"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull && bloomMightContain(bloomBytes, col("g")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_maybe_shared"))
+      .filter(col("n_maybe_shared") >= minShared)
+  }
+
   /** Connected-component duplicate clusters over a near-dup pair set:
     * every doc in a cluster maps to the cluster's MINIMUM doc id. This is
     * the transitive closure the pairwise keep-lowest rule lacks (A~B, B~C,

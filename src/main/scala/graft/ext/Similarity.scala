@@ -402,6 +402,47 @@ object Similarity {
                      maxBucket: Int = defaultMaxBucket): DataFrame =
     bucketStats(srpBands(emb, resolveSrpBands(emb, bandsN, maxBucket)), maxBucket)
 
+  /** Rank symmetric near-pair edges into per-vector top-k: each (ia, ib)
+    * pair contributes both directions, `row_number` over
+    * (cos desc, neighbor id asc) keeps the cut deterministic (cos is
+    * already rounded to 6 decimals by the pair producers). The window
+    * partitions by vec_id — at corpus scale that is the natural
+    * shuffle key, no global sort. */
+  private[ext] def knnFromPairs(pairs: DataFrame, kTop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs
+      .select(col("ia").as("vec_id"), col("ib").as("nb"), col("cos"))
+      .union(pairs.select(col("ib").as("vec_id"), col("ia").as("nb"), col("cos")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nb").asc)
+    sym.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= kTop)
+  }
+
+  /** Exact k-nearest-neighbor graph: for EVERY vector, its `kTop` highest-
+    * cosine neighbors at or above `minCos` — the corpus-wide neighborhood
+    * structure that clustering, SemDeDup-style semantic dedup, and
+    * diversity sampling consume (the single-query [[cosineTopK]] answers
+    * one lookup; this materializes all of them). Quadratic by construction
+    * (built on the [[cosinePairs]] baseline): the verification shape.
+    * Production at scale is [[srpKnnGraph]] — same output contract,
+    * bucket-bounded candidates. The `minCos` floor is load-bearing at
+    * scale: a kNN graph without a similarity floor has no candidate-
+    * pruning structure for ANY sublinear path (every vector has SOME
+    * top-k, however dissimilar). */
+  def knnGraph(emb: DataFrame, kTop: Int, minCos: Double): DataFrame =
+    knnFromPairs(cosinePairs(emb, minCos), kTop)
+
+  /** Approximate kNN graph at scale: SRP-sketch banded candidates
+    * ([[srpCosinePairs]] — map-side 64-bit sketches, corpus-adaptive band
+    * width, capped bucket postings, exact-cosine verification) ranked into
+    * per-vector top-k. One candidate generation pass serves every vector's
+    * neighborhood at once. Recall vs [[knnGraph]] is driver-visible via
+    * the x51 gate. */
+  def srpKnnGraph(emb: DataFrame, kTop: Int, minCos: Double,
+                  bandsN: Int = 0,
+                  maxBucket: Int = defaultMaxBucket): DataFrame =
+    knnFromPairs(srpCosinePairs(emb, minCos, bandsN, maxBucket), kTop)
+
   /** Approximate top-k for one query: candidates share ≥1 bucket table with
     * the query (broadcast semi-join on (table, bucket)), exact cosine on the
     * candidates only. Fixed 8×4-bit tables scan ~n/2 candidates — fine for

@@ -606,6 +606,116 @@ object ExtQueries {
                 AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM bad)
               ORDER BY d.doc_id""")),
 
+    // x47 — Bloom-filter decontamination: the 100 TB shape of x29. The eval
+    // corpus's shingle hashes serialize into ONE Bloom filter (distributed
+    // aggregate); the train side is flagged by a scan-local membership test
+    // — no train-side shuffle, no join. Flagged set is a SUPERSET of the
+    // exact one (no false negatives); fp bits are engine-hash-specific →
+    // rows-only, with the superset property gated by x48.
+    QueryDef("x47_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.bloomContamination(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 3, minShared = 3L)
+          .orderBy("doc_id")
+      },
+      None),
+
+    // x48 — Bloom superset gate: every train doc the EXACT bipartite scan
+    // flags (>= 3 shingles shared with a single eval doc) must also be
+    // flagged by the Bloom pass (such a doc has >= 3 shingles in the eval
+    // corpus union, and Bloom has no false negatives). A red row means the
+    // filter build or the membership expression is broken.
+    QueryDef("x48_bloom_superset_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(col("doc_id") % 7 =!= 0)
+        val ev = docs.filter(col("doc_id") % 7 === 0)
+        val exact = Dedup.contaminationPairs(train, ev, "text", "doc_id",
+            n = 3, minShared = 3L)
+          .select(col("train_id").as("doc_id")).distinct()
+        val bloom = Dedup.bloomContamination(train, ev, "text", "doc_id",
+            n = 3, minShared = 3L)
+          .select(col("doc_id"))
+        exact.join(bloom, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("missed"))
+          .select((col("missed") === 0L).as("superset_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS superset_ok")),
+
+    // x49 — exact kNN graph: every vector's top-5 neighbors at cosine
+    // >= 0.2 — the corpus-wide neighborhood structure clustering/SemDeDup/
+    // diversity sampling consume. Quadratic baseline (oracle row); x50 is
+    // the bucket-bounded production path. The minCos floor is what makes a
+    // sublinear path possible at all.
+    QueryDef("x49_knn_graph",
+      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2)
+        .orderBy("vec_id", "rnk"),
+      Some("""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS nb,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cos
+                   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+                 r AS (SELECT va, nb, cos,
+                     row_number() OVER (PARTITION BY va ORDER BY cos DESC, nb) AS rnk
+                   FROM p WHERE cos >= 0.2)
+              SELECT va AS vec_id, nb, cos, rnk FROM r
+              WHERE rnk <= 5 ORDER BY vec_id, rnk""")),
+
+    // x50 — approximate kNN graph via SRP-sketch banded candidates: one
+    // candidate-generation pass serves every vector's neighborhood (engine
+    // hashing → rows-only; recall gated by x51).
+    QueryDef("x50_srp_knn_graph",
+      (s, d) => Similarity.srpKnnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2)
+        .orderBy("vec_id", "rnk"),
+      None),
+
+    // x51 — kNN-graph recall gate: fraction of exact kNN edges the SRP
+    // graph recovers. Exact edges concentrate at the top of each
+    // neighborhood (high cos → high band-collision probability), so edge
+    // recall sits above the mid-cosine pair floor; measured 0.887 / 0.895 /
+    // 0.923 at sf0.001 / 0.01 / 0.1 — floor 0.8 (tot=0 vacuous success).
+    QueryDef("x51_knn_recall",
+      (s, d) => {
+        val exact = Similarity.knnGraph(Tables.embeddings(s, d), 5, 0.2)
+          .select(col("vec_id"), col("nb"))
+        val appr = Similarity.srpKnnGraph(Tables.embeddings(s, d), 5, 0.2)
+          .select(col("vec_id"), col("nb"))
+        val hits = exact.join(appr, Seq("vec_id", "nb"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val total = exact.agg(count(lit(1)).as("tot"))
+        hits.crossJoin(total)
+          .select((col("tot") === 0L ||
+            col("hits").cast("double") >= col("tot").cast("double") * 0.8)
+            .as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x52 — deterministic content-hash sharding: the reproducible global
+    // shuffle of a training run. Shard = first md5 hex digit (16 shards;
+    // scale takes more digits), position = rank within shard by (md5,
+    // doc_id). Pure scan expressions + a per-shard window — the shard key
+    // IS the x32 window mitigation, built in: no global sort anywhere, and
+    // content addressing keeps the assignment stable under corpus
+    // re-partitioning (doc_id renumbering changes nothing but tie-breaks).
+    QueryDef("x52_content_shards",
+      (s, d) => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("ok"))
+          .withColumn("shard",
+            expr("CAST(instr('0123456789abcdef', substring(ok, 1, 1)) - 1 AS BIGINT)"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some("""SELECT doc_id,
+                     CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+                     row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
+                       ORDER BY md5(text), doc_id) AS pos
+              FROM documents ORDER BY shard, pos""")),
+
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
     // quality). avg quality goes through exact INTEGER units (the per-doc

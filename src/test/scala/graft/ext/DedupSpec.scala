@@ -146,6 +146,50 @@ class DedupSpec extends SparkSpec {
       s"approx dedup removed only $removedApprox of $removedExact")
   }
 
+  test("bloomContamination flags a superset of the exact bipartite scan") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val train = docs(
+      (1L, shared),                                        // heavy overlap
+      (2L, "t1 t2 " + shared.split(" ").take(5).mkString(" ")), // 3 shared shingles
+      (3L, "clean content with no overlap at all here"))
+    val ev = docs((100L, shared + " extra tail words"))
+    val exact = Dedup.contaminationPairs(train, ev, "text", "doc_id", 3, 3L)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.bloomContamination(train, ev, "text", "doc_id", 3, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(bloom.keySet))
+    // corpus-level maybe-counts dominate the per-eval-doc exact counts
+    // (no false negatives: every truly shared shingle hits the filter)
+    val exactCounts = Dedup.contaminationPairs(train, ev, "text", "doc_id", 3, 1L)
+      .groupBy("train_id").agg(max("n_shared").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactCounts.filter(_._2 >= 3L).foreach { case (id, m) =>
+      assert(bloom.getOrElse(id, 0L) >= m)
+    }
+  }
+
+  test("bloomContamination on an empty eval corpus flags nothing") {
+    val train = docs((1L, "a b c d e f"))
+    val ev = docs()
+    val got = Dedup.bloomContamination(train, ev, "text", "doc_id", 3, 1L)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq === Seq("doc_id", "n_maybe_shared"))
+  }
+
+  test("bloomContamination never misses at tight fpp and stays deterministic") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val train = docs((1L, base), (2L, base.replace("w20", "zz")),
+      (3L, "other unrelated words entirely different from the rest"))
+    val ev = docs((9L, base))
+    val a = Dedup.bloomContamination(train, ev, "text", "doc_id", 3, 3L, fpp = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.bloomContamination(train, ev, "text", "doc_id", 3, 3L, fpp = 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b) // fixed-seed hashing + literal sizing => reproducible
+    assert(a.map(_._1).contains(1L))
+  }
+
   test("dupClusters closes chains transitively and keeps components apart") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (diameter 3) plus separate pair 10-11

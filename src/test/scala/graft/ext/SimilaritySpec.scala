@@ -105,6 +105,40 @@ class SimilaritySpec extends SparkSpec {
     assert(oneBand.subsetOf(exact))
   }
 
+  test("knnGraph matches a brute-force top-k over the exact pair set") {
+    val emb = syntheticEmb(60)
+    val k = 3
+    // brute force from the exact symmetric pair list
+    val pairs = Similarity.cosinePairs(emb, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val want = sym.groupBy(_._1).toSeq.flatMap { case (v, es) =>
+      es.sortBy { case (_, nb, c) => (-c, nb) }.take(k)
+        .zipWithIndex.map { case ((_, nb, c), i) => (v, nb, c, i + 1) }
+    }.toSet
+    val got = Similarity.knnGraph(emb, k, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+  }
+
+  test("srpKnnGraph recalls the planted near-dup edge for every vector") {
+    val emb = syntheticEmb(100)
+    // at cos >= 0.9 each vector's neighborhood is exactly its planted twin
+    val exact = Similarity.knnGraph(emb, 3, 0.9)
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appr = Similarity.srpKnnGraph(emb, 3, 0.9)
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // near-dup sketches collide in essentially every band — full edge recall
+    assert((exact -- appr).isEmpty)
+    // and the approx graph never invents edges below the similarity floor
+    assert(appr.subsetOf(
+      Similarity.srpCosinePairs(emb, 0.9).select("ia", "ib").collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+        .toSet))
+  }
+
   test("cosinePairs row ceiling fails fast and Long.MaxValue maxRows does not overflow the probe") {
     val emb = syntheticEmb(20)
     val e = intercept[IllegalArgumentException] {
