@@ -16,8 +16,9 @@ import org.apache.spark.sql.graft.VectorFunctions.dotF
   *      cosine inside them.
   *
   * At 100 TB the partition-by-cell layout means a probe touches
-  * nProbe/k of the data; training cost is iters scans. All scoring goes
-  * through the codegen'd dot-product expression.
+  * nProbe/k of the data; training is ONE bounded-sample scan (driver-local
+  * Lloyd — see [[trainCentroids]]). All distributed scoring goes through
+  * the codegen'd dot-product expression.
   */
 object Ivf {
 
@@ -35,40 +36,94 @@ object Ivf {
 
   /** Deterministic mini k-means over the embedding column. Init picks the k
     * vectors with the smallest seeded hash of vec_id (spread pseudo-randomly,
-    * reproducible); each Lloyd iteration reassigns distributed and collects
-    * only the k×dim centroid means.
+    * reproducible, corpus-partitioning independent).
     *
-    * Cost contract: Lloyd rounds are inherently sequential (round i+1's
-    * assignment depends on round i's means), so training runs `iters + 1`
-    * scans of the corpus — one per reassignment plus the k-row init — and
-    * collects k×dim doubles per round. At 100 TB, train on a SAMPLE
-    * (`emb.sample(...)` upstream; k-means centroids converge on a small
-    * uniform sample) and keep `iters` small; the default 3 rounds is that
-    * posture. The per-round collect is k×dim ≪ driver memory by design. */
-  def trainCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val initRows = emb
+    * Training modes — Lloyd rounds are inherently sequential (round i+1's
+    * assignment depends on round i's means), so the question is what each
+    * round scans:
+    *
+    *   - `sampleCap > 0` (the default, and the 100 TB shape): ONE distributed
+    *     job collects the `sampleCap` vectors with the smallest seeded hash
+    *     (`TakeOrderedAndProject` — per-partition top-K, no sort shuffle),
+    *     then every Lloyd round runs DRIVER-LOCAL over the sample. Cluster
+    *     scans: 1, independent of `iters`. Coarse-quantizer centroids
+    *     converge on a small uniform sample (this is how IVF indexes are
+    *     trained in practice); the default cap of 65,536 × 64-dim floats is
+    *     ~16 MB of driver memory.
+    *   - `sampleCap = 0`: exact distributed Lloyd — `iters + 1` corpus scans,
+    *     collecting k×dim doubles per round. Only worth it when the corpus
+    *     is small and bit-exact full-data means matter.
+    *
+    * Both modes share the init ordering, the argmax assignment with
+    * lowest-id tie-break, and the empty-cluster rule (an empty cluster
+    * keeps its centroid), so `sampleCap ≥ n` differs from `sampleCap = 0`
+    * only by floating summation order. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+                     sampleCap: Int = defaultSampleCap): Array[Array[Double]] = {
+    val hashed = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(lit(7L), col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
-      .limit(k)
-      .select(col("embedding"))
-      .collect()
-    var centroids = initRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    for (_ <- 1 to iters) {
-      val means = emb
-        .withColumn("cluster", clusterOf(centroids))
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r: Row =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    if (sampleCap > 0) {
+      require(sampleCap >= k, s"sampleCap=$sampleCap must be >= k=$k")
+      val sample = hashed.limit(sampleCap).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var centroids = sample.take(k).map(_.clone())
+      for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
+      centroids
+    } else {
+      val initRows = hashed.limit(k).select(col("embedding")).collect()
+      var centroids = initRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      for (_ <- 1 to iters) {
+        val means = emb
+          .withColumn("cluster", clusterOf(centroids))
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach { r: Row =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        centroids = next
       }
-      centroids = next
+      centroids
     }
-    centroids
   }
+
+  /** Driver-side Lloyd round mirroring the distributed one: assign by
+    * argmax(x·c − |c|²/2) with lowest-cluster tie-break, recompute means,
+    * keep the old centroid for empty clusters. */
+  private def lloydRoundLocal(sample: Array[Array[Double]],
+                              centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = centroids(0).length
+    val norm2 = centroids.map(_.map(x => x * x).sum)
+    val sums = Array.fill(centroids.length)(new Array[Double](dim))
+    val counts = new Array[Long](centroids.length)
+    sample.foreach { v =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += v(i) * c(i); i += 1 }
+        val score = dot - norm2(j) / 2
+        if (score > bestScore) { bestScore = score; best = j }
+        j += 1
+      }
+      var i = 0
+      while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      counts(best) += 1
+    }
+    centroids.indices.toArray.map { j =>
+      if (counts(j) == 0) centroids(j).clone()
+      else sums(j).map(_ / counts(j))
+    }
+  }
+
+  /** Default training-sample ceiling: bounds driver state (~16 MB at 64-dim
+    * float) and makes training cost independent of corpus size. */
+  val defaultSampleCap: Int = 1 << 16
 
   /** Vectors with their IVF cell assignment. */
   def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
@@ -84,8 +139,9 @@ object Ivf {
   /** Train the coarse quantizer and assign every vector once. The norm
     * rides as a withColumn on the assigned frame — a join-back would
     * re-evaluate the k-way argmax in both branches plus pay a shuffle. */
-  def buildIndex(emb: DataFrame, nClusters: Int = 16, iters: Int = 3): IvfIndex = {
-    val centroids = trainCentroids(emb, nClusters, iters)
+  def buildIndex(emb: DataFrame, nClusters: Int = 16, iters: Int = 3,
+                 sampleCap: Int = defaultSampleCap): IvfIndex = {
+    val centroids = trainCentroids(emb, nClusters, iters, sampleCap)
     IvfIndex(centroids,
       assign(emb, centroids)
         .withColumn("nrm", Similarity.norm(col("embedding"))))
@@ -166,8 +222,9 @@ object Ivf {
   def ivfCosinePairs(emb: DataFrame, threshold: Double,
                      nClusters: Int = 16, iters: Int = 3, nAssign: Int = 3,
                      bandsN: Int = 16,
-                     maxBucket: Int = Similarity.defaultMaxBucket): DataFrame = {
-    val centroids = trainCentroids(emb, nClusters, iters)
+                     maxBucket: Int = Similarity.defaultMaxBucket,
+                     sampleCap: Int = defaultSampleCap): DataFrame = {
+    val centroids = trainCentroids(emb, nClusters, iters, sampleCap)
     // Sketch BELOW the cell explode: computed once per vector, replicated as
     // a value by the generator — after the explode it would run nAssign×.
     val sk = emb

@@ -443,6 +443,82 @@ object Similarity {
                   maxBucket: Int = defaultMaxBucket): DataFrame =
     knnFromPairs(srpCosinePairs(emb, minCos, bandsN, maxBucket), kTop)
 
+  /** Row ceiling for the broadcast side of [[crossTopK]]: 100k × 64-dim
+    * float ≈ 30 MB — comfortably broadcastable; beyond it the query batch
+    * belongs on the banded path. */
+  val maxBroadcastQueries = 100000L
+
+  /** Exact batch retrieval: EVERY query vector's `kTop` highest-cosine
+    * corpus neighbors at or above `minCos` — the "embed a batch, look each
+    * one up" shape ([[cosineTopK]] answers one lookup; this answers a
+    * table of them in one pass). The query batch broadcasts (norms
+    * precomputed once) against a single corpus scan — scan-and-score, no
+    * corpus shuffle until the per-query rank window, which partitions on
+    * `query_id` (the natural key; no global sort). This IS the production
+    * plan while the query batch stays broadcastable (≤ [[maxBroadcastQueries]],
+    * fail-fast); a corpus-sized query set belongs on [[srpCrossTopK]].
+    * Output: (`query_id`, `vec_id`, `cos`, `rnk`). A vec_id present in both
+    * frames is not special-cased (it scores like any corpus row). */
+  def crossTopK(queries: DataFrame, corpus: DataFrame,
+                kTop: Int, minCos: Double): DataFrame = {
+    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
+    require(nQ <= maxBroadcastQueries,
+      s"crossTopK broadcasts the query batch; input exceeds " +
+        s"$maxBroadcastQueries rows. Use srpCrossTopK for corpus-sized query sets.")
+    val q = withNorms(queries).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qnrm"))
+    withNorms(corpus)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .transform(rankPerQuery(kTop))
+  }
+
+  /** Approximate batch retrieval at scale: both sides SRP-sketched and
+    * banded (map-side, no plane broadcast), candidates share ≥1
+    * (band, bucket) with their query — an equi-join against capped
+    * corpus-side bucket postings, never queries × corpus — then exact
+    * cosine on candidates only and the same per-query rank window.
+    * Band width follows the CORPUS size ([[adaptiveBits]]), so candidate
+    * volume stays ~O(queries · targetBucket · bands). Recall vs
+    * [[crossTopK]] is driver-visible via the x55 gate. */
+  def srpCrossTopK(queries: DataFrame, corpus: DataFrame,
+                   kTop: Int, minCos: Double,
+                   bandsN: Int = 0,
+                   maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val bn = resolveSrpBands(corpus, bandsN, maxBucket)
+    val qBands = srpBands(queries, bn)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
+    val postings = srpBands(corpus, bn)
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val cands = qBands.join(postings, Seq("t", "bucket"))
+      .select(col("query_id"), explode(col("ids")).as("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val q = withNorms(queries).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val c = withNorms(corpus)
+    cands
+      .join(q, "query_id")
+      .join(c, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .transform(rankPerQuery(kTop))
+  }
+
+  /** Per-query rank window shared by the retrieval paths: `row_number`
+    * over (cos desc, vec_id asc) partitioned by query_id — deterministic
+    * cut (cos already rounded to 6 decimals), natural shuffle key. */
+  private def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= kTop)
+  }
+
   /** Approximate top-k for one query: candidates share ≥1 bucket table with
     * the query (broadcast semi-join on (table, bucket)), exact cosine on the
     * candidates only. Fixed 8×4-bit tables scan ~n/2 candidates — fine for

@@ -716,6 +716,69 @@ object ExtQueries {
                        ORDER BY md5(text), doc_id) AS pos
               FROM documents ORDER BY shard, pos""")),
 
+    // x53 — exact batch retrieval: every query vector's top-3 corpus
+    // neighbors at cosine >= 0.2 — the "embed a batch, look each one up"
+    // shape. The query batch (vec_id % 10 = 0) broadcasts against one scan
+    // of the rest; per-query rank window. Production-exact while the batch
+    // is broadcastable; x54 is the banded path for corpus-sized batches.
+    QueryDef("x53_cross_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.crossTopK(
+          emb.filter(col("vec_id") % 10 === 0),
+          emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+                 p AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]), 6) AS cos
+                   FROM q CROSS JOIN c),
+                 r AS (SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rnk
+                   FROM p WHERE cos >= 0.2)
+              SELECT query_id, vec_id, cos, rnk FROM r
+              WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    // x54 — approximate batch retrieval: both sides SRP-banded, candidates
+    // from a (band, bucket) equi-join against capped corpus postings —
+    // never queries × corpus (engine hashing → rows-only; recall gated by
+    // x55).
+    QueryDef("x54_srp_cross_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.srpCrossTopK(
+          emb.filter(col("vec_id") % 10 === 0),
+          emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
+          .orderBy("query_id", "rnk")
+      },
+      None),
+
+    // x55 — retrieval recall gate: fraction of exact (query, neighbor)
+    // edges the banded path recovers. Same concentration argument as x51
+    // (exact edges sit at the top of each result list where band collision
+    // probability is highest); floor 0.8, tot=0 vacuous success.
+    QueryDef("x55_cross_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") % 10 === 0)
+        val cs = emb.filter(col("vec_id") % 10 =!= 0)
+        val exact = Similarity.crossTopK(qs, cs, 3, 0.2)
+          .select(col("query_id"), col("vec_id"))
+        val appr = Similarity.srpCrossTopK(qs, cs, 3, 0.2)
+          .select(col("query_id"), col("vec_id"))
+        val hits = exact.join(appr, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val total = exact.agg(count(lit(1)).as("tot"))
+        hits.crossJoin(total)
+          .select((col("tot") === 0L ||
+            col("hits").cast("double") >= col("tot").cast("double") * 0.8)
+            .as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
     // quality). avg quality goes through exact INTEGER units (the per-doc

@@ -18,6 +18,25 @@ class IvfSpec extends SparkSpec {
     assert(total === emb.count())
   }
 
+  test("sampled training mirrors distributed Lloyd when the sample covers the corpus") {
+    // sampleCap >= n: same init, same assignment rule, same means — only
+    // floating summation order differs, so centroids agree to ~1e-9
+    val local = Ivf.trainCentroids(emb, k = 8, iters = 2, sampleCap = 1 << 16)
+    val dist = Ivf.trainCentroids(emb, k = 8, iters = 2, sampleCap = 0)
+    val maxDiff = local.zip(dist).flatMap { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }
+    }.max
+    assert(maxDiff < 1e-9, s"sampled vs distributed centroid drift $maxDiff")
+    // a strict sub-corpus sample still yields k usable centroids that
+    // assign every vector to a valid cell
+    val sub = Ivf.trainCentroids(emb, k = 8, iters = 2, sampleCap = 64)
+    assert(sub.length === 8)
+    assert(Ivf.assign(emb, sub).filter(col("cluster") < 0 || col("cluster") >= 8).count() === 0L)
+    // deterministic
+    val sub2 = Ivf.trainCentroids(emb, k = 8, iters = 2, sampleCap = 64)
+    assert(sub.map(_.toSeq).toSeq === sub2.map(_.toSeq).toSeq)
+  }
+
   test("ivf top-k overlaps the exact top-k (recall sanity)") {
     val exact = Similarity.cosineTopK(emb, 0L, 10)
       .collect().map(_.getLong(0)).toSet

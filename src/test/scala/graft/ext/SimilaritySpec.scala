@@ -139,6 +139,60 @@ class SimilaritySpec extends SparkSpec {
         .toSet))
   }
 
+  test("crossTopK matches brute force over the split corpus") {
+    val emb = syntheticEmb(80)
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+    val cs = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 0)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosOf(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val raw = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val qIds = all.keys.filter(_ % 10 == 0).toSeq
+    val cIds = all.keys.filter(_ % 10 != 0).toSeq
+    val want = qIds.flatMap { q =>
+      cIds.map(c => (q, c, cosOf(all(q), all(c))))
+        .filter(_._3 >= 0.2)
+        .sortBy { case (_, c, s) => (-s, c) }
+        .take(3).zipWithIndex.map { case ((_, c, s), i) => (q, c, s, i + 1) }
+    }.toSet
+    val got = Similarity.crossTopK(qs, cs, 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+  }
+
+  test("srpCrossTopK finds each query's planted twin and never scores below the floor") {
+    val emb = syntheticEmb(100)
+    // queries = even ids (the base vectors); their planted twin (id+1) sits
+    // in the corpus side at cos ~0.999 — top-1 for every query
+    val qs = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    val cs = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0)
+    val got = Similarity.srpCrossTopK(qs, cs, 1, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size === 50)
+    got.foreach { case (q, nb, cos) =>
+      assert(nb === q + 1, s"query $q matched $nb, expected its twin")
+      assert(cos >= 0.9)
+    }
+    // and the approximate result is a subset of the exact one
+    val exact = Similarity.crossTopK(qs, cs, 1, 0.9)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet.subsetOf(exact))
+  }
+
+  test("crossTopK stays total on empty query and corpus sides") {
+    val emb = syntheticEmb(20)
+    assert(Similarity.crossTopK(emb.limit(0), emb, 3, 0.2).count() === 0L)
+    assert(Similarity.crossTopK(emb, emb.limit(0), 3, 0.2).count() === 0L)
+    assert(Similarity.srpCrossTopK(emb.limit(0), emb, 3, 0.2).count() === 0L)
+    assert(Similarity.srpCrossTopK(emb, emb.limit(0), 3, 0.2).count() === 0L)
+  }
+
   test("cosinePairs row ceiling fails fast and Long.MaxValue maxRows does not overflow the probe") {
     val emb = syntheticEmb(20)
     val e = intercept[IllegalArgumentException] {
