@@ -125,6 +125,26 @@ object Ivf {
     * float) and makes training cost independent of corpus size. */
   val defaultSampleCap: Int = 1 << 16
 
+  /** Default target cell population for [[adaptiveClusters]]: small enough
+    * that per-cell pair volume stays bounded, large enough that a cell holds
+    * a meaningful neighborhood for the SRP bands to mine. */
+  val defaultTargetCell: Long = 64L
+
+  /** Corpus-adaptive coarse-cell count — the [[Similarity.adaptiveBits]]
+    * argument applied to the quantizer: at FIXED k the per-cell population
+    * is n·nAssign/k, so cell-local candidate volume is Θ(n²·nAssign²/k) —
+    * quadratic in corpus size. Sizing k ≈ n/targetCell pins the expected
+    * cell population, making candidate volume O(n·targetCell·nAssign²) —
+    * linear in n. Floored at 8 (fewer cells just degrades to plain banding)
+    * and capped at 2^16 (the centroid matrix is k×dim doubles of driver
+    * state and a k-way codegen'd argmax per row: 65k cells × 64 dims ≈
+    * 32 MB, the sane ceiling — beyond that, shard the corpus first). */
+  def adaptiveClusters(n: Long, targetCell: Long = defaultTargetCell): Int = {
+    require(n >= 0 && targetCell > 0,
+      s"adaptiveClusters needs n >= 0 and targetCell > 0, got n=$n target=$targetCell")
+    math.min(1 << 16, math.max(8, math.ceil(n.toDouble / targetCell).toLong)).toInt
+  }
+
   /** Vectors with their IVF cell assignment. */
   def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     emb.withColumn("cluster", clusterOf(centroids))
@@ -212,33 +232,27 @@ object Ivf {
     * exact cosine. Same output contract as [[Similarity.lshCosinePairs]];
     * recall vs the exact baseline is driver-visible via the x43 gate.
     *
-    * Scale knobs: `nClusters` ≈ corpus/target-cell-size (k×dim centroid
-    * state stays driver-side; train on a sample at 100 TB — see
-    * [[trainCentroids]]); `bandsN` wide (16×4 bits) because cells already
-    * bound bucket size; `nAssign` is the dominant RECALL knob (index
-    * duplication factor — measured on the near-uniform sf0.01 corpus at
-    * cos 0.35: 2→0.54, 3→0.73, 4→0.86 with 16 cells; near-uniform data is
-    * the coarse quantizer's hard case, clustered real corpora do better). */
+    * Scale knobs: `nClusters = 0` (default) derives k from a corpus count —
+    * [[adaptiveClusters]], k ≈ n/targetCell — exactly how
+    * [[Similarity.adaptiveBits]] keeps band-bucket volume linear; a pinned
+    * k is quadratic-at-scale and exists for experiments only. `bandsN`
+    * wide (16×4 bits) because cells already bound bucket size. `nAssign`
+    * is the dominant RECALL knob (index duplication factor — measured on
+    * the near-uniform sf0.01 corpus at cos 0.35: 2→0.54, 3→0.73, 4→0.86
+    * with 16 cells; near-uniform data is the coarse quantizer's hard case,
+    * clustered real corpora do better); `nAssign = 0` (default) scales it
+    * as max(3, ceil(log2 k)) — see [[resolveAssign]] — compensating the
+    * cell-overlap recall lost to smaller cells. */
   def ivfCosinePairs(emb: DataFrame, threshold: Double,
-                     nClusters: Int = 16, iters: Int = 3, nAssign: Int = 3,
+                     nClusters: Int = 0, iters: Int = 3, nAssign: Int = 0,
                      bandsN: Int = 16,
                      maxBucket: Int = Similarity.defaultMaxBucket,
-                     sampleCap: Int = defaultSampleCap): DataFrame = {
-    val centroids = trainCentroids(emb, nClusters, iters, sampleCap)
-    // Sketch BELOW the cell explode: computed once per vector, replicated as
-    // a value by the generator — after the explode it would run nAssign×.
-    val sk = emb
-      .select(col("vec_id"), col("embedding"),
-        org.apache.spark.sql.graft.VectorFunctions
-          .srpSketchF(col("embedding"), Similarity.srpBits).as("sketch"))
-      .select(col("vec_id"), col("sketch"),
-        explode(topCells(centroids, math.min(nAssign, centroids.length))).as("sc"))
-      .select(col("vec_id"), col("sketch"), (-col("sc.negj")).as("cluster"))
-    val banded = Similarity.bandedSketch(sk, Seq("vec_id", "cluster"), bandsN)
-    val buckets = banded
-      .groupBy(col("cluster"), col("t"), col("bucket"))
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+                     sampleCap: Int = defaultSampleCap,
+                     targetCell: Long = defaultTargetCell): DataFrame = {
+    val k = resolveClusters(emb, nClusters, targetCell)
+    val na = resolveAssign(nAssign, k)
+    val centroids = trainCentroids(emb, k, iters, sampleCap)
+    val buckets = cellBuckets(emb, centroids, na, bandsN)
       .observe("graft_ivf_bucket_cap",
         count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
@@ -249,5 +263,66 @@ object Ivf {
       .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
       .dropDuplicates("ia", "ib")
     Similarity.verifyCosine(cands, emb, threshold)
+  }
+
+  /** `nClusters = 0` → corpus-adaptive k (one count() job, the
+    * [[Similarity]] `resolveBits` pattern); explicit k pins a plan. */
+  /** `nAssign = 0` → max(3, ceil(log2 k)): the multi-assignment factor
+    * grows with the cell count because smaller cells split more true
+    * neighborhoods across boundaries. Measured recall at cos 0.35 on the
+    * near-uniform synthetic corpus (its hard case): k=8/na=3 → 0.886-0.903
+    * (sf0.001/0.01), k=16/na=4 → 0.879, k=32/na=5 → 0.860 (sf0.1) — all
+    * above the x43 floor of 0.8. Candidate volume under this rule is
+    * O(n · targetCell · log2²(n/targetCell)): quasi-linear in corpus size
+    * where any pinned (k, na) is quadratic. */
+  private def resolveAssign(nAssign: Int, k: Int): Int =
+    if (nAssign > 0) nAssign
+    else math.max(3, math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt)
+
+  private def resolveClusters(emb: DataFrame, nClusters: Int,
+                              targetCell: Long): Int =
+    if (nClusters > 0) nClusters
+    else emb.count() match {
+      case 0L => 8 // empty corpus: no pairs regardless; keep the floor
+      case n  => adaptiveClusters(n, targetCell)
+    }
+
+  /** Per-(cell, band) collision-bucket postings: each vector SRP-sketched
+    * once (BELOW the cell explode — after it the sketch would compute
+    * nAssign×), multi-assigned to its `nAssign` nearest cells, banded, and
+    * grouped into sorted postings lists. Shared by [[ivfCosinePairs]] and
+    * the [[ivfBucketStats]] audit so the audited plan IS the candidate
+    * plan. */
+  private def cellBuckets(emb: DataFrame, centroids: Array[Array[Double]],
+                          nAssign: Int, bandsN: Int): DataFrame = {
+    val sk = emb
+      .select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.VectorFunctions
+          .srpSketchF(col("embedding"), Similarity.srpBits).as("sketch"))
+      .select(col("vec_id"), col("sketch"),
+        explode(topCells(centroids, math.min(nAssign, centroids.length))).as("sc"))
+      .select(col("vec_id"), col("sketch"), (-col("sc.negj")).as("cluster"))
+    Similarity.bandedSketch(sk, Seq("vec_id", "cluster"), bandsN)
+      .groupBy(col("cluster"), col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+  }
+
+  /** Bucket-distribution audit for the IVF pair path — the
+    * [[Similarity.srpBucketStats]] companion for cell-scoped buckets: one
+    * row with collision-bucket count, the largest bucket, buckets a
+    * `maxBucket` cap would drop, and candidate-pair volume kept vs dropped.
+    * Same knob resolution as [[ivfCosinePairs]], so the audited plan is the
+    * plan the pair query runs; candidate counts land in the bench artifact
+    * so a k/bits regression is diagnosable from artifacts alone. */
+  def ivfBucketStats(emb: DataFrame, nClusters: Int = 0, iters: Int = 3,
+                     nAssign: Int = 0, bandsN: Int = 16,
+                     maxBucket: Int = Similarity.defaultMaxBucket,
+                     sampleCap: Int = defaultSampleCap,
+                     targetCell: Long = defaultTargetCell): DataFrame = {
+    val k = resolveClusters(emb, nClusters, targetCell)
+    val na = resolveAssign(nAssign, k)
+    val centroids = trainCentroids(emb, k, iters, sampleCap)
+    Similarity.postingsStats(cellBuckets(emb, centroids, na, bandsN), maxBucket)
   }
 }

