@@ -56,7 +56,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Candidate-volume audit for the banded/celled near-pair paths — the
+    // numbers that EXPLAIN x12/x39/x42 wall time, recorded next to it so a
+    // band-width/cell-count regression is diagnosable from this artifact
+    // alone (inline observe counters don't survive AQE re-planning, so the
+    // stats frames are the reliable channel).
+    val candJson = try {
+      val emb = Tables.embeddings(spark, sfDir)
+      def statRow(df: org.apache.spark.sql.DataFrame): String = {
+        val r = df.collect()(0)
+        df.columns.zipWithIndex
+          .map { case (f, i) => "\"" + f + "\":" + r.getLong(i) }
+          .mkString("{", ",", "}")
+      }
+      Seq(
+        "\"x12_lsh\":" + statRow(graft.ext.Similarity.lshBucketStats(emb)),
+        "\"x39_srp\":" + statRow(graft.ext.Similarity.srpBucketStats(emb)),
+        "\"x42_ivf\":" + statRow(graft.ext.Ivf.ivfBucketStats(emb)))
+        .mkString("{", ",", "}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: candidate stats failed: $e"); "null"
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"candidates":$candJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query map to a file: the driver's captured
     // stdout tail truncates on long runs (BENCH_r04 lost q01-q15), so the

@@ -369,29 +369,50 @@ object Dedup {
   def bloomContamination(train: DataFrame, eval_ : DataFrame,
                          textCol: String, idCol: String,
                          n: Int, minShared: Long,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01): DataFrame =
+    bloomFlagger(eval_, textCol, idCol, n, minShared, fpp)(train)
+
+  /** Build the eval-side Bloom filter ONCE and return the train-side
+    * flagger — the build/apply split that makes the decontamination pass
+    * STREAMING-ready: the filter binary is computed up front (two eval-side
+    * jobs: distinct-shingle count + Bloom aggregate) and the returned
+    * function flags ANY train frame — a batch corpus or each `foreachBatch`
+    * micro-batch — by the same scan-local membership test. Per-doc counts
+    * are intra-row (shingles of one document), so micro-batch boundaries
+    * cannot split a count: streaming output ≡ batch output on the same
+    * rows (asserted in StreamingSpec). An empty eval corpus yields a
+    * flagger that returns an empty same-schema frame (the operator stays
+    * total, as the empty-corpus LSH paths). */
+  def bloomFlagger(eval_ : DataFrame, textCol: String, idCol: String,
+                   n: Int, minShared: Long,
+                   fpp: Double = 0.01): DataFrame => DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val evalSh = hashedShingles(eval_, textCol, idCol, n)
       .select(explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
     val nItems = evalSh.count()
-    if (nItems == 0)
-      // empty eval corpus: nothing can be contaminated — empty frame, same
-      // schema (the operator must stay total, as the empty-corpus LSH paths)
-      return train.sparkSession.emptyDataFrame
-        .select(lit(0L).as("doc_id"), lit(0L).as("n_maybe_shared"))
-        .limit(0)
-    val numBits = math.max(64L,
-      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = evalSh.agg(bloomAgg(col("g"), nItems, numBits))
-      .head().getAs[Array[Byte]](0)
-    hashedShingles(train, textCol, idCol, n)
-      .select(col("doc_id"), explode_outer(col("shs")).as("g"))
-      .filter(col("g").isNotNull && bloomMightContain(bloomBytes, col("g")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_maybe_shared"))
-      .filter(col("n_maybe_shared") >= minShared)
+    val bloomBytes: Option[Array[Byte]] =
+      if (nItems == 0) None
+      else {
+        val numBits = math.max(64L,
+          math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+        Some(evalSh.agg(bloomAgg(col("g"), nItems, numBits))
+          .head().getAs[Array[Byte]](0))
+      }
+    (train: DataFrame) => bloomBytes match {
+      case None =>
+        train.sparkSession.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0L).as("n_maybe_shared"))
+          .limit(0)
+      case Some(bits) =>
+        hashedShingles(train, textCol, idCol, n)
+          .select(col("doc_id"), explode_outer(col("shs")).as("g"))
+          .filter(col("g").isNotNull && bloomMightContain(bits, col("g")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_maybe_shared"))
+          .filter(col("n_maybe_shared") >= minShared)
+    }
   }
 
   /** Connected-component duplicate clusters over a near-dup pair set:

@@ -85,6 +85,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming Bloom decontamination via foreachBatch matches the batch pass") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // eval side is static: the Bloom builds ONCE; each train micro-batch is
+    // flagged scan-locally by the same flagger (broadcast-state shape).
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val flag = graft.ext.Dedup.bloomFlagger(
+      docs.filter(col("doc_id") % 7 === 0), "text", "doc_id", n = 3, minShared = 3L)
+    val expected = flag(train).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(expected.nonEmpty) // the fixture must actually exercise the filter
+
+    val rows = train.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = flag(batch).collect().map(r => (r.getLong(0), r.getLong(1)))
+        acc.synchronized { acc ++= flagged }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // per-doc shingle counts are intra-row, so micro-batch boundaries
+      // cannot split them: streaming union == batch output exactly
+      assert(acc.sorted.toSeq === expected)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
