@@ -70,21 +70,96 @@ object ExtQueries {
         col("hits").cast("double") >= col("tot").cast("double") * floor)
         .as("recall_ok"))
 
-  /** x29 (pairs), x45 (removal), and x48 (gate) all consume the same
-    * bipartite contamination pair set. A real pipeline decontaminates ONCE
-    * and reuses the flag frame across its consumers, so the catalog does
-    * too: computed per (session, sfDir), persisted (tiny — the flagged
-    * pairs only), shared by the three entries. */
-  private val contamCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  /** Expensive-subtree reuse across catalog entries — the
+    * compute-once/consume-many shape of a real pipeline DAG (the pair set,
+    * graph, or flag frame is ONE artifact with several consumers), applied
+    * to the catalog: built on first use per (session, sfDir, tag),
+    * persisted, returned verbatim afterwards. The tag pins EVERY knob of
+    * the shared frame — a consumer with different knobs gets its own tag.
+    *
+    * Sharing is only ever between an operator entry and consumers of the
+    * SAME logical computation (its gates, its downstream composites) —
+    * never across algorithm variants: x08/x36 deliberately recompute x07's
+    * pair set by different algorithms and stay independent, as does the
+    * x12 LSH path. */
+  private val frameCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def sharedFrame(s: SparkSession, d: String, tag: String)
+                         (mk: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate((s, d, tag), mk.persist())
+
+  /** x29 (pairs), x45 (removal), x48 (gate): the bipartite contamination
+    * pair set — decontaminate once, reuse the flag frame. */
   private def contaminationShared(s: SparkSession, d: String): DataFrame =
-    contamCache.getOrElseUpdate((s, d), {
+    sharedFrame(s, d, "contam-n3-min3") {
       val docs = Tables.documents(s, d)
       Dedup.contaminationPairs(
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0),
-        "text", "doc_id", n = 3, minShared = 3L).persist()
-    })
+        "text", "doc_id", n = 3, minShared = 3L)
+    }
+
+  /** x47 (flags) and x48 (superset gate): the Bloom-flagged train set. */
+  private def bloomFlaggedShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "bloom-n3-min3") {
+      val docs = Tables.documents(s, d)
+      Dedup.bloomContamination(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", n = 3, minShared = 3L)
+    }
+
+  /** x07 (pairs) and x25 (clusters): the uncapped exact Jaccard pair set
+    * (maxDf disabled — the oracle contract; see the x07 comment). */
+  private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "jacc-n3-t06-uncapped")(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.6, maxDf = Int.MaxValue))
+
+  /** x11 (pairs), x40/x43 (gate exact sides), x46 (cluster source): the
+    * exact cosine-0.35 pair set — the one quadratic baseline, computed
+    * once. */
+  private def cosinePairs035Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cos-t035-exact")(
+      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+
+  /** x39 (pairs) and x40 (gate approx side). */
+  private def srpPairs035Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "srp-t035")(
+      Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+
+  /** x42 (pairs) and x43 (gate approx side). */
+  private def ivfPairs035Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "ivf-t035-adaptive")(
+      Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+
+  /** x49 (graph) and x51 (gate exact side). */
+  private def knnGraphShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "knn-k5-c02-exact")(
+      Similarity.knnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2))
+
+  /** x50 (graph) and x51 (gate approx side). */
+  private def srpKnnGraphShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "knn-k5-c02-srp")(
+      Similarity.srpKnnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2))
+
+  /** x53 (retrieval) and x55 (gate exact side). */
+  private def crossTopKShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cross-k3-c02-exact") {
+      val emb = Tables.embeddings(s, d)
+      Similarity.crossTopK(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
+    }
+
+  /** x54 (retrieval) and x55 (gate approx side). */
+  private def srpCrossTopKShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cross-k3-c02-srp") {
+      val emb = Tables.embeddings(s, d)
+      Similarity.srpCrossTopK(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -197,8 +272,7 @@ object ExtQueries {
     // oracle-checked entry must honor the full "exact" contract at any sf —
     // the skew cap is the production default, pinned by DedupSpec instead.
     QueryDef("x07_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
+      (s, d) => jaccardPairsShared(s, d).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
     // x08 — MinHash-LSH near-dedup, exact-verified: same contract as x07,
@@ -236,8 +310,7 @@ object ExtQueries {
 
     // x11 — exact cosine near-dup pairs above threshold.
     QueryDef("x11_cosine_pairs",
-      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("ia", "ib"),
+      (s, d) => cosinePairs035Shared(s, d).orderBy("ia", "ib"),
       Some("""SELECT a.vec_id AS ia, b.vec_id AS ib,
                      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -285,9 +358,7 @@ object ExtQueries {
     // cluster-level dedup needs the transitive closure, not pairwise keeps.
     // Oracle: DuckDB recursive CTE computing reachability → min per node.
     QueryDef("x25_dup_clusters",
-      (s, d) => Dedup.dupClusters(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          n = 3, threshold = 0.6, maxDf = Int.MaxValue))
+      (s, d) => Dedup.dupClusters(jaccardPairsShared(s, d))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE
                 t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -458,18 +529,15 @@ object ExtQueries {
     // hashing → rows-only; recall vs the exact x11 baseline is pinned in
     // SimilaritySpec and driver-visible through x40.
     QueryDef("x39_srp_pairs",
-      (s, d) => Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("ia", "ib"),
+      (s, d) => srpPairs035Shared(s, d).orderBy("ia", "ib"),
       None),
 
     // x40 — SRP recall gate: |srp ∩ exact| / |exact| over the x11 pair set,
     // as an oracle-checkable boolean (both sides deterministic).
     QueryDef("x40_srp_recall",
       (s, d) => recallGate(
-        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib")),
-        Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib")),
+        cosinePairs035Shared(s, d).select(col("ia"), col("ib")),
+        srpPairs035Shared(s, d).select(col("ia"), col("ib")),
         Seq("ia", "ib"), floor = 0.85),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
@@ -498,8 +566,7 @@ object ExtQueries {
     // 3→4 past the k=8 floor) — a pinned k made candidate volume quadratic
     // again, measured as the r6 9.5 s regression at sf0.1.
     QueryDef("x42_ivf_cosine_pairs",
-      (s, d) => Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("ia", "ib"),
+      (s, d) => ivfPairs035Shared(s, d).orderBy("ia", "ib"),
       None),
 
     // x43 — recall gate for x42 vs the exact x11 pair set (the x19/x20
@@ -508,10 +575,8 @@ object ExtQueries {
     // sf0.001 / 0.01 / 0.1). tot=0 (no exact pairs) is vacuous success.
     QueryDef("x43_ivf_pairs_recall",
       (s, d) => recallGate(
-        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib")),
-        Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib")),
+        cosinePairs035Shared(s, d).select(col("ia"), col("ib")),
+        ivfPairs035Shared(s, d).select(col("ia"), col("ib")),
         Seq("ia", "ib"), floor = 0.8),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
@@ -522,8 +587,7 @@ object ExtQueries {
     // ivfCosinePairs (x42) as the candidate source, same downstream shape.
     QueryDef("x46_embedding_dup_clusters",
       (s, d) => Dedup.dupClusters(
-        Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-          .select(col("ia"), col("ib")))
+        cosinePairs035Shared(s, d).select(col("ia"), col("ib")))
         .select(col("doc_id").as("vec_id"), col("cluster_rep"))
         .orderBy("vec_id"),
       Some("""WITH RECURSIVE
@@ -622,14 +686,7 @@ object ExtQueries {
     // exact one (no false negatives); fp bits are engine-hash-specific →
     // rows-only, with the superset property gated by x48.
     QueryDef("x47_bloom_decontaminate",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.bloomContamination(
-          docs.filter(col("doc_id") % 7 =!= 0),
-          docs.filter(col("doc_id") % 7 === 0),
-          "text", "doc_id", n = 3, minShared = 3L)
-          .orderBy("doc_id")
-      },
+      (s, d) => bloomFlaggedShared(s, d).orderBy("doc_id"),
       None),
 
     // x48 — Bloom superset gate: every train doc the EXACT bipartite scan
@@ -639,14 +696,9 @@ object ExtQueries {
     // filter build or the membership expression is broken.
     QueryDef("x48_bloom_superset_gate",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val train = docs.filter(col("doc_id") % 7 =!= 0)
-        val ev = docs.filter(col("doc_id") % 7 === 0)
         val exact = contaminationShared(s, d)
           .select(col("train_id").as("doc_id")).distinct()
-        val bloom = Dedup.bloomContamination(train, ev, "text", "doc_id",
-            n = 3, minShared = 3L)
-          .select(col("doc_id"))
+        val bloom = bloomFlaggedShared(s, d).select(col("doc_id"))
         exact.join(bloom, Seq("doc_id"), "left_anti")
           .agg(count(lit(1)).as("missed"))
           .select((col("missed") === 0L).as("superset_ok"))
@@ -659,8 +711,7 @@ object ExtQueries {
     // the bucket-bounded production path. The minCos floor is what makes a
     // sublinear path possible at all.
     QueryDef("x49_knn_graph",
-      (s, d) => Similarity.knnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2)
-        .orderBy("vec_id", "rnk"),
+      (s, d) => knnGraphShared(s, d).orderBy("vec_id", "rnk"),
       Some("""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS nb,
                      round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                   b.embedding::DOUBLE[]), 6) AS cos
@@ -675,8 +726,7 @@ object ExtQueries {
     // candidate-generation pass serves every vector's neighborhood (engine
     // hashing → rows-only; recall gated by x51).
     QueryDef("x50_srp_knn_graph",
-      (s, d) => Similarity.srpKnnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2)
-        .orderBy("vec_id", "rnk"),
+      (s, d) => srpKnnGraphShared(s, d).orderBy("vec_id", "rnk"),
       None),
 
     // x51 — kNN-graph recall gate: fraction of exact kNN edges the SRP
@@ -686,10 +736,8 @@ object ExtQueries {
     // 0.923 at sf0.001 / 0.01 / 0.1 — floor 0.8 (tot=0 vacuous success).
     QueryDef("x51_knn_recall",
       (s, d) => recallGate(
-        Similarity.knnGraph(Tables.embeddings(s, d), 5, 0.2)
-          .select(col("vec_id"), col("nb")),
-        Similarity.srpKnnGraph(Tables.embeddings(s, d), 5, 0.2)
-          .select(col("vec_id"), col("nb")),
+        knnGraphShared(s, d).select(col("vec_id"), col("nb")),
+        srpKnnGraphShared(s, d).select(col("vec_id"), col("nb")),
         Seq("vec_id", "nb"), floor = 0.8),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
@@ -723,13 +771,7 @@ object ExtQueries {
     // of the rest; per-query rank window. Production-exact while the batch
     // is broadcastable; x54 is the banded path for corpus-sized batches.
     QueryDef("x53_cross_topk",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.crossTopK(
-          emb.filter(col("vec_id") % 10 === 0),
-          emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
-          .orderBy("query_id", "rnk")
-      },
+      (s, d) => crossTopKShared(s, d).orderBy("query_id", "rnk"),
       Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
                  c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
                  p AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -748,13 +790,7 @@ object ExtQueries {
     // never queries × corpus (engine hashing → rows-only; recall gated by
     // x55).
     QueryDef("x54_srp_cross_topk",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.srpCrossTopK(
-          emb.filter(col("vec_id") % 10 === 0),
-          emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
-          .orderBy("query_id", "rnk")
-      },
+      (s, d) => srpCrossTopKShared(s, d).orderBy("query_id", "rnk"),
       None),
 
     // x55 — retrieval recall gate: fraction of exact (query, neighbor)
@@ -762,15 +798,10 @@ object ExtQueries {
     // (exact edges sit at the top of each result list where band collision
     // probability is highest); floor 0.8, tot=0 vacuous success.
     QueryDef("x55_cross_recall",
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val qs = emb.filter(col("vec_id") % 10 === 0)
-        val cs = emb.filter(col("vec_id") % 10 =!= 0)
-        recallGate(
-          Similarity.crossTopK(qs, cs, 3, 0.2).select(col("query_id"), col("vec_id")),
-          Similarity.srpCrossTopK(qs, cs, 3, 0.2).select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), floor = 0.8)
-      },
+      (s, d) => recallGate(
+        crossTopKShared(s, d).select(col("query_id"), col("vec_id")),
+        srpCrossTopKShared(s, d).select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), floor = 0.8),
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
     // x56 — bucket-drop audit gate for the batch-retrieval banded path: the
