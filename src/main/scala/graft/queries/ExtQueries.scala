@@ -816,6 +816,182 @@ object ExtQueries {
         .select((col("n_over_cap") === 0L).as("cross_no_drops")),
       Some("SELECT CAST(1 AS BOOLEAN) AS cross_no_drops")),
 
+    // x57 — per-source RELATIVE quality filter (the CCNet-style bucket
+    // idea): a fixed global threshold over-prunes weak sources and
+    // under-prunes strong ones, so each doc is ranked against its OWN
+    // source and the top half survives. percent_rank = (rank-1)/(n-1) is
+    // exact integer division in double — cross-engine safe. Per-source
+    // window: the natural partition key; a mega-source shards the window
+    // by a hash sub-key (the x32/x44 mitigation).
+    QueryDef("x57_source_quality_filter",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("score"))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") <= 0.5)
+          .select(col("doc_id"), col("source"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH q AS (SELECT doc_id, source, floor((
+                 least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+               + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+               + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+               + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+               ) * 10000.0 + 0.5) / 10000.0 AS score
+             FROM (SELECT doc_id, source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                     length(text) AS ch,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                     len(regexp_extract_all(text, '[A-Z]')) AS u,
+                     len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                   FROM documents) t),
+              r AS (SELECT doc_id, source, score,
+                      percent_rank() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id) AS pr
+                    FROM q)
+            SELECT doc_id, source, score FROM r WHERE pr <= 0.5 ORDER BY doc_id"""
+      }),
+
+    // x58 — stratified content-hash split: train/val/test held out PER
+    // SOURCE at exact ceil proportions (10% test, 10% val), assignment by
+    // deterministic md5 order so the split survives doc_id renumbering and
+    // corpus re-partitioning. The boundary test is INTEGER arithmetic —
+    // (rn-1)*10 < n ⟺ rn ≤ ⌈n/10⌉ — because ceil(n * 0.1) differs between
+    // decimal and binary float engines at n = 30 (3.0000000000000004 in
+    // double rounds the ceiling up).
+    QueryDef("x58_stratified_split",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("ok"), col("doc_id"))
+        val wn = Window.partitionBy(col("source"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("ok"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .select(col("doc_id"), col("source"),
+            when((col("rn") - 1) * 10 < col("n"), lit("test"))
+              .when((col("rn") - 1) * 5 < col("n"), lit("val"))
+              .otherwise(lit("train")).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, md5(text) AS ok FROM documents),
+                   r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn,
+                           count(*) OVER (PARTITION BY source) AS n
+                         FROM t)
+              SELECT doc_id, source,
+                     CASE WHEN (rn - 1) * 10 < n THEN 'test'
+                          WHEN (rn - 1) * 5 < n THEN 'val'
+                          ELSE 'train' END AS split
+              FROM r ORDER BY doc_id""")),
+
+    // x59 — shingle novelty: per doc, the fraction of its distinct 3-gram
+    // shingles whose corpus-wide FIRST appearance (min doc_id) is the doc
+    // itself — "how much new content does this doc contribute", the
+    // doc-level signal dedup pipelines threshold on. One postings aggregate
+    // (min per 8-byte shingle hash) + one equi-join back: never all-pairs,
+    // same skew caveats as x07's postings.
+    QueryDef("x59_shingle_novelty",
+      (s, d) => {
+        val sh = Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", n = 3)
+          .select(col("doc_id"), explode_outer(col("shs")).as("g"))
+          .filter(col("g").isNotNull)
+        val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_id"))
+        sh.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            (floor(col("n_novel").cast("double") / col("n_shingles") * 10000.0 + 0.5)
+              / 10000.0).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                   s AS (SELECT doc_id,
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                         FROM t WHERE len(toks) >= 3),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY 1)
+              SELECT e.doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                     floor(CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
+              FROM e JOIN f USING (g) GROUP BY e.doc_id ORDER BY doc_id""")),
+
+    // x60 — out-of-vocabulary rate against the corpus top-100 vocabulary:
+    // the tokenizer-coverage diagnostic (how much of each doc a fixed vocab
+    // fails to cover). Vocab = two-stage hash agg + deterministic
+    // (count desc, token) cut; the per-token membership probe is a
+    // BROADCAST left join (the vocab is small by construction), so the
+    // token stream never shuffles for it.
+    QueryDef("x60_oov_rate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+          .select(col("tok"), lit(1).as("inv"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (floor(col("n_oov").cast("double") / col("n_tokens") * 10000.0 + 0.5)
+              / 10000.0).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                         FROM documents WHERE length(trim(text)) > 0),
+                   v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY 1
+                                          ORDER BY cnt DESC, tok LIMIT 100)),
+                   j AS (SELECT e.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                         FROM e LEFT JOIN v ON e.tok = v.tok)
+              SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+                     floor(CAST(sum(oov) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+              FROM j GROUP BY 1 ORDER BY doc_id""")),
+
+    // x61 — label purity of semantic dup clusters: for each x46 cluster,
+    // member count, distinct labels, and the majority-label count — the
+    // consistency audit run before trusting near-dup clusters for
+    // dedup/curation (a low-purity cluster means the similarity threshold
+    // is merging semantically distinct content). Exact integer arithmetic
+    // end-to-end; two-level hash agg over the (tiny) cluster frame.
+    QueryDef("x61_cluster_label_purity",
+      (s, d) => {
+        val clusters = Dedup.dupClusters(
+          cosinePairs035Shared(s, d).select(col("ia"), col("ib")))
+          .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+        clusters
+          .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+          .groupBy(col("cluster_rep"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("cluster_rep"))
+          .agg(sum(col("c")).as("n_members"),
+            count(lit(1)).as("n_labels"),
+            max(col("c")).as("majority_n"))
+          .orderBy("cluster_rep")
+      },
+      Some("""WITH RECURSIVE
+                p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+                e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+                r AS (SELECT a AS id, a AS reach FROM e
+                      UNION
+                      SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach),
+                cl AS (SELECT id AS vec_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                bl AS (SELECT cl.cluster_rep, emb.label, count(*) AS c
+                       FROM cl JOIN embeddings emb USING (vec_id) GROUP BY 1, 2)
+              SELECT cluster_rep, CAST(sum(c) AS BIGINT) AS n_members,
+                     count(*) AS n_labels, CAST(max(c) AS BIGINT) AS majority_n
+              FROM bl GROUP BY 1 ORDER BY cluster_rep""")),
+
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
     // quality). avg quality goes through exact INTEGER units (the per-doc
