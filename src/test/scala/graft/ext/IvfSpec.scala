@@ -80,6 +80,25 @@ class IvfSpec extends SparkSpec {
     assert(top2.select("vec_id", "cluster").distinct().count() === emb.count() * 2)
   }
 
+  test("adaptiveClusters scales k with corpus size, floored at 8 and capped at 2^16") {
+    assert(Ivf.adaptiveClusters(0) === 8)
+    assert(Ivf.adaptiveClusters(500) === 8)           // ceil(500/64) = 8
+    assert(Ivf.adaptiveClusters(2000) === 32)         // ceil(2000/64)
+    assert(Ivf.adaptiveClusters(1000000) === 15625)   // ceil(1e6/64)
+    assert(Ivf.adaptiveClusters(Long.MaxValue) === (1 << 16))
+    assert(Ivf.adaptiveClusters(1000, targetCell = 100) === 10)
+    intercept[IllegalArgumentException](Ivf.adaptiveClusters(10, targetCell = 0))
+  }
+
+  test("ivfBucketStats audits the adaptive candidate plan with zero drops on the fixture") {
+    val r = Ivf.ivfBucketStats(emb).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_over_cap") === 0L)
+    assert(r(0).getAs[Long]("dropped_candidates") === 0L)
+    assert(r(0).getAs[Long]("kept_candidates") > 0L)
+    assert(r(0).getAs[Long]("max_bucket") <= Similarity.defaultMaxBucket)
+  }
+
   test("ivfCosinePairs reports only exact-verified pairs and recalls most of them") {
     val exact = Similarity.cosinePairs(emb, 0.35)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
