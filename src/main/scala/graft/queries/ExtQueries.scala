@@ -123,6 +123,19 @@ object ExtQueries {
     sharedFrame(s, d, "cos-t035-exact")(
       Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35))
 
+  /** x25 (clusters) and x65 (source-spread audit): the transitive closure
+    * over the uncapped Jaccard pair set. */
+  private def jacClustersShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "jacc-n3-t06-clusters")(
+      Dedup.dupClusters(jaccardPairsShared(s, d)))
+
+  /** x46 (clusters) and x61 (purity audit): the transitive closure over the
+    * exact cosine pair set — the iterative min-label propagation runs
+    * once. */
+  private def embClustersShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cos-t035-clusters")(
+      Dedup.dupClusters(cosinePairs035Shared(s, d).select(col("ia"), col("ib"))))
+
   /** x39 (pairs) and x40 (gate approx side). */
   private def srpPairs035Shared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "srp-t035")(
@@ -358,8 +371,7 @@ object ExtQueries {
     // cluster-level dedup needs the transitive closure, not pairwise keeps.
     // Oracle: DuckDB recursive CTE computing reachability → min per node.
     QueryDef("x25_dup_clusters",
-      (s, d) => Dedup.dupClusters(jaccardPairsShared(s, d))
-        .orderBy("doc_id"),
+      (s, d) => jacClustersShared(s, d).orderBy("doc_id"),
       Some("""WITH RECURSIVE
                 t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
                 sh AS (SELECT doc_id,
@@ -586,8 +598,7 @@ object ExtQueries {
     // exact pair source is the oracle row; a production pipeline swaps in
     // ivfCosinePairs (x42) as the candidate source, same downstream shape.
     QueryDef("x46_embedding_dup_clusters",
-      (s, d) => Dedup.dupClusters(
-        cosinePairs035Shared(s, d).select(col("ia"), col("ib")))
+      (s, d) => embClustersShared(s, d)
         .select(col("doc_id").as("vec_id"), col("cluster_rep"))
         .orderBy("vec_id"),
       Some("""WITH RECURSIVE
@@ -924,18 +935,20 @@ object ExtQueries {
                            / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty
               FROM e JOIN f USING (g) GROUP BY e.doc_id ORDER BY doc_id""")),
 
-    // x60 — out-of-vocabulary rate against the corpus top-100 vocabulary:
+    // x60 — out-of-vocabulary rate against the corpus top-K vocabulary:
     // the tokenizer-coverage diagnostic (how much of each doc a fixed vocab
     // fails to cover). Vocab = two-stage hash agg + deterministic
     // (count desc, token) cut; the per-token membership probe is a
     // BROADCAST left join (the vocab is small by construction), so the
-    // token stream never shuffles for it.
+    // token stream never shuffles for it. K = 10 here: the synthetic corpus
+    // has 31 distinct tokens, and a vocab that covers everything would make
+    // every OOV rate vacuously zero (the x40 tot=0 lesson).
     QueryDef("x60_oov_rate",
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+          .orderBy(col("cnt").desc, col("tok").asc).limit(10)
           .select(col("tok"), lit(1).as("inv"))
         toks.join(broadcast(vocab), Seq("tok"), "left")
           .groupBy(col("doc_id"))
@@ -949,7 +962,7 @@ object ExtQueries {
       Some("""WITH e AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
                          FROM documents WHERE length(trim(text)) > 0),
                    v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM e GROUP BY 1
-                                          ORDER BY cnt DESC, tok LIMIT 100)),
+                                          ORDER BY cnt DESC, tok LIMIT 10)),
                    j AS (SELECT e.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
                          FROM e LEFT JOIN v ON e.tok = v.tok)
               SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
@@ -964,8 +977,7 @@ object ExtQueries {
     // end-to-end; two-level hash agg over the (tiny) cluster frame.
     QueryDef("x61_cluster_label_purity",
       (s, d) => {
-        val clusters = Dedup.dupClusters(
-          cosinePairs035Shared(s, d).select(col("ia"), col("ib")))
+        val clusters = embClustersShared(s, d)
           .select(col("doc_id").as("vec_id"), col("cluster_rep"))
         clusters
           .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
@@ -991,6 +1003,156 @@ object ExtQueries {
               SELECT cluster_rep, CAST(sum(c) AS BIGINT) AS n_members,
                      count(*) AS n_labels, CAST(max(c) AS BIGINT) AS majority_n
               FROM bl GROUP BY 1 ORDER BY cluster_rep""")),
+
+    // x62 — kNN label-agreement rate: for every vector in the exact kNN
+    // graph, does the MAJORITY label of its neighbors (ties to the lowest
+    // label) match its own? The embedding-quality eval a pipeline runs
+    // before trusting vectors for dedup/search — low agreement means the
+    // embedding space does not respect the labels. Exact integers + one
+    // rank window partitioned by vec_id.
+    QueryDef("x62_knn_label_agreement",
+      (s, d) => {
+        val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val perVec = knnGraphShared(s, d).select(col("vec_id"), col("nb"))
+          .join(labels.withColumnRenamed("label", "own"), "vec_id")
+          .join(labels.select(col("vec_id").as("nb"), col("label").as("nb_label")), "nb")
+          .groupBy(col("vec_id"), col("own"), col("nb_label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("nb_label").asc)
+        perVec.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("nb_label") === col("own"), 1L).otherwise(0L)).as("n_agree"))
+          .select(col("n_vectors"), col("n_agree"),
+            (floor(col("n_agree").cast("double") / col("n_vectors") * 10000.0 + 0.5)
+              / 10000.0).as("agreement"))
+      },
+      Some("""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS nb,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6) AS cos
+                   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+                 g AS (SELECT va AS vec_id, nb FROM (
+                         SELECT va, nb, row_number() OVER (PARTITION BY va
+                           ORDER BY cos DESC, nb) AS rnk
+                         FROM p WHERE cos >= 0.2) WHERE rnk <= 5),
+                 c AS (SELECT g.vec_id, own.label AS own, nl.label AS nb_label,
+                         count(*) AS c
+                       FROM g JOIN embeddings own ON own.vec_id = g.vec_id
+                              JOIN embeddings nl ON nl.vec_id = g.nb
+                       GROUP BY 1, 2, 3),
+                 m AS (SELECT vec_id, own, nb_label FROM (
+                         SELECT vec_id, own, nb_label, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY c DESC, nb_label) AS rk
+                         FROM c) WHERE rk = 1)
+              SELECT count(*) AS n_vectors,
+                     CAST(sum(CASE WHEN nb_label = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+                     floor(CAST(sum(CASE WHEN nb_label = own THEN 1 ELSE 0 END) AS DOUBLE)
+                           / count(*) * 10000.0 + 0.5) / 10000.0 AS agreement
+              FROM m""")),
+
+    // x63 — inter-source duplication matrix: near-dup pair counts per
+    // unordered source pair — "which sources syndicate each other", the
+    // provenance diagnostic behind source-level dedup decisions. Two
+    // 8-byte-key joins onto the shared pair set; the matrix is at most
+    // |sources|² rows.
+    QueryDef("x63_source_overlap",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        jaccardPairsShared(s, d)
+          .join(src.select(col("doc_id").as("ia"), col("source").as("src_a")), "ia")
+          .join(src.select(col("doc_id").as("ib"), col("source").as("src_b")), "ib")
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"))
+          .groupBy(col("source_lo"), col("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_lo", "source_hi")
+      },
+      Some(s"""WITH jp AS ($jaccardOracle)
+              SELECT least(da.source, db.source) AS source_lo,
+                     greatest(da.source, db.source) AS source_hi,
+                     count(*) AS n_pairs
+              FROM jp JOIN documents da ON da.doc_id = jp.ia
+                      JOIN documents db ON db.doc_id = jp.ib
+              GROUP BY 1, 2 ORDER BY source_lo, source_hi""")),
+
+    // x64 — vocabulary coverage curve: what fraction of all token
+    // occurrences the top-k tokens cover, at k = 5/10/25 — the Zipf
+    // diagnostic sizing a tokenizer vocabulary. The rank window is global
+    // but runs over the DISTINCT-token table (far smaller than the corpus;
+    // shard by a token-hash sub-key at extreme scale), and the cumulative
+    // sum stays in exact integers until the final rounded division.
+    QueryDef("x64_vocab_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+        val ranked = counts
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum", sum(col("cnt"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ranked.filter(col("rk").isin(5, 10, 25))
+          .crossJoin(counts.agg(sum(col("cnt")).as("tot")))
+          .select(col("rk").cast("long").as("k"), col("cum"), col("tot"),
+            (floor(col("cum").cast("double") / col("tot") * 10000.0 + 0.5)
+              / 10000.0).as("coverage"))
+          .orderBy("k")
+      },
+      Some("""WITH c AS (SELECT tok, count(*) AS cnt
+                         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                               FROM documents WHERE length(trim(text)) > 0)
+                         GROUP BY 1),
+                   r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+                           CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                         FROM c),
+                   t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c)
+              SELECT rk AS k, cum, tot,
+                     floor(CAST(cum AS DOUBLE) / tot * 10000.0 + 0.5) / 10000.0 AS coverage
+              FROM r, t WHERE rk IN (5, 10, 25) ORDER BY k""")),
+
+    // x65 — near-dup cluster source spread: for every x25 dup cluster, how
+    // many member docs and how many DISTINCT sources carry the content —
+    // separates intra-source duplication (re-crawls) from cross-source
+    // syndication, the provenance view of the dedup decision. One 8-byte
+    // join onto the shared cluster frame + an integer-only hash agg. (The
+    // exact-text variant of this audit is vacuous on the fixture — the
+    // synthetic corpus has zero byte-identical documents, x01 keeps 500 of
+    // 500 — so the operator is defined over near-dup clusters, which
+    // exist at every SF.)
+    QueryDef("x65_dup_source_spread",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        jacClustersShared(s, d)
+          .join(src, "doc_id")
+          .groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("cluster_rep")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                jp AS (SELECT ia, ib FROM p
+                       JOIN z za ON za.doc_id = p.ia JOIN z zb ON zb.doc_id = p.ib
+                       WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                e AS (SELECT ia AS a, ib AS b FROM jp UNION SELECT ib, ia FROM jp),
+                r AS (SELECT a AS id, a AS reach FROM e
+                      UNION
+                      SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id)
+              SELECT cluster_rep, count(*) AS n_members,
+                     count(DISTINCT d.source) AS n_sources
+              FROM cl JOIN documents d USING (doc_id)
+              GROUP BY 1 ORDER BY cluster_rep""")),
 
     // x34 — per-source curation report: the provenance-mix table a corpus
     // pipeline reviews before training (doc counts, language spread, size,
