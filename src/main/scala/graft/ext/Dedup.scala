@@ -415,6 +415,46 @@ object Dedup {
     }
   }
 
+  /** Flag documents that are n-gram-Jaccard near-dups of a STATIC reference
+    * corpus — [[ngramJaccardPairs]] with one side pinned, which is what
+    * makes it STREAMING-ready (the [[bloomFlagger]] build/apply split): the
+    * reference's shingle postings and doc sizes are computed ONCE and
+    * persisted; the returned function flags ANY frame — a batch corpus or
+    * each `foreachBatch` micro-batch — by a map-side shingle hash and an
+    * 8-byte-key equi-join against the postings. Never batch × reference.
+    * Per-pair intersection counts are confined to one micro-batch row, so
+    * streaming output ≡ batch output on the same rows (StreamingSpec).
+    *
+    * `maxDf` caps the REFERENCE-side document frequency — the side that
+    * exists before the stream starts; a boilerplate shingle would otherwise
+    * pair every arriving doc with half the reference. Output: (`doc_id`,
+    * `ref_id`, `jacc` ≥ threshold, 4dp — the [[ngramJaccardPairs]]
+    * contract with the pair oriented stream-side first). */
+  def nearDupFlagger(reference: DataFrame, textCol: String, idCol: String,
+                     n: Int, threshold: Double,
+                     maxDf: Int = Int.MaxValue): DataFrame => DataFrame = {
+    val postings = hashedShingles(reference, textCol, idCol, n)
+      .select(col("doc_id").as("ref_id"), col("n_sh").as("nb"),
+        explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+    val dfc = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val capped = postings.join(dfc.filter(col("df") <= maxDf), "g")
+      .select(col("g"), col("ref_id"), col("nb"))
+      .persist()
+    (docs: DataFrame) =>
+      hashedShingles(docs, textCol, idCol, n)
+        .select(col("doc_id"), col("n_sh").as("na"),
+          explode_outer(col("shs")).as("g"))
+        .filter(col("g").isNotNull)
+        .join(capped, "g")
+        .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jacc") >= threshold)
+        .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc"))
+  }
+
   /** Connected-component duplicate clusters over a near-dup pair set:
     * every doc in a cluster maps to the cluster's MINIMUM doc id. This is
     * the transitive closure the pairwise keep-lowest rule lacks (A~B, B~C,

@@ -119,6 +119,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup flagging against a static reference matches the batch pair set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val stream = docs.filter(col("doc_id") % 2 =!= 0)
+    val flag = graft.ext.Dedup.nearDupFlagger(ref, "text", "doc_id", n = 3, threshold = 0.6)
+    // expected: the full-corpus exact pair set restricted to odd-even pairs,
+    // oriented stream-side (odd) first
+    val expected = graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j) }.sorted.toSeq
+    assert(expected.nonEmpty) // the fixture must actually exercise the flagger
+
+    val rows = stream.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = flag(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        acc.synchronized { acc ++= flagged }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
