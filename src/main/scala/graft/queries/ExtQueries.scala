@@ -1077,17 +1077,20 @@ object ExtQueries {
 
     // x64 — vocabulary coverage curve: what fraction of all token
     // occurrences the top-k tokens cover, at k = 5/10/25 — the Zipf
-    // diagnostic sizing a tokenizer vocabulary. The rank window is global
-    // but runs over the DISTINCT-token table (far smaller than the corpus;
-    // shard by a token-hash sub-key at extreme scale), and the cumulative
-    // sum stays in exact integers until the final rounded division.
+    // diagnostic sizing a tokenizer vocabulary. Only the top max(k) ranks
+    // matter, so the candidate cut is `limit(25)` — TakeOrderedAndProject,
+    // a distributed per-partition top-K with NO global sort — and the rank
+    // window then runs over a constant-25-row frame (top-25 ranks under the
+    // total order equal global ranks). Cumulative sums stay in exact
+    // integers until the final rounded division.
     QueryDef("x64_vocab_coverage",
       (s, d) => {
         val counts = Tables.documents(s, d)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(25)
         val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-        val ranked = counts
+        val ranked = top
           .withColumn("rk", row_number().over(w))
           .withColumn("cum", sum(col("cnt"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
