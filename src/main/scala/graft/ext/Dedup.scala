@@ -319,6 +319,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Graded contamination: [[contaminationPairs]]'s boolean flag widened to
+    * a per-train-doc OVERLAP SCORE — the fraction of the doc's distinct
+    * shingles that appear anywhere in the eval corpus. Pipelines threshold
+    * this (drop ≥ 0.8, down-weight ≥ 0.2, …) instead of hard-dropping on a
+    * fixed shared count; docs with fewer than `n` tokens have no shingles
+    * and drop out (no 0/0).
+    *
+    * Scale shape: the eval corpus is the SMALL side by construction (a
+    * benchmark suite), so its distinct shingle-hash set is broadcast and
+    * the train side — the 100 TB side — resolves membership in a broadcast
+    * hash join against its exploded shingles and aggregates per doc: one
+    * train-side shuffle of (doc_id, counts), never a shuffle of the
+    * postings themselves. An eval side too big to broadcast degrades
+    * gracefully to the sort-merge equi-join (same plan as
+    * [[contaminationPairs]]), and the Bloom path ([[bloomContamination]])
+    * remains the zero-join alternative when an approximate superset score
+    * is acceptable.
+    *
+    * Output: (`doc_id`, `n_shingles`, `n_shared`, `frac_shared`). */
+  def contaminationFraction(train: DataFrame, eval_ : DataFrame,
+                            textCol: String, idCol: String,
+                            n: Int): DataFrame = {
+    val evalSh = hashedShingles(eval_, textCol, idCol, n)
+      .select(explode(col("shs")).as("g")).distinct()
+    hashedShingles(train, textCol, idCol, n)
+      .select(col("doc_id"), explode(col("shs")).as("g"))
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .withColumn("frac_shared",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Serialize a LongType column into one Spark `BloomFilter` binary — the
     * same catalyst `BloomFilterAggregate` the engine builds runtime join
     * filters with: each partition fills a local filter, partials OR-merge,

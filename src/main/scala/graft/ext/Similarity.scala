@@ -530,7 +530,7 @@ object Similarity {
   /** Per-query rank window shared by the retrieval paths: `row_number`
     * over (cos desc, vec_id asc) partitioned by query_id — deterministic
     * cut (cos already rounded to 6 decimals), natural shuffle key. */
-  private def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
+  private[ext] def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)

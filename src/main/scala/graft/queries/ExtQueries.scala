@@ -174,6 +174,15 @@ object ExtQueries {
         emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
     }
 
+  /** x66 (retrieval) and x67 (gate approx side). */
+  private def ivfCrossTopKShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cross-k3-c02-ivf") {
+      val emb = Tables.embeddings(s, d)
+      Ivf.ivfCrossTopK(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0), kTop = 3, minCos = 0.2)
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // x01 — exact dedup: one surviving id per distinct content.
@@ -1584,6 +1593,110 @@ object ExtQueries {
                    FROM d)
               SELECT media_id, generate_subscripts(fr, 1) - 1 AS frame_no,
                      unnest(fr) AS frame_md5
-              FROM l ORDER BY media_id, frame_no"""))
+              FROM l ORDER BY media_id, frame_no""")),
+
+    // x66 — IVF batch retrieval: the index-probe twin of x54. Corpus
+    // assigned once to coarse cells, queries probe their nProbe nearest
+    // cells, exact cosine on the cell-join candidates — never queries ×
+    // corpus (centroid training is engine hashing → rows-only; recall
+    // gated by x67).
+    QueryDef("x66_ivf_cross_topk",
+      (s, d) => ivfCrossTopKShared(s, d).orderBy("query_id", "rnk"),
+      None),
+
+    // x67 — IVF retrieval recall gate: fraction of exact (query, neighbor)
+    // edges the cell-probe path recovers; same single-scan gate shape as
+    // x55, floor 0.8, tot=0 vacuous success.
+    QueryDef("x67_ivf_cross_recall",
+      (s, d) => recallGate(
+        crossTopKShared(s, d).select(col("query_id"), col("vec_id")),
+        ivfCrossTopKShared(s, d).select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), floor = 0.8),
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x68 — per-language length trim: drop the shortest and longest 5% of
+    // each language before training (the classic outlier filter — ultra-
+    // short docs are boilerplate, ultra-long are concatenation junk). The
+    // cut is EXACT integer arithmetic — rank > ceil(n/20), computed as
+    // (n + 19) div 20, dodging any decimal-vs-binary percentile ambiguity
+    // — with doc_id as the deterministic tie-break. Per-language windows
+    // shuffle once on the natural partition key.
+    QueryDef("x68_length_trim",
+      (s, d) => {
+        val wl = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        val wn = Window.partitionBy(col("lang"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("rn", row_number().over(wl))
+          .withColumn("n", count(lit(1)).over(wn))
+          .withColumn("cut", expr("(n + 19) div 20"))
+          .filter(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+                   FROM documents)
+              SELECT doc_id, lang, n_chars FROM t
+              WHERE rn > (n + 19) // 20 AND rn <= n - (n + 19) // 20
+              ORDER BY doc_id""")),
+
+    // x69 — graded contamination: x29's boolean flag widened to a per-doc
+    // overlap FRACTION (share of a train doc's distinct shingles seen
+    // anywhere in the eval corpus) so pipelines can threshold/down-weight
+    // instead of hard-dropping. Eval shingle set broadcast (benchmarks are
+    // the small side by construction); the train side aggregates scan-side.
+    QueryDef("x69_contamination_fraction",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                   s AS (SELECT doc_id,
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                         FROM t WHERE len(toks) >= 3),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 7 = 0),
+                   tr AS (SELECT doc_id, g FROM e WHERE doc_id % 7 <> 0)
+              SELECT tr.doc_id AS doc_id, count(*) AS n_shingles,
+                     count(ev.g) AS n_shared,
+                     round(CAST(count(ev.g) AS DOUBLE) / count(*), 6) AS frac_shared
+              FROM tr LEFT JOIN ev ON tr.g = ev.g
+              GROUP BY 1 ORDER BY 1""")),
+
+    // x70 — tokenizer fertility per language: subword tokens per word and
+    // chars per subword token — the cost model of a tokenizer over a
+    // multilingual corpus (a high-fertility language pays more sequence
+    // length per word). Exact integer sums, one division at the end.
+    QueryDef("x70_token_fertility",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_words"),
+          sum(TextAnalysis.bpeTokenCount(col("text")).cast("long")).as("n_bpe"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_bpe").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_bpe"), 6))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_words,
+                     CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_bpe,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                     round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+                           / sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\s+')) END), 6) AS fertility,
+                     round(CAST(sum(length(text)) AS DOUBLE)
+                           / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS chars_per_token
+              FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

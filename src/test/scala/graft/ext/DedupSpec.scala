@@ -250,4 +250,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0))
     assert(got.forall(_.isEmpty))
   }
+
+  test("contaminationFraction matches brute-force trigram overlap") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated training material right here"),
+      (3L, "the quick brown fox sat still"),
+      (4L, "too short"))
+    val eval_ = docs(
+      (10L, "the quick brown fox jumps somewhere else today"),
+      (11L, "nothing in common with anything at all"))
+    def tri(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val evalSh = Set(
+      "the quick brown fox jumps somewhere else today",
+      "nothing in common with anything at all").flatMap(tri)
+    val want = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely unrelated training material right here",
+      "the quick brown fox sat still").zip(Seq(1L, 2L, 3L)).map { case (t, id) =>
+      val sh = tri(t)
+      (id, sh.size.toLong, sh.count(evalSh).toLong)
+    }.map { case (id, n, s) =>
+      (id, n, s, BigDecimal(s.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Dedup.contaminationFraction(train, eval_, "text", "doc_id", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    // a doc with < n tokens has no shingles and must not appear (no 0/0 row)
+    assert(!got.exists(_._1 == 4L))
+  }
 }

@@ -118,4 +118,29 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full === exact)
   }
+
+  test("ivfCrossTopK matches the exact contract and holds recall at defaults") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val c = emb.filter(col("vec_id") % 10 =!= 0)
+    val exact = Similarity.crossTopK(q, c, kTop = 3, minCos = 0.2)
+    val appr = Ivf.ivfCrossTopK(q, c, kTop = 3, minCos = 0.2)
+    assert(appr.columns.toSeq === exact.columns.toSeq)
+    val rows = appr.collect()
+    // multi-assignment must not duplicate (query, candidate) pairs
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(rows.forall(r => r.getDouble(2) >= 0.2))
+    // a found pair's cosine is EXACT (cells only prune candidates)
+    val exactMap = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hits = keys.filter(exactMap.contains)
+    assert(hits.forall(k => exactMap(k) === rows(keys.indexOf(k)).getDouble(2)))
+    val recall = hits.length.toDouble / exactMap.size
+    assert(recall >= 0.8, s"ivf cross recall $recall (${hits.length}/${exactMap.size})")
+    // probing every cell with full assignment recovers the exact result
+    val full = Ivf.ivfCrossTopK(q, c, kTop = 3, minCos = 0.2,
+      nClusters = 8, nProbe = 8, nAssign = 8)
+    assert(full.orderBy("query_id", "rnk").collect().toSeq ===
+      exact.orderBy("query_id", "rnk").collect().toSeq)
+  }
 }
