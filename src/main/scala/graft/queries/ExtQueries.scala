@@ -1697,6 +1697,162 @@ object ExtQueries {
                                  ELSE len(string_split_regex(trim(text), '\s+')) END), 6) AS fertility,
                      round(CAST(sum(length(text)) AS DOUBLE)
                            / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS chars_per_token
-              FROM documents GROUP BY lang ORDER BY lang"""))
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // x71 — label-centroid similarity matrix: pairwise cosine between
+    // per-label mean embeddings — the class-separation audit of an
+    // embedding space (two labels whose centroids cosine ≈ 1 are not
+    // separable; a label far from all others may be mislabeled data).
+    // cos(mean_a, mean_b) = cos(sum_a, sum_b), so no division happens
+    // until the end; elements are quantized to round(v·1e6) BIGINTs first,
+    // making every sum/product EXACT integer arithmetic (decimal(38,0)
+    // here, HUGEINT in the oracle) — immune to float summation order,
+    // which a cross-engine avg() of floats is not. Scale shape: one scan →
+    // map-side partial agg to k·dim rows; the k×k pairwise stage is
+    // driver-trivial.
+    QueryDef("x71_label_centroid_sim",
+      (s, d) => {
+        val cent = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), col("pos"),
+            expr("cast(round(cast(v as double) * 1000000) as decimal(38,0))").as("qv"))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("qv")).as("s"))
+        val norms = cent.groupBy(col("label"))
+          .agg(sum(col("s") * col("s")).as("n2"))
+        val dots = cent.select(col("label").as("la"), col("pos"), col("s").as("sa"))
+          .join(cent.select(col("label").as("lb"), col("pos"), col("s").as("sb")), "pos")
+          .filter(col("la") < col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum(col("sa") * col("sb")).as("dot"))
+        dots
+          .join(norms.select(col("label").as("la"), col("n2").as("n2a")), "la")
+          .join(norms.select(col("label").as("lb"), col("n2").as("n2b")), "lb")
+          .select(col("la"), col("lb"),
+            round(col("dot").cast("double") /
+              sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6).as("cos"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding) AS v FROM embeddings),
+                   q AS (SELECT label, pos,
+                     CAST(round(v::DOUBLE * 1000000) AS HUGEINT) AS qv FROM e),
+                   c AS (SELECT label, pos, sum(qv) AS s FROM q GROUP BY 1, 2),
+                   n AS (SELECT label, sum(s * s) AS n2 FROM c GROUP BY 1),
+                   p AS (SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS dot
+                         FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+                         GROUP BY 1, 2)
+              SELECT la, lb, round(CAST(dot AS DOUBLE)
+                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+              FROM p JOIN n na ON na.label = p.la JOIN n nb ON nb.label = p.lb
+              ORDER BY la, lb""")),
+
+    // x72 — MinHash calibration gate: the sketch-quality audit the x08/x19
+    // family presumes. With one row per signature slot (bands = k = 64),
+    // the matching-band fraction of a pair is an unbiased Jaccard estimate
+    // (sd = sqrt(J(1-J)/64) ≈ 0.06); this gate computes it for every EXACT
+    // pair (x07's set, jacc ≥ 0.6) and asserts the estimator tracks truth —
+    // mean |est−jacc| ≤ 0.05, max ≤ 0.2 (measured 0.016-0.02 / 0.05-0.09 at
+    // sf0.01/0.1; a broken hash or band slicing lands ≈ 0.3+ immediately).
+    // n=0 pairs is vacuous success. Engine-specific hashing → boolean row.
+    QueryDef("x72_minhash_calibration",
+      (s, d) => {
+        val sigs = Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", 3)
+          .filter(col("n_sh") > 0)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graft.VectorFunctions
+              .minHashBandsF(col("shs"), 64, 64).as("sig"))
+        jaccardPairsShared(s, d)
+          .join(sigs.select(col("doc_id").as("ia"), col("sig").as("siga")), "ia")
+          .join(sigs.select(col("doc_id").as("ib"), col("sig").as("sigb")), "ib")
+          .select(abs(col("jacc") -
+            expr("aggregate(zip_with(siga, sigb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+              .cast("double") / 64.0).as("ae"))
+          .agg(count(lit(1)).as("n"), avg(col("ae")).as("mae"), max(col("ae")).as("max_ae"))
+          .select((col("n") === 0L ||
+            (col("mae") <= 0.05 && col("max_ae") <= 0.2)).as("calibration_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS calibration_ok")),
+
+    // x73 — the END-TO-END curation pipeline as one artifact: exact dedup →
+    // eval holdout → per-source relative quality filter (top half) →
+    // decontamination against the held-out eval set → deterministic
+    // content-hash sharding. Every stage is an operator proven above
+    // (x01/x57/x29/x45/x52); this entry witnesses that they COMPOSE — the
+    // "switch your pipeline to this library" query — and the whole chain is
+    // one DuckDB-oracle row set. Scale: each stage keeps its own posture
+    // (hash agg / per-source window / 8-byte-key bipartite join + anti-join
+    // / scan-local shard key); nothing in the composition adds a shuffle
+    // beyond the stages themselves.
+    QueryDef("x73_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keepIds = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val train = docs.join(keepIds, Seq("doc_id"), "left_semi")
+          .filter(col("doc_id") % 7 =!= 0)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val quality = train
+          .withColumn("score", TextAnalysis.qualityScore(col("text")))
+          .withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") <= 0.5)
+        val flagged = Dedup.contaminationPairs(
+            quality, docs.filter(col("doc_id") % 7 === 0),
+            "text", "doc_id", n = 3, minShared = 3L)
+          .select(col("train_id").as("doc_id")).distinct()
+        val ws = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+        quality.join(flagged, Seq("doc_id"), "left_anti")
+          .withColumn("ok", md5(col("text")))
+          .withColumn("shard",
+            expr("CAST(instr('0123456789abcdef', substring(ok, 1, 1)) - 1 AS BIGINT)"))
+          .withColumn("pos", row_number().over(ws))
+          .select(col("doc_id"), col("source"), col("score"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+                base AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                         JOIN dd ON dd.doc_id = d.doc_id WHERE d.doc_id % 7 <> 0),
+                m AS (SELECT doc_id, source, text, floor((
+                        least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                      + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                      + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                      + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                      ) * 10000.0 + 0.5) / 10000.0 AS score
+                    FROM (SELECT doc_id, source, text,
+                            CASE WHEN length(trim(text)) = 0 THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                            length(text) AS ch,
+                            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                            len(regexp_extract_all(text, '[A-Z]')) AS u,
+                            len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                          FROM base) t),
+                r AS (SELECT doc_id, source, text, score,
+                        percent_rank() OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id) AS pr
+                      FROM m),
+                qf AS (SELECT doc_id, source, text, score FROM r WHERE pr <= 0.5),
+                tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+                ss AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                       FROM tt WHERE len(toks) >= 3),
+                ee AS (SELECT doc_id, unnest(sh) AS g FROM ss),
+                flag AS (SELECT DISTINCT doc_id FROM (
+                           SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id
+                           FROM (SELECT e.doc_id, e.g FROM ee e JOIN qf ON qf.doc_id = e.doc_id) tr
+                           JOIN (SELECT doc_id, g FROM ee WHERE doc_id % 7 = 0) ev
+                             ON tr.g = ev.g
+                           GROUP BY 1, 2 HAVING count(*) >= 3)),
+                clean AS (SELECT qf.* FROM qf
+                          WHERE doc_id NOT IN (SELECT doc_id FROM flag))
+            SELECT doc_id, source, score,
+                   CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+                   row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
+                     ORDER BY md5(text), doc_id) AS pos
+            FROM clean ORDER BY shard, pos"""
+      })
   )
 }
