@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan contracts: the scale claims the scaladocs make (broadcast
+  * this side, push that filter, never a cartesian) pinned as tests, so a
+  * refactor that silently degrades a plan — a broadcast that falls back to
+  * sort-merge, a filter that stops reaching the scan — fails CI instead of
+  * surfacing as a 100× regression on a real cluster.
+  *
+  * Assertions run against the FORMATTED explain of the unexecuted plan at
+  * sf0.001 (plan shape, not data, is under test — AQE may re-plan joins at
+  * runtime, but only from the statically-planned strategy downward, and
+  * what these tests forbid — cartesians, lost pushdown, a shuffled 100 TB
+  * side — is decided statically).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01 projection prunes the events scan to the selected columns") {
+    val p = plan("q01_project")
+    val scan = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(scan.contains("event_id") && scan.contains("user_id") && scan.contains("value"))
+    // unprojected columns must not be read
+    assert(!scan.contains("payload") && !scan.contains("ts"))
+  }
+
+  test("q02 range filter reaches the parquet scan as a pushed filter") {
+    val p = plan("q02_range_filter")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_orderkey,100)"),
+      s"range not pushed: $pushed")
+    assert(pushed.contains("LessThanOrEqual(l_orderkey,500)"))
+  }
+
+  test("x60 OOV probe joins the tiny vocab by broadcast, not shuffle") {
+    assert(plan("x60_oov_rate").contains("BroadcastHashJoin"))
+  }
+
+  test("x69 contamination fraction broadcasts the eval shingle set") {
+    assert(plan("x69_contamination_fraction").contains("BroadcastHashJoin"))
+  }
+
+  test("x47 Bloom decontamination plans ZERO joins on the train side") {
+    val p = plan("x47_bloom_decontaminate")
+    assert(!p.contains("Join"), s"bloom path must be join-free:\n$p")
+  }
+
+  test("x53 exact batch retrieval broadcasts the query batch") {
+    assert(plan("x53_cross_topk").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("no headline query plans a cartesian product") {
+    // x11/x49 are the documented fail-fast-bounded quadratic oracles and
+    // x53's broadcast nested loop is the deliberate bounded-batch shape;
+    // everything else must never plan CartesianProduct.
+    val exempt = Set("x11_cosine_pairs", "x49_knn_graph", "x51_knn_recall")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted if !exempt(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("x01 exact dedup aggregates map-side before the shuffle") {
+    val p = plan("x01_exact_dedup")
+    // partial + final HashAggregate pair = map-side combine is in place
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
