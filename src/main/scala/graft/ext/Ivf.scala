@@ -249,9 +249,13 @@ object Ivf {
                      maxBucket: Int = Similarity.defaultMaxBucket,
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
-    val k = resolveClusters(emb, nClusters, targetCell)
+    val (k, centroids) =
+      if (sampleCap > 0) resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
+      else {
+        val kk = resolveClusters(emb, nClusters, targetCell)
+        (kk, trainCentroids(emb, kk, iters, sampleCap))
+      }
     val na = resolveAssign(nAssign, k)
-    val centroids = trainCentroids(emb, k, iters, sampleCap)
     val buckets = cellBuckets(emb, centroids, na, bandsN)
       .observe("graft_ivf_bucket_cap",
         count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
@@ -265,8 +269,6 @@ object Ivf {
     Similarity.verifyCosine(cands, emb, threshold)
   }
 
-  /** `nClusters = 0` → corpus-adaptive k (one count() job, the
-    * [[Similarity]] `resolveBits` pattern); explicit k pins a plan. */
   /** `nAssign = 0` → max(3, ceil(log2 k)): the multi-assignment factor
     * grows with the cell count because smaller cells split more true
     * neighborhoods across boundaries. Measured recall at cos 0.35 on the
@@ -279,6 +281,8 @@ object Ivf {
     if (nAssign > 0) nAssign
     else math.max(3, math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt)
 
+  /** `nClusters = 0` → corpus-adaptive k (the [[Similarity]] `resolveBits`
+    * pattern); explicit k pins a plan. */
   private def resolveClusters(emb: DataFrame, nClusters: Int,
                               targetCell: Long): Int =
     if (nClusters > 0) nClusters
@@ -286,6 +290,39 @@ object Ivf {
       case 0L => 8 // empty corpus: no pairs regardless; keep the floor
       case n  => adaptiveClusters(n, targetCell)
     }
+
+  /** Resolve the adaptive k AND train in ONE cluster job where possible:
+    * the training sample is collected first, and when it came back smaller
+    * than `sampleCap` the limit did not truncate — the sample IS the corpus
+    * and its size is the exact n, so the separate `count()` job (a second
+    * full scan at 100 TB) is skipped. Only a corpus that overflows the
+    * sample cap pays the count. Results are identical to
+    * resolveClusters + trainCentroids by construction (same hash order,
+    * same init, same Lloyd rounds). Requires sampleCap > 0; explicit
+    * `nClusters` skips the adaptive math but still reuses the sample. */
+  private def resolveAndTrain(emb: DataFrame, nClusters: Int, iters: Int,
+                              sampleCap: Int, targetCell: Long):
+      (Int, Array[Array[Double]]) = {
+    require(sampleCap > 0, "resolveAndTrain is the sampled-training path")
+    val sample = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(lit(7L), col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleCap).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val k =
+      if (nClusters > 0) nClusters
+      else if (sample.length == 0) 8
+      else if (sample.length < sampleCap) adaptiveClusters(sample.length, targetCell)
+      else emb.count() match {
+        case 0L => 8
+        case n  => adaptiveClusters(n, targetCell)
+      }
+    require(sampleCap >= k, s"sampleCap=$sampleCap must be >= k=$k")
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
+    (k, centroids)
+  }
 
   /** Per-(cell, band) collision-bucket postings: each vector SRP-sketched
     * once (BELOW the cell explode — after it the sketch would compute
@@ -339,10 +376,14 @@ object Ivf {
                    nAssign: Int = 0,
                    sampleCap: Int = defaultSampleCap,
                    targetCell: Long = defaultTargetCell): DataFrame = {
-    val k = resolveClusters(corpus, nClusters, targetCell)
+    val (k, centroids) =
+      if (sampleCap > 0) resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+      else {
+        val kk = resolveClusters(corpus, nClusters, targetCell)
+        (kk, trainCentroids(corpus, kk, iters, sampleCap))
+      }
     val np = resolveAssign(nProbe, k)
     val na = resolveAssign(nAssign, k)
-    val centroids = trainCentroids(corpus, k, iters, sampleCap)
     val c = assignTop(corpus, centroids, na)
       .withColumn("nrm", Similarity.norm(col("embedding")))
     val q = assignTop(queries, centroids, np)
@@ -372,9 +413,13 @@ object Ivf {
                      maxBucket: Int = Similarity.defaultMaxBucket,
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
-    val k = resolveClusters(emb, nClusters, targetCell)
+    val (k, centroids) =
+      if (sampleCap > 0) resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
+      else {
+        val kk = resolveClusters(emb, nClusters, targetCell)
+        (kk, trainCentroids(emb, kk, iters, sampleCap))
+      }
     val na = resolveAssign(nAssign, k)
-    val centroids = trainCentroids(emb, k, iters, sampleCap)
     Similarity.postingsStats(cellBuckets(emb, centroids, na, bandsN), maxBucket)
   }
 }

@@ -1853,6 +1853,87 @@ object ExtQueries {
                    row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
                      ORDER BY md5(text), doc_id) AS pos
             FROM clean ORDER BY shard, pos"""
-      })
+      }),
+
+    // x74 — embedding-space audit: the validation row that runs BEFORE any
+    // ANN/dedup work trusts a 100 TB embedding table — dimension
+    // consistency (a single mis-dimensioned vector breaks every dot
+    // product), zero-vector count (cosine undefined), and the norm²
+    // distribution envelope. Elements quantize to round(v·1e3) BIGINTs so
+    // all sums are exact integers (the x71 trick) — one scan, one
+    // single-row aggregate, no shuffle beyond the final combine.
+    QueryDef("x74_embedding_audit",
+      (s, d) => Tables.embeddings(s, d)
+        .select(
+          size(col("embedding")).cast("long").as("dims"),
+          expr("""aggregate(transform(embedding,
+                    v -> cast(round(cast(v as double) * 1000) as bigint)),
+                  0L, (acc, x) -> acc + x * x)""").as("n2q"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min(col("dims")).as("dims_min"),
+          max(col("dims")).as("dims_max"),
+          sum(when(col("n2q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("n2q")).as("n2q_min"),
+          max(col("n2q")).as("n2q_max"),
+          sum(col("n2q")).as("n2q_sum")),
+      Some("""WITH q AS (SELECT len(embedding) AS dims,
+                     list_sum(list_transform(embedding,
+                       v -> CAST(round(v::DOUBLE * 1000) AS BIGINT)
+                          * CAST(round(v::DOUBLE * 1000) AS BIGINT))) AS n2q
+                   FROM embeddings)
+              SELECT count(*) AS n_vecs,
+                     CAST(min(dims) AS BIGINT) AS dims_min,
+                     CAST(max(dims) AS BIGINT) AS dims_max,
+                     CAST(sum(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                     CAST(min(n2q) AS BIGINT) AS n2q_min,
+                     CAST(max(n2q) AS BIGINT) AS n2q_max,
+                     CAST(sum(n2q) AS BIGINT) AS n2q_sum
+              FROM q""")),
+
+    // x75 — packing-efficiency curve: x32's contiguous-fill packing
+    // evaluated at several sequence budgets at once — n_seqs, packed
+    // tokens, and the utilization fraction per budget — the diagnostic
+    // that picks a training sequence length (too-long budgets waste
+    // capacity on the final partial fill of each sequence; the curve makes
+    // the trade visible). Integer window cumsum per budget; division only
+    // in the final utilization column.
+    QueryDef("x75_packing_efficiency",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = toks.withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+        Seq(128L, 512L, 2048L).map { b =>
+          cum
+            .withColumn("seq_id", expr(s"cum div $b"))
+            .groupBy(col("seq_id"))
+            .agg(sum(col("toks")).as("seq_toks"))
+            .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
+            .select(lit(b).as("budget"), col("n_seqs"), col("n_tokens"),
+              round(col("n_tokens").cast("double") /
+                (col("n_seqs") * lit(b)).cast("double"), 6).as("utilization"))
+        }.reduce(_ unionAll _).orderBy("budget")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                 c AS (SELECT doc_id, toks,
+                     sum(toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum
+                   FROM t),
+                 b AS (SELECT unnest([128, 512, 2048]) AS budget),
+                 s AS (SELECT b.budget, CAST(c.cum // b.budget AS BIGINT) AS seq_id,
+                              sum(c.toks) AS seq_toks
+                       FROM c CROSS JOIN b GROUP BY 1, 2)
+              SELECT CAST(budget AS BIGINT) AS budget,
+                     count(*) AS n_seqs,
+                     CAST(sum(seq_toks) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(seq_toks) AS DOUBLE)
+                           / (count(*) * budget), 6) AS utilization
+              FROM s GROUP BY budget ORDER BY budget"""))
   )
 }
