@@ -60,7 +60,21 @@ object TextAnalysis {
   /** Document quality score in [0,1]: length saturation (40%), stopword
     * density (30%), low punctuation (20%), low uppercase (10%). Rounded to 4
     * decimals for cross-engine hash parity. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    // long → double is exact at this magnitude and the division matches the
+    // previous floor(x·1e4 + 0.5)/1e4 form bit-for-bit.
+    qualityScoreInt(text).cast("double") / 10000.0
+
+  /** [[qualityScore]] on its exact 1e4 integer grid (score · 10⁴ as a
+    * BIGINT). Integer consumers (histogram ranks, drift statistics) use
+    * this instead of re-multiplying the double — x/1e4·1e4 is not exactly
+    * integral in binary floating point and a truncating cast could land
+    * one grid cell off. floor(x·1e4 + 0.5) instead of round(): both
+    * engines compute the identical IEEE ops, so a score landing exactly on
+    * a .00005 boundary cannot round differently (DuckDB's round()
+    * re-multiplies and can flip the last digit vs Spark's BigDecimal
+    * HALF_UP). */
+  def qualityScoreInt(text: Column): Column = {
     val words = wsTokenCount(text).cast("double")
     val chars = length(text).cast("double")
     val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
@@ -71,11 +85,7 @@ object TextAnalysis {
       least(stops / greatest(words, lit(1.0)), lit(1.0)) * 0.3 +
       (lit(1.0) - least(punct / greatest(chars, lit(1.0)), lit(1.0))) * 0.2 +
       (lit(1.0) - least(upper / greatest(chars, lit(1.0)), lit(1.0))) * 0.1
-    // floor(x*1e4 + 0.5)/1e4 instead of round(): both engines compute the
-    // identical IEEE ops, so a score landing exactly on a .00005 boundary
-    // cannot round differently (DuckDB's round() re-multiplies and can flip
-    // the last digit vs Spark's BigDecimal HALF_UP).
-    floor(raw * 10000.0 + 0.5) / 10000.0
+    floor(raw * 10000.0 + 0.5).cast("long")
   }
 
   /** Content fingerprint: md5 of normalized text (stable id for exact

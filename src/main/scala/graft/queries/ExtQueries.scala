@@ -1934,6 +1934,71 @@ object ExtQueries {
                      CAST(sum(seq_toks) AS BIGINT) AS n_tokens,
                      round(CAST(sum(seq_toks) AS DOUBLE)
                            / (count(*) * budget), 6) AS utilization
-              FROM s GROUP BY budget ORDER BY budget"""))
+              FROM s GROUP BY budget ORDER BY budget""")),
+
+    // x76 — per-source quality drift: each source's quality distribution
+    // vs the whole corpus as an exact Mann-Whitney AUC (the probability a
+    // random doc of the source out-scores a random corpus doc; 0.5 = no
+    // drift). The ranking is HISTOGRAM-BASED — the score lives on a
+    // bounded 1e4 grid, so midranks come from a cumulative sum over the
+    // ≤ 10,001-row histogram (broadcast back to the per-source counts),
+    // never a global sort of the corpus: the scalable substitute for a
+    // corpus-wide rank window. Doubled midranks (2·cum + cnt + 1) keep
+    // tie-averaging in integers; the one unpartitioned window runs over
+    // the histogram, not the data.
+    QueryDef("x76_source_quality_drift",
+      (s, d) => {
+        val q = Tables.documents(s, d)
+          .select(col("source"), TextAnalysis.qualityScoreInt(col("text")).as("q"))
+        val hist = q.groupBy(col("q")).agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranks = hist
+          .withColumn("cum", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+          .select(col("q"), (col("cum") * 2 + col("cnt") + 1).as("mr2"))
+        val tot = hist.agg(sum(col("cnt")).as("n_total"))
+        q.groupBy(col("source"), col("q")).agg(count(lit(1)).as("scnt"))
+          .join(broadcast(ranks), "q")
+          .groupBy(col("source"))
+          .agg(sum(col("scnt") * col("mr2")).as("r2"),
+            sum(col("scnt")).as("n_docs"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            round((col("r2") - col("n_docs") * (col("n_docs") + 1)).cast("double")
+              / (lit(2.0) * col("n_docs").cast("double")
+                 * (col("n_total") - col("n_docs")).cast("double")), 6).as("auc"))
+          .orderBy("source")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH tq AS (SELECT source, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM (SELECT source,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents) t),
+                h AS (SELECT q, count(*) AS cnt FROM tq GROUP BY q),
+                r AS (SELECT q, 2 * COALESCE(sum(cnt) OVER (ORDER BY q
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + cnt + 1 AS mr2
+                      FROM h),
+                n AS (SELECT count(*) AS n_total FROM tq),
+                sq AS (SELECT source, q, count(*) AS scnt FROM tq GROUP BY 1, 2),
+                agg AS (SELECT sq.source, sum(sq.scnt * r.mr2) AS r2,
+                               sum(sq.scnt) AS n_docs
+                        FROM sq JOIN r USING (q) GROUP BY 1)
+            SELECT agg.source, CAST(agg.n_docs AS BIGINT) AS n_docs,
+                   round(CAST(agg.r2 - agg.n_docs * (agg.n_docs + 1) AS DOUBLE)
+                         / (2.0 * agg.n_docs * (n.n_total - agg.n_docs)), 6) AS auc
+            FROM agg, n ORDER BY source"""
+      })
   )
 }
