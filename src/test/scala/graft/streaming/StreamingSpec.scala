@@ -215,4 +215,58 @@ class StreamingSpec extends SparkSpec {
       assert(got(1)._1 === 1L)
     } finally query.stop()
   }
+
+  test("streaming drift histogram state merges to the batch x76 AUC") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the x76 rank statistic needs only the (source, score-grid) count
+    // table — bounded at n_sources × 10⁴ rows — so a stream maintains it
+    // by merging per-batch histograms; ranks/AUC derive from the merged
+    // state at read time. This pins that incremental shape against the
+    // batch operator.
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x76_source_quality_drift")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+    val rows = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val hist = scala.collection.mutable.Map.empty[(String, Long), Long].withDefaultValue(0L)
+    val query = mem.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val part = batch.select(col("source"),
+            graft.ext.TextAnalysis.qualityScoreInt(col("text")).as("q"))
+          .groupBy("source", "q").count().collect()
+        hist.synchronized {
+          part.foreach(r =>
+            hist((r.getString(0), r.getLong(1))) += r.getLong(2))
+        }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // AUC from the merged histogram state (pure fold, mirrors the operator)
+    val byQ = hist.groupBy(_._1._2).view.mapValues(_.values.sum).toSeq.sortBy(_._1)
+    var cum = 0L
+    val mr2 = byQ.map { case (q, cnt) =>
+      val m = (q, 2 * cum + cnt + 1); cum += cnt; m
+    }.toMap
+    val n = cum
+    val got = hist.groupBy(_._1._1).map { case (src, m) =>
+      val n1 = m.values.sum
+      val r2 = m.map { case ((_, q), c) => c * mr2(q) }.sum
+      val auc = (r2 - n1 * (n1 + 1)).toDouble / (2.0 * n1 * (n - n1))
+      (src, n1,
+        BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
 }
