@@ -119,6 +119,29 @@ class IvfSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("a persisted cluster-partitioned index prunes probe scans to the probed cells") {
+    val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    try {
+      idx.assigned.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val probe = back.filter(col("cluster").isin(1, 3))
+      // the cell filter must become a PARTITION filter (directory pruning,
+      // the IO shape the IvfIndex scaladoc promises), not a row predicate
+      val scan = probe.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+      assert(partFilters.contains("cluster"),
+        s"cluster probe did not land in PartitionFilters:\n$scan")
+      // and the probed rows are exactly the cells' population
+      val want = idx.assigned.filter(col("cluster").isin(1, 3)).count()
+      assert(probe.count() === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfCrossTopK matches the exact contract and holds recall at defaults") {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val c = emb.filter(col("vec_id") % 10 =!= 0)
