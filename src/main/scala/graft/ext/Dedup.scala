@@ -502,9 +502,43 @@ object Dedup {
     * COUNT. (The alternating-star optimization for deep graphs is a drop-in
     * upgrade of the same loop.)
     *
+    * Tiering: near-dup edge lists are tiny relative to their corpus (only
+    * docs IN a duplicate pair appear), so an edge set that fits the driver
+    * (`localEdgeCap`, default 2²⁰ edges ≈ 16 MB) resolves by a local
+    * union-find — ONE collect job instead of O(diameter) shuffle rounds.
+    * The bound is enforced by a `limit(cap+1).count()` probe (never scans
+    * past the cap), and the result is IDENTICAL by construction: connected
+    * components with min-id representatives, exactly the propagation
+    * fixpoint. Beyond the cap the distributed loop runs unchanged — the
+    * same two-tier shape as crossTopK/srpCrossTopK.
+    *
     * Input: pairs with `ia < ib`. Output: (`doc_id`, `cluster_rep`) for
     * every doc appearing in a pair. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20,
+                  localEdgeCap: Int = 1 << 20): DataFrame = {
+    if (localEdgeCap > 0 &&
+        pairs.limit(localEdgeCap + 1).count() <= localEdgeCap) {
+      val es = pairs.select(col("ia").cast("long"), col("ib").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // union-by-min keeps roots at component minima already; finalize reps
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_rep")
+    }
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .union(pairs.select(col("ib").as("a"), col("ia").as("b")))
       .persist()

@@ -221,9 +221,14 @@ class DedupSpec extends SparkSpec {
         }
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
         val expected = nodes.map(v => v -> find(v)).toMap
+        // local union-find tier (default cap)
         val got = Dedup.dupClusters(edges.toDF("ia", "ib"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got === expected, s"edges=$edges")
+        // distributed propagation tier (cap disabled) must agree exactly
+        val gotDist = Dedup.dupClusters(edges.toDF("ia", "ib"), localEdgeCap = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist === expected, s"distributed tier diverged: edges=$edges")
       }
     }
   }
