@@ -76,4 +76,21 @@ class PlanSpec extends SparkSpec {
     // partial + final HashAggregate pair = map-side combine is in place
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("x76 drift joins the histogram rank table by broadcast") {
+    val p = plan("x76_source_quality_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus itself must never hit an unpartitioned window — only the
+    // bounded histogram does (its window sorts ≤ 10,001 rows)
+    assert(p.contains("Window"))
+  }
+
+  test("x69 and x60 read only the columns they need from documents") {
+    for (name <- Seq("x69_contamination_fraction", "x60_oov_rate")) {
+      val p = plan(name)
+      val scans = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      // quality/lang/source are not inputs to either operator
+      assert(!scans.contains("n_chars"), s"$name reads n_chars:\n$scans")
+    }
+  }
 }
