@@ -319,6 +319,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental dedup — the daily-crawl shape: a NEW batch deduplicated
+    * against the existing corpus and against itself in one pass. Keys on
+    * [[TextAnalysis.bagFingerprint]] (order-insensitive token-set hash), so
+    * shuffled/templated re-crawls collapse too; each new doc is labeled
+    * `dup_corpus` (its fingerprint exists in the corpus), `dup_batch` (an
+    * earlier doc of the SAME batch — lowest id wins, matching the
+    * streaming exact-dedup twin), or `kept`.
+    *
+    * Scale shape: the corpus — the 100 TB side — reduces to its DISTINCT
+    * fingerprint set before the equi-join (32-byte keys, no payload); the
+    * intra-batch rule is a per-fingerprint window over the (small) batch.
+    * When a superset flag is acceptable, the corpus set becomes a Bloom
+    * side-input instead (the x47 zero-join shape).
+    *
+    * Output: (`doc_id`, `status`) for every batch doc. */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.bagFingerprint(col(textCol)).as("fp"))
+    val corpusFp = fps(corpus).select(col("fp")).distinct()
+    val wfp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    fps(newBatch)
+      .join(corpusFp.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(wfp))
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, lit("dup_corpus"))
+          .when(col("rn") > 1, lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Graded contamination: [[contaminationPairs]]'s boolean flag widened to
     * a per-train-doc OVERLAP SCORE — the fraction of the doc's distinct
     * shingles that appear anywhere in the eval corpus. Pipelines threshold

@@ -92,6 +92,13 @@ object TextAnalysis {
     * dedup across storage systems) + a short routing bucket prefix. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Order-insensitive bag-of-words fingerprint: md5 over the SORTED
+    * distinct token set — catches templated/boilerplate docs whose tokens
+    * were shuffled or repeated, which byte-exact [[fingerprint]] misses.
+    * Binary UTF-8 sort on both engines, so cross-engine stable. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
   /** 64-bit rolling fingerprint of the token stream via hash chaining
     * (acc ← h(acc, token)) — an order-sensitive document fingerprint,
     * unlike the set-based MinHash. Chaining instead of polynomial

@@ -1999,6 +1999,81 @@ object ExtQueries {
                    round(CAST(agg.r2 - agg.n_docs * (agg.n_docs + 1) AS DOUBLE)
                          / (2.0 * agg.n_docs * (n.n_total - agg.n_docs)), 6) AS auc
             FROM agg, n ORDER BY source"""
-      })
+      }),
+
+    // x77 — incremental dedup: the DAILY-CRAWL shape — a new batch
+    // (doc_id % 5 = 0) deduplicated against the existing corpus AND
+    // against itself, each new doc labeled kept / dup_corpus / dup_batch.
+    // Keys on the ORDER-INSENSITIVE bag-of-words fingerprint (byte-exact
+    // fingerprints find zero dups on this fixture — every text is unique —
+    // while shuffled-template docs share token sets: 10 corpus dups at
+    // sf0.01); the dup_batch branch is pinned by a DedupSpec fixture.
+    QueryDef("x77_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS fp
+                   FROM documents),
+                   c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+                   b AS (SELECT doc_id, fp,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                         FROM f WHERE doc_id % 5 = 0)
+              SELECT b.doc_id,
+                     CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                          WHEN b.rn > 1 THEN 'dup_batch'
+                          ELSE 'kept' END AS status
+              FROM b LEFT JOIN c USING (fp) ORDER BY doc_id""")),
+
+    // x78 — hard quality rules (the Gopher/Dolma-style rule bundle): word
+    // count bounds, mean word length bounds, symbol ratio, digit ratio —
+    // each as a per-doc boolean with the conjunction. EVERY rule is
+    // integer cross-multiplication (mean-word-length ∈ [2,12] ⟺
+    // 2·words ≤ nonspace_chars ≤ 12·words; ratio ≤ 0.3 ⟺ 10·cnt ≤
+    // 3·chars) — no float compares anywhere, so the booleans cannot drift
+    // cross-engine. Scan-local, codegen'd, zero shuffle.
+    QueryDef("x78_quality_rules",
+      (s, d) => {
+        val words = TextAnalysis.wsTokenCount(col("text")).cast("long")
+        val chars = length(col("text")).cast("long")
+        val nonspace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+        val symbols = size(regexp_extract_all(col("text"),
+          lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        val digits = size(regexp_extract_all(col("text"),
+          lit("[0-9]"), lit(0))).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            words.as("n_words"),
+            (words >= 10 && words <= 1000).as("wc_ok"),
+            (nonspace >= words * 2 && nonspace <= words * 12).as("mwl_ok"),
+            (symbols * 10 <= chars * 3).as("sym_ok"),
+            (digits * 10 <= chars * 3).as("dig_ok"))
+          .withColumn("pass",
+            col("wc_ok") && col("mwl_ok") && col("sym_ok") && col("dig_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, w AS n_words,
+                     (w >= 10 AND w <= 1000) AS wc_ok,
+                     (ns >= 2 * w AND ns <= 12 * w) AS mwl_ok,
+                     (10 * sy <= 3 * ch) AS sym_ok,
+                     (10 * dg <= 3 * ch) AS dig_ok,
+                     ((w >= 10 AND w <= 1000) AND (ns >= 2 * w AND ns <= 12 * w)
+                      AND (10 * sy <= 3 * ch) AND (10 * dg <= 3 * ch)) AS pass
+              FROM (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS w,
+                      CAST(length(text) AS BIGINT) AS ch,
+                      CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS ns,
+                      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS sy,
+                      CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg
+                    FROM documents) t
+              ORDER BY doc_id"""))
   )
 }

@@ -256,6 +256,22 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.isEmpty))
   }
 
+  test("incrementalDedup labels corpus dups, batch dups, and keeps the rest") {
+    val corpus = docs(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"))
+    val batch = docs(
+      (10L, "gamma beta alpha"),        // token set == corpus doc 1 → dup_corpus
+      (11L, "eta theta iota"),          // fresh → kept
+      (12L, "iota eta theta"),          // same set as 11, later id → dup_batch
+      (13L, "kappa lambda mu"))         // fresh → kept
+    val got = Dedup.incrementalDedup(batch, corpus, "text", "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq(
+      (10L, "dup_corpus"), (11L, "kept"), (12L, "dup_batch"), (13L, "kept")))
+  }
+
   test("contaminationFraction matches brute-force trigram overlap") {
     val train = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
