@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact content hash,
@@ -357,16 +357,19 @@ object Dedup {
     * fixed shared count; docs with fewer than `n` tokens have no shingles
     * and drop out (no 0/0).
     *
-    * Scale shape: the eval corpus is the SMALL side by construction (a
-    * benchmark suite), so its distinct shingle-hash set is broadcast and
-    * the train side — the 100 TB side — resolves membership in a broadcast
-    * hash join against its exploded shingles and aggregates per doc: one
-    * train-side shuffle of (doc_id, counts), never a shuffle of the
-    * postings themselves. An eval side too big to broadcast degrades
-    * gracefully to the sort-merge equi-join (same plan as
-    * [[contaminationPairs]]), and the Bloom path ([[bloomContamination]])
-    * remains the zero-join alternative when an approximate superset score
-    * is acceptable.
+    * Scale shape: the eval corpus is the SMALL side BY CONTRACT (a
+    * benchmark suite — at most tens of millions of distinct shingle
+    * hashes, well under broadcast limits), so its distinct hash set is
+    * broadcast by an explicit hint and the train side — the 100 TB side —
+    * resolves membership in a broadcast hash join against its exploded
+    * shingles and aggregates per doc: one train-side shuffle of
+    * (doc_id, counts), never a shuffle of the postings themselves. The
+    * hint is deliberate (the eval side is a just-built aggregate, so the
+    * static planner has no size estimate and would pick sort-merge);
+    * callers whose "eval" side is NOT broadcast-sized should use
+    * [[contaminationPairs]] (sort-merge postings join) for exact pair
+    * attribution or [[bloomContamination]] (zero-join superset flag)
+    * instead — this operator does not degrade on its own.
     *
     * Output: (`doc_id`, `n_shingles`, `n_shared`, `frac_shared`). */
   def contaminationFraction(train: DataFrame, eval_ : DataFrame,
@@ -536,21 +539,25 @@ object Dedup {
     * Tiering: near-dup edge lists are tiny relative to their corpus (only
     * docs IN a duplicate pair appear), so an edge set that fits the driver
     * (`localEdgeCap`, default 2²⁰ edges ≈ 16 MB) resolves by a local
-    * union-find — ONE collect job instead of O(diameter) shuffle rounds.
-    * The bound is enforced by a `limit(cap+1).count()` probe (never scans
-    * past the cap), and the result is IDENTICAL by construction: connected
-    * components with min-id representatives, exactly the propagation
-    * fixpoint. Beyond the cap the distributed loop runs unchanged — the
-    * same two-tier shape as crossTopK/srpCrossTopK.
+    * union-find — ONE job instead of O(diameter) shuffle rounds: a single
+    * `take(cap + 1)` both enforces the bound (cap + 1 rows back means the
+    * cap is exceeded and the rows are discarded) and fetches the edges.
+    * The result is IDENTICAL by construction: connected components with
+    * min-id representatives, exactly the propagation fixpoint. Beyond the
+    * cap the distributed loop runs unchanged — the same two-tier shape as
+    * crossTopK/srpCrossTopK.
     *
     * Input: pairs with `ia < ib`. Output: (`doc_id`, `cluster_rep`) for
     * every doc appearing in a pair. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20,
                   localEdgeCap: Int = 1 << 20): DataFrame = {
-    if (localEdgeCap > 0 &&
-        pairs.limit(localEdgeCap + 1).count() <= localEdgeCap) {
-      val es = pairs.select(col("ia").cast("long"), col("ib").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probed =
+      if (localEdgeCap > 0)
+        pairs.select(col("ia").cast("long"), col("ib").cast("long"))
+          .take(localEdgeCap + 1)
+      else Array.empty[Row]
+    if (localEdgeCap > 0 && probed.length <= localEdgeCap) {
+      val es = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

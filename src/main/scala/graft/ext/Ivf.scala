@@ -60,18 +60,14 @@ object Ivf {
     * only by floating summation order. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int,
                      sampleCap: Int = defaultSampleCap): Array[Array[Double]] = {
-    val hashed = emb
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(lit(7L), col("vec_id")))
-      .orderBy(col("h"), col("vec_id"))
     if (sampleCap > 0) {
       require(sampleCap >= k, s"sampleCap=$sampleCap must be >= k=$k")
-      val sample = hashed.limit(sampleCap).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      var centroids = sample.take(k).map(_.clone())
-      for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
-      centroids
+      lloydTrain(collectSample(emb, sampleCap), k, iters)
     } else {
+      val hashed = emb
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("h", xxhash64(lit(7L), col("vec_id")))
+        .orderBy(col("h"), col("vec_id"))
       val initRows = hashed.limit(k).select(col("embedding")).collect()
       var centroids = initRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
       for (_ <- 1 to iters) {
@@ -89,6 +85,27 @@ object Ivf {
       }
       centroids
     }
+  }
+
+  /** The ONE definition of the training sample: the `sampleCap` vectors
+    * with the smallest seeded vec_id hash (`TakeOrderedAndProject` — a
+    * per-partition top-K, no sort shuffle), collected to the driver. Every
+    * sampled-training entry point goes through here, so sample order — and
+    * with it the claimed bit-exactness across paths — cannot fork. */
+  private def collectSample(emb: DataFrame, sampleCap: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("h", xxhash64(lit(7L), col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleCap).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** The ONE definition of driver-local training: first-k init in sample
+    * order, `iters` Lloyd rounds. */
+  private def lloydTrain(sample: Array[Array[Double]], k: Int,
+                         iters: Int): Array[Array[Double]] = {
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
+    centroids
   }
 
   /** Driver-side Lloyd round mirroring the distributed one: assign by
@@ -249,12 +266,7 @@ object Ivf {
                      maxBucket: Int = Similarity.defaultMaxBucket,
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
-    val (k, centroids) =
-      if (sampleCap > 0) resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
-      else {
-        val kk = resolveClusters(emb, nClusters, targetCell)
-        (kk, trainCentroids(emb, kk, iters, sampleCap))
-      }
+    val (k, centroids) = resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
     val na = resolveAssign(nAssign, k)
     val buckets = cellBuckets(emb, centroids, na, bandsN)
       .observe("graft_ivf_bucket_cap",
@@ -291,25 +303,24 @@ object Ivf {
       case n  => adaptiveClusters(n, targetCell)
     }
 
-  /** Resolve the adaptive k AND train in ONE cluster job where possible:
-    * the training sample is collected first, and when it came back smaller
-    * than `sampleCap` the limit did not truncate — the sample IS the corpus
-    * and its size is the exact n, so the separate `count()` job (a second
-    * full scan at 100 TB) is skipped. Only a corpus that overflows the
-    * sample cap pays the count. Results are identical to
-    * resolveClusters + trainCentroids by construction (same hash order,
-    * same init, same Lloyd rounds). Requires sampleCap > 0; explicit
-    * `nClusters` skips the adaptive math but still reuses the sample. */
+  /** Resolve the adaptive k AND train, in ONE cluster job where possible:
+    * with sampled training (`sampleCap > 0`) the sample is collected
+    * first, and when it came back smaller than `sampleCap` the limit did
+    * not truncate — the sample IS the corpus and its size is the exact n,
+    * so the separate `count()` job (a second full scan at 100 TB) is
+    * skipped; only a corpus that overflows the cap pays the count.
+    * `sampleCap = 0` falls back to resolveClusters + exact distributed
+    * Lloyd. Sample order and Lloyd rounds are the shared
+    * [[collectSample]]/[[lloydTrain]] definitions, so both tiers of every
+    * IVF entry point train identically by construction. */
   private def resolveAndTrain(emb: DataFrame, nClusters: Int, iters: Int,
                               sampleCap: Int, targetCell: Long):
       (Int, Array[Array[Double]]) = {
-    require(sampleCap > 0, "resolveAndTrain is the sampled-training path")
-    val sample = emb
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("h", xxhash64(lit(7L), col("vec_id")))
-      .orderBy(col("h"), col("vec_id"))
-      .limit(sampleCap).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sampleCap <= 0) {
+      val k = resolveClusters(emb, nClusters, targetCell)
+      return (k, trainCentroids(emb, k, iters, sampleCap))
+    }
+    val sample = collectSample(emb, sampleCap)
     val k =
       if (nClusters > 0) nClusters
       else if (sample.length == 0) 8
@@ -319,9 +330,7 @@ object Ivf {
         case n  => adaptiveClusters(n, targetCell)
       }
     require(sampleCap >= k, s"sampleCap=$sampleCap must be >= k=$k")
-    var centroids = sample.take(k).map(_.clone())
-    for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
-    (k, centroids)
+    (k, lloydTrain(sample, k, iters))
   }
 
   /** Per-(cell, band) collision-bucket postings: each vector SRP-sketched
@@ -376,12 +385,7 @@ object Ivf {
                    nAssign: Int = 0,
                    sampleCap: Int = defaultSampleCap,
                    targetCell: Long = defaultTargetCell): DataFrame = {
-    val (k, centroids) =
-      if (sampleCap > 0) resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
-      else {
-        val kk = resolveClusters(corpus, nClusters, targetCell)
-        (kk, trainCentroids(corpus, kk, iters, sampleCap))
-      }
+    val (k, centroids) = resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
     val np = resolveAssign(nProbe, k)
     val na = resolveAssign(nAssign, k)
     val c = assignTop(corpus, centroids, na)
@@ -413,12 +417,7 @@ object Ivf {
                      maxBucket: Int = Similarity.defaultMaxBucket,
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
-    val (k, centroids) =
-      if (sampleCap > 0) resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
-      else {
-        val kk = resolveClusters(emb, nClusters, targetCell)
-        (kk, trainCentroids(emb, kk, iters, sampleCap))
-      }
+    val (k, centroids) = resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
     val na = resolveAssign(nAssign, k)
     Similarity.postingsStats(cellBuckets(emb, centroids, na, bandsN), maxBucket)
   }

@@ -1900,22 +1900,25 @@ object ExtQueries {
     // in the final utilization column.
     QueryDef("x75_packing_efficiency",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
         val w = Window.orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = toks.withColumn("cum", sum(col("toks")).over(w) - col("toks"))
-        Seq(128L, 512L, 2048L).map { b =>
-          cum
-            .withColumn("seq_id", expr(s"cum div $b"))
-            .groupBy(col("seq_id"))
-            .agg(sum(col("toks")).as("seq_toks"))
-            .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
-            .select(lit(b).as("budget"), col("n_seqs"), col("n_tokens"),
-              round(col("n_tokens").cast("double") /
-                (col("n_seqs") * lit(b)).cast("double"), 6).as("utilization"))
-        }.reduce(_ unionAll _).orderBy("budget")
+        // ONE cumsum pass; budgets explode off the computed running total
+        // (a per-budget branch would re-run the global sort three times)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+          .withColumn("budget",
+            explode(array(lit(128L), lit(512L), lit(2048L))))
+          .withColumn("seq_id", expr("cum div budget"))
+          .groupBy(col("budget"), col("seq_id"))
+          .agg(sum(col("toks")).as("seq_toks"))
+          .groupBy(col("budget"))
+          .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
+          .select(col("budget"), col("n_seqs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") /
+              (col("n_seqs") * col("budget")).cast("double"), 6).as("utilization"))
+          .orderBy("budget")
       },
       Some("""WITH t AS (SELECT doc_id,
                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
