@@ -2077,6 +2077,67 @@ object ExtQueries {
                       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS sy,
                       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg
                     FROM documents) t
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // x79 — quality-weighted epoch assignment: the data-recipe step that
+    // UP-SAMPLES good sources (the x44 token-budget mix bounds, this one
+    // repeats): sources ranked by mean quality (exact integer score sums;
+    // the one double division is identical IEEE in both engines, ties
+    // broken by source name), top quarter trains 3 epochs, top half 2,
+    // rest 1; each doc emits one row per epoch via a sequence explode.
+    // The rank runs over the ~|sources| aggregate rows, never the docs.
+    QueryDef("x79_source_epochs",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.qualityScoreInt(col("text"))).as("qsum"),
+            count(lit(1)).as("n"))
+        val wr = Window.orderBy(
+          (col("qsum").cast("double") / col("n").cast("double")).desc,
+          col("source"))
+        val wn = Window.partitionBy(lit(1))
+        val epochs = perSrc
+          .withColumn("rnk", row_number().over(wr))
+          .withColumn("nsrc", count(lit(1)).over(wn))
+          .select(col("source"),
+            when(col("rnk") * 4 <= col("nsrc"), 3L)
+              .when(col("rnk") * 2 <= col("nsrc"), 2L)
+              .otherwise(1L).as("n_epochs"))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(epochs), "source")
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH q AS (SELECT doc_id, source, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS qi
+              FROM (SELECT doc_id, source,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents) t),
+                ps AS (SELECT source, sum(qi) AS qsum, count(*) AS n FROM q GROUP BY 1),
+                r AS (SELECT source,
+                        row_number() OVER (ORDER BY CAST(qsum AS DOUBLE) / n DESC, source) AS rnk,
+                        count(*) OVER () AS nsrc
+                      FROM ps),
+                e AS (SELECT source,
+                        CASE WHEN rnk * 4 <= nsrc THEN 3
+                             WHEN rnk * 2 <= nsrc THEN 2
+                             ELSE 1 END AS n_epochs
+                      FROM r)
+            SELECT d.doc_id, d.source, CAST(unnest(range(1, e.n_epochs + 1)) AS BIGINT) AS epoch
+            FROM documents d JOIN e USING (source)
+            ORDER BY doc_id, epoch"""
+      })
   )
 }
