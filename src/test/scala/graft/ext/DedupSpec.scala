@@ -256,6 +256,32 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.isEmpty))
   }
 
+  test("incrementalDedup matches brute-force token-set dedup on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab forces set collisions
+    def randDoc(): String =
+      Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (_ <- 1 to 3) {
+      val corpusRows = (1L to 8L).map(i => (i, randDoc()))
+      val batchRows = (101L to 112L).map(i => (i, randDoc()))
+      def bag(t: String): Set[String] = t.split("\\s+").toSet
+      val corpusBags = corpusRows.map(r => bag(r._2)).toSet
+      val want = batchRows.map { case (id, t) =>
+        val b = bag(t)
+        val status =
+          if (corpusBags(b)) "dup_corpus"
+          else if (batchRows.exists(o => o._1 < id && bag(o._2) == b)) "dup_batch"
+          else "kept"
+        (id, status)
+      }
+      val got = Dedup.incrementalDedup(
+          docs(batchRows: _*), docs(corpusRows: _*), "text", "doc_id")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got === want, s"corpus=$corpusRows batch=$batchRows")
+    }
+  }
+
   test("incrementalDedup labels corpus dups, batch dups, and keeps the rest") {
     val corpus = docs(
       (1L, "alpha beta gamma"),
