@@ -100,12 +100,25 @@ object Ivf {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
   /** The ONE definition of driver-local training: first-k init in sample
-    * order, `iters` Lloyd rounds. */
+    * order, `iters` Lloyd rounds. An empty sample (empty corpus) yields
+    * zero centroids — callers short-circuit to an empty result instead of
+    * crashing inside a Lloyd round. */
   private def lloydTrain(sample: Array[Array[Double]], k: Int,
                          iters: Int): Array[Array[Double]] = {
+    if (sample.isEmpty) return Array.empty
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) centroids = lloydRoundLocal(sample, centroids)
     centroids
+  }
+
+  /** Typed empty frame for the short-circuits above. */
+  private def emptyFrame(df: DataFrame, fields: (String, String)*): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    })
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[Row], schema)
   }
 
   /** Driver-side Lloyd round mirroring the distributed one: assign by
@@ -267,6 +280,8 @@ object Ivf {
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
     val (k, centroids) = resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
+    if (centroids.isEmpty)
+      return emptyFrame(emb, "ia" -> "bigint", "ib" -> "bigint", "cos" -> "double")
     val na = resolveAssign(nAssign, k)
     val buckets = cellBuckets(emb, centroids, na, bandsN)
       .observe("graft_ivf_bucket_cap",
@@ -386,6 +401,9 @@ object Ivf {
                    sampleCap: Int = defaultSampleCap,
                    targetCell: Long = defaultTargetCell): DataFrame = {
     val (k, centroids) = resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+    if (centroids.isEmpty)
+      return emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
+        "cos" -> "double", "rnk" -> "int")
     val np = resolveAssign(nProbe, k)
     val na = resolveAssign(nAssign, k)
     val c = assignTop(corpus, centroids, na)
@@ -418,6 +436,12 @@ object Ivf {
                      sampleCap: Int = defaultSampleCap,
                      targetCell: Long = defaultTargetCell): DataFrame = {
     val (k, centroids) = resolveAndTrain(emb, nClusters, iters, sampleCap, targetCell)
+    if (centroids.isEmpty)
+      // the stats contract is ONE aggregate row; an empty corpus audits to zeros
+      return emb.sparkSession.range(1).select(
+        lit(0L).as("n_buckets"), lit(0L).as("max_bucket"),
+        lit(0L).as("n_over_cap"), lit(0L).as("kept_candidates"),
+        lit(0L).as("dropped_candidates"))
     val na = resolveAssign(nAssign, k)
     Similarity.postingsStats(cellBuckets(emb, centroids, na, bandsN), maxBucket)
   }

@@ -119,6 +119,18 @@ class IvfSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("IVF paths return empty/zero results on an empty corpus instead of crashing") {
+    val none = emb.filter(col("vec_id") < 0)
+    assert(Ivf.ivfCosinePairs(none, 0.35).collect().isEmpty)
+    assert(Ivf.ivfCosinePairs(none, 0.35).columns.toSeq === Seq("ia", "ib", "cos"))
+    val cross = Ivf.ivfCrossTopK(emb.limit(5), none, kTop = 3, minCos = 0.2)
+    assert(cross.collect().isEmpty)
+    assert(cross.columns.toSeq === Seq("query_id", "vec_id", "cos", "rnk"))
+    val stats = Ivf.ivfBucketStats(none).collect()
+    assert(stats.length === 1)
+    assert(stats(0).getAs[Long]("kept_candidates") === 0L)
+  }
+
   test("a persisted cluster-partitioned index prunes probe scans to the probed cells") {
     val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
