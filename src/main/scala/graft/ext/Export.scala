@@ -44,4 +44,21 @@ object Export {
       (manifest + "\n").getBytes("UTF-8"))
     counts
   }
+
+  /** Parse a [[writeShards]] manifest back into per-shard counts — the
+    * loader's one small read to plan an epoch (no file listing, no scan). */
+  def readManifest(dir: String): Map[Long, Long] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
+    "\"(\\d+)\": (\\d+)".r.findAllMatchIn(text)
+      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+  }
+
+  /** Read only the named shards — the filter is on the partition column,
+    * so the scan prunes to those directories (a loader rank reads exactly
+    * the shards it owns). */
+  def readShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 shards: Seq[Long], shardCol: String = "shard"): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col(shardCol).isin(shards: _*))
 }

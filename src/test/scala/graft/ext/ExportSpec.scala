@@ -26,15 +26,17 @@ class ExportSpec extends SparkSpec {
       val manifest = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
       assert(manifest.contains(s""""total": ${want.values.sum}"""))
-      // a single-shard read prunes to that partition
-      val one = want.keySet.min
-      val probe = spark.read.parquet(dir).filter(col("shard") === one)
+      // the manifest round-trips through the loader-side reader
+      assert(Export.readManifest(dir) === want)
+      // a shard-selective read prunes to those partitions
+      val two = want.keySet.toSeq.sorted.take(2)
+      val probe = Export.readShards(spark, dir, two)
       val scan = probe.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).mkString("\n")
       val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
         .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
       assert(partFilters.contains("shard"), s"no partition pruning:\n$scan")
-      assert(probe.count() === want(one))
+      assert(probe.count() === two.map(want).sum)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
