@@ -150,8 +150,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         maxDf: Int = Int.MaxValue): DataFrame =
-    jaccardFromCounts(
-      pairIntersections(hashedShingles(docs, textCol, idCol, n), maxDf), threshold)
+    ngramJaccardPairsOf(hashedShingles(docs, textCol, idCol, n), threshold, maxDf)
+
+  /** [[ngramJaccardPairs]] over a PREBUILT [[hashedShingles]] frame — the
+    * shingle scan is the family's shared upstream (pairs, LSH, prefix,
+    * novelty, calibration all start from it), so pipelines build it once,
+    * persist, and fan out: the tokenize+hash pass over a 100 TB corpus is
+    * worth exactly one evaluation. */
+  def ngramJaccardPairsOf(sh: DataFrame, threshold: Double,
+                          maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardFromCounts(pairIntersections(sh, maxDf), threshold)
 
   /** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style PREFIX
     * FILTERING — the scale path that stays exact. Same output contract as
@@ -198,8 +206,12 @@ object Dedup {
   }
 
   def ngramJaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
-                              n: Int, threshold: Double): DataFrame = {
-    val sh = hashedShingles(docs, textCol, idCol, n)
+                              n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsPrefixOf(hashedShingles(docs, textCol, idCol, n), threshold)
+
+  /** [[ngramJaccardPairsPrefix]] over a prebuilt [[hashedShingles]] frame
+    * (see [[ngramJaccardPairsOf]] for why the shingle scan is shared). */
+  def ngramJaccardPairsPrefixOf(sh: DataFrame, threshold: Double): DataFrame = {
     val cands = prefixPostings(sh, threshold)
       .groupBy(col("g"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
@@ -266,8 +278,13 @@ object Dedup {
     * and with it the whole shingle expression — back into the scan.) */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       n: Int, threshold: Double,
-                      maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = hashedShingles(docs, textCol, idCol, n)
+                      maxDf: Int = Int.MaxValue): DataFrame =
+    minHashLshPairsOf(hashedShingles(docs, textCol, idCol, n), threshold, maxDf)
+
+  /** [[minHashLshPairs]] over a prebuilt [[hashedShingles]] frame
+    * (see [[ngramJaccardPairsOf]] for why the shingle scan is shared). */
+  def minHashLshPairsOf(sh: DataFrame, threshold: Double,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val banded = sh
       .select(col("doc_id"),
         posexplode_outer(
@@ -551,10 +568,23 @@ object Dedup {
     * every doc appearing in a pair. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20,
                   localEdgeCap: Int = 1 << 20): DataFrame = {
+    // Long-cast ONCE for both tiers, so the output schema is tier-invariant
+    // (int pair ids used to come back as int from the distributed tier but
+    // bigint from the local one), and persist before the probe: the pair
+    // frame is usually an expensive near-dup mining plan, and without the
+    // persist an over-cap probe would discard its rows and pay the whole
+    // plan again in the distributed loop.
+    val p = pairs
+      .select(col("ia").cast("long").as("ia"), col("ib").cast("long").as("ib"))
+      .persist()
+    try dupClustersTyped(p, maxIters, localEdgeCap)
+    finally p.unpersist()
+  }
+
+  private def dupClustersTyped(pairs: DataFrame, maxIters: Int,
+                               localEdgeCap: Int): DataFrame = {
     val probed =
-      if (localEdgeCap > 0)
-        pairs.select(col("ia").cast("long"), col("ib").cast("long"))
-          .take(localEdgeCap + 1)
+      if (localEdgeCap > 0) pairs.take(localEdgeCap + 1)
       else Array.empty[Row]
     if (localEdgeCap > 0 && probed.length <= localEdgeCap) {
       val es = probed.map(r => (r.getLong(0), r.getLong(1)))

@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
 
 /** Training-data export sink: the END of the curation pipeline (x73's
   * output feeds this) written in the layout a dataloader consumes.
@@ -17,11 +19,23 @@ import org.apache.spark.sql.functions._
   *     WRITTEN files, not the input plan, so a lost task or partial write
   *     cannot produce a silently short manifest).
   *
+  * All manifest IO goes through `org.apache.hadoop.fs.FileSystem`, resolved
+  * from the directory URI — the sink works identically on local paths,
+  * HDFS, and S3A, matching the parquet writer beside it.
+  *
   * At 100 TB: the write is one shuffle-free pass when the frame is already
   * hash-distributed by shard (x52's md5 sharding); the manifest scan reads
   * only the shard column's partition directories (column-pruned, file
   * footers only). */
 object Export {
+
+  private val ManifestName = "_graft_manifest.json"
+
+  /** The Hadoop FileSystem owning `dir` (local, hdfs://, s3a://, ...). */
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val path = new Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
 
   /** Write `df` partitioned by `shardCol` under `dir` and return the
     * per-shard row counts that were also persisted to the manifest. */
@@ -29,6 +43,14 @@ object Export {
                   shardCol: String = "shard"): Map[Long, Long] = {
     require(df.columns.contains(shardCol),
       s"writeShards needs a '$shardCol' column; got ${df.columns.mkString(",")}")
+    val field = df.schema(shardCol)
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
+      s"writeShards needs an integral '$shardCol' column (manifest keys are " +
+        s"shard ids); got ${field.dataType.simpleString}")
+    require(df.filter(col(shardCol).isNull).isEmpty,
+      s"writeShards: '$shardCol' contains nulls — a null shard would land in " +
+        "the Hive default partition and fall out of the manifest")
     df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(dir)
     // partition-directory values read back type-INFERRED (small ids become
     // ints) — normalize to long before collecting
@@ -39,25 +61,42 @@ object Export {
     val manifest = counts.toSeq.sorted
       .map { case (s, n) => s""""$s": $n""" }
       .mkString("{\"shards\": {", ", ", s"}, \"total\": ${counts.values.sum}}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_graft_manifest.json"),
-      (manifest + "\n").getBytes("UTF-8"))
+    val (hfs, root) = fs(df.sparkSession, dir)
+    val out = hfs.create(new Path(root, ManifestName), true)
+    try out.write((manifest + "\n").getBytes("UTF-8")) finally out.close()
     counts
   }
 
   /** Parse a [[writeShards]] manifest back into per-shard counts — the
-    * loader's one small read to plan an epoch (no file listing, no scan). */
-  def readManifest(dir: String): Map[Long, Long] = {
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
-    "\"(\\d+)\": (\\d+)".r.findAllMatchIn(text)
-      .map(m => m.group(1).toLong -> m.group(2).toLong).toMap
+    * loader's one small read to plan an epoch (no file listing, no scan).
+    * Parsed with Jackson (already on Spark's classpath) rather than a
+    * regex, so added manifest fields stay backward-compatible. */
+  def readManifest(spark: SparkSession, dir: String): Map[Long, Long] = {
+    val (hfs, root) = fs(spark, dir)
+    val in = hfs.open(new Path(root, ManifestName))
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(text).get("shards")
+    val it = node.fields()
+    val b = Map.newBuilder[Long, Long]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey.toLong -> e.getValue.asLong()
+    }
+    b.result()
   }
 
   /** Read only the named shards — the filter is on the partition column,
     * so the scan prunes to those directories (a loader rank reads exactly
     * the shards it owns). */
-  def readShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def readShards(spark: SparkSession, dir: String,
                  shards: Seq[Long], shardCol: String = "shard"): DataFrame =
     spark.read.parquet(dir)
       .filter(col(shardCol).isin(shards: _*))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Export, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline query surface over `documents` and
   * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
@@ -109,12 +109,97 @@ object ExtQueries {
         "text", "doc_id", n = 3, minShared = 3L)
     }
 
+  /** x73 (catalog entry) and x80 (export round-trip): the end-to-end
+    * curation pipeline — exact dedup → eval holdout → per-source relative
+    * quality filter → decontamination → deterministic content-hash
+    * sharding. See the x73 catalog comment for the stage-by-stage design. */
+  private def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepIds = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val train = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 7 =!= 0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val quality = train
+      .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.5)
+    val flagged = Dedup.contaminationPairs(
+        quality, docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", n = 3, minShared = 3L)
+      .select(col("train_id").as("doc_id")).distinct()
+    val ws = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+    quality.join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("ok", md5(col("text")))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substring(ok, 1, 1)) - 1 AS BIGINT)"))
+      .withColumn("pos", row_number().over(ws))
+      .select(col("doc_id"), col("source"), col("score"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  private val curationOracle: String = {
+    val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+    s"""WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            base AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                     JOIN dd ON dd.doc_id = d.doc_id WHERE d.doc_id % 7 <> 0),
+            m AS (SELECT doc_id, source, text, floor((
+                    least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                  + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                  + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                  + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                  ) * 10000.0 + 0.5) / 10000.0 AS score
+                FROM (SELECT doc_id, source, text,
+                        CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                        length(text) AS ch,
+                        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                        len(regexp_extract_all(text, '[A-Z]')) AS u,
+                        len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                      FROM base) t),
+            r AS (SELECT doc_id, source, text, score,
+                    percent_rank() OVER (PARTITION BY source
+                      ORDER BY score DESC, doc_id) AS pr
+                  FROM m),
+            qf AS (SELECT doc_id, source, text, score FROM r WHERE pr <= 0.5),
+            tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+            ss AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                   FROM tt WHERE len(toks) >= 3),
+            ee AS (SELECT doc_id, unnest(sh) AS g FROM ss),
+            flag AS (SELECT DISTINCT doc_id FROM (
+                       SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id
+                       FROM (SELECT e.doc_id, e.g FROM ee e JOIN qf ON qf.doc_id = e.doc_id) tr
+                       JOIN (SELECT doc_id, g FROM ee WHERE doc_id % 7 = 0) ev
+                         ON tr.g = ev.g
+                       GROUP BY 1, 2 HAVING count(*) >= 3)),
+            clean AS (SELECT qf.* FROM qf
+                      WHERE doc_id NOT IN (SELECT doc_id FROM flag))
+        SELECT doc_id, source, score,
+               CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+               row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
+                 ORDER BY md5(text), doc_id) AS pos
+        FROM clean ORDER BY shard, pos"""
+  }
+
+  /** The word-3-gram hashed-shingle table — the ENTIRE shingle family's
+    * shared upstream scan (x07/x08/x36 pair mining, x59 novelty, x72
+    * calibration, and the pair-set consumers behind them): tokenize + hash
+    * once, persist, fan out. Sharing the INPUT frame is orthogonal to the
+    * never-share-across-algorithm-variants rule — each variant still runs
+    * its own candidate generation and verification over it. */
+  private def shinglesShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "hashed-shingles-n3")(
+      Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", n = 3))
+
   /** x07 (pairs) and x25 (clusters): the uncapped exact Jaccard pair set
     * (maxDf disabled — the oracle contract; see the x07 comment). */
   private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "jacc-n3-t06-uncapped")(
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6, maxDf = Int.MaxValue))
+      Dedup.ngramJaccardPairsOf(shinglesShared(s, d),
+        threshold = 0.6, maxDf = Int.MaxValue))
 
   /** x11 (pairs), x40/x43 (gate exact sides), x46 (cluster source): the
     * exact cosine-0.35 pair set — the one quadratic baseline, computed
@@ -301,8 +386,8 @@ object ExtQueries {
     // found via banded signature buckets instead of the full shingle join
     // (uncapped for the same oracle-contract reason as x07).
     QueryDef("x08_minhash_lsh",
-      (s, d) => Dedup.minHashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
+      (s, d) => Dedup.minHashLshPairsOf(shinglesShared(s, d),
+        threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
     // x36 — prefix-filtered exact Jaccard: same pair set as x07 (same
@@ -310,8 +395,8 @@ object ExtQueries {
     // prefix — the exact answer to boilerplate-shingle blowup that the
     // approximate maxDf cap only approximates.
     QueryDef("x36_jaccard_prefix",
-      (s, d) => Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "text", "doc_id",
-        n = 3, threshold = 0.6).orderBy("ia", "ib"),
+      (s, d) => Dedup.ngramJaccardPairsPrefixOf(shinglesShared(s, d),
+        threshold = 0.6).orderBy("ia", "ib"),
       Some(jaccardOracle)),
 
     // x09 — SimHash fingerprints (engine hash → rows-only; unit-tested).
@@ -410,12 +495,10 @@ object ExtQueries {
     // pair list into "which copy do we train on".
     QueryDef("x35_canonical_pick",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val clusters = Dedup.dupClusters(
-          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6))
-        val scored = docs.select(col("doc_id"),
+        val scored = Tables.documents(s, d).select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("score"))
-        Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+        // same clusters as x25 (same pairs, same algorithm) — shared frame
+        Dedup.canonicalPick(jacClustersShared(s, d), scored, "doc_id", "score")
           .orderBy("cluster_rep")
       },
       Some {
@@ -918,7 +1001,7 @@ object ExtQueries {
     // same skew caveats as x07's postings.
     QueryDef("x59_shingle_novelty",
       (s, d) => {
-        val sh = Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", n = 3)
+        val sh = shinglesShared(s, d)
           .select(col("doc_id"), explode_outer(col("shs")).as("g"))
           .filter(col("g").isNotNull)
         val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_id"))
@@ -1757,7 +1840,7 @@ object ExtQueries {
     // n=0 pairs is vacuous success. Engine-specific hashing → boolean row.
     QueryDef("x72_minhash_calibration",
       (s, d) => {
-        val sigs = Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", 3)
+        val sigs = shinglesShared(s, d)
           .filter(col("n_sh") > 0)
           .select(col("doc_id"),
             org.apache.spark.sql.graft.VectorFunctions
@@ -1785,75 +1868,33 @@ object ExtQueries {
     // / scan-local shard key); nothing in the composition adds a shuffle
     // beyond the stages themselves.
     QueryDef("x73_curation_pipeline",
+      (s, d) => curationPipeline(s, d),
+      Some(curationOracle)),
+
+    // x80 — the export sink's ROUND-TRIP on the board as an oracle row:
+    QueryDef("x80_export_roundtrip",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val keepIds = docs.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val train = docs.join(keepIds, Seq("doc_id"), "left_semi")
-          .filter(col("doc_id") % 7 =!= 0)
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("score").desc, col("doc_id"))
-        val quality = train
-          .withColumn("score", TextAnalysis.qualityScore(col("text")))
-          .withColumn("pr", percent_rank().over(w))
-          .filter(col("pr") <= 0.5)
-        val flagged = Dedup.contaminationPairs(
-            quality, docs.filter(col("doc_id") % 7 === 0),
-            "text", "doc_id", n = 3, minShared = 3L)
-          .select(col("train_id").as("doc_id")).distinct()
-        val ws = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
-        quality.join(flagged, Seq("doc_id"), "left_anti")
-          .withColumn("ok", md5(col("text")))
-          .withColumn("shard",
-            expr("CAST(instr('0123456789abcdef', substring(ok, 1, 1)) - 1 AS BIGINT)"))
-          .withColumn("pos", row_number().over(ws))
-          .select(col("doc_id"), col("source"), col("score"), col("shard"), col("pos"))
+        // The full loop a training run actually exercises: curate (x73) →
+        // writeShards (partitioned parquet + Hadoop-FS manifest) → loader
+        // readShards of EVERY manifest shard → canonical order. The oracle
+        // is x73's SQL verbatim, so the round-trip is hash-checked against
+        // the pre-export frame — a lost shard, a short manifest, or a
+        // type-drifting partition column all fail the row/hash compare.
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-x80-export").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+        val counts = Export.writeShards(curationPipeline(s, d), dir)
+        val manifest = Export.readManifest(s, dir)
+        require(manifest == counts,
+          s"manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readShards(s, dir, manifest.keySet.toSeq.sorted)
+          .select(col("doc_id"), col("source"), col("score"),
+            // partition-directory values read back type-inferred (int)
+            col("shard").cast("long").as("shard"), col("pos"))
           .orderBy("shard", "pos")
       },
-      Some {
-        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
-        s"""WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-                base AS (SELECT d.doc_id, d.text, d.source FROM documents d
-                         JOIN dd ON dd.doc_id = d.doc_id WHERE d.doc_id % 7 <> 0),
-                m AS (SELECT doc_id, source, text, floor((
-                        least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
-                      + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
-                      + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
-                      + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
-                      ) * 10000.0 + 0.5) / 10000.0 AS score
-                    FROM (SELECT doc_id, source, text,
-                            CASE WHEN length(trim(text)) = 0 THEN 0
-                                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
-                            length(text) AS ch,
-                            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
-                            len(regexp_extract_all(text, '[A-Z]')) AS u,
-                            len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
-                          FROM base) t),
-                r AS (SELECT doc_id, source, text, score,
-                        percent_rank() OVER (PARTITION BY source
-                          ORDER BY score DESC, doc_id) AS pr
-                      FROM m),
-                qf AS (SELECT doc_id, source, text, score FROM r WHERE pr <= 0.5),
-                tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
-                ss AS (SELECT doc_id,
-                         list_distinct(list_transform(range(1, len(toks) - 1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-                       FROM tt WHERE len(toks) >= 3),
-                ee AS (SELECT doc_id, unnest(sh) AS g FROM ss),
-                flag AS (SELECT DISTINCT doc_id FROM (
-                           SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id
-                           FROM (SELECT e.doc_id, e.g FROM ee e JOIN qf ON qf.doc_id = e.doc_id) tr
-                           JOIN (SELECT doc_id, g FROM ee WHERE doc_id % 7 = 0) ev
-                             ON tr.g = ev.g
-                           GROUP BY 1, 2 HAVING count(*) >= 3)),
-                clean AS (SELECT qf.* FROM qf
-                          WHERE doc_id NOT IN (SELECT doc_id FROM flag))
-            SELECT doc_id, source, score,
-                   CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
-                   row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
-                     ORDER BY md5(text), doc_id) AS pos
-            FROM clean ORDER BY shard, pos"""
-      }),
+      Some(curationOracle)),
 
     // x74 — embedding-space audit: the validation row that runs BEFORE any
     // ANN/dedup work trusts a 100 TB embedding table — dimension
@@ -1967,9 +2008,15 @@ object ExtQueries {
             sum(col("scnt")).as("n_docs"))
           .crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"),
-            round((col("r2") - col("n_docs") * (col("n_docs") + 1)).cast("double")
-              / (lit(2.0) * col("n_docs").cast("double")
-                 * (col("n_total") - col("n_docs")).cast("double")), 6).as("auc"))
+            // degenerate split (one source IS the corpus) → no comparison
+            // population → AUC undefined: null in BOTH engines (Spark's
+            // non-ANSI /0 null vs DuckDB inf would otherwise disagree)
+            when(col("n_total") === col("n_docs"), lit(null).cast("double"))
+              .otherwise(
+                round((col("r2") - col("n_docs") * (col("n_docs") + 1)).cast("double")
+                  / (lit(2.0) * col("n_docs").cast("double")
+                     * (col("n_total") - col("n_docs")).cast("double")), 6))
+              .as("auc"))
           .orderBy("source")
       },
       Some {
@@ -2000,7 +2047,8 @@ object ExtQueries {
                         FROM sq JOIN r USING (q) GROUP BY 1)
             SELECT agg.source, CAST(agg.n_docs AS BIGINT) AS n_docs,
                    round(CAST(agg.r2 - agg.n_docs * (agg.n_docs + 1) AS DOUBLE)
-                         / (2.0 * agg.n_docs * (n.n_total - agg.n_docs)), 6) AS auc
+                         / (2.0 * agg.n_docs
+                            * NULLIF(n.n_total - agg.n_docs, 0)), 6) AS auc
             FROM agg, n ORDER BY source"""
       }),
 

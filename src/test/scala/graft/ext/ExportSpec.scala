@@ -27,7 +27,7 @@ class ExportSpec extends SparkSpec {
         java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
       assert(manifest.contains(s""""total": ${want.values.sum}"""))
       // the manifest round-trips through the loader-side reader
-      assert(Export.readManifest(dir) === want)
+      assert(Export.readManifest(spark, dir) === want)
       // a shard-selective read prunes to those partitions
       val two = want.keySet.toSeq.sorted.take(2)
       val probe = Export.readShards(spark, dir, two)
@@ -49,5 +49,47 @@ class ExportSpec extends SparkSpec {
       Export.writeShards(df, "/tmp/never-written")
     }
     assert(e.getMessage.contains("shard"))
+  }
+
+  test("writeShards rejects non-integral and null shard columns") {
+    import spark.implicits._
+    val str = Seq((1L, "a", "s0")).toDF("doc_id", "text", "shard")
+    val e1 = intercept[IllegalArgumentException] {
+      Export.writeShards(str, "/tmp/never-written")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val withNull = Seq((1L, "a", Some(0L)), (2L, "b", None))
+      .toDF("doc_id", "text", "shard")
+    val e2 = intercept[IllegalArgumentException] {
+      Export.writeShards(withNull, "/tmp/never-written")
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
+  test("manifest IO goes through the Hadoop FileSystem for URI paths") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L))
+      .toDF("doc_id", "text", "shard")
+    val local = java.nio.file.Files.createTempDirectory("graft-export-fs")
+    // an explicit file: URI exercises the same FileSystem resolution an
+    // hdfs:// or s3a:// path takes — java.nio would choke on the scheme
+    val dir = "file://" + local.toString + "/out"
+    try {
+      val counts = Export.writeShards(df, dir)
+      assert(counts === Map(0L -> 2L, 1L -> 1L))
+      assert(Export.readManifest(spark, dir) === counts)
+      assert(Export.readShards(spark, dir, Seq(0L)).count() === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(local.toFile)
+    }
+  }
+
+  test("x80 export round-trip equals the pre-export curation frame") {
+    val dir = "/root/testdata/sf0.001"
+    val before = SparkEntry.queries("x73_curation_pipeline")(spark, dir)
+      .collect().toSeq
+    val after = SparkEntry.queries("x80_export_roundtrip")(spark, dir)
+      .collect().toSeq
+    assert(after === before)
   }
 }
