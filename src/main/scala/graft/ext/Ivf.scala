@@ -197,6 +197,47 @@ object Ivf {
         .withColumn("nrm", Similarity.norm(col("embedding"))))
   }
 
+  /** Persist a built index so build-once/probe-many survives the session —
+    * the index shape a 100 TB corpus requires (training + assignment are
+    * the expensive pass; probes are cheap and repeated). Layout:
+    *   - `dir/assigned`: the vector table written `partitionBy("cluster")`,
+    *     so a reloaded probe's cell filter prunes to nProbe/k of the FILES
+    *     (PartitionFilters — asserted in IvfSpec);
+    *   - `dir/centroids`: the k×dim matrix as one tiny parquet
+    *     (cluster_id, centroid) — self-describing, no side manifest.
+    * Both writes go through Spark's Hadoop FS layer, so any local/HDFS/S3A
+    * URI works (the Export lesson). */
+  def saveIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$dir/assigned")
+    index.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Reload a [[saveIndex]] index. The centroid matrix is a one-small-file
+    * driver read; the assigned table is lazy — nothing scans until a probe,
+    * and the probe's cell filter prunes on the partition column. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster_id")
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      // partition-directory values read back type-inferred — normalize to
+      // the int type assign() produces, and restore the column order
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("int").as("cluster"),
+        col("nrm"))
+    IvfIndex(centroids, assigned)
+  }
+
   /** Approximate top-k against a prebuilt index: exact cosine restricted to
     * the `nProbe` cells nearest the query vector. */
   def topK(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int): DataFrame = {

@@ -504,27 +504,65 @@ object Similarity {
                    bandsN: Int = 0,
                    maxBucket: Int = defaultMaxBucket): DataFrame = {
     val bn = resolveSrpBands(corpus, bandsN, maxBucket)
-    val qBands = srpBands(queries, bn)
-      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val postings = srpBands(corpus, bn)
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .observe("graft_srp_cross_bucket_cap",
         count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
+    scoreAgainstPostings(queries, postings, withNorms(corpus), bn, kTop, minCos)
+  }
+
+  /** The query-side half of SRP batch retrieval, shared by the one-shot
+    * [[srpCrossTopK]] and the build-once [[srpRetriever]]: band the queries
+    * at the corpus-resolved width, equi-join the corpus bucket postings,
+    * exact-cosine the candidates, rank per query. */
+  private def scoreAgainstPostings(queries: DataFrame, postings: DataFrame,
+                                   corpusNorms: DataFrame, bn: Int,
+                                   kTop: Int, minCos: Double): DataFrame = {
+    val qBands = srpBands(queries, bn)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket"))
     val cands = qBands.join(postings, Seq("t", "bucket"))
       .select(col("query_id"), explode(col("ids")).as("vec_id"))
       .dropDuplicates("query_id", "vec_id")
     val q = withNorms(queries).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nrm").as("qnrm"))
-    val c = withNorms(corpus)
     cands
       .join(q, "query_id")
-      .join(c, "vec_id")
+      .join(corpusNorms, "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .transform(rankPerQuery(kTop))
+  }
+
+  /** Build the corpus-side retrieval state ONCE and return the per-batch
+    * lookup — the build/apply split that makes batch retrieval
+    * STREAMING-ready (the [[graft.ext.Dedup.bloomFlagger]] /
+    * [[graft.ext.Dedup.nearDupFlagger]] pattern): the corpus bucket
+    * postings and norm table are computed up front and PERSISTED, and the
+    * returned function answers ANY query frame — a batch table or each
+    * `foreachBatch` micro-batch — with the identical plan tail as
+    * [[srpCrossTopK]]. A query's result depends only on its own row and
+    * the static corpus state (the rank window partitions by query_id, and
+    * each query lives in exactly one micro-batch), so streaming output ≡
+    * batch output on the same rows — asserted in StreamingSpec.
+    *
+    * At 100 TB: the corpus pass (sketch + postings groupBy + norms) is the
+    * expensive part and runs exactly once per corpus version; each arriving
+    * batch pays only its own banding plus candidate-bounded joins. */
+  def srpRetriever(corpus: DataFrame, kTop: Int, minCos: Double,
+                   bandsN: Int = 0,
+                   maxBucket: Int = defaultMaxBucket): DataFrame => DataFrame = {
+    val bn = resolveSrpBands(corpus, bandsN, maxBucket)
+    val postings = srpBands(corpus, bn)
+      .groupBy(col("t"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .persist()
+    val corpusNorms = withNorms(corpus).persist()
+    (queries: DataFrame) =>
+      scoreAgainstPostings(queries, postings, corpusNorms, bn, kTop, minCos)
   }
 
   /** Per-query rank window shared by the retrieval paths: `row_number`

@@ -154,6 +154,37 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("saveIndex/loadIndex round-trips: identical probes, pruned scans") {
+    val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-saveload").toString
+    try {
+      Ivf.saveIndex(idx, dir)
+      val back = Ivf.loadIndex(spark, dir)
+      // centroid matrix round-trips exactly (doubles through parquet)
+      assert(back.centroids.length === idx.centroids.length)
+      assert(back.centroids.zip(idx.centroids).forall {
+        case (a, b) => a.sameElements(b) })
+      // probe results are identical pre/post reload, for several queries
+      for (qid <- Seq(0L, 7L, 42L)) {
+        val before = Ivf.topK(idx, qid, kTop = 5, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val after = Ivf.topK(back, qid, kTop = 5, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(after === before, s"probe drifted after reload for qid=$qid")
+      }
+      // the reloaded probe prunes on the cluster partition column
+      val probe = back.assigned.filter(col("cluster").isin(1, 3))
+      val scan = probe.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+      assert(partFilters.contains("cluster"),
+        s"reloaded probe did not land in PartitionFilters:\n$scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfCrossTopK matches the exact contract and holds recall at defaults") {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val c = emb.filter(col("vec_id") % 10 =!= 0)

@@ -156,6 +156,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming batch retrieval via srpRetriever matches batch srpCrossTopK") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // corpus-side state (bucket postings + norms) builds ONCE; each query
+    // micro-batch pays only its own banding — the x54 plan tail per batch.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val expected = graft.ext.Similarity
+      .srpCrossTopK(queries, corpus, kTop = 3, minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty) // the fixture must actually retrieve something
+
+    val retrieve = graft.ext.Similarity.srpRetriever(corpus, kTop = 3, minCos = 0.2)
+    val rows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val query = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = retrieve(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // each query's top-k depends only on its own row + the static corpus
+      // (rank window partitions by query_id), so batch boundaries are
+      // invisible: streaming union == batch output exactly
+      assert(acc.sorted.toSeq === expected)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
