@@ -51,19 +51,47 @@ object Bench {
         try q(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    var errors = List.empty[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); errors ::= name; false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timedPass(): (Seq[(String, Double)], List[String]) = {
+      var errors = List.empty[String]
+      val results = names.map { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); errors ::= name; false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (results, errors)
     }
+    def blockJson(results: Seq[(String, Double)], errors: List[String]): (Double, String) = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      (total, s"""{"total":$total,"queries":$qs,"errors":$errJson}""")
+    }
+    val (results, errors) = timedPass()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // AQE twin: the SAME catalog re-timed with adaptive execution on (a
+    // runtime SQL conf — same session, JIT already warm from the default
+    // pass), published beside the default numbers so plan stability under
+    // AQE re-planning is visible from this artifact alone. Disable with
+    // SPARK_GRAFT_AQE_TWIN=0 (e.g. when iterating on one query locally).
+    val aqeJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_AQE_TWIN", "1") == "0") "null"
+      else {
+        val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try {
+          val (aqeResults, aqeErrors) = timedPass()
+          blockJson(aqeResults, aqeErrors)._2
+        } finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
     // Candidate-volume audit for the banded/celled near-pair paths — the
     // numbers that EXPLAIN x12/x39/x42 wall time, recorded next to it so a
     // band-width/cell-count regression is diagnosable from this artifact
@@ -85,7 +113,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: candidate stats failed: $e"); "null"
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"candidates":$candJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"candidates":$candJson,"aqe":$aqeJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query map to a file: the driver's captured
     // stdout tail truncates on long runs (BENCH_r04 lost q01-q15), so the

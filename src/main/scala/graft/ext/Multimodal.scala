@@ -25,16 +25,23 @@ object Multimodal {
       content: Array[Byte],
       meta: Map[String, String])
 
-  /** Extracted features (fake-decoded; real pipeline fills the same shape). */
+  /** Extracted features. `width`/`height` are None when the payload is not
+    * a recognized image container (a real pipeline wants "unknown", not a
+    * plausible fake); `feature` is decoded-pixel statistics for PNG
+    * payloads and a content-byte projection otherwise (the codec seam). */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       sha: String,
-      width: Int,
-      height: Int,
+      width: Option[Int],
+      height: Option[Int],
       n_frames: Int,
       feature: Array[Float])
+
+  /** A decoded 8-bit raster: `channels` ∈ {1 gray, 2 gray+alpha, 3 RGB,
+    * 4 RGBA}, samples row-major, `width*height*channels` bytes. */
+  case class Raster(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
   object MediaCodecs {
 
@@ -90,16 +97,140 @@ object Multimodal {
       } else None
     }
 
-    /** Container-aware decoder: real header-parsed dimensions for PNG /
-      * JPEG / GIF payloads; for opaque payloads (no recognized container) a
-      * DOCUMENTED deterministic fallback derived from the content CRC — the
-      * seam where a production codec decodes pixels. The signature, batch
-      * shape, and determinism contract are what the pipeline tests pin. */
+    /** Full PNG pixel decode, pure JVM — the published format layout end to
+      * end: chunk walk concatenating IDAT payloads, one zlib inflate
+      * (`java.util.zip.Inflater`), then per-scanline unfiltering (filter
+      * types 0–4: None/Sub/Up/Average/Paeth). Supported: 8-bit-depth,
+      * non-interlaced, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) —
+      * the overwhelmingly common shapes; palette (3), 16-bit, and Adam7
+      * return None (as do truncated or corrupt streams — the decoder is
+      * total, never throws). Chunk CRCs are not validated: the zlib stream
+      * itself detects corruption where it matters for pixels. */
+    def pngPixels(b: Array[Byte]): Option[Raster] = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val isPng = b.length >= 33 &&
+        u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+      if (!isPng) return None
+      val width = be32(16)
+      val height = be32(20)
+      val bitDepth = u8(24)
+      val colorType = u8(25)
+      val interlace = u8(28)
+      val channels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+        case _ => return None // palette needs PLTE handling — out of scope
+      }
+      if (bitDepth != 8 || interlace != 0 || width <= 0 || height <= 0)
+        return None
+      // guard the allocation: refuse rasters over ~64 MP (a hostile header
+      // must not OOM an executor before the inflate even starts)
+      if (width.toLong * height * channels > (1L << 26) * 4) return None
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var done = false
+      while (!done && i + 8 <= b.length) {
+        val len = be32(i)
+        if (len < 0 || i + 8 + len.toLong + 4 > b.length) return None
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(b, i + 8, len)
+        if (typ == "IEND") done = true else i += 8 + len + 4
+      }
+      if (idat.size == 0) return None
+      val stride = width * channels
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+          off += n
+        }
+        if (off < raw.length) return None
+        // drain to the stream end so the zlib adler32 trailer is actually
+        // verified (output can complete before the trailer is consumed)
+        val sink = new Array[Byte](1)
+        while (!inf.finished()) {
+          if (inf.inflate(sink, 0, 1) == 0 &&
+            (inf.needsInput() || inf.needsDictionary())) return None
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      val out = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val f = raw((stride + 1) * y) & 0xff
+        if (f > 4) return None
+        val rowIn = (stride + 1) * y + 1
+        val rowOut = stride * y
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val a = if (x >= channels) out(rowOut + x - channels) & 0xff else 0
+          val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+          val c = if (x >= channels && y > 0) out(rowOut - stride + x - channels) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + up
+            case 3 => cur + ((a + up) >> 1)
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          }
+          out(rowOut + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Raster(width, height, channels, out))
+    }
+
+    /** 8-float content feature from a decoded raster: per-channel means
+      * (4 slots, 0 for absent channels), overall mean, min, max — all in
+      * [0,1] — and channels/4. Deterministic, derived from PIXELS, not the
+      * compressed byte stream. */
+    private[ext] def rasterFeature(r: Raster): Array[Float] = {
+      val sums = new Array[Long](r.channels)
+      var mn = 255; var mx = 0
+      var i = 0
+      while (i < r.pixels.length) {
+        val v = r.pixels(i) & 0xff
+        sums(i % r.channels) += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      val perPix = r.width.toLong * r.height
+      val means = (0 until 4).map { c =>
+        if (c < r.channels && perPix > 0) (sums(c).toDouble / perPix / 255.0).toFloat
+        else 0f
+      }
+      val overall =
+        if (r.pixels.length > 0) (sums.sum.toDouble / r.pixels.length / 255.0).toFloat
+        else 0f
+      (means :+ overall :+ mn / 255.0f :+ mx / 255.0f :+ r.channels / 4.0f).toArray
+    }
+
+    /** Container-aware decoder: header-parsed dimensions for PNG / JPEG /
+      * GIF payloads (None otherwise — "unknown", never a fake), REAL pixel
+      * statistics for decodable PNGs ([[pngPixels]]), and a content-byte
+      * projection as the feature for everything else — the seam where a
+      * production codec plugs in raster decode for the remaining formats.
+      * The signature, batch shape, and determinism contract are what the
+      * pipeline tests pin. */
     def decode(f: MediaFile): MediaFeatures = {
       val n = f.content.length
-      val crc = new java.util.zip.CRC32
-      crc.update(f.content)
-      val h = crc.getValue
       val dims = imageDimensions(f.content)
       MediaFeatures(
         media_id = f.media_id,
@@ -107,10 +238,13 @@ object Multimodal {
         n_bytes = n.toLong,
         sha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(f.content).map("%02x".format(_)).mkString,
-        width = dims.map(_._1).getOrElse((h % 1920).toInt + 1),
-        height = dims.map(_._2).getOrElse(((h / 1920) % 1080).toInt + 1),
+        width = dims.map(_._1),
+        height = dims.map(_._2),
         n_frames = if (f.kind == "video") (n % 300) + 1 else 1,
-        feature = f.content.take(8).map(b => (b & 0xff) / 255.0f))
+        feature = pngPixels(f.content) match {
+          case Some(r) => rasterFeature(r)
+          case None => f.content.take(8).map(b => (b & 0xff) / 255.0f)
+        })
     }
   }
 

@@ -1638,18 +1638,25 @@ object ExtQueries {
               FROM q ORDER BY vec_id""")),
 
     // x14 — multimodal feature extraction through the typed mapPartitions
-    // seam (decode is stubbed; schema/bytes/sha are real and oracle-checked).
+    // seam. Schema/bytes/sha are real and oracle-checked; width/height are
+    // the header parse and NULL for non-container payloads (document text
+    // is never a PNG/JPEG/GIF, so the oracle pins the all-null contract —
+    // "unknown", never a synthetic fake); pixel decode runs for PNG inputs
+    // (MultimodalSpec pins exact pixels).
     QueryDef("x14_multimodal_features",
       (s, d) => {
         val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
         Multimodal.extractFeatures(media).toDF()
-          .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"))
+          .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
+            col("width"), col("height"))
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id,
                      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                      CAST(strlen(text) AS BIGINT) AS n_bytes,
-                     sha256(text) AS sha
+                     sha256(text) AS sha,
+                     CAST(NULL AS INTEGER) AS width,
+                     CAST(NULL AS INTEGER) AS height
               FROM documents ORDER BY media_id""")),
 
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of

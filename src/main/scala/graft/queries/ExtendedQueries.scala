@@ -81,12 +81,18 @@ object ExtendedQueries {
                      coalesce(regexp_extract(source, '(\d+)', 1), '') AS src_num
               FROM documents ORDER BY doc_id""")),
 
-    // Q19 — JSON render + parse (ref StreamingLensReportingHelper.scala:80-92)
+    // Q19 — JSON render + parse (ref StreamingLensReportingHelper.scala:80-92).
+    // Parse side is a SCHEMA'D from_json — one parse per row into a typed
+    // struct — not per-field get_json_object walks (each walk re-parses the
+    // whole document; with N extracted fields that is N full parses: the
+    // difference between one SerDe pass and N at 100 TB).
     QueryDef("q19_json",
       (s, d) => events(s, d).select(
         col("event_id"),
         to_json(struct(col("event_id"), col("event_type"))).as("js"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
                      CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS js,

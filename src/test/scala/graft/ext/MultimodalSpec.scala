@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).n_bytes === 11L)
     assert(got(0).sha ===
       "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9") // sha256("hello world")
-    assert(got(0).width >= 1 && got(0).height >= 1)
+    assert(got(0).width === None && got(0).height === None) // not a container
     assert(got(0).n_frames === 1)          // non-video
     assert(got(1).n_frames === (500 % 300) + 1) // video: derived from length
     assert(got(0).feature.length === 8)
@@ -63,11 +63,75 @@ class MultimodalSpec extends SparkSpec {
       MediaFile(3L, "image", "opaque payload".getBytes("UTF-8"), Map.empty))
       .toDS()
     val got = extractFeatures(media).collect().sortBy(_.media_id)
-    assert((got(0).width, got(0).height) === (800, 600))
-    assert((got(1).width, got(1).height) === (120, 90))
-    // opaque payload: deterministic CRC-derived fallback, still in range
-    assert(got(2).width >= 1 && got(2).width <= 1920)
-    assert(got(2).height >= 1 && got(2).height <= 1080)
+    assert((got(0).width, got(0).height) === (Some(800), Some(600)))
+    assert((got(1).width, got(1).height) === (Some(120), Some(90)))
+    // opaque payload: dimensions are UNKNOWN, not a plausible fake
+    assert((got(2).width, got(2).height) === (None, None))
+  }
+
+  // A REAL, complete PNG: IHDR + one deflated IDAT + IEND, correct CRCs.
+  private def fullPng(w: Int, h: Int, channels: Int,
+                      scanlines: Array[Byte]): Array[Byte] = {
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(scanlines); d.finish()
+    val buf = new Array[Byte](scanlines.length + 64)
+    val m = d.deflate(buf); d.end()
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(m)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("pngPixels decodes exact pixels from a real deflated PNG") {
+    // 2x2 RGB, filter 0 rows: red green / blue white
+    val px = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    val scan = Array[Byte](0) ++ px.take(6) ++ Array[Byte](0) ++ px.drop(6)
+    val png = fullPng(2, 2, 3, scan)
+    val r = MediaCodecs.pngPixels(png).get
+    assert((r.width, r.height, r.channels) === (2, 2, 3))
+    assert(r.pixels.toSeq === px.toSeq)
+    // the dimensions header parse agrees
+    assert(MediaCodecs.imageDimensions(png) === Some((2, 2)))
+    // decode() surfaces a pixel-derived feature: mean red = (255+0+0+255)/4/255
+    import spark.implicits._
+    val feats = extractFeatures(
+      Seq(MediaFile(1L, "image", png, Map.empty)).toDS()).collect()
+    assert(feats(0).feature(0) === (510.0 / 4 / 255).toFloat) // mean R = 0.5
+    assert(feats(0).feature(6) === 1.0f)                      // max = 255
+  }
+
+  test("pngPixels unfilters Sub/Up/Average/Paeth scanlines") {
+    // 2x2 gray: row0 Sub filter (deltas), row1 Up filter (deltas vs row0)
+    val scan = Array[Byte](1, 10, 20, 2, 5, 5)
+    val r = MediaCodecs.pngPixels(fullPng(2, 2, 1, scan)).get
+    // Sub: 10, 10+20=30; Up: 10+5=15, 30+5=35
+    assert(r.pixels.map(_ & 0xff).toSeq === Seq(10, 30, 15, 35))
+    // Average (3) and Paeth (4) on a 1x3 RGB-free gray column
+    val scan2 = Array[Byte](0, 100, 3, 10, 4, 200.toByte)
+    val r2 = MediaCodecs.pngPixels(fullPng(1, 3, 1, scan2)).get
+    // Average: 10 + (0+100)/2 = 60; Paeth(a=0,b=60,c=0)=60 → 200+60 mod 256 = 4
+    assert(r2.pixels.map(_ & 0xff).toSeq === Seq(100, 60, 4))
+  }
+
+  test("pngPixels is total on malformed input") {
+    assert(MediaCodecs.pngPixels("nope".getBytes("UTF-8")) === None)
+    assert(MediaCodecs.pngPixels(pngBytes(640, 480)) === None) // header only, no IDAT
+    val good = fullPng(2, 2, 1, Array[Byte](0, 1, 2, 0, 3, 4))
+    assert(MediaCodecs.pngPixels(good).isDefined)
+    assert(MediaCodecs.pngPixels(good.dropRight(20)) === None) // truncated
+    // corrupt the deflate stream: flip a byte inside IDAT
+    val bad = good.clone
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x5a).toByte
+    assert(MediaCodecs.pngPixels(bad).isEmpty)
   }
 
   test("sampleFrames: every stride-th block, correct sizes and count") {
