@@ -445,14 +445,23 @@ object Ivf {
     if (centroids.isEmpty)
       return emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
         "cos" -> "double", "rnk" -> "int")
-    val np = resolveAssign(nProbe, k)
     val na = resolveAssign(nAssign, k)
     val c = assignTop(corpus, centroids, na)
       .withColumn("nrm", Similarity.norm(col("embedding")))
+    probeAgainstCells(queries, c, centroids, resolveAssign(nProbe, k), kTop, minCos)
+  }
+
+  /** The query-side half of IVF batch retrieval, shared by the one-shot
+    * [[ivfCrossTopK]] and the build-once [[ivfRetriever]]: assign each
+    * query to its `np` nearest cells, equi-join the cell-assigned corpus,
+    * exact cosine on the cell-join candidates, rank per query. */
+  private def probeAgainstCells(queries: DataFrame, corpusAssigned: DataFrame,
+                                centroids: Array[Array[Double]], np: Int,
+                                kTop: Int, minCos: Double): DataFrame = {
     val q = assignTop(queries, centroids, np)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         Similarity.norm(col("embedding")).as("qnrm"), col("cluster"))
-    q.join(c, "cluster")
+    q.join(corpusAssigned, "cluster")
       // multi-assignment duplicates a (query, candidate) pair once per
       // shared cell — dedup BEFORE the cosine so the dot runs once per pair
       .select(col("query_id"), col("vec_id"), col("embedding"),
@@ -462,6 +471,48 @@ object Ivf {
         round(Similarity.dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
       .transform(Similarity.rankPerQuery(kTop))
+  }
+
+  /** Build the IVF retrieval state ONCE and return the per-batch probe —
+    * the [[Similarity.srpRetriever]] build/apply split for the cell-probe
+    * path: centroids train up front, the corpus is multi-assigned and
+    * PERSISTED, and the returned function answers ANY query frame — a
+    * batch table or each `foreachBatch` micro-batch — with the identical
+    * plan tail as [[ivfCrossTopK]]. A query's result depends only on its
+    * own row and the static corpus state, so streaming output ≡ batch
+    * output on the same rows (StreamingSpec). Pair with
+    * [[saveIndex]]/[[loadIndex]] to also survive sessions: a loaded
+    * index's `assigned` frame (cluster-partition-pruned scans) drops in as
+    * the corpus side via [[retrieverFromIndex]]. */
+  def ivfRetriever(corpus: DataFrame, kTop: Int, minCos: Double,
+                   nClusters: Int = 0, iters: Int = 3, nProbe: Int = 0,
+                   nAssign: Int = 0,
+                   sampleCap: Int = defaultSampleCap,
+                   targetCell: Long = defaultTargetCell): DataFrame => DataFrame = {
+    val (k, centroids) = resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+    if (centroids.isEmpty)
+      return (queries: DataFrame) =>
+        emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
+          "cos" -> "double", "rnk" -> "int")
+    val na = resolveAssign(nAssign, k)
+    val np = resolveAssign(nProbe, k)
+    val c = assignTop(corpus, centroids, na)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .persist()
+    (queries: DataFrame) => probeAgainstCells(queries, c, centroids, np, kTop, minCos)
+  }
+
+  /** Per-batch probe over a PERSISTED/RELOADED index ([[loadIndex]]): the
+    * index's single-assigned table is the corpus side directly — cell
+    * filters prune to the probed partitions on a reloaded index. Recall
+    * equals `nAssign = 1` retrieval; corpora indexed for retrieval should
+    * be built with multi-assignment via [[ivfRetriever]] when boundary
+    * recall matters more than index size. */
+  def retrieverFromIndex(index: IvfIndex, kTop: Int, minCos: Double,
+                         nProbe: Int = 0): DataFrame => DataFrame = {
+    val np = resolveAssign(nProbe, math.max(1, index.centroids.length))
+    (queries: DataFrame) =>
+      probeAgainstCells(queries, index.assigned, index.centroids, np, kTop, minCos)
   }
 
   /** Bucket-distribution audit for the IVF pair path — the

@@ -185,6 +185,24 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("retrieverFromIndex probes a reloaded index identically to the live one") {
+    val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-retr").toString
+    try {
+      Ivf.saveIndex(idx, dir)
+      val live = Ivf.retrieverFromIndex(idx, kTop = 3, minCos = 0.2)(queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(live.nonEmpty)
+      val reloaded = Ivf.retrieverFromIndex(
+          Ivf.loadIndex(spark, dir), kTop = 3, minCos = 0.2)(queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(reloaded === live)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfCrossTopK matches the exact contract and holds recall at defaults") {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val c = emb.filter(col("vec_id") % 10 =!= 0)

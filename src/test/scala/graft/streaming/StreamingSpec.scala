@@ -195,6 +195,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF retrieval via ivfRetriever matches batch ivfCrossTopK") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    // identical knobs → identical deterministic training → identical cells
+    val expected = graft.ext.Ivf
+      .ivfCrossTopK(queries, corpus, kTop = 3, minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+
+    val retrieve = graft.ext.Ivf.ivfRetriever(corpus, kTop = 3, minCos = 0.2)
+    val rows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val query = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = retrieve(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
