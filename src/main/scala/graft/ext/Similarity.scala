@@ -417,8 +417,10 @@ object Similarity {
     * (cos desc, neighbor id asc) keeps the cut deterministic (cos is
     * already rounded to 6 decimals by the pair producers). The window
     * partitions by vec_id — at corpus scale that is the natural
-    * shuffle key, no global sort. */
-  private[ext] def knnFromPairs(pairs: DataFrame, kTop: Int): DataFrame = {
+    * shuffle key, no global sort. PUBLIC so pipelines that already hold a
+    * pair set (e.g. one mined once at a lower threshold and shared across
+    * consumers) can rank it without re-mining. */
+  def knnFromPairs(pairs: DataFrame, kTop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Both edge directions from ONE pass over the pair source: a union of
     // two selects re-evaluates the (expensive — quadratic for the exact

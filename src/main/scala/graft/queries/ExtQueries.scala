@@ -201,12 +201,21 @@ object ExtQueries {
       Dedup.ngramJaccardPairsOf(shinglesShared(s, d),
         threshold = 0.6, maxDf = Int.MaxValue))
 
+  /** The exact quadratic baseline mined ONCE at the catalog's LOWEST
+    * threshold (0.2, the x49 floor): the same algorithm at 0.35 produces a
+    * strict SUBSET (the threshold only filters verified cosines — Spark
+    * orders NaN above every double, so degenerate rows survive the filter
+    * identically), so every 0.35 consumer derives from this persisted
+    * superset by a filter instead of paying a second quadratic pass. */
+  private def cosinePairs02Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cos-t02-exact")(
+      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.2))
+
   /** x11 (pairs), x40/x43 (gate exact sides), x46 (cluster source): the
-    * exact cosine-0.35 pair set — the one quadratic baseline, computed
-    * once. */
+    * exact cosine-0.35 pair set — a filter over the 0.2 superset. */
   private def cosinePairs035Shared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "cos-t035-exact")(
-      Similarity.cosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+      cosinePairs02Shared(s, d).filter(col("cos") >= 0.35))
 
   /** x25 (clusters) and x65 (source-spread audit): the transitive closure
     * over the uncapped Jaccard pair set. */
@@ -221,25 +230,33 @@ object ExtQueries {
     sharedFrame(s, d, "cos-t035-clusters")(
       Dedup.dupClusters(cosinePairs035Shared(s, d).select(col("ia"), col("ib"))))
 
-  /** x39 (pairs) and x40 (gate approx side). */
+  /** The SRP-banded pair set mined once at 0.2 (candidate generation is
+    * threshold-independent — the [[cosinePairs02Shared]] superset rule). */
+  private def srpPairs02Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "srp-t02")(
+      Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.2))
+
+  /** x39 (pairs) and x40 (gate approx side): filter over the 0.2 superset. */
   private def srpPairs035Shared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "srp-t035")(
-      Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+      srpPairs02Shared(s, d).filter(col("cos") >= 0.35))
 
   /** x42 (pairs) and x43 (gate approx side). */
   private def ivfPairs035Shared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "ivf-t035-adaptive")(
       Ivf.ivfCosinePairs(Tables.embeddings(s, d), threshold = 0.35))
 
-  /** x49 (graph) and x51 (gate exact side). */
+  /** x49 (graph) and x51 (gate exact side): rank the shared 0.2 exact pair
+    * superset — the quadratic baseline runs once for x11/x40/x43/x46/x49. */
   private def knnGraphShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "knn-k5-c02-exact")(
-      Similarity.knnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2))
+      Similarity.knnFromPairs(cosinePairs02Shared(s, d), kTop = 5))
 
-  /** x50 (graph) and x51 (gate approx side). */
+  /** x50 (graph) and x51 (gate approx side): rank the shared SRP 0.2 pair
+    * superset — one banded mining pass serves x39/x40/x50/x51. */
   private def srpKnnGraphShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "knn-k5-c02-srp")(
-      Similarity.srpKnnGraph(Tables.embeddings(s, d), kTop = 5, minCos = 0.2))
+      Similarity.knnFromPairs(srpPairs02Shared(s, d), kTop = 5))
 
   /** x53 (retrieval) and x55 (gate exact side). */
   private def crossTopKShared(s: SparkSession, d: String): DataFrame =
