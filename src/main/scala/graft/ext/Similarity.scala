@@ -146,10 +146,16 @@ object Similarity {
     * approx path vs the exact one is asserted in DedupSpec and exposed as a
     * catalog query. Output: `vec_id` of survivors. */
   def embeddingDedup(emb: DataFrame, threshold: Double,
-                     approx: Boolean = false, dim: Int = 64): DataFrame = {
-    val pairs =
+                     approx: Boolean = false, dim: Int = 64): DataFrame =
+    embeddingDedupOf(emb,
       if (approx) lshCosinePairs(emb, threshold, dim)
-      else cosinePairs(emb, threshold)
+      else cosinePairs(emb, threshold))
+
+  /** [[embeddingDedup]] over an ALREADY-MINED pair set (`ia < ib` near-dup
+    * pairs): keep a vector iff no lower-id pair dominates it. Pipelines
+    * holding a shared pair frame — the pair mining is the expensive pass —
+    * dedup without re-mining. */
+  def embeddingDedupOf(emb: DataFrame, pairs: DataFrame): DataFrame = {
     val dominated = pairs.select(col("ib").as("vec_id")).distinct()
     emb.select(col("vec_id"))
       .join(dominated, Seq("vec_id"), "left_anti")

@@ -236,6 +236,12 @@ object ExtQueries {
     sharedFrame(s, d, "srp-t02")(
       Similarity.srpCosinePairs(Tables.embeddings(s, d), threshold = 0.2))
 
+  /** x12 (pairs) and x17's LSH dedup twin: the hyperplane-table LSH pair
+    * set at 0.35, mined once (identical knobs in both consumers). */
+  private def lshPairs035Shared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "lsh-t035")(
+      Similarity.lshCosinePairs(Tables.embeddings(s, d), threshold = 0.35))
+
   /** x39 (pairs) and x40 (gate approx side): filter over the 0.2 superset. */
   private def srpPairs035Shared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "srp-t035")(
@@ -444,8 +450,7 @@ object ExtQueries {
     // x12 — LSH-bucketed approximate pairs (scale path; recall measured in
     // tests against x11 → rows-only here).
     QueryDef("x12_lsh_cosine_pairs",
-      (s, d) => Similarity.lshCosinePairs(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("ia", "ib"),
+      (s, d) => lshPairs035Shared(s, d).orderBy("ia", "ib"),
       None),
 
     // x13 — LSH multi-probe approximate top-k for one query (rows-only).
@@ -1447,8 +1452,8 @@ object ExtQueries {
     // x17 — embedding-cosine near-dup dedup: survivors have no lower-id
     // neighbor above the threshold (min-id representative per dup pair).
     QueryDef("x17_embedding_dedup",
-      (s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d), threshold = 0.35)
-        .orderBy("vec_id"),
+      (s, d) => Similarity.embeddingDedupOf(Tables.embeddings(s, d),
+        cosinePairs035Shared(s, d)).orderBy("vec_id"),
       Some("""SELECT vec_id FROM embeddings e
               WHERE NOT EXISTS (
                 SELECT 1 FROM embeddings o
@@ -1460,8 +1465,8 @@ object ExtQueries {
     // bucket equi-join instead of the exact all-pairs join (rows-only;
     // recall vs the exact form asserted in DedupSpec).
     QueryDef("x17_embedding_dedup_lsh",
-      (s, d) => Similarity.embeddingDedup(Tables.embeddings(s, d), threshold = 0.35,
-        approx = true).orderBy("vec_id"),
+      (s, d) => Similarity.embeddingDedupOf(Tables.embeddings(s, d),
+        lshPairs035Shared(s, d)).orderBy("vec_id"),
       None),
 
     // x19 — driver-visible recall gate for the approximate top-k paths:
