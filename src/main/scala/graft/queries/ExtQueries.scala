@@ -2215,6 +2215,92 @@ object ExtQueries {
             SELECT d.doc_id, d.source, CAST(unnest(range(1, e.n_epochs + 1)) AS BIGINT) AS epoch
             FROM documents d JOIN e USING (source)
             ORDER BY doc_id, epoch"""
-      })
+      }),
+
+    // x81 — per-source token-distribution KL divergence vs the corpus:
+    // KL(p_src ‖ p_corpus) = (Σc·ln c − Σc·ln C)/n − ln n + ln N over the
+    // (source, token) counts — the VOCABULARY-drift companion of x76's
+    // quality drift (a source can hold quality while its token mix walks
+    // away from the corpus). The corpus histogram derives from the
+    // per-source one (no second scan); the x30 exact-count-ln-then-round
+    // trick keeps the float math cross-engine comparable. p is absolutely
+    // continuous wrt q by construction (every source token IS a corpus
+    // token), so no infinite terms exist.
+    QueryDef("x81_source_token_kl",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val st = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        val ct = st.groupBy(col("tok")).agg(sum(col("c")).as("cc"))
+        val tot = ct.agg(sum(col("cc")).as("n_total"))
+        st.join(ct, "tok")
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"),
+            sum(col("c").cast("double") * log(col("cc").cast("double"))).as("clcc"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            (floor(((col("clc") - col("clcc")) / col("n_tokens").cast("double")
+              - log(col("n_tokens").cast("double"))
+              + log(col("n_total").cast("double"))) * 10000.0 + 0.5) / 10000.0).as("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH e AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                         FROM documents WHERE length(trim(text)) > 0),
+                  st AS (SELECT source, tok, count(*) AS c FROM e GROUP BY 1, 2),
+                  ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY 1),
+                  n AS (SELECT sum(cc) AS n_total FROM ct)
+              SELECT st.source, CAST(sum(st.c) AS BIGINT) AS n_tokens,
+                     floor(((sum(CAST(st.c AS DOUBLE) * ln(CAST(st.c AS DOUBLE)))
+                            - sum(CAST(st.c AS DOUBLE) * ln(CAST(ct.cc AS DOUBLE))))
+                              / CAST(sum(st.c) AS DOUBLE)
+                            - ln(CAST(sum(st.c) AS DOUBLE))
+                            + ln(CAST(n.n_total AS DOUBLE))) * 10000.0 + 0.5)
+                       / 10000.0 AS kl
+              FROM st JOIN ct USING (tok), n
+              GROUP BY st.source, n.n_total ORDER BY source""")),
+
+    // x82 — language-ID confusion matrix: stored `lang` label vs the x04
+    // n-gram predictor, as (lang, lang_guess, n) cells — the label-quality
+    // audit a curation pipeline runs before trusting EITHER signal for
+    // filtering (a hot off-diagonal cell means mislabeled source data or a
+    // profile gap). One hash aggregate over the scan; the matrix is at
+    // most |langs|² rows.
+    QueryDef("x82_lang_confusion",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess"),
+      Some {
+        val hits = TextAnalysis.langProfiles.map { case (code, words) =>
+          code -> s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
+        }
+        val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+        val cases = hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
+          case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
+        }
+        s"""SELECT lang, $cases AS lang_guess, count(*) AS n
+            FROM documents GROUP BY 1, 2 ORDER BY lang, lang_guess"""
+      }),
+
+    // x83 — near-dup threshold yield curve: pair counts at Jaccard ≥
+    // 0.6/0.7/0.8/0.9 from the ONE shared uncapped pair set — the
+    // threshold-tuning diagnostic behind every dedup rollout (how much
+    // more collapses as the bar drops). Conditional sums over the persisted
+    // x07 frame: no re-mining, one aggregate row, coalesced so an empty
+    // pair set reads as zeros rather than nulls.
+    QueryDef("x83_jaccard_threshold_curve",
+      (s, d) => jaccardPairsShared(s, d)
+        .agg(
+          count(lit(1)).as("n_06"),
+          coalesce(sum(when(col("jacc") >= 0.7, 1L).otherwise(0L)), lit(0L)).as("n_07"),
+          coalesce(sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)), lit(0L)).as("n_08"),
+          coalesce(sum(when(col("jacc") >= 0.9, 1L).otherwise(0L)), lit(0L)).as("n_09")),
+      Some(s"""WITH jp AS ($jaccardOracle)
+              SELECT count(*) AS n_06,
+                     CAST(coalesce(sum(CASE WHEN jacc >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_07,
+                     CAST(coalesce(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_08,
+                     CAST(coalesce(sum(CASE WHEN jacc >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_09
+              FROM jp"""))
   )
 }

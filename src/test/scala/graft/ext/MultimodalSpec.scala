@@ -122,6 +122,47 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.pixels.map(_ & 0xff).toSeq === Seq(100, 60, 4))
   }
 
+  test("pngPixels round-trips random rasters under every filter type") {
+    // Property: for random pixel content, any per-row mix of the five PNG
+    // filters encodes (filter forward, deflate) to a stream the decoder
+    // inverts EXACTLY. Filtering forward here is an independent
+    // reimplementation of the spec's equations, so a sign/order bug in the
+    // decoder's unfilter cannot cancel out.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 20) {
+      val channels = Seq(1, 2, 3, 4)(rnd.nextInt(4))
+      val w = 1 + rnd.nextInt(9)
+      val h = 1 + rnd.nextInt(9)
+      val stride = w * channels
+      val px = Array.fill(stride * h)(rnd.nextInt(256).toByte)
+      def p(y: Int, x: Int): Int =
+        if (y < 0 || x < 0) 0 else px(y * stride + x) & 0xff
+      val scan = new scala.collection.mutable.ArrayBuffer[Byte]
+      for (y <- 0 until h) {
+        val f = rnd.nextInt(5)
+        scan += f.toByte
+        for (x <- 0 until stride) {
+          val a = p(y, x - channels); val b = p(y - 1, x); val c = p(y - 1, x - channels)
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val q = a + b - c
+              val pa = math.abs(q - a); val pb = math.abs(q - b); val pc = math.abs(q - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          scan += ((p(y, x) - pred) & 0xff).toByte
+        }
+      }
+      val r = MediaCodecs.pngPixels(fullPng(w, h, channels, scan.toArray))
+      assert(r.isDefined, s"trial $trial ($w x $h x$channels) failed to decode")
+      assert(r.get.pixels.toSeq === px.toSeq,
+        s"trial $trial ($w x $h x$channels) pixels drifted")
+    }
+  }
+
   test("pngPixels is total on malformed input") {
     assert(MediaCodecs.pngPixels("nope".getBytes("UTF-8")) === None)
     assert(MediaCodecs.pngPixels(pngBytes(640, 480)) === None) // header only, no IDAT
