@@ -84,7 +84,7 @@ object Export {
       } finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(text).get("shards")
-    val it = node.fields()
+    val it = node.properties().iterator()
     val b = Map.newBuilder[Long, Long]
     while (it.hasNext) {
       val e = it.next()

@@ -196,6 +196,44 @@ object Multimodal {
       Some(Raster(width, height, channels, out))
     }
 
+    /** Production-codec bridge: JDK ImageIO raster decode (java.desktop,
+      * headless-safe) for the container formats the spec-pinned pure-JVM
+      * PNG path doesn't cover — GIF/BMP exactly, JPEG per the JDK's IDCT.
+      * Normalizes to the [[Raster]] contract (RGB, or RGBA when the color
+      * model carries alpha). Total: unreadable payloads return None. This
+      * is the seam a deployment swaps for its own codec; keep [[pngPixels]]
+      * as the deterministic reference for PNG. */
+    def imageIoPixels(b: Array[Byte]): Option[Raster] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+          else {
+            val channels = if (img.getColorModel.hasAlpha) 4 else 3
+            val out = new Array[Byte](w * h * channels)
+            var i = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val argb = img.getRGB(x, y)
+                out(i) = ((argb >> 16) & 0xff).toByte
+                out(i + 1) = ((argb >> 8) & 0xff).toByte
+                out(i + 2) = (argb & 0xff).toByte
+                if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+                i += channels
+                x += 1
+              }
+              y += 1
+            }
+            Some(Raster(w, h, channels, out))
+          }
+        }
+      } catch { case _: Throwable => None }
+
     /** 8-float content feature from a decoded raster: per-channel means
       * (4 slots, 0 for absent channels), overall mean, min, max — all in
       * [0,1] — and channels/4. Deterministic, derived from PIXELS, not the
@@ -241,7 +279,10 @@ object Multimodal {
         width = dims.map(_._1),
         height = dims.map(_._2),
         n_frames = if (f.kind == "video") (n % 300) + 1 else 1,
-        feature = pngPixels(f.content) match {
+        // PNG through the spec-pinned decoder first (deterministic by
+        // construction), other rasters through the ImageIO bridge, opaque
+        // payloads through the content-byte projection
+        feature = pngPixels(f.content).orElse(imageIoPixels(f.content)) match {
           case Some(r) => rasterFeature(r)
           case None => f.content.take(8).map(b => (b & 0xff) / 255.0f)
         })

@@ -163,6 +163,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageIoPixels decodes lossless formats exactly and agrees with pngPixels") {
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0x808080)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, colors(y * 3 + x))
+    // bmp/png round-trip exactly; gif goes through the JDK WRITER's palette
+    // quantization, so only the decode contract (dims, total) is asserted
+    for (fmt <- Seq("gif", "bmp", "png")) {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+      val r = MediaCodecs.imageIoPixels(buf.toByteArray)
+      assert(r.isDefined, s"$fmt failed to decode")
+      assert((r.get.width, r.get.height) === (3, 2), fmt)
+      if (fmt != "gif") {
+        val got = r.get.pixels.grouped(r.get.channels)
+          .map(c => ((c(0) & 0xff) << 16) | ((c(1) & 0xff) << 8) | (c(2) & 0xff)).toSeq
+        assert(got === colors.toSeq, s"$fmt pixels drifted") // lossless formats
+      }
+    }
+    // the two PNG decoders agree on a real deflated fixture
+    val px = Array[Int](255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val scan = Array[Byte](0) ++ px.take(6) ++ Array[Byte](0) ++ px.drop(6)
+    val png = fullPng(2, 2, 3, scan)
+    assert(MediaCodecs.imageIoPixels(png).map(_.pixels.toSeq) ===
+      MediaCodecs.pngPixels(png).map(_.pixels.toSeq))
+    assert(MediaCodecs.imageIoPixels("opaque".getBytes("UTF-8")) === None)
+  }
+
   test("pngPixels is total on malformed input") {
     assert(MediaCodecs.pngPixels("nope".getBytes("UTF-8")) === None)
     assert(MediaCodecs.pngPixels(pngBytes(640, 480)) === None) // header only, no IDAT
