@@ -2221,24 +2221,26 @@ object ExtQueries {
     // KL(p_src ‖ p_corpus) = (Σc·ln c − Σc·ln C)/n − ln n + ln N over the
     // (source, token) counts — the VOCABULARY-drift companion of x76's
     // quality drift (a source can hold quality while its token mix walks
-    // away from the corpus). The corpus histogram derives from the
-    // per-source one (no second scan); the x30 exact-count-ln-then-round
-    // trick keeps the float math cross-engine comparable. p is absolutely
-    // continuous wrt q by construction (every source token IS a corpus
-    // token), so no infinite terms exist.
+    // away from the corpus). The (source, token) aggregate is evaluated
+    // ONCE: the corpus-wide token count rides as a window over it
+    // (partition by token — a join back to a derived histogram would
+    // re-evaluate the whole aggregate subtree per branch), and N comes
+    // from a second window over the ~|sources| aggregate rows. The x30
+    // exact-count-ln-then-round trick keeps the float math cross-engine
+    // comparable; p is absolutely continuous wrt q by construction (every
+    // source token IS a corpus token), so no infinite terms exist.
     QueryDef("x81_source_token_kl",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val st = Tables.documents(s, d)
           .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val st = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
-        val ct = st.groupBy(col("tok")).agg(sum(col("c")).as("cc"))
-        val tot = ct.agg(sum(col("cc")).as("n_total"))
-        st.join(ct, "tok")
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        st.withColumn("cc", sum(col("c")).over(Window.partitionBy(col("tok"))))
           .groupBy(col("source"))
           .agg(sum(col("c")).as("n_tokens"),
             sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"),
             sum(col("c").cast("double") * log(col("cc").cast("double"))).as("clcc"))
-          .crossJoin(broadcast(tot))
+          .withColumn("n_total",
+            sum(col("n_tokens")).over(Window.partitionBy(lit(1))))
           .select(col("source"), col("n_tokens"),
             (floor(((col("clc") - col("clcc")) / col("n_tokens").cast("double")
               - log(col("n_tokens").cast("double"))
