@@ -2303,6 +2303,42 @@ object ExtQueries {
                      CAST(coalesce(sum(CASE WHEN jacc >= 0.7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_07,
                      CAST(coalesce(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_08,
                      CAST(coalesce(sum(CASE WHEN jacc >= 0.9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_09
-              FROM jp"""))
+              FROM jp""")),
+
+    // x84 — shard balance audit: per x52 content-hash shard, doc and token
+    // counts plus each shard's parts-per-million share of the corpus — the
+    // operational companion of the export sink (an unbalanced shard is a
+    // dataloader straggler; md5 sharding should sit near 62,500 ppm each
+    // on 16 shards). Shares are integer ppm (exact cross-engine, no float
+    // division); totals ride as a window over the 16 aggregate rows.
+    QueryDef("x84_shard_balance",
+      (s, d) => {
+        val wAll = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .select(
+            expr("CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT)").as("shard"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+          .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+          .withColumn("doc_ppm", expr("n_docs * 1000000 div total_docs"))
+          .withColumn("token_ppm", expr("n_tokens * 1000000 div total_tokens"))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("doc_ppm").cast("long").as("doc_ppm"),
+            col("token_ppm").cast("long").as("token_ppm"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT
+                     CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                  g AS (SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens
+                        FROM t GROUP BY 1)
+              SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS doc_ppm,
+                     CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT) AS token_ppm
+              FROM g ORDER BY shard"""))
   )
 }
