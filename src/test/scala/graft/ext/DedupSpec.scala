@@ -233,6 +233,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters output schema is tier-invariant for int pair ids") {
+    import spark.implicits._
+    // int-typed input: both tiers must long-cast at the top, so downstream
+    // joins/unions see one schema regardless of which tier fired
+    val intPairs = Seq((1, 2), (2, 3)).toDF("ia", "ib")
+    for (cap <- Seq(1 << 20, 0)) {
+      val out = Dedup.dupClusters(intPairs, localEdgeCap = cap)
+      assert(out.schema.map(_.dataType.simpleString) === Seq("bigint", "bigint"),
+        s"cap=$cap")
+      assert(out.columns.toSeq === Seq("doc_id", "cluster_rep"))
+    }
+  }
+
   test("contaminationPairs finds cross-split leaks and counts shared shingles") {
     val train = docs(
       (1L, "the quick brown fox jumps over the lazy dog"),
