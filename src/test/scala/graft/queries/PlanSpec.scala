@@ -85,6 +85,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("x81 KL evaluates the token aggregate once — a single documents scan") {
+    val p = plan("x81_source_token_kl")
+    // formatted explain lists each scan as a "(n) Scan parquet" detail
+    // block; x81 touches only the documents table, so one block = one scan
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+  }
+
+  test("x83 threshold curve reads the persisted x07 pair frame, no re-mining") {
+    val p = plan("x83_jaccard_threshold_curve")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"x83 must consume the shared cached pair frame:\n$p")
+  }
+
+  test("x84 shard balance windows run over the 16 aggregate rows, not the docs") {
+    val p = plan("x84_shard_balance")
+    // the unpartitioned window is fine ONLY above the per-shard aggregate:
+    // the aggregate must appear below (= before) the window in the plan
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, p)
+    assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-shard aggregate missing map-side combine:\n$p")
+  }
+
   test("x69 and x60 read only the columns they need from documents") {
     for (name <- Seq("x69_contamination_fraction", "x60_oov_rate")) {
       val p = plan(name)
