@@ -2339,6 +2339,79 @@ object ExtQueries {
               SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
                      CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS doc_ppm,
                      CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT) AS token_ppm
-              FROM g ORDER BY shard"""))
+              FROM g ORDER BY shard""")),
+
+    // x85 — SEMANTIC curation pipeline: the embedding-side twin of x73's
+    // shingle pipeline, composing x01 + x11 + x46 + x35 machinery — exact
+    // text dedup → embedding near-dup clusters over the SURVIVORS
+    // (documents ⋈ embeddings on the aligned doc_id/vec_id) → one
+    // highest-quality canonical per cluster (lowest-id tie-break) →
+    // non-clustered survivors pass through. The exact quadratic pair
+    // baseline keeps this oracle-checkable; at scale the candidate source
+    // swaps to srpCosinePairs/ivfCosinePairs (same downstream — the x46
+    // lesson), and every stage keeps its own documented posture.
+    QueryDef("x85_semantic_curation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val vecs = Tables.embeddings(s, d)
+          .join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val clusters = Dedup.dupClusters(
+          Similarity.cosinePairs(vecs, threshold = 0.35).select(col("ia"), col("ib")))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+          .select(col("keep_id").as("doc_id"))
+        val kept = keep
+          .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .union(picks)
+        kept.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .join(scored, "doc_id")
+          .select(col("doc_id"), col("source"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH RECURSIVE
+              dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+              sv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                     JOIN dd ON dd.doc_id = e.vec_id),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                    FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+                    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]), 6) >= 0.35),
+              e2 AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+              r AS (SELECT a AS id, a AS reach FROM e2
+                    UNION
+                    SELECT r.id, e2.b FROM r JOIN e2 ON e2.a = r.reach),
+              cl AS (SELECT id AS doc_id, min(reach) AS rep FROM r GROUP BY id),
+              q AS (SELECT doc_id, floor((
+                      least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                    + (1.0 - least(CAST(pn AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                    + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                    ) * 10000.0 + 0.5) / 10000.0 AS score
+                  FROM (SELECT doc_id,
+                          CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                          length(text) AS ch,
+                          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS pn,
+                          len(regexp_extract_all(text, '[A-Z]')) AS u,
+                          len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                        FROM documents) t),
+              pick AS (SELECT doc_id FROM (
+                         SELECT cl.doc_id,
+                                row_number() OVER (PARTITION BY cl.rep
+                                  ORDER BY q.score DESC, cl.doc_id) AS rn
+                         FROM cl JOIN q USING (doc_id)) z
+                       WHERE rn = 1),
+              kept AS (SELECT doc_id FROM dd
+                       WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+                       UNION SELECT doc_id FROM pick)
+            SELECT k.doc_id, d.source, q.score
+            FROM kept k JOIN documents d USING (doc_id) JOIN q USING (doc_id)
+            ORDER BY doc_id"""
+      })
   )
 }
