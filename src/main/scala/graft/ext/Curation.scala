@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation compositions — the pipelines a training-data team
+  * actually runs, assembled from the operator library with every stage
+  * keeping its own documented scale posture.
+  */
+object Curation {
+
+  /** Semantic curation: exact text dedup → embedding near-dup clustering
+    * over the SURVIVORS → one highest-quality canonical per cluster
+    * (lowest-id tie-break), non-clustered survivors passing through.
+    * Output: (`doc_id`, `source`, `score`) of every kept document.
+    *
+    * `pairSource` mines near-dup pairs (`ia`, `ib`[, `cos`]) from the
+    * surviving vectors — inject [[Similarity.cosinePairs]] for the exact
+    * oracle-checkable baseline (fail-fast bounded), or
+    * [[Similarity.srpCosinePairs]] / [[Ivf.ivfCosinePairs]] at corpus
+    * scale: the downstream (clusters → canonical pick → anti-join) is
+    * identical, which is exactly why the miner is a parameter.
+    *
+    * Scale shape: dedup is the 32-byte-key hash agg (x01), clustering is
+    * O(component-diameter) label propagation with the local union-find
+    * fast tier ([[Dedup.dupClusters]]), the pick is one partial-agg argmax
+    * ([[Dedup.canonicalPick]]), and the final joins key on doc_id. Requires
+    * `docs.idCol` and `emb.vec_id` to share an id space. */
+  def semanticCurate(docs: DataFrame, emb: DataFrame,
+                     pairSource: DataFrame => DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val keep = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("doc_id")).select("doc_id")
+    val vecs = emb.join(keep.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val clusters = Dedup.dupClusters(
+      pairSource(vecs).select(col("ia"), col("ib")))
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.qualityScore(col(textCol)).as("score"))
+    val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+      .select(col("keep_id").as("doc_id"))
+    val kept = keep
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .union(picks)
+    kept.join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
+      .join(scored, "doc_id")
+      .select(col("doc_id"), col("source"), col("score"))
+  }
+}

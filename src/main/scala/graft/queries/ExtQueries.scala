@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Export, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline query surface over `documents` and
   * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
@@ -2351,26 +2351,10 @@ object ExtQueries {
     // swaps to srpCosinePairs/ivfCosinePairs (same downstream — the x46
     // lesson), and every stage keeps its own documented posture.
     QueryDef("x85_semantic_curation",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val keep = docs.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-        val vecs = Tables.embeddings(s, d)
-          .join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        val clusters = Dedup.dupClusters(
-          Similarity.cosinePairs(vecs, threshold = 0.35).select(col("ia"), col("ib")))
-        val scored = docs.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("score"))
-        val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
-          .select(col("keep_id").as("doc_id"))
-        val kept = keep
-          .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .union(picks)
-        kept.join(docs.select(col("doc_id"), col("source")), "doc_id")
-          .join(scored, "doc_id")
-          .select(col("doc_id"), col("source"), col("score"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Curation.semanticCurate(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          vecs => Similarity.cosinePairs(vecs, threshold = 0.35))
+        .orderBy("doc_id"),
       Some {
         val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
         s"""WITH RECURSIVE

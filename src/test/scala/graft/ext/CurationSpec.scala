@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The semantic-curation composition: exact-path behavior pinned against a
+  * hand-checkable fixture shape, and the pluggable-miner contract (swap in
+  * the banded scale path, same downstream). */
+class CurationSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("semanticCurate keeps one canonical per cluster plus all loners") {
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val out = Curation.semanticCurate(docs, emb,
+      vecs => Similarity.cosinePairs(vecs, threshold = 0.35))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // kept ids are unique and every kept id is an exact-dedup survivor
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    val survivors = docs.groupBy(col("text")).agg(min(col("doc_id")).as("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(survivors.contains))
+    // reconstruct the clusters independently; exactly one member kept per
+    // cluster, and it is the quality argmax (lowest id on ties)
+    val vecs = emb.join(
+      docs.groupBy(col("text")).agg(min(col("doc_id")).as("vec_id"))
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+    val clusters = Dedup.dupClusters(
+      Similarity.cosinePairs(vecs, threshold = 0.35).select(col("ia"), col("ib")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val scoreOf = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptSet = ids.toSet
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      val ms = members.map(_._1)
+      val keptMembers = ms.filter(keptSet.contains)
+      assert(keptMembers.length === 1, s"cluster $ms kept $keptMembers")
+      val best = ms.maxBy(id => (scoreOf(id), -id))
+      assert(keptMembers.head === best)
+    }
+    // loners (survivors in no cluster) all pass through
+    val clustered = clusters.map(_._1).toSet
+    assert((survivors -- clustered).forall(keptSet.contains))
+  }
+
+  test("the miner is pluggable: SRP-banded source runs the same downstream") {
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val exact = Curation.semanticCurate(docs, emb,
+      vecs => Similarity.cosinePairs(vecs, threshold = 0.35)).collect()
+    val banded = Curation.semanticCurate(docs, emb,
+      vecs => Similarity.srpCosinePairs(vecs, threshold = 0.35)).collect()
+    assert(banded.map(_.schema.fieldNames.toSeq).headOption ===
+      exact.map(_.schema.fieldNames.toSeq).headOption)
+    // banding can only MISS pairs (recall < 1), so fewer/equal merges and
+    // at least as many kept documents — never fewer
+    assert(banded.length >= exact.length)
+  }
+}
