@@ -37,6 +37,15 @@ object Export {
     (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
   }
 
+  /** Whether the written export contains any `shard=` partition directory
+    * (one Hadoop FS listing of the root — no file scan). */
+  private def hasPartitionDirs(spark: SparkSession, dir: String,
+                               shardCol: String): Boolean = {
+    val (hfs, root) = fs(spark, dir)
+    hfs.listStatus(root).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol="))
+  }
+
   /** Write `df` partitioned by `shardCol` under `dir` and return the
     * per-shard row counts that were also persisted to the manifest. */
   def writeShards(df: DataFrame, dir: String,
@@ -53,11 +62,17 @@ object Export {
         "the Hive default partition and fall out of the manifest")
     df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(dir)
     // partition-directory values read back type-INFERRED (small ids become
-    // ints) — normalize to long before collecting
-    val counts = df.sparkSession.read.parquet(dir)
-      .groupBy(col(shardCol).cast("long").as(shardCol))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ints) — normalize to long before collecting. An EMPTY export writes
+    // no partition directories, so the read-back would fail schema
+    // inference — a 0-row export is legitimate (the loader reads the
+    // manifest first and sees total 0), so short-circuit to empty counts.
+    val wroteRows = hasPartitionDirs(df.sparkSession, dir, shardCol)
+    val counts =
+      if (!wroteRows) Map.empty[Long, Long]
+      else df.sparkSession.read.parquet(dir)
+        .groupBy(col(shardCol).cast("long").as(shardCol))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val manifest = counts.toSeq.sorted
       .map { case (s, n) => s""""$s": $n""" }
       .mkString("{\"shards\": {", ", ", s"}, \"total\": ${counts.values.sum}}")

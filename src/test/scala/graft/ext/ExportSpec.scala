@@ -84,6 +84,23 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("an empty export writes a zero-total manifest instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-empty").toString
+    try {
+      val counts = Export.writeShards(empty, dir)
+      assert(counts === Map.empty[Long, Long])
+      // the loader contract holds: manifest first, total 0, no data read
+      assert(Export.readManifest(spark, dir) === Map.empty[Long, Long])
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
+      assert(manifest.contains(""""total": 0"""))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("x80 export round-trip equals the pre-export curation frame") {
     val dir = "/root/testdata/sf0.001"
     val before = SparkEntry.queries("x73_curation_pipeline")(spark, dir)
