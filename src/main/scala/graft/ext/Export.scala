@@ -57,10 +57,17 @@ object Export {
       Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
       s"writeShards needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
-    require(df.filter(col(shardCol).isNull).isEmpty,
-      s"writeShards: '$shardCol' contains nulls — a null shard would land in " +
-        "the Hive default partition and fall out of the manifest")
     df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(dir)
+    // Null shards land in the Hive default partition and would silently
+    // fall out of the manifest — detect them from the WRITTEN directory
+    // listing (one FS call), not a pre-write filter job (which would cost
+    // a full second evaluation of the input plan at 100 TB).
+    val (hfsChk, rootChk) = fs(df.sparkSession, dir)
+    require(!hfsChk.listStatus(rootChk).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
+        st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      s"writeShards: '$shardCol' contained nulls — rows landed in the Hive " +
+        "default partition and cannot be keyed in the manifest")
     // partition-directory values read back type-INFERRED (small ids become
     // ints) — normalize to long before collecting. An EMPTY export writes
     // no partition directories, so the read-back would fail schema

@@ -60,10 +60,17 @@ class ExportSpec extends SparkSpec {
     assert(e1.getMessage.contains("integral"))
     val withNull = Seq((1L, "a", Some(0L)), (2L, "b", None))
       .toDF("doc_id", "text", "shard")
-    val e2 = intercept[IllegalArgumentException] {
-      Export.writeShards(withNull, "/tmp/never-written")
+    // the null check fires AFTER the write (from the partition listing —
+    // no pre-write pass), so give it a real scratch dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-null").toString
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        Export.writeShards(withNull, dir)
+      }
+      assert(e2.getMessage.contains("null"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
-    assert(e2.getMessage.contains("null"))
   }
 
   test("manifest IO goes through the Hadoop FileSystem for URI paths") {
