@@ -2396,6 +2396,60 @@ object ExtQueries {
             SELECT k.doc_id, d.source, q.score
             FROM kept k JOIN documents d USING (doc_id) JOIN q USING (doc_id)
             ORDER BY doc_id"""
-      })
+      }),
+
+    // x86 — head-duplicate detection: docs sharing their first 8 tokens —
+    // the PARTIAL re-crawl/truncation family that whole-text (x01),
+    // bag-of-words (x77), and shingle (x07) dedup each miss or over-match
+    // (a doc cut mid-way keeps its head verbatim; a template keeps its
+    // head while the tail varies). Group key is the 8-token head string;
+    // both per-group stats ride one window partition (a single shuffle on
+    // the head — at scale hash the head to an 8-byte key first, the x07
+    // postings trick).
+    QueryDef("x86_head_dup",
+      (s, d) => {
+        val heads = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 8)).as("head"))
+          .filter(length(col("head")) > 0)
+        val w = Window.partitionBy(col("head"))
+        heads
+          .withColumn("n_same_head", count(lit(1)).over(w))
+          .withColumn("head_rep", min(col("doc_id")).over(w))
+          .filter(col("n_same_head") >= 2)
+          .select(col("doc_id"), col("head_rep"), col("n_same_head"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                     array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS head
+                   FROM documents WHERE length(trim(text)) > 0),
+                  g AS (SELECT doc_id, head,
+                          count(*) OVER (PARTITION BY head) AS n_same_head,
+                          min(doc_id) OVER (PARTITION BY head) AS head_rep
+                        FROM h)
+              SELECT doc_id, head_rep, n_same_head
+              FROM g WHERE n_same_head >= 2 ORDER BY doc_id"""))
+    ,
+
+    // x87 — per-source exact-dup rate: docs, distinct contents, dup count
+    // and integer-ppm dup rate per source — "which source re-crawls
+    // itself", the provenance report that decides where dedup budget goes
+    // (x65 answers the cross-source question for NEAR dups; this one is
+    // the within-source exact rate). Distinct counting keys on the
+    // 256-bit content hash, never the raw text — the x01 shuffle posture.
+    QueryDef("x87_source_dup_rate",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+        .withColumn("n_dups", col("n_docs") - col("n_distinct"))
+        .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+                     count(DISTINCT sha256(text)) AS n_distinct,
+                     count(*) - count(DISTINCT sha256(text)) AS n_dups,
+                     CAST((count(*) - count(DISTINCT sha256(text))) * 1000000
+                          // count(*) AS BIGINT) AS dup_ppm
+              FROM documents GROUP BY source ORDER BY source"""))
   )
 }
