@@ -2450,6 +2450,43 @@ object ExtQueries {
                      count(*) - count(DISTINCT sha256(text)) AS n_dups,
                      CAST((count(*) - count(DISTINCT sha256(text))) * 1000000
                           // count(*) AS BIGINT) AS dup_ppm
-              FROM documents GROUP BY source ORDER BY source"""))
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // x88 — SEMANTIC eval contamination: train vectors too cosine-similar
+    // to ANY held-out eval vector (vec_id % 7 = 0, the x29 holdout
+    // convention) — the embedding-space complement of shingle
+    // decontamination (paraphrased leaks share no n-grams but sit next to
+    // the eval point in embedding space). The eval side is the SMALL side
+    // by contract (a benchmark suite): its norm-carrying vectors broadcast
+    // and the train side — the 100 TB side — aggregates per vec_id in one
+    // scan, no train-side shuffle of vectors. A corpus-sized "eval" set
+    // belongs on srpCrossTopK/ivfCrossTopK instead (same flag, banded/
+    // celled candidates). Output: flagged train vecs with how many eval
+    // neighbors and the max cosine.
+    QueryDef("x88_semantic_contamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val evalN = Similarity.withNorms(emb.filter(col("vec_id") % 7 === 0))
+          .select(col("vec_id").as("eval_id"), col("embedding").as("ee"),
+            col("nrm").as("enrm"))
+        Similarity.withNorms(emb.filter(col("vec_id") % 7 =!= 0))
+          .crossJoin(broadcast(evalN))
+          .select(col("vec_id"),
+            round(Similarity.dot(col("embedding"), col("ee"))
+              / (col("nrm") * col("enrm")), 6).as("cos"))
+          .filter(col("cos") >= 0.35)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_close"), max(col("cos")).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+                  tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0),
+                  p AS (SELECT tr.vec_id,
+                          round(list_cosine_similarity(tr.embedding::DOUBLE[],
+                                                       ev.embedding::DOUBLE[]), 6) AS cos
+                        FROM tr CROSS JOIN ev)
+              SELECT vec_id, count(*) AS n_close, max(cos) AS max_cos
+              FROM p WHERE cos >= 0.35
+              GROUP BY vec_id ORDER BY vec_id"""))
   )
 }
