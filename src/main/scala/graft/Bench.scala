@@ -71,18 +71,22 @@ object Bench {
       (total, s"""{"total":$total,"queries":$qs,"errors":$errJson}""")
     }
     val (results, errors) = timedPass()
+    val (total, _) = blockJson(results, errors)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // AQE twin: the SAME catalog re-timed with adaptive execution on (a
     // runtime SQL conf — same session, JIT already warm from the default
-    // pass), published beside the default numbers so plan stability under
-    // AQE re-planning is visible from this artifact alone. Disable with
+    // pass), published beside the default numbers so plan behavior under
+    // AQE re-planning is visible from this artifact alone. The shared-
+    // frame caches built by the default pass are DROPPED first — the AQE
+    // pass must execute its own plans (and rebuild its own shared frames
+    // under AQE), not read the default pass's cached blocks. Disable with
     // SPARK_GRAFT_AQE_TWIN=0 (e.g. when iterating on one query locally).
     val aqeJson =
       if (sys.env.getOrElse("SPARK_GRAFT_AQE_TWIN", "1") == "0") "null"
       else {
         val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+        graft.queries.ExtQueries.clearSharedFrames()
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         try {
           val (aqeResults, aqeErrors) = timedPass()

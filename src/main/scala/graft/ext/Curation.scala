@@ -30,14 +30,22 @@ object Curation {
                      pairSource: DataFrame => DataFrame,
                      textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
+    // keep and scored are each consumed by TWO branches of the pipeline
+    // (semi-join + anti-join; canonical pick + final join) — persist them
+    // so the corpus-wide dedup aggregate and quality scan run once, not
+    // twice. Both are tiny relative to the corpus (ids, and ids+one
+    // double) and live as build-once artifacts until the session drops
+    // them — the nearDupFlagger/srpRetriever lifetime contract.
     val keep = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("doc_id")).select("doc_id")
+      .persist()
     val vecs = emb.join(keep.select(col("doc_id").as("vec_id")),
       Seq("vec_id"), "left_semi")
     val clusters = Dedup.dupClusters(
       pairSource(vecs).select(col("ia"), col("ib")))
     val scored = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.qualityScore(col(textCol)).as("score"))
+      .persist()
     val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
       .select(col("keep_id").as("doc_id"))
     val kept = keep

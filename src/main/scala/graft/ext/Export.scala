@@ -106,6 +106,9 @@ object Export {
       } finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(text).get("shards")
+    require(node != null && node.isObject,
+      s"no 'shards' object in manifest at $dir — not a writeShards manifest " +
+        "(or a corrupt/truncated file)")
     val it = node.properties().iterator()
     val b = Map.newBuilder[Long, Long]
     while (it.hasNext) {

@@ -203,6 +203,10 @@ object Multimodal {
       * model carries alpha). Total: unreadable payloads return None. This
       * is the seam a deployment swaps for its own codec; keep [[pngPixels]]
       * as the deterministic reference for PNG. */
+    // in-memory streams only: the default ImageIO disk cache would create
+    // and delete a temp FILE on the executor per decoded payload
+    javax.imageio.ImageIO.setUseCache(false)
+
     def imageIoPixels(b: Array[Byte]): Option[Raster] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
@@ -213,21 +217,19 @@ object Multimodal {
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
           else {
             val channels = if (img.getColorModel.hasAlpha) 4 else 3
+            // one bulk ARGB fetch per row block, not a per-pixel getRGB call
+            val argb = img.getRGB(0, 0, w, h, null, 0, w)
             val out = new Array[Byte](w * h * channels)
+            var p = 0
             var i = 0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val argb = img.getRGB(x, y)
-                out(i) = ((argb >> 16) & 0xff).toByte
-                out(i + 1) = ((argb >> 8) & 0xff).toByte
-                out(i + 2) = (argb & 0xff).toByte
-                if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
-                i += channels
-                x += 1
-              }
-              y += 1
+            while (p < argb.length) {
+              val v = argb(p)
+              out(i) = ((v >> 16) & 0xff).toByte
+              out(i + 1) = ((v >> 8) & 0xff).toByte
+              out(i + 2) = (v & 0xff).toByte
+              if (channels == 4) out(i + 3) = ((v >>> 24) & 0xff).toByte
+              i += channels
+              p += 1
             }
             Some(Raster(w, h, channels, out))
           }
@@ -279,10 +281,14 @@ object Multimodal {
         width = dims.map(_._1),
         height = dims.map(_._2),
         n_frames = if (f.kind == "video") (n % 300) + 1 else 1,
-        // PNG through the spec-pinned decoder first (deterministic by
-        // construction), other rasters through the ImageIO bridge, opaque
-        // payloads through the content-byte projection
-        feature = pngPixels(f.content).orElse(imageIoPixels(f.content)) match {
+        // Raster decode ONLY for recognized image containers (the header
+        // parse already ran — audio/video/opaque payloads must not pay a
+        // speculative ImageIO format probe per row): PNG through the
+        // spec-pinned decoder, other containers through the ImageIO
+        // bridge, everything else through the content-byte projection.
+        feature = (if (dims.isDefined)
+            pngPixels(f.content).orElse(imageIoPixels(f.content))
+          else None) match {
           case Some(r) => rasterFeature(r)
           case None => f.content.take(8).map(b => (b & 0xff) / 255.0f)
         })

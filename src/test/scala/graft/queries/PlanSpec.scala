@@ -106,6 +106,12 @@ class PlanSpec extends SparkSpec {
     val aggIdx = p.indexOf("HashAggregate")
     val winIdx = p.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0, p)
+    // formatted explain prints the tree root-first, so the window sitting
+    // ABOVE the aggregate means it appears EARLIER: a regression that
+    // moved the unpartitioned window below the aggregate (over the raw
+    // per-doc rows) would flip this ordering
+    assert(winIdx < aggIdx,
+      s"window must consume the per-shard aggregate, not the raw rows:\n$p")
     assert(p.contains("partial_count") || "HashAggregate".r.findAllIn(p).size >= 2,
       s"per-shard aggregate missing map-side combine:\n$p")
   }
