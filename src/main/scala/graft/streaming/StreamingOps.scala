@@ -51,6 +51,57 @@ object StreamingOps {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming incremental dedup — the daily-crawl stream shape, the
+    * streaming twin of [[graft.ext.Dedup.incrementalDedup]]: each arriving
+    * doc is labeled `dup_corpus` (its order-insensitive bag fingerprint
+    * exists in the STATIC corpus — resolved by a broadcast join against
+    * the corpus's distinct fingerprints, built once), `dup_batch` (an
+    * earlier STREAM doc had the same fingerprint — one boolean of
+    * `flatMapGroupsWithState` state per distinct new fingerprint), or
+    * `kept`. With id-ordered delivery, output ≡ the batch operator on the
+    * same rows (StreamingSpec) — "earlier doc" and "lower id" coincide.
+    *
+    * State is one boolean per distinct NON-corpus fingerprint seen on the
+    * stream — for an unbounded crawl, production bounds it with a state
+    * timeout (re-crawls past the horizon re-enter as `kept`, the same
+    * trade `dropDuplicatesWithinWatermark` makes). Output: (`doc_id`,
+    * `status`). */
+  def streamingIncrementalDedup(stream: DataFrame, corpus: DataFrame,
+                                textCol: String, idCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val corpusFp = corpus
+      .select(graft.ext.TextAnalysis.bagFingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val tagged = stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.bagFingerprint(col(textCol)).as("fp"))
+      .join(broadcast(corpusFp.withColumn("in_corpus", lit(true))), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("in_corpus"), lit(false)).as("in_corpus"))
+      .as[(Long, String, Boolean)]
+    tagged
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[(Long, String, Boolean)],
+         state: GroupState[Boolean]) => {
+          // lowest id first inside the micro-batch: matches the batch
+          // operator's lowest-id-wins rule when delivery is id-ordered
+          val sorted = rows.toArray.sortBy(_._1)
+          var seen = state.exists
+          val out = sorted.iterator.map { case (id, _, inCorpus) =>
+            val status =
+              if (inCorpus) "dup_corpus"
+              else if (seen) "dup_batch"
+              else { seen = true; "kept" }
+            (id, status)
+          }.toArray
+          if (seen && !state.exists) state.update(true)
+          out.iterator
+        })
+      .toDF("doc_id", "status")
+  }
+
   /** Stream-stream interval join: match right rows to left rows on `keyCol`
     * within `[-boundBefore, boundAfter]` of the left timestamp. The time
     * bound + upstream watermarks are what let Structured Streaming evict

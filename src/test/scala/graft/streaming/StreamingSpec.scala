@@ -195,6 +195,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming incremental dedup matches the batch x77 labels") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    val expected = graft.ext.Dedup
+      .incrementalDedup(newBatch, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(expected.exists(_._2 == "dup_corpus")) // fixture exercises labels
+
+    // id-ordered delivery in two chunks — "earlier doc" == "lower id"
+    val rows = newBatch.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val query = StreamingOps.streamingIncrementalDedup(sdf, corpus, "text", "doc_id")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      val got = spark.table("inc_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("streaming IVF retrieval via ivfRetriever matches batch ivfCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
