@@ -47,9 +47,14 @@ object Bench {
         "(derived from SPARK_GRAFT_SF_DIR); skipping per-query warm-up — " +
         "first-of-shape queries include codegen/JIT cost")
     else
-      for ((_, q) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1))
         try q(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // Warm-up failure is non-fatal (the timed pass reports its own
+          // errors), but a query that only fails at the warm-up SF must be
+          // visible in the log, not silently skipped.
+          System.err.println(s"[bench] WARN: warm-up failed for $name: $e")
+        }
     val names = SparkEntry.queries.keys.toSeq.sorted
     def timedPass(): (Seq[(String, Double)], List[String]) = {
       var errors = List.empty[String]

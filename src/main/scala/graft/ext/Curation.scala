@@ -33,26 +33,36 @@ object Curation {
     // keep and scored are each consumed by TWO branches of the pipeline
     // (semi-join + anti-join; canonical pick + final join) — persist them
     // so the corpus-wide dedup aggregate and quality scan run once, not
-    // twice. Both are tiny relative to the corpus (ids, and ids+one
-    // double) and live as build-once artifacts until the session drops
-    // them — the nearDupFlagger/srpRetriever lifetime contract.
+    // twice. They are SCRATCH, not build-once artifacts: the result is
+    // eagerly materialized (localCheckpoint severs its lineage to them),
+    // then both are unpersisted in the finally — the dupClusters shape —
+    // so repeated invocations in one session cannot leak cached frames.
     val keep = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("doc_id")).select("doc_id")
       .persist()
-    val vecs = emb.join(keep.select(col("doc_id").as("vec_id")),
-      Seq("vec_id"), "left_semi")
-    val clusters = Dedup.dupClusters(
-      pairSource(vecs).select(col("ia"), col("ib")))
     val scored = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.qualityScore(col(textCol)).as("score"))
       .persist()
-    val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
-      .select(col("keep_id").as("doc_id"))
-    val kept = keep
-      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .union(picks)
-    kept.join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
-      .join(scored, "doc_id")
-      .select(col("doc_id"), col("source"), col("score"))
+    try {
+      val vecs = emb.join(keep.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val clusters = Dedup.dupClusters(
+        pairSource(vecs).select(col("ia"), col("ib")))
+      val picks = Dedup.canonicalPick(clusters, scored, "doc_id", "score")
+        .select(col("keep_id").as("doc_id"))
+      val kept = keep
+        .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .union(picks)
+      kept.join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
+        .join(scored, "doc_id")
+        .select(col("doc_id"), col("source"), col("score"))
+        // eager: runs the pipeline now, stores only the (id, source, score)
+        // result rows — blocks are released by the context cleaner when the
+        // returned frame becomes unreachable, not held for the session
+        .localCheckpoint(true)
+    } finally {
+      keep.unpersist()
+      scored.unpersist()
+    }
   }
 }

@@ -516,7 +516,7 @@ object Dedup {
     * contract with the pair oriented stream-side first). */
   def nearDupFlagger(reference: DataFrame, textCol: String, idCol: String,
                      n: Int, threshold: Double,
-                     maxDf: Int = Int.MaxValue): DataFrame => DataFrame = {
+                     maxDf: Int = Int.MaxValue): Retriever = {
     val postings = hashedShingles(reference, textCol, idCol, n)
       .select(col("doc_id").as("ref_id"), col("n_sh").as("nb"),
         explode_outer(col("shs")).as("g"))
@@ -525,7 +525,7 @@ object Dedup {
     val capped = postings.join(dfc.filter(col("df") <= maxDf), "g")
       .select(col("g"), col("ref_id"), col("nb"))
       .persist()
-    (docs: DataFrame) =>
+    new Retriever(docs =>
       hashedShingles(docs, textCol, idCol, n)
         .select(col("doc_id"), col("n_sh").as("na"),
           explode_outer(col("shs")).as("g"))
@@ -536,7 +536,8 @@ object Dedup {
         .withColumn("jacc",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jacc") >= threshold)
-        .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc"))
+        .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc")),
+      () => capped.unpersist())
   }
 
   /** Connected-component duplicate clusters over a near-dup pair set:

@@ -26,12 +26,16 @@ object Ivf {
     * orders identically to squared euclidean distance. Ties break to the
     * lowest cluster id (deterministic). */
   private def clusterOf(centroids: Array[Array[Double]]) = {
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      val norm2 = c.map(x => x * x).sum
-      struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
-        lit(-j).as("negj"))
+    require(centroids.nonEmpty, "clusterOf needs at least one centroid")
+    if (centroids.length == 1) lit(0) // greatest() needs >= 2 args
+    else {
+      val scored = centroids.zipWithIndex.map { case (c, j) =>
+        val norm2 = c.map(x => x * x).sum
+        struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
+          lit(-j).as("negj"))
+      }
+      -greatest(scored.toIndexedSeq: _*).getField("negj")
     }
-    -greatest(scored.toIndexedSeq: _*).getField("negj")
   }
 
   /** Deterministic mini k-means over the embedding column. Init picks the k
@@ -175,9 +179,13 @@ object Ivf {
     math.min(1 << 16, math.max(8, math.ceil(n.toDouble / targetCell).toLong)).toInt
   }
 
-  /** Vectors with their IVF cell assignment. */
+  /** Vectors with their IVF cell assignment. An empty quantizer (trained on
+    * an empty corpus) assigns nothing — zero rows, schema-complete — so the
+    * build/save/load path stays total end to end. */
   def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    emb.withColumn("cluster", clusterOf(centroids))
+    if (centroids.isEmpty)
+      emb.filter(lit(false)).withColumn("cluster", lit(0))
+    else emb.withColumn("cluster", clusterOf(centroids))
 
   /** A built IVF index: the k×dim centroid matrix (driver-side, tiny) plus
     * the cell-assigned, norm-carrying vector table. The production shape is
@@ -210,6 +218,24 @@ object Ivf {
   def saveIndex(index: IvfIndex, dir: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
+    if (index.centroids.isEmpty) {
+      // Empty index (empty corpus): partitionBy over zero rows writes NO
+      // cluster=... directories, so a reload could not even resolve the
+      // partition column. Write the empty assigned table UNPARTITIONED but
+      // schema-complete — loadIndex reads `cluster` as an ordinary column
+      // there — mirroring writeShards' empty-export handling.
+      index.assigned
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cluster").cast("int").as("cluster"))
+        .limit(0)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/assigned")
+      Seq.empty[(Int, Seq[Double])].toDF("cluster_id", "centroid")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/centroids")
+      return
+    }
     index.assigned
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -488,18 +514,20 @@ object Ivf {
                    nClusters: Int = 0, iters: Int = 3, nProbe: Int = 0,
                    nAssign: Int = 0,
                    sampleCap: Int = defaultSampleCap,
-                   targetCell: Long = defaultTargetCell): DataFrame => DataFrame = {
+                   targetCell: Long = defaultTargetCell): Retriever = {
     val (k, centroids) = resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
     if (centroids.isEmpty)
-      return (queries: DataFrame) =>
+      return new Retriever(_ =>
         emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
-          "cos" -> "double", "rnk" -> "int")
+          "cos" -> "double", "rnk" -> "int"))
     val na = resolveAssign(nAssign, k)
     val np = resolveAssign(nProbe, k)
     val c = assignTop(corpus, centroids, na)
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .persist()
-    (queries: DataFrame) => probeAgainstCells(queries, c, centroids, np, kTop, minCos)
+    new Retriever(
+      queries => probeAgainstCells(queries, c, centroids, np, kTop, minCos),
+      () => c.unpersist())
   }
 
   /** Per-batch probe over a PERSISTED/RELOADED index ([[loadIndex]]): the
@@ -509,10 +537,17 @@ object Ivf {
     * be built with multi-assignment via [[ivfRetriever]] when boundary
     * recall matters more than index size. */
   def retrieverFromIndex(index: IvfIndex, kTop: Int, minCos: Double,
-                         nProbe: Int = 0): DataFrame => DataFrame = {
-    val np = resolveAssign(nProbe, math.max(1, index.centroids.length))
-    (queries: DataFrame) =>
-      probeAgainstCells(queries, index.assigned, index.centroids, np, kTop, minCos)
+                         nProbe: Int = 0): Retriever = {
+    if (index.centroids.isEmpty)
+      // a (reloaded) empty index answers every probe with zero rows
+      return new Retriever(_ =>
+        emptyFrame(index.assigned, "query_id" -> "bigint", "vec_id" -> "bigint",
+          "cos" -> "double", "rnk" -> "int"))
+    val np = resolveAssign(nProbe, index.centroids.length)
+    // no close action: the corpus side is the index's own (typically
+    // disk-backed) assigned table, not state this retriever persisted
+    new Retriever(queries =>
+      probeAgainstCells(queries, index.assigned, index.centroids, np, kTop, minCos))
   }
 
   /** Bucket-distribution audit for the IVF pair path — the

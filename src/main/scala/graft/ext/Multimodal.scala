@@ -155,12 +155,22 @@ object Multimodal {
           off += n
         }
         if (off < raw.length) return None
-        // drain to the stream end so the zlib adler32 trailer is actually
-        // verified (output can complete before the trailer is consumed)
+        // Drain to the stream end so the zlib adler32 trailer is actually
+        // verified (output can complete before the trailer is consumed).
+        // A conforming stream inflates to EXACTLY raw.length bytes, so any
+        // surplus inflated byte means corruption — or a decompression bomb
+        // crafted to keep one executor core inflating indefinitely. Reject
+        // on the first surplus byte, and bound the trailer-consuming calls
+        // (full input is already attached, so a healthy trailer finishes in
+        // one call) instead of looping through attacker-controlled output.
         val sink = new Array[Byte](1)
+        var drains = 0
         while (!inf.finished()) {
-          if (inf.inflate(sink, 0, 1) == 0 &&
-            (inf.needsInput() || inf.needsDictionary())) return None
+          val n = inf.inflate(sink, 0, 1)
+          if (n > 0) return None // surplus byte beyond the raster: corrupt/bomb
+          if (inf.needsInput() || inf.needsDictionary()) return None
+          drains += 1
+          if (drains > 8) return None // no progress toward the trailer: corrupt
         }
       } catch {
         case _: java.util.zip.DataFormatException => return None
@@ -234,7 +244,12 @@ object Multimodal {
             Some(Raster(w, h, channels, out))
           }
         }
-      } catch { case _: Throwable => None }
+      } catch {
+        // NonFatal only: an OutOfMemoryError or interrupt from a hostile
+        // payload must propagate and fail the task, not be misreported as
+        // "unreadable payload".
+        case scala.util.control.NonFatal(_) => None
+      }
 
     /** 8-float content feature from a decoded raster: per-channel means
       * (4 slots, 0 for absent channels), overall mean, min, max — all in

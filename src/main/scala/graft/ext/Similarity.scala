@@ -558,19 +558,26 @@ object Similarity {
     *
     * At 100 TB: the corpus pass (sketch + postings groupBy + norms) is the
     * expensive part and runs exactly once per corpus version; each arriving
-    * batch pays only its own banding plus candidate-bounded joins. */
+    * batch pays only its own banding plus candidate-bounded joins — and the
+    * returned [[Retriever]]'s `close()` releases both persisted frames when
+    * the corpus version is retired. */
   def srpRetriever(corpus: DataFrame, kTop: Int, minCos: Double,
                    bandsN: Int = 0,
-                   maxBucket: Int = defaultMaxBucket): DataFrame => DataFrame = {
+                   maxBucket: Int = defaultMaxBucket): Retriever = {
     val bn = resolveSrpBands(corpus, bandsN, maxBucket)
     val postings = srpBands(corpus, bn)
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      // same cap audit as srpCrossTopK: over-cap truncation silently lowers
+      // recall, so the build pass must surface it too
+      .observe("graft_srp_retriever_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
       .persist()
     val corpusNorms = withNorms(corpus).persist()
-    (queries: DataFrame) =>
-      scoreAgainstPostings(queries, postings, corpusNorms, bn, kTop, minCos)
+    new Retriever(
+      queries => scoreAgainstPostings(queries, postings, corpusNorms, bn, kTop, minCos),
+      () => { postings.unpersist(); corpusNorms.unpersist() })
   }
 
   /** Per-query rank window shared by the retrieval paths: `row_number`

@@ -55,9 +55,15 @@ object Skew {
     * plain equi-join (each big row matches exactly the replica carrying its
     * salt); the cost is a `buckets`× blowup of the SMALL side only. AQE's
     * runtime skew split covers moderate cases; this is the explicit form
-    * for pipelines that pre-partition or run with AQE off. */
+    * for pipelines that pre-partition or run with AQE off.
+    *
+    * Default is 8 buckets: enough to split a hot key across 8 reduce tasks
+    * (an 8× straggler cut) at half the replication cost of the earlier 16 —
+    * a hot key so large that 8-way splitting still straggles warrants an
+    * explicit higher bucket count from the caller, measured against the
+    * small side's replicated size. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 buckets: Int = 16): DataFrame = {
+                 buckets: Int = 8): DataFrame = {
     require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
       s"input already carries a $SaltCol column")
     val salted = big.withColumn(SaltCol, salt(buckets).cast("int"))

@@ -62,12 +62,17 @@ object StreamingOps {
     * same rows (StreamingSpec) — "earlier doc" and "lower id" coincide.
     *
     * State is one boolean per distinct NON-corpus fingerprint seen on the
-    * stream — for an unbounded crawl, production bounds it with a state
-    * timeout (re-crawls past the horizon re-enter as `kept`, the same
-    * trade `dropDuplicatesWithinWatermark` makes). Output: (`doc_id`,
-    * `status`). */
+    * stream — on an unbounded crawl that grows without limit, so
+    * `stateTimeoutMs > 0` bounds it with a processing-time horizon: a
+    * fingerprint unseen for the horizon is dropped from state, and a
+    * re-crawl past the horizon re-enters as `kept` — the same trade
+    * `dropDuplicatesWithinWatermark` makes one operator up. Every sighting
+    * renews the horizon. `stateTimeoutMs = 0` keeps state forever (exact
+    * parity with the batch operator at any delay, for bounded backfills).
+    * Output: (`doc_id`, `status`). */
   def streamingIncrementalDedup(stream: DataFrame, corpus: DataFrame,
-                                textCol: String, idCol: String): DataFrame = {
+                                textCol: String, idCol: String,
+                                stateTimeoutMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     val corpusFp = corpus
@@ -80,24 +85,37 @@ object StreamingOps {
       .select(col("doc_id"), col("fp"),
         coalesce(col("in_corpus"), lit(false)).as("in_corpus"))
       .as[(Long, String, Boolean)]
+    val timeout =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     tagged
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (_: String, rows: Iterator[(Long, String, Boolean)],
          state: GroupState[Boolean]) => {
-          // lowest id first inside the micro-batch: matches the batch
-          // operator's lowest-id-wins rule when delivery is id-ordered
-          val sorted = rows.toArray.sortBy(_._1)
-          var seen = state.exists
-          val out = sorted.iterator.map { case (id, _, inCorpus) =>
-            val status =
-              if (inCorpus) "dup_corpus"
-              else if (seen) "dup_batch"
-              else { seen = true; "kept" }
-            (id, status)
-          }.toArray
-          if (seen && !state.exists) state.update(true)
-          out.iterator
+          if (state.hasTimedOut) {
+            // horizon passed with no re-sighting: forget the fingerprint —
+            // its next arrival is labeled `kept` again
+            state.remove()
+            Iterator.empty
+          } else {
+            // lowest id first inside the micro-batch: matches the batch
+            // operator's lowest-id-wins rule when delivery is id-ordered
+            val sorted = rows.toArray.sortBy(_._1)
+            var seen = state.exists
+            val out = sorted.iterator.map { case (id, _, inCorpus) =>
+              val status =
+                if (inCorpus) "dup_corpus"
+                else if (seen) "dup_batch"
+                else { seen = true; "kept" }
+              (id, status)
+            }.toArray
+            if (seen && !state.exists) state.update(true)
+            // every sighting of a stateful fingerprint renews its horizon
+            if (stateTimeoutMs > 0 && state.exists)
+              state.setTimeoutDuration(stateTimeoutMs)
+            out.iterator
+          }
         })
       .toDF("doc_id", "status")
   }

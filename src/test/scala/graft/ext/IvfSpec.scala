@@ -203,6 +203,39 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY index saves, reloads, and answers probes with zero rows") {
+    val none = emb.filter(col("vec_id") < 0)
+    val idx = Ivf.buildIndex(none, nClusters = 8, iters = 2)
+    assert(idx.centroids.isEmpty)
+    assert(idx.assigned.collect().isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    try {
+      Ivf.saveIndex(idx, dir)
+      val back = Ivf.loadIndex(spark, dir)
+      assert(back.centroids.isEmpty)
+      assert(back.assigned.collect().isEmpty)
+      assert(back.assigned.columns.contains("cluster"))
+      val probe = Ivf.retrieverFromIndex(back, kTop = 3, minCos = 0.2)(emb.limit(5))
+      assert(probe.collect().isEmpty)
+      assert(probe.columns.toSeq === Seq("query_id", "vec_id", "cos", "rnk"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("ivfRetriever is a closeable handle: close releases state, probes still work") {
+    val retrieve = Ivf.ivfRetriever(emb, kTop = 3, minCos = 0.2,
+      nClusters = 8, iters = 2)
+    val q = emb.limit(5)
+    val before = retrieve(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(before.nonEmpty)
+    retrieve.close()
+    retrieve.close() // idempotent
+    // post-close probes recompute the corpus state but answer identically
+    val after = retrieve(q).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before)
+  }
+
   test("ivfCrossTopK matches the exact contract and holds recall at defaults") {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val c = emb.filter(col("vec_id") % 10 =!= 0)

@@ -109,6 +109,17 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).feature(6) === 1.0f)                      // max = 255
   }
 
+  test("pngPixels rejects a stream inflating beyond the raster (decompression bomb)") {
+    // zlib payload = the correct 2x2 gray scanlines PLUS surplus bytes: a
+    // conforming stream inflates to exactly (stride+1)*height, so the first
+    // surplus inflated byte must reject the payload — without looping
+    // byte-by-byte through attacker-sized output
+    val scan = Array[Byte](0, 10, 20, 0, 30, 40)
+    assert(MediaCodecs.pngPixels(fullPng(2, 2, 1, scan)).isDefined)
+    val bomb = fullPng(2, 2, 1, scan ++ Array.fill[Byte](100000)(0))
+    assert(MediaCodecs.pngPixels(bomb) === None)
+  }
+
   test("pngPixels unfilters Sub/Up/Average/Paeth scanlines") {
     // 2x2 gray: row0 Sub filter (deltas), row1 Up filter (deltas vs row0)
     val scan = Array[Byte](1, 10, 20, 2, 5, 5)

@@ -225,6 +225,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental dedup state times out: re-arrival past the horizon is kept") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((100L, "corpus only text")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    // ProcessingTimeTimeout keeps scheduling wake-up batches, so
+    // processAllAvailable can spin — poll the sink for row counts instead.
+    val query = StreamingOps.streamingIncrementalDedup(
+        sdf, corpus, "text", "doc_id", stateTimeoutMs = 2000L)
+      .writeStream.format("memory").queryName("inc_dedup_ttl")
+      .outputMode("append").start()
+    def rowsNow() = spark.table("inc_dedup_ttl")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    def awaitRows(n: Int): Seq[(Long, String)] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = rowsNow()
+      while (got.length < n && System.nanoTime() < deadline) {
+        Thread.sleep(50); got = rowsNow()
+      }
+      assert(got.length >= n, s"sink never reached $n rows: $got")
+      got
+    }
+    try {
+      mem.addData((1L, "alpha text"))
+      assert(awaitRows(1) === Seq((1L, "kept")))
+      // within the horizon a re-arrival is still a batch-dup
+      mem.addData((2L, "alpha text"))
+      assert(awaitRows(2).last === ((2L, "dup_batch")))
+      Thread.sleep(3000) // let the 2 s horizon lapse (wake-up batch evicts)
+      // unrelated doc triggers a batch in case no wake-up batch ran
+      mem.addData((3L, "beta text"))
+      awaitRows(3)
+      Thread.sleep(500)
+      mem.addData((4L, "alpha text")) // past the horizon: fresh again
+      val got = awaitRows(4)
+      assert(got(3) === ((4L, "kept")))
+      // corpus dups are stateless and unaffected by the horizon
+      mem.addData((5L, "corpus only text"))
+      assert(awaitRows(5).last === ((5L, "dup_corpus")))
+    } finally query.stop()
+  }
+
   test("streaming IVF retrieval via ivfRetriever matches batch ivfCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
