@@ -13,11 +13,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
   *     directory, so a loader (or a backfill re-run) reads exactly the
   *     shards it owns and the scan prunes to them (PartitionFilters, the
   *     same IO shape the IVF index test pins);
-  *   - one `_graft_manifest.json` at the root records per-shard row counts
-  *     and the total — the loader's single small read to plan an epoch, and
-  *     the writer's own completeness check (counts are recomputed from the
-  *     WRITTEN files, not the input plan, so a lost task or partial write
-  *     cannot produce a silently short manifest).
+  *   - one `_graft_manifest.json` at the root records per-shard row counts,
+  *     byte sizes, and file counts, plus the total — the loader's single
+  *     small read to plan an epoch, and the writer's own completeness check
+  *     (counts are recomputed from the WRITTEN files, not the input plan, so
+  *     a lost task or partial write cannot produce a silently short
+  *     manifest). Bytes + file counts come from the same FS listing the
+  *     writer already does, and let [[validateShards]] catch a truncated or
+  *     corrupt shard FILE that row counts alone cannot see.
   *
   * All manifest IO goes through `org.apache.hadoop.fs.FileSystem`, resolved
   * from the directory URI — the sink works identically on local paths,
@@ -80,20 +83,54 @@ object Export {
         .groupBy(col(shardCol).cast("long").as(shardCol))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val manifest = counts.toSeq.sorted
-      .map { case (s, n) => s""""$s": $n""" }
-      .mkString("{\"shards\": {", ", ", s"}, \"total\": ${counts.values.sum}}")
+    val stats =
+      if (!wroteRows) Map.empty[Long, (Long, Long)]
+      else shardFileStats(df.sparkSession, dir, shardCol)
+    require(stats.keySet == counts.keySet,
+      s"writeShards: row-count shards ${counts.keySet.toSeq.sorted} and " +
+        s"listed shard directories ${stats.keySet.toSeq.sorted} disagree")
+    def obj(m: Map[Long, Long]): String = m.toSeq.sorted
+      .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
+    val manifest =
+      s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
+        s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, "total": ${counts.values.sum}}"""
     val (hfs, root) = fs(df.sparkSession, dir)
     val out = hfs.create(new Path(root, ManifestName), true)
     try out.write((manifest + "\n").getBytes("UTF-8")) finally out.close()
     counts
   }
 
+  /** Per-shard (bytes, data files) from the written partition directories —
+    * one listing per shard directory, data files only (hidden `.`/`_` names
+    * like local-FS checksums excluded, matching what parquet reads). */
+  private def shardFileStats(spark: SparkSession, dir: String,
+                             shardCol: String): Map[Long, (Long, Long)] = {
+    val (hfs, root) = fs(spark, dir)
+    hfs.listStatus(root).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__"))
+      .map { st =>
+        val shard = st.getPath.getName.stripPrefix(s"$shardCol=").toLong
+        val files = hfs.listStatus(st.getPath).filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        shard -> ((files.map(_.getLen).sum, files.length.toLong))
+      }.toMap
+  }
+
   /** Parse a [[writeShards]] manifest back into per-shard counts — the
     * loader's one small read to plan an epoch (no file listing, no scan).
     * Parsed with Jackson (already on Spark's classpath) rather than a
     * regex, so added manifest fields stay backward-compatible. */
-  def readManifest(spark: SparkSession, dir: String): Map[Long, Long] = {
+  def readManifest(spark: SparkSession, dir: String): Map[Long, Long] =
+    manifestField(spark, dir, "shards", required = true).get
+
+  /** One manifest field's {shard: long} object; `required = false` lets a
+    * reader of a pre-integrity manifest (no bytes/files) degrade gracefully. */
+  private def manifestField(spark: SparkSession, dir: String, field: String,
+                            required: Boolean): Option[Map[Long, Long]] = {
     val (hfs, root) = fs(spark, dir)
     val in = hfs.open(new Path(root, ManifestName))
     val text =
@@ -105,17 +142,48 @@ object Export {
         buf.toString("UTF-8")
       } finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(text).get("shards")
-    require(node != null && node.isObject,
-      s"no 'shards' object in manifest at $dir — not a writeShards manifest " +
-        "(or a corrupt/truncated file)")
+    val node = mapper.readTree(text).get(field)
+    if (node == null || !node.isObject) {
+      require(!required,
+        s"no '$field' object in manifest at $dir — not a writeShards manifest " +
+          "(or a corrupt/truncated file)")
+      return None
+    }
     val it = node.properties().iterator()
     val b = Map.newBuilder[Long, Long]
     while (it.hasNext) {
       val e = it.next()
       b += e.getKey.toLong -> e.getValue.asLong()
     }
-    b.result()
+    Some(b.result())
+  }
+
+  /** Loader-side integrity gate: re-list the written shard directories and
+    * require every shard's data-file count and byte total to match what the
+    * writer recorded. Row counts can't see a truncated or corrupt shard
+    * file (the damage surfaces as a mid-epoch read error, or not at all);
+    * the byte compare catches it up front for the cost of one listing per
+    * shard — no data scan. Returns [[readManifest]]'s per-shard row counts
+    * on success; manifests written before the integrity fields refuse
+    * loudly rather than vacuously passing. */
+  def validateShards(spark: SparkSession, dir: String,
+                     shardCol: String = "shard"): Map[Long, Long] = {
+    val counts = readManifest(spark, dir)
+    val bytes = manifestField(spark, dir, "bytes", required = true).get
+    val files = manifestField(spark, dir, "files", required = true).get
+    val live = shardFileStats(spark, dir, shardCol)
+    require(live.keySet == counts.keySet,
+      s"validateShards: manifest shards ${counts.keySet.toSeq.sorted} vs " +
+        s"on-disk shard directories ${live.keySet.toSeq.sorted}")
+    for ((shard, (liveBytes, liveFiles)) <- live) {
+      require(liveFiles == files(shard),
+        s"validateShards: shard $shard has $liveFiles data files, " +
+          s"manifest recorded ${files(shard)}")
+      require(liveBytes == bytes(shard),
+        s"validateShards: shard $shard is $liveBytes bytes on disk, " +
+          s"manifest recorded ${bytes(shard)} — truncated or corrupt shard file")
+    }
+    counts
   }
 
   /** Read only the named shards — the filter is on the partition column,

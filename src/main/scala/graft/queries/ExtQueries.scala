@@ -219,6 +219,12 @@ object ExtQueries {
     sharedFrame(s, d, "hashed-shingles-n3")(
       Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", n = 3))
 
+  /** x73 (catalog entry) and x80 (export round-trip): ONE persisted run of
+    * the curation pipeline — the export query's cost is the write+read
+    * round-trip, not a second execution of the whole upstream. */
+  private def curationShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "x73-curation")(curationPipeline(s, d))
+
   /** x07 (pairs) and x25 (clusters): the uncapped exact Jaccard pair set
     * (maxDf disabled — the oracle contract; see the x07 comment). */
   private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
@@ -1922,14 +1928,17 @@ object ExtQueries {
     // / scan-local shard key); nothing in the composition adds a shuffle
     // beyond the stages themselves.
     QueryDef("x73_curation_pipeline",
-      (s, d) => curationPipeline(s, d),
+      (s, d) => curationShared(s, d),
       Some(curationOracle)),
 
     // x80 — the export sink's ROUND-TRIP on the board as an oracle row:
     QueryDef("x80_export_roundtrip",
       (s, d) => {
-        // The full loop a training run actually exercises: curate (x73) →
-        // writeShards (partitioned parquet + Hadoop-FS manifest) → loader
+        // The full loop a training run actually exercises: curate (x73's
+        // SHARED output frame — the export sink's cost is the round-trip,
+        // not a second run of the whole pipeline) → writeShards
+        // (partitioned parquet + Hadoop-FS manifest) → loader
+        // validateShards (per-shard file count + byte integrity) →
         // readShards of EVERY manifest shard → canonical order. The oracle
         // is x73's SQL verbatim, so the round-trip is hash-checked against
         // the pre-export frame — a lost shard, a short manifest, or a
@@ -1938,8 +1947,8 @@ object ExtQueries {
         // repeated invocations in one JVM — warm-up, timed, AQE passes —
         // bound disk use and register exactly one cleanup hook.
         val dir = exportScratchDir(d)
-        val counts = Export.writeShards(curationPipeline(s, d), dir)
-        val manifest = Export.readManifest(s, dir)
+        val counts = Export.writeShards(curationShared(s, d), dir)
+        val manifest = Export.validateShards(s, dir)
         require(manifest == counts,
           s"manifest/written-counts mismatch: $manifest vs $counts")
         Export.readShards(s, dir, manifest.keySet.toSeq.sorted)

@@ -261,6 +261,40 @@ object ExtendedQueries {
                      count(*) AS n
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Q30b — approx percentiles: the operator a 100 TB user actually calls
+    // (exact `percentile` buffers every value per group; the approx sketch
+    // is bounded-memory and merge-combinable). The estimate is
+    // engine-specific, so no oracle — rows-only, pinned by the gate below.
+    QueryDef("q30_approx_percentiles",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
+    // Q30c — the approx-percentile error-bound GATE (the q24/x19 pattern):
+    // accuracy=1000 contracts a rank error <= 1/1000, so every group's
+    // approx value must land inside the exact +/-0.01 rank window (10x
+    // slack over the contract, covering interpolation differences). One
+    // boolean row, hash-matched against a constant-true oracle.
+    QueryDef("q30_approx_percentile_gate",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
+          expr("percentile(value, 0.49)").as("lo50"),
+          expr("percentile(value, 0.51)").as("hi50"),
+          expr("percentile(value, 0.94)").as("lo95"),
+          expr("percentile(value, 0.96)").as("hi95"))
+        .agg(coalesce(
+          expr("every(ap50 BETWEEN lo50 AND hi50 AND ap95 BETWEEN lo95 AND hi95)"),
+          lit(true)).as("approx_percentile_ok")),
+      Some("SELECT CAST(1 AS BOOLEAN) AS approx_percentile_ok")),
+
     // Q31 — skew-safe two-phase salted aggregation (graft.ops.Skew): the
     // pre-cast to decimal makes the partial sums associative, so the salted
     // result is bit-identical to a direct GROUP BY — which is exactly what

@@ -42,6 +42,38 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("validateShards passes a healthy export and fails a truncated shard file") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc $i", i % 4)).toDF("doc_id", "text", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-val").toString
+    try {
+      val counts = Export.writeShards(df, dir)
+      // healthy export: validation returns the manifest counts
+      assert(Export.validateShards(spark, dir) === counts)
+      // truncate one shard's data file: row counts in the manifest still
+      // "match" (they were recorded at write time), but the byte integrity
+      // check must refuse the export up front
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .head.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      java.nio.file.Files.write(part.toPath, bytes.dropRight(bytes.length / 2))
+      // drop the local-FS checksum so the length change is what's observed
+      val crc = new java.io.File(part.getParent, s".${part.getName}.crc")
+      if (crc.exists()) crc.delete()
+      val e = intercept[IllegalArgumentException](Export.validateShards(spark, dir))
+      assert(e.getMessage.contains("bytes"))
+      // a missing data file fails on the file count
+      java.nio.file.Files.delete(part.toPath)
+      val e2 = intercept[IllegalArgumentException](Export.validateShards(spark, dir))
+      assert(e2.getMessage.contains("files") || e2.getMessage.contains("data files"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")
