@@ -116,6 +116,37 @@ class PlanSpec extends SparkSpec {
       s"per-shard aggregate missing map-side combine:\n$p")
   }
 
+  test("q09/q11b keep their parallel shape under AQE (r8 straggler audit)") {
+    // The r8 driver AQE capture showed q09 4.7 s / q11b 4.4 s vs a ~1 s
+    // default-pass class; quiet-machine re-measures at sf0.1 put BOTH at
+    // or below their default-pass times under AQE (q09 ~1.15 s, q11b
+    // ~0.8 s) — the capture was machine load, not an AQE re-plan. Pin the
+    // plan facts that keep it that way: the final aggregate still combines
+    // map-side under AQE, and the scalable sweep-line's windows all stay
+    // key-partitioned — nothing for AQE coalescing to collapse into one
+    // straggler task.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val q09 = SparkEntry.queries("q09_tpch_q1")(spark, sf)
+      q09.collect() // finalize the adaptive plan
+      val p9 = q09.queryExecution.executedPlan.toString
+      assert(p9.contains("AdaptiveSparkPlan isFinalPlan=true"), p9)
+      assert("HashAggregate".r.findAllIn(p9).size >= 2,
+        s"q09 lost its partial/final aggregate pair under AQE:\n$p9")
+      val q11 = SparkEntry.queries("q11_sweepline_scalable")(spark, sf)
+      q11.collect()
+      val p11 = q11.queryExecution.executedPlan.toString
+      val winLines = p11.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(winLines.nonEmpty, p11)
+      assert(winLines.forall(_.contains("event_type")),
+        s"q11b window lost its key partitioning under AQE:\n${winLines.mkString("\n")}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("x69 and x60 read only the columns they need from documents") {
     for (name <- Seq("x69_contamination_fraction", "x60_oov_rate")) {
       val p = plan(name)
