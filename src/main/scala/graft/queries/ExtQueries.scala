@@ -225,6 +225,24 @@ object ExtQueries {
   private def curationShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "x73-curation")(curationPipeline(s, d))
 
+  /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
+    * deterministic k-means cells (k pinned for the fixture; production uses
+    * the adaptive k ≈ n/targetCell sizing) joined to quality scores and
+    * ranked per cell. */
+  private def diverseRankedShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "diverse-k16-ranked") {
+      val emb = Tables.embeddings(s, d)
+      val centroids = Ivf.trainCentroids(emb, k = 16, iters = 2)
+      val quality = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("vec_id"))
+      Ivf.assign(emb, centroids).join(quality, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("score"))
+        .withColumn("rnk", row_number().over(w))
+    }
+
   /** x07 (pairs) and x25 (clusters): the uncapped exact Jaccard pair set
     * (maxDf disabled — the oracle contract; see the x07 comment). */
   private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
@@ -2521,6 +2539,77 @@ object ExtQueries {
                         FROM tr CROSS JOIN ev)
               SELECT vec_id, count(*) AS n_close, max(cos) AS max_cos
               FROM p WHERE cos >= 0.35
-              GROUP BY vec_id ORDER BY vec_id"""))
+              GROUP BY vec_id ORDER BY vec_id""")),
+
+    // x89 — corpus VERSION diff: the incremental-snapshot primitive (x77
+    // labels one arriving batch against a static corpus; this one diffs two
+    // whole corpus versions — the nightly "what changed" report an
+    // incremental pipeline keys its recompute off). Doc-level status by
+    // CONTENT: a new-version doc is `retained` when its content existed
+    // anywhere in the old version (under any doc_id), else `added`; an
+    // old-version doc whose content vanished is `removed`. All joins key on
+    // the 256-bit content hash computed map-side — at 100 TB the text never
+    // shuffles, only 32-byte keys do, and each side is one scan.
+    QueryDef("x89_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldV = docs.filter(col("doc_id") % 3 =!= 2)
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        val newV = docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        val oldC = oldV.select("h").distinct()
+        val newC = newV.select("h").distinct()
+        newV.join(oldC, Seq("h"), "left_semi")
+          .select(col("doc_id"), lit("retained").as("status"))
+          .union(newV.join(oldC, Seq("h"), "left_anti")
+            .select(col("doc_id"), lit("added").as("status")))
+          .union(oldV.join(newC, Seq("h"), "left_anti")
+            .select(col("doc_id"), lit("removed").as("status")))
+          .orderBy("doc_id", "status")
+      },
+      Some("""WITH oldv AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+                  newv AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+              SELECT doc_id, status FROM (
+                SELECT doc_id,
+                       CASE WHEN text IN (SELECT text FROM oldv) THEN 'retained'
+                            ELSE 'added' END AS status
+                FROM newv
+                UNION ALL
+                SELECT doc_id, 'removed' AS status FROM oldv
+                WHERE text NOT IN (SELECT text FROM newv))
+              ORDER BY doc_id, status""")),
+
+    // x90 — cell-diverse subsample: per-IVF-cell top-q by quality — the
+    // diversity-aware curation cut (a pure quality top-N collapses onto the
+    // densest region of embedding space; a per-cell quota keeps every
+    // neighborhood represented, the flip side of SemDeDup's per-cluster
+    // drop). k-means training is engine-specific, so rows-only; the x91
+    // gate pins the quota contract. Scale: training is one bounded-sample
+    // scan, assignment one codegen'd argmax scan, the quality join moves
+    // (id, score) pairs only, and the rank window partitions by cell — at
+    // corpus scale k grows as n/targetCell (adaptiveClusters), keeping
+    // per-cell sort volume pinned.
+    QueryDef("x90_cell_diverse_sample",
+      (s, d) => diverseRankedShared(s, d)
+        .filter(col("rnk") <= 8)
+        .select(col("vec_id"), col("cluster"), col("rnk"))
+        .orderBy("cluster", "rnk"),
+      None),
+
+    // x91 — the x90 quota GATE: every cell keeps exactly min(cell size, q)
+    // docs — the boolean contract an engine-specific clustering can still
+    // be held to (the x43/x48 pattern).
+    QueryDef("x91_diverse_sample_gate",
+      (s, d) => {
+        val ranked = diverseRankedShared(s, d)
+        val expect = ranked.groupBy(col("cluster"))
+          .agg(least(count(lit(1)), lit(8L)).as("n_want"))
+        val kept = ranked.filter(col("rnk") <= 8)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_kept"))
+        expect.join(kept, Seq("cluster"), "left")
+          .agg(coalesce(expr("every(coalesce(n_kept, 0) = n_want)"), lit(true))
+            .as("diverse_sample_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS diverse_sample_ok"))
   )
 }
