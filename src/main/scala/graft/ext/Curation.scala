@@ -53,13 +53,21 @@ object Curation {
       val kept = keep
         .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .union(picks)
-      kept.join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
+      val result = kept
+        .join(docs.select(col(idCol).as("doc_id"), col("source")), "doc_id")
         .join(scored, "doc_id")
         .select(col("doc_id"), col("source"), col("score"))
-        // eager: runs the pipeline now, stores only the (id, source, score)
-        // result rows — blocks are released by the context cleaner when the
-        // returned frame becomes unreachable, not held for the session
-        .localCheckpoint(true)
+        .persist()
+      // Eager: materialize the (id, source, score) result rows NOW, while
+      // keep/scored are still cached, then release both in the finally.
+      // persist + count rather than localCheckpoint: lineage survives, so
+      // a lost executor recomputes blocks (through the then-uncached
+      // scratch plans) instead of failing on an unrecoverable checkpoint
+      // block, and the logical plan stays visible to plan-contract tests.
+      // The cached result itself is reclaimed by the context cleaner when
+      // the returned frame becomes unreachable, not held for the session.
+      result.count()
+      result
     } finally {
       keep.unpersist()
       scored.unpersist()

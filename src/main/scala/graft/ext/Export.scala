@@ -40,15 +40,6 @@ object Export {
     (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
   }
 
-  /** Whether the written export contains any `shard=` partition directory
-    * (one Hadoop FS listing of the root — no file scan). */
-  private def hasPartitionDirs(spark: SparkSession, dir: String,
-                               shardCol: String): Boolean = {
-    val (hfs, root) = fs(spark, dir)
-    hfs.listStatus(root).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol="))
-  }
-
   /** Write `df` partitioned by `shardCol` under `dir` and return the
     * per-shard row counts that were also persisted to the manifest. */
   def writeShards(df: DataFrame, dir: String,
@@ -61,31 +52,34 @@ object Export {
       s"writeShards needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
     df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(dir)
-    // Null shards land in the Hive default partition and would silently
-    // fall out of the manifest — detect them from the WRITTEN directory
-    // listing (one FS call), not a pre-write filter job (which would cost
-    // a full second evaluation of the input plan at 100 TB).
-    val (hfsChk, rootChk) = fs(df.sparkSession, dir)
-    require(!hfsChk.listStatus(rootChk).exists(st =>
+    val (hfs, root) = fs(df.sparkSession, dir)
+    // ONE root listing answers the null-shard check, the any-rows check,
+    // and seeds the per-shard stats — one LIST RPC on an object store, not
+    // three. Null shards land in the Hive default partition and would
+    // silently fall out of the manifest — detected from the WRITTEN
+    // directories, not a pre-write filter job (which would cost a full
+    // second evaluation of the input plan at 100 TB).
+    val rootList = hfs.listStatus(root)
+    require(!rootList.exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
         st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
       s"writeShards: '$shardCol' contained nulls — rows landed in the Hive " +
         "default partition and cannot be keyed in the manifest")
+    val shardDirs = rootList.filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(s"$shardCol=") &&
+      !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__"))
     // partition-directory values read back type-INFERRED (small ids become
     // ints) — normalize to long before collecting. An EMPTY export writes
     // no partition directories, so the read-back would fail schema
     // inference — a 0-row export is legitimate (the loader reads the
     // manifest first and sees total 0), so short-circuit to empty counts.
-    val wroteRows = hasPartitionDirs(df.sparkSession, dir, shardCol)
     val counts =
-      if (!wroteRows) Map.empty[Long, Long]
+      if (shardDirs.isEmpty) Map.empty[Long, Long]
       else df.sparkSession.read.parquet(dir)
         .groupBy(col(shardCol).cast("long").as(shardCol))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val stats =
-      if (!wroteRows) Map.empty[Long, (Long, Long)]
-      else shardFileStats(df.sparkSession, dir, shardCol)
+    val stats = statsFor(hfs, shardDirs, shardCol)
     require(stats.keySet == counts.keySet,
       s"writeShards: row-count shards ${counts.keySet.toSeq.sorted} and " +
         s"listed shard directories ${stats.keySet.toSeq.sorted} disagree")
@@ -94,30 +88,33 @@ object Export {
     val manifest =
       s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
         s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, "total": ${counts.values.sum}}"""
-    val (hfs, root) = fs(df.sparkSession, dir)
     val out = hfs.create(new Path(root, ManifestName), true)
     try out.write((manifest + "\n").getBytes("UTF-8")) finally out.close()
     counts
   }
 
-  /** Per-shard (bytes, data files) from the written partition directories —
-    * one listing per shard directory, data files only (hidden `.`/`_` names
-    * like local-FS checksums excluded, matching what parquet reads). */
+  /** Per-shard (bytes, data files) from pre-listed shard directories — one
+    * listing per shard, data files only (hidden `.`/`_` names like local-FS
+    * checksums excluded, matching what parquet reads). */
+  private def statsFor(hfs: FileSystem,
+                       shardDirs: Array[org.apache.hadoop.fs.FileStatus],
+                       shardCol: String): Map[Long, (Long, Long)] =
+    shardDirs.iterator.map { st =>
+      val shard = st.getPath.getName.stripPrefix(s"$shardCol=").toLong
+      val files = hfs.listStatus(st.getPath).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      shard -> ((files.map(_.getLen).sum, files.length.toLong))
+    }.toMap
+
+  /** [[statsFor]] from a fresh root listing (the loader-side entry). */
   private def shardFileStats(spark: SparkSession, dir: String,
                              shardCol: String): Map[Long, (Long, Long)] = {
     val (hfs, root) = fs(spark, dir)
-    hfs.listStatus(root).iterator
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$shardCol=") &&
-        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__"))
-      .map { st =>
-        val shard = st.getPath.getName.stripPrefix(s"$shardCol=").toLong
-        val files = hfs.listStatus(st.getPath).filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith(".") && !n.startsWith("_")
-        }
-        shard -> ((files.map(_.getLen).sum, files.length.toLong))
-      }.toMap
+    statsFor(hfs, hfs.listStatus(root).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(s"$shardCol=") &&
+      !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")), shardCol)
   }
 
   /** Parse a [[writeShards]] manifest back into per-shard counts — the
@@ -125,12 +122,12 @@ object Export {
     * Parsed with Jackson (already on Spark's classpath) rather than a
     * regex, so added manifest fields stay backward-compatible. */
   def readManifest(spark: SparkSession, dir: String): Map[Long, Long] =
-    manifestField(spark, dir, "shards", required = true).get
+    fieldMap(manifestTree(spark, dir), "shards", dir)
 
-  /** One manifest field's {shard: long} object; `required = false` lets a
-    * reader of a pre-integrity manifest (no bytes/files) degrade gracefully. */
-  private def manifestField(spark: SparkSession, dir: String, field: String,
-                            required: Boolean): Option[Map[Long, Long]] = {
+  /** One FS read + Jackson parse of the manifest — shared by every reader,
+    * so a validation pass costs one GET, not one per field. */
+  private def manifestTree(spark: SparkSession,
+                           dir: String): com.fasterxml.jackson.databind.JsonNode = {
     val (hfs, root) = fs(spark, dir)
     val in = hfs.open(new Path(root, ManifestName))
     val text =
@@ -141,21 +138,23 @@ object Export {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         buf.toString("UTF-8")
       } finally in.close()
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(text).get(field)
-    if (node == null || !node.isObject) {
-      require(!required,
-        s"no '$field' object in manifest at $dir — not a writeShards manifest " +
-          "(or a corrupt/truncated file)")
-      return None
-    }
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+  }
+
+  /** One manifest field's {shard: long} object. */
+  private def fieldMap(tree: com.fasterxml.jackson.databind.JsonNode,
+                       field: String, dir: String): Map[Long, Long] = {
+    val node = tree.get(field)
+    require(node != null && node.isObject,
+      s"no '$field' object in manifest at $dir — not a writeShards manifest " +
+        "(or a corrupt/truncated file, or one written before this field existed)")
     val it = node.properties().iterator()
     val b = Map.newBuilder[Long, Long]
     while (it.hasNext) {
       val e = it.next()
       b += e.getKey.toLong -> e.getValue.asLong()
     }
-    Some(b.result())
+    b.result()
   }
 
   /** Loader-side integrity gate: re-list the written shard directories and
@@ -168,9 +167,16 @@ object Export {
     * loudly rather than vacuously passing. */
   def validateShards(spark: SparkSession, dir: String,
                      shardCol: String = "shard"): Map[Long, Long] = {
-    val counts = readManifest(spark, dir)
-    val bytes = manifestField(spark, dir, "bytes", required = true).get
-    val files = manifestField(spark, dir, "files", required = true).get
+    val tree = manifestTree(spark, dir)
+    val counts = fieldMap(tree, "shards", dir)
+    val bytes = fieldMap(tree, "bytes", dir)
+    val files = fieldMap(tree, "files", dir)
+    // a hand-edited/corrupt manifest whose bytes/files miss a shard must
+    // fail with THIS diagnostic, not a bare key-lookup exception below
+    require(bytes.keySet == counts.keySet && files.keySet == counts.keySet,
+      s"validateShards: manifest at $dir records shards " +
+        s"${counts.keySet.toSeq.sorted} but bytes for " +
+        s"${bytes.keySet.toSeq.sorted} and files for ${files.keySet.toSeq.sorted}")
     val live = shardFileStats(spark, dir, shardCol)
     require(live.keySet == counts.keySet,
       s"validateShards: manifest shards ${counts.keySet.toSeq.sorted} vs " +

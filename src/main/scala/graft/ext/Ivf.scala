@@ -73,6 +73,9 @@ object Ivf {
         .withColumn("h", xxhash64(lit(7L), col("vec_id")))
         .orderBy(col("h"), col("vec_id"))
       val initRows = hashed.limit(k).select(col("embedding")).collect()
+      // empty corpus: zero centroids, same as lloydTrain's short-circuit —
+      // entering the Lloyd loop would crash in clusterOf
+      if (initRows.isEmpty) return Array.empty
       var centroids = initRows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
       for (_ <- 1 to iters) {
         val means = emb

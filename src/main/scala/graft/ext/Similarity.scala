@@ -467,6 +467,9 @@ object Similarity {
                   maxBucket: Int = defaultMaxBucket): DataFrame =
     knnFromPairs(srpCosinePairs(emb, minCos, bandsN, maxBucket), kTop)
 
+  /** Per-instance suffix for [[srpRetriever]]'s observe metric. */
+  private val retrieverSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Row ceiling for the broadcast side of [[crossTopK]]: 100k × 64-dim
     * float ≈ 30 MB — comfortably broadcastable; beyond it the query batch
     * belongs on the banded path. */
@@ -569,8 +572,10 @@ object Similarity {
       .groupBy(col("t"), col("bucket"))
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       // same cap audit as srpCrossTopK: over-cap truncation silently lowers
-      // recall, so the build pass must surface it too
-      .observe("graft_srp_retriever_bucket_cap",
+      // recall, so the build pass must surface it too. The metric name is
+      // per-instance: two retrievers (two corpus versions) composed into
+      // one query would otherwise collide on CollectMetrics name analysis.
+      .observe(s"graft_srp_retriever_bucket_cap_${retrieverSeq.incrementAndGet()}",
         count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
       .filter(size(col("ids")) <= maxBucket)
       .persist()

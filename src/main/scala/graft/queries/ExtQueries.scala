@@ -2552,7 +2552,11 @@ object ExtQueries {
     // shuffles, only 32-byte keys do, and each side is one scan.
     QueryDef("x89_corpus_diff",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // NULL text is excluded on BOTH engines up front: sha2(NULL) keys
+        // would silently pass Spark's anti-join while a NOT IN/NOT EXISTS
+        // oracle three-values away every removed row — a diff over
+        // contentless docs is meaningless anyway.
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
         val oldV = docs.filter(col("doc_id") % 3 =!= 2)
           .select(col("doc_id"), sha2(col("text"), 256).as("h"))
         val newV = docs.filter(col("doc_id") % 3 =!= 0)
@@ -2567,16 +2571,18 @@ object ExtQueries {
             .select(col("doc_id"), lit("removed").as("status")))
           .orderBy("doc_id", "status")
       },
-      Some("""WITH oldv AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
-                  newv AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+      Some("""WITH oldv AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 3 <> 2 AND text IS NOT NULL),
+                  newv AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 3 <> 0 AND text IS NOT NULL)
               SELECT doc_id, status FROM (
                 SELECT doc_id,
-                       CASE WHEN text IN (SELECT text FROM oldv) THEN 'retained'
-                            ELSE 'added' END AS status
+                       CASE WHEN EXISTS (SELECT 1 FROM oldv o WHERE o.text = newv.text)
+                            THEN 'retained' ELSE 'added' END AS status
                 FROM newv
                 UNION ALL
                 SELECT doc_id, 'removed' AS status FROM oldv
-                WHERE text NOT IN (SELECT text FROM newv))
+                WHERE NOT EXISTS (SELECT 1 FROM newv n WHERE n.text = oldv.text))
               ORDER BY doc_id, status""")),
 
     // x90 — cell-diverse subsample: per-IVF-cell top-q by quality — the

@@ -275,24 +275,36 @@ object ExtendedQueries {
         .orderBy("event_type"),
       None),
 
-    // Q30c — the approx-percentile error-bound GATE (the q24/x19 pattern):
-    // accuracy=1000 contracts a rank error <= 1/1000, so every group's
-    // approx value must land inside the exact +/-0.01 rank window (10x
-    // slack over the contract, covering interpolation differences). One
-    // boolean row, hash-matched against a constant-true oracle.
+    // Q30c — the approx-percentile error-bound GATE (the q24/x19 pattern),
+    // stated on RANKS, the sketch's actual contract: accuracy=1000 bounds
+    // rank error at 1/1000, so the returned value's rank interval
+    // [#(v < ap)/n, #(v <= ap)/n] must straddle the target percentile
+    // within +/-0.02 (20x slack). A value-window gate would false-fail on
+    // small/gappy groups: approx_percentile returns a DATA value while
+    // exact `percentile` interpolates between ranks. One boolean row,
+    // hash-matched against a constant-true oracle.
     QueryDef("q30_approx_percentile_gate",
-      (s, d) => events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(value, 0.95, 1000)").as("ap95"),
-          expr("percentile(value, 0.49)").as("lo50"),
-          expr("percentile(value, 0.51)").as("hi50"),
-          expr("percentile(value, 0.94)").as("lo95"),
-          expr("percentile(value, 0.96)").as("hi95"))
-        .agg(coalesce(
-          expr("every(ap50 BETWEEN lo50 AND hi50 AND ap95 BETWEEN lo95 AND hi95)"),
-          lit(true)).as("approx_percentile_ok")),
+      (s, d) => {
+        val ap = events(s, d)
+          .groupBy(col("event_type"))
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+               expr("approx_percentile(value, 0.95, 1000)").as("ap95"))
+        events(s, d).join(broadcast(ap), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            (sum(when(col("value") < col("ap50"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("lt50"),
+            (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("le50"),
+            (sum(when(col("value") < col("ap95"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("lt95"),
+            (sum(when(col("value") <= col("ap95"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("le95"))
+          .agg(coalesce(
+            expr("every(lt50 <= 0.52 AND le50 >= 0.48 AND " +
+              "lt95 <= 0.97 AND le95 >= 0.93)"),
+            lit(true)).as("approx_percentile_ok"))
+      },
       Some("SELECT CAST(1 AS BOOLEAN) AS approx_percentile_ok")),
 
     // Q31 — skew-safe two-phase salted aggregation (graft.ops.Skew): the
