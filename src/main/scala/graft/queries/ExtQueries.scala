@@ -2616,6 +2616,47 @@ object ExtQueries {
           .agg(coalesce(expr("every(coalesce(n_kept, 0) = n_want)"), lit(true))
             .as("diverse_sample_ok"))
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS diverse_sample_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS diverse_sample_ok")),
+
+    // x92 — corpus-unigram log-probability score: each doc's mean
+    // -ln p(token) under the corpus's OWN unigram distribution — the
+    // CCNet-style LM-score proxy (a doc of corpus-typical tokens scores
+    // low, rare-token noise scores high) that ranks quality WITHOUT an
+    // external model. Per-token -ln p quantizes to an integer micro-nat
+    // BIGINT before summing (the x71 trick), so the cross-engine compare
+    // is exact-integer arithmetic up to the final division. Scale: the
+    // unigram table is one hash agg (vocab-sized, tiny next to the
+    // corpus); the score join re-keys token strings — at 100 TB hash them
+    // to 8 bytes first (the x07 postings trick) and broadcast the head of
+    // the vocab; the total-token count rides along as a broadcast scalar.
+    QueryDef("x92_unigram_logprob",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = uni.agg(sum(col("cnt")).as("total"))
+        toks.join(uni, "tok").crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            expr("CAST(round(-ln(cnt / total) * 1e6) AS BIGINT)").as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            (floor(sum(col("q")).cast("double") / count(lit(1)) / 100.0 + 0.5) / 10000.0)
+              .as("avg_neglogp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+                  s AS (SELECT doc_id,
+                          CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS q
+                        FROM t JOIN c USING (tok) CROSS JOIN n)
+              SELECT doc_id, count(*) AS n_tok,
+                     floor(CAST(sum(q) AS DOUBLE) / count(*) / 100.0 + 0.5) / 10000.0
+                       AS avg_neglogp
+              FROM s GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
