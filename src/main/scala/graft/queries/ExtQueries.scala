@@ -2657,6 +2657,53 @@ object ExtQueries {
               SELECT doc_id, count(*) AS n_tok,
                      floor(CAST(sum(q) AS DOUBLE) / count(*) / 100.0 + 0.5) / 10000.0
                        AS avg_neglogp
-              FROM s GROUP BY doc_id ORDER BY doc_id"""))
+              FROM s GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x93 — TF-IDF top terms per doc: the keyword/topic primitive (domain
+    // tagging, index previews, per-source topic drift all start here). IDF
+    // quantizes to integer micro-nats and the score stays tf × that BIGINT
+    // — all-integer, so the cross-engine compare is exact with zero
+    // floating summation anywhere. Scale: tf is a (doc, token) hash agg,
+    // df a vocab-sized one; the rank window partitions by doc_id (the
+    // natural key — no global sort); token join keys re-hash to 8 bytes at
+    // 100 TB (x07 trick).
+    QueryDef("x93_tfidf_terms",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nd = toks.agg(countDistinct(col("doc_id")).cast("double").as("nd"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_micro").desc, col("tok"))
+        tf.join(df_, "tok").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * expr("CAST(round(ln(nd / df) * 1e6) AS BIGINT)"))
+              .as("tfidf_micro"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tfidf_micro"), col("rnk"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+                  df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+                  n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM t),
+                  sc AS (SELECT doc_id, tok,
+                           tf * CAST(round(ln(nd / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
+                             AS tfidf_micro
+                         FROM tf JOIN df USING (tok) CROSS JOIN n),
+                  r AS (SELECT doc_id, tok, tfidf_micro,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, tok) AS rnk
+                        FROM sc)
+              SELECT doc_id, tok, tfidf_micro, rnk
+              FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
   )
 }
