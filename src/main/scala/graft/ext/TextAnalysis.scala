@@ -110,4 +110,49 @@ object TextAnalysis {
       tokens(text),
       lit(0L),
       (acc, tok) => xxhash64(acc, tok))
+
+  /** Build the corpus unigram model ONCE and return the per-batch scorer —
+    * the build/apply split ([[Dedup.bloomFlagger]] pattern) for the x92
+    * corpus-unigram log-probability score, which is what makes LM-proxy
+    * quality scoring STREAMING-ready: the vocab count table is computed and
+    * persisted up front, and the returned [[Retriever]] scores ANY doc
+    * frame — a batch corpus or each `foreachBatch` micro-batch — against
+    * the FROZEN corpus distribution. Tokens unseen in the corpus smooth to
+    * the 1/total floor (an arriving doc must still score; the corpus-self
+    * score of a known token is unchanged). Each doc's score depends only on
+    * its own row plus the static model, so streaming ≡ batch on the same
+    * rows. Output: (`doc_id`, `n_tok`, `avg_neglogp`) — the x92 contract;
+    * scoring the corpus against itself reproduces x92 exactly. `close()`
+    * releases the persisted vocab table. */
+  def unigramScorer(corpus: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): Retriever = {
+    val uni = corpus
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    // one build-time job: materializes the vocab AND fixes the total
+    val total = uni.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    new Retriever(
+      docs =>
+        if (total == 0L)
+          // empty corpus: no distribution to score against — empty frame,
+          // schema-complete (the operator stays total)
+          docs.sparkSession.range(0)
+            .select(col("id").as("doc_id"), col("id").as("n_tok"),
+              col("id").cast("double").as("avg_neglogp"))
+        else docs
+          .filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol).cast("long").as("doc_id"),
+            explode(tokens(col(textCol))).as("tok"))
+          .join(uni, Seq("tok"), "left")
+          .select(col("doc_id"),
+            expr(s"CAST(round(-ln(coalesce(cnt, 1L) / ${total}D) * 1e6) AS BIGINT)")
+              .as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            (floor(sum(col("q")).cast("double") / count(lit(1)) / 100.0 + 0.5) / 10000.0)
+              .as("avg_neglogp")),
+      () => uni.unpersist())
+  }
 }

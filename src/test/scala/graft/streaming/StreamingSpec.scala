@@ -303,6 +303,49 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming unigram scoring via unigramScorer matches the batch x92 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // the corpus scored against its own frozen model IS x92
+    val expected = graft.SparkEntry.queries("x92_unigram_logprob")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(expected.nonEmpty)
+    val score = graft.ext.TextAnalysis.unigramScorer(docs)
+    val batchSelf = score(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(batchSelf === expected)
+    // an unseen token scores at the 1/total OOV floor, not a crash/null
+    val oov = score(Seq((999999L, "zzzunseenzzz")).toDF("doc_id", "text")).collect()
+    assert(oov.length === 1 && oov(0).getLong(1) === 1L && oov(0).getDouble(2) > 0.0)
+
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = score(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // each doc's score depends only on its own row + the frozen model:
+      // streaming union == batch output exactly
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      score.close()
+    }
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
