@@ -225,6 +225,18 @@ object ExtQueries {
   private def curationShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "x73-curation")(curationPipeline(s, d))
 
+  /** x92 (unigram log-prob) and x93 (TF-IDF): ONE exploded (doc_id, tok)
+    * frame — x92 alone consumes it twice (vocab aggregate + score join),
+    * x93 three times (tf, df, doc count). Input-frame sharing, same as
+    * [[shinglesShared]] — orthogonal to the never-share-across-algorithm-
+    * variants rule. */
+  private def tokensShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "tokens-exploded")(
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok")))
+
   /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
     * deterministic k-means cells (k pinned for the fixture; production uses
     * the adaptive k ≈ n/targetCell sizing) joined to quality scores and
@@ -2631,10 +2643,7 @@ object ExtQueries {
     // the vocab; the total-token count rides along as a broadcast scalar.
     QueryDef("x92_unigram_logprob",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val toks = tokensShared(s, d)
         val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         val total = uni.agg(sum(col("cnt")).as("total"))
         toks.join(uni, "tok").crossJoin(broadcast(total))
@@ -2669,10 +2678,7 @@ object ExtQueries {
     // 100 TB (x07 trick).
     QueryDef("x93_tfidf_terms",
       (s, d) => {
-        val toks = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"),
-            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val toks = tokensShared(s, d)
         val tf = toks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
         val df_ = toks.groupBy(col("tok"))
