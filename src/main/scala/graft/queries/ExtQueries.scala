@@ -2710,6 +2710,76 @@ object ExtQueries {
                             ORDER BY tfidf_micro DESC, tok) AS rnk
                         FROM sc)
               SELECT doc_id, tok, tfidf_micro, rnk
-              FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+              FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // x94 — temperature-sampled mixture weights: per-source sampling
+    // probability w_s ∝ n_s^α (α = 0.5 — the multilingual-corpus upweighting
+    // of small sources), the knob that turns corpus token counts into a
+    // training sampler's per-source weights. The sqrt quantizes to integer
+    // micro-units per source BEFORE the normalizing sum, so the denominator
+    // is an exact BIGINT sum and every weight an exact integer division —
+    // no cross-engine float-accumulation drift. One vocab-free aggregate:
+    // per-source token counts (16 rows) then arithmetic.
+    QueryDef("x94_mixture_weights",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tok"))
+          .withColumn("q", expr("CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)"))
+        val denom = perSource.agg(sum(col("q")).as("qsum"))
+        perSource.crossJoin(broadcast(denom))
+          .select(col("source"), col("n_tok"),
+            expr("q * 1000000 DIV qsum").as("weight_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+                     sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum FROM qq)
+              SELECT source, n_tok, q * 1000000 // qsum AS weight_ppm
+              FROM qq CROSS JOIN dn ORDER BY source""")),
+
+    // x95 — vocabulary coverage curve: the fraction of all token
+    // OCCURRENCES covered by the top-k token TYPES (k = 1/10/100/1000) —
+    // the statistic that sizes a tokenizer vocab or a stopword list.
+    // Cumulative sums stay exact BIGINTs over the vocab-sized (not
+    // corpus-sized) aggregate; fractions are exact integer ppm divisions.
+    // The rank window is unpartitioned but runs over the VOCAB aggregate —
+    // the x84 shape, bounded rows — and only ranks ≤ 1000 survive the
+    // window, so the sort payload is the vocab table, not the corpus.
+    QueryDef("x95_vocab_coverage",
+      (s, d) => {
+        val toks = tokensShared(s, d)
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).as("total"))
+        val w = Window.orderBy(col("cnt").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wr = Window.orderBy(col("cnt").desc, col("tok"))
+        val ranked = vocab
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk").isin(1, 10, 100, 1000))
+        ranked.crossJoin(broadcast(total))
+          .select(col("rnk").cast("long").as("top_k"),
+            expr("cum * 1000000 DIV total").as("coverage_ppm"))
+          .orderBy("top_k")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  n AS (SELECT sum(cnt) AS total FROM v),
+                  r AS (SELECT cnt,
+                          sum(cnt) OVER (ORDER BY cnt DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+                          row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+                        FROM v)
+              SELECT CAST(rnk AS BIGINT) AS top_k, cum * 1000000 // total AS coverage_ppm
+              FROM r CROSS JOIN n
+              WHERE rnk IN (1, 10, 100, 1000) ORDER BY top_k"""))
   )
 }
