@@ -155,4 +155,52 @@ object TextAnalysis {
               .as("avg_neglogp")),
       () => uni.unpersist())
   }
+
+  /** Build the corpus document-frequency model ONCE and return the
+    * per-batch TF-IDF top-terms scorer — the [[unigramScorer]] split for
+    * the x93 keyword primitive: df and the corpus doc count freeze at build
+    * time, and the returned [[Retriever]] ranks ANY doc frame's terms
+    * against them (tf comes from the scored doc itself, so corpus-self
+    * scoring reproduces x93 exactly). Tokens unseen in the corpus take
+    * df = 1 — the ln(N/1) ceiling: a term the corpus has never seen is
+    * maximally salient for the arriving doc. Scores stay exact BIGINT
+    * micro-nats (the x93 quantization). Output: (`doc_id`, `tok`,
+    * `tfidf_micro`, `rnk` ≤ `kTop`); `close()` releases the persisted df
+    * table. */
+  def tfidfScorer(corpus: DataFrame, kTop: Int = 3, textCol: String = "text",
+                  idCol: String = "doc_id"): Retriever = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+    val dfTab = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .persist()
+    // one build-time job: materializes df AND fixes the corpus doc count
+    val nDocs = toks.select(col("doc_id")).distinct().count().toDouble
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_micro").desc, col("tok"))
+    new Retriever(
+      docs =>
+        if (nDocs == 0)
+          docs.sparkSession.range(0)
+            .select(col("id").as("doc_id"), lit("").as("tok"),
+              col("id").as("tfidf_micro"), lit(0).as("rnk")).filter(lit(false))
+        else docs
+          .filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol).cast("long").as("doc_id"),
+            explode(tokens(col(textCol))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .join(dfTab, Seq("tok"), "left")
+          .select(col("doc_id"), col("tok"),
+            (col("tf") *
+              expr(s"CAST(round(ln($nDocs / coalesce(df, 1L)) * 1e6) AS BIGINT)"))
+              .as("tfidf_micro"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= kTop)
+          .select(col("doc_id"), col("tok"), col("tfidf_micro"), col("rnk")),
+      () => dfTab.unpersist())
+  }
 }

@@ -346,6 +346,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming TF-IDF scoring via tfidfScorer matches the batch x93 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // the corpus scored against its own frozen df model IS x93
+    val expected = graft.SparkEntry.queries("x93_tfidf_terms")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val score = graft.ext.TextAnalysis.tfidfScorer(docs)
+    val batchSelf = score(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(batchSelf === expected)
+    // an unseen token takes the ln(N/1) ceiling — maximally salient
+    val oov = score(Seq((999999L, "zzzunseenzzz")).toDF("doc_id", "text")).collect()
+    assert(oov.length === 1 && oov(0).getString(1) === "zzzunseenzzz")
+    assert(oov(0).getLong(2) > 0L)
+
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = score(batch).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // tf and the rank window are per-doc; df/N are frozen — streaming
+      // union == batch output exactly
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      score.close()
+    }
+  }
+
   test("stream-stream interval join matches only rows inside the time bound") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
