@@ -170,15 +170,21 @@ object TextAnalysis {
   def tfidfScorer(corpus: DataFrame, kTop: Int = 3, textCol: String = "text",
                   idCol: String = "doc_id"): Retriever = {
     import org.apache.spark.sql.expressions.Window
-    val toks = corpus
+    val dfTab = corpus
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("tok"))
-    val dfTab = toks.groupBy(col("tok"))
+      .groupBy(col("tok"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .persist()
-    // one build-time job: materializes df AND fixes the corpus doc count
-    val nDocs = toks.select(col("doc_id")).distinct().count().toDouble
+    // build-time jobs: MATERIALIZE the persisted df table now (or the
+    // first scored micro-batch would pay the whole corpus aggregation —
+    // the latency spike the build/apply split exists to avoid), and fix
+    // the doc count from the un-exploded corpus (no second token explode)
+    dfTab.count()
+    val nDocs = corpus
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol)).distinct().count().toDouble
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf_micro").desc, col("tok"))
     new Retriever(

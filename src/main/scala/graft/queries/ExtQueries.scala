@@ -240,17 +240,23 @@ object ExtQueries {
   /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
     * deterministic k-means cells (k pinned for the fixture; production uses
     * the adaptive k ≈ n/targetCell sizing) joined to quality scores and
-    * ranked per cell. */
+    * ranked per cell. The centroids cache separately (driver-side k×dim
+    * doubles, deterministic) so the x91 gate can re-derive cell populations
+    * INDEPENDENTLY of this frame's window path. */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Double]]]
+  private def diverseCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((s, d),
+      Ivf.trainCentroids(Tables.embeddings(s, d), k = 16, iters = 2))
   private def diverseRankedShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "diverse-k16-ranked") {
-      val emb = Tables.embeddings(s, d)
-      val centroids = Ivf.trainCentroids(emb, k = 16, iters = 2)
       val quality = Tables.documents(s, d)
         .select(col("doc_id").as("vec_id"),
           TextAnalysis.qualityScore(col("text")).as("score"))
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("score").desc, col("vec_id"))
-      Ivf.assign(emb, centroids).join(quality, "vec_id")
+      Ivf.assign(Tables.embeddings(s, d), diverseCentroids(s, d))
+        .join(quality, "vec_id")
         .select(col("vec_id"), col("cluster"), col("score"))
         .withColumn("rnk", row_number().over(w))
     }
@@ -2616,17 +2622,25 @@ object ExtQueries {
 
     // x91 — the x90 quota GATE: every cell keeps exactly min(cell size, q)
     // docs — the boolean contract an engine-specific clustering can still
-    // be held to (the x43/x48 pattern).
+    // be held to (the x43/x48 pattern). The expected populations are
+    // re-derived from the RAW assignment + quality semi-join, NOT from the
+    // ranked frame x90 filters — two independent paths to the same count,
+    // so a broken window order, rank duplication, or dropped join rows in
+    // the shared frame fails the gate instead of passing by construction.
     QueryDef("x91_diverse_sample_gate",
       (s, d) => {
-        val ranked = diverseRankedShared(s, d)
-        val expect = ranked.groupBy(col("cluster"))
-          .agg(least(count(lit(1)), lit(8L)).as("n_want"))
-        val kept = ranked.filter(col("rnk") <= 8)
+        val kept = diverseRankedShared(s, d)
+          .filter(col("rnk") <= 8)
           .groupBy(col("cluster")).agg(count(lit(1)).as("n_kept"))
-        expect.join(kept, Seq("cluster"), "left")
-          .agg(coalesce(expr("every(coalesce(n_kept, 0) = n_want)"), lit(true))
-            .as("diverse_sample_ok"))
+        val expect = Ivf.assign(Tables.embeddings(s, d), diverseCentroids(s, d))
+          .join(Tables.documents(s, d).select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .groupBy(col("cluster"))
+          .agg(least(count(lit(1)), lit(8L)).as("n_want"))
+        expect.join(kept, Seq("cluster"), "full")
+          .agg(coalesce(
+            expr("every(coalesce(n_kept, 0) = coalesce(n_want, -1))"),
+            lit(true)).as("diverse_sample_ok"))
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS diverse_sample_ok")),
 
@@ -2729,7 +2743,11 @@ object ExtQueries {
         val denom = perSource.agg(sum(col("q")).as("qsum"))
         perSource.crossJoin(broadcast(denom))
           .select(col("source"), col("n_tok"),
-            expr("q * 1000000 DIV qsum").as("weight_ppm"))
+            // widen the ppm multiply: q*1e6 overflows BIGINT once a
+            // source's q passes ~9.2e12 (≈ 8.5e13 corpus tokens — inside
+            // the 100 TB envelope); DECIMAL(38,0) keeps it exact
+            expr("CAST(CAST(q AS DECIMAL(38,0)) * 1000000 DIV qsum AS BIGINT)")
+              .as("weight_ppm"))
           .orderBy("source")
       },
       Some("""WITH t AS (SELECT source,
@@ -2740,7 +2758,8 @@ object ExtQueries {
                            CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
                          FROM t),
                   dn AS (SELECT sum(q) AS qsum FROM qq)
-              SELECT source, n_tok, q * 1000000 // qsum AS weight_ppm
+              SELECT source, n_tok,
+                     CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm
               FROM qq CROSS JOIN dn ORDER BY source""")),
 
     // x95 — vocabulary coverage curve: the fraction of all token
@@ -2765,7 +2784,10 @@ object ExtQueries {
           .filter(col("rnk").isin(1, 10, 100, 1000))
         ranked.crossJoin(broadcast(total))
           .select(col("rnk").cast("long").as("top_k"),
-            expr("cum * 1000000 DIV total").as("coverage_ppm"))
+            // same DECIMAL(38,0) widening as x94: cum approaches total, so
+            // cum*1e6 overflows BIGINT past ~9.2e12 corpus tokens
+            expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
+              .as("coverage_ppm"))
           .orderBy("top_k")
       },
       Some("""WITH t AS (SELECT doc_id,
@@ -2778,7 +2800,9 @@ object ExtQueries {
                             ROWS UNBOUNDED PRECEDING) AS cum,
                           row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
                         FROM v)
-              SELECT CAST(rnk AS BIGINT) AS top_k, cum * 1000000 // total AS coverage_ppm
+              SELECT CAST(rnk AS BIGINT) AS top_k,
+                     CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
+                       AS coverage_ppm
               FROM r CROSS JOIN n
               WHERE rnk IN (1, 10, 100, 1000) ORDER BY top_k"""))
   )

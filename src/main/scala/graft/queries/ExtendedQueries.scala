@@ -285,11 +285,16 @@ object ExtendedQueries {
     // hash-matched against a constant-true oracle.
     QueryDef("q30_approx_percentile_gate",
       (s, d) => {
-        val ap = events(s, d)
+        // null values are invisible to approx_percentile, so they must be
+        // invisible to the rank denominators too — filter once, up front,
+        // on BOTH sides (a >4% null fraction would otherwise deflate le50
+        // below the bound and false-fail the constant-true oracle)
+        val nonNull = events(s, d).filter(col("value").isNotNull)
+        val ap = nonNull
           .groupBy(col("event_type"))
           .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
                expr("approx_percentile(value, 0.95, 1000)").as("ap95"))
-        events(s, d).join(broadcast(ap), "event_type")
+        nonNull.join(broadcast(ap), "event_type")
           .groupBy(col("event_type"))
           .agg(
             (sum(when(col("value") < col("ap50"), 1L).otherwise(0L))
