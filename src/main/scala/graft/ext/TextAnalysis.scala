@@ -209,4 +209,103 @@ object TextAnalysis {
           .select(col("doc_id"), col("tok"), col("tfidf_micro"), col("rnk")),
       () => dfTab.unpersist())
   }
+
+  /** Train a Naive-Bayes reference-vs-crawl quality classifier ONCE and
+    * return the per-batch scorer — the CCNet/fastText quality-filter shape
+    * as a build/apply split (the [[unigramScorer]] lifecycle). `reference`
+    * is the curated corpus (wiki-like), `crawl` the rest; per-token
+    * Laplace-smoothed log-likelihood ratios and the doc-count prior freeze
+    * at build time as integer micro-nats, and the returned [[Retriever]]
+    * scores ANY doc frame by an exact BIGINT sum of its tokens' llr —
+    * x96's math, so corpus-self scoring reproduces the x96 rows. Tokens
+    * unseen at training time take the smoothing floor on both classes
+    * (llr of an OOV token is ln((1/(nR+V))/(1/(nC+V))) — class-size
+    * correction only). Output: (`doc_id`, `n_tok`, `llr_micro`,
+    * `score_micro`, `pred_ref`); `close()` releases the persisted llr
+    * table. An empty class on either side yields an empty-frame scorer
+    * (no likelihoods to compare — the operator stays total). */
+  def nbScorer(reference: DataFrame, crawl: DataFrame,
+               textCol: String = "text", idCol: String = "doc_id"): Retriever = {
+    def toks(df: DataFrame, ref: Boolean) = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(lit(ref).as("is_ref"), explode(tokens(col(textCol))).as("tok"))
+    val perTok = toks(reference, ref = true).unionAll(toks(crawl, ref = false))
+      .groupBy(col("tok")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("cnt_r"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cnt_c"))
+      .persist()
+    // build-time jobs: materialize the llr base table and fix the totals
+    // + doc-count prior (bounded single-row / scalar collects)
+    val totRow = perTok.agg(coalesce(sum(col("cnt_r")), lit(0L)),
+      coalesce(sum(col("cnt_c")), lit(0L)), count(lit(1))).head()
+    val (nR, nC, v) = (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    val nDocsR = reference.filter(length(trim(col(textCol))) > 0).count()
+    val nDocsC = crawl.filter(length(trim(col(textCol))) > 0).count()
+    if (nR == 0 || nC == 0 || nDocsR == 0 || nDocsC == 0) {
+      perTok.unpersist()
+      new Retriever(docs => docs.sparkSession.range(0)
+        .select(col("id").as("doc_id"), col("id").as("n_tok"),
+          col("id").as("llr_micro"), col("id").as("score_micro"),
+          lit(false).as("pred_ref")))
+    } else {
+      val priorMicro = math.round(math.log(nDocsR.toDouble / nDocsC) * 1e6)
+      val llr = perTok.select(col("tok"),
+        expr(s"""CAST(round(ln((CAST(cnt_r + 1 AS DOUBLE) / (${nR}L + ${v}L)) /
+                              (CAST(cnt_c + 1 AS DOUBLE) / (${nC}L + ${v}L))) * 1e6)
+                 AS BIGINT)""").as("llr"))
+      // the OOV floor: both classes at Laplace count 1
+      val oovLlr = math.round(math.log(
+        (1.0 / (nR + v)) / (1.0 / (nC + v))) * 1e6)
+      new Retriever(
+        docs => docs
+          .filter(length(trim(col(textCol))) > 0)
+          .select(col(idCol).cast("long").as("doc_id"),
+            explode(tokens(col(textCol))).as("tok"))
+          .join(llr, Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(coalesce(col("llr"), lit(oovLlr))).as("llr_micro"))
+          .select(col("doc_id"), col("n_tok"), col("llr_micro"),
+            (col("llr_micro") + priorMicro).as("score_micro"),
+            ((col("llr_micro") + priorMicro) > 0).as("pred_ref")),
+        () => perTok.unpersist())
+    }
+  }
+
+  /** Top-`k` tokens with exact AND count-min-sketch counts — the mergeable-
+    * sketch heavy-hitter primitive (x99). The sketch is ONE distributed
+    * `count_min_sketch` aggregate (map-side partials merge associatively;
+    * the binary is ~`e/eps · ln(1/(1-conf))` counters ≈ 1.5 MB at the
+    * defaults — constant in corpus size, the whole point at 100 TB);
+    * candidates come from the exact vocab aggregate so callers can gate
+    * est vs exact (x100). Driver collects are bounded by design: the
+    * sketch row + `k` candidate rows. Deterministic for a fixed `seed`.
+    * Output: (`rnk`, `tok`, `exact_cnt`, `est_cnt`) ordered by rank. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20, eps: Double = 1e-4,
+                      conf: Double = 0.999, seed: Int = 42,
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("tok"))
+    val skRow = toks.agg(
+      expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), $seed)"))
+      .head()
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (top.isEmpty || skRow.isNullAt(0)) {
+      spark.range(0).select(col("id").as("rnk"), lit("").as("tok"),
+        col("id").as("exact_cnt"), col("id").as("est_cnt"))
+    } else {
+      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val rows = top.zipWithIndex.map { case ((tok, cnt), i) =>
+        (i + 1L, tok, cnt, sketch.estimateCount(tok))
+      }
+      import spark.implicits._
+      rows.toSeq.toDF("rnk", "tok", "exact_cnt", "est_cnt").orderBy("rnk")
+    }
+  }
 }

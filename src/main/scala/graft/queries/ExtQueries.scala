@@ -2804,6 +2804,218 @@ object ExtQueries {
                      CAST(CAST(cum AS HUGEINT) * 1000000 // total AS BIGINT)
                        AS coverage_ppm
               FROM r CROSS JOIN n
-              WHERE rnk IN (1, 10, 100, 1000) ORDER BY top_k"""))
+              WHERE rnk IN (1, 10, 100, 1000) ORDER BY top_k""")),
+
+    // x96 — Naive-Bayes reference-vs-crawl quality score: the CCNet/fastText
+    // filter shape with the classifier TRAINED AND APPLIED in-engine. One
+    // source (`src0`) plays the curated reference corpus, the rest the
+    // crawl; per-token Laplace-smoothed log-likelihood ratios quantize to
+    // integer micro-nats (the x92 trick) so each doc's score is an EXACT
+    // BIGINT sum — bit-identical cross-engine. The synthetic corpus draws
+    // every source from one vocabulary, so in-sample predictions ride the
+    // prior (all-crawl); TextModelSpec pins real class separation on crafted
+    // data, and `TextAnalysis.nbScorer` is the build-once streaming twin.
+    // Scale: training is two vocab-sized hash aggs over one token scan;
+    // scoring joins tokens to the (tiny next to the corpus) llr table —
+    // hash tokens to 8 bytes and broadcast the vocab head at 100 TB — and
+    // the per-doc sum is a hash agg on doc_id. The class bit rides the
+    // scan (no token-stream join against the docs table); no windows, no
+    // pairs anywhere.
+    QueryDef("x96_nb_quality_score",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), (col("source") === "src0").as("is_ref"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val perTok = tk.groupBy(col("tok")).agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("cnt_r"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("cnt_c"))
+        val tot = perTok.agg(sum(col("cnt_r")).as("n_r"),
+          sum(col("cnt_c")).as("n_c"), count(lit(1)).as("v"))
+        val llr = perTok.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            expr("""CAST(round(ln((CAST(cnt_r + 1 AS DOUBLE) / (n_r + v)) /
+                                  (CAST(cnt_c + 1 AS DOUBLE) / (n_c + v))) * 1e6)
+                    AS BIGINT)""").as("llr"))
+        val prior = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .agg(expr("""CAST(round(ln(
+                    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) /
+                    sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)) * 1e6)
+                  AS BIGINT)""").as("prior"))
+        tk.join(llr, "tok")
+          .groupBy(col("doc_id"), col("is_ref"))
+          .agg(sum(col("llr")).as("llr_micro"))
+          .crossJoin(broadcast(prior))
+          .select(col("doc_id"), col("is_ref"), col("llr_micro"),
+            (col("llr_micro") + col("prior")).as("score_micro"),
+            ((col("llr_micro") + col("prior")) > 0).as("pred_ref"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  cls AS (SELECT doc_id, source = 'src0' AS is_ref FROM documents),
+                  tk AS (SELECT t.doc_id, tok, is_ref FROM t JOIN cls USING (doc_id)),
+                  pt AS (SELECT tok,
+                           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cnt_r,
+                           sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cnt_c
+                         FROM tk GROUP BY tok),
+                  tot AS (SELECT sum(cnt_r) AS n_r, sum(cnt_c) AS n_c,
+                            count(*) AS v FROM pt),
+                  llr AS (SELECT tok,
+                            CAST(round(ln((CAST(cnt_r + 1 AS DOUBLE) / (n_r + v)) /
+                                          (CAST(cnt_c + 1 AS DOUBLE) / (n_c + v))) * 1e6)
+                              AS BIGINT) AS llr
+                          FROM pt CROSS JOIN tot),
+                  pr AS (SELECT CAST(round(ln(
+                           CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) /
+                           sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END)) * 1e6)
+                           AS BIGINT) AS prior
+                         FROM documents WHERE length(trim(text)) > 0),
+                  sc AS (SELECT doc_id, is_ref, sum(llr) AS s
+                         FROM tk JOIN llr USING (tok) GROUP BY 1, 2)
+              SELECT doc_id, is_ref, s AS llr_micro, s + prior AS score_micro,
+                     (s + prior) > 0 AS pred_ref
+              FROM sc CROSS JOIN pr ORDER BY doc_id""")),
+
+    // x97 — duplicated-block scrub: the C4 "remove any repeated span" rule
+    // as a REWRITE (most of the dedup family reports or drops whole docs;
+    // this one returns cleaned text). Docs split into NON-overlapping
+    // 16-token blocks (x22's chunker overlaps for retrieval; scrubbing
+    // must partition the text so removal never eats unshared words);
+    // any block whose exact content occurs >= 2 times corpus-wide (within-
+    // or cross-doc) is boilerplate and every occurrence is dropped; the
+    // survivors rejoin in block order. Totality: docs whose every block is
+    // boilerplate (exact dups) come back with scrub_text = '' rather than
+    // vanishing. Scale: one shuffle keyed on block content for the
+    // occurrence count — hash blocks to 8 bytes at 100 TB (the x07 postings
+    // trick; a 64-bit collision wrongly drops ~one block per 10^19 pairs)
+    // — and a doc_id hash agg for the rebuild; the rank-free rebuild sorts
+    // WITHIN each doc's collected block array, never globally.
+    QueryDef("x97_block_scrub",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            expr("""transform(sequence(0, cast((size(toks) + 15) div 16 as int) - 1),
+                              i -> array_join(slice(toks, i * 16 + 1, 16), ' '))""")
+              .as("blocks"))
+          .select(col("doc_id"),
+            posexplode_outer(col("blocks")).as(Seq("block_no", "block")))
+          .filter(col("block").isNotNull)
+        val occ = b.groupBy(col("block")).agg(count(lit(1)).as("occ"))
+        val kept = b.join(occ, "block").filter(col("occ") < 2)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            expr("""array_join(transform(array_sort(collect_list(struct(block_no, block))),
+                                         x -> x.block), ' ')""").as("scrub_text"))
+        val nb = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(nb, Seq("doc_id"), "left")
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("scrub_text"), lit("")).as("scrub_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  b AS (SELECT doc_id, i AS block_no,
+                          array_to_string(list_slice(toks, i * 16 + 1,
+                            least(i * 16 + 16, len(toks))), ' ') AS block
+                        FROM t, unnest(range(0, CAST((len(toks) + 15) // 16 AS BIGINT)))
+                          AS u(i)),
+                  occ AS (SELECT block, count(*) AS occ FROM b GROUP BY block),
+                  keep AS (SELECT b.doc_id, b.block_no, b.block
+                           FROM b JOIN occ USING (block) WHERE occ < 2),
+                  agg AS (SELECT doc_id, count(*) AS n_kept,
+                            string_agg(block, ' ' ORDER BY block_no) AS scrub_text
+                          FROM keep GROUP BY doc_id),
+                  nb AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id)
+              SELECT d.doc_id, coalesce(nb.n_blocks, 0) AS n_blocks,
+                     coalesce(agg.n_kept, 0) AS n_kept,
+                     coalesce(agg.scrub_text, '') AS scrub_text
+              FROM documents d LEFT JOIN nb ON nb.doc_id = d.doc_id
+              LEFT JOIN agg ON agg.doc_id = d.doc_id
+              ORDER BY d.doc_id""")),
+
+    // x98 — deterministic weighted sample (Efraimidis–Spirakis): top-50
+    // docs without replacement with inclusion probability ∝ n_chars — the
+    // quality-weighted subcorpus cut (x21/x26/x90 sample uniformly,
+    // stratified, or diversity-first; none weight by a score). The A-ES
+    // key ln(u)/w uses a uniform DERIVED FROM md5 OF THE CONTENT (x52's
+    // determinism trick widened from one hex digit to 32 bits), so the
+    // sample is reproducible across engines, runs, and partitionings —
+    // no rand(), no seed plumbing. The key quantizes to integer nano units
+    // before ranking (a 1-ulp cross-engine ln() difference only matters
+    // within 1e-9 of a rounding boundary). Scale: scan-local key compute +
+    // distributed top-k (TakeOrderedAndProject — map-side partial top-50
+    // per partition, NO global sort, NO single-partition window); the rank
+    // column is a window over the 50 survivors only.
+    QueryDef("x98_weighted_sample",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("wt"),
+            expr("""CAST(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)
+                    AS DOUBLE)""").as("v"))
+          .select(col("doc_id"), col("wt"),
+            expr("CAST(round(ln((v + 1) / 4294967297.0) / wt * 1e9) AS BIGINT)")
+              .as("key_nano"))
+          .orderBy(col("key_nano").desc, col("doc_id")).limit(50)
+        val w = Window.orderBy(col("key_nano").desc, col("doc_id"))
+        keyed.withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("rnk"), col("doc_id"), col("wt"), col("key_nano"))
+          .orderBy("rnk")
+      },
+      Some("""WITH w AS (SELECT doc_id, greatest(n_chars, 1) AS wt,
+                     CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS DOUBLE) AS v
+                   FROM documents),
+                  k AS (SELECT doc_id, wt,
+                          CAST(round(ln((v + 1) / 4294967297.0) / wt * 1e9) AS BIGINT)
+                            AS key_nano
+                        FROM w),
+                  r AS (SELECT doc_id, wt, key_nano,
+                          row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rnk
+                        FROM k)
+              SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, wt, key_nano
+              FROM r WHERE rnk <= 50 ORDER BY rnk""")),
+
+    // x99 — count-min-sketch heavy hitters: the top-20 tokens' counts
+    // estimated from ONE mergeable ~1.5 MB sketch (map-side partial
+    // sketches merge associatively — the 100 TB path where even the
+    // vocab-sized exact aggregate is worth skipping on a monitoring tick).
+    // Candidates come from the exact aggregate here so the x100 gate can
+    // compare; a production probe-only tick reuses the sketch bytes.
+    // Sketch bits are engine-hash-specific → rows-only, bounds gated by
+    // x100. The two driver collects are bounded and deliberate: one sketch
+    // row (~1.5 MB) + k candidate rows.
+    QueryDef("x99_cms_heavy_hitters",
+      (s, d) => TextAnalysis.cmsHeavyHitters(
+        Tables.documents(s, d).filter(length(trim(col("text"))) > 0)),
+      None),
+
+    // x100 — CMS error-bound gate: a count-min estimate NEVER undercounts,
+    // and overcounts by more than eps·N with probability < 1−confidence
+    // per probe (Cormode–Muthukrishnan). Both bounds checked for every
+    // probed token; the sketch seed is fixed, so the outcome is
+    // deterministic — no flaky-gate risk. The q24/x19 pattern: the
+    // engine-specific sketch is pinned by an engine-independent contract.
+    QueryDef("x100_cms_bound_gate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val n = toks.count()
+        val slack = math.ceil(1e-4 * n).toLong
+        TextAnalysis.cmsHeavyHitters(
+            Tables.documents(s, d).filter(length(trim(col("text"))) > 0))
+          .agg(coalesce(
+            expr(s"every(est_cnt >= exact_cnt AND est_cnt <= exact_cnt + $slack)"),
+            lit(true)).as("cms_bounds_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS cms_bounds_ok"))
   )
 }

@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins the in-engine text models: the Naive-Bayes quality scorer (x96 /
+  * [[TextAnalysis.nbScorer]]), the duplicated-block scrub (x97), the
+  * deterministic weighted sample (x98), and the count-min heavy hitters
+  * (x99/x100 / [[TextAnalysis.cmsHeavyHitters]]). The synthetic corpus
+  * draws every source from one vocabulary, so the class-separation and
+  * scrub semantics that the catalog rows cannot demonstrate are pinned
+  * here on crafted data.
+  */
+class TextModelSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- nbScorer --------------------------------------------------------
+
+  test("nbScorer separates classes with distinct vocabularies") {
+    val ref = docs(1L -> "cat feline purr whiskers", 2L -> "feline cat purr",
+      3L -> "purr whiskers feline cat")
+    val crawl = docs(10L -> "dog canine bark growl", 11L -> "canine dog bark",
+      12L -> "bark growl canine dog", 13L -> "dog bark")
+    val score = TextAnalysis.nbScorer(ref, crawl)
+    try {
+      // held-out docs from each side classify correctly despite the
+      // crawl-leaning prior (3 vs 4 docs)
+      val got = score(docs(100L -> "cat purr feline", 101L -> "dog bark canine"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(got(100L) === true)
+      assert(got(101L) === false)
+      // OOV-only doc rides the class-size correction + prior, not a crash
+      val oov = score(docs(200L -> "zebra quagga")).collect()
+      assert(oov.length === 1 && oov(0).getLong(1) === 2L)
+    } finally score.close()
+  }
+
+  test("nbScorer corpus-self scoring reproduces the batch x96 rows") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val expected = graft.SparkEntry.queries("x96_nb_quality_score")(spark, d)
+      .select("doc_id", "llr_micro", "score_micro", "pred_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val score = TextAnalysis.nbScorer(
+      all.filter(col("source") === "src0"), all.filter(col("source") =!= "src0"))
+    try {
+      val got = score(all)
+        .select("doc_id", "llr_micro", "score_micro", "pred_ref")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sorted.toSeq
+      assert(got === expected)
+    } finally score.close()
+  }
+
+  test("nbScorer with an empty class yields an empty, schema-complete scorer") {
+    val score = TextAnalysis.nbScorer(docs(), docs(1L -> "dog bark"))
+    try {
+      val out = score(docs(5L -> "anything at all"))
+      assert(out.columns.toSeq ===
+        Seq("doc_id", "n_tok", "llr_micro", "score_micro", "pred_ref"))
+      assert(out.count() === 0L)
+    } finally score.close()
+  }
+
+  // ---- x97 block scrub -------------------------------------------------
+
+  test("x97 semantics: shared 16-token blocks drop, unique text survives") {
+    import spark.implicits._
+    val block = (1 to 16).map(i => s"w$i").mkString(" ") // one full block
+    val rows = Seq(
+      (0L, block + " unique tail one", "en", "srcA", 1L),
+      (1L, block + " other tail words", "en", "srcB", 1L),
+      (2L, "completely unshared text here", "en", "srcC", 1L),
+      (3L, block, "en", "srcD", 1L), // every block boilerplate -> empty
+      (4L, "", "en", "srcE", 1L)) // blank -> 0 blocks, total output
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the catalog fn reads from a dir: round-trip the crafted frame
+    val dir = java.nio.file.Files.createTempDirectory("x97spec").toString
+    try {
+      rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.SparkEntry.queries("x97_block_scrub")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(out.length === 5)
+      val byId = out.map(t => t._1 -> t).toMap
+      // docs 0/1 share the leading block: it drops, tails survive
+      assert(byId(0L)._4 === "unique tail one")
+      assert(byId(1L)._4 === "other tail words")
+      assert(byId(0L)._2 === 2L && byId(0L)._3 === 1L)
+      // unshared doc unchanged
+      assert(byId(2L)._4 === "completely unshared text here")
+      // all-boilerplate doc comes back empty, not missing
+      assert(byId(3L)._2 === 1L && byId(3L)._3 === 0L && byId(3L)._4 === "")
+      // blank doc: zero blocks, present
+      assert(byId(4L)._2 === 0L && byId(4L)._4 === "")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  // ---- x98 weighted sample ---------------------------------------------
+
+  test("x98 is deterministic and ranks by the A-ES key") {
+    val d = "/root/testdata/sf0.001"
+    val run1 = graft.SparkEntry.queries("x98_weighted_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val run2 = graft.SparkEntry.queries("x98_weighted_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run1 === run2) // content-hash uniforms: no run-to-run jitter
+    assert(run1.length === 50)
+    assert(run1.map(_._1) === (1L to 50L)) // dense ranks
+    assert(run1.map(_._2).distinct.length === 50) // without replacement
+    // keys are non-increasing in rank order (ties broken by doc_id)
+    assert(run1.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("A-ES key is monotone in the weight for a fixed uniform") {
+    import spark.implicits._
+    // same text -> same md5-derived uniform; only the weight differs
+    val frame = Seq((1L, "same text", 10L), (2L, "same text", 1000L))
+      .toDF("doc_id", "text", "wt")
+      .select(col("doc_id"),
+        expr("""CAST(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)
+                AS DOUBLE)""").as("v"), col("wt"))
+      .select(col("doc_id"),
+        expr("CAST(round(ln((v + 1) / 4294967297.0) / wt * 1e9) AS BIGINT)")
+          .as("key_nano"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // higher weight -> key closer to 0 -> ranked earlier
+    assert(frame(2L) > frame(1L))
+  }
+
+  // ---- cmsHeavyHitters -------------------------------------------------
+
+  test("cmsHeavyHitters matches exact counts on a small corpus") {
+    val d = docs(1L -> "a a a b b c", 2L -> "a b c c d", 3L -> "a e")
+    val out = TextAnalysis.cmsHeavyHitters(d, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).toSeq === Seq("a", "b", "c", "d", "e"))
+    assert(out.map(_._3).toSeq === Seq(5L, 3L, 3L, 1L, 1L))
+    // at this scale the sketch is far wider than the vocab: est == exact
+    assert(out.forall(t => t._4 === t._3))
+  }
+
+  test("cmsHeavyHitters on an empty corpus is empty and schema-complete") {
+    val out = TextAnalysis.cmsHeavyHitters(docs(1L -> "   "))
+    assert(out.columns.toSeq === Seq("rnk", "tok", "exact_cnt", "est_cnt"))
+    assert(out.count() === 0L)
+  }
+}

@@ -346,6 +346,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming NB quality scoring via nbScorer matches the batch x96 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // the corpus scored against its own frozen classifier IS x96
+    val expected = graft.SparkEntry.queries("x96_nb_quality_score")(spark, d)
+      .select("doc_id", "llr_micro", "score_micro", "pred_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val score = graft.ext.TextAnalysis.nbScorer(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"))
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = score(batch)
+          .select("doc_id", "llr_micro", "score_micro", "pred_ref")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // llr table and prior froze at build: streaming union == batch
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      score.close()
+    }
+  }
+
   test("streaming TF-IDF scoring via tfidfScorer matches the batch x93 rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
