@@ -124,6 +124,16 @@ object ExtQueries {
         "text", "doc_id", n = 3, minShared = 3L)
     }
 
+  /** x99 (heavy hitters) and x100 (bound gate): ONE sketch build + exact
+    * candidate aggregate — the gate checks the very estimates x99 reports,
+    * so sharing is the point (recallGate's relationship to its pair
+    * frames), unlike x91 which re-derives its expectation independently. */
+  private def cmsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "cms-hh-k20") {
+      TextAnalysis.cmsHeavyHitters(
+        Tables.documents(s, d).filter(length(trim(col("text"))) > 0))
+    }
+
   /** x47 (flags) and x48 (superset gate): the Bloom-flagged train set. */
   private def bloomFlaggedShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "bloom-n3-min3") {
@@ -2993,8 +3003,7 @@ object ExtQueries {
     // x100. The two driver collects are bounded and deliberate: one sketch
     // row (~1.5 MB) + k candidate rows.
     QueryDef("x99_cms_heavy_hitters",
-      (s, d) => TextAnalysis.cmsHeavyHitters(
-        Tables.documents(s, d).filter(length(trim(col("text"))) > 0)),
+      (s, d) => cmsShared(s, d).orderBy("rnk"),
       None),
 
     // x100 — CMS error-bound gate: a count-min estimate NEVER undercounts,
@@ -3010,8 +3019,7 @@ object ExtQueries {
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         val n = toks.count()
         val slack = math.ceil(1e-4 * n).toLong
-        TextAnalysis.cmsHeavyHitters(
-            Tables.documents(s, d).filter(length(trim(col("text"))) > 0))
+        cmsShared(s, d)
           .agg(coalesce(
             expr(s"every(est_cnt >= exact_cnt AND est_cnt <= exact_cnt + $slack)"),
             lit(true)).as("cms_bounds_ok"))

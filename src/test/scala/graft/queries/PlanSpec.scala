@@ -155,4 +155,18 @@ class PlanSpec extends SparkSpec {
       assert(!scans.contains("n_chars"), s"$name reads n_chars:\n$scans")
     }
   }
+
+  test("x98 samples via distributed top-k, not a global sort or window") {
+    val p = plan("x98_weighted_sample")
+    // the 50-survivor cut is TakeOrderedAndProject (map-side partial
+    // top-k per partition); the only Window ranks the 50 survivors
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not planned:\n$p")
+  }
+
+  test("x97 rebuilds scrubbed text without any Window operator") {
+    // the rank-free rebuild: block order restores by array_sort WITHIN
+    // each doc's collected array — a Window here would mean a per-doc
+    // sort shuffle crept back in
+    assert(!plan("x97_block_scrub").contains("Window"))
+  }
 }
