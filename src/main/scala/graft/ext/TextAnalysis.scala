@@ -248,13 +248,19 @@ object TextAnalysis {
           col("id").as("llr_micro"), col("id").as("score_micro"),
           lit(false).as("pred_ref")))
     } else {
-      val priorMicro = math.round(math.log(nDocsR.toDouble / nDocsC) * 1e6)
+      // SQL-round (HALF_UP, BigDecimal.valueOf) — NOT math.round (half
+      // toward +inf): the llr table rounds via Spark SQL round(), and the
+      // x96 parity contract needs the driver-side constants to agree with
+      // it on exact .5 boundaries (negative priors are the normal case)
+      def sqlRound(x: Double): Long = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+      val priorMicro = sqlRound(math.log(nDocsR.toDouble / nDocsC) * 1e6)
       val llr = perTok.select(col("tok"),
         expr(s"""CAST(round(ln((CAST(cnt_r + 1 AS DOUBLE) / (${nR}L + ${v}L)) /
                               (CAST(cnt_c + 1 AS DOUBLE) / (${nC}L + ${v}L))) * 1e6)
                  AS BIGINT)""").as("llr"))
       // the OOV floor: both classes at Laplace count 1
-      val oovLlr = math.round(math.log(
+      val oovLlr = sqlRound(math.log(
         (1.0 / (nR + v)) / (1.0 / (nC + v))) * 1e6)
       new Retriever(
         docs => docs
@@ -278,9 +284,12 @@ object TextAnalysis {
     * the binary is ~`e/eps · ln(1/(1-conf))` counters ≈ 1.5 MB at the
     * defaults — constant in corpus size, the whole point at 100 TB);
     * candidates come from the exact vocab aggregate so callers can gate
-    * est vs exact (x100). Driver collects are bounded by design: the
+    * est vs exact (x99b). Driver collects are bounded by design: the
     * sketch row + `k` candidate rows. Deterministic for a fixed `seed`.
-    * Output: (`rnk`, `tok`, `exact_cnt`, `est_cnt`) ordered by rank. */
+    * Output: (`rnk`, `tok`, `exact_cnt`, `est_cnt`, `slack`) ordered by
+    * rank; `slack` = ⌈eps·N⌉ with N from the sketch's own totalCount and
+    * THIS build's `eps` — the error-bound budget rides the frame, so a
+    * gate can never scan the corpus again or drift to a different eps. */
   def cmsHeavyHitters(docs: DataFrame, k: Int = 20, eps: Double = 1e-4,
                       conf: Double = 0.999, seed: Int = 42,
                       textCol: String = "text"): DataFrame = {
@@ -297,15 +306,18 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (top.isEmpty || skRow.isNullAt(0)) {
       spark.range(0).select(col("id").as("rnk"), lit("").as("tok"),
-        col("id").as("exact_cnt"), col("id").as("est_cnt"))
+        col("id").as("exact_cnt"), col("id").as("est_cnt"),
+        col("id").as("slack"))
     } else {
       val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val slack = math.ceil(eps * sketch.totalCount()).toLong
       val rows = top.zipWithIndex.map { case ((tok, cnt), i) =>
-        (i + 1L, tok, cnt, sketch.estimateCount(tok))
+        (i + 1L, tok, cnt, sketch.estimateCount(tok), slack)
       }
       import spark.implicits._
-      rows.toSeq.toDF("rnk", "tok", "exact_cnt", "est_cnt").orderBy("rnk")
+      rows.toSeq.toDF("rnk", "tok", "exact_cnt", "est_cnt", "slack")
+        .orderBy("rnk")
     }
   }
 }

@@ -124,10 +124,13 @@ object ExtQueries {
         "text", "doc_id", n = 3, minShared = 3L)
     }
 
-  /** x99 (heavy hitters) and x100 (bound gate): ONE sketch build + exact
+  /** x99 (heavy hitters) and x99b (bound gate): ONE sketch build + exact
     * candidate aggregate — the gate checks the very estimates x99 reports,
     * so sharing is the point (recallGate's relationship to its pair
-    * frames), unlike x91 which re-derives its expectation independently. */
+    * frames), unlike x91 which re-derives its expectation independently.
+    * The gate sorts AFTER the operator ("x99_" < "x99b"), so in Bench's
+    * name-ordered pass the operator pays the build and the gate times the
+    * cached 20-row frame — the attribution every shared pair keeps. */
   private def cmsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "cms-hh-k20") {
       TextAnalysis.cmsHeavyHitters(
@@ -2997,33 +3000,29 @@ object ExtQueries {
     // estimated from ONE mergeable ~1.5 MB sketch (map-side partial
     // sketches merge associatively — the 100 TB path where even the
     // vocab-sized exact aggregate is worth skipping on a monitoring tick).
-    // Candidates come from the exact aggregate here so the x100 gate can
+    // Candidates come from the exact aggregate here so the x99b gate can
     // compare; a production probe-only tick reuses the sketch bytes.
     // Sketch bits are engine-hash-specific → rows-only, bounds gated by
-    // x100. The two driver collects are bounded and deliberate: one sketch
+    // x99b. The two driver collects are bounded and deliberate: one sketch
     // row (~1.5 MB) + k candidate rows.
     QueryDef("x99_cms_heavy_hitters",
       (s, d) => cmsShared(s, d).orderBy("rnk"),
       None),
 
-    // x100 — CMS error-bound gate: a count-min estimate NEVER undercounts,
+    // x99b — CMS error-bound gate: a count-min estimate NEVER undercounts,
     // and overcounts by more than eps·N with probability < 1−confidence
     // per probe (Cormode–Muthukrishnan). Both bounds checked for every
-    // probed token; the sketch seed is fixed, so the outcome is
-    // deterministic — no flaky-gate risk. The q24/x19 pattern: the
-    // engine-specific sketch is pinned by an engine-independent contract.
-    QueryDef("x100_cms_bound_gate",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val n = toks.count()
-        val slack = math.ceil(1e-4 * n).toLong
-        cmsShared(s, d)
-          .agg(coalesce(
-            expr(s"every(est_cnt >= exact_cnt AND est_cnt <= exact_cnt + $slack)"),
-            lit(true)).as("cms_bounds_ok"))
-      },
+    // probed token against the `slack` budget the build itself computed
+    // (⌈eps·totalCount⌉ riding the shared frame — no second corpus scan,
+    // no independently-hardcoded eps to drift). The sketch seed is fixed,
+    // so the outcome is deterministic — no flaky-gate risk. The q24/x19
+    // pattern: an engine-specific sketch pinned by an engine-independent
+    // contract.
+    QueryDef("x99b_cms_bound_gate",
+      (s, d) => cmsShared(s, d)
+        .agg(coalesce(
+          expr("every(est_cnt >= exact_cnt AND est_cnt <= exact_cnt + slack)"),
+          lit(true)).as("cms_bounds_ok")),
       Some("SELECT CAST(1 AS BOOLEAN) AS cms_bounds_ok"))
   )
 }

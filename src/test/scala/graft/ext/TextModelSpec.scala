@@ -6,7 +6,7 @@ import graft.SparkSpec
 /** Pins the in-engine text models: the Naive-Bayes quality scorer (x96 /
   * [[TextAnalysis.nbScorer]]), the duplicated-block scrub (x97), the
   * deterministic weighted sample (x98), and the count-min heavy hitters
-  * (x99/x100 / [[TextAnalysis.cmsHeavyHitters]]). The synthetic corpus
+  * (x99/x99b / [[TextAnalysis.cmsHeavyHitters]]). The synthetic corpus
   * draws every source from one vocabulary, so the class-separation and
   * scrub semantics that the catalog rows cannot demonstrate are pinned
   * here on crafted data.
@@ -140,16 +140,19 @@ class TextModelSpec extends SparkSpec {
   test("cmsHeavyHitters matches exact counts on a small corpus") {
     val d = docs(1L -> "a a a b b c", 2L -> "a b c c d", 3L -> "a e")
     val out = TextAnalysis.cmsHeavyHitters(d, k = 10)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(out.map(_._2).toSeq === Seq("a", "b", "c", "d", "e"))
     assert(out.map(_._3).toSeq === Seq(5L, 3L, 3L, 1L, 1L))
     // at this scale the sketch is far wider than the vocab: est == exact
     assert(out.forall(t => t._4 === t._3))
+    // slack = ceil(eps * totalCount) = ceil(1e-4 * 12) = 1, on every row
+    assert(out.forall(t => t._5 === 1L))
   }
 
   test("cmsHeavyHitters on an empty corpus is empty and schema-complete") {
     val out = TextAnalysis.cmsHeavyHitters(docs(1L -> "   "))
-    assert(out.columns.toSeq === Seq("rnk", "tok", "exact_cnt", "est_cnt"))
+    assert(out.columns.toSeq === Seq("rnk", "tok", "exact_cnt", "est_cnt", "slack"))
     assert(out.count() === 0L)
   }
 }
