@@ -210,6 +210,72 @@ object TextAnalysis {
       () => dfTab.unpersist())
   }
 
+  /** NON-overlapping `blockTokens`-token blocks of every doc (the x97
+    * scrub partition: removal must never eat unshared words, so unlike the
+    * x22 retrieval chunker the blocks tile the text). Output: (`doc_id`,
+    * `block_no`, `block`); blank docs contribute no rows (callers restore
+    * them by left-joining the source frame). posexplode_outer + null
+    * filter on the OUTPUT attribute — the InferFiltersFromGenerate dodge. */
+  def tokenBlocks(docs: DataFrame, blockTokens: Int = 16,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, cast((size(toks) + ${blockTokens - 1})
+                                            div $blockTokens as int) - 1),
+                           i -> array_join(slice(toks, i * $blockTokens + 1,
+                                                 $blockTokens), ' '))""")
+          .as("blocks"))
+      .select(col("doc_id"),
+        posexplode_outer(col("blocks")).as(Seq("block_no", "block")))
+      .filter(col("block").isNotNull)
+
+  /** Freeze the corpus's boilerplate block set ONCE and return the
+    * per-batch scrubber — x97's C4 repeated-span removal as a build/apply
+    * split (the [[unigramScorer]] lifecycle). Boilerplate = block content
+    * occurring ≥ `minOcc` times in the BUILD corpus; the returned
+    * [[Retriever]] drops those blocks from ANY doc frame and rejoins the
+    * survivors in order. Corpus-self scrubbing reproduces the x97 rows
+    * (occurrence counts are corpus-wide either way). Frozen-model
+    * semantics on NEW docs: a block repeated only within the arriving
+    * batch is NOT boilerplate (the corpus never saw it) — the trade every
+    * frozen scorer here makes; rebuild nightly to absorb it. Output:
+    * (`doc_id`, `n_blocks`, `n_kept`, `scrub_text`) — total over the
+    * batch (blank docs return `''`). `close()` releases the persisted
+    * boilerplate set. */
+  def blockScrubber(corpus: DataFrame, blockTokens: Int = 16, minOcc: Long = 2,
+                    textCol: String = "text", idCol: String = "doc_id"): Retriever = {
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val boiler = tokenBlocks(corpus, blockTokens, textCol, idCol)
+      .groupBy(col("block")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("block"))
+      .persist()
+    // build-time job: materialize the set now, not on the first batch
+    boiler.count()
+    new Retriever(
+      docs => {
+        val b = tokenBlocks(docs, blockTokens, textCol, idCol)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("block_no"), col("block"))
+        val kept = b.join(boiler, Seq("block"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            expr("""array_join(transform(array_sort(collect_list(struct(block_no, block))),
+                                         x -> x.block), ' ')""").as("scrub_text"))
+        val nb = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+        docs.select(col(idCol).cast("long").as("doc_id"))
+          .join(nb, Seq("doc_id"), "left")
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("scrub_text"), lit("")).as("scrub_text"))
+      },
+      () => boiler.unpersist())
+  }
+
   /** Train a Naive-Bayes reference-vs-crawl quality classifier ONCE and
     * return the per-batch scorer — the CCNet/fastText quality-filter shape
     * as a build/apply split (the [[unigramScorer]] lifecycle). `reference`

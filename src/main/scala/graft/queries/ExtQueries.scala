@@ -2908,16 +2908,7 @@ object ExtQueries {
     // WITHIN each doc's collected block array, never globally.
     QueryDef("x97_block_scrub",
       (s, d) => {
-        val b = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .select(col("doc_id"),
-            expr("""transform(sequence(0, cast((size(toks) + 15) div 16 as int) - 1),
-                              i -> array_join(slice(toks, i * 16 + 1, 16), ' '))""")
-              .as("blocks"))
-          .select(col("doc_id"),
-            posexplode_outer(col("blocks")).as(Seq("block_no", "block")))
-          .filter(col("block").isNotNull)
+        val b = TextAnalysis.tokenBlocks(Tables.documents(s, d))
         val occ = b.groupBy(col("block")).agg(count(lit(1)).as("occ"))
         val kept = b.join(occ, "block").filter(col("occ") < 2)
           .groupBy(col("doc_id"))

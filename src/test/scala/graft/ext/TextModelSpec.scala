@@ -103,6 +103,42 @@ class TextModelSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("blockScrubber scrubs against the FROZEN corpus block set") {
+    val block = (1 to 16).map(i => s"b$i").mkString(" ")
+    val corpus = docs(1L -> (block + " alpha beta"), 2L -> (block + " gamma"))
+    val scrub = TextAnalysis.blockScrubber(corpus)
+    try {
+      // corpus boilerplate drops from a NEW doc; its unique tail survives
+      val out = scrub(docs(10L -> (block + " fresh words here")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(out.toSeq === Seq((10L, 2L, 1L, "fresh words here")))
+      // a block repeated only WITHIN the batch is not frozen boilerplate
+      val novel = (1 to 16).map(i => s"n$i").mkString(" ")
+      val out2 = scrub(docs(20L -> novel, 21L -> novel))
+        .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+      assert(out2(20L) === novel && out2(21L) === novel)
+      // blank docs stay total
+      val out3 = scrub(docs(30L -> " ")).collect()
+      assert(out3.length === 1 && out3(0).getLong(1) === 0L)
+    } finally scrub.close()
+  }
+
+  test("blockScrubber corpus-self scrubbing reproduces the batch x97 rows") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val expected = graft.SparkEntry.queries("x97_block_scrub")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val scrub = TextAnalysis.blockScrubber(all)
+    try {
+      val got = scrub(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      assert(got === expected)
+    } finally scrub.close()
+  }
+
   // ---- x98 weighted sample ---------------------------------------------
 
   test("x98 is deterministic and ranks by the A-ES key") {

@@ -386,6 +386,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming block scrubbing via blockScrubber matches the batch x97 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // the corpus scrubbed against its own frozen block set IS x97
+    val expected = graft.SparkEntry.queries("x97_block_scrub")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val scrub = graft.ext.TextAnalysis.blockScrubber(docs)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = scrub(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // each doc scrubs against the frozen set only: union == batch
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      scrub.close()
+    }
+  }
+
   test("streaming TF-IDF scoring via tfidfScorer matches the batch x93 rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
