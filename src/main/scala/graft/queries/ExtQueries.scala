@@ -238,16 +238,17 @@ object ExtQueries {
   private def curationShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "x73-curation")(curationPipeline(s, d))
 
-  /** x92 (unigram log-prob) and x93 (TF-IDF): ONE exploded (doc_id, tok)
-    * frame — x92 alone consumes it twice (vocab aggregate + score join),
-    * x93 three times (tf, df, doc count). Input-frame sharing, same as
-    * [[shinglesShared]] — orthogonal to the never-share-across-algorithm-
-    * variants rule. */
+  /** x92 (unigram log-prob), x93 (TF-IDF), x95 (vocab coverage), x102
+    * (Zipf slope) and x103 (bigram vocab size): ONE exploded
+    * (doc_id, source, tok) frame — x92 alone consumes it twice (vocab
+    * aggregate + score join), x93 three times (tf, df, doc count).
+    * Input-frame sharing, same as [[shinglesShared]] — orthogonal to the
+    * never-share-across-algorithm-variants rule. */
   private def tokensShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "tokens-exploded")(
       Tables.documents(s, d)
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("tok")))
 
   /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
@@ -3014,6 +3015,167 @@ object ExtQueries {
         .agg(coalesce(
           expr("every(est_cnt >= exact_cnt AND est_cnt <= exact_cnt + slack)"),
           lit(true)).as("cms_bounds_ok")),
-      Some("SELECT CAST(1 AS BOOLEAN) AS cms_bounds_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS cms_bounds_ok")),
+
+    // x101 — bounded edit-distance near-dup pairs: typo-level duplicate
+    // detection on the normalized 48-char head (the x36 family extended to
+    // EDIT distance — shingle/minhash dedup misses single-character
+    // corruption, OCR noise, and near-identical template fills that
+    // levenshtein catches). Sound two-level blocking: a qualifying pair
+    // must satisfy |n_chars diff| <= 8, so rows equi-join on width-8
+    // length bands with the probe side exploded to band ±1 (band distance
+    // > 1 implies length distance > 8 — the Q27 bucketed range-join shape,
+    // NO cartesian, pinned in PlanSpec); the in-band compare is Spark's
+    // THRESHOLDED levenshtein (early-exits past the budget, returns -1 —
+    // O(d·len) per pair, not O(len²)). Scale: pair fan-out is per-band
+    // quadratic, not corpus-quadratic; the 48-char key caps the DP at
+    // 48×8 cells; band keys are 8-byte longs.
+    QueryDef("x101_editdist_neardup",
+      (s, d) => {
+        val dMax = 8
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 48).as("p"),
+            col("n_chars"))
+        val a = keyed.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+          col("n_chars").as("la"),
+          explode(expr(s"""array(n_chars div $dMax - 1, n_chars div $dMax,
+                                 n_chars div $dMax + 1)""")).as("band"))
+        val b = keyed.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+          col("n_chars").as("lb"), expr(s"n_chars div $dMax").as("band"))
+        a.join(b, "band")
+          .filter(col("doc_a") < col("doc_b") &&
+            abs(col("la") - col("lb")) <= dMax)
+          .select(col("doc_a"), col("doc_b"),
+            expr(s"levenshtein(pa, pb, $dMax)").cast("long").as("dist"))
+          .filter(col("dist") >= 0)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 48) AS p, n_chars
+                   FROM documents)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+              FROM d a JOIN d b
+                ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8
+              WHERE levenshtein(a.p, b.p) <= 8
+              ORDER BY doc_a, doc_b""")),
+
+    // x102 — Zipf slope per source: OLS slope of ln(freq) on ln(rank)
+    // over each source's top-200 token types — the corpus-health scalar
+    // (natural text tracks slope ≈ −1; templated/spammy sources flatten
+    // or steepen it). Exactness: ln(rank) and ln(freq) quantize to
+    // integer TENTH-micro-nats (1e5) BEFORE the regression, so Σx, Σy,
+    // Σxy, Σx² are exact BIGINTs on both engines (|n·Σxy| ≈ 2.6e16 even
+    // at ln(freq) = 27.6, a 1e12-count token — 350× inside BIGINT; the
+    // x94 quantize-before-the-sum rule), and the slope is ONE double
+    // division of identical integers + the x92 floor half-up idiom
+    // (floor, not round: round() halves on NEGATIVE values are an
+    // engine-semantics trap). Scale: per-source vocab hash agg, rank
+    // window partitioned by source over the VOCAB aggregate (the x95
+    // bounded-window shape), 200 rows per source into closed-form sums.
+    QueryDef("x102_zipf_slope",
+      (s, d) => {
+        val freq = tokensShared(s, d)
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("tok"))
+        val pts = freq.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 200)
+          .select(col("source"),
+            expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e5) AS BIGINT)").as("x"),
+            expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e5) AS BIGINT)").as("y"))
+        pts.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_ranks"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("source"), col("n_ranks"),
+            (floor(((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+              / (col("n_ranks") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) * 1e6 + 0.5) / 1e6).as("slope_zipf"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  f AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+                  r AS (SELECT source, tok, cnt,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY cnt DESC, tok) AS rnk
+                        FROM f),
+                  p AS (SELECT source,
+                          CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e5) AS BIGINT) AS x,
+                          CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e5) AS BIGINT) AS y
+                        FROM r WHERE rnk <= 200),
+                  a AS (SELECT source, count(*) AS n_ranks,
+                          sum(x) AS sx, sum(y) AS sy,
+                          sum(x * y) AS sxy, sum(x * x) AS sxx
+                        FROM p GROUP BY source)
+              SELECT source, n_ranks,
+                     floor(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_ranks * sxx - sx * sx AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6 AS slope_zipf
+              FROM a ORDER BY source""")),
+
+    // x103 — bigram-LM quality score: average Laplace-smoothed corpus-
+    // bigram negative log-prob per doc — the x92 signal with ONE token of
+    // context, which separates shuffled/templated word soup that unigram
+    // statistics score identically (P(w2|w1) = (c12+1)/(c1+V)). Exactness:
+    // per-bigram −ln P quantizes to integer micro-nats, the per-doc mean
+    // is exact BIGINT sums + the x92 floor idiom. Scale: the bigram hash
+    // agg is the one big shuffle (≈ token-count keys; 8-byte re-hash at
+    // 100 TB per the x07 trick); CONTEXT counts derive from the bigram
+    // table itself (sum over w1 — no second corpus pass); V rides the
+    // shared vocab agg; the scoring joins are key-bounded and partial-agg
+    // friendly. Single-token docs have no bigram and drop, like blank
+    // docs in x92.
+    QueryDef("x103_bigram_logprob",
+      (s, d) => {
+        val bi = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(expr(
+              """transform(sequence(0, size(t) - 2),
+                           i -> struct(t[i] AS w1, t[i + 1] AS w2))"""))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val v = tokensShared(s, d)
+          .agg(countDistinct(col("tok")).cast("double").as("vsz"))
+        bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            expr("CAST(round(-ln((c12 + 1) / (c1 + vsz)) * 1e6) AS BIGINT)")
+              .as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_big"),
+            (floor(sum(col("q")).cast("double") / count(lit(1)) / 100.0 + 0.5)
+              / 10000.0).as("avg_neglogp2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  b AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+                        FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+                        WHERE len(toks) >= 2),
+                  c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+                  c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+                  v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+                        FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                                AS tok
+                              FROM documents WHERE length(trim(text)) > 0)),
+                  sc AS (SELECT doc_id,
+                           CAST(round(-ln((c12 + 1) / (c1 + vsz)) * 1e6)
+                                AS BIGINT) AS q
+                         FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                         CROSS JOIN v)
+              SELECT doc_id, count(*) AS n_big,
+                     floor(CAST(sum(q) AS DOUBLE) / count(*) / 100.0 + 0.5)
+                       / 10000.0 AS avg_neglogp2
+              FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

