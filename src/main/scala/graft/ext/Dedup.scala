@@ -540,6 +540,55 @@ object Dedup {
       () => capped.unpersist())
   }
 
+  /** Freeze the corpus's length-banded 48-char-head table ONCE and return
+    * the per-batch typo-dup flagger — x101's bounded edit-distance pair
+    * search as a build/apply split (the [[nearDupFlagger]] lifecycle). A
+    * batch doc flags when ≥ 1 corpus doc OTHER THAN ITSELF sits within
+    * `dMax` edits of its 48-char head and within `dMax` of its character
+    * length — so corpus-self flagging reproduces exactly the doc set that
+    * appears in an x101 pair (asserted in DedupSpec). Blocking is the same
+    * SOUND band scheme as x101: the corpus table keys on width-`dMax`
+    * length bands, each batch row probes its band ±1, and the in-band
+    * compare is the thresholded (early-exit) levenshtein. Output:
+    * (`doc_id`, `n_neighbors`, `min_dist`, `is_dup`) — total over the
+    * batch (`min_dist` null when clean). At 100 TB the banded corpus
+    * table is (8B id, ≤96B head, 8B band) per doc and `close()` releases
+    * it when the corpus version is retired. */
+  def editDistFlagger(corpus: DataFrame, dMax: Int = 8,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): Retriever = {
+    require(dMax >= 1, s"dMax must be >= 1, got $dMax")
+    val banded = corpus.select(col(idCol).cast("long").as("ref_id"),
+        substring(col(textCol), 1, 48).as("pb"),
+        length(col(textCol)).as("lb"))
+      .withColumn("band", expr(s"lb div $dMax"))
+      .persist()
+    // build-time job: materialize the banded table now, not on first batch
+    banded.count()
+    new Retriever(docs => {
+      val q = docs.select(col(idCol).cast("long").as("doc_id"),
+          substring(col(textCol), 1, 48).as("pa"),
+          length(col(textCol)).as("la"))
+        .select(col("doc_id"), col("pa"), col("la"),
+          explode(expr(s"array(la div $dMax - 1, la div $dMax, la div $dMax + 1)"))
+            .as("band"))
+      val hits = q.join(banded, "band")
+        .filter(col("doc_id") =!= col("ref_id") &&
+          abs(col("la") - col("lb")) <= dMax)
+        .select(col("doc_id"),
+          expr(s"levenshtein(pa, pb, $dMax)").cast("long").as("dist"))
+        .filter(col("dist") >= 0)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_neighbors"), min(col("dist")).as("min_dist"))
+      docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          col("min_dist"),
+          col("n_neighbors").isNotNull.as("is_dup"))
+    }, () => banded.unpersist())
+  }
+
   /** Connected-component duplicate clusters over a near-dup pair set:
     * every doc in a cluster maps to the cluster's MINIMUM doc id. This is
     * the transitive closure the pairwise keep-lowest rule lacks (A~B, B~C,

@@ -251,6 +251,27 @@ object ExtQueries {
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("tok")))
 
+  /** x103 (bigram log-prob) and x104 (conditional bigram entropy): ONE
+    * exploded (doc_id, source, w1, w2) adjacent-pair frame — the bigram
+    * explode is the corpus-sized pass, so the two consumers share it the
+    * way x92/x93 share [[tokensShared]]. Single-token docs contribute no
+    * rows (both consumers treat them as out of domain, like blank docs
+    * in x92). */
+  private def bigramsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "bigrams-exploded")(
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """transform(sequence(0, size(t) - 2),
+                         i -> struct(t[i] AS w1, t[i + 1] AS w2))"""))
+            .as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2")))
+
   /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
     * deterministic k-means cells (k pinned for the fixture; production uses
     * the adaptive k ≈ n/targetCell sizing) joined to quality scores and
@@ -3131,16 +3152,7 @@ object ExtQueries {
     // docs in x92.
     QueryDef("x103_bigram_logprob",
       (s, d) => {
-        val bi = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 2)
-          .select(col("doc_id"),
-            explode(expr(
-              """transform(sequence(0, size(t) - 2),
-                           i -> struct(t[i] AS w1, t[i + 1] AS w2))"""))
-              .as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bi = bigramsShared(s, d)
         val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
         val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
         val v = tokensShared(s, d)
@@ -3176,6 +3188,88 @@ object ExtQueries {
               SELECT doc_id, count(*) AS n_big,
                      floor(CAST(sum(q) AS DOUBLE) / count(*) / 100.0 + 0.5)
                        / 10000.0 AS avg_neglogp2
-              FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x104 — conditional bigram entropy per source: H(w2|w1) =
+    // −Σ (c12/N)·ln(c12/c1) — the sequence-structure companion to x30's
+    // unigram token entropy (a source whose bigrams are predictable given
+    // context reads as templated even when its unigram mix looks natural).
+    // Exactness: per-bigram-TYPE −ln(c12/c1) quantizes to integer
+    // micro-nats once, then weights by the exact count c12 — the weighted
+    // sum Σ c12·q widens to DECIMAL(38,0) (HUGEINT on the oracle side, the
+    // x94 widening) so a 1e12-count bigram times a 3e7 micro-nat quantum
+    // stays exact — and ONE double division closes it with the x92 floor
+    // idiom. Scale: both aggs are vocab²-sized (not corpus-sized) after
+    // the shared bigram explode; output is one row per source.
+    QueryDef("x104_bigram_cond_entropy",
+      (s, d) => {
+        val c12 = bigramsShared(s, d)
+          .groupBy(col("source"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("source"), col("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        c12.join(c1, Seq("source", "w1"))
+          .select(col("source"), col("c12"),
+            expr("""CAST(round(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                               * 1e6) AS BIGINT)""").as("q"))
+          .groupBy(col("source"))
+          .agg(sum(col("c12")).as("n_big"),
+            (floor(sum(expr("CAST(c12 AS DECIMAL(38,0)) * q")).cast("double")
+              / sum(col("c12")).cast("double") / 100.0 + 0.5) / 10000.0)
+              .as("h2_cond"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  b AS (SELECT source, toks[i + 1] AS w1, toks[i + 2] AS w2
+                        FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+                        WHERE len(toks) >= 2),
+                  c12 AS (SELECT source, w1, w2, count(*) AS c12
+                          FROM b GROUP BY 1, 2, 3),
+                  c1 AS (SELECT source, w1, sum(c12) AS c1
+                         FROM c12 GROUP BY 1, 2),
+                  q AS (SELECT source, c12,
+                          CAST(round(-ln(CAST(c12 AS DOUBLE)
+                                         / CAST(c1 AS DOUBLE)) * 1e6)
+                               AS BIGINT) AS q
+                        FROM c12 JOIN c1 USING (source, w1))
+              SELECT source, CAST(sum(c12) AS BIGINT) AS n_big,
+                     floor(CAST(sum(CAST(c12 AS HUGEINT) * q) AS DOUBLE)
+                           / CAST(sum(c12) AS DOUBLE) / 100.0 + 0.5)
+                       / 10000.0 AS h2_cond
+              FROM q GROUP BY source ORDER BY source""")),
+
+    // x105 — hapax/rare-token rate per doc: the fraction (exact integer
+    // ppm) of a doc's token occurrences whose CORPUS-WIDE count is ≤ 2 —
+    // the cheap OCR-garbage/mojibake detector (corrupt bytes explode into
+    // once-seen tokens; natural text keeps rare mass low). The inverse of
+    // x60's OOV-vs-top-100 probe: x60 asks "how much is common", this asks
+    // "how much is nearly unique". Exactness: counting + ONE integer ppm
+    // division (the x94 rule — no float ratio anywhere). Scale: vocab
+    // hash agg + a key-bounded token join, both partial-agg friendly;
+    // the rare set is the vocab TAIL so no broadcast assumption is made.
+    QueryDef("x105_hapax_rate",
+      (s, d) => {
+        val toks = tokensShared(s, d)
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        toks.join(vocab, "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tok"), col("n_rare"),
+            expr("CAST(n_rare * 1000000 div n_tok AS BIGINT)").as("rare_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  a AS (SELECT doc_id, count(*) AS n_tok,
+                          sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+                        FROM t JOIN c USING (tok) GROUP BY doc_id)
+              SELECT doc_id, n_tok, CAST(n_rare AS BIGINT) AS n_rare,
+                     CAST(n_rare * 1000000 // n_tok AS BIGINT) AS rare_ppm
+              FROM a ORDER BY doc_id"""))
   )
 }

@@ -341,4 +341,45 @@ class DedupSpec extends SparkSpec {
     // a doc with < n tokens has no shingles and must not appear (no 0/0 row)
     assert(!got.exists(_._1 == 4L))
   }
+
+  test("editDistFlagger flags typo dups against the frozen corpus, excluding self") {
+    val base = "the quick brown fox jumps over the lazy dog today ok"
+    val corpus = docs(1L -> base, 2L -> ("zz completely unrelated text " * 3))
+    val flag = Dedup.editDistFlagger(corpus)
+    try {
+      val byId = flag(docs(
+        10L -> base.replace("quick", "qwick"),           // 1 edit in the head
+        11L -> ("aa " * 30).trim))                       // nothing nearby
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+      assert(byId(10L) === ((1L, 1L, true)))
+      assert(byId(11L) === ((0L, -1L, false)))
+      // self-exclusion: the corpus doc itself is clean against the corpus
+      val self = flag(docs(1L -> base)).collect()
+      assert(self.length === 1 && !self(0).getBoolean(3))
+    } finally flag.close()
+  }
+
+  test("editDistFlagger corpus-self flagging reproduces x101 pair membership") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val pairs = graft.SparkEntry.queries("x101_editdist_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // expected per-doc neighbor count and min dist from the pair list
+    val neigh = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+      .groupBy(_._1).map { case (id, ds) => id -> (ds.length.toLong, ds.map(_._2).min) }
+    val flag = Dedup.editDistFlagger(all)
+    try {
+      val got = flag(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      got.foreach { case (id, n, md, dup) =>
+        neigh.get(id) match {
+          case Some((en, emd)) => assert(dup && n === en && md === emd, s"doc $id")
+          case None => assert(!dup && n === 0L && md === -1L, s"doc $id")
+        }
+      }
+      assert(got.count(_._4) === neigh.size)
+    } finally flag.close()
+  }
 }

@@ -67,4 +67,30 @@ class CorpusStatsSpec extends SparkSpec {
     // than the corpus average doc — pinned indirectly: scores vary
     assert(x103.map(_._3).distinct.size > 1)
   }
+
+  test("x104 conditional entropy is positive and below the ln-vocab ceiling") {
+    val rows = SparkEntry.queries("x104_bigram_cond_entropy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val vocab = graft.Tables.documents(spark, sf)
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS tok")
+      .select("tok").distinct().count()
+    rows.foreach { case (src, n, h) =>
+      assert(n > 0, s"$src empty")
+      // 0 ≤ H(w2|w1) ≤ ln |V| — the uniform-distribution ceiling
+      assert(h >= 0.0 && h <= math.log(vocab.toDouble) + 1e-9,
+        s"$src entropy $h outside [0, ln $vocab]")
+    }
+  }
+
+  test("x105 rare ppm is an exact integer ratio in [0, 1e6]") {
+    val rows = SparkEntry.queries("x105_hapax_rate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nRare, ppm) =>
+      assert(nRare <= nTok, s"doc $id")
+      assert(ppm === nRare * 1000000L / nTok, s"doc $id ppm mismatch")
+      assert(ppm >= 0L && ppm <= 1000000L, s"doc $id ppm out of range")
+    }
+  }
 }

@@ -422,6 +422,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming typo-dup flagging via editDistFlagger matches the batch rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val flag = graft.ext.Dedup.editDistFlagger(docs)
+    val expected = flag(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sorted.toSeq
+    assert(expected.exists(_._4), "fixture must contain at least one typo dup")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = flag(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // each doc flags against the frozen corpus only: union == batch
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      flag.close()
+    }
+  }
+
   test("streaming TF-IDF scoring via tfidfScorer matches the batch x93 rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
