@@ -276,6 +276,42 @@ object TextAnalysis {
       () => boiler.unpersist())
   }
 
+  /** WITHIN-doc repeated-block scrub — the intra-document companion to
+    * [[blockScrubber]]'s corpus-wide C4 rule: a block whose content already
+    * appeared EARLIER IN THE SAME DOC is dropped (keep-first), survivors
+    * rejoin in order. Catches self-repetitive generation loops and
+    * template stutter that corpus-level counts dilute (a block repeated
+    * 40× inside one doc but nowhere else never reaches x97's `minOcc`
+    * across a 100 TB corpus). Shape: one projection of higher-order array
+    * expressions per row — NO shuffle, NO corpus state, trivially
+    * streaming-safe (apply it inside any `readStream` select). Lambdas are
+    * interpreted, but per-row arrays are doc-sized (≤ a few hundred
+    * blocks), so the cost is dwarfed by the tokenize. Output matches x97:
+    * (`doc_id`, `n_blocks`, `n_kept`, `scrub_text`); blank docs are out of
+    * domain (filtered, like x92). */
+  def intraDocScrub(docs: DataFrame, blockTokens: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        expr(s"""transform(sequence(0, cast((size(toks) + ${blockTokens - 1})
+                                            div $blockTokens as int) - 1),
+                           i -> array_join(slice(toks, i * $blockTokens + 1,
+                                                 $blockTokens), ' '))""")
+          .as("blocks"))
+      // keep block i iff its FIRST occurrence index is i (array_position
+      // is 1-based; blocks[i] is 0-based — the Spark/DuckDB indexing trap)
+      .withColumn("keep_idx",
+        expr("filter(sequence(0, size(blocks) - 1), i -> array_position(blocks, blocks[i]) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("blocks")).cast("long").as("n_blocks"),
+        size(col("keep_idx")).cast("long").as("n_kept"),
+        expr("array_join(transform(keep_idx, i -> blocks[i]), ' ')").as("scrub_text"))
+  }
+
   /** Train a Naive-Bayes reference-vs-crawl quality classifier ONCE and
     * return the per-batch scorer — the CCNet/fastText quality-filter shape
     * as a build/apply split (the [[unigramScorer]] lifecycle). `reference`

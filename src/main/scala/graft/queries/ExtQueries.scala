@@ -3270,6 +3270,36 @@ object ExtQueries {
                         FROM t JOIN c USING (tok) GROUP BY doc_id)
               SELECT doc_id, n_tok, CAST(n_rare AS BIGINT) AS n_rare,
                      CAST(n_rare * 1000000 // n_tok AS BIGINT) AS rare_ppm
-              FROM a ORDER BY doc_id"""))
+              FROM a ORDER BY doc_id""")),
+
+    // x106 — intra-doc repeated-block scrub: drop any block whose content
+    // already appeared EARLIER IN THE SAME DOC (keep-first), rejoin
+    // survivors in order — the within-document companion to x97's
+    // corpus-wide C4 rule (a generation loop repeating one phrase 40×
+    // inside a single doc never reaches corpus-level minOcc at 100 TB,
+    // but is exactly what repetition-collapse scrubbing exists to kill).
+    // Block=2 pins the fixture (181/500 sf0.01 docs exercise the rewrite;
+    // production default is 8). Scale: ONE map-only projection — no
+    // shuffle, no state, streaming-safe as-is.
+    QueryDef("x106_intradoc_scrub",
+      (s, d) => TextAnalysis.intraDocScrub(
+          Tables.documents(s, d), blockTokens = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  b AS (SELECT doc_id,
+                          list_transform(range(0, CAST(ceil(len(toks)/2.0) AS INT)),
+                            i -> array_to_string(toks[i*2+1 : least(len(toks),(i+1)*2)], ' ')) AS blocks
+                        FROM t),
+                  k AS (SELECT doc_id, blocks,
+                          list_filter(range(0, len(blocks)),
+                            i -> list_position(blocks, blocks[i+1]) = i + 1) AS keep_idx
+                        FROM b)
+              SELECT doc_id, CAST(len(blocks) AS BIGINT) AS n_blocks,
+                     CAST(len(keep_idx) AS BIGINT) AS n_kept,
+                     array_to_string(list_transform(keep_idx, i -> blocks[i+1]), ' ')
+                       AS scrub_text
+              FROM k ORDER BY doc_id"""))
   )
 }

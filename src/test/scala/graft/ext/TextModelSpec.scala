@@ -139,6 +139,49 @@ class TextModelSpec extends SparkSpec {
     } finally scrub.close()
   }
 
+  // ---- x106 intra-doc scrub --------------------------------------------
+
+  test("intraDocScrub keeps first occurrences in order, per doc only") {
+    val byId = TextAnalysis.intraDocScrub(docs(
+      // "a b" repeats 3x inside the doc; survivors rejoin in order
+      1L -> "a b c d a b e f a b",
+      // same content in ANOTHER doc is untouched (no corpus state)
+      2L -> "a b c d",
+      // doc shorter than one block passes through whole
+      3L -> "solo",
+      // blank doc is out of domain
+      4L -> "  "), blockTokens = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) === ((5L, 3L, "a b c d e f")))
+    assert(byId(2L) === ((2L, 2L, "a b c d")))
+    assert(byId(3L) === ((1L, 1L, "solo")))
+    assert(!byId.contains(4L))
+    // the partial TAIL block dedups by its own (short) content, not padding
+    val tail = TextAnalysis.intraDocScrub(docs(10L -> "x y z x"), blockTokens = 3)
+      .collect()(0)
+    assert(tail.getLong(1) === 2L && tail.getLong(2) === 2L &&
+      tail.getString(3) === "x y z x")
+  }
+
+  test("intraDocScrub is identity when no block repeats, at any block size") {
+    val d = "/root/testdata/sf0.001"
+    val base = graft.Tables.documents(spark, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), concat_ws(" ",
+        split(trim(col("text")), "\\s+")).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // sf0.001 has no repeated 8-token blocks: scrub at the production
+    // default must be the identity rewrite
+    val out = TextAnalysis.intraDocScrub(
+      graft.Tables.documents(spark, d), blockTokens = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(out.nonEmpty && out.length === base.size)
+    out.foreach { case (id, (nb, nk, txt)) =>
+      assert(nb === nk, s"doc $id dropped a block at size 8")
+      assert(txt === base(id), s"doc $id text changed")
+    }
+  }
+
   // ---- x98 weighted sample ---------------------------------------------
 
   test("x98 is deterministic and ranks by the A-ES key") {
