@@ -3300,6 +3300,57 @@ object ExtQueries {
                      CAST(len(keep_idx) AS BIGINT) AS n_kept,
                      array_to_string(list_transform(keep_idx, i -> blocks[i+1]), ' ')
                        AS scrub_text
-              FROM k ORDER BY doc_id"""))
+              FROM k ORDER BY doc_id""")),
+
+    // x107 — top-50 PMI collocations: ln(c12·N / (c1·c2)) over the corpus
+    // bigram table with a count floor (c12 ≥ 5 kills the rare-pair PMI
+    // explosion) — the collocation miner (multi-word terms, boilerplate
+    // phrases) every corpus report carries. Marginals come from the bigram
+    // table itself (c1 = Σ_w2 c12, c2 = Σ_w1 c12), so the whole operator
+    // is ONE extra pass over the vocab²-sized x103/x104 aggregate — no new
+    // corpus scan. Exactness: the PMI double is computed with an identical
+    // association order in both engines and quantized via the sign-safe
+    // floor(x·1e6 + 0.5) idiom (PMI can be negative — round()'s
+    // negative-half behavior is the x102 engine trap). Top-50 is a
+    // distributed TakeOrderedAndProject with (pmi, w1, w2) total order, so
+    // the SET is deterministic under ties.
+    QueryDef("x107_pmi_collocations",
+      (s, d) => {
+        val c12 = bigramsShared(s, d)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+        val n = c12.agg(sum(col("c12")).cast("double").as("nb"))
+        val w = Window.orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        c12.filter(col("c12") >= 5)
+          .join(c1, "w1").join(c2, "w2")
+          .crossJoin(broadcast(n))
+          .select(col("w1"), col("w2"), col("c12"),
+            expr("""CAST(floor(ln(CAST(c12 AS DOUBLE) * nb
+                                  / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                               * 1e6 + 0.5) AS BIGINT)""").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(50)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("rnk"), col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+          .orderBy("rnk")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  b AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+                        FROM t, unnest(range(0, len(toks) - 1)) AS u(i)
+                        WHERE len(toks) >= 2),
+                  c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+                  c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+                  c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY w2),
+                  n AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM c12),
+                  p AS (SELECT w1, w2, c12,
+                          CAST(floor(ln(CAST(c12 AS DOUBLE) * nb
+                                        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                                     * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+                        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+                        WHERE c12 >= 5)
+              SELECT row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rnk,
+                     w1, w2, c12, pmi_micro
+              FROM p ORDER BY rnk LIMIT 50"""))
   )
 }

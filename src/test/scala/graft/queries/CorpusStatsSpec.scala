@@ -83,6 +83,21 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("x107 top PMI pairs are rank-contiguous, floored, and monotone") {
+    val rows = SparkEntry.queries("x107_pmi_collocations")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    rows.foreach { case (_, _, _, c12, _) => assert(c12 >= 5L) }
+    // descending pmi with deterministic (w1, w2) tie-break
+    rows.sliding(2).foreach {
+      case Array((_, w1a, w2a, _, pa), (_, w1b, w2b, _, pb)) =>
+        assert(pa > pb || (pa == pb && (w1a < w1b || (w1a == w1b && w2a < w2b))))
+      case _ => ()
+    }
+  }
+
   test("x105 rare ppm is an exact integer ratio in [0, 1e6]") {
     val rows = SparkEntry.queries("x105_hapax_rate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
