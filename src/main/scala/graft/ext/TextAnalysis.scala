@@ -276,6 +276,15 @@ object TextAnalysis {
       () => boiler.unpersist())
   }
 
+  /** DEFLATE-compressed length of the text's UTF-8 bytes — the
+    * compressibility quality signal (templated/repetitive text compresses
+    * far below natural text; random bytes/mojibake barely compress).
+    * Codegen'd native expression, per-task Deflater reuse — a scan-local
+    * scalar with NO shuffle at any corpus size. Engine-specific bytes →
+    * rows-only catalog row with the x108b bound gate. */
+  def deflateLen(text: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.deflateLenF(text)
+
   /** WITHIN-doc repeated-block scrub — the intra-document companion to
     * [[blockScrubber]]'s corpus-wide C4 rule: a block whose content already
     * appeared EARLIER IN THE SAME DOC is dropped (keep-first), survivors

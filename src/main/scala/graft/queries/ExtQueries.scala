@@ -3351,6 +3351,47 @@ object ExtQueries {
                         WHERE c12 >= 5)
               SELECT row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rnk,
                      w1, w2, c12, pmi_micro
-              FROM p ORDER BY rnk LIMIT 50"""))
+              FROM p ORDER BY rnk LIMIT 50""")),
+
+    // x108 — compressibility quality signal: DEFLATE length of each doc's
+    // UTF-8 bytes + the integer-ppm compression ratio. Gopher/RefinedWeb's
+    // missing third repetition probe: x37's n-gram ratios count EXACT
+    // repeats, x102/x104 model token structure — deflate catches byte-level
+    // templating and (at the other end) incompressible mojibake in one
+    // scalar. Scale: codegen'd native expression, per-task Deflater reuse,
+    // map-only — no shuffle at any corpus size. Compressed bytes are
+    // zlib-version-specific → rows-only, pinned by the x108b gate +
+    // TextModelSpec crafted-text ordering.
+    QueryDef("x108_deflate_ratio",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          TextAnalysis.deflateLen(col("text")).cast("long").as("deflate_len"))
+        .select(col("doc_id"), col("n_bytes"), col("deflate_len"),
+          expr("deflate_len * 1000000 div n_bytes").as("ratio_ppm"))
+        .orderBy("doc_id"),
+      None),
+
+    // x108b — deterministic bound gate over the engine-specific bytes:
+    // every ratio positive and under the stored-block ceiling (1.2e6 ppm
+    // covers DEFLATE's worst-case overhead at the fixture's ≥128-byte
+    // docs), corpus present, and the word-soup corpus compresses on
+    // average (mean < 1e6 ppm) — the x99b exact-vs-sketch gate pattern.
+    QueryDef("x108b_deflate_bound_gate",
+      (s, d) => {
+        val r = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(octet_length(col("text")).cast("long").as("n_bytes"),
+            TextAnalysis.deflateLen(col("text")).cast("long").as("dl"))
+          .select(col("n_bytes"), col("dl"),
+            expr("dl * 1000000 div n_bytes").as("ppm"))
+        r.agg(count(lit(1)).as("n"), min(col("ppm")).as("mn"),
+            max(col("ppm")).as("mx"),
+            (sum(col("dl")) * lit(1000000L) / sum(col("n_bytes"))).as("mean_ppm"))
+          .select((col("n") > 0 && col("mn") > 0 && col("mx") <= 1200000L &&
+            col("mean_ppm") < 1000000L).as("deflate_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS deflate_ok"))
   )
 }

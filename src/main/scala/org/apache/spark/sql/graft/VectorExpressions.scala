@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType, TypeCollection}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TypeCollection}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
@@ -381,6 +381,54 @@ object SrpSketchExpr {
 }
 
 /** Column-level entry points for graft's native vector expressions. */
+/** DEFLATE-compressed byte length of a string's UTF-8 bytes — the
+  * compressibility quality signal (Gopher/RefinedWeb use it to flag
+  * templated/repetitive text that n-gram repetition ratios under-count and
+  * natural text that they over-count). Level 6, raw-deflate (nowrap), so
+  * the number is a pure function of the bytes on a given JDK zlib;
+  * engine-specific → the catalog row is rows-only with an x108b bound
+  * gate. Per-task state: one ThreadLocal (Deflater, 8 KiB sink) pair
+  * reused via reset() — no per-row allocation, no native-handle churn on
+  * a 100 TB scan. The sink is write-only scratch: deflate() output is
+  * DISCARDED, only the produced-byte count accumulates. */
+case class DeflateLenExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_deflate_len"
+
+  override def nullSafeEval(a: Any): Any =
+    DeflateLenExpr.compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.DeflateLenExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLenExpr =
+    copy(child = newChild)
+}
+
+object DeflateLenExpr {
+  private val state =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
+    }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val (d, sink) = state.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(sink)
+    total
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two `array<float>` columns, as a double. */
   def dotF(a: Column, b: Column): Column =
@@ -412,4 +460,8 @@ object VectorFunctions {
   /** Codegen'd map-side signed-random-projection sketch of an embedding. */
   def srpSketchF(vec: Column, nBits: Int): Column =
     ColumnBridge.column(SrpSketchExpr(ColumnBridge.expression(vec), nBits))
+
+  /** Codegen'd DEFLATE-compressed byte length of a string column. */
+  def deflateLenF(text: Column): Column =
+    ColumnBridge.column(DeflateLenExpr(ColumnBridge.expression(text)))
 }

@@ -182,6 +182,35 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  // ---- x108 deflate compressibility ------------------------------------
+
+  test("deflateLen orders repetitive < natural < incompressible and is stable") {
+    import spark.implicits._
+    val rep = ("spam " * 200).trim                 // templated stutter
+    val nat = (1 to 200).map(i => s"w${i % 37} t${(i * 7) % 53}").mkString(" ")
+    val rnd = {                                    // mojibake stand-in:
+      val r = new scala.util.Random(42)            // deterministic pseudo-
+      (1 to 1000).map(_ => r.nextPrintableChar()).mkString  // random bytes
+    }
+    val out = Seq((1L, rep), (2L, nat), (3L, rnd)).toDF("doc_id", "text")
+      .select(col("doc_id"), octet_length(col("text")).as("nb"),
+        TextAnalysis.deflateLen(col("text")).as("dl"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    def ppm(t: (Int, Int)) = t._2 * 1000000L / t._1
+    assert(ppm(out(1L)) < ppm(out(2L)), "repetition must compress best")
+    assert(ppm(out(2L)) < ppm(out(3L)), "natural must beat random chars")
+    assert(out.values.forall { case (nb, dl) => dl > 0 && dl <= nb + 64 })
+    // same input → same bytes (ThreadLocal reuse must not leak state)
+    val again = Seq((1L, rep), (2L, nat), (3L, rnd)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.deflateLen(col("text")).as("dl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again === out.map { case (k, (_, dl)) => k -> dl })
+    // null stays null
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextAnalysis.deflateLen(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   // ---- x98 weighted sample ---------------------------------------------
 
   test("x98 is deterministic and ranks by the A-ES key") {

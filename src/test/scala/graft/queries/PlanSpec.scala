@@ -3,6 +3,7 @@ package graft.queries
 import graft.{SparkSpec, SparkEntry}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan contracts: the scale claims the scaladocs make (broadcast
   * this side, push that filter, never a cartesian) pinned as tests, so a
@@ -178,5 +179,22 @@ class PlanSpec extends SparkSpec {
     // each doc's collected array — a Window here would mean a per-doc
     // sort shuffle crept back in
     assert(!plan("x97_block_scrub").contains("Window"))
+  }
+
+  test("x106/x108 are map-only: no exchange anywhere in the per-doc rewrites") {
+    // both operators are scan-local scalars/rewrites by design — ANY
+    // Exchange here means a 100 TB scan just grew a shuffle it never needs
+    // (the orderBy is the catalog's presentation sort; drop it like the
+    // driver's parquet write path does not)
+    val p106 = planOf(graft.ext.TextAnalysis.intraDocScrub(
+      graft.Tables.documents(spark, sf), blockTokens = 2))
+    assert(!p106.contains("Exchange"), s"x106 shuffles:\n$p106")
+    val p108 = planOf(graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.deflateLen(col("text")).as("dl")))
+    assert(!p108.contains("Exchange"), s"x108 shuffles:\n$p108")
+    // and the deflate scalar stays inside whole-stage codegen (formatted
+    // mode marks codegen'd operators with "[codegen id : N]")
+    assert(p108.contains("codegen id"), s"x108 fell out of codegen:\n$p108")
   }
 }
