@@ -124,6 +124,31 @@ object Export {
   def readManifest(spark: SparkSession, dir: String): Map[Long, Long] =
     fieldMap(manifestTree(spark, dir), "shards", dir)
 
+  /** Order- and partitioning-invariant corpus digest, per group: doc
+    * count, XOR-fold, and modular sum (mod 2⁶¹) of a 60-bit md5-derived
+    * hash of each `id:text` pair. The corpus-equality check a 100 TB
+    * export pipeline needs: writer and loader each digest their own side
+    * and compare THREE numbers per group — no sort, no join, no second
+    * copy of the data in one place. Both folds are commutative +
+    * associative, so per-shard digests combine to the corpus digest
+    * (xor := xor ⊕ xor, sum := (sum + sum) mod 2⁶¹, n := n + n) — digest
+    * once at write time, merge cheaply forever after. 60 bits (15 hex
+    * chars) keeps the hash inside a signed BIGINT in every engine; the
+    * id is folded in so two corpora that swap texts between ids digest
+    * differently. */
+  def corpusDigest(df: DataFrame, groupCol: String = "source",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    df.select(col(groupCol),
+        expr(s"""CAST(conv(substr(md5(concat(CAST($idCol AS STRING), ':',
+                                             coalesce($textCol, ''))), 1, 15),
+                           16, 10) AS BIGINT)""").as("h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("xor_digest"),
+        expr("""CAST(sum(CAST(h AS DECIMAL(38,0)))
+                     % 2305843009213693952 AS BIGINT)""").as("sum_digest"))
+
   /** One FS read + Jackson parse of the manifest — shared by every reader,
     * so a validation pass costs one GET, not one per field. */
   private def manifestTree(spark: SparkSession,

@@ -3393,5 +3393,25 @@ object ExtQueries {
             col("mean_ppm") < 1000000L).as("deflate_ok"))
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS deflate_ok"))
+,
+    // x109 — order-invariant corpus digest per source: (n, xor-fold,
+    // mod-2⁶¹ sum) of a 60-bit md5 hash of each id:text pair — the
+    // corpus-equality check for export/load (x80's row-hash compare needs
+    // the whole frame in one engine; this needs three BIGINTs per group
+    // and merges across shards by xor/modsum/add). Exactness: integer
+    // folds only; 15 hex chars keep the hash signed-BIGINT-safe in both
+    // engines (the x98 0x-cast trick widened to 60 bits).
+    QueryDef("x109_corpus_digest",
+      (s, d) => Export.corpusDigest(Tables.documents(s, d))
+        .orderBy("source"),
+      Some("""WITH h AS (SELECT source,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                         || coalesce(text, '')), 1, 15)
+                          AS BIGINT) AS h
+                   FROM documents)
+              SELECT source, count(*) AS n_docs, bit_xor(h) AS xor_digest,
+                     CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693952
+                          AS BIGINT) AS sum_digest
+              FROM h GROUP BY source ORDER BY source"""))
   )
 }

@@ -148,4 +148,35 @@ class ExportSpec extends SparkSpec {
       .collect().toSeq
     assert(after === before)
   }
+
+  test("corpusDigest is partitioning-invariant, content-sensitive, mergeable") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Export.corpusDigest(df).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = digest(docs)
+    assert(base.nonEmpty)
+    // any partitioning / row order produces the same three numbers
+    assert(digest(docs.repartition(17)) === base)
+    assert(digest(docs.orderBy(desc("text"))) === base)
+    // one flipped character in one doc moves that source's digest
+    val tweaked = digest(docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit("!")))
+        .otherwise(col("text"))))
+    val src0 = docs.filter(col("doc_id") === 0L)
+      .select("source").first().getString(0)
+    assert(tweaked(src0) !== base(src0))
+    assert((tweaked - src0) === (base - src0))
+    // shard digests MERGE to the corpus digest: xor ⊕, (sum+sum) mod 2^61
+    val left = digest(docs.filter(col("doc_id") % 2 === 0))
+    val right = digest(docs.filter(col("doc_id") % 2 === 1))
+    val merged = (left.keySet ++ right.keySet).map { k =>
+      val (ln, lx, ls) = left.getOrElse(k, (0L, 0L, 0L))
+      val (rn, rx, rs) = right.getOrElse(k, (0L, 0L, 0L))
+      k -> ((ln + rn, lx ^ rx, (ls + rs) % 2305843009213693952L))
+    }.toMap
+    assert(merged === base)
+  }
 }
