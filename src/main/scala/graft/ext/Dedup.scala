@@ -514,29 +514,83 @@ object Dedup {
     * pair every arriving doc with half the reference. Output: (`doc_id`,
     * `ref_id`, `jacc` ≥ threshold, 4dp — the [[ngramJaccardPairs]]
     * contract with the pair oriented stream-side first). */
-  def nearDupFlagger(reference: DataFrame, textCol: String, idCol: String,
-                     n: Int, threshold: Double,
-                     maxDf: Int = Int.MaxValue): Retriever = {
+  /** The capped reference postings (`g`, `ref_id`, `nb`) behind
+    * [[nearDupFlagger]] — shared by the in-memory build and the persisted
+    * [[saveNearDupIndex]]/[[loadNearDupFlagger]] lifecycle. */
+  private def nearDupPostings(reference: DataFrame, textCol: String,
+                              idCol: String, n: Int, maxDf: Int): DataFrame = {
     val postings = hashedShingles(reference, textCol, idCol, n)
       .select(col("doc_id").as("ref_id"), col("n_sh").as("nb"),
         explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
     val dfc = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val capped = postings.join(dfc.filter(col("df") <= maxDf), "g")
+    postings.join(dfc.filter(col("df") <= maxDf), "g")
       .select(col("g"), col("ref_id"), col("nb"))
-      .persist()
-    new Retriever(docs =>
-      hashedShingles(docs, textCol, idCol, n)
-        .select(col("doc_id"), col("n_sh").as("na"),
-          explode_outer(col("shs")).as("g"))
-        .filter(col("g").isNotNull)
-        .join(capped, "g")
-        .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jacc",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jacc") >= threshold)
-        .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc")),
+  }
+
+  /** The probe side of the flagger lifecycle: flag `docs` against a
+    * (persisted) capped postings frame. */
+  private def flagAgainst(capped: DataFrame, textCol: String, idCol: String,
+                          n: Int, threshold: Double)(docs: DataFrame): DataFrame =
+    hashedShingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), col("n_sh").as("na"),
+        explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+      .join(capped, "g")
+      .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc"))
+
+  def nearDupFlagger(reference: DataFrame, textCol: String, idCol: String,
+                     n: Int, threshold: Double,
+                     maxDf: Int = Int.MaxValue): Retriever = {
+    val capped = nearDupPostings(reference, textCol, idCol, n, maxDf).persist()
+    new Retriever(flagAgainst(capped, textCol, idCol, n, threshold),
+      () => capped.unpersist())
+  }
+
+  /** Persist a [[nearDupFlagger]] reference index so the build survives the
+    * session — the [[Ivf.saveIndex]] shape for shingle dedup: build the
+    * capped postings ONCE on the cluster that owns the reference corpus,
+    * then any later job (nightly incremental dedup, a different cluster)
+    * [[loadNearDupFlagger]]s and probes without re-shingling 100 TB.
+    * Layout: `dir/postings` — the (g, ref_id, nb) table, 24 B/posting; and
+    * `dir/meta` — one row (n, threshold, max_df) so a loaded flagger
+    * reproduces the build's semantics without the caller re-supplying
+    * them. Hadoop-FS URIs throughout (the Export lesson). An empty
+    * reference writes an empty, schema-complete postings table and
+    * round-trips (no partitionBy → no missing-directory trap). */
+  def saveNearDupIndex(reference: DataFrame, dir: String,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = Int.MaxValue): Unit = {
+    val spark = reference.sparkSession
+    import spark.implicits._
+    nearDupPostings(reference, textCol, idCol, n, maxDf)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/postings")
+    Seq((n, threshold, maxDf)).toDF("n", "threshold", "max_df")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[saveNearDupIndex]] directory as a ready [[Retriever]]:
+    * postings persist in memory for probe-many reuse (materialized now,
+    * not on first batch), n/threshold come from the saved meta so flagging
+    * semantics match the build exactly (DedupSpec pins parity with the
+    * in-memory flagger). `textCol`/`idCol` describe the PROBE frames. */
+  def loadNearDupFlagger(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): Retriever = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val n = m.getAs[Int]("n")
+    val threshold = m.getAs[Double]("threshold")
+    val capped = spark.read.parquet(s"$dir/postings").persist()
+    capped.count()
+    new Retriever(flagAgainst(capped, textCol, idCol, n, threshold),
       () => capped.unpersist())
   }
 

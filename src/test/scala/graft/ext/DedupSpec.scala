@@ -342,6 +342,37 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("saved near-dup index reloads to a flagger identical to the in-memory build") {
+    val ref = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val mem = Dedup.nearDupFlagger(ref, "text", "doc_id", n = 3, threshold = 0.6)
+    try {
+      Dedup.saveNearDupIndex(ref, dir, n = 3, threshold = 0.6)
+      val loaded = Dedup.loadNearDupFlagger(spark, dir)
+      try {
+        val probe = ref.limit(50)
+        val want = mem(probe).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+        val got = loaded(probe).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+        assert(want.nonEmpty, "fixture probe must flag at least one near-dup")
+        assert(got === want)
+      } finally loaded.close()
+      // empty reference round-trips schema-complete
+      val emptyDir = java.nio.file.Files.createTempDirectory("ndidx0").toString
+      Dedup.saveNearDupIndex(ref.limit(0), emptyDir, n = 3, threshold = 0.6)
+      val emptyFlag = Dedup.loadNearDupFlagger(spark, emptyDir)
+      try assert(emptyFlag(ref.limit(5)).count() === 0L)
+      finally {
+        emptyFlag.close()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(emptyDir))
+      }
+    } finally {
+      mem.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("editDistFlagger flags typo dups against the frozen corpus, excluding self") {
     val base = "the quick brown fox jumps over the lazy dog today ok"
     val corpus = docs(1L -> base, 2L -> ("zz completely unrelated text " * 3))
