@@ -790,4 +790,83 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorFunctions.simHashF(col("toks")).as("simhash"))
+
+  /** SimHash near-dup PAIRS: all (ia < ib) whose 64-bit [[simHash]]
+    * signatures sit within Hamming distance `hMax` — the constant-space
+    * sketch dedup for when shingle postings are too big (one long per doc
+    * vs a posting per shingle). Blocking is the classic 4×16-bit band
+    * split, and for `hMax` ≤ 3 it is COMPLETE by pigeonhole: ≤ 3 flipped
+    * bits touch ≤ 3 of the 4 bands, so every qualifying pair shares at
+    * least one intact band — [[simHashBandCompletenessGate]] (x111b)
+    * asserts the banded set equals brute force on the fixture. Band keys
+    * pack to one BIGINT (k·2¹⁶ + bits): the candidate join shuffles
+    * 8-byte keys, per-bucket blowup is postings-bounded with the
+    * `graft_simhash_bucket_cap` drop audit (the x12 cap pattern), and
+    * verification is one `bit_count(xor)` per candidate. Signature bits
+    * are engine-specific (XXH64) → the catalog row is rows-only, pinned
+    * by x111b + DedupSpec. */
+  def simHashNearDupPairs(docs: DataFrame, hMax: Int = 3,
+                          maxBucket: Int = 10000,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    val sigs = simHash(docs.filter(length(trim(col(textCol))) > 0),
+      textCol, idCol)
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    val cands = sigs
+      .select(col("doc_id"),
+        explode(expr(
+          // k·2¹⁶ + the k-th 16-bit slice; & masks away the arithmetic
+          // shift's sign extension on the top band
+          """transform(sequence(0, 3),
+                       k -> k * 65536L + (shiftright(simhash, 16 * k) & 65535L))"""))
+          .as("band"))
+      .groupBy(col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("graft_simhash_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.as("ia"), b.as("ib"))
+      }).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
+      .dropDuplicates("ia", "ib")
+    cands
+      .join(sigs.select(col("doc_id").as("ia"), col("simhash").as("sa")), "ia")
+      .join(sigs.select(col("doc_id").as("ib"), col("simhash").as("sb")), "ib")
+      .select(col("ia"), col("ib"),
+        expr("bit_count(sa ^ sb)").cast("long").as("ham"))
+      .filter(col("ham") <= hMax)
+  }
+
+  /** x111b: in-engine completeness gate for [[simHashNearDupPairs]] — on a
+    * bounded corpus the banded pair set must EQUAL the brute-force
+    * all-pairs Hamming scan over the same signatures (pigeonhole says ⊇;
+    * verification says ⊆). The brute force is the fail-fast-bounded
+    * oracle-baseline tier, never the scale path. */
+  def simHashBandCompletenessGate(docs: DataFrame, hMax: Int = 3,
+                                  textCol: String = "text",
+                                  idCol: String = "doc_id",
+                                  maxDocs: Long = 100000L): DataFrame = {
+    val sigs = simHash(docs.filter(length(trim(col(textCol))) > 0),
+      textCol, idCol)
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    require(sigs.count() <= maxDocs,
+      s"brute-force gate is bounded to $maxDocs docs")
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
+      .filter(col("ham") <= hMax)
+    val banded = simHashNearDupPairs(docs, hMax, Int.MaxValue, textCol, idCol)
+    val missing = brute.join(banded, Seq("ia", "ib"), "left_anti").count()
+    val extra = banded.join(brute, Seq("ia", "ib"), "left_anti").count()
+    val n = banded.count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n, missing == 0L && extra == 0L))
+      .toDF("n_pairs", "band_complete")
+  }
 }

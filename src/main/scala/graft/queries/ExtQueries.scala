@@ -3412,6 +3412,77 @@ object ExtQueries {
               SELECT source, count(*) AS n_docs, bit_xor(h) AS xor_digest,
                      CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693952
                           AS BIGINT) AS sum_digest
-              FROM h GROUP BY source ORDER BY source"""))
+              FROM h GROUP BY source ORDER BY source""")),
+
+    // x110 — Heaps'-law vocab growth curve: distinct word-TRIGRAM types in
+    // the corpus prefix doc_id ≤ ⌊max_id·p/100⌋ for p ∈ {10,25,50,100} —
+    // the "is more data still adding new content?" sizing curve for
+    // tokenizer/dedup planning (saturation ⇒ the tail is recombination,
+    // not novelty; the fixture's 31-word unigram vocab saturates at 10%,
+    // so the curve runs on trigram types — 16k at sf0.01). Scale: the
+    // curve does NOT do one count-distinct per threshold over the corpus —
+    // each type carries its FIRST-appearance doc (vocab-sized agg), and
+    // every threshold is a conditional sum over that one table; thresholds
+    // are fractions of the ID RANGE (no global rank window). String
+    // trigrams keep the count exactly engine-portable; a 100 TB run swaps
+    // in shingleHashF's 8-byte keys (collision odds ~|V|²/2⁶⁵).
+    QueryDef("x110_heaps_curve",
+      (s, d) => {
+        val tri = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            explode(expr(
+              """transform(sequence(0, size(t) - 3),
+                           i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
+              .as("tri"))
+        val firsts = tri.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
+        val m = tri.agg(max(col("doc_id")).as("mx"))
+        firsts.crossJoin(broadcast(m))
+          .select(col("first_doc"), col("mx"),
+            explode(expr("array(10, 25, 50, 100)")).as("pct"))
+          .groupBy(col("pct"), col("mx"))
+          .agg(sum(when(col("first_doc") <= expr("mx * pct div 100"), 1L)
+            .otherwise(0L)).as("vocab"))
+          .select(col("pct").cast("long").as("pct"),
+            expr("mx * pct div 100").as("id_ceil"), col("vocab"))
+          .orderBy("pct")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  g AS (SELECT doc_id,
+                          toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS tri
+                        FROM t, unnest(range(0, len(toks) - 2)) AS u(i)
+                        WHERE len(toks) >= 3),
+                  v AS (SELECT tri, min(doc_id) AS first_doc FROM g GROUP BY tri),
+                  m AS (SELECT max(doc_id) AS mx FROM g),
+                  p AS (SELECT unnest([10, 25, 50, 100]) AS pct)
+              SELECT CAST(pct AS BIGINT) AS pct,
+                     CAST(mx * pct // 100 AS BIGINT) AS id_ceil,
+                     CAST((SELECT count(*) FROM v
+                           WHERE first_doc <= mx * pct // 100) AS BIGINT) AS vocab
+              FROM p CROSS JOIN m ORDER BY pct""")),
+
+    // x111 — SimHash banded near-dup pairs: Hamming ≤ 3 over the 64-bit
+    // x09 signatures via the 4×16-bit band split — the constant-space
+    // dedup tier (one long per doc) between x01's exact hash and x08's
+    // shingle-postings MinHash. Complete for hMax ≤ 3 by pigeonhole;
+    // 8-byte packed band keys; bucket cap with the graft_simhash_bucket_cap
+    // drop audit. Signature bits engine-specific → rows-only; x111b +
+    // DedupSpec pin the semantics.
+    QueryDef("x111_simhash_neardup",
+      (s, d) => Dedup.simHashNearDupPairs(Tables.documents(s, d))
+        .orderBy("ia", "ib"),
+      None),
+
+    // x111b — in-engine completeness gate: banded pair set ≡ bounded
+    // brute-force all-pairs Hamming scan over the same signatures (the
+    // x19/x99b exact-vs-sketch pattern; brute force is the fail-fast
+    // bounded baseline tier, never the scale path).
+    QueryDef("x111b_simhash_band_gate",
+      (s, d) => Dedup.simHashBandCompletenessGate(Tables.documents(s, d))
+        .select(col("band_complete")),
+      Some("SELECT CAST(1 AS BOOLEAN) AS band_complete"))
   )
 }

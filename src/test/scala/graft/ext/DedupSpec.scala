@@ -342,6 +342,20 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("simHashNearDupPairs pairs twins at distance 0 and leaves strangers unpaired") {
+    val base = (1 to 60).map(i => s"w${i % 23}").mkString(" ")
+    val other = (1 to 60).map(i => s"z${i * 7 % 41}").mkString(" ")
+    val got = Dedup.simHashNearDupPairs(docs(
+      1L -> base, 2L -> base,          // exact twins: Hamming 0
+      3L -> other))                    // disjoint vocab: far away
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 0L)))
+    // the completeness gate agrees with brute force on real data
+    val gate = Dedup.simHashBandCompletenessGate(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")).collect()(0)
+    assert(gate.getBoolean(1), "banded pairs diverged from brute force")
+  }
+
   test("saved near-dup index reloads to a flagger identical to the in-memory build") {
     val ref = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
