@@ -841,6 +841,50 @@ object Dedup {
       .filter(col("ham") <= hMax)
   }
 
+  /** Freeze the corpus's SimHash band table ONCE and return the per-batch
+    * near-dup flagger — x111 as a build/apply split (the [[nearDupFlagger]]
+    * lifecycle, at 1/10th the state: 4 packed band rows + one signature
+    * per corpus doc ≈ 48 B/doc, vs a posting per shingle). A batch doc
+    * pairs with every corpus doc OTHER THAN ITSELF within Hamming `hMax`
+    * of its signature (complete for hMax ≤ 3 by the 4-band pigeonhole), so
+    * corpus-self flagging reproduces exactly the x111 pair set (DedupSpec)
+    * and streaming ≡ batch (StreamingSpec). Output: (`doc_id`, `ref_id`,
+    * `ham`), batch-side first. `close()` releases the persisted band and
+    * signature tables when the corpus version retires. */
+  def simHashFlagger(corpus: DataFrame, hMax: Int = 3,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): Retriever = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    def sigsOf(df: DataFrame) =
+      simHash(df.filter(length(trim(col(textCol))) > 0), textCol, idCol)
+        .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+    def bandsOf(sigs: DataFrame) = sigs
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3),
+                       k -> k * 65536L + (shiftright(simhash, 16 * k) & 65535L))"""))
+          .as("band"))
+    val refSigs = sigsOf(corpus)
+      .select(col("doc_id").as("ref_id"), col("simhash").as("sb")).persist()
+    val refBands = bandsOf(sigsOf(corpus))
+      .select(col("doc_id").as("ref_id"), col("band")).persist()
+    // build-time job: materialize the frozen tables now, not on first batch
+    refBands.count(); refSigs.count()
+    new Retriever(docs => {
+      val sigs = sigsOf(docs)
+      bandsOf(sigs).join(refBands, "band")
+        .filter(col("doc_id") =!= col("ref_id"))
+        .select(col("doc_id"), col("ref_id"))
+        .dropDuplicates("doc_id", "ref_id")
+        .join(sigs.select(col("doc_id"), col("simhash").as("sa")), "doc_id")
+        .join(refSigs, "ref_id")
+        .select(col("doc_id"), col("ref_id"),
+          expr("bit_count(sa ^ sb)").cast("long").as("ham"))
+        .filter(col("ham") <= hMax)
+    }, () => { refBands.unpersist(); refSigs.unpersist() })
+  }
+
   /** x111b: in-engine completeness gate for [[simHashNearDupPairs]] — on a
     * bounded corpus the banded pair set must EQUAL the brute-force
     * all-pairs Hamming scan over the same signatures (pigeonhole says ⊇;

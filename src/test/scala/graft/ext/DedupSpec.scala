@@ -356,6 +356,23 @@ class DedupSpec extends SparkSpec {
     assert(gate.getBoolean(1), "banded pairs diverged from brute force")
   }
 
+  test("simHashFlagger corpus-self flagging reproduces x111 pair membership") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val pairs = Dedup.simHashNearDupPairs(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.nonEmpty, "fixture must contain simhash near-dups")
+    // each unordered pair appears in BOTH directions of the flagger output
+    val expected = pairs.flatMap(p =>
+      Seq((p._1, p._2, p._3), (p._2, p._1, p._3))).sorted
+    val flag = Dedup.simHashFlagger(all)
+    try {
+      val got = flag(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === expected)
+    } finally flag.close()
+  }
+
   test("saved near-dup index reloads to a flagger identical to the in-memory build") {
     val ref = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
