@@ -805,40 +805,55 @@ object Dedup {
     * verification is one `bit_count(xor)` per candidate. Signature bits
     * are engine-specific (XXH64) → the catalog row is rows-only, pinned
     * by x111b + DedupSpec. */
+  /** Blank-filtered (doc_id, simhash) signature frame — the shared input
+    * of the x111 pair miner, [[simHashFlagger]], and the x111b gate. */
+  private def simHashSigs(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    simHash(docs.filter(length(trim(col(textCol))) > 0), textCol, idCol)
+      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
+
+  /** The 4×16-bit packed band explosion of a signature frame — the
+    * completeness-critical invariant (k·2¹⁶ + the k-th slice; `&` masks
+    * away the arithmetic shift's sign extension on the top band), defined
+    * ONCE for the miner, the flagger, and the gate. The signature rides
+    * along so verification never needs a join back. */
+  private def simHashBandsOf(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+                     k -> k * 65536L + (shiftright(simhash, 16 * k) & 65535L))"""))
+        .as("band"))
+
+  /** [[simHashNearDupPairs]] over a prebuilt signature frame. */
+  private def simHashNearDupPairsOf(sigs: DataFrame, hMax: Int,
+                                    maxBucket: Int): DataFrame =
+    simHashBandsOf(sigs)
+      .groupBy(col("band"))
+      // signatures ride the bucket rows (16 B/doc instead of 8), which
+      // buys verification WITHOUT joining back to the corpus: the whole
+      // pair miner is one pass over the signature frame
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("graft_simhash_bucket_cap",
+        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
+        struct(a.getField("doc_id").as("ia"), b.getField("doc_id").as("ib"),
+          a.getField("simhash").as("sa"), b.getField("simhash").as("sb"))
+      }).as("p"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+        expr("bit_count(p.sa ^ p.sb)").cast("long").as("ham"))
+      .filter(col("ham") <= hMax)
+      .dropDuplicates("ia", "ib")
+
   def simHashNearDupPairs(docs: DataFrame, hMax: Int = 3,
                           maxBucket: Int = 10000,
                           textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     require(hMax >= 0 && hMax <= 3,
       s"4-band blocking is complete only for hMax <= 3, got $hMax")
-    val sigs = simHash(docs.filter(length(trim(col(textCol))) > 0),
-      textCol, idCol)
-      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
-    val cands = sigs
-      .select(col("doc_id"),
-        explode(expr(
-          // k·2¹⁶ + the k-th 16-bit slice; & masks away the arithmetic
-          // shift's sign extension on the top band
-          """transform(sequence(0, 3),
-                       k -> k * 65536L + (shiftright(simhash, 16 * k) & 65535L))"""))
-          .as("band"))
-      .groupBy(col("band"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe("graft_simhash_bucket_cap",
-        count(when(size(col("ids")) > maxBucket, 1)).as("dropped_buckets"))
-      .filter(size(col("ids")) <= maxBucket)
-      .select(explode(ArrayPairs.orderedPairs(col("ids")) { (a, b) =>
-        struct(a.as("ia"), b.as("ib"))
-      }).as("p"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"))
-      .dropDuplicates("ia", "ib")
-    cands
-      .join(sigs.select(col("doc_id").as("ia"), col("simhash").as("sa")), "ia")
-      .join(sigs.select(col("doc_id").as("ib"), col("simhash").as("sb")), "ib")
-      .select(col("ia"), col("ib"),
-        expr("bit_count(sa ^ sb)").cast("long").as("ham"))
-      .filter(col("ham") <= hMax)
+    simHashNearDupPairsOf(simHashSigs(docs, textCol, idCol), hMax, maxBucket)
   }
 
   /** Freeze the corpus's SimHash band table ONCE and return the per-batch
@@ -856,33 +871,25 @@ object Dedup {
                      idCol: String = "doc_id"): Retriever = {
     require(hMax >= 0 && hMax <= 3,
       s"4-band blocking is complete only for hMax <= 3, got $hMax")
-    def sigsOf(df: DataFrame) =
-      simHash(df.filter(length(trim(col(textCol))) > 0), textCol, idCol)
-        .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
-    def bandsOf(sigs: DataFrame) = sigs
-      .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3),
-                       k -> k * 65536L + (shiftright(simhash, 16 * k) & 65535L))"""))
-          .as("band"))
-    val refSigs = sigsOf(corpus)
-      .select(col("doc_id").as("ref_id"), col("simhash").as("sb")).persist()
-    val refBands = bandsOf(sigsOf(corpus))
-      .select(col("doc_id").as("ref_id"), col("band")).persist()
-    // build-time job: materialize the frozen tables now, not on first batch
-    refBands.count(); refSigs.count()
-    new Retriever(docs => {
-      val sigs = sigsOf(docs)
-      bandsOf(sigs).join(refBands, "band")
+    // ONE frozen table, built from ONE corpus pass: the band explosion
+    // with the reference signature riding along (~64 B/doc), so a probe
+    // is a single band equi-join with no signature join-back on either
+    // side.
+    val refBands = simHashBandsOf(simHashSigs(corpus, textCol, idCol))
+      .select(col("band"), col("doc_id").as("ref_id"),
+        col("simhash").as("sb"))
+      .persist()
+    // build-time job: materialize the frozen table now, not on first batch
+    refBands.count()
+    new Retriever(docs =>
+      simHashBandsOf(simHashSigs(docs, textCol, idCol))
+        .join(refBands, "band")
         .filter(col("doc_id") =!= col("ref_id"))
-        .select(col("doc_id"), col("ref_id"))
-        .dropDuplicates("doc_id", "ref_id")
-        .join(sigs.select(col("doc_id"), col("simhash").as("sa")), "doc_id")
-        .join(refSigs, "ref_id")
         .select(col("doc_id"), col("ref_id"),
-          expr("bit_count(sa ^ sb)").cast("long").as("ham"))
+          expr("bit_count(simhash ^ sb)").cast("long").as("ham"))
         .filter(col("ham") <= hMax)
-    }, () => { refBands.unpersist(); refSigs.unpersist() })
+        .dropDuplicates("doc_id", "ref_id"),
+      () => refBands.unpersist())
   }
 
   /** x111b: in-engine completeness gate for [[simHashNearDupPairs]] — on a
@@ -894,23 +901,34 @@ object Dedup {
                                   textCol: String = "text",
                                   idCol: String = "doc_id",
                                   maxDocs: Long = 100000L): DataFrame = {
-    val sigs = simHash(docs.filter(length(trim(col(textCol))) > 0),
-      textCol, idCol)
-      .select(col("doc_id").cast("long").as("doc_id"), col("simhash"))
-    require(sigs.count() <= maxDocs,
-      s"brute-force gate is bounded to $maxDocs docs")
-    val brute = sigs.as("a").crossJoin(sigs.as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
-      .filter(col("ham") <= hMax)
-    val banded = simHashNearDupPairs(docs, hMax, Int.MaxValue, textCol, idCol)
-    val missing = brute.join(banded, Seq("ia", "ib"), "left_anti").count()
-    val extra = banded.join(brute, Seq("ia", "ib"), "left_anti").count()
-    val n = banded.count()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((n, missing == 0L && extra == 0L))
-      .toDF("n_pairs", "band_complete")
+    // persist the signatures: the size guard materializes them, and the
+    // brute/banded sides then both read the 16 B/doc cache instead of
+    // re-scanning + re-simhashing the corpus per side
+    val sigs = simHashSigs(docs, textCol, idCol).persist()
+    try {
+      require(sigs.count() <= maxDocs,
+        s"brute-force gate is bounded to $maxDocs docs")
+      val brute = sigs.as("a").crossJoin(sigs.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
+        .filter(col("ham") <= hMax)
+      val banded = simHashNearDupPairsOf(sigs, hMax, Int.MaxValue)
+      // ONE job: full-outer join answers |banded|, missing, and extra
+      // together (brute's n² compare and banded's bucket shuffle each
+      // execute exactly once)
+      val row = brute.select(col("ia"), col("ib"), lit(1).as("in_brute"))
+        .join(banded.select(col("ia"), col("ib"), lit(1).as("in_banded")),
+          Seq("ia", "ib"), "full_outer")
+        .agg(sum(col("in_banded")).as("n_pairs"),
+          count(when(col("in_banded").isNull, 1)).as("missing"),
+          count(when(col("in_brute").isNull, 1)).as("extra"))
+        .collect()(0)
+      val n = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Seq((n, row.getLong(1) == 0L && row.getLong(2) == 0L))
+        .toDF("n_pairs", "band_complete")
+    } finally sigs.unpersist()
   }
 }

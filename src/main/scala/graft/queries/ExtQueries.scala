@@ -3054,15 +3054,19 @@ object ExtQueries {
     QueryDef("x101_editdist_neardup",
       (s, d) => {
         val dMax = 8
+        // band on length(text), not the table's n_chars column: the
+        // flagger twin (Dedup.editDistFlagger) has only the text, and the
+        // pinned parity between the two must not hinge on the dataset
+        // invariant n_chars == length(text)
         val keyed = Tables.documents(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 48).as("p"),
-            col("n_chars"))
+            length(col("text")).as("lc"))
         val a = keyed.select(col("doc_id").as("doc_a"), col("p").as("pa"),
-          col("n_chars").as("la"),
-          explode(expr(s"""array(n_chars div $dMax - 1, n_chars div $dMax,
-                                 n_chars div $dMax + 1)""")).as("band"))
+          col("lc").as("la"),
+          explode(expr(s"""array(lc div $dMax - 1, lc div $dMax,
+                                 lc div $dMax + 1)""")).as("band"))
         val b = keyed.select(col("doc_id").as("doc_b"), col("p").as("pb"),
-          col("n_chars").as("lb"), expr(s"n_chars div $dMax").as("band"))
+          col("lc").as("lb"), expr(s"lc div $dMax").as("band"))
         a.join(b, "band")
           .filter(col("doc_a") < col("doc_b") &&
             abs(col("la") - col("lb")) <= dMax)
@@ -3071,12 +3075,13 @@ object ExtQueries {
           .filter(col("dist") >= 0)
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 48) AS p, n_chars
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 48) AS p,
+                     length(text) AS lc
                    FROM documents)
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
               FROM d a JOIN d b
-                ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 8
+                ON a.doc_id < b.doc_id AND abs(a.lc - b.lc) <= 8
               WHERE levenshtein(a.p, b.p) <= 8
               ORDER BY doc_a, doc_b""")),
 
@@ -3386,9 +3391,12 @@ object ExtQueries {
             TextAnalysis.deflateLen(col("text")).cast("long").as("dl"))
           .select(col("n_bytes"), col("dl"),
             expr("dl * 1000000 div n_bytes").as("ppm"))
+        // mean in DOUBLE: a LONG sum·1e6 would overflow past ~9 TB of
+        // compressed bytes (the sums themselves are safe to 9 EB)
         r.agg(count(lit(1)).as("n"), min(col("ppm")).as("mn"),
             max(col("ppm")).as("mx"),
-            (sum(col("dl")) * lit(1000000L) / sum(col("n_bytes"))).as("mean_ppm"))
+            (sum(col("dl")).cast("double") * 1e6
+              / sum(col("n_bytes")).cast("double")).as("mean_ppm"))
           .select((col("n") > 0 && col("mn") > 0 && col("mx") <= 1200000L &&
             col("mean_ppm") < 1000000L).as("deflate_ok"))
       },
@@ -3428,17 +3436,19 @@ object ExtQueries {
     // in shingleHashF's 8-byte keys (collision odds ~|V|²/2⁶⁵).
     QueryDef("x110_heaps_curve",
       (s, d) => {
-        val tri = Tables.documents(s, d)
+        val base = Tables.documents(s, d)
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 3)
-          .select(col("doc_id"),
-            explode(expr(
-              """transform(sequence(0, size(t) - 3),
-                           i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
-              .as("tri"))
+        val tri = base.select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, size(t) - 3),
+                         i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
+            .as("tri"))
         val firsts = tri.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
-        val m = tri.agg(max(col("doc_id")).as("mx"))
+        // id ceiling from the UN-exploded frame: same doc domain, no
+        // second corpus-sized trigram pass
+        val m = base.agg(max(col("doc_id")).as("mx"))
         firsts.crossJoin(broadcast(m))
           .select(col("first_doc"), col("mx"),
             explode(expr("array(10, 25, 50, 100)")).as("pct"))
