@@ -157,6 +157,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x42 keeps its celled equi-join shape under AQE (r9 variance audit)") {
+    // The r9 bench's AQE twin timed x42 at 3.9 s and 6.9 s in two runs of
+    // identical code and data — measurement variance, not a re-plan. Pin
+    // the plan facts that make a real regression detectable: the adaptive
+    // final plan still pairs candidates through an equi-join on the cell
+    // key (never a nested loop / cartesian — that is the corpus-quadratic
+    // failure), and the pair verification still aggregates.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = SparkEntry.queries("x42_ivf_cosine_pairs")(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"x42 candidate pairing degraded to a quadratic join under AQE:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi-join on the cell key:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("x98 samples via distributed top-k, not a global sort or window") {
     val p = plan("x98_weighted_sample")
     // the 50-survivor cut is TakeOrderedAndProject (map-side partial
