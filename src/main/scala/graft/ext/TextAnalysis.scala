@@ -431,4 +431,51 @@ object TextAnalysis {
         .orderBy("rnk")
     }
   }
+
+  /** Running count-min-sketch over a stream — x99's mergeable sketch as a
+    * build-as-you-go monitor. Each [[CmsMonitor.ingest]] call aggregates
+    * ONE micro-batch to a partial sketch (a distributed
+    * `count_min_sketch` agg, so the cluster does the counting) and merges
+    * it into the held state with `mergeInPlace` — counter ADDITION, so
+    * for a fixed seed the merged sketch is BIT-IDENTICAL to the batch
+    * x99 sketch over the same rows regardless of how the stream was
+    * chopped into batches (StreamingSpec pins estimate-level parity).
+    * State is one ~1.5 MB sketch at the defaults — constant for the life
+    * of the stream, the property that makes per-day token monitoring
+    * viable at 100 TB/day. NOT thread-safe: call from one foreachBatch
+    * loop (Structured Streaming serializes batches per query). */
+  final class CmsMonitor private[TextAnalysis] (
+      eps: Double, conf: Double, seed: Int, textCol: String) {
+    private val sketch =
+      org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+
+    /** Count one micro-batch's tokens into the running sketch. */
+    def ingest(batch: DataFrame): Unit = {
+      val row = batch
+        .filter(length(trim(col(textCol))) > 0)
+        .select(explode(tokens(col(textCol))).as("tok"))
+        .agg(expr(
+          s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), $seed)"))
+        .head()
+      if (!row.isNullAt(0))
+        sketch.mergeInPlace(
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0))))
+    }
+
+    /** Current estimate for one token (CMS contract: ≥ true count, ≤ true
+      * count + ⌈eps·N⌉ with probability `conf`). */
+    def estimate(tok: String): Long = sketch.estimateCount(tok)
+
+    /** Tokens counted so far (exact — the sketch tracks it exactly). */
+    def totalCount: Long = sketch.totalCount()
+
+    /** The current ⌈eps·N⌉ error budget, as x99 publishes it. */
+    def slack: Long = math.ceil(eps * sketch.totalCount()).toLong
+  }
+
+  /** Create a [[CmsMonitor]] with x99's defaults. */
+  def cmsMonitor(eps: Double = 1e-4, conf: Double = 0.999, seed: Int = 42,
+                 textCol: String = "text"): CmsMonitor =
+    new CmsMonitor(eps, conf, seed, textCol)
 }

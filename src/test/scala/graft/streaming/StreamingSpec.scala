@@ -422,6 +422,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS monitor matches the batch x99 sketch estimates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // batch reference: x99's (tok, est_cnt, slack) at the same seed
+    val batch = graft.SparkEntry.queries("x99_cms_heavy_hitters")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(batch.nonEmpty)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mon = graft.ext.TextAnalysis.cmsMonitor()
+    val mem = MemoryStream[(Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        mon.ingest(b); ()
+      }
+      .outputMode("append").start()
+    try {
+      // three uneven chunks: merge must be chop-invariant
+      mem.addData(rows.take(7))
+      query.processAllAvailable()
+      mem.addData(rows.slice(7, rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      batch.foreach { case (tok, est, slack) =>
+        assert(mon.estimate(tok) === est, s"token $tok estimate diverged")
+        assert(mon.slack === slack)
+      }
+    } finally query.stop()
+  }
+
   test("streaming simhash flagging via simHashFlagger matches the batch rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
