@@ -3494,5 +3494,97 @@ object ExtQueries {
       (s, d) => Dedup.simHashBandCompletenessGate(Tables.documents(s, d))
         .select(col("band_complete")),
       Some("SELECT CAST(1 AS BOOLEAN) AS band_complete"))
+,
+    // x112 — source-level shingle Jaccard matrix: |A∩B|/|A∪B| over each
+    // source's DISTINCT trigram set — content overlap between sources
+    // even when no single doc near-dups (x63 counts near-dup PAIRS across
+    // sources; this measures shared phrasing mass — the "two crawls of
+    // the same site" detector that drives source-level dedup decisions).
+    // Exactness: set counts + ONE integer ppm division (the x94 rule).
+    // Scale: distinct (source, shingle) is vocab×sources-sized; the
+    // intersection self-join emits ≤ C(|sources|,2) rows per shingle —
+    // linear in vocab, never doc-quadratic; pairs with zero overlap are
+    // absent by construction. String trigrams keep the oracle exact; a
+    // 100 TB run swaps in shingleHashF's 8-byte keys.
+    QueryDef("x112_source_shingle_jaccard",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("source"),
+            explode(expr(
+              """transform(sequence(0, size(t) - 3),
+                           i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
+              .as("sh"))
+          .distinct()
+        val n = g.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+        val inter = g.select(col("source").as("source_a"), col("sh"))
+          .join(g.select(col("source").as("source_b"), col("sh")), "sh")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(n.select(col("source").as("source_a"), col("ns").as("n_a")),
+            "source_a")
+          .join(n.select(col("source").as("source_b"), col("ns").as("n_b")),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("inter"),
+            col("n_a"), col("n_b"),
+            expr("inter * 1000000 div (n_a + n_b - inter)").as("jacc_ppm"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  g AS (SELECT DISTINCT source,
+                          toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS sh
+                        FROM t, unnest(range(0, len(toks) - 2)) AS u(i)
+                        WHERE len(toks) >= 3),
+                  n AS (SELECT source, count(*) AS ns FROM g GROUP BY source),
+                  i AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*) AS inter
+                        FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+                        GROUP BY 1, 2)
+              SELECT source_a, source_b, inter, na.ns AS n_a, nb.ns AS n_b,
+                     CAST(inter * 1000000 // (na.ns + nb.ns - inter) AS BIGINT)
+                       AS jacc_ppm
+              FROM i JOIN n na ON i.source_a = na.source
+                     JOIN n nb ON i.source_b = nb.source
+              ORDER BY source_a, source_b""")),
+
+    // x113 — token burstiness: occurrences-per-containing-doc (exact
+    // integer ppm) for every token above a count floor, top-30 — the
+    // Church/Gale burstiness signal separating TEMPLATE tokens (massive
+    // counts inside few docs — navigation chrome, boilerplate headers)
+    // from topically spread vocabulary; the per-TOKEN complement of x37's
+    // per-DOC repetition ratio. Scale: one vocab-sized hash agg
+    // (count + count_distinct doc_id per token — partial-agg friendly),
+    // then a distributed top-30; counting + ONE ppm division (x94 rule).
+    QueryDef("x113_token_burstiness",
+      (s, d) => {
+        val w = Window.orderBy(col("opd_ppm").desc, col("tok"))
+        tokensShared(s, d)
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+          .filter(col("cnt") >= 50)
+          .select(col("tok"), col("cnt"), col("df"),
+            expr("cnt * 1000000 div df").as("opd_ppm"))
+          .orderBy(col("opd_ppm").desc, col("tok")).limit(30)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("rnk"), col("tok"), col("cnt"), col("df"), col("opd_ppm"))
+          .orderBy("rnk")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  a AS (SELECT tok, count(*) AS cnt,
+                          count(DISTINCT doc_id) AS df
+                        FROM t GROUP BY tok),
+                  b AS (SELECT tok, cnt, df,
+                          CAST(cnt * 1000000 // df AS BIGINT) AS opd_ppm
+                        FROM a WHERE cnt >= 50)
+              SELECT row_number() OVER (ORDER BY opd_ppm DESC, tok) AS rnk,
+                     tok, cnt, df, opd_ppm
+              FROM b ORDER BY rnk LIMIT 30"""))
   )
 }

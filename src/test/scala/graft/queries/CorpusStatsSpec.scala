@@ -98,6 +98,38 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("x112 source Jaccard is symmetric-canonical, bounded, and exact-ppm") {
+    val rows = SparkEntry.queries("x112_source_shingle_jaccard")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, inter, na, nb, ppm) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(inter > 0 && inter <= math.min(na, nb), s"($a,$b) bad inter")
+      assert(ppm === inter * 1000000L / (na + nb - inter), s"($a,$b) ppm")
+    }
+    // each pair appears at most once
+    assert(rows.map(r => (r._1, r._2)).distinct.length === rows.length)
+  }
+
+  test("x113 burstiness ranks opd descending with floor and exact ppm") {
+    val rows = SparkEntry.queries("x113_token_burstiness")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    rows.foreach { case (_, tok, cnt, df, ppm) =>
+      assert(cnt >= 50L && df >= 1L && df <= cnt, s"$tok bounds")
+      assert(ppm === cnt * 1000000L / df, s"$tok ppm")
+      assert(ppm >= 1000000L, s"$tok opd below one occurrence per doc")
+    }
+    assert(rows.sliding(2).forall {
+      case Array((_, ta, _, _, pa), (_, tb, _, _, pb)) =>
+        pa > pb || (pa == pb && ta < tb)
+      case _ => true
+    })
+  }
+
   test("x105 rare ppm is an exact integer ratio in [0, 1e6]") {
     val rows = SparkEntry.queries("x105_hapax_rate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
