@@ -342,6 +342,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("round-9 dedup operators stay total on an empty corpus") {
+    val empty = docs().filter(col("doc_id") > 0)
+    assert(Dedup.simHashNearDupPairs(empty).count() === 0L)
+    val gate = Dedup.simHashBandCompletenessGate(empty).collect()(0)
+    assert(gate.getLong(0) === 0L && gate.getBoolean(1))
+    val sf = Dedup.simHashFlagger(empty)
+    try assert(sf(docs(1L -> "a b c")).count() === 0L)
+    finally sf.close()
+    val ef = Dedup.editDistFlagger(empty)
+    try {
+      val r = ef(docs(1L -> "some text")).collect()
+      assert(r.length === 1 && !r(0).getBoolean(3))
+    } finally ef.close()
+  }
+
   test("simHashNearDupPairs pairs twins at distance 0 and leaves strangers unpaired") {
     val base = (1 to 60).map(i => s"w${i % 23}").mkString(" ")
     val other = (1 to 60).map(i => s"z${i * 7 % 41}").mkString(" ")

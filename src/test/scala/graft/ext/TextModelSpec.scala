@@ -211,6 +211,21 @@ class TextModelSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  // ---- round-9 totality ------------------------------------------------
+
+  test("intraDocScrub, corpusDigest, and cmsMonitor stay total on empty input") {
+    import spark.implicits._
+    val empty = docs().filter(col("doc_id") > 0)
+    assert(TextAnalysis.intraDocScrub(empty).count() === 0L)
+    val dig = Export.corpusDigest(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text"))
+    assert(dig.count() === 0L &&
+      dig.columns.toSeq === Seq("source", "n_docs", "xor_digest", "sum_digest"))
+    val mon = TextAnalysis.cmsMonitor()
+    mon.ingest(empty)                      // empty batch: no-op, no crash
+    assert(mon.totalCount === 0L && mon.estimate("anything") === 0L)
+  }
+
   // ---- x98 weighted sample ---------------------------------------------
 
   test("x98 is deterministic and ranks by the A-ES key") {
