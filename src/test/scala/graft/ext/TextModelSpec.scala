@@ -211,6 +211,33 @@ class TextModelSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("intraDocScrub is idempotent on random repetitive docs") {
+    // kept blocks (except a final partial) are all exactly B tokens, so
+    // re-splitting the rejoined text reproduces the kept block sequence —
+    // scrubbing a scrubbed doc must be the identity. A tiny alphabet
+    // forces heavy block collisions.
+    val rnd = new scala.util.Random(7)
+    val fixtures = (1 to 40).map { i =>
+      i.toLong -> (1 to (1 + rnd.nextInt(40)))
+        .map(_ => s"t${rnd.nextInt(4)}").mkString(" ")
+    }
+    for (b <- Seq(1, 2, 3, 5)) {
+      val once = TextAnalysis.intraDocScrub(docs(fixtures: _*), blockTokens = b)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      if (b <= 3) // at B=5 a 4-letter alphabet rarely repeats a block
+        assert(once.values.exists { case (nb, nk, _) => nk < nb },
+          s"B=$b fixture never exercised a drop")
+      val again = TextAnalysis.intraDocScrub(
+        docs(once.toSeq.map { case (id, (_, _, t)) => id -> t }: _*),
+        blockTokens = b)
+        .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+      once.foreach { case (id, (_, nk, t)) =>
+        assert(again(id) === ((nk, t)), s"B=$b doc $id not idempotent")
+      }
+    }
+  }
+
   // ---- round-9 totality ------------------------------------------------
 
   test("intraDocScrub, corpusDigest, and cmsMonitor stay total on empty input") {
