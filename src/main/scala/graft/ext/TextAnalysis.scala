@@ -401,17 +401,26 @@ object TextAnalysis {
     * rank; `slack` = ⌈eps·N⌉ with N from the sketch's own totalCount and
     * THIS build's `eps` — the error-bound budget rides the frame, so a
     * gate can never scan the corpus again or drift to a different eps. */
+  /** The distributed sketch build + slack budget, defined ONCE — the
+    * [[CmsMonitor]]'s parity with the batch x99 sketch depends on both
+    * sides using literally the same aggregate expression and the same
+    * ⌈eps·N⌉ rounding. */
+  private def cmsTokens(docs: DataFrame, textCol: String) = docs
+    .filter(length(trim(col(textCol))) > 0)
+    .select(explode(tokens(col(textCol))).as("tok"))
+  private def cmsSketchAgg(eps: Double, conf: Double, seed: Int) =
+    expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), $seed)")
+  private def cmsSlack(eps: Double,
+                       sk: org.apache.spark.util.sketch.CountMinSketch): Long =
+    math.ceil(eps * sk.totalCount()).toLong
+
   def cmsHeavyHitters(docs: DataFrame, k: Int = 20, eps: Double = 1e-4,
                       conf: Double = 0.999, seed: Int = 42,
                       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = docs.sparkSession
-    val toks = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(tokens(col(textCol))).as("tok"))
-    val skRow = toks.agg(
-      expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), $seed)"))
-      .head()
+    val toks = cmsTokens(docs, textCol)
+    val skRow = toks.agg(cmsSketchAgg(eps, conf, seed)).head()
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -422,7 +431,7 @@ object TextAnalysis {
     } else {
       val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
-      val slack = math.ceil(eps * sketch.totalCount()).toLong
+      val slack = cmsSlack(eps, sketch)
       val rows = top.zipWithIndex.map { case ((tok, cnt), i) =>
         (i + 1L, tok, cnt, sketch.estimateCount(tok), slack)
       }
@@ -451,11 +460,8 @@ object TextAnalysis {
 
     /** Count one micro-batch's tokens into the running sketch. */
     def ingest(batch: DataFrame): Unit = {
-      val row = batch
-        .filter(length(trim(col(textCol))) > 0)
-        .select(explode(tokens(col(textCol))).as("tok"))
-        .agg(expr(
-          s"count_min_sketch(tok, CAST($eps AS DOUBLE), CAST($conf AS DOUBLE), $seed)"))
+      val row = cmsTokens(batch, textCol)
+        .agg(cmsSketchAgg(eps, conf, seed))
         .head()
       if (!row.isNullAt(0))
         sketch.mergeInPlace(
@@ -471,7 +477,7 @@ object TextAnalysis {
     def totalCount: Long = sketch.totalCount()
 
     /** The current ⌈eps·N⌉ error budget, as x99 publishes it. */
-    def slack: Long = math.ceil(eps * sketch.totalCount()).toLong
+    def slack: Long = cmsSlack(eps, sketch)
   }
 
   /** Create a [[CmsMonitor]] with x99's defaults. */

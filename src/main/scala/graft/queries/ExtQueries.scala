@@ -272,6 +272,24 @@ object ExtQueries {
         .select(col("doc_id"), col("source"),
           col("b.w1").as("w1"), col("b.w2").as("w2")))
 
+  /** x110 (Heaps curve) and x112 (source Jaccard): ONE exploded
+    * (doc_id, source, tri) word-trigram frame — the trigram explode is
+    * the corpus-sized pass, so the two consumers share it the way
+    * x92/x93 share [[tokensShared]] (the superset rule: each consumer
+    * projects the columns it needs). */
+  private def trigramsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "trigrams-exploded")(
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """transform(sequence(0, size(t) - 3),
+                         i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
+            .as("tri")))
+
   /** x90 (sample) and x91 (quota gate): ONE ranked cell assignment —
     * deterministic k-means cells (k pinned for the fixture; production uses
     * the adaptive k ≈ n/targetCell sizing) joined to quality scores and
@@ -3436,19 +3454,11 @@ object ExtQueries {
     // in shingleHashF's 8-byte keys (collision odds ~|V|²/2⁶⁵).
     QueryDef("x110_heaps_curve",
       (s, d) => {
-        val base = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 3)
-        val tri = base.select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, size(t) - 3),
-                         i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
-            .as("tri"))
+        val tri = trigramsShared(s, d).select(col("doc_id"), col("tri"))
         val firsts = tri.groupBy(col("tri")).agg(min(col("doc_id")).as("first_doc"))
-        // id ceiling from the UN-exploded frame: same doc domain, no
-        // second corpus-sized trigram pass
-        val m = base.agg(max(col("doc_id")).as("mx"))
+        // id ceiling from the persisted shared frame — a cache read, not
+        // a second corpus-sized trigram pass
+        val m = tri.agg(max(col("doc_id")).as("mx"))
         firsts.crossJoin(broadcast(m))
           .select(col("first_doc"), col("mx"),
             explode(expr("array(10, 25, 50, 100)")).as("pct"))
@@ -3508,15 +3518,8 @@ object ExtQueries {
     // 100 TB run swaps in shingleHashF's 8-byte keys.
     QueryDef("x112_source_shingle_jaccard",
       (s, d) => {
-        val g = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
-          .filter(size(col("t")) >= 3)
-          .select(col("source"),
-            explode(expr(
-              """transform(sequence(0, size(t) - 3),
-                           i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"""))
-              .as("sh"))
+        val g = trigramsShared(s, d)
+          .select(col("source"), col("tri").as("sh"))
           .distinct()
         val n = g.groupBy(col("source")).agg(count(lit(1)).as("ns"))
         val inter = g.select(col("source").as("source_a"), col("sh"))

@@ -441,13 +441,14 @@ class StreamingSpec extends SparkSpec {
       }
       .outputMode("append").start()
     try {
-      // three uneven chunks: merge must be chop-invariant
-      mem.addData(rows.take(7))
-      query.processAllAvailable()
-      mem.addData(rows.slice(7, rows.length / 2))
-      query.processAllAvailable()
-      mem.addData(rows.drop(rows.length / 2))
-      query.processAllAvailable()
+      // three uneven, non-overlapping-by-construction chunks: merge must
+      // be chop-invariant
+      val (c1, rest) = rows.splitAt(math.min(7, rows.length / 3))
+      val (c2, c3) = rest.splitAt(rest.length / 2)
+      for (c <- Seq(c1, c2, c3)) {
+        mem.addData(c)
+        query.processAllAvailable()
+      }
       batch.foreach { case (tok, est, slack) =>
         assert(mon.estimate(tok) === est, s"token $tok estimate diverged")
         assert(mon.slack === slack)
