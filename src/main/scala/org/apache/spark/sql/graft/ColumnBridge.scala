@@ -77,6 +77,11 @@ object FunctionRegistration {
       require(exprs.length == 2,
         s"graft_srp_sketch requires (vector, nBits), got ${exprs.length} arguments")
       SrpSketchExpr(exprs(0), litInt(exprs(1), "graft_srp_sketch", "nBits"))
+    },
+    "graft_deflate_len" -> { exprs =>
+      require(exprs.length == 1,
+        s"graft_deflate_len requires exactly 1 argument, got ${exprs.length}")
+      DeflateLenExpr(exprs(0))
     })
 
   def registerGraftFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {

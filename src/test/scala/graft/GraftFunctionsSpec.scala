@@ -34,6 +34,13 @@ class GraftFunctionsSpec extends SparkSpec {
     val viaOp = graft.ext.Dedup.simHash(Seq((1L, "x y")).toDF("doc_id", "text"),
       "text", "doc_id").head().getLong(1)
     assert(row.getLong(2) === viaOp)
+    // deflate length from SQL equals the Column-API expression
+    val s = "spam spam spam spam spam"
+    val viaSql = spark.sql(s"SELECT graft_deflate_len('$s')").head().getInt(0)
+    val viaCol = Seq(Tuple1(s)).toDF("text")
+      .select(graft.ext.TextAnalysis.deflateLen(org.apache.spark.sql.functions.col("text")))
+      .head().getInt(0)
+    assert(viaSql === viaCol && viaSql > 0)
   }
 
   test("simHash blank/null contract: blank text → 0L, null text → null") {
