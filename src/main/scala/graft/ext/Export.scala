@@ -40,10 +40,28 @@ object Export {
     (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
   }
 
-  /** Write `df` partitioned by `shardCol` under `dir` and return the
-    * per-shard row counts that were also persisted to the manifest. */
+  /** Write `df` partitioned by `shardCol` under `dir` (replacing any prior
+    * export) and return the per-shard row counts that were also persisted
+    * to the manifest. */
   def writeShards(df: DataFrame, dir: String,
-                  shardCol: String = "shard"): Map[Long, Long] = {
+                  shardCol: String = "shard"): Map[Long, Long] =
+    shardWrite(df, dir, shardCol, SaveMode.Overwrite)
+
+  /** APPEND `df`'s rows to an existing export (or start one) and republish
+    * the manifest from the full written state — the daily-ingest shape: a
+    * new batch lands as extra files inside the same shard directories, the
+    * manifest totals re-derive from the listing + a partition-column-only
+    * scan (no data pages read), and every reader contract
+    * ([[readManifest]], [[validateShards]], [[readShards]]) holds over the
+    * union. NOT idempotent by design — re-appending the same batch
+    * double-counts; dedupe upstream (x77's incremental dedup) and compare
+    * [[corpusDigest]]s when a replay is suspected. */
+  def appendShards(df: DataFrame, dir: String,
+                   shardCol: String = "shard"): Map[Long, Long] =
+    shardWrite(df, dir, shardCol, SaveMode.Append)
+
+  private def shardWrite(df: DataFrame, dir: String, shardCol: String,
+                         mode: SaveMode): Map[Long, Long] = {
     require(df.columns.contains(shardCol),
       s"writeShards needs a '$shardCol' column; got ${df.columns.mkString(",")}")
     val field = df.schema(shardCol)
@@ -51,7 +69,7 @@ object Export {
       Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
       s"writeShards needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
-    df.write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(dir)
+    df.write.mode(mode).partitionBy(shardCol).parquet(dir)
     val (hfs, root) = fs(df.sparkSession, dir)
     // ONE root listing answers the null-shard check, the any-rows check,
     // and seeds the per-shard stats — one LIST RPC on an object store, not

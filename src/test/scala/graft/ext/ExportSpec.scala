@@ -149,6 +149,37 @@ class ExportSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("appendShards unions epochs under one manifest with all reader contracts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appshard").toString
+    try {
+      val epoch1 = Seq((1L, 0L, "day one a"), (2L, 1L, "day one b"))
+        .toDF("doc_id", "shard", "text")
+      val epoch2 = Seq((3L, 1L, "day two c"), (4L, 2L, "day two d"))
+        .toDF("doc_id", "shard", "text")
+      val c1 = Export.writeShards(epoch1, dir)
+      assert(c1 === Map(0L -> 1L, 1L -> 1L))
+      val c2 = Export.appendShards(epoch2, dir)
+      // manifest re-derives from the FULL written state: shard 1 unions
+      assert(c2 === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+      assert(Export.readManifest(spark, dir) === c2)
+      Export.validateShards(spark, dir)
+      val got = Export.readShards(spark, dir, c2.keys.toSeq.sorted)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L))
+      // digests merge: union digest == digest of the union frame
+      val union = epoch1.select(col("doc_id"), lit("s").as("source"), col("text"))
+        .unionAll(epoch2.select(col("doc_id"), lit("s").as("source"), col("text")))
+      val wantDigest = Export.corpusDigest(union).collect()(0)
+      val gotDigest = Export.corpusDigest(
+        Export.readShards(spark, dir, c2.keys.toSeq.sorted)
+          .select(col("doc_id"), lit("s").as("source"), col("text")))
+        .collect()(0)
+      assert(gotDigest.toSeq === wantDigest.toSeq)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("corpusDigest is partitioning-invariant, content-sensitive, mergeable") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
