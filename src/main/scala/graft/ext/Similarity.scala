@@ -53,6 +53,31 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** [[cosineTopK]] restricted to a candidate id set — METADATA-FILTERED
+    * similarity search ("nearest docs from source X / license Y / date
+    * range Z"), the retrieval shape real pipelines run far more often than
+    * unfiltered top-k. The filter lands BEFORE any distance math (a
+    * left-semi join on vec_id), so selective predicates cut the scan, not
+    * just the ranking; the query vector is taken from the FULL corpus, so
+    * the query need not satisfy the filter. At scale the same pre-filter
+    * composes in front of [[srpCrossTopK]]/[[Ivf.ivfCrossTopK]] — for IVF
+    * the candidate semi-join applies inside the probed cells only. */
+  def cosineTopKWithin(emb: DataFrame, queryId: Long, kTop: Int,
+                       candIds: DataFrame,
+                       candIdCol: String = "vec_id"): DataFrame = {
+    val n = withNorms(emb)
+    val q = n.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
+    n.join(candIds.select(col(candIdCol).as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+
   /** Exact all-pairs above a cosine threshold. Quadratic by construction —
     * the exact baseline for verifying the LSH path; at scale use
     * [[lshCosinePairs]].

@@ -3588,6 +3588,28 @@ object ExtQueries {
                         FROM a WHERE cnt >= 50)
               SELECT row_number() OVER (ORDER BY opd_ppm DESC, tok) AS rnk,
                      tok, cnt, df, opd_ppm
-              FROM b ORDER BY rnk LIMIT 30"""))
+              FROM b ORDER BY rnk LIMIT 30""")),
+
+    // x114 — metadata-filtered similarity search: exact cosine top-10 to
+    // query vec 0 among docs whose source = 'src3' only — the filtered
+    // retrieval shape ("nearest docs under THIS license / from THIS
+    // domain") pipelines run far more often than unfiltered top-k. The
+    // source predicate lands as a left-semi join BEFORE any distance math
+    // (filter cuts the scan, not just the ranking); at scale the same
+    // pre-filter composes in front of the srp/ivf retrievers.
+    QueryDef("x114_filtered_topk",
+      (s, d) => Similarity.cosineTopKWithin(
+          Tables.embeddings(s, d), queryId = 0L, kTop = 10,
+          Tables.documents(s, d).filter(col("source") === "src3")
+            .select(col("doc_id").as("vec_id")))
+        .orderBy(col("cos").desc, col("vec_id").asc),
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+              SELECT e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+              FROM embeddings e
+                JOIN documents dd ON dd.doc_id = e.vec_id AND dd.source = 'src3',
+                q
+              WHERE e.vec_id <> 0
+              ORDER BY cos DESC, vec_id LIMIT 10"""))
   )
 }

@@ -193,6 +193,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.srpCrossTopK(emb, emb.limit(0), 3, 0.2).count() === 0L)
   }
 
+  test("cosineTopKWithin restricts candidates but not the query") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, d)
+    val src3 = graft.Tables.documents(spark, d)
+      .filter(org.apache.spark.sql.functions.col("source") === "src3")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"))
+    val allowed = src3.collect().map(_.getLong(0)).toSet
+    // query 0 is NOT in src3 — the query vector must still resolve
+    assert(!allowed.contains(0L))
+    val got = Similarity.cosineTopKWithin(emb, 0L, 10, src3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.forall { case (id, _) => allowed.contains(id) })
+    // equals the unfiltered ranking restricted to the candidate set
+    val brute = Similarity.cosineTopK(emb, 0L, Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (id, _) => allowed.contains(id) }.take(10)
+    assert(got.toSeq === brute.toSeq)
+    // empty candidate set: total, zero rows
+    assert(Similarity.cosineTopKWithin(emb, 0L, 10, src3.limit(0)).count() === 0L)
+  }
+
   test("cosinePairs row ceiling fails fast and Long.MaxValue maxRows does not overflow the probe") {
     val emb = syntheticEmb(20)
     val e = intercept[IllegalArgumentException] {
