@@ -269,7 +269,22 @@ object Ivf {
 
   /** Approximate top-k against a prebuilt index: exact cosine restricted to
     * the `nProbe` cells nearest the query vector. */
-  def topK(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int): DataFrame = {
+  def topK(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int): DataFrame =
+    probeTopK(index, queryId, kTop, nProbe, None)
+
+  /** [[topK]] restricted to a candidate id set — the x114 metadata filter
+    * on the IVF path. The semi-join applies to the ASSIGNED table inside
+    * the probed cells only, so with a cluster-partitioned persisted index
+    * the probe still prunes files FIRST and the filter cuts what little it
+    * scanned — predicate pushdown composed with cell pruning. The query
+    * vector resolves from the unfiltered index. */
+  def topKWithin(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int,
+                 candIds: DataFrame, candIdCol: String = "vec_id"): DataFrame =
+    probeTopK(index, queryId, kTop, nProbe,
+      Some(candIds.select(col(candIdCol).as("vec_id"))))
+
+  private def probeTopK(index: IvfIndex, queryId: Long, kTop: Int,
+                        nProbe: Int, cand: Option[DataFrame]): DataFrame = {
     val n = index.assigned
     val qRows = n.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("nrm").as("qnrm")).take(1)
@@ -284,7 +299,9 @@ object Ivf {
       }
       .sortBy { case (j, s) => (-s, j) }
       .take(nProbe).map(_._1)
-    n.filter(col("vec_id") =!= queryId && col("cluster").isin(probed.toIndexedSeq: _*))
+    val base = n.filter(col("vec_id") =!= queryId &&
+      col("cluster").isin(probed.toIndexedSeq: _*))
+    cand.fold(base)(c => base.join(c, Seq("vec_id"), "left_semi"))
       .select(col("vec_id"),
         round(dotF(col("embedding"), typedLit(qe.toSeq)) / (col("nrm") * lit(q.getDouble(1))), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -119,6 +119,31 @@ class IvfSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("topKWithin filters candidates inside the probed cells, query unfiltered") {
+    import org.apache.spark.sql.functions.col
+    val index = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
+    // all-ids filter ≡ unfiltered probe
+    val allIds = emb.select(col("vec_id"))
+    val unfiltered = Ivf.topK(index, 0L, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaAll = Ivf.topKWithin(index, 0L, 10, nProbe = 8, allIds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAll === unfiltered)
+    // a real metadata filter: probing ALL cells must equal the exact
+    // filtered ranking (x114's brute path restricted to the same set)
+    val src3 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("source") === "src3").select(col("doc_id").as("vec_id"))
+    val allowed = src3.collect().map(_.getLong(0)).toSet
+    val got = Ivf.topKWithin(index, 0L, 10, nProbe = 8, src3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.forall { case (id, _) => allowed.contains(id) })
+    val exact = Similarity.cosineTopKWithin(emb, 0L, 10, src3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact)
+    // empty candidate set: total, zero rows
+    assert(Ivf.topKWithin(index, 0L, 10, 8, src3.limit(0)).count() === 0L)
+  }
+
   test("IVF paths return empty/zero results on an empty corpus instead of crashing") {
     val none = emb.filter(col("vec_id") < 0)
     assert(Ivf.ivfCosinePairs(none, 0.35).collect().isEmpty)
