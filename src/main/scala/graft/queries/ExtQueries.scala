@@ -3610,6 +3610,50 @@ object ExtQueries {
                 JOIN documents dd ON dd.doc_id = e.vec_id AND dd.source = 'src3',
                 q
               WHERE e.vec_id <> 0
-              ORDER BY cos DESC, vec_id LIMIT 10"""))
+              ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // x115 — code-switching detector: language-guess each HALF of a doc
+    // (token-boundary split) and flag halves that disagree — the
+    // mixed-language/mid-doc-switch probe a doc-level lang id (x04)
+    // structurally cannot see (a 50/50 en/de doc gets one confident wrong
+    // label; its halves disagree loudly). Same total argmax formula as
+    // x04 applied per half; docs need ≥ 2 tokens so both halves are
+    // non-empty. Map-only: two regexp passes per row, no shuffle.
+    QueryDef("x115_code_switch",
+      (s, d) => Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          expr("array_join(slice(t, 1, (size(t) + 1) div 2), ' ')").as("h1"),
+          expr("""array_join(slice(t, (size(t) + 1) div 2 + 1,
+                             size(t) - (size(t) + 1) div 2), ' ')""").as("h2"))
+        .select(col("doc_id"),
+          TextAnalysis.langGuess(col("h1")).as("lang_head"),
+          TextAnalysis.langGuess(col("h2")).as("lang_tail"))
+        .withColumn("switched", col("lang_head") =!= col("lang_tail"))
+        .orderBy("doc_id"),
+      Some {
+        def caseFor(textExpr: String): String = {
+          val hits = TextAnalysis.langProfiles.map { case (code, words) =>
+            code ->
+              s"len(regexp_extract_all(lower($textExpr), '\\b(${words.mkString("|")})\\b'))"
+          }
+          val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+          hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
+            case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
+          }
+        }
+        s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM documents WHERE length(trim(text)) > 0),
+                h AS (SELECT doc_id,
+                        array_to_string(toks[1 : (len(toks) + 1) // 2], ' ') AS h1,
+                        array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' ') AS h2
+                      FROM t WHERE len(toks) >= 2)
+            SELECT doc_id, ${caseFor("h1")} AS lang_head,
+                   ${caseFor("h2")} AS lang_tail,
+                   ${caseFor("h1")} <> ${caseFor("h2")} AS switched
+            FROM h ORDER BY doc_id"""
+      })
   )
 }

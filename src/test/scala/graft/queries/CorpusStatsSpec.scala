@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions.{col, length, lit}
 
 /** Behavioral contracts for the corpus-statistics catalog entries x101–x103
   * on the sf0.001 fixture (the DuckDB oracle at sf0.01 is the driver gate;
@@ -128,6 +129,29 @@ class CorpusStatsSpec extends SparkSpec {
         pa > pb || (pa == pb && ta < tb)
       case _ => true
     })
+  }
+
+  test("x115 flags a half-en half-de doc and not a uniform one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x115spec").toString
+    try {
+      Seq(
+        (1L, "the cat and the dog is here to stay " +  // en head ...
+          "der hund und die katze nicht das haus der"), // ... de tail
+        (2L, "the cat and the dog is near to the end the and of to is"),
+        (3L, "solo"))                                   // < 2 tokens: dropped
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("x115_code_switch")(spark, dir)
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+      assert(got(1L) === (("en", "de", true)))
+      assert(got(2L)._3 === false && got(2L)._1 === "en")
+      assert(!got.contains(3L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("x105 rare ppm is an exact integer ratio in [0, 1e6]") {
