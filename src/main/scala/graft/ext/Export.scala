@@ -62,13 +62,48 @@ object Export {
 
   private def shardWrite(df: DataFrame, dir: String, shardCol: String,
                          mode: SaveMode): Map[Long, Long] = {
+    val caller = if (mode == SaveMode.Append) "appendShards" else "writeShards"
     require(df.columns.contains(shardCol),
-      s"writeShards needs a '$shardCol' column; got ${df.columns.mkString(",")}")
+      s"$caller needs a '$shardCol' column; got ${df.columns.mkString(",")}")
     val field = df.schema(shardCol)
     require(
       Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
-      s"writeShards needs an integral '$shardCol' column (manifest keys are " +
+      s"$caller needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
+    if (mode == SaveMode.Append) {
+      // Append CANNOT self-heal: a failed write leaves the batch's rows in
+      // the directory forever (Overwrite replaces them on retry), so the
+      // input contracts must hold BEFORE any file lands. Both checks are
+      // batch-sized, not corpus-sized — an epoch batch is the small side.
+      //   1. no null shards (post-write detection would poison the dir);
+      require(df.filter(col(shardCol).isNull).limit(1).count() == 0L,
+        s"$caller: '$shardCol' contains nulls — appending would strand " +
+          "rows in the Hive default partition with no way to retract them")
+      //   2. no schema drift vs the existing export (path-based parquet
+      //      append enforces nothing; a missing column would read back as
+      //      null and silently corrupt every downstream epoch).
+      val (hfsPre, rootPre) = fs(df.sparkSession, dir)
+      // an export with a manifest but zero shard dirs (prior empty write)
+      // has no schema to enforce — read.parquet would fail inference there
+      val hasShardDirs = hfsPre.exists(rootPre) &&
+        hfsPre.listStatus(rootPre).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith(s"$shardCol="))
+      if (hasShardDirs && hfsPre.exists(new Path(rootPre, ManifestName))) {
+        // compare DATA columns only: the shard partition column reads back
+        // type-INFERRED from directory names (int for small ids), which
+        // would false-fail a long-typed batch; shardCol is already
+        // validated integral above
+        val existing = df.sparkSession.read.parquet(dir).schema
+        val want = existing.filter(_.name != shardCol)
+          .map(f => f.name -> f.dataType).sortBy(_._1)
+        val got = df.schema.filter(_.name != shardCol)
+          .map(f => f.name -> f.dataType).sortBy(_._1)
+        require(got == want,
+          s"$caller: batch schema ${got.mkString(",")} does not match the " +
+            s"existing export's ${want.mkString(",")} — path-based append " +
+            "would silently union-corrupt the shards")
+      }
+    }
     df.write.mode(mode).partitionBy(shardCol).parquet(dir)
     val (hfs, root) = fs(df.sparkSession, dir)
     // ONE root listing answers the null-shard check, the any-rows check,
@@ -81,7 +116,7 @@ object Export {
     require(!rootList.exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
         st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
-      s"writeShards: '$shardCol' contained nulls — rows landed in the Hive " +
+      s"$caller: '$shardCol' contained nulls — rows landed in the Hive " +
         "default partition and cannot be keyed in the manifest")
     val shardDirs = rootList.filter(st => st.isDirectory &&
       st.getPath.getName.startsWith(s"$shardCol=") &&
@@ -99,7 +134,7 @@ object Export {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val stats = statsFor(hfs, shardDirs, shardCol)
     require(stats.keySet == counts.keySet,
-      s"writeShards: row-count shards ${counts.keySet.toSeq.sorted} and " +
+      s"$caller: row-count shards ${counts.keySet.toSeq.sorted} and " +
         s"listed shard directories ${stats.keySet.toSeq.sorted} disagree")
     def obj(m: Map[Long, Long]): String = m.toSeq.sorted
       .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")

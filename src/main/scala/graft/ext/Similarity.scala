@@ -41,11 +41,19 @@ object Similarity {
     * query row broadcasts (its norm precomputed once); `orderBy(limit)`
     * compiles to TakeOrderedAndProject (no global sort materialization).
     * Rounded to 6 decimals before ranking, vec_id tie-break. */
-  def cosineTopK(emb: DataFrame, queryId: Long, kTop: Int): DataFrame = {
+  def cosineTopK(emb: DataFrame, queryId: Long, kTop: Int): DataFrame =
+    rankAgainstQuery(emb, queryId, kTop, None)
+
+  /** The shared body of [[cosineTopK]]/[[cosineTopKWithin]]: one scoring,
+    * rounding, and tie-break definition, with an optional candidate
+    * semi-join applied BEFORE the distance math. */
+  private def rankAgainstQuery(emb: DataFrame, queryId: Long, kTop: Int,
+                               cand: Option[DataFrame]): DataFrame = {
     val n = withNorms(emb)
     val q = n.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    n.filter(col("vec_id") =!= queryId)
+    cand.fold(n)(c => n.join(c, Seq("vec_id"), "left_semi"))
+      .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
@@ -64,19 +72,9 @@ object Similarity {
     * the candidate semi-join applies inside the probed cells only. */
   def cosineTopKWithin(emb: DataFrame, queryId: Long, kTop: Int,
                        candIds: DataFrame,
-                       candIdCol: String = "vec_id"): DataFrame = {
-    val n = withNorms(emb)
-    val q = n.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"), col("nrm").as("qnrm"))
-    n.join(candIds.select(col(candIdCol).as("vec_id")), Seq("vec_id"),
-        "left_semi")
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(kTop)
-  }
+                       candIdCol: String = "vec_id"): DataFrame =
+    rankAgainstQuery(emb, queryId, kTop,
+      Some(candIds.select(col(candIdCol).as("vec_id"))))
 
   /** Exact all-pairs above a cosine threshold. Quadratic by construction —
     * the exact baseline for verifying the LSH path; at scale use

@@ -272,6 +272,23 @@ object ExtQueries {
         .select(col("doc_id"), col("source"),
           col("b.w1").as("w1"), col("b.w2").as("w2")))
 
+  /** DuckDB translation of [[TextAnalysis.langGuess]]: per-profile stopword
+    * hit counts and the greatest/alphabetical-tie-break CASE fold — shared
+    * by the x04 and x115 oracles so the two gates cannot drift from each
+    * other (or from a langProfiles edit). */
+  private def oracleLangHits(textExpr: String): Seq[(String, String)] =
+    TextAnalysis.langProfiles.map { case (code, words) =>
+      code ->
+        s"len(regexp_extract_all(lower($textExpr), '\\b(${words.mkString("|")})\\b'))"
+    }
+  private def oracleLangCase(textExpr: String): String = {
+    val hits = oracleLangHits(textExpr)
+    val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+    hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
+      case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
+    }
+  }
+
   /** x110 (Heaps curve) and x112 (source Jaccard): ONE exploded
     * (doc_id, source, tri) word-trigram frame — the trigram explode is
     * the corpus-sized pass, so the two consumers share it the way
@@ -463,15 +480,9 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some {
-        val hits = TextAnalysis.langProfiles.map { case (code, words) =>
-          code -> s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
-        }
-        val best = hits.map(_._2).mkString("greatest(", ", ", ")")
-        val cases = hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
-          case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
-        }
-        s"""SELECT doc_id, $cases AS lang_guess,
-                   ${hits.map { case (c, e) => s"$e AS s_$c" }.mkString(", ")}
+        val hits = oracleLangHits("text")
+        s"""SELECT doc_id, ${oracleLangCase("text")} AS lang_guess,
+                   ${hits.map { case (c, e) => s"CAST($e AS BIGINT) AS s_$c" }.mkString(", ")}
             FROM documents ORDER BY doc_id"""
       }),
 
@@ -3618,7 +3629,10 @@ object ExtQueries {
     // structurally cannot see (a 50/50 en/de doc gets one confident wrong
     // label; its halves disagree loudly). Same total argmax formula as
     // x04 applied per half; docs need ≥ 2 tokens so both halves are
-    // non-empty. Map-only: two regexp passes per row, no shuffle.
+    // non-empty. Scale: scan-local scoring — one stopword regexp per
+    // language profile per half (4 profiles → 8 regexp evals/row before
+    // codegen subexpression reuse), no agg or join; the orderBy is the
+    // catalog's presentation sort, dropped by a production pipeline.
     QueryDef("x115_code_switch",
       (s, d) => Tables.documents(s, d)
         .filter(length(trim(col("text"))) > 0)
@@ -3634,25 +3648,15 @@ object ExtQueries {
         .withColumn("switched", col("lang_head") =!= col("lang_tail"))
         .orderBy("doc_id"),
       Some {
-        def caseFor(textExpr: String): String = {
-          val hits = TextAnalysis.langProfiles.map { case (code, words) =>
-            code ->
-              s"len(regexp_extract_all(lower($textExpr), '\\b(${words.mkString("|")})\\b'))"
-          }
-          val best = hits.map(_._2).mkString("greatest(", ", ", ")")
-          hits.init.reverse.foldLeft(s"'${hits.last._1}'") {
-            case (acc, (code, e)) => s"CASE WHEN $e = $best THEN '$code' ELSE $acc END"
-          }
-        }
         s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
                  FROM documents WHERE length(trim(text)) > 0),
                 h AS (SELECT doc_id,
                         array_to_string(toks[1 : (len(toks) + 1) // 2], ' ') AS h1,
                         array_to_string(toks[(len(toks) + 1) // 2 + 1 : len(toks)], ' ') AS h2
                       FROM t WHERE len(toks) >= 2)
-            SELECT doc_id, ${caseFor("h1")} AS lang_head,
-                   ${caseFor("h2")} AS lang_tail,
-                   ${caseFor("h1")} <> ${caseFor("h2")} AS switched
+            SELECT doc_id, ${oracleLangCase("h1")} AS lang_head,
+                   ${oracleLangCase("h2")} AS lang_tail,
+                   ${oracleLangCase("h1")} <> ${oracleLangCase("h2")} AS switched
             FROM h ORDER BY doc_id"""
       })
   )

@@ -180,6 +180,34 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("appendShards rejects null shards and schema drift BEFORE writing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appguard").toString
+    try {
+      Export.writeShards(
+        Seq((1L, 0L, "base")).toDF("doc_id", "shard", "text"), dir)
+      // null shard: refused up front — nothing lands, manifest unchanged
+      val withNull = Seq((2L, Some(0L), "x"), (3L, None, "y"))
+        .toDF("doc_id", "shard", "text")
+      val e1 = intercept[IllegalArgumentException](
+        Export.appendShards(withNull, dir))
+      assert(e1.getMessage.contains("appendShards") &&
+        e1.getMessage.contains("null"))
+      // schema drift (missing the text column): refused up front
+      val drifted = Seq((4L, 0L)).toDF("doc_id", "shard")
+      val e2 = intercept[IllegalArgumentException](
+        Export.appendShards(drifted, dir))
+      assert(e2.getMessage.contains("schema"))
+      // the export is NOT poisoned: manifest still reads, a clean append works
+      assert(Export.readManifest(spark, dir) === Map(0L -> 1L))
+      assert(Export.appendShards(
+        Seq((5L, 0L, "ok")).toDF("doc_id", "shard", "text"), dir)
+        === Map(0L -> 2L))
+      Export.validateShards(spark, dir)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("corpusDigest is partitioning-invariant, content-sensitive, mergeable") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
