@@ -56,15 +56,23 @@ object Bench {
           System.err.println(s"[bench] WARN: warm-up failed for $name: $e")
         }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // shared-frame attribution: record which timed query first forced each
+    // shared frame's build — the one-time cost lands in THAT query's
+    // number, and run-order shifts between rounds would otherwise read as
+    // per-query regressions (r9 saw x69/x70/x88 "double" for this reason).
+    val frameBuilders = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedPass(): (Seq[(String, Double)], List[String]) = {
       var errors = List.empty[String]
       val results = names.map { name =>
+        val before = graft.queries.ExtQueries.sharedFrameTags
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); errors ::= name; false
           }
+        (graft.queries.ExtQueries.sharedFrameTags -- before)
+          .foreach(tag => frameBuilders.getOrElseUpdate(tag, name))
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
       (results, errors)
@@ -122,7 +130,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: candidate stats failed: $e"); "null"
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"candidates":$candJson,"aqe":$aqeJson,"sf":"$sfDir"}"""
+    val framesJson = frameBuilders
+      .map { case (tag, q) => "\"" + tag + "\":\"" + q + "\"" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"candidates":$candJson,"shared_frames":$framesJson,"aqe":$aqeJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full per-query map to a file: the driver's captured
     // stdout tail truncates on long runs (BENCH_r04 lost q01-q15), so the

@@ -88,6 +88,15 @@ object ExtQueries {
                          (mk: => DataFrame): DataFrame =
     frameCache.getOrElseUpdate((s, d, tag), mk.persist())
 
+  /** The tags of every shared frame currently cached — lets a measurement
+    * harness attribute each frame's one-time build cost to the catalog
+    * query that first forced it (Bench diffs this set around each timed
+    * query; without the attribution, whichever query alphabetically first
+    * touches an expensive shared subtree looks like a regression whenever
+    * the catalog's run order shifts). */
+  def sharedFrameTags: Set[String] =
+    frameCache.keySet.map(_._3).toSet
+
   /** x80's export scratch location: ONE deterministic dir per sf-dir
     * (Overwrite reuse bounds disk) with a single process-wide cleanup
     * hook, however many times the query runs in this JVM. */
