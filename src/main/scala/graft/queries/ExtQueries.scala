@@ -3667,6 +3667,43 @@ object ExtQueries {
                    ${oracleLangCase("h2")} AS lang_tail,
                    ${oracleLangCase("h1")} <> ${oracleLangCase("h2")} AS switched
             FROM h ORDER BY doc_id"""
-      })
+      }),
+
+    // x116 — BPE merge-pair table: occurrence-weighted adjacent character
+    // pair counts, top-20 — the FIRST iteration of byte-pair-encoding
+    // tokenizer training run in-engine (the argmax pair IS the first BPE
+    // merge; re-running after applying a merge iterates the training).
+    // Exactness: pure integer counting. Scale: the char-pair explode runs
+    // over the VOCAB (token TYPES weighted by their counts), not the
+    // corpus token stream — the explode is |V|·avg_len rows however many
+    // trillions of token occurrences the corpus holds; rides the shared
+    // token explode + one vocab agg. ASCII-pair semantics match the
+    // fixture; production swaps substr for a byte-level slice.
+    QueryDef("x116_bpe_merge_pairs",
+      (s, d) => {
+        val w = Window.orderBy(col("n").desc, col("pair"))
+        tokensShared(s, d)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .filter(length(col("tok")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, length(tok) - 2),
+                         i -> substr(tok, i + 1, 2))""")).as("pair"),
+            col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("rnk"), col("pair"), col("n").cast("long").as("n"))
+          .orderBy("rnk")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  p AS (SELECT substr(tok, i + 1, 2) AS pair, cnt
+                        FROM v, unnest(range(0, length(tok) - 1)) AS u(i)
+                        WHERE length(tok) >= 2),
+                  a AS (SELECT pair, sum(cnt) AS n FROM p GROUP BY pair)
+              SELECT row_number() OVER (ORDER BY n DESC, pair) AS rnk, pair,
+                     CAST(n AS BIGINT) AS n
+              FROM a ORDER BY rnk LIMIT 20"""))
   )
 }

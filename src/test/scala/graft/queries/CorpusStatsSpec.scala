@@ -154,6 +154,20 @@ class CorpusStatsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("x116 merge pairs are rank-contiguous 2-char pairs with exact counts") {
+    val rows = SparkEntry.queries("x116_bpe_merge_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    rows.foreach { case (_, pair, n) =>
+      assert(pair.length === 2 && n > 0L, s"bad pair row ($pair, $n)")
+    }
+    assert(rows.sliding(2).forall {
+      case Array((_, pa, na), (_, pb, nb)) => na > nb || (na == nb && pa < pb)
+      case _ => true
+    })
+  }
+
   test("x105 rare ppm is an exact integer ratio in [0, 1e6]") {
     val rows = SparkEntry.queries("x105_hapax_rate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
