@@ -99,7 +99,7 @@ object Ivf {
     * per-partition top-K, no sort shuffle), collected to the driver. Every
     * sampled-training entry point goes through here, so sample order — and
     * with it the claimed bit-exactness across paths — cannot fork. */
-  private def collectSample(emb: DataFrame, sampleCap: Int): Array[Array[Double]] =
+  private[ext] def collectSample(emb: DataFrame, sampleCap: Int): Array[Array[Double]] =
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(lit(7L), col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
@@ -110,7 +110,7 @@ object Ivf {
     * order, `iters` Lloyd rounds. An empty sample (empty corpus) yields
     * zero centroids — callers short-circuit to an empty result instead of
     * crashing inside a Lloyd round. */
-  private def lloydTrain(sample: Array[Array[Double]], k: Int,
+  private[ext] def lloydTrain(sample: Array[Array[Double]], k: Int,
                          iters: Int): Array[Array[Double]] = {
     if (sample.isEmpty) return Array.empty
     var centroids = sample.take(k).map(_.clone())
@@ -119,7 +119,7 @@ object Ivf {
   }
 
   /** Typed empty frame for the short-circuits above. */
-  private def emptyFrame(df: DataFrame, fields: (String, String)*): DataFrame = {
+  private[ext] def emptyFrame(df: DataFrame, fields: (String, String)*): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.DataType.fromDDL(t))
@@ -317,7 +317,7 @@ object Ivf {
   /** Top-`nAssign` nearest-centroid structs, best first. Same score as
     * [[clusterOf]] (x·c_j − |c_j|²/2 orders like squared euclidean); ties
     * break to the lowest cluster id, so nAssign=1 matches [[clusterOf]]. */
-  private def topCells(centroids: Array[Array[Double]], nAssign: Int) = {
+  private[ext] def topCells(centroids: Array[Array[Double]], nAssign: Int) = {
     val scored = centroids.zipWithIndex.map { case (c, j) =>
       val norm2 = c.map(x => x * x).sum
       struct((dotF(col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)).as("score"),
@@ -391,7 +391,7 @@ object Ivf {
     * above the x43 floor of 0.8. Candidate volume under this rule is
     * O(n · targetCell · log2²(n/targetCell)): quasi-linear in corpus size
     * where any pinned (k, na) is quadratic. */
-  private def resolveAssign(nAssign: Int, k: Int): Int =
+  private[ext] def resolveAssign(nAssign: Int, k: Int): Int =
     if (nAssign > 0) nAssign
     else math.max(3, math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt)
 
@@ -415,7 +415,7 @@ object Ivf {
     * Lloyd. Sample order and Lloyd rounds are the shared
     * [[collectSample]]/[[lloydTrain]] definitions, so both tiers of every
     * IVF entry point train identically by construction. */
-  private def resolveAndTrain(emb: DataFrame, nClusters: Int, iters: Int,
+  private[ext] def resolveAndTrain(emb: DataFrame, nClusters: Int, iters: Int,
                               sampleCap: Int, targetCell: Long):
       (Int, Array[Array[Double]]) = {
     if (sampleCap <= 0) {

@@ -1,0 +1,270 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PqFunctions
+
+/** Product quantization — the memory-compressed ANN index family
+  * (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  * Search", PAMI 2011; the FAISS IVFPQ shape).
+  *
+  * The embedding space is split into `m` subspaces; each subspace gets its
+  * own `k`-centroid codebook (per-subspace Lloyd on the SAME seeded sample
+  * as [[Ivf]] training); a vector encodes to `m` small codes — at the
+  * defaults (m=8, k=16) 8 bytes instead of 64 floats, a 32× smaller index.
+  * Query scoring is asymmetric (ADC): the query builds an m·k lookup table
+  * of subspace dots ONCE, and every candidate costs m table-gathers
+  * instead of a dim-length dot product.
+  *
+  * Why this matters at 100 TB: the scored corpus artifact shrinks 32×
+  * (codes ride shuffles and scans instead of raw vectors), and the scoring
+  * scan is bandwidth-bound on 8-byte rows. All three kernels (encode, LUT,
+  * gather-sum) are native codegen'd expressions
+  * ([[org.apache.spark.sql.graft.PqCodeExpr]] and friends) — no UDFs, no
+  * interpreted lambdas, whole-stage codegen end to end.
+  *
+  * Correctness posture: training is deterministic (seeded sample order +
+  * fixed Lloyd rounds — the [[Ivf]] rule), so codes and ADC scores are
+  * reproducible; ADC is an APPROXIMATION of the true cosine, so catalog
+  * entries are rows-only with driver-visible recall gates vs the exact
+  * paths (the x19/x67 pattern), and the refined variant re-ranks its
+  * shortlist with EXACT cosine so reported scores are true cosines.
+  */
+object Pq {
+
+  /** A trained PQ model: `flat` is the m·k·subDim codebook matrix laid out
+    * `[(s·k + c)·subDim + i]` — the layout all three kernels index. Tiny
+    * (8 KB at defaults): rides task serialization like a literal. */
+  final case class PqModel(m: Int, k: Int, subDim: Int, flat: Array[Double]) {
+    def isEmpty: Boolean = flat.isEmpty
+
+    /** `|codebook[s][c]|²` in ADC-LUT layout — gather-summed over a row's
+      * codes it yields `|reconstruct(x)|²`, the norm the approximate
+      * cosine needs, without touching the original vector. */
+    lazy val norms2: Array[Double] = {
+      val out = new Array[Double](m * k)
+      var idx = 0
+      while (idx < out.length) {
+        var n2 = 0.0
+        var i = 0
+        while (i < subDim) { val v = flat(idx * subDim + i); n2 += v * v; i += 1 }
+        out(idx) = n2
+        idx += 1
+      }
+      out
+    }
+  }
+
+  /** Defaults: 8 subspaces × 16 centroids = 8-byte codes on the 64-dim
+    * fixture (subDim 8). m must divide the vector dim. */
+  val defaultM: Int = 8
+  val defaultK: Int = 16
+
+  /** Train per-subspace codebooks on the seeded driver sample — the ONE
+    * sample definition ([[Ivf.collectSample]]), sliced per subspace, each
+    * slice through the ONE Lloyd definition ([[Ivf.lloydTrain]]): PQ and
+    * IVF training cannot fork. Vectors shorter than the max dim are
+    * zero-padded (the kernels read missing positions as 0). A sample
+    * smaller than `k` yields that many centroids, padded by repeating the
+    * first (a duplicate centroid can only tie, and ties break to the
+    * lowest code — harmless). Empty corpus → empty model; callers
+    * short-circuit. */
+  def train(emb: DataFrame, m: Int = defaultM, k: Int = defaultK,
+            iters: Int = 3, sampleCap: Int = Ivf.defaultSampleCap): PqModel = {
+    require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
+    val sample = Ivf.collectSample(emb, sampleCap)
+    if (sample.isEmpty) return PqModel(m, k, 0, Array.emptyDoubleArray)
+    val dim = sample.iterator.map(_.length).max
+    require(dim % m == 0, s"subspace count m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val flat = new Array[Double](m * k * subDim)
+    var s = 0
+    while (s < m) {
+      val sub = sample.map { v =>
+        Array.tabulate(subDim) { i =>
+          val pos = s * subDim + i
+          if (pos < v.length) v(pos) else 0.0
+        }
+      }
+      val cb = Ivf.lloydTrain(sub, k, iters)
+      var c = 0
+      while (c < k) {
+        val src = if (c < cb.length) cb(c) else cb(0)
+        System.arraycopy(src, 0, flat, (s * k + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    PqModel(m, k, subDim, flat)
+  }
+
+  /** The reconstruction-norm column for a codes column: gather-sum the
+    * model's squared-norm LUT, floored away from zero so a vector that
+    * quantizes to the origin cannot divide-by-zero the cosine. */
+  private def rnormOf(codes: Column, model: PqModel): Column =
+    greatest(sqrt(PqFunctions.pqAdcF(codes, typedLit(model.norms2.toSeq), model.k)),
+      lit(1e-12))
+
+  /** Encode every vector: ONE map-side pass, no shuffle — output
+    * `(vec_id, codes, rnorm)` is the persistable 8-bytes-per-vector index
+    * artifact. Empty model (empty corpus) → zero rows, schema-complete. */
+  def encode(emb: DataFrame, model: PqModel): DataFrame =
+    if (model.isEmpty)
+      emb.filter(lit(false))
+        .select(col("vec_id"), lit(Array.emptyIntArray).as("codes"),
+          lit(0.0).as("rnorm"))
+    else
+      emb.select(col("vec_id"),
+          PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
+        .withColumn("rnorm", rnormOf(col("codes"), model))
+
+  /** Single-query ADC top-k over the encoded corpus: the query row is
+    * broadcast with its LUT computed ON THE EXECUTOR ([[PqFunctions.pqLutF]]
+    * — no driver fetch, the [[Similarity.cosineTopK]] shape), and the scan
+    * ranks `approx_cos = adc / (|q|·|recon(x)|)`. Rows-only (approximate
+    * scores); recall vs exact is the catalog gate. */
+  def pqTopK(emb: DataFrame, queryId: Long, kTop: Int,
+             model: PqModel): DataFrame = {
+    if (model.isEmpty)
+      return Ivf.emptyFrame(emb, "vec_id" -> "bigint", "acos" -> "double")
+    val codes = encode(emb, model)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(PqFunctions.pqLutF(col("embedding"), model).as("lut"),
+        Similarity.norm(col("embedding")).as("qnrm"))
+    codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(PqFunctions.pqAdcF(col("codes"), col("lut"), model.k) /
+          (col("qnrm") * col("rnorm")), 6).as("acos"))
+      .orderBy(col("acos").desc, col("vec_id").asc)
+      .limit(kTop)
+  }
+
+  /** IVF-PQ batch retrieval (the FAISS IndexIVFPQ composition): coarse
+    * cells bound the candidate universe ([[Ivf]] multi-assign — a true
+    * neighbor needs ONE shared cell), PQ codes make each candidate cost m
+    * gathers, and an optional refine stage re-ranks the ADC shortlist with
+    * EXACT cosine.
+    *
+    * Scale shape: the corpus pass assigns + encodes in ONE scan (no
+    * join-back); candidates are an equi-join on the cell id, never
+    * queries × corpus; the ADC shortlist is `refine·kTop` rows per query,
+    * so the refine join back to original vectors touches O(queries·kTop)
+    * rows — the index scan itself never reads a raw vector. With
+    * `refine = 0` the ADC ranking is final (`cos` is approximate); with
+    * refine on, reported `cos` is TRUE cosine on the shortlist.
+    * Output contract matches [[Ivf.ivfCrossTopK]]: (query_id, vec_id,
+    * cos, rnk). */
+  def ivfPqCrossTopK(queries: DataFrame, corpus: DataFrame,
+                     kTop: Int, minCos: Double,
+                     nClusters: Int = 0, iters: Int = 3, nProbe: Int = 0,
+                     nAssign: Int = 0, m: Int = defaultM, k: Int = defaultK,
+                     refine: Int = 4,
+                     sampleCap: Int = Ivf.defaultSampleCap,
+                     targetCell: Long = Ivf.defaultTargetCell): DataFrame = {
+    val (nc, centroids) =
+      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+    val model = train(corpus, m, k, iters, sampleCap)
+    if (centroids.isEmpty || model.isEmpty)
+      return Ivf.emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
+        "cos" -> "double", "rnk" -> "int")
+    val na = Ivf.resolveAssign(nAssign, nc)
+    // one corpus scan: multi-assign to cells AND encode
+    val indexed = Ivf.assignTop(corpus, centroids, na)
+      .select(col("vec_id"), col("cluster"),
+        PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
+      .withColumn("rnorm", rnormOf(col("codes"), model))
+    probePq(queries, corpus, indexed, centroids, model,
+      Ivf.resolveAssign(nProbe, nc), kTop, minCos, refine)
+  }
+
+  /** The query-side half, shared by [[ivfPqCrossTopK]] and [[pqRetriever]]:
+    * per-query LUT + cell probes, cell equi-join, ADC rank, optional exact
+    * refine. */
+  private def probePq(queries: DataFrame, corpus: DataFrame,
+                      indexed: DataFrame, centroids: Array[Array[Double]],
+                      model: PqModel, np: Int, kTop: Int, minCos: Double,
+                      refine: Int): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        PqFunctions.pqLutF(col("embedding"), model).as("lut"),
+        Similarity.norm(col("embedding")).as("qnrm"),
+        explode(Ivf.topCells(centroids, math.min(np, centroids.length))).as("sc"))
+      .select(col("query_id"), col("lut"), col("qnrm"),
+        (-col("sc.negj")).as("cluster"))
+    // multi-assignment duplicates a (query, candidate) pair once per shared
+    // cell — dedup BEFORE scoring so the ADC runs once per pair
+    val scored = q.join(indexed, "cluster")
+      .select(col("query_id"), col("vec_id"), col("codes"), col("rnorm"),
+        col("lut"), col("qnrm"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        round(PqFunctions.pqAdcF(col("codes"), col("lut"), model.k) /
+          (col("qnrm") * col("rnorm")), 6).as("acos"))
+    if (refine <= 0) {
+      scored.filter(col("acos") >= minCos)
+        .select(col("query_id"), col("vec_id"), col("acos").as("cos"))
+        .transform(Similarity.rankPerQuery(kTop))
+    } else {
+      // ADC shortlist of refine·kTop per query, then TRUE cosine on the
+      // shortlist only — the minCos filter applies to the exact score
+      val ws = Window.partitionBy(col("query_id"))
+        .orderBy(col("acos").desc, col("vec_id"))
+      val shortlist = scored
+        .withColumn("srnk", row_number().over(ws))
+        .filter(col("srnk") <= refine * kTop)
+        .select(col("query_id"), col("vec_id"))
+      val emb = corpus.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      // query vectors come from the QUERIES frame — queries are not
+      // (necessarily) corpus members
+      val qe = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), Similarity.norm(col("embedding")).as("qnrm"))
+      shortlist
+        .join(emb, "vec_id")
+        .join(qe, "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(Similarity.dot(col("embedding"), col("qe")) /
+            (col("nrm") * col("qnrm")), 6).as("cos"))
+        .filter(col("cos") >= minCos)
+        .transform(Similarity.rankPerQuery(kTop))
+    }
+  }
+
+  /** Build the IVF-PQ retrieval state ONCE and return the per-batch probe
+    * — the [[Ivf.ivfRetriever]] build/apply split with the compressed
+    * index: centroids + codebooks train up front, the corpus is assigned,
+    * encoded, and PERSISTED (codes, not vectors — the persisted state is
+    * ~32× smaller than the raw corpus side of [[Ivf.ivfRetriever]]), and
+    * the returned [[Retriever]] answers any query frame with the identical
+    * plan tail as [[ivfPqCrossTopK]]. With `refine > 0` the original
+    * corpus frame is consulted per batch for the shortlist re-rank only.
+    * `close()` releases the persisted index. */
+  def pqRetriever(corpus: DataFrame, kTop: Int, minCos: Double,
+                  nClusters: Int = 0, iters: Int = 3, nProbe: Int = 0,
+                  nAssign: Int = 0, m: Int = defaultM, k: Int = defaultK,
+                  refine: Int = 4,
+                  sampleCap: Int = Ivf.defaultSampleCap,
+                  targetCell: Long = Ivf.defaultTargetCell): Retriever = {
+    val (nc, centroids) =
+      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+    val model = train(corpus, m, k, iters, sampleCap)
+    if (centroids.isEmpty || model.isEmpty) {
+      val empty = Ivf.emptyFrame(corpus, "query_id" -> "bigint",
+        "vec_id" -> "bigint", "cos" -> "double", "rnk" -> "int")
+      return new Retriever(_ => empty)
+    }
+    val na = Ivf.resolveAssign(nAssign, nc)
+    val indexed = Ivf.assignTop(corpus, centroids, na)
+      .select(col("vec_id"), col("cluster"),
+        PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
+      .withColumn("rnorm", rnormOf(col("codes"), model))
+      .persist()
+    val np = Ivf.resolveAssign(nProbe, nc)
+    new Retriever(
+      queries => probePq(queries, corpus, indexed, centroids, model,
+        np, kTop, minCos, refine),
+      () => { indexed.unpersist(); () })
+  }
+}
