@@ -175,17 +175,22 @@ object Pq {
       .select(col("vec_id"), col("cluster"),
         PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
       .withColumn("rnorm", rnormOf(col("codes"), model))
-    probePq(queries, corpus, indexed, centroids, model,
+    probePq(queries, Some(corpus), indexed, centroids, model,
       Ivf.resolveAssign(nProbe, nc), kTop, minCos, refine)
   }
 
-  /** The query-side half, shared by [[ivfPqCrossTopK]] and [[pqRetriever]]:
-    * per-query LUT + cell probes, cell equi-join, ADC rank, optional exact
-    * refine. */
-  private def probePq(queries: DataFrame, corpus: DataFrame,
+  /** The query-side half, shared by [[ivfPqCrossTopK]], [[pqRetriever]] and
+    * [[retrieverFromPqIndex]]: per-query LUT + cell probes, cell equi-join,
+    * ADC rank, optional exact refine. `refineSrc` is the raw-vector store
+    * the refine join consults (None with `refine <= 0` — the pure
+    * compressed-domain path a loaded index can run without any raw
+    * vectors). */
+  private def probePq(queries: DataFrame, refineSrc: Option[DataFrame],
                       indexed: DataFrame, centroids: Array[Array[Double]],
                       model: PqModel, np: Int, kTop: Int, minCos: Double,
                       refine: Int): DataFrame = {
+    require(refine <= 0 || refineSrc.nonEmpty,
+      "refine > 0 needs the raw-vector corpus frame")
     val q = queries
       .select(col("vec_id").as("query_id"),
         PqFunctions.pqLutF(col("embedding"), model).as("lut"),
@@ -215,7 +220,7 @@ object Pq {
         .withColumn("srnk", row_number().over(ws))
         .filter(col("srnk") <= refine * kTop)
         .select(col("query_id"), col("vec_id"))
-      val emb = corpus.select(col("vec_id"), col("embedding"),
+      val emb = refineSrc.get.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       // query vectors come from the QUERIES frame — queries are not
       // (necessarily) corpus members
@@ -263,8 +268,166 @@ object Pq {
       .persist()
     val np = Ivf.resolveAssign(nProbe, nc)
     new Retriever(
-      queries => probePq(queries, corpus, indexed, centroids, model,
+      queries => probePq(queries, Some(corpus), indexed, centroids, model,
         np, kTop, minCos, refine),
       () => { indexed.unpersist(); () })
+  }
+
+  /** A built IVF-PQ index: codebooks + coarse centroids (driver-side,
+    * tiny) plus the encoded, cell-assigned codes table — NO raw vectors.
+    * At the catalog defaults the persisted artifact is ~16 bytes + a
+    * cell id per vector: the index a 100 TB corpus can afford to
+    * replicate to every probe site. */
+  final case class PqIndex(model: PqModel, centroids: Array[Array[Double]],
+                           indexed: DataFrame)
+
+  /** Train coarse cells + codebooks and encode the corpus in ONE scan —
+    * the build half of build-once/probe-many. */
+  def buildPqIndex(corpus: DataFrame, nClusters: Int = 0, iters: Int = 3,
+                   nAssign: Int = 0, m: Int = defaultM, k: Int = defaultK,
+                   sampleCap: Int = Ivf.defaultSampleCap,
+                   targetCell: Long = Ivf.defaultTargetCell): PqIndex = {
+    val (nc, centroids) =
+      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
+    val model = train(corpus, m, k, iters, sampleCap)
+    if (centroids.isEmpty || model.isEmpty)
+      return PqIndex(model, centroids,
+        Ivf.emptyFrame(corpus, "vec_id" -> "bigint", "cluster" -> "int",
+          "codes" -> "array<int>", "rnorm" -> "double"))
+    val na = Ivf.resolveAssign(nAssign, nc)
+    PqIndex(model, centroids,
+      Ivf.assignTop(corpus, centroids, na)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+          PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
+        .withColumn("rnorm", rnormOf(col("codes"), model)))
+  }
+
+  /** Persist a built IVF-PQ index — the [[Ivf.saveIndex]] layout with
+    * codes instead of vectors:
+    *   - `dir/encoded`: (vec_id, codes, rnorm) `partitionBy("cluster")`,
+    *     so a reloaded probe's cell filter prunes FILES;
+    *   - `dir/codebooks`: one tiny parquet of (s, c, centroid) rows plus
+    *     the (m, k, subDim) shape on every row — self-describing;
+    *   - `dir/centroids`: the coarse-quantizer matrix, [[Ivf.saveIndex]]'s
+    *     format.
+    * Empty index: unpartitioned schema-complete writes (the
+    * [[Ivf.saveIndex]] empty rule). */
+  def savePqIndex(index: PqIndex, dir: String): Unit = {
+    val spark = index.indexed.sparkSession
+    import spark.implicits._
+    val model = index.model
+    if (index.centroids.isEmpty || model.isEmpty) {
+      index.indexed.limit(0)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/encoded")
+      Seq.empty[(Int, Int, Int, Int, Int, Seq[Double])]
+        .toDF("s", "c", "m", "k", "sub_dim", "centroid").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/codebooks")
+      Seq.empty[(Int, Seq[Double])].toDF("cluster_id", "centroid").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/centroids")
+      return
+    }
+    index.indexed
+      .select(col("vec_id"), col("codes"), col("rnorm"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$dir/encoded")
+    (for (s <- 0 until model.m; c <- 0 until model.k) yield {
+      val base = (s * model.k + c) * model.subDim
+      (s, c, model.m, model.k, model.subDim,
+        model.flat.slice(base, base + model.subDim).toSeq)
+    }).toDF("s", "c", "m", "k", "sub_dim", "centroid").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/codebooks")
+    index.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Reload a [[savePqIndex]] index: codebooks + centroids are one-small-
+    * file driver reads; the encoded table is lazy and cell-partition-
+    * pruned on probe. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("s", "c").collect()
+    val model =
+      if (cbRows.isEmpty) PqModel(defaultM, defaultK, 0, Array.emptyDoubleArray)
+      else {
+        val h = cbRows.head
+        val (m, k, subDim) = (h.getInt(h.fieldIndex("m")),
+          h.getInt(h.fieldIndex("k")), h.getInt(h.fieldIndex("sub_dim")))
+        val flat = new Array[Double](m * k * subDim)
+        cbRows.foreach { r =>
+          val base = (r.getInt(0) * k + r.getInt(1)) * subDim
+          val cent = r.getSeq[Double](r.fieldIndex("centroid"))
+          var i = 0
+          while (i < subDim) { flat(base + i) = cent(i); i += 1 }
+        }
+        PqModel(m, k, subDim, flat)
+      }
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster_id").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val indexed = spark.read.parquet(s"$dir/encoded")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("codes"), col("rnorm"))
+    PqIndex(model, centroids, indexed)
+  }
+
+  /** Per-batch probe over a built or RELOADED index. With `refine > 0`
+    * pass the raw-vector corpus as `refineSrc` (the shortlist re-rank
+    * fetches O(queries·kTop) vectors from it); `refine = 0` needs no raw
+    * vectors at all — the loaded codes table answers alone. */
+  def retrieverFromPqIndex(index: PqIndex, kTop: Int, minCos: Double,
+                           nProbe: Int = 0, refine: Int = 0,
+                           refineSrc: Option[DataFrame] = None): Retriever = {
+    if (index.centroids.isEmpty || index.model.isEmpty) {
+      val empty = Ivf.emptyFrame(index.indexed, "query_id" -> "bigint",
+        "vec_id" -> "bigint", "cos" -> "double", "rnk" -> "int")
+      return new Retriever(_ => empty)
+    }
+    val np = Ivf.resolveAssign(nProbe, index.centroids.length)
+    new Retriever(queries =>
+      probePq(queries, refineSrc, index.indexed, index.centroids,
+        index.model, np, kTop, minCos, refine))
+  }
+
+  /** Index-quality audit — the [[Ivf.ivfBucketStats]] counterpart for the
+    * product quantizer, the table a production deployment watches for
+    * codebook collapse (dead codes / one dominant code = the quantizer
+    * stopped discriminating and ADC ranking degrades silently): one row
+    * per subspace with the number of distinct codes in use, the share of
+    * the most-popular code, and the corpus mean relative reconstruction
+    * error (identical across rows — it is a corpus-level figure carried
+    * on the audit table). One encode pass + one m-way explode; the
+    * reconstruction error never materializes a reconstructed vector
+    * (`|x−r|² = |x|² + |r|² − 2·x·r` with both right-hand dots ADC
+    * gather-sums). */
+  def pqStats(emb: DataFrame, model: PqModel): DataFrame = {
+    if (model.isEmpty)
+      return Ivf.emptyFrame(emb, "s" -> "int", "codes_used" -> "bigint",
+        "top_share" -> "double", "mean_rel_err" -> "double")
+    val coded = emb.select(col("embedding"),
+        PqFunctions.pqCodeF(col("embedding"), model).as("codes"))
+      .withColumn("lut", PqFunctions.pqLutF(col("embedding"), model))
+      .withColumn("xr", PqFunctions.pqAdcF(col("codes"), col("lut"), model.k))
+      .withColumn("r2", PqFunctions.pqAdcF(col("codes"),
+        typedLit(model.norms2.toSeq), model.k))
+      .withColumn("x2", Similarity.dot(col("embedding"), col("embedding")))
+      .withColumn("rel_err",
+        sqrt(greatest(col("x2") + col("r2") - lit(2.0) * col("xr"), lit(0.0))) /
+          sqrt(greatest(col("x2"), lit(1e-24))))
+    coded
+      .select(posexplode(col("codes")).as(Seq("s", "c")), col("rel_err"))
+      .groupBy(col("s"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("rel_err")).as("err_sum"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("codes_used"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_share"),
+        round(sum(col("err_sum")) / sum(col("n")), 6).as("mean_rel_err"))
+      .orderBy("s")
   }
 }

@@ -468,6 +468,15 @@ object ExtQueries {
         m = 16, k = 16, refine = 16)
     }
 
+  /** x120 (audit table) and x120b (health gate): ONE train + encode +
+    * stats aggregate — the gate checks the very figures x120 reports
+    * (the x99/x99b relationship). */
+  private def pqStatsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pq-stats-m16") {
+      val emb = Tables.embeddings(s, d)
+      graft.ext.Pq.pqStats(emb, graft.ext.Pq.train(emb, m = 16, k = 16))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // x01 — exact dedup: one surviving id per distinct content.
@@ -3849,6 +3858,31 @@ object ExtQueries {
         crossTopKShared(s, d).select(col("query_id"), col("vec_id")),
         ivfPqCrossTopKShared(s, d).select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), floor = 0.8),
-      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x120 — PQ codebook-health audit (the x41/ivfBucketStats counterpart
+    // for the product quantizer): per-subspace distinct codes in use,
+    // share of the dominant code, corpus mean relative reconstruction
+    // error — the table that catches codebook collapse before ADC ranking
+    // silently degrades. Engine-specific (trained codebooks) →
+    // rows-only; bounds pinned by x120b.
+    QueryDef("x120_pq_stats",
+      (s, d) => pqStatsShared(s, d).orderBy("s"),
+      None),
+
+    // x120b — codebook-health gate: every subspace uses ≥ k/2 codes, no
+    // code holds a majority, and mean relative reconstruction error is
+    // bounded (measured: 16/16 codes used, top share ≈ 0.1, rel err
+    // ≈ 0.57–0.59 across all three fixture SFs).
+    QueryDef("x120b_pq_stats_gate",
+      (s, d) => {
+        pqStatsShared(s, d)
+          .agg(min(col("codes_used")).as("min_used"),
+            max(col("top_share")).as("max_share"),
+            max(col("mean_rel_err")).as("err"))
+          .select((col("min_used") >= 8 && col("max_share") <= 0.5 &&
+            col("err") < 0.8).as("health_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS health_ok"))
   )
 }

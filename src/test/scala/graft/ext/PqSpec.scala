@@ -115,6 +115,55 @@ class PqSpec extends SparkSpec {
     } finally r.close()
   }
 
+  test("savePqIndex/loadPqIndex round-trips: identical probes pre/post reload") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val c = emb.filter(col("vec_id") % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    try {
+      val built = Pq.buildPqIndex(c, m = 16, k = 16)
+      Pq.savePqIndex(built, dir)
+      val loaded = Pq.loadPqIndex(spark, dir)
+      assert(loaded.model.flat.toSeq === built.model.flat.toSeq)
+      assert(loaded.model.m === built.model.m && loaded.model.k === built.model.k
+        && loaded.model.subDim === built.model.subDim)
+      assert(loaded.centroids.map(_.toSeq).toSeq === built.centroids.map(_.toSeq).toSeq)
+      assert(loaded.indexed.count() === built.indexed.count())
+      // pure compressed-domain probe (refine = 0, no raw vectors at all):
+      // built and reloaded index answer identically
+      val pre = Pq.retrieverFromPqIndex(built, 3, 0.0)(q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val post = Pq.retrieverFromPqIndex(loaded, 3, 0.0)(q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(pre.nonEmpty && pre === post)
+      // refined probe over the loaded index matches the one-shot path
+      val refined = Pq.retrieverFromPqIndex(loaded, 3, 0.2,
+        refine = 16, refineSrc = Some(c))(q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val oneShot = Pq.ivfPqCrossTopK(q, c, 3, 0.2, m = 16, k = 16, refine = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(refined === oneShot)
+      // empty index round-trips too
+      val edir = s"$dir/empty"
+      Pq.savePqIndex(Pq.buildPqIndex(emb.filter(lit(false))), edir)
+      val eloaded = Pq.loadPqIndex(spark, edir)
+      assert(eloaded.indexed.count() === 0L)
+      assert(Pq.retrieverFromPqIndex(eloaded, 3, 0.0)(q).count() === 0L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("pqStats reports full code utilization and bounded error on the fixture") {
+    val model = Pq.train(emb, m = 16, k = 16)
+    val rows = Pq.pqStats(emb, model).collect()
+    assert(rows.length === 16)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 8, s"subspace ${r.getInt(0)} uses only ${r.getLong(1)} codes")
+      assert(r.getDouble(2) <= 0.5)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 0.8)
+    }
+    // the error figure is corpus-level: identical on every row
+    assert(rows.map(_.getDouble(3)).distinct.length === 1)
+  }
+
   test("empty corpus is total end to end") {
     val none = emb.filter(lit(false))
     val model = Pq.train(none)

@@ -303,6 +303,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming IVF-PQ retrieval via pqRetriever matches batch ivfPqCrossTopK") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    // identical knobs → identical deterministic training → identical
+    // cells, codebooks, and ADC shortlists
+    val expected = graft.ext.Pq
+      .ivfPqCrossTopK(queries, corpus, kTop = 3, minCos = 0.2,
+        m = 16, k = 16, refine = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+
+    val retrieve = graft.ext.Pq.pqRetriever(corpus, kTop = 3, minCos = 0.2,
+      m = 16, k = 16, refine = 16)
+    val rows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Int)]
+    val query = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = retrieve(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      retrieve.close()
+    }
+  }
+
   test("streaming unigram scoring via unigramScorer matches the batch x92 rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
