@@ -182,6 +182,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x119 IVF-PQ retrieval pairs through keyed joins only — no cartesian") {
+    val p = plan("x119_ivfpq_cross_topk")
+    // the candidate universe is the cell equi-join; the refine stage joins
+    // the shortlist back by id — a cartesian / nested loop anywhere here is
+    // the queries × corpus failure the index exists to avoid
+    assert(!p.contains("CartesianProduct"), s"cartesian candidate search:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop candidate search:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the cell key:\n$p")
+    // shortlist cut is a WindowGroupLimit (rank pushdown), not a full sort
+    assert(p.contains("WindowGroupLimit"), s"ADC shortlist not rank-limited:\n$p")
+  }
+
   test("x98 samples via distributed top-k, not a global sort or window") {
     val p = plan("x98_weighted_sample")
     // the 50-survivor cut is TakeOrderedAndProject (map-side partial
