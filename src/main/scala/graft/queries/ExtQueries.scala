@@ -120,6 +120,7 @@ object ExtQueries {
   def clearSharedFrames(): Unit = {
     frameCache.values.foreach(_.unpersist())
     frameCache.clear()
+    mergesCache.clear()
   }
 
   /** x29 (pairs), x45 (removal), x48 (gate): the bipartite contamination
@@ -476,6 +477,45 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       graft.ext.Pq.pqStats(emb, graft.ext.Pq.train(emb, m = 16, k = 16))
     }
+
+  /** x121 (merge table) and x122 (fertility): ONE 4-iteration BPE training
+    * run. Driver-side value cache parallel to [[sharedFrame]] (the merges
+    * are a tiny local Seq, not a frame), cleared by
+    * [[clearSharedFrames]] so the Bench AQE twin re-trains under its own
+    * config instead of timing a cache hit. */
+  private val mergesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[String]]
+  private def bpeMergesShared(s: SparkSession, d: String): Seq[String] =
+    mergesCache.getOrElseUpdate((s, d),
+      graft.ext.Bpe.train(Tables.documents(s, d), "text", nMerges = 4))
+
+  /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
+    * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
+    * jobs, unrolled (iteration i: pair counts of s(i-1) → argmax m(i) →
+    * replace into s(i)). Ends with vocab symbol frames s0..s(n) and merge
+    * CTEs m1..m(n) in scope. */
+  private def bpeOracleCtes(n: Int): String = {
+    val base =
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents WHERE length(trim(text)) > 0),
+              v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+              s0 AS (SELECT cnt, array_to_string(list_transform(
+                       range(0, length(tok)), i -> substr(tok, i + 1, 1)), ' ') AS sym
+                     FROM v)"""
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT syms[j + 1] || ' ' || syms[j + 2] AS pair, cnt
+                  FROM (SELECT cnt, string_split(sym, ' ') AS syms FROM s${i - 1}),
+                       unnest(range(0, len(syms) - 1)) AS u(j)
+                  WHERE len(syms) >= 2),
+          m$i AS (SELECT pair
+                  FROM (SELECT pair, sum(cnt) AS n FROM p$i GROUP BY pair)
+                  ORDER BY n DESC, pair LIMIT 1),
+          s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
+                    (SELECT replace(pair, ' ', '') FROM m$i)) AS sym
+                  FROM s${i - 1})"""
+    }
+    (base +: iters).mkString(",\n")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -3883,6 +3923,67 @@ object ExtQueries {
           .select((col("min_used") >= 8 && col("max_share") <= 0.5 &&
             col("err") < 0.8).as("health_ok"))
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS health_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS health_ok")),
+
+    // x121 — BPE merge TABLE, 4 training iterations: the x116/x117
+    // recurrence generalized to the driver loop a real tokenizer build
+    // runs (Bpe.train — every iteration a |V|-row job, one-row argmax
+    // collects). The oracle re-derives all four merges in pure SQL (the
+    // same recurrence unrolled as CTEs), so the whole training loop
+    // HASH-matches engine-to-engine.
+    QueryDef("x121_bpe_merge_table",
+      (s, d) => {
+        import s.implicits._
+        bpeMergesShared(s, d).zipWithIndex
+          .map { case (p, i) => ((i + 1).toLong, p) }
+          .toDF("iter", "pair").orderBy("iter")
+      },
+      Some(s"""${bpeOracleCtes(4)}
+              SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS iter, pair FROM m1
+                UNION ALL SELECT 2, pair FROM m2
+                UNION ALL SELECT 3, pair FROM m3
+                UNION ALL SELECT 4, pair FROM m4)
+              ORDER BY iter""")),
+
+    // x122 — corpus fertility under the LEARNED tokenizer: apply the x121
+    // merge table to every document (one map-side projection of chained
+    // literal replaces — no shuffle however large the corpus) and count
+    // BPE tokens per source. x70 measures fertility under a FIXED
+    // tokenizer; this is the token-budget figure for the tokenizer the
+    // corpus itself trained. The "§" sentinel keeps merges from crossing
+    // token boundaries (Bpe.applyMerges). The oracle re-derives the
+    // merges in SQL and applies them with the same replace chain —
+    // end-to-end train + apply hash-match.
+    QueryDef("x122_bpe_fertility",
+      (s, d) => {
+        val merges = bpeMergesShared(s, d)
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("source"),
+            graft.ext.Bpe.bpeTokenCount(
+              TextAnalysis.tokens(col("text")), merges).as("n_bpe"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe")).cast("long").as("bpe_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""${bpeOracleCtes(4)},
+              docsym AS (SELECT source, array_to_string(list_transform(
+                           string_split_regex(trim(text), '\\s+'),
+                           t -> array_to_string(list_transform(range(0, length(t)),
+                                  i -> substr(t, i + 1, 1)), ' ')), ' § ') AS sym
+                         FROM documents WHERE length(trim(text)) > 0),
+              applied AS (SELECT source,
+                            replace(replace(replace(replace(sym,
+                              (SELECT pair FROM m1), (SELECT replace(pair, ' ', '') FROM m1)),
+                              (SELECT pair FROM m2), (SELECT replace(pair, ' ', '') FROM m2)),
+                              (SELECT pair FROM m3), (SELECT replace(pair, ' ', '') FROM m3)),
+                              (SELECT pair FROM m4), (SELECT replace(pair, ' ', '') FROM m4)) AS sym
+                          FROM docsym)
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(sym, ' '), x -> x <> '§'))) AS BIGINT)
+                       AS bpe_tokens
+              FROM applied GROUP BY source ORDER BY source"""))
   )
 }
