@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge, MatVecExpr}
+
+/** Principal-component projection for embedding columns — the standard
+  * dimensionality-reduction pass of a large-scale embedding pipeline
+  * (64 → 16 dims before ANN indexing quarters every downstream shuffle,
+  * index, and distance computation; also the whitening precursor of OPQ).
+  *
+  * Shape: training is driver-side on the ONE seeded sample definition
+  * ([[Ivf.collectSample]] — the same sample IVF and PQ train on), so the
+  * model is deterministic and tiny (k×dim doubles); the projection is one
+  * map-side pass through the codegen'd [[MatVecExpr]] kernel with the mean
+  * folded into per-component offsets — no shuffle, no UDF, whatever the
+  * corpus size. The eigen-solver is orthogonal (simultaneous power)
+  * iteration with Gram–Schmidt re-orthonormalization on the 64×64 sample
+  * covariance — fixed iteration count, deterministic basis init, and a
+  * sign convention (largest-|coordinate| entry positive), so components
+  * cannot flip between runs or engines. On a near-uniform spectrum
+  * (adjacent eigenvalue ratios → 1, the fixture's case) individual
+  * eigenvectors converge slowly but the spanned SUBSPACE — what variance
+  * capture depends on — converges fast; per-vector residuals are asserted
+  * RELATIVELY in PcaSpec.
+  */
+object Pca {
+
+  /** A trained PCA model: sample mean, the k orthonormal components
+    * (row-major `flat`, each row unit-norm), their eigenvalues (sample
+    * variances along each component, descending), and the total sample
+    * variance (trace of the covariance) — `explained.sum / totalVar` is
+    * the variance-explained ratio. */
+  final case class PcaModel(mean: Array[Double], flat: Array[Double],
+                            explained: Array[Double], totalVar: Double) {
+    def k: Int = explained.length
+    def dim: Int = if (explained.isEmpty) 0 else flat.length / explained.length
+    def isEmpty: Boolean = explained.isEmpty
+  }
+
+  /** Train a k-component model on the seeded sample. Empty corpus → empty
+    * model (callers short-circuit). `iters` is the orthogonal-iteration
+    * count — 50 rounds on a 64-dim covariance is far past convergence and
+    * still sub-millisecond. */
+  def train(emb: DataFrame, nComponents: Int, iters: Int = 300,
+            sampleCap: Int = Ivf.defaultSampleCap): PcaModel = {
+    require(nComponents >= 1, s"need nComponents >= 1, got $nComponents")
+    val sample = Ivf.collectSample(emb, sampleCap)
+    if (sample.isEmpty)
+      return PcaModel(Array.emptyDoubleArray, Array.emptyDoubleArray,
+        Array.emptyDoubleArray, 0.0)
+    val dim = sample.iterator.map(_.length).max
+    val k = math.min(nComponents, dim)
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < v.length) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    // sample covariance (biased 1/n — only ratios matter downstream)
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      val d = Array.tabulate(dim)(j => (if (j < v.length) v(j) else 0.0) - mean(j))
+      var a = 0
+      while (a < dim) {
+        val da = d(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += da * d(b); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        cov(a)(b) /= n
+        cov(b)(a) = cov(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    val totalVar = (0 until dim).map(j => cov(j)(j)).sum
+    // orthogonal iteration: B ← orth(C·B), deterministic basis init
+    var basis = Array.tabulate(k)(j => Array.tabulate(dim)(i => if (i == j) 1.0 else 0.0))
+    for (_ <- 1 to iters) {
+      val mul = basis.map(matVec(cov, _))
+      basis = gramSchmidt(mul)
+    }
+    // eigenvalues, descending order enforced, sign convention applied
+    val withEig = basis.map { b =>
+      val cb = matVec(cov, b)
+      val eig = b.zip(cb).map { case (x, y) => x * y }.sum
+      (signFix(b), eig)
+    }.sortBy { case (_, e) => -e }
+    PcaModel(mean, withEig.flatMap(_._1.toSeq), withEig.map(_._2), totalVar)
+  }
+
+  private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+
+  /** Gram–Schmidt with re-normalization; a vector that collapses to ~zero
+    * (degenerate covariance) is replaced by the zero vector and carries
+    * zero variance. */
+  private def gramSchmidt(vs: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    vs.foreach { v0 =>
+      val v = v0.clone()
+      out.foreach { u =>
+        val d = v.zip(u).map { case (a, b) => a * b }.sum
+        var i = 0
+        while (i < v.length) { v(i) -= d * u(i); i += 1 }
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      out += (if (nrm < 1e-12) new Array[Double](v.length) else v.map(_ / nrm))
+    }
+    out.toArray
+  }
+
+  /** Deterministic sign: the largest-|coordinate| entry is positive. */
+  private def signFix(v: Array[Double]): Array[Double] = {
+    var best = 0
+    var i = 1
+    while (i < v.length) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    if (v(best) < 0) v.map(-_) else v
+  }
+
+  /** The codegen'd projection column: `array<double>` of k centered
+    * principal coordinates. */
+  def projectCol(vec: Column, model: PcaModel): Column = {
+    val offsets = Array.tabulate(model.k) { j =>
+      val dim = model.dim
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += model.mean(i) * model.flat(j * dim + i); i += 1 }
+      acc
+    }
+    ColumnBridge.column(MatVecExpr(ColumnBridge.expression(vec),
+      model.flat, offsets))
+  }
+
+  /** Project every vector: ONE map-side pass → (vec_id, proj). Empty
+    * model → zero rows, schema-complete. */
+  def project(emb: DataFrame, model: PcaModel): DataFrame =
+    if (model.isEmpty)
+      emb.filter(lit(false))
+        .select(col("vec_id"), lit(Array.emptyDoubleArray).as("proj"))
+    else
+      emb.select(col("vec_id"), projectCol(col("embedding"), model).as("proj"))
+}

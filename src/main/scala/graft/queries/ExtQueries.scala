@@ -121,6 +121,7 @@ object ExtQueries {
     frameCache.values.foreach(_.unpersist())
     frameCache.clear()
     mergesCache.clear()
+    pcaCache.clear()
   }
 
   /** x29 (pairs), x45 (removal), x48 (gate): the bipartite contamination
@@ -488,6 +489,19 @@ object ExtQueries {
   private def bpeMergesShared(s: SparkSession, d: String): Seq[String] =
     mergesCache.getOrElseUpdate((s, d),
       graft.ext.Bpe.train(Tables.documents(s, d), "text", nMerges = 4))
+
+  /** x123 (projection) and x123b (variance gate): ONE PCA training run
+    * (driver-value cache, the [[bpeMergesShared]] pattern) and ONE
+    * projected frame. */
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.ext.Pca.PcaModel]
+  private def pcaModelShared(s: SparkSession, d: String): graft.ext.Pca.PcaModel =
+    pcaCache.getOrElseUpdate((s, d),
+      graft.ext.Pca.train(Tables.embeddings(s, d), nComponents = 16))
+  private def pcaProjShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pca-proj-k16")(
+      graft.ext.Pca.project(Tables.embeddings(s, d), pcaModelShared(s, d))
+        .select(col("vec_id"), expr("transform(proj, y -> round(y, 6))").as("proj")))
 
   /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
     * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
@@ -3984,6 +3998,44 @@ object ExtQueries {
               SELECT source, count(*) AS n_docs,
                      CAST(sum(len(list_filter(string_split(sym, ' '), x -> x <> '§'))) AS BIGINT)
                        AS bpe_tokens
-              FROM applied GROUP BY source ORDER BY source"""))
+              FROM applied GROUP BY source ORDER BY source""")),
+
+    // x123 — PCA projection: every embedding reduced 64 → 16 dims through
+    // the codegen'd centered mat-vec kernel — the dimensionality-reduction
+    // pass that quarters every downstream ANN shuffle/index/distance at
+    // 100 TB. Training is driver-side on the shared seeded sample
+    // (deterministic orthogonal iteration, sign-fixed components);
+    // projection is ONE map-side pass, no shuffle. Trained components
+    // engine-specific → rows-only; solver quality pinned by x123b.
+    QueryDef("x123_pca_project",
+      (s, d) => pcaProjShared(s, d).orderBy("vec_id"),
+      None),
+
+    // x123b — PCA solver gate: variance explained by 16/64 components is
+    // ≥ the uniform-spectrum floor (0.25; measured 0.31–0.38 — the
+    // near-uniform fixture IS the floor case) and ≤ 1; eigenvalues
+    // non-increasing; and the PROJECTED per-component variance equals the
+    // eigenvalue (|Δ| < 1e-3) — the end-to-end check that the distributed
+    // projection agrees with the driver-side eigendecomposition (exact in
+    // the sample-covers-corpus regime of the fixtures).
+    QueryDef("x123b_pca_variance_gate",
+      (s, d) => {
+        import s.implicits._
+        val model = pcaModelShared(s, d)
+        val ratio = model.explained.sum / model.totalVar
+        val mono = model.explained.zip(model.explained.drop(1))
+          .forall { case (a, b) => a >= b - 1e-12 }
+        val eig = model.explained.zipWithIndex
+          .map { case (e, j) => (j, e) }.toSeq.toDF("j", "eig")
+        pcaProjShared(s, d)
+          .select(posexplode(col("proj")).as(Seq("j", "y")))
+          .groupBy(col("j"))
+          .agg((avg(col("y") * col("y")) - avg(col("y")) * avg(col("y"))).as("v"))
+          .join(broadcast(eig), "j")
+          .agg(max(abs(col("v") - col("eig"))).as("md"))
+          .select((lit(ratio) >= 0.25 && lit(ratio) <= 1.000001 &&
+            lit(mono) && col("md") < 0.001).as("pca_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS pca_ok"))
   )
 }
