@@ -494,14 +494,37 @@ object ExtQueries {
     * (driver-value cache, the [[bpeMergesShared]] pattern) and ONE
     * projected frame. */
   private val pcaCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), graft.ext.Pca.PcaModel]
-  private def pcaModelShared(s: SparkSession, d: String): graft.ext.Pca.PcaModel =
-    pcaCache.getOrElseUpdate((s, d),
-      graft.ext.Pca.train(Tables.embeddings(s, d), nComponents = 16))
+    .empty[(SparkSession, String, Int), graft.ext.Pca.PcaModel]
+  private def pcaModelShared(s: SparkSession, d: String,
+                             k: Int = 16): graft.ext.Pca.PcaModel =
+    pcaCache.getOrElseUpdate((s, d, k),
+      graft.ext.Pca.train(Tables.embeddings(s, d), nComponents = k))
   private def pcaProjShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pca-proj-k16")(
       graft.ext.Pca.project(Tables.embeddings(s, d), pcaModelShared(s, d))
         .select(col("vec_id"), expr("transform(proj, y -> round(y, 6))").as("proj")))
+
+  /** x124 (reranked retrieval) and x124b (recall gate): ONE
+    * project → shortlist → exact-rerank run at 32 components. 32, not
+    * x123's 16: the x124b-style evaluation run at 16 components scores
+    * 1–3/10 on this corpus (near-uniform spectrum — the tail dimensions
+    * carry over 60% of the signal), which is precisely the unsafe-
+    * reduction verdict this evaluation exists to deliver before a
+    * pipeline commits to a reduced-dim index. */
+  private def pcaRerankShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pca-rerank-q0-k32") {
+      val emb = Tables.embeddings(s, d)
+      val proj = graft.ext.Pca.project(emb, pcaModelShared(s, d, k = 32))
+      val q = proj.filter(col("vec_id") === 0L).select(col("proj").as("qp"))
+      val shortlist = proj.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (Similarity.dot(col("proj"), col("qp")) /
+            (Similarity.norm(col("proj")) * Similarity.norm(col("qp")))).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(40)
+        .select(col("vec_id"))
+      Similarity.cosineTopKWithin(emb, queryId = 0L, kTop = 10, shortlist)
+    }
 
   /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
     * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
@@ -4036,6 +4059,31 @@ object ExtQueries {
           .select((lit(ratio) >= 0.25 && lit(ratio) <= 1.000001 &&
             lit(mono) && col("md") < 0.001).as("pca_ok"))
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS pca_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS pca_ok")),
+
+    // x124 — reduced-dim retrieval with exact rerank: coarse top-40 in the
+    // 32-component projected space (half the bytes per distance), then
+    // TRUE cosine on the shortlist only — the dimensionality-reduction
+    // retrieval composition (and the x119 refine pattern on the PCA
+    // axis). Reported scores are exact cosines; ordering engine-specific
+    // → rows-only, recall pinned by x124b.
+    QueryDef("x124_pca_rerank_topk",
+      (s, d) => pcaRerankShared(s, d).orderBy(col("cos").desc, col("vec_id")),
+      None),
+
+    // x124b — reduction-safety gate: overlap with the exact full-space
+    // top-10, floor 7/10 (measured 9–10/10 at 32 components across SFs;
+    // the same evaluation at 16 components scores 1–3/10 — the unsafe-
+    // reduction verdict this gate exists to catch).
+    QueryDef("x124b_pca_rerank_recall",
+      (s, d) => {
+        val exact = Similarity.cosineTopK(Tables.embeddings(s, d), 0L, 10)
+          .select(col("vec_id"))
+        exact.join(pcaRerankShared(s, d).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select((col("hits") >= 7).as("recall_ok"))
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok"))
   )
 }
