@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
   * and its predecessor released, so the `replace` chain never recomputes
   * from scratch.
   *
-  * Symbol sequences are space-joined (tokens are whitespace-split, so no
-  * symbol contains a space); a merge "s1 s2" applies as the literal
-  * left-to-right non-overlapping `replace("s1 s2" → "s1s2")` — exactly the
-  * simultaneous merge the reference BPE implementation performs, and
-  * identical string semantics in Spark and DuckDB, which is what lets the
-  * catalog entries hash-match an unrolled SQL oracle (x121/x122).
+  * Symbol representation: every symbol is WRAPPED in "·" markers and
+  * symbols are space-joined — "the" starts as "·t· ·h· ·e·". A merge
+  * (s1, s2) applies as the literal left-to-right non-overlapping
+  * `replace("·s1· ·s2·" → "·s1s2·")`. The wrapping is what makes a plain
+  * string replace EXACTLY the reference whole-symbol merge: the pattern
+  * is anchored to both symbols' own start and end markers, so s1 cannot
+  * match the SUFFIX of a longer merged symbol (after merging (h,e),
+  * "·t· ·he·" does NOT match pattern "·t· ·h·"), and because each symbol
+  * owns its delimiters — no shared separator is consumed — consecutive
+  * occurrences all merge in one pass ("·a· ·a· ·a· ·a·" → "·aa· ·aa·",
+  * the reference's simultaneous left-to-right behavior). Identical
+  * literal-replace semantics in Spark and DuckDB are what let the
+  * catalog entries hash-match an unrolled SQL oracle (x121/x122). The
+  * marker must not occur in corpus tokens (any whitespace-tokenized
+  * ASCII corpus qualifies; a corpus containing "·" needs a different
+  * sentinel).
   *
   * Determinism: merge choice is the total order (count desc, pair asc);
   * ties cannot fork across engines or runs.
@@ -30,7 +40,7 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** The occurrence-weighted token-type vocabulary with each type's
-    * initial symbol sequence (space-joined characters). */
+    * initial symbol sequence (space-joined wrapped characters). */
   private def vocabSyms(docs: DataFrame, textCol: String): DataFrame =
     docs
       .filter(length(trim(col(textCol))) > 0)
@@ -38,12 +48,16 @@ object Bpe {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), charSplit(col("tok")).as("sym"))
 
-  /** Space-joined character sequence of a string column. */
+  /** Space-joined wrapped-character sequence of a string column:
+    * "ab" → "·a· ·b·". */
   private def charSplit(t: Column): Column =
     concat_ws(" ", transform(sequence(lit(0), length(t) - lit(1)),
-      i => t.substr(i + lit(1), lit(1))))
+      i => concat(lit("·"), t.substr(i + lit(1), lit(1)), lit("·"))))
 
-  /** Adjacent symbol pairs of a symbol frame, occurrence-weighted. */
+  /** Adjacent symbol pairs of a symbol frame, occurrence-weighted. Pair
+    * keys stay in wrapped form ("·a· ·b·") — [[applyOne]] consumes them
+    * verbatim; [[display]] strips the markers for the public merge
+    * table. */
   private def pairCounts(syms: DataFrame): DataFrame =
     syms
       .select(col("cnt"), split(col("sym"), " ").as("ss"))
@@ -54,14 +68,31 @@ object Bpe {
         col("cnt"))
       .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
 
-  /** One merge applied to a symbol-sequence column: literal left-to-right
-    * non-overlapping replace of "s1 s2" with "s1s2". */
-  private def applyOne(sym: Column, pair: String): Column =
-    call_function("replace", sym, lit(pair), lit(pair.replace(" ", "")))
+  /** Wrapped pair → merged wrapped symbol: "·s1· ·s2·" → "·s1s2·" (the
+    * only "· ·" in a wrapped pair is the junction — symbols contain
+    * neither markers nor spaces). */
+  private def merged(pair: String): String = pair.replace("· ·", "")
 
-  /** Train `nMerges` BPE merges. Returns the merge table in merge order —
-    * each entry the space-separated symbol pair ("e r", then "m er", ...).
-    * Stops early when no pair remains (vocabulary fully merged). */
+  /** Display form of a wrapped pair: "·s1· ·s2·" → "s1 s2". */
+  private def display(pair: String): String = pair.replace("·", "")
+
+  /** Display pair → wrapped pattern: "s1 s2" → "·s1· ·s2·" (symbols never
+    * contain spaces, so the single space splits unambiguously). */
+  private def wrapped(displayPair: String): String = {
+    val Array(s1, s2) = displayPair.split(' ')
+    s"·${s1}· ·${s2}·"
+  }
+
+  /** One merge applied to a symbol-sequence column: literal left-to-right
+    * non-overlapping whole-symbol replace (see the object scaladoc for
+    * why the wrapping makes this exact). */
+  private def applyOne(sym: Column, wrappedPair: String): Column =
+    call_function("replace", sym, lit(wrappedPair), lit(merged(wrappedPair)))
+
+  /** Train `nMerges` BPE merges. Returns the merge table in merge order,
+    * in display form — each entry the space-separated symbol pair
+    * ("e r", then "m er", ...). Stops early when no pair remains
+    * (vocabulary fully merged). */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[String] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -76,7 +107,7 @@ object Bpe {
         if (top.isEmpty) done = true
         else {
           val pair = top.head.getString(0)
-          merges += pair
+          merges += display(pair)
           val next = syms
             .withColumn("sym", applyOne(col("sym"), pair))
             .persist()
@@ -90,24 +121,28 @@ object Bpe {
     } finally syms.unpersist()
   }
 
-  /** Apply a merge table to a token-array column: ONE map-side projection
-    * chaining the merges as nested literal replaces over the space-joined
-    * character sequence — no shuffle, whatever the corpus size. Token
-    * boundaries are preserved by joining tokens with the "§" sentinel
-    * symbol: a trained merge never contains "§" (training is per-token),
-    * so merges cannot cross token boundaries. (A corpus whose tokens
-    * themselves contain "§" would need a wider sentinel; the fixture —
-    * and any whitespace-tokenized ASCII corpus — cannot.) */
+  /** Apply a merge table (display form, as [[train]] returns) to a
+    * token-array column: ONE map-side projection chaining the merges as
+    * nested literal replaces over the wrapped symbol sequence — no
+    * shuffle, whatever the corpus size. Token boundaries are preserved by
+    * joining tokens with the "·§·" sentinel symbol: a trained merge never
+    * contains "§" (training is per-token), so merges cannot cross token
+    * boundaries. (A corpus whose tokens contain "§" or "·" would need
+    * different sentinels; the fixture — and any whitespace-tokenized
+    * ASCII corpus — cannot.) */
   def applyMerges(tokens: Column, merges: Seq[String]): Column = {
-    val spaced = concat_ws(" § ", transform(tokens, t => charSplit(t)))
-    merges.foldLeft(spaced)((acc, p) => applyOne(acc, p))
+    val spaced = concat_ws(" ·§· ", transform(tokens, t => charSplit(t)))
+    merges.foldLeft(spaced)((acc, p) => applyOne(acc, wrapped(p)))
   }
 
   /** Per-document token count under a trained BPE tokenizer: the symbol
     * count of the merged sequence, separators excluded — the fertility
     * figure ("how many tokens will MY tokenizer produce on this corpus")
     * that drives training-cost and token-budget estimates (x70's
-    * fixed-tokenizer fertility, under the LEARNED tokenizer instead). */
+    * fixed-tokenizer fertility, under the LEARNED tokenizer instead).
+    * An empty token array counts 0 (guarded — a split of the empty
+    * string would otherwise yield one phantom empty symbol). */
   def bpeTokenCount(tokens: Column, merges: Seq[String]): Column =
-    size(filter(split(applyMerges(tokens, merges), " "), s => s =!= "§"))
+    when(size(tokens) === 0, lit(0)).otherwise(
+      size(filter(split(applyMerges(tokens, merges), " "), s => s =!= "·§·")))
 }

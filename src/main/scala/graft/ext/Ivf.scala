@@ -422,7 +422,17 @@ object Ivf {
       val k = resolveClusters(emb, nClusters, targetCell)
       return (k, trainCentroids(emb, k, iters, sampleCap))
     }
-    val sample = collectSample(emb, sampleCap)
+    resolveAndTrainFromSample(emb, collectSample(emb, sampleCap),
+      nClusters, iters, sampleCap, targetCell)
+  }
+
+  /** [[resolveAndTrain]] with a PRE-COLLECTED sample — for composites that
+    * train several models on the one seeded sample (IVF-PQ builds train
+    * coarse centroids AND codebooks), so the corpus-wide sampling job runs
+    * once, not once per model. */
+  private[ext] def resolveAndTrainFromSample(emb: DataFrame,
+      sample: Array[Array[Double]], nClusters: Int, iters: Int,
+      sampleCap: Int, targetCell: Long): (Int, Array[Array[Double]]) = {
     val k =
       if (nClusters > 0) nClusters
       else if (sample.length == 0) 8

@@ -72,8 +72,16 @@ object Pq {
     * short-circuit. */
   def train(emb: DataFrame, m: Int = defaultM, k: Int = defaultK,
             iters: Int = 3, sampleCap: Int = Ivf.defaultSampleCap): PqModel = {
+    require(sampleCap > 0, s"PQ training is sample-based; sampleCap=$sampleCap")
+    trainFromSample(Ivf.collectSample(emb, sampleCap), m, k, iters)
+  }
+
+  /** [[train]] on a PRE-COLLECTED sample — IVF-PQ builds pass the one
+    * seeded sample to both the coarse-centroid and the codebook training
+    * so the corpus-wide sampling job runs once. */
+  private[ext] def trainFromSample(sample: Array[Array[Double]],
+      m: Int, k: Int, iters: Int): PqModel = {
     require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
-    val sample = Ivf.collectSample(emb, sampleCap)
     if (sample.isEmpty) return PqModel(m, k, 0, Array.emptyDoubleArray)
     val dim = sample.iterator.map(_.length).max
     require(dim % m == 0, s"subspace count m=$m must divide dim=$dim")
@@ -163,9 +171,11 @@ object Pq {
                      refine: Int = 4,
                      sampleCap: Int = Ivf.defaultSampleCap,
                      targetCell: Long = Ivf.defaultTargetCell): DataFrame = {
-    val (nc, centroids) =
-      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
-    val model = train(corpus, m, k, iters, sampleCap)
+    // ONE corpus-wide sampling job feeds both trainings
+    val sample = Ivf.collectSample(corpus, sampleCap)
+    val (nc, centroids) = Ivf.resolveAndTrainFromSample(
+      corpus, sample, nClusters, iters, sampleCap, targetCell)
+    val model = trainFromSample(sample, m, k, iters)
     if (centroids.isEmpty || model.isEmpty)
       return Ivf.emptyFrame(corpus, "query_id" -> "bigint", "vec_id" -> "bigint",
         "cos" -> "double", "rnk" -> "int")
@@ -252,9 +262,11 @@ object Pq {
                   refine: Int = 4,
                   sampleCap: Int = Ivf.defaultSampleCap,
                   targetCell: Long = Ivf.defaultTargetCell): Retriever = {
-    val (nc, centroids) =
-      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
-    val model = train(corpus, m, k, iters, sampleCap)
+    // ONE corpus-wide sampling job feeds both trainings
+    val sample = Ivf.collectSample(corpus, sampleCap)
+    val (nc, centroids) = Ivf.resolveAndTrainFromSample(
+      corpus, sample, nClusters, iters, sampleCap, targetCell)
+    val model = trainFromSample(sample, m, k, iters)
     if (centroids.isEmpty || model.isEmpty) {
       val empty = Ivf.emptyFrame(corpus, "query_id" -> "bigint",
         "vec_id" -> "bigint", "cos" -> "double", "rnk" -> "int")
@@ -287,9 +299,11 @@ object Pq {
                    nAssign: Int = 0, m: Int = defaultM, k: Int = defaultK,
                    sampleCap: Int = Ivf.defaultSampleCap,
                    targetCell: Long = Ivf.defaultTargetCell): PqIndex = {
-    val (nc, centroids) =
-      Ivf.resolveAndTrain(corpus, nClusters, iters, sampleCap, targetCell)
-    val model = train(corpus, m, k, iters, sampleCap)
+    // ONE corpus-wide sampling job feeds both trainings
+    val sample = Ivf.collectSample(corpus, sampleCap)
+    val (nc, centroids) = Ivf.resolveAndTrainFromSample(
+      corpus, sample, nClusters, iters, sampleCap, targetCell)
+    val model = trainFromSample(sample, m, k, iters)
     if (centroids.isEmpty || model.isEmpty)
       return PqIndex(model, centroids,
         Ivf.emptyFrame(corpus, "vec_id" -> "bigint", "cluster" -> "int",

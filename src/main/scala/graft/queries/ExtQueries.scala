@@ -532,12 +532,15 @@ object ExtQueries {
     * replace into s(i)). Ends with vocab symbol frames s0..s(n) and merge
     * CTEs m1..m(n) in scope. */
   private def bpeOracleCtes(n: Int): String = {
+    // wrapped-symbol representation ("·t· ·h· ·e·"): anchors the literal
+    // replace to whole-symbol boundaries — see the graft.ext.Bpe scaladoc
     val base =
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
                     FROM documents WHERE length(trim(text)) > 0),
               v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
               s0 AS (SELECT cnt, array_to_string(list_transform(
-                       range(0, length(tok)), i -> substr(tok, i + 1, 1)), ' ') AS sym
+                       range(0, length(tok)),
+                       i -> '·' || substr(tok, i + 1, 1) || '·'), ' ') AS sym
                      FROM v)"""
     val iters = (1 to n).map { i =>
       s"""p$i AS (SELECT syms[j + 1] || ' ' || syms[j + 2] AS pair, cnt
@@ -548,7 +551,7 @@ object ExtQueries {
                   FROM (SELECT pair, sum(cnt) AS n FROM p$i GROUP BY pair)
                   ORDER BY n DESC, pair LIMIT 1),
           s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
-                    (SELECT replace(pair, ' ', '') FROM m$i)) AS sym
+                    (SELECT replace(pair, '· ·', '') FROM m$i)) AS sym
                   FROM s${i - 1})"""
     }
     (base +: iters).mkString(",\n")
@@ -3976,7 +3979,7 @@ object ExtQueries {
           .toDF("iter", "pair").orderBy("iter")
       },
       Some(s"""${bpeOracleCtes(4)}
-              SELECT * FROM (
+              SELECT iter, replace(pair, '·', '') AS pair FROM (
                 SELECT CAST(1 AS BIGINT) AS iter, pair FROM m1
                 UNION ALL SELECT 2, pair FROM m2
                 UNION ALL SELECT 3, pair FROM m3
@@ -4009,17 +4012,17 @@ object ExtQueries {
               docsym AS (SELECT source, array_to_string(list_transform(
                            string_split_regex(trim(text), '\\s+'),
                            t -> array_to_string(list_transform(range(0, length(t)),
-                                  i -> substr(t, i + 1, 1)), ' ')), ' § ') AS sym
+                                  i -> '·' || substr(t, i + 1, 1) || '·'), ' ')), ' ·§· ') AS sym
                          FROM documents WHERE length(trim(text)) > 0),
               applied AS (SELECT source,
                             replace(replace(replace(replace(sym,
-                              (SELECT pair FROM m1), (SELECT replace(pair, ' ', '') FROM m1)),
-                              (SELECT pair FROM m2), (SELECT replace(pair, ' ', '') FROM m2)),
-                              (SELECT pair FROM m3), (SELECT replace(pair, ' ', '') FROM m3)),
-                              (SELECT pair FROM m4), (SELECT replace(pair, ' ', '') FROM m4)) AS sym
+                              (SELECT pair FROM m1), (SELECT replace(pair, '· ·', '') FROM m1)),
+                              (SELECT pair FROM m2), (SELECT replace(pair, '· ·', '') FROM m2)),
+                              (SELECT pair FROM m3), (SELECT replace(pair, '· ·', '') FROM m3)),
+                              (SELECT pair FROM m4), (SELECT replace(pair, '· ·', '') FROM m4)) AS sym
                           FROM docsym)
               SELECT source, count(*) AS n_docs,
-                     CAST(sum(len(list_filter(string_split(sym, ' '), x -> x <> '§'))) AS BIGINT)
+                     CAST(sum(len(list_filter(string_split(sym, ' '), x -> x <> '·§·'))) AS BIGINT)
                        AS bpe_tokens
               FROM applied GROUP BY source ORDER BY source""")),
 

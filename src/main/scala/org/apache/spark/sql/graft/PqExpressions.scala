@@ -41,14 +41,23 @@ case class PqCodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int)
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // constants of the codebook, hoisted out of the per-row encode loop
+  // (recomputing |c|² per row would double the arithmetic of the
+  // corpus-sized encode pass); transient — rebuilt after task
+  // deserialization on first use
+  @transient private lazy val halfNorms2: Array[Double] =
+    PqCodeExpr.halfNorms2Of(flat, m, k)
+
   override def nullSafeEval(a: Any): Any =
-    PqCodeExpr.compute(a.asInstanceOf[ArrayData], flat, m, k, elemIsFloat)
+    PqCodeExpr.compute(a.asInstanceOf[ArrayData], flat, halfNorms2, m, k,
+      elemIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("pqHalfN2", halfNorms2, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graft.PqCodeExpr.compute(" +
-        s"$c, $flatRef, $m, $k, $elemIsFloat);")
+        s"$c, $flatRef, $normRef, $m, $k, $elemIsFloat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodeExpr =
@@ -56,11 +65,27 @@ case class PqCodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int)
 }
 
 object PqCodeExpr {
+  /** `|codebook[s][c]|² / 2` in code-index layout — the constant term of
+    * the argmax(x·c − |c|²/2) assignment score. */
+  def halfNorms2Of(flat: Array[Double], m: Int, k: Int): Array[Double] = {
+    val subDim = flat.length / (m * k)
+    val out = new Array[Double](m * k)
+    var idx = 0
+    while (idx < out.length) {
+      var n2 = 0.0
+      var i = 0
+      while (i < subDim) { val v = flat(idx * subDim + i); n2 += v * v; i += 1 }
+      out(idx) = n2 / 2
+      idx += 1
+    }
+    out
+  }
+
   /** Tight-loop nearest-centroid-per-subspace, shared by eval and codegen.
     * A vector shorter than m·subDim is padded with zeros implicitly (reads
     * beyond its end contribute 0 to the dot product). */
-  def compute(vec: ArrayData, flat: Array[Double], m: Int, k: Int,
-              isFloat: Boolean): ArrayData = {
+  def compute(vec: ArrayData, flat: Array[Double], halfNorms2: Array[Double],
+              m: Int, k: Int, isFloat: Boolean): ArrayData = {
     val subDim = flat.length / (m * k)
     val n = vec.numElements()
     val codes = new Array[Int](m)
@@ -72,20 +97,17 @@ object PqCodeExpr {
       while (c < k) {
         val base = (s * k + c) * subDim
         var dot = 0.0
-        var n2 = 0.0
         var i = 0
         while (i < subDim) {
-          val cv = flat(base + i)
           val pos = s * subDim + i
           val xv =
             if (pos >= n) 0.0
             else if (isFloat) vec.getFloat(pos).toDouble
             else vec.getDouble(pos)
-          dot += xv * cv
-          n2 += cv * cv
+          dot += xv * flat(base + i)
           i += 1
         }
-        val score = dot - n2 / 2
+        val score = dot - halfNorms2(s * k + c)
         if (score > bestScore) { bestScore = score; best = c }
         c += 1
       }

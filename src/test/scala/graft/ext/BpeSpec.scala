@@ -54,10 +54,30 @@ class BpeSpec extends SparkSpec {
     // "ab" untouched; boundary between tokens never merges
     val merged = df.select(Bpe.applyMerges(col("toks"), Seq("a a")).as("m"))
       .collect().map(_.getString(0))
-    assert(merged.toSeq === Seq("aa a § a b", "b a § a b"))
+    assert(merged.toSeq === Seq("·aa· ·a· ·§· ·a· ·b·", "·b· ·a· ·§· ·a· ·b·"))
     val counts = df.select(Bpe.bpeTokenCount(col("toks"), Seq("a a")).as("n"))
       .collect().map(_.getInt(0))
     assert(counts.toSeq === Seq(4, 4))
+  }
+
+  test("merges are whole-symbol anchored: no fusing across symbol boundaries") {
+    import spark.implicits._
+    // crafted so iteration 1 learns (h,e) and iteration 2 learns (t,h):
+    // "the" is then the symbol sequence [t, he], which contains NO (t,h)
+    // adjacency — a naive unanchored string replace of "t h" would fuse
+    // the standalone t with the h inside symbol "he", silently diverging
+    // from reference BPE from iteration 2 on
+    val text = (Seq.fill(10)("he") ++ Seq.fill(6)("th") ++ Seq("the")).mkString(" ")
+    val docs = Seq(text).toDF("text")
+    val expected = localBpe(Seq(text), 3)
+    assert(expected === Seq("h e", "t h", "t he")) // the reference path
+    assert(Bpe.train(docs, "text", 3) === expected)
+    // and application: "the" under merges (h,e),(t,h) stays [t, he]
+    val toks = docs.select(TextAnalysis.tokens(col("text")).as("toks"))
+    val merged = docs.select(col("text"))
+      .select(Bpe.applyMerges(array(lit("the")), Seq("h e", "t h")).as("m"))
+      .collect().head.getString(0)
+    assert(merged === "·t· ·he·")
   }
 
   test("bpeTokenCount shrinks with more merges and floors at token count") {
@@ -75,7 +95,15 @@ class BpeSpec extends SparkSpec {
   }
 
   test("empty corpus and zero merges are total") {
+    import spark.implicits._
     assert(Bpe.train(docs.filter(lit(false)), "text", 3) === Seq.empty)
     assert(Bpe.train(docs, "text", 0) === Seq.empty)
+    // a blank doc (empty token array) counts ZERO BPE tokens, not a
+    // phantom empty symbol
+    val blank = Seq("").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(Bpe.bpeTokenCount(col("toks"), Seq("a b")).as("n"))
+      .collect().head.getInt(0)
+    assert(blank === 0)
   }
 }
