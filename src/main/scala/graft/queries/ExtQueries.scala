@@ -378,6 +378,42 @@ object ExtQueries {
     sharedFrame(s, d, "cos-t035-clusters")(
       Dedup.dupClusters(cosinePairs035Shared(s, d).select(col("ia"), col("ib"))))
 
+  /** x58's split and x125b's naive side: the per-source md5-order
+    * stratified split (integer-arithmetic boundaries — see x58's entry for
+    * the float-vs-decimal ceiling rationale). */
+  private def stratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("ok"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("ok"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("doc_id"), col("source"),
+        when((col("rn") - 1) * 10 < col("n"), lit("test"))
+          .when((col("rn") - 1) * 5 < col("n"), lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
+  /** x125/x125b: leakage-safe train/val/test assignment — every doc keyed
+    * by its near-dup CLUSTER (singletons are their own cluster), the split
+    * decided by a uniform hash of the cluster rep (x98's md5-derived-
+    * uniform idiom), so an entire cluster lands in ONE split and a
+    * near-dup pair can never straddle the train/eval boundary. Scale: one
+    * keyed left join against the (dup-sized, persisted) cluster frame,
+    * then map-side hashing — no rank window, no global ordering at any
+    * corpus size; the trade vs x58 is hash-approximate (not exact-ceil)
+    * proportions, which is what cluster atomicity costs. */
+  private def clusterSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(jacClustersShared(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("b", expr(
+        "CAST(conv(substring(md5(CAST(cluster_rep AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
+      .select(col("doc_id"), col("cluster_rep"),
+        when(col("b") === 0, lit("test")).when(col("b") === 1, lit("val"))
+          .otherwise(lit("train")).as("split"))
+
   /** The SRP-banded pair set mined once at 0.2 (candidate generation is
     * threshold-independent — the [[cosinePairs02Shared]] superset rule). */
   private def srpPairs02Shared(s: SparkSession, d: String): DataFrame =
@@ -1251,19 +1287,7 @@ object ExtQueries {
     // decimal and binary float engines at n = 30 (3.0000000000000004 in
     // double rounds the ceiling up).
     QueryDef("x58_stratified_split",
-      (s, d) => {
-        val w = Window.partitionBy(col("source")).orderBy(col("ok"), col("doc_id"))
-        val wn = Window.partitionBy(col("source"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), md5(col("text")).as("ok"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(wn))
-          .select(col("doc_id"), col("source"),
-            when((col("rn") - 1) * 10 < col("n"), lit("test"))
-              .when((col("rn") - 1) * 5 < col("n"), lit("val"))
-              .otherwise(lit("train")).as("split"))
-          .orderBy("doc_id")
-      },
+      (s, d) => stratifiedSplit(s, d).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, source, md5(text) AS ok FROM documents),
                    r AS (SELECT doc_id, source,
                            row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn,
@@ -4087,6 +4111,153 @@ object ExtQueries {
           .agg(count(lit(1)).as("hits"))
           .select((col("hits") >= 7).as("recall_ok"))
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
+
+    // x125 — leakage-safe (cluster-atomic) train/val/test split: x58's
+    // naive per-doc split puts ~1/5 of every near-dup PAIR's members on
+    // opposite sides of the train/eval boundary — the eval set then scores
+    // memorization, not generalization. This split keys on the x25 dup
+    // cluster instead, so all copies of a document travel together.
+    // Oracle: the full x25 recursive closure + the same md5-uniform hash,
+    // end-to-end hash-match.
+    QueryDef("x125_cluster_split",
+      (s, d) => clusterSplit(s, d).orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                a AS (SELECT d.doc_id,
+                        coalesce(cl.cluster_rep, d.doc_id) AS cluster_rep
+                      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+              SELECT doc_id, cluster_rep,
+                     CASE CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8) AS BIGINT) % 10
+                       WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+              FROM a ORDER BY doc_id""")),
+
+    // x125b — split-leakage audit, fully oracle-checked: the count of
+    // near-dup pairs straddling splits under the naive x58 assignment
+    // (non-zero on any corpus with near-dups — the hazard) vs under the
+    // cluster-atomic x125 assignment (zero BY CONSTRUCTION — both engines
+    // recount it from scratch rather than trusting the construction).
+    // Scale: the pair frame is dup-sized, the two split joins are keyed,
+    // and the naive side reuses x58's own documented window cost.
+    QueryDef("x125b_split_leakage_gate",
+      (s, d) => {
+        val pairs = jaccardPairsShared(s, d).select(col("ia"), col("ib"))
+        def crossCount(sp: DataFrame): DataFrame =
+          pairs
+            .join(sp.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+            .join(sp.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+            .filter(col("sa") =!= col("sb"))
+            .agg(count(lit(1)).as("n"))
+        crossCount(stratifiedSplit(s, d)).select(col("n").as("naive_cross_pairs"))
+          .crossJoin(crossCount(clusterSplit(s, d))
+            .select(col("n").as("cluster_cross_pairs")))
+          .select(col("naive_cross_pairs"), col("cluster_cross_pairs"),
+            (col("cluster_cross_pairs") === 0 && col("naive_cross_pairs") > 0)
+              .as("split_ok"))
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                cs AS (SELECT d.doc_id,
+                         CASE CAST('0x' || substr(md5(CAST(
+                                coalesce(cl.cluster_rep, d.doc_id) AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 10
+                           WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+                       FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+                ns0 AS (SELECT doc_id, source, md5(text) AS ok FROM documents),
+                ns1 AS (SELECT doc_id,
+                          row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                        FROM ns0),
+                ns AS (SELECT doc_id,
+                         CASE WHEN (rn - 1) * 10 < n THEN 'test'
+                              WHEN (rn - 1) * 5 < n THEN 'val'
+                              ELSE 'train' END AS split
+                       FROM ns1),
+                ncross AS (SELECT count(*) AS n FROM pairs
+                           JOIN ns a ON a.doc_id = pairs.ia
+                           JOIN ns b ON b.doc_id = pairs.ib
+                           WHERE a.split <> b.split),
+                ccross AS (SELECT count(*) AS n FROM pairs
+                           JOIN cs a ON a.doc_id = pairs.ia
+                           JOIN cs b ON b.doc_id = pairs.ib
+                           WHERE a.split <> b.split)
+              SELECT ncross.n AS naive_cross_pairs, ccross.n AS cluster_cross_pairs,
+                     (ccross.n = 0 AND ncross.n > 0) AS split_ok
+              FROM ncross, ccross""")),
+
+    // x126 — BPE compression curve: corpus token total under each PREFIX
+    // of the x121 merge table (0..4 merges) — the marginal-compression
+    // figure ("what does one more merge buy") that sizes a vocabulary.
+    // ONE corpus scan: the five prefix counts are sibling map-side
+    // expressions in a single aggregate (training is x121's shared
+    // driver-value cache). The oracle does NOT replay the doc-side chain:
+    // it derives each total from the training recurrence's VOCAB frames
+    // (Σ cnt · symbols-per-type — equal because merges never cross token
+    // boundaries), so Spark's corpus-apply path and SQL's type-table path
+    // must agree end-to-end for the hash to match.
+    QueryDef("x126_bpe_compression_curve",
+      (s, d) => {
+        val merges = bpeMergesShared(s, d)
+        val toks = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(TextAnalysis.tokens(col("text")).as("toks"))
+        val counts = (0 to merges.length).map(i =>
+          sum(graft.ext.Bpe.bpeTokenCount(col("toks"), merges.take(i)))
+            .cast("long").as(s"t$i"))
+        toks.agg(counts.head, counts.tail: _*)
+          .select(expr(s"stack(${merges.length + 1}, " +
+            (0 to merges.length)
+              .map(i => s"CAST($i AS BIGINT), t$i").mkString(", ") +
+            ") AS (n_merges, total_tokens)"))
+          .orderBy("n_merges")
+      },
+      Some(s"""${bpeOracleCtes(4)}
+              SELECT n_merges, total_tokens FROM (
+                SELECT CAST(0 AS BIGINT) AS n_merges,
+                       CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) AS total_tokens
+                FROM s0
+                UNION ALL SELECT 1, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s1
+                UNION ALL SELECT 2, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s2
+                UNION ALL SELECT 3, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s3
+                UNION ALL SELECT 4, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s4
+              ) ORDER BY n_merges"""))
   )
 }
