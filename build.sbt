@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 346 codegen'd plans in a two-pass bench run overflow the JVM's default
+  // 240 MB code cache; exhaustion silently disables the JIT and the tail
+  // of the run (the AQE twin) degrades 4-5x. Headroom keeps late-pass
+  // timings comparable to early-pass ones.
+  "-XX:ReservedCodeCacheSize=512m",
 )

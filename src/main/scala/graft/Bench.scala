@@ -100,6 +100,11 @@ object Bench {
       else {
         val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
         graft.queries.ExtQueries.clearSharedFrames()
+        // Reclaim the default pass's unpersisted blocks and let the JIT
+        // settle before re-timing: without this the AQE pass starts under
+        // the first pass's accumulated heap, and its early queries pay GC
+        // the default pass didn't.
+        System.gc()
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         try {
           val (aqeResults, aqeErrors) = timedPass()

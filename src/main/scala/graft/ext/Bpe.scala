@@ -93,11 +93,29 @@ object Bpe {
     * in display form — each entry the space-separated symbol pair
     * ("e r", then "m er", ...). Stops early when no pair remains
     * (vocabulary fully merged). */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[String] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[String] =
+    trainWithCurve(docs, textCol, nMerges)._1
+
+  /** [[train]] plus the compression curve it implies: element `i` of the
+    * second result is the corpus token total after the first `i` merges
+    * (element 0 = character count). Each point is a |V|-row aggregate over
+    * the training chain's already-persisted vocab frame (Σ cnt · symbols
+    * per type — merges never cross token boundaries, so the type-table
+    * total equals the corpus-apply total), NOT a corpus scan: the curve
+    * costs nothing extra at any corpus size, where re-deriving it by
+    * applying merge prefixes to every document would cost one corpus pass
+    * per prefix. BpeSpec pins type-table ≡ corpus-apply equality. */
+  def trainWithCurve(docs: DataFrame, textCol: String,
+                     nMerges: Int): (Seq[String], Seq[Long]) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    val curve = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def total(frame: DataFrame): Long = frame
+      .agg(coalesce(sum(col("cnt") * size(split(col("sym"), " "))), lit(0L)))
+      .head().getLong(0)
     var syms = vocabSyms(docs, textCol).persist()
     try {
+      curve += total(syms)
       var i = 0
       var done = false
       while (i < nMerges && !done) {
@@ -114,10 +132,11 @@ object Bpe {
           next.count() // materialize before releasing the predecessor
           syms.unpersist()
           syms = next
+          curve += total(syms)
         }
         i += 1
       }
-      merges.toSeq
+      (merges.toSeq, curve.toSeq)
     } finally syms.unpersist()
   }
 

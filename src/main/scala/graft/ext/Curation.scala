@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end curation compositions — the pipelines a training-data team
@@ -72,5 +73,59 @@ object Curation {
       keep.unpersist()
       scored.unpersist()
     }
+  }
+
+  /** The md5-derived-uniform train/val/test hash of an id — deterministic,
+    * map-side, engine-portable (DuckDB mirrors it as
+    * `CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 10`): bucket 0 →
+    * test, 1 → val, else train (~10/10/80). Shared by the x125
+    * cluster-atomic split and [[splitAssigner]], so batch and incremental
+    * assignment cannot drift. */
+  def hashSplit(id: Column): Column = {
+    val bucket =
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") % 10
+    when(bucket === 0, "test").when(bucket === 1, "val").otherwise("train")
+  }
+
+  /** Build-once split assignment for a GROWING corpus — the x125
+    * leakage-safe split kept STABLE across corpus versions: freeze the
+    * reference corpus's near-dup flagger ([[Dedup.nearDupFlagger]]) and
+    * its (id → split) table, then each increment batch inherits the split
+    * of the reference document it near-duplicates (best Jaccard, ties to
+    * the lowest ref id) — a new copy of a train document can never land
+    * in eval — while genuinely novel documents fall through to the same
+    * [[hashSplit]] of their own id the batch split uses (a novel doc is
+    * its own cluster in x125 terms). Output per batch row:
+    * (doc_id, split, inherited).
+    *
+    * Scale: the reference is shingled ONCE into capped persisted postings;
+    * per batch the work is one postings join, a batch-keyed rank window,
+    * and one keyed join against the (persisted) split table. Known trade
+    * of incremental assignment: a new doc that near-duplicates reference
+    * docs sitting in DIFFERENT splits inherits only the best match's
+    * split — the periodic full x125 recompute is the reconciliation for
+    * that drift. `close()` releases postings and split table. */
+  def splitAssigner(reference: DataFrame, refSplits: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, threshold: Double = 0.6,
+                    maxDf: Int = Int.MaxValue): Retriever = {
+    val flag = Dedup.nearDupFlagger(reference, textCol, idCol, n, threshold,
+      maxDf)
+    val splits = refSplits
+      .select(col(idCol).as("ref_id"), col("split").as("ref_split"))
+      .persist()
+    new Retriever(batch => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("jacc").desc, col("ref_id"))
+      val best = flag(batch)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .join(splits, "ref_id")
+        .select(col("doc_id"), col("ref_split"), lit(true).as("inherited"))
+      batch.select(col(idCol).as("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ref_split"), hashSplit(col("doc_id"))).as("split"),
+          coalesce(col("inherited"), lit(false)).as("inherited"))
+    }, () => { flag.close(); splits.unpersist() })
   }
 }

@@ -408,11 +408,8 @@ object ExtQueries {
       .join(jacClustersShared(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
-      .withColumn("b", expr(
-        "CAST(conv(substring(md5(CAST(cluster_rep AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"))
       .select(col("doc_id"), col("cluster_rep"),
-        when(col("b") === 0, lit("test")).when(col("b") === 1, lit("val"))
-          .otherwise(lit("train")).as("split"))
+        graft.ext.Curation.hashSplit(col("cluster_rep")).as("split"))
 
   /** The SRP-banded pair set mined once at 0.2 (candidate generation is
     * threshold-independent — the [[cosinePairs02Shared]] superset rule). */
@@ -515,16 +512,18 @@ object ExtQueries {
       graft.ext.Pq.pqStats(emb, graft.ext.Pq.train(emb, m = 16, k = 16))
     }
 
-  /** x121 (merge table) and x122 (fertility): ONE 4-iteration BPE training
-    * run. Driver-side value cache parallel to [[sharedFrame]] (the merges
-    * are a tiny local Seq, not a frame), cleared by
-    * [[clearSharedFrames]] so the Bench AQE twin re-trains under its own
-    * config instead of timing a cache hit. */
+  /** x121 (merge table), x122 (fertility) and x126 (compression curve):
+    * ONE 4-iteration BPE training run. Driver-side value cache parallel
+    * to [[sharedFrame]] (merges + curve are tiny local Seqs, not frames),
+    * cleared by [[clearSharedFrames]] so the Bench AQE twin re-trains
+    * under its own config instead of timing a cache hit. */
   private val mergesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[String]]
-  private def bpeMergesShared(s: SparkSession, d: String): Seq[String] =
+    .empty[(SparkSession, String), (Seq[String], Seq[Long])]
+  private def bpeTrainedShared(s: SparkSession, d: String): (Seq[String], Seq[Long]) =
     mergesCache.getOrElseUpdate((s, d),
-      graft.ext.Bpe.train(Tables.documents(s, d), "text", nMerges = 4))
+      graft.ext.Bpe.trainWithCurve(Tables.documents(s, d), "text", nMerges = 4))
+  private def bpeMergesShared(s: SparkSession, d: String): Seq[String] =
+    bpeTrainedShared(s, d)._1
 
   /** x123 (projection) and x123b (variance gate): ONE PCA training run
     * (driver-value cache, the [[bpeMergesShared]] pattern) and ONE
@@ -4113,10 +4112,10 @@ object ExtQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS recall_ok")),
 
-    // x125 — leakage-safe (cluster-atomic) train/val/test split: x58's
-    // naive per-doc split puts ~1/5 of every near-dup PAIR's members on
-    // opposite sides of the train/eval boundary — the eval set then scores
-    // memorization, not generalization. This split keys on the x25 dup
+    // x125 — leakage-safe (cluster-atomic) train/val/test split: under
+    // x58's naive per-doc split roughly 1 in 5 near-dup pairs ends up
+    // straddling the train/eval boundary (6 of 25 on the sf0.01 fixture)
+    // — the eval set then scores memorization, not generalization. This split keys on the x25 dup
     // cluster instead, so all copies of a document travel together.
     // Oracle: the full x25 recursive closure + the same md5-uniform hash,
     // end-to-end hash-match.
@@ -4226,28 +4225,20 @@ object ExtQueries {
     // x126 — BPE compression curve: corpus token total under each PREFIX
     // of the x121 merge table (0..4 merges) — the marginal-compression
     // figure ("what does one more merge buy") that sizes a vocabulary.
-    // ONE corpus scan: the five prefix counts are sibling map-side
-    // expressions in a single aggregate (training is x121's shared
-    // driver-value cache). The oracle does NOT replay the doc-side chain:
-    // it derives each total from the training recurrence's VOCAB frames
-    // (Σ cnt · symbols-per-type — equal because merges never cross token
-    // boundaries), so Spark's corpus-apply path and SQL's type-table path
-    // must agree end-to-end for the hash to match.
+    // The totals come from the training run itself (|V|-row aggregates
+    // over the chain's persisted vocab frames — Bpe.trainWithCurve, one
+    // shared training for x121/x122/x126), NOT from re-applying merge
+    // prefixes to the corpus: a first cut did the latter and was the
+    // catalog's most expensive query (5 corpus scans, ~5 s at sf0.1);
+    // this is corpus-size-independent. The oracle recomputes each total
+    // from ITS replayed vocab recurrence (Σ cnt · symbols-per-type), and
+    // BpeSpec pins type-table ≡ corpus-apply equality.
     QueryDef("x126_bpe_compression_curve",
       (s, d) => {
-        val merges = bpeMergesShared(s, d)
-        val toks = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(TextAnalysis.tokens(col("text")).as("toks"))
-        val counts = (0 to merges.length).map(i =>
-          sum(graft.ext.Bpe.bpeTokenCount(col("toks"), merges.take(i)))
-            .cast("long").as(s"t$i"))
-        toks.agg(counts.head, counts.tail: _*)
-          .select(expr(s"stack(${merges.length + 1}, " +
-            (0 to merges.length)
-              .map(i => s"CAST($i AS BIGINT), t$i").mkString(", ") +
-            ") AS (n_merges, total_tokens)"))
-          .orderBy("n_merges")
+        import s.implicits._
+        bpeTrainedShared(s, d)._2.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+          .toDF("n_merges", "total_tokens").orderBy("n_merges")
       },
       Some(s"""${bpeOracleCtes(4)}
               SELECT n_merges, total_tokens FROM (

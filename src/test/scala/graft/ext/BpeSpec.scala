@@ -94,6 +94,23 @@ class BpeSpec extends SparkSpec {
     assert(some >= words, "BPE tokens cannot drop below whole-word count")
   }
 
+  test("trainWithCurve: type-table totals equal corpus-apply totals, non-increasing") {
+    val (merges, curve) = Bpe.trainWithCurve(docs, "text", 4)
+    assert(curve.length === merges.length + 1)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a })
+    // the |V|-row type-table totals the curve is built from must equal
+    // what actually applying each merge prefix to every document counts —
+    // the equality x126's engine-vs-oracle hash depends on
+    val toks = docs.filter(length(trim(col("text"))) > 0)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    for (i <- 0 to merges.length) {
+      val applied = toks
+        .agg(sum(Bpe.bpeTokenCount(col("toks"), merges.take(i))))
+        .head().getLong(0)
+      assert(applied === curve(i), s"prefix $i")
+    }
+  }
+
   test("empty corpus and zero merges are total") {
     import spark.implicits._
     assert(Bpe.train(docs.filter(lit(false)), "text", 3) === Seq.empty)

@@ -60,4 +60,48 @@ class CurationSpec extends SparkSpec {
     // at least as many kept documents — never fewer
     assert(banded.length >= exact.length)
   }
+
+  test("splitAssigner: near-dups inherit the reference split, novel docs hash") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val refSplits = Seq((1L, "test"), (2L, "train")).toDF("doc_id", "split")
+    val assigner = Curation.splitAssigner(ref, refSplits)
+    try {
+      val batch = Seq(
+        (10L, "alpha beta gamma delta epsilon zeta"), // exact copy of ref 1
+        (11L, "one two three four five six seven"),   // jacc 0.8 vs ref 2
+        (12L, "completely different words here entirely") // novel
+      ).toDF("doc_id", "text")
+      val out = assigner(batch).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(out(10L) === (("test", true)))
+      assert(out(11L) === (("train", true)))
+      // the novel doc falls through to the SAME hash the batch split uses
+      val expected = Seq(12L).toDF("id")
+        .select(Curation.hashSplit(col("id"))).head.getString(0)
+      assert(out(12L) === ((expected, false)))
+      // empty batch is total
+      assert(assigner(batch.filter(lit(false))).count() === 0)
+    } finally assigner.close()
+  }
+
+  test("splitAssigner: a doc matching two reference docs takes the best match") {
+    import spark.implicits._
+    // doc 13 vs ref 1: shingle Jaccard 0.6; vs ref 2: 0.33 — at a 0.3
+    // threshold BOTH flag, and the assigner must inherit from the better
+    val ref = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y")
+    ).toDF("doc_id", "text")
+    val refSplits = Seq((1L, "val"), (2L, "train")).toDF("doc_id", "split")
+    val assigner = Curation.splitAssigner(ref, refSplits, threshold = 0.3)
+    try {
+      val out = assigner(Seq((13L, "a b c d e g")).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(13L) === "val")
+    } finally assigner.close()
+  }
 }
