@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * ASCII corpus qualifies; a corpus containing "·" needs a different
   * sentinel).
   *
-  * Determinism: merge choice is the total order (count desc, pair asc);
-  * ties cannot fork across engines or runs.
+  * Determinism: merge choice is the total order (count desc, DISPLAY
+  * pair asc — the marker-stripped form, matching reference BPE's
+  * ordering); ties cannot fork across engines or runs.
   */
 object Bpe {
 
@@ -119,9 +120,13 @@ object Bpe {
       var i = 0
       var done = false
       while (i < nMerges && !done) {
+        // tie order on the DISPLAY pair, not the wrapped form: "·" sorts
+        // above ASCII, so wrapped-form ordering would invert ties between
+        // prefix-related candidates and fork from reference BPE (BpeSpec's
+        // localBpe orders display pairs)
         val top = pairCounts(syms)
-          .orderBy(col("n").desc, col("pair")).limit(1)
-          .select(col("pair")).collect()
+          .orderBy(col("n").desc, translate(col("pair"), "·", ""))
+          .limit(1).select(col("pair")).collect()
         if (top.isEmpty) done = true
         else {
           val pair = top.head.getString(0)
@@ -129,10 +134,12 @@ object Bpe {
           val next = syms
             .withColumn("sym", applyOne(col("sym"), pair))
             .persist()
-          next.count() // materialize before releasing the predecessor
+          // the curve aggregate doubles as the materializer: one |V|-row
+          // job both caches the new frame and measures it, before the
+          // predecessor is released
+          curve += total(next)
           syms.unpersist()
           syms = next
-          curve += total(syms)
         }
         i += 1
       }

@@ -100,11 +100,15 @@ object Curation {
     *
     * Scale: the reference is shingled ONCE into capped persisted postings;
     * per batch the work is one postings join, a batch-keyed rank window,
-    * and one keyed join against the (persisted) split table. Known trade
-    * of incremental assignment: a new doc that near-duplicates reference
-    * docs sitting in DIFFERENT splits inherits only the best match's
-    * split — the periodic full x125 recompute is the reconciliation for
-    * that drift. `close()` releases postings and split table. */
+    * and one keyed join against the (persisted) split table. The best
+    * match is taken among references that HAVE a split entry, so a
+    * partial refSplits table degrades to the next-best covered match
+    * rather than mis-hashing a known near-dup as novel. Known trade of
+    * incremental assignment: a new doc that near-duplicates reference
+    * docs sitting in DIFFERENT splits inherits only the best covered
+    * match's split — the periodic full x125 recompute is the
+    * reconciliation for that drift. `close()` releases postings and the
+    * split table. */
   def splitAssigner(reference: DataFrame, refSplits: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, threshold: Double = 0.6,
@@ -117,9 +121,13 @@ object Curation {
     new Retriever(batch => {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("jacc").desc, col("ref_id"))
+      // join splits BEFORE the best-match rank: if refSplits covers only
+      // part of the reference corpus, a doc whose best match carries no
+      // split entry must inherit from its best COVERED match, not fall
+      // through to the hash as if it were novel
       val best = flag(batch)
-        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
         .join(splits, "ref_id")
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
         .select(col("doc_id"), col("ref_split"), lit(true).as("inherited"))
       batch.select(col(idCol).as("doc_id"))
         .join(best, Seq("doc_id"), "left")

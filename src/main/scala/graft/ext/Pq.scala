@@ -171,6 +171,12 @@ object Pq {
                      refine: Int = 4,
                      sampleCap: Int = Ivf.defaultSampleCap,
                      targetCell: Long = Ivf.defaultTargetCell): DataFrame = {
+    // PQ codebooks are sample-trained by construction, so the plain-IVF
+    // "sampleCap = 0 -> exact distributed Lloyd" escape hatch cannot apply
+    // to the IVF-PQ composites; reject the config loudly rather than
+    // returning a silently empty result
+    require(sampleCap > 0,
+      s"IVF-PQ is sample-trained; sampleCap=$sampleCap must be > 0")
     // ONE corpus-wide sampling job feeds both trainings
     val sample = Ivf.collectSample(corpus, sampleCap)
     val (nc, centroids) = Ivf.resolveAndTrainFromSample(
@@ -262,6 +268,12 @@ object Pq {
                   refine: Int = 4,
                   sampleCap: Int = Ivf.defaultSampleCap,
                   targetCell: Long = Ivf.defaultTargetCell): Retriever = {
+    // PQ codebooks are sample-trained by construction, so the plain-IVF
+    // "sampleCap = 0 -> exact distributed Lloyd" escape hatch cannot apply
+    // to the IVF-PQ composites; reject the config loudly rather than
+    // returning a silently empty result
+    require(sampleCap > 0,
+      s"IVF-PQ is sample-trained; sampleCap=$sampleCap must be > 0")
     // ONE corpus-wide sampling job feeds both trainings
     val sample = Ivf.collectSample(corpus, sampleCap)
     val (nc, centroids) = Ivf.resolveAndTrainFromSample(
@@ -299,6 +311,12 @@ object Pq {
                    nAssign: Int = 0, m: Int = defaultM, k: Int = defaultK,
                    sampleCap: Int = Ivf.defaultSampleCap,
                    targetCell: Long = Ivf.defaultTargetCell): PqIndex = {
+    // PQ codebooks are sample-trained by construction, so the plain-IVF
+    // "sampleCap = 0 -> exact distributed Lloyd" escape hatch cannot apply
+    // to the IVF-PQ composites; reject the config loudly rather than
+    // returning a silently empty result
+    require(sampleCap > 0,
+      s"IVF-PQ is sample-trained; sampleCap=$sampleCap must be > 0")
     // ONE corpus-wide sampling job feeds both trainings
     val sample = Ivf.collectSample(corpus, sampleCap)
     val (nc, centroids) = Ivf.resolveAndTrainFromSample(

@@ -584,9 +584,10 @@ object ExtQueries {
                   WHERE len(syms) >= 2),
           m$i AS (SELECT pair
                   FROM (SELECT pair, sum(cnt) AS n FROM p$i GROUP BY pair)
-                  ORDER BY n DESC, pair LIMIT 1),
-          s$i AS (SELECT cnt, replace(sym, (SELECT pair FROM m$i),
-                    (SELECT replace(pair, '· ·', '') FROM m$i)) AS sym
+                  ORDER BY n DESC, replace(pair, '·', '') LIMIT 1),
+          s$i AS (SELECT cnt, replace(sym,
+                    coalesce((SELECT pair FROM m$i), chr(1)),
+                    coalesce((SELECT replace(pair, '· ·', '') FROM m$i), '')) AS sym
                   FROM s${i - 1})"""
     }
     (base +: iters).mkString(",\n")
@@ -4039,10 +4040,14 @@ object ExtQueries {
                          FROM documents WHERE length(trim(text)) > 0),
               applied AS (SELECT source,
                             replace(replace(replace(replace(sym,
-                              (SELECT pair FROM m1), (SELECT replace(pair, '· ·', '') FROM m1)),
-                              (SELECT pair FROM m2), (SELECT replace(pair, '· ·', '') FROM m2)),
-                              (SELECT pair FROM m3), (SELECT replace(pair, '· ·', '') FROM m3)),
-                              (SELECT pair FROM m4), (SELECT replace(pair, '· ·', '') FROM m4)) AS sym
+                              coalesce((SELECT pair FROM m1), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m1), '')),
+                              coalesce((SELECT pair FROM m2), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m2), '')),
+                              coalesce((SELECT pair FROM m3), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m3), '')),
+                              coalesce((SELECT pair FROM m4), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m4), '')) AS sym
                           FROM docsym)
               SELECT source, count(*) AS n_docs,
                      CAST(sum(len(list_filter(string_split(sym, ' '), x -> x <> '·§·'))) AS BIGINT)
@@ -4236,19 +4241,26 @@ object ExtQueries {
     QueryDef("x126_bpe_compression_curve",
       (s, d) => {
         import s.implicits._
-        bpeTrainedShared(s, d)._2.zipWithIndex
+        // early-stopped training (a corpus with fewer than 4 possible
+        // merges) pads the curve by repeating the final total — "no
+        // further compression available" — matching the oracle's fixed 5
+        // prefixes, whose chr(1)-guarded replaces likewise carry the
+        // vocab frames forward unchanged once the merge CTEs go empty
+        val curve = bpeTrainedShared(s, d)._2
+        val padded = curve ++ Seq.fill(5 - curve.length)(curve.last)
+        padded.zipWithIndex
           .map { case (t, i) => (i.toLong, t) }
           .toDF("n_merges", "total_tokens").orderBy("n_merges")
       },
       Some(s"""${bpeOracleCtes(4)}
               SELECT n_merges, total_tokens FROM (
                 SELECT CAST(0 AS BIGINT) AS n_merges,
-                       CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) AS total_tokens
+                       CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) AS total_tokens
                 FROM s0
-                UNION ALL SELECT 1, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s1
-                UNION ALL SELECT 2, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s2
-                UNION ALL SELECT 3, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s3
-                UNION ALL SELECT 4, CAST(sum(cnt * len(string_split(sym, ' '))) AS BIGINT) FROM s4
+                UNION ALL SELECT 1, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s1
+                UNION ALL SELECT 2, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s2
+                UNION ALL SELECT 3, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s3
+                UNION ALL SELECT 4, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s4
               ) ORDER BY n_merges"""))
   )
 }

@@ -103,5 +103,17 @@ class CurationSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(out(13L) === "val")
     } finally assigner.close()
+
+    // a PARTIAL split table: the best match (ref 1) has no split entry,
+    // so the doc must inherit from its best COVERED match (ref 2), not
+    // fall through to the hash as if it were novel
+    val partial = Seq((2L, "train")).toDF("doc_id", "split")
+    val assigner2 = Curation.splitAssigner(ref, partial, threshold = 0.3)
+    try {
+      val out = assigner2(Seq((13L, "a b c d e g")).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+        .toMap
+      assert(out(13L) === (("train", true)))
+    } finally assigner2.close()
   }
 }
