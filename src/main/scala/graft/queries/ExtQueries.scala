@@ -2967,9 +2967,11 @@ object ExtQueries {
               .as("weight_ppm"))
           .orderBy("source")
       },
+      // n_tok must CAST: DuckDB sum() yields HUGEINT, which pandas widens to
+      // float64 — value-equal but hash-different vs Spark's BIGINT (r9/r10).
       Some("""WITH t AS (SELECT source,
-                     sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tok
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
                    FROM documents GROUP BY source),
                   qq AS (SELECT source, n_tok,
                            CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
@@ -3092,7 +3094,8 @@ object ExtQueries {
                          FROM documents WHERE length(trim(text)) > 0),
                   sc AS (SELECT doc_id, is_ref, sum(llr) AS s
                          FROM tk JOIN llr USING (tok) GROUP BY 1, 2)
-              SELECT doc_id, is_ref, s AS llr_micro, s + prior AS score_micro,
+              SELECT doc_id, is_ref, CAST(s AS BIGINT) AS llr_micro,
+                     CAST(s + prior AS BIGINT) AS score_micro,
                      (s + prior) > 0 AS pred_ref
               FROM sc CROSS JOIN pr ORDER BY doc_id""")),
 
@@ -4061,8 +4064,14 @@ object ExtQueries {
     // (deterministic orthogonal iteration, sign-fixed components);
     // projection is ONE map-side pass, no shuffle. Trained components
     // engine-specific → rows-only; solver quality pinned by x123b.
+    // Output is exploded to scalar (vec_id, j, y) rows: the driver's compare
+    // harness sorts every result frame, and an ARRAY column is unsortable
+    // there (r9/r10 oracle error) — scalars also make the rows-only count a
+    // real n×k coverage check rather than n opaque blobs.
     QueryDef("x123_pca_project",
-      (s, d) => pcaProjShared(s, d).orderBy("vec_id"),
+      (s, d) => pcaProjShared(s, d)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .orderBy("vec_id", "j"),
       None),
 
     // x123b — PCA solver gate: variance explained by 16/64 components is

@@ -41,7 +41,19 @@ for name in sorted(os.listdir(outdir)):
         ok = False
         msgs.append(f"rows {len(spark)} vs {len(duck)}")
     else:
+        # The driver's compare HASHES values, so dtype matters even when
+        # values are ==-equal: a DuckDB HUGEINT (uncast sum) widens to
+        # float64 in pandas and hash-mismatches Spark's int64 (r9/r10
+        # x94/x96). Flag int-vs-float dtype skew as a failure.
         for c in spark.columns:
+            sk, dk = spark[c].dtype.kind, duck[c].dtype.kind
+            if {sk, dk} == {"i", "f"}:
+                ok = False
+                msgs.append(
+                    f"col {c} dtype {spark[c].dtype} vs {duck[c].dtype} "
+                    "(uncast HUGEINT aggregate? add CAST(... AS BIGINT))")
+                break
+        for c in (spark.columns if ok else []):
             a, b = spark[c].tolist(), duck[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
                 if hasattr(x, "tolist"): x = x.tolist()
