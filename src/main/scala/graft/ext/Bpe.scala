@@ -47,7 +47,18 @@ object Bpe {
       .filter(length(trim(col(textCol))) > 0)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), charSplit(col("tok")).as("sym"))
+      // Sentinel guard: a token containing the symbol marker '·' or the
+      // boundary sentinel '§' would silently corrupt merge training and
+      // every downstream applyMerges/bpeTokenCount. raise_error makes the
+      // corpus-contract violation loud at the one place every training
+      // pass already reads each token type — a |V|-level check, free next
+      // to the charSplit transform on the same row.
+      .select(col("cnt"),
+        when(col("tok").rlike("[·§]"),
+          raise_error(concat(lit("graft.ext.Bpe: token contains reserved " +
+            "sentinel '·' or '§' — retokenize or substitute sentinels: "),
+            col("tok"))))
+          .otherwise(charSplit(col("tok"))).as("sym"))
 
   /** Space-joined wrapped-character sequence of a string column:
     * "ab" → "·a· ·b·". */

@@ -55,10 +55,64 @@ object Export {
     * ([[readManifest]], [[validateShards]], [[readShards]]) holds over the
     * union. NOT idempotent by design — re-appending the same batch
     * double-counts; dedupe upstream (x77's incremental dedup) and compare
-    * [[corpusDigest]]s when a replay is suspected. */
+    * [[corpusDigest]]s when a replay is suspected.
+    *
+    * Each batch commits as an EPOCH: the batch stages under a `_staging-e<n>`
+    * prefix (invisible to readers — Spark ignores `_`-prefixed paths), its
+    * data files then move into the live shard directories under an
+    * `e<n>-` file prefix, and the republished manifest records `n` in its
+    * `epochs` list. A batch that dies mid-write strands only staging files;
+    * one that dies mid-move strands `e<n>-` files whose epoch is NOT in the
+    * manifest — either way the next append RETRACTS the strays (prefix
+    * delete, no data scan) before committing its own epoch, so append
+    * failures self-heal on retry instead of poisoning the directory
+    * forever. `validateShards` stays the loud loader-side gate in the
+    * window between a failed move and the healing retry (stray bytes
+    * mismatch the committed manifest). Single-writer by contract, like the
+    * manifest republish itself. On object stores without atomic rename
+    * (S3A) the per-file move is copy+delete — the commit window widens but
+    * the retraction contract is unchanged. */
   def appendShards(df: DataFrame, dir: String,
                    shardCol: String = "shard"): Map[Long, Long] =
     shardWrite(df, dir, shardCol, SaveMode.Append)
+
+  /** File prefix of a committed append epoch's data files. */
+  private def epochPrefix(epoch: Long): String = s"e$epoch-"
+  private val EpochFile = "^e([0-9]+)-".r
+
+  /** The append epochs the manifest records as committed (empty for a
+    * fresh/overwrite export or a pre-epoch manifest — base files carry no
+    * epoch prefix and are always committed). */
+  def committedEpochs(spark: SparkSession, dir: String): Set[Long] = {
+    val node = manifestTree(spark, dir).get("epochs")
+    if (node == null || !node.isArray) Set.empty
+    else {
+      val it = node.elements(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next().asLong()
+      b.result()
+    }
+  }
+
+  /** Delete stranded files from append epochs that never committed: any
+    * `_staging-*` directory, and any `e<n>-` data file whose epoch is not
+    * in `committed`. Prefix matching only — no data scan. */
+  private def retractUncommitted(hfs: FileSystem, root: Path,
+                                 shardCol: String,
+                                 committed: Set[Long]): Unit = {
+    if (!hfs.exists(root)) return
+    hfs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("_staging-"))
+        hfs.delete(st.getPath, true)
+      else if (st.isDirectory && name.startsWith(s"$shardCol="))
+        hfs.listStatus(st.getPath).foreach { f =>
+          EpochFile.findFirstMatchIn(f.getPath.getName).foreach { m =>
+            if (f.isFile && !committed.contains(m.group(1).toLong))
+              hfs.delete(f.getPath, false)
+          }
+        }
+    }
+  }
 
   private def shardWrite(df: DataFrame, dir: String, shardCol: String,
                          mode: SaveMode): Map[Long, Long] = {
@@ -70,19 +124,29 @@ object Export {
       Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
       s"$caller needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
+    var epochs = Set.empty[Long]
     if (mode == SaveMode.Append) {
-      // Append CANNOT self-heal: a failed write leaves the batch's rows in
-      // the directory forever (Overwrite replaces them on retry), so the
-      // input contracts must hold BEFORE any file lands. Both checks are
-      // batch-sized, not corpus-sized — an epoch batch is the small side.
-      //   1. no null shards (post-write detection would poison the dir);
+      // Input contracts hold BEFORE any file lands (both checks are
+      // batch-sized, not corpus-sized — an epoch batch is the small side):
+      //   1. no null shards (they would land in the Hive default partition
+      //      and fall out of the manifest);
       require(df.filter(col(shardCol).isNull).limit(1).count() == 0L,
         s"$caller: '$shardCol' contains nulls — appending would strand " +
-          "rows in the Hive default partition with no way to retract them")
+          "rows in the Hive default partition with no way to key them")
+      val (hfsPre, rootPre) = fs(df.sparkSession, dir)
+      // Self-heal FIRST: retract any epoch that never committed (stranded
+      // staging dirs from a mid-write death, stranded e<n>- files from a
+      // mid-move death) so the schema check and the manifest recount see
+      // only committed state — and so a failed append is repaired by its
+      // own retry rather than poisoning the directory forever.
+      val committed =
+        if (hfsPre.exists(new Path(rootPre, ManifestName)))
+          committedEpochs(df.sparkSession, dir)
+        else Set.empty[Long]
+      retractUncommitted(hfsPre, rootPre, shardCol, committed)
       //   2. no schema drift vs the existing export (path-based parquet
       //      append enforces nothing; a missing column would read back as
       //      null and silently corrupt every downstream epoch).
-      val (hfsPre, rootPre) = fs(df.sparkSession, dir)
       // an export with a manifest but zero shard dirs (prior empty write)
       // has no schema to enforce — read.parquet would fail inference there
       val hasShardDirs = hfsPre.exists(rootPre) &&
@@ -103,8 +167,32 @@ object Export {
             s"existing export's ${want.mkString(",")} — path-based append " +
             "would silently union-corrupt the shards")
       }
-    }
-    df.write.mode(mode).partitionBy(shardCol).parquet(dir)
+      // Staged epoch commit: write the batch under a _staging- prefix
+      // (invisible to any concurrent read.parquet(dir)), then move each
+      // data file into its live shard directory under the epoch's file
+      // prefix. A death anywhere in this window leaves only retractable
+      // state (see the appendShards scaladoc).
+      val next = (committed + 0L).max + 1
+      val staging = new Path(rootPre, s"_staging-e$next")
+      df.write.mode(SaveMode.Overwrite).partitionBy(shardCol)
+        .parquet(staging.toString)
+      hfsPre.listStatus(staging).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=")) {
+          val live = new Path(rootPre, st.getPath.getName)
+          hfsPre.mkdirs(live)
+          hfsPre.listStatus(st.getPath).foreach { f =>
+            val n = f.getPath.getName
+            if (f.isFile && !n.startsWith(".") && !n.startsWith("_"))
+              require(hfsPre.rename(f.getPath,
+                new Path(live, epochPrefix(next) + n)),
+                s"$caller: could not move staged file $n into $live")
+          }
+        }
+      }
+      hfsPre.delete(staging, true)
+      epochs = committed + next
+    } else
+      df.write.mode(mode).partitionBy(shardCol).parquet(dir)
     val (hfs, root) = fs(df.sparkSession, dir)
     // ONE root listing answers the null-shard check, the any-rows check,
     // and seeds the per-shard stats — one LIST RPC on an object store, not
@@ -140,7 +228,9 @@ object Export {
       .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
     val manifest =
       s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
-        s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, "total": ${counts.values.sum}}"""
+        s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, """ +
+        s""""epochs": ${epochs.toSeq.sorted.mkString("[", ", ", "]")}, """ +
+        s""""total": ${counts.values.sum}}"""
     val out = hfs.create(new Path(root, ManifestName), true)
     try out.write((manifest + "\n").getBytes("UTF-8")) finally out.close()
     counts

@@ -40,8 +40,10 @@ object Pca {
 
   /** Train a k-component model on the seeded sample. Empty corpus → empty
     * model (callers short-circuit). `iters` is the orthogonal-iteration
-    * count — 50 rounds on a 64-dim covariance is far past convergence and
-    * still sub-millisecond. */
+    * count; the 300 default buys convergence margin on near-degenerate
+    * spectra (adjacent eigenvalues within ~1e-3 of each other, where
+    * per-round contraction is slow) and is still sub-millisecond on a
+    * 64-dim covariance. */
   def train(emb: DataFrame, nComponents: Int, iters: Int = 300,
             sampleCap: Int = Ivf.defaultSampleCap): PcaModel = {
     require(nComponents >= 1, s"need nComponents >= 1, got $nComponents")

@@ -95,7 +95,13 @@ object ExtQueries {
     * touches an expensive shared subtree looks like a regression whenever
     * the catalog's run order shifts). */
   def sharedFrameTags: Set[String] =
-    frameCache.keySet.map(_._3).toSet
+    frameCache.keySet.map(_._3).toSet ++
+      // driver-VALUE caches (BPE merge training, PCA models) attribute the
+      // same way as frame builds: their one-time training cost lands in
+      // whichever timed query first forces them, and without a tag that
+      // cost migrates invisibly when the catalog's run order shifts
+      mergesCache.keySet.map(_ => "bpe-train-n4") ++
+      pcaCache.keySet.map { case (_, _, k) => s"pca-model-k$k" }
 
   /** x80's export scratch location: ONE deterministic dir per sf-dir
     * (Overwrite reuse bounds disk) with a single process-wide cleanup

@@ -19,6 +19,21 @@ case class MatVecExpr(child: Expression, flat: Array[Double],
   require(offsets.nonEmpty && flat.length % offsets.length == 0,
     s"flat length ${flat.length} must be k=${offsets.length} × dim")
 
+  // Array fields make the case-class equals/hashCode reference-based,
+  // which would defeat Catalyst canonicalization (two projections built
+  // from the same model would never compare equal, blocking subexpression
+  // elimination). Content equality restores it.
+  override def equals(other: Any): Boolean = other match {
+    case MatVecExpr(c, f, o) =>
+      c == child && java.util.Arrays.equals(f, flat) &&
+        java.util.Arrays.equals(o, offsets)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(flat)),
+      Integer.valueOf(java.util.Arrays.hashCode(offsets)))
+
   private def floatOrDoubleArray =
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
 

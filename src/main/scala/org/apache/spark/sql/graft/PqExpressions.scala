@@ -29,6 +29,17 @@ case class PqCodeExpr(child: Expression, flat: Array[Double], m: Int, k: Int)
   require(flat.length % (m * k) == 0,
     s"flat codebook length ${flat.length} must be m*k*subDim")
 
+  // content (not reference) equality on the Array field — see MatVecExpr:
+  // required for Catalyst canonicalization/subexpression elimination
+  override def equals(other: Any): Boolean = other match {
+    case PqCodeExpr(c, f, mm, kk) =>
+      c == child && mm == m && kk == k && java.util.Arrays.equals(f, flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(flat)))
+
   private def floatOrDoubleArray =
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))
 
@@ -127,6 +138,16 @@ case class PqLutExpr(child: Expression, flat: Array[Double], m: Int, k: Int)
   require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
   require(flat.length % (m * k) == 0,
     s"flat codebook length ${flat.length} must be m*k*subDim")
+
+  // content (not reference) equality on the Array field — see MatVecExpr
+  override def equals(other: Any): Boolean = other match {
+    case PqLutExpr(c, f, mm, kk) =>
+      c == child && mm == m && kk == k && java.util.Arrays.equals(f, flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(flat)))
 
   private def floatOrDoubleArray =
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType))

@@ -208,6 +208,43 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("a failed append self-heals: uncommitted epoch files retract on retry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appheal").toString
+    try {
+      Export.writeShards(
+        Seq((1L, 0L, "base"), (2L, 1L, "base b")).toDF("doc_id", "shard", "text"), dir)
+      val c1 = Export.appendShards(
+        Seq((3L, 0L, "epoch one")).toDF("doc_id", "shard", "text"), dir)
+      assert(c1 === Map(0L -> 2L, 1L -> 1L))
+      // simulate an append that died mid-move: a data file with an epoch
+      // prefix the manifest never committed, plus a stranded staging dir
+      val shard0 = new java.io.File(dir, "shard=0")
+      val committed = shard0.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("e1-")).head
+      val stray = new java.io.File(shard0, "e99-" + committed.getName.stripPrefix("e1-"))
+      java.nio.file.Files.copy(committed.toPath, stray.toPath)
+      val staging = new java.io.File(dir, "_staging-e99")
+      staging.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(staging, "leftover").toPath, "x")
+      // the loader-side gate refuses the directory while the stray lives
+      val e = intercept[IllegalArgumentException](Export.validateShards(spark, dir))
+      assert(e.getMessage.contains("files") || e.getMessage.contains("bytes"))
+      // the retrying append retracts epoch-99's files and commits cleanly
+      val c2 = Export.appendShards(
+        Seq((4L, 1L, "epoch two")).toDF("doc_id", "shard", "text"), dir)
+      assert(c2 === Map(0L -> 2L, 1L -> 2L))
+      assert(!stray.exists() && !staging.exists())
+      assert(Export.validateShards(spark, dir) === c2)
+      assert(Export.committedEpochs(spark, dir) === Set(1L, 2L))
+      val got = Export.readShards(spark, dir, Seq(0L, 1L))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("corpusDigest is partitioning-invariant, content-sensitive, mergeable") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
