@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the document corpus: BM25 scoring
+  * (Robertson/Spärck Jones — the standard of-the-shelf lexical ranker) and
+  * reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) for
+  * combining a lexical and a semantic ranking — the retrieval front end a
+  * training-data pipeline needs for eval-set mining, dedup triage, and
+  * RAG-corpus curation.
+  *
+  * Scale shape: BM25 is ONE token scan with the query-term filter pushed
+  * into it (an `isin` over a literal handful of terms — the scan prunes to
+  * matching rows before any shuffle), two tiny aggregates over matched
+  * docs, and a corpus-sized-but-2-column length frame; nothing quadratic,
+  * no windows over the corpus. Fusion is a join of two (id, rank) frames.
+  *
+  * Determinism: every per-(doc, term) contribution quantizes to integer
+  * micro-units (`round(x * 1e6)` BIGINT) BEFORE the per-doc sum — the
+  * x92/x96 trick — so scores are exact integer sums, bit-identical
+  * cross-engine, and rank ties break on doc id. */
+object Retrieval {
+
+  /** BM25 scores for `terms` over `docs(textCol)`: one row per document
+    * matching at least one term — (`doc_id`, `n_hit_terms`, `score_micro`).
+    *
+    * Corpus statistics (N, avgdl) are computed over the tokenizable
+    * universe (`length(trim(text)) > 0`), document length in whitespace
+    * tokens. idf is the Lucene-style non-negative variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; term weight is
+    * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`. Each term's
+    * contribution quantizes to micro-units before the sum (see object
+    * scaladoc). */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tokenizable = docs.filter(length(trim(col(textCol))) > 0)
+    // dl from the codegen'd token count — no second tokenize of the corpus
+    val dl = tokenizable.select(col(idCol),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the term filter rides the exploded scan: `isin` over a literal list —
+    // only matching (doc, term) rows survive into the aggregate
+    val tf = tokenizable
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", expr(
+        s"""CAST(round(
+              ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+              (CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+              (CAST(tf AS DOUBLE) + $k1 *
+                (${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+              * 1e6) AS BIGINT)"""))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+  }
+
+  /** Reciprocal-rank-fusion term for a rank column: `round(1e9/(k + rnk))`
+    * as an exact BIGINT (null rank — id absent from that ranking —
+    * contributes 0). */
+  def rrfTerm(rnk: Column, k: Int = 60): Column =
+    coalesce(round(lit(1e9) / (lit(k.toDouble) + rnk)).cast("long"), lit(0L))
+
+  /** Fuse two (id, rank) frames by reciprocal-rank fusion: full outer on
+    * the id, `rrf_micro = Σ round(1e9/(k+rank))` over the rankings each id
+    * appears in. Column contracts: `left(idCol, "rnk")`,
+    * `right(idCol, "rnk")`. */
+  def rrfFuse(left: DataFrame, right: DataFrame, idCol: String,
+              k: Int = 60): DataFrame = {
+    val l = left.select(col(idCol), col("rnk").as("rnk_l"))
+    val r = right.select(col(idCol), col("rnk").as("rnk_r"))
+    l.join(r, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (rrfTerm(col("rnk_l"), k) + rrfTerm(col("rnk_r"), k)).as("rrf_micro"))
+  }
+}

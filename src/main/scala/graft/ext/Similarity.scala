@@ -611,6 +611,37 @@ object Similarity {
   /** Per-query rank window shared by the retrieval paths: `row_number`
     * over (cos desc, vec_id asc) partitioned by query_id — deterministic
     * cut (cos already rounded to 6 decimals), natural shuffle key. */
+  /** Hard-negative mining for contrastive training: each query vector's
+    * `kTop` highest-cosine corpus vectors with a DIFFERENT label — the
+    * near-miss negatives that make embedding-model batches informative
+    * (easy random negatives teach nothing; same-label hits are positives,
+    * not negatives). Same plan shape and broadcast contract as
+    * [[crossTopK]] — query batch broadcast against one corpus scan, the
+    * label filter rides the scan BEFORE the rank window — so the marginal
+    * cost over plain retrieval is one column compare per candidate. A
+    * corpus-sized query set belongs on [[srpCrossTopK]] candidates with
+    * the same label filter applied before ranking.
+    * Output: (`query_id`, `vec_id`, `label`, `cos`, `rnk`). */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, kTop: Int,
+                       labelCol: String = "label"): DataFrame = {
+    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
+    require(nQ <= maxBroadcastQueries,
+      s"hardNegativeTopK broadcasts the query batch; input exceeds " +
+        s"$maxBroadcastQueries rows. Route corpus-sized query sets through " +
+        "srpCrossTopK candidates with the label filter applied before ranking.")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qnrm"),
+      col(labelCol).as("qlabel"))
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(col(labelCol) =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col(labelCol),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+      .transform(rankPerQuery(kTop))
+  }
+
   private[ext] def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))

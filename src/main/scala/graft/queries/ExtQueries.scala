@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline query surface over `documents` and
   * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
@@ -4276,6 +4276,140 @@ object ExtQueries {
                 UNION ALL SELECT 2, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s2
                 UNION ALL SELECT 3, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s3
                 UNION ALL SELECT 4, CAST(coalesce(sum(cnt * len(string_split(sym, ' '))), 0) AS BIGINT) FROM s4
-              ) ORDER BY n_merges"""))
+              ) ORDER BY n_merges""")),
+
+    // x127 — BM25 top-k lexical retrieval: the standard lexical ranker run
+    // in-engine over the documents table for a literal query ("dup vector
+    // stream" — one rare, two mid-frequency terms, so idf actually
+    // discriminates). ONE token scan with the term filter pushed into it,
+    // two matched-doc-sized aggregates, and a TakeOrderedAndProject top-10
+    // (no global sort; the 10-row rank window is free). Per-(doc, term)
+    // contributions quantize to integer micro-units BEFORE the per-doc sum
+    // (the x92/x96 trick) — exact BIGINT scores, hash-matched oracle.
+    QueryDef("x127_bm25_topk",
+      (s, d) => {
+        val scored = Retrieval.bm25(Tables.documents(s, d),
+          Seq("dup", "vector", "stream"))
+        scored.orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("n_hit_terms"), col("score_micro"), col("rnk"))
+          .orderBy("rnk")
+      },
+      Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
+                     WHERE length(trim(text)) > 0),
+                  dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                  st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+                  tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                  tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+                         WHERE tok IN ('dup', 'vector', 'stream') GROUP BY 1, 2),
+                  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                  c AS (SELECT tf.doc_id,
+                          CAST(round(
+                            ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                            (CAST(tf AS DOUBLE) * 2.2) /
+                            (CAST(tf AS DOUBLE) + 1.2 *
+                              (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                            * 1e6) AS BIGINT) AS c_micro
+                        FROM tf JOIN df USING (tok)
+                             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                  sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                           CAST(sum(c_micro) AS BIGINT) AS score_micro
+                         FROM c GROUP BY doc_id)
+              SELECT doc_id, n_hit_terms, score_micro,
+                     CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              FROM sc QUALIFY rnk <= 10 ORDER BY rnk""")),
+
+    // x128 — hybrid retrieval by reciprocal-rank fusion: the x127 lexical
+    // ranking fused with an exact-cosine semantic ranking against query
+    // vector 0 (documents and embeddings share the aligned doc_id/vec_id),
+    // RRF k=60. Each side ranks only its own TOP-100 SHORTLIST
+    // (TakeOrderedAndProject, then a 100-row window) — the shape that
+    // survives 100 TB, where the semantic shortlist comes from srp/ivf
+    // retrieval instead of a full-corpus rank; ids absent from one list
+    // contribute 0, exactly RRF's contract. Fusion terms are exact
+    // integers (round(1e9/(60+rnk))), so the oracle hash-matches.
+    QueryDef("x128_hybrid_rrf",
+      (s, d) => {
+        val lex = Retrieval.bm25(Tables.documents(s, d),
+            Seq("dup", "vector", "stream"))
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rnk"))
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qe"),
+            Similarity.norm(col("embedding")).as("qnrm"))
+        val sem = emb.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("doc_id"),
+            round(Similarity.dot(col("embedding"), col("qe")) /
+              (Similarity.norm(col("embedding")) * col("qnrm")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rnk"))
+        Retrieval.rrfFuse(lex, sem, "doc_id")
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
+                     WHERE length(trim(text)) > 0),
+                  dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                  st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+                  tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                  tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+                         WHERE tok IN ('dup', 'vector', 'stream') GROUP BY 1, 2),
+                  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                  c AS (SELECT tf.doc_id,
+                          CAST(round(
+                            ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                            (CAST(tf AS DOUBLE) * 2.2) /
+                            (CAST(tf AS DOUBLE) + 1.2 *
+                              (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                            * 1e6) AS BIGINT) AS c_micro
+                        FROM tf JOIN df USING (tok)
+                             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                  sc AS (SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+                         FROM c GROUP BY doc_id),
+                  lex AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+                          FROM sc QUALIFY rnk <= 100),
+                  qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+                  sem AS (SELECT vec_id AS doc_id,
+                            row_number() OVER (ORDER BY
+                              round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) DESC,
+                              vec_id) AS rnk
+                          FROM embeddings e CROSS JOIN qv q
+                          WHERE e.vec_id <> 0 QUALIFY rnk <= 100)
+              SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                     coalesce(CAST(round(1e9 / (60 + lex.rnk)) AS BIGINT), 0) +
+                     coalesce(CAST(round(1e9 / (60 + sem.rnk)) AS BIGINT), 0) AS rrf_micro
+              FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+              ORDER BY rrf_micro DESC, doc_id LIMIT 10""")),
+
+    // x129 — hard-negative mining: each query vector's top-3 highest-cosine
+    // OTHER-label corpus vectors — the near-miss negatives a contrastive
+    // embedding trainer batches with each positive. Query batch (vec_id <
+    // 10) broadcasts against one corpus scan with the label filter riding
+    // the scan before the per-query rank window (the x53 crossTopK shape
+    // plus one column compare); corpus-sized query sets route through
+    // srpCrossTopK candidates with the same filter.
+    QueryDef("x129_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegativeTopK(emb.filter(col("vec_id") < 10), emb, kTop = 3)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+                  s AS (SELECT q.query_id, e.vec_id, e.label,
+                          round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+                        FROM embeddings e CROSS JOIN q
+                        WHERE e.label <> q.qlabel),
+                  r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id) AS INT) AS rnk FROM s)
+              SELECT query_id, vec_id, label, cos, rnk
+              FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25, reciprocal-rank fusion, and hard-negative mining on crafted
+  * fixtures where the correct ranking is known by hand. */
+class RetrievalSpec extends SparkSpec {
+
+  test("bm25 ranks by term frequency, rarity, and length normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "cat cat cat dog"),          // tf(cat)=3, short
+      (1L, "cat dog fish bird mouse"),  // tf(cat)=1
+      (2L, "dog dog dog dog"),          // no cat
+      (3L, "cat " + ("filler " * 40).trim), // tf(cat)=1 but long doc
+      (4L, "   ")                        // blank: excluded from the universe
+    ).toDF("doc_id", "text")
+    val scored = Retrieval.bm25(docs, Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // only cat-matching docs appear
+    assert(scored.keySet === Set(0L, 1L, 3L))
+    // higher tf wins; longer doc is length-penalized below the short one
+    assert(scored(0L) > scored(1L))
+    assert(scored(1L) > scored(3L))
+    // a rare term outscores a common one at equal tf and length
+    val two = Seq(
+      (0L, "rare common"), (1L, "other common"), (2L, "other common"))
+      .toDF("doc_id", "text")
+    val s2 = Retrieval.bm25(two, Seq("rare", "common"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(s2(0L)._1 === 2L)   // doc 0 hits both terms
+    assert(s2(0L)._2 > s2(1L)._2)
+  }
+
+  test("rrfFuse sums exact reciprocal-rank terms over a full outer join") {
+    import spark.implicits._
+    val l = Seq((10L, 1), (20L, 2)).toDF("id", "rnk")
+    val r = Seq((20L, 1), (30L, 2)).toDF("id", "rnk")
+    val fused = Retrieval.rrfFuse(l, r, "id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    def t(rnk: Int) = math.round(1e9 / (60 + rnk))
+    assert(fused === Map(
+      10L -> t(1), 20L -> (t(2) + t(1)), 30L -> t(2)))
+  }
+
+  test("hardNegativeTopK returns only other-label neighbors, ranked") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegativeTopK(qs, emb, kTop = 3)
+    val qLabels = qs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.length === qLabels.size * 3)
+    rows.foreach { r =>
+      assert(r.getInt(2) !== qLabels(r.getLong(0)),
+        s"query ${r.getLong(0)} got a same-label 'negative'")
+    }
+    // ranks are 1..3 per query, cosine non-increasing within a query
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq === Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall(p =>
+        p.head.getDouble(3) >= p.last.getDouble(3)))
+    }
+  }
+}
