@@ -55,7 +55,13 @@ object Bench {
           // visible in the log, not silently skipped.
           System.err.println(s"[bench] WARN: warm-up failed for $name: $e")
         }
+    // Local-iteration filter, same contract as Verify: SPARK_GRAFT_ONLY=
+    // "x119,x42" times only queries whose name starts with one of the
+    // prefixes. Unset (the driver) = the full catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // shared-frame attribution: record which timed query first forced each
     // shared frame's build — the one-time cost lands in THAT query's
     // number, and run-order shifts between rounds would otherwise read as

@@ -514,15 +514,27 @@ object Ivf {
   private def probeAgainstCells(queries: DataFrame, corpusAssigned: DataFrame,
                                 centroids: Array[Array[Double]], np: Int,
                                 kTop: Int, minCos: Double): DataFrame = {
-    val q = assignTop(queries, centroids, np)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        Similarity.norm(col("embedding")).as("qnrm"), col("cluster"))
-    q.join(corpusAssigned, "cluster")
-      // multi-assignment duplicates a (query, candidate) pair once per
-      // shared cell — dedup BEFORE the cosine so the dot runs once per pair
-      .select(col("query_id"), col("vec_id"), col("embedding"),
-        col("nrm"), col("qe"), col("qnrm"))
+    // The pair dedup (multi-assignment duplicates a (query, candidate)
+    // pair once per shared cell; the dot must run once per pair) shuffles
+    // NARROW 16-byte id pairs only — a first cut carried BOTH embeddings
+    // (≈ 1 KB+ per candidate row) through the dropDuplicates exchange,
+    // which dominated the probe at sf0.1 and scales with candidate volume.
+    // Vectors re-attach after the dedup: the corpus side by vec_id (one
+    // row per vector — multi-assign repeats the embedding per cell row),
+    // the query side broadcast (the batch is broadcastable by the
+    // crossTopK contract).
+    val qCells = assignTop(queries, centroids, np)
+      .select(col("vec_id").as("query_id"), col("cluster"))
+    val cands = qCells
+      .join(corpusAssigned.select(col("cluster"), col("vec_id")), "cluster")
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    val corpusVecs = corpusAssigned
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .dropDuplicates("vec_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), Similarity.norm(col("embedding")).as("qnrm"))
+    cands.join(corpusVecs, "vec_id").join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(Similarity.dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)

@@ -207,19 +207,30 @@ object Pq {
                       refine: Int): DataFrame = {
     require(refine <= 0 || refineSrc.nonEmpty,
       "refine > 0 needs the raw-vector corpus frame")
-    val q = queries
+    // The candidate dedup (multi-assignment duplicates a (query, candidate)
+    // pair once per shared cell; the ADC must run once per pair) shuffles
+    // NARROW 16-byte id pairs only. A first cut deduped after attaching the
+    // per-query LUT (m·k doubles ≈ 2 KB) and the codes to every candidate
+    // row — at sf0.1 that pushed ~1.4 GB through the dropDuplicates
+    // exchange and dominated the whole retrieval (x119 ~4.8 s); the same
+    // blowup scales with candidate volume, so at 100 TB it would be the
+    // bottleneck shuffle. Codes re-attach by vec_id after the dedup, and
+    // the LUT table (one row per QUERY — the batch is broadcastable by the
+    // crossTopK contract) broadcasts so the ADC stays compute-local.
+    val qCells = queries
       .select(col("vec_id").as("query_id"),
-        PqFunctions.pqLutF(col("embedding"), model).as("lut"),
-        Similarity.norm(col("embedding")).as("qnrm"),
         explode(Ivf.topCells(centroids, math.min(np, centroids.length))).as("sc"))
-      .select(col("query_id"), col("lut"), col("qnrm"),
-        (-col("sc.negj")).as("cluster"))
-    // multi-assignment duplicates a (query, candidate) pair once per shared
-    // cell — dedup BEFORE scoring so the ADC runs once per pair
-    val scored = q.join(indexed, "cluster")
-      .select(col("query_id"), col("vec_id"), col("codes"), col("rnorm"),
-        col("lut"), col("qnrm"))
+      .select(col("query_id"), (-col("sc.negj")).as("cluster"))
+    val qLut = queries.select(col("vec_id").as("query_id"),
+      PqFunctions.pqLutF(col("embedding"), model).as("lut"),
+      Similarity.norm(col("embedding")).as("qnrm"))
+    val cands = qCells.join(indexed.select(col("cluster"), col("vec_id")), "cluster")
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
+    // one row per vec_id (multi-assign repeats codes per cell row)
+    val codes = indexed.select(col("vec_id"), col("codes"), col("rnorm"))
+      .dropDuplicates("vec_id")
+    val scored = cands.join(codes, "vec_id").join(broadcast(qLut), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(PqFunctions.pqAdcF(col("codes"), col("lut"), model.k) /
           (col("qnrm") * col("rnorm")), 6).as("acos"))
