@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical and hybrid retrieval over the document corpus: BM25 scoring
@@ -36,11 +37,7 @@ object Retrieval {
            k1: Double = 1.2, b: Double = 0.75,
            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tokenizable = docs.filter(length(trim(col(textCol))) > 0)
-    // dl from the codegen'd token count — no second tokenize of the corpus
-    val dl = tokenizable.select(col(idCol),
-      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
     // the term filter rides the exploded scan: `isin` over a literal list —
     // only matching (doc, term) rows survive into the aggregate
     val tf = tokenizable
@@ -51,15 +48,99 @@ object Retrieval {
     tf.join(broadcast(dfreq), "tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("c_micro", expr(
-        s"""CAST(round(
-              ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-              (CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
-              (CAST(tf AS DOUBLE) + $k1 *
-                (${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
-              * 1e6) AS BIGINT)"""))
+      .withColumn("c_micro", contributionMicro(k1, b))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+  }
+
+  /** (per-doc lengths, corpus totals, tokenizable docs) — the corpus-side
+    * statistics both BM25 entry points build on. */
+  private def corpusStats(docs: DataFrame, textCol: String,
+                          idCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val tokenizable = docs.filter(length(trim(col(textCol))) > 0)
+    // dl from the codegen'd token count — no second tokenize of the corpus
+    val dl = tokenizable.select(col(idCol),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (dl, stats, tokenizable)
+  }
+
+  /** The per-(doc, term) BM25 contribution in integer micro-units, over
+    * columns `tf`, `df`, `dl`, `n_docs`, `sum_dl` — ONE definition shared
+    * by [[bm25]] and [[bm25Retriever]] so the two paths cannot drift (and
+    * so the SQL oracles mirror a single expression). */
+  private def contributionMicro(k1: Double, b: Double): Column = expr(
+    s"""CAST(round(
+          ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+          (CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+          (CAST(tf AS DOUBLE) + $k1 *
+            (${1.0 - b} + $b * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+          * 1e6) AS BIGINT)""")
+
+  /** Build the BM25 corpus state ONCE — postings with df and doc length
+    * attached, plus the corpus totals — and return the per-batch scorer:
+    * the [[Similarity.srpRetriever]] build/apply split for LEXICAL
+    * retrieval. The query frame is (`query_id`, `terms` array<string>);
+    * each batch broadcasts its distinct (query, term) rows against the
+    * persisted postings (corpus-sized, partitioned by term — the posting-
+    * list scan), sums exact micro-unit contributions per (query, doc), and
+    * ranks top-`kTop` per query. A query's result depends only on its own
+    * row and the static corpus state, so streaming output ≡ batch output
+    * on the same rows (StreamingSpec). Output: (`query_id`, doc id,
+    * `n_hit_terms`, `score_micro`, `rnk`). `close()` releases the
+    * persisted postings. */
+  def bm25Retriever(docs: DataFrame, kTop: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): Retriever = {
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
+    val postingsP = postings.persist()
+    val statsP = stats.persist()
+    new Retriever(
+      scoreBatch(postingsP, statsP, kTop, k1, b, idCol),
+      () => { postingsP.unpersist(); statsP.unpersist() })
+  }
+
+  /** One-shot multi-query BM25 retrieval: [[bm25Retriever]]'s exact plan
+    * without the build/apply persistence split — the catalog-entry shape
+    * (nothing cached beyond the query's own run). */
+  def bm25CrossTopK(docs: DataFrame, queries: DataFrame, kTop: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
+    scoreBatch(postings, stats, kTop, k1, b, idCol)(queries)
+  }
+
+  /** Corpus-side BM25 state: postings (doc, term, tf) with the term's df
+    * and the doc's length attached, plus the (n_docs, sum_dl) totals. */
+  private def buildPostings(docs: DataFrame, textCol: String,
+                            idCol: String): (DataFrame, DataFrame) = {
+    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
+    val tf = tokenizable
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val postings = tf
+      .join(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+      .join(dl, idCol)
+    (postings, stats)
+  }
+
+  private def scoreBatch(postings: DataFrame, stats: DataFrame, kTop: Int,
+                         k1: Double, b: Double,
+                         idCol: String): DataFrame => DataFrame = queries => {
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("tok"))
+    // postings scan ⋈ broadcast query terms — the scale direction
+    postings.join(broadcast(qt), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", contributionMicro(k1, b))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col(idCol))))
+      .filter(col("rnk") <= kTop)
   }
 
   /** Reciprocal-rank-fusion term for a rank column: `round(1e9/(k + rnk))`

@@ -4410,6 +4410,55 @@ object ExtQueries {
                   r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY cos DESC, vec_id) AS INT) AS rnk FROM s)
               SELECT query_id, vec_id, label, cos, rnk
+              FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    // x130 — multi-query BM25 batch retrieval: a QUERY TABLE (five term
+    // lists) scored in one pass — the lexical analog of x53's embedding
+    // batch retrieval, and the one-shot face of `Retrieval.bm25Retriever`
+    // (whose build-once postings answer streaming micro-batches with this
+    // identical plan — StreamingSpec pins parity). The corpus-sized
+    // postings frame joins the BROADCAST distinct (query, term) rows —
+    // one posting-list scan serves every query — then exact micro-unit
+    // sums per (query, doc) and a per-query rank window.
+    QueryDef("x130_bm25_cross_topk",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (0L, Seq("dup", "vector")), (1L, Seq("stream", "batch")),
+          (2L, Seq("customer", "query")), (3L, Seq("merge", "sort", "window")),
+          (4L, Seq("data")))
+          .toDF("query_id", "terms")
+        Retrieval.bm25CrossTopK(Tables.documents(s, d), qs, kTop = 3)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH qs AS (SELECT * FROM (VALUES
+                     (0, ['dup', 'vector']), (1, ['stream', 'batch']),
+                     (2, ['customer', 'query']), (3, ['merge', 'sort', 'window']),
+                     (4, ['data'])) AS v(query_id, terms)),
+                  qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                           unnest(list_distinct(terms)) AS tok FROM qs),
+                  u AS (SELECT doc_id, trim(text) AS t FROM documents
+                        WHERE length(trim(text)) > 0),
+                  dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                  st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+                  tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                  tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+                  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                  c AS (SELECT qt.query_id, tf.doc_id,
+                          CAST(round(
+                            ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                            (CAST(tf AS DOUBLE) * 2.2) /
+                            (CAST(tf AS DOUBLE) + 1.2 *
+                              (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                            * 1e6) AS BIGINT) AS c_micro
+                        FROM qt JOIN tf USING (tok) JOIN df USING (tok)
+                             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                  sc AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                           CAST(sum(c_micro) AS BIGINT) AS score_micro
+                         FROM c GROUP BY 1, 2),
+                  r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_micro DESC, doc_id) AS INT) AS rnk FROM sc)
+              SELECT query_id, doc_id, n_hit_terms, score_micro, rnk
               FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
   )
 }

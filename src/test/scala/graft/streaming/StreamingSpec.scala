@@ -727,4 +727,48 @@ class StreamingSpec extends SparkSpec {
     }.toSeq.sortBy(_._1)
     assert(got === expected)
   }
+
+  test("streaming BM25 retrieval via bm25Retriever matches batch bm25CrossTopK") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val qRows = Seq(
+      (0L, Seq("dup", "vector")), (1L, Seq("stream", "batch")),
+      (2L, Seq("customer", "query")), (3L, Seq("merge", "sort", "window")),
+      (4L, Seq("data")))
+    val expected = graft.ext.Retrieval
+      .bm25CrossTopK(docs, qRows.toDF("query_id", "terms"), kTop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+
+    // corpus-side postings build ONCE; each query micro-batch pays only
+    // its own term explode + posting join — the x130 plan tail per batch
+    val retrieve = graft.ext.Retrieval.bm25Retriever(docs, kTop = 3)
+    val mem = MemoryStream[(Long, Seq[String])]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Int)]
+    val query = mem.toDF().toDF("query_id", "terms").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = retrieve(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getInt(4)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(qRows.take(2))
+      query.processAllAvailable()
+      mem.addData(qRows.drop(2))
+      query.processAllAvailable()
+      // each query's ranking depends only on its own terms + the static
+      // corpus postings, so batch chopping is invisible
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      retrieve.close()
+    }
+  }
 }
