@@ -235,4 +235,29 @@ class PlanSpec extends SparkSpec {
     // mode marks codegen'd operators with "[codegen id : N]")
     assert(p108.contains("codegen id"), s"x108 fell out of codegen:\n$p108")
   }
+
+  test("IVF/PQ probes dedup NARROW id pairs — no vectors or LUTs in the exchange") {
+    // The round-11 probe rewrite: multi-assign candidate dedup must shuffle
+    // only (query_id, vec_id). A regression that re-attaches the per-query
+    // LUT / either embedding BEFORE the dropDuplicates pushes KBs per
+    // candidate through the exchange (x119 measured 5.3s -> 1.8s at sf0.1
+    // from this alone). The dedup compiles to HashAggregate(keys=[query_id,
+    // vec_id], functions=[]) — assert those nodes carry no wide columns.
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val probes = Seq(
+      "pq" -> graft.ext.Pq.ivfPqCrossTopK(qs, corpus, kTop = 3, minCos = 0.2,
+        m = 16, k = 16, refine = 16),
+      "ivf" -> graft.ext.Ivf.ivfCrossTopK(qs, corpus, kTop = 3, minCos = 0.2))
+    for ((tag, df) <- probes) {
+      val dedups = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("HashAggregate") &&
+          l.contains("keys=[query_id") && l.contains("functions=[]"))
+        .toSeq
+      assert(dedups.nonEmpty, s"$tag: pair-dedup aggregate not found")
+      for (l <- dedups; wide <- Seq("lut", "codes", "embedding", "qe#", "qnrm"))
+        assert(!l.contains(wide), s"$tag: pair dedup carries '$wide':\n$l")
+    }
+  }
 }
