@@ -642,6 +642,53 @@ object Similarity {
       .transform(rankPerQuery(kTop))
   }
 
+  /** Contrastive TRIPLET assembly: for each query vector, the nearest
+    * SAME-label corpus vector (the positive) and the nearest OTHER-label
+    * one (the hard negative — [[hardNegativeTopK]]'s rank-1), plus the
+    * exact integer margin between the two cosines — the (anchor, positive,
+    * negative) rows an embedding trainer consumes directly, with the
+    * margin as the difficulty signal batch samplers sort on. ONE corpus
+    * scan against the broadcast query batch and ONE rank window
+    * partitioned by (query, same-label) — two partitions per query, no
+    * second scoring pass. Self-pairs are excluded before ranking. A query
+    * whose label has no second member gets null positive columns (total
+    * function — the caller filters or fails loudly, the row does not
+    * silently vanish). Corpus-sized query sets route through
+    * [[srpCrossTopK]] candidates, ranked under the same partitioning.
+    * Output: (`query_id`, `pos_id`, `pos_cos`, `neg_id`, `neg_cos`,
+    * `margin_micro`). */
+  def contrastiveTriplets(queries: DataFrame, corpus: DataFrame,
+                          labelCol: String = "label"): DataFrame = {
+    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
+    require(nQ <= maxBroadcastQueries,
+      s"contrastiveTriplets broadcasts the query batch; input exceeds " +
+        s"$maxBroadcastQueries rows. Route corpus-sized query sets through " +
+        "srpCrossTopK candidates ranked per (query, same-label) partition.")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qnrm"),
+      col(labelCol).as("qlabel"))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (col(labelCol) === col("qlabel")).as("same"),
+        round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("same"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("same"), col("vec_id"))).as("pos_id"),
+        max(when(col("same"), col("cos"))).as("pos_cos"),
+        max(when(!col("same"), col("vec_id"))).as("neg_id"),
+        max(when(!col("same"), col("cos"))).as("neg_cos"))
+      .withColumn("margin_micro",
+        expr("CAST(round((pos_cos - neg_cos) * 1e6) AS BIGINT)"))
+  }
+
   private[ext] def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))

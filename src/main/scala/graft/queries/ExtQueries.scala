@@ -4459,6 +4459,36 @@ object ExtQueries {
                   r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                           ORDER BY score_micro DESC, doc_id) AS INT) AS rnk FROM sc)
               SELECT query_id, doc_id, n_hit_terms, score_micro, rnk
-              FROM r WHERE rnk <= 3 ORDER BY query_id, rnk"""))
+              FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""")),
+
+    // x131 — contrastive triplet assembly: per anchor, the nearest
+    // same-label positive and the nearest other-label hard negative
+    // (x129's rank-1) with the exact integer cosine margin — the
+    // (anchor, positive, negative) rows an embedding trainer consumes,
+    // margin as the batch-sampler difficulty signal. One corpus scan, one
+    // rank window over (query, same-label) — no second scoring pass.
+    QueryDef("x131_contrastive_triplets",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.contrastiveTriplets(emb.filter(col("vec_id") < 10), emb)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+                  s AS (SELECT q.query_id, e.vec_id, (e.label = q.qlabel) AS same,
+                          round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+                        FROM embeddings e CROSS JOIN q
+                        WHERE e.vec_id <> q.query_id),
+                  r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+                          ORDER BY cos DESC, vec_id) AS rnk FROM s),
+                  p AS (SELECT query_id,
+                          max(CASE WHEN same THEN vec_id END) AS pos_id,
+                          max(CASE WHEN same THEN cos END) AS pos_cos,
+                          max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+                          max(CASE WHEN NOT same THEN cos END) AS neg_cos
+                        FROM r WHERE rnk = 1 GROUP BY query_id)
+              SELECT query_id, pos_id, pos_cos, neg_id, neg_cos,
+                     CAST(round((pos_cos - neg_cos) * 1e6) AS BIGINT) AS margin_micro
+              FROM p ORDER BY query_id"""))
   )
 }

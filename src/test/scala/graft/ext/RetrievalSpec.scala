@@ -44,6 +44,27 @@ class RetrievalSpec extends SparkSpec {
       10L -> t(1), 20L -> (t(2) + t(1)), 30L -> t(2)))
   }
 
+  test("contrastiveTriplets pairs each anchor with its true nearest pos/neg") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.filter(col("vec_id") < 8)
+    val got = Similarity.contrastiveTriplets(qs, emb)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(got.size === 8)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // negative matches hardNegativeTopK's rank-1 exactly
+    val negRank1 = Similarity.hardNegativeTopK(qs, emb, kTop = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    for ((qid, (posId, posCos, negId, negCos, margin)) <- got) {
+      assert(labels(posId) === labels(qid), s"positive label mismatch for $qid")
+      assert(labels(negId) !== labels(qid), s"negative label match for $qid")
+      assert((negId, negCos) === negRank1(qid))
+      assert(margin === math.round((posCos - negCos) * 1e6))
+      assert(posId !== qid)
+    }
+  }
+
   test("hardNegativeTopK returns only other-label neighbors, ranked") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = emb.filter(col("vec_id") < 5)
