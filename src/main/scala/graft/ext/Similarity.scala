@@ -658,7 +658,28 @@ object Similarity {
     * Output: (`query_id`, `pos_id`, `pos_cos`, `neg_id`, `neg_cos`,
     * `margin_micro`). */
   def contrastiveTriplets(queries: DataFrame, corpus: DataFrame,
-                          labelCol: String = "label"): DataFrame = {
+                          labelCol: String = "label"): DataFrame =
+    tripletsAgainst(corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), col(labelCol).as("clabel")),
+      labelCol)(queries)
+
+  /** Build the triplet-mining corpus state ONCE (vectors + norms + labels,
+    * persisted) and return the per-batch miner — [[contrastiveTriplets]]
+    * as a [[Retriever]], the shape a contrastive training loop uses: each
+    * arriving anchor micro-batch mines its positives and hard negatives
+    * against the frozen corpus version (StreamingSpec pins micro-batch ≡
+    * batch parity). `close()` releases the persisted corpus side. */
+  def tripletMiner(corpus: DataFrame,
+                   labelCol: String = "label"): Retriever = {
+    val side = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), col(labelCol).as("clabel")).persist()
+    new Retriever(tripletsAgainst(side, labelCol), () => { side.unpersist(); () })
+  }
+
+  /** The shared scoring tail: corpus side is (`vec_id`, `embedding`,
+    * `nrm`, `clabel`). */
+  private def tripletsAgainst(corpusSide: DataFrame, labelCol: String)
+                             (queries: DataFrame): DataFrame = {
     val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
     require(nQ <= maxBroadcastQueries,
       s"contrastiveTriplets broadcasts the query batch; input exceeds " +
@@ -667,13 +688,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm(col("embedding")).as("qnrm"),
       col(labelCol).as("qlabel"))
-    val scored = corpus
-      .select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"), col(labelCol))
+    val scored = corpusSide
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (col(labelCol) === col("qlabel")).as("same"),
+        (col("clabel") === col("qlabel")).as("same"),
         round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"), col("same"))

@@ -771,4 +771,44 @@ class StreamingSpec extends SparkSpec {
       retrieve.close()
     }
   }
+
+  test("streaming triplet mining via tripletMiner matches batch contrastiveTriplets") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val anchors = emb.filter(col("vec_id") < 8)
+    val expected = graft.ext.Similarity.contrastiveTriplets(anchors, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+
+    // corpus side (vectors + norms + labels) freezes ONCE; each anchor
+    // micro-batch mines its own triplets — the contrastive-training loop
+    val mine = graft.ext.Similarity.tripletMiner(emb)
+    val rows = anchors.select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long, Double, Long)]
+    val query = mem.toDF().toDF("vec_id", "embedding", "label").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = mine(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4), r.getLong(5)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(4))
+      query.processAllAvailable()
+      mem.addData(rows.drop(4))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      mine.close()
+    }
+  }
 }
