@@ -128,9 +128,17 @@ object Retrieval {
 
   private def scoreBatch(postings: DataFrame, stats: DataFrame, kTop: Int,
                          k1: Double, b: Double,
-                         idCol: String): DataFrame => DataFrame = queries => {
-    val qt = queries.select(col("query_id"),
-      explode(array_distinct(col("terms"))).as("tok"))
+                         idCol: String): DataFrame => DataFrame = queries =>
+    scoreTerms(postings, stats, kTop, k1, b, idCol)(
+      queries.select(col("query_id"),
+        explode(array_distinct(col("terms"))).as("tok")))
+
+  /** [[scoreBatch]] over an already-exploded (`query_id`, `tok`) frame —
+    * the entry [[bm25Prf]] uses to feed PLAN-DERIVED terms (no driver
+    * collect between expansion and re-scoring). */
+  private def scoreTerms(postings: DataFrame, stats: DataFrame, kTop: Int,
+                         k1: Double, b: Double,
+                         idCol: String): DataFrame => DataFrame = qt =>
     // postings scan ⋈ broadcast query terms — the scale direction
     postings.join(broadcast(qt), "tok")
       .crossJoin(broadcast(stats))
@@ -141,6 +149,45 @@ object Retrieval {
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_micro").desc, col(idCol))))
       .filter(col("rnk") <= kTop)
+
+  /** Pseudo-relevance-feedback retrieval (the RM3/Rocchio-lite loop): BM25
+    * for the seed terms → top-`kDocs` feedback documents → the `kExpand`
+    * highest Σ tf·idf_micro NEW terms in those documents → one re-scored
+    * BM25 over seeds ∪ expansion, top-`kTop`. The whole two-stage chain is
+    * ONE lazy plan — the expansion terms flow as a FRAME into the second
+    * scoring (no driver collect), so Catalyst sees and schedules the full
+    * pipeline. Exactness: idf quantizes to micro-units and the expansion
+    * weight is an exact integer Σ tf·idf_micro with (weight desc, term)
+    * tie-break, so the chosen terms — and therefore the final ranking —
+    * are bit-deterministic cross-engine. Cost: the feedback-doc term
+    * aggregate runs over `kDocs` documents, not the corpus; stage-2 is one
+    * more posting-list join. */
+  def bm25Prf(docs: DataFrame, seedTerms: Seq[String],
+              kDocs: Int = 3, kExpand: Int = 2, kTop: Int = 10,
+              k1: Double = 1.2, b: Double = 0.75,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(seedTerms.nonEmpty, "bm25Prf needs at least one seed term")
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
+    val feedback = bm25(docs, seedTerms, k1, b, textCol, idCol)
+      .orderBy(col("score_micro").desc, col(idCol)).limit(kDocs)
+      .select(col(idCol))
+    val idfMicro = expr(
+      """CAST(round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+                              (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)""")
+    val expansion = postings
+      .join(broadcast(feedback), idCol)
+      .filter(!col("tok").isin(seedTerms: _*))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("tok"))
+      .agg(sum(col("tf") * idfMicro).as("w"))
+      .orderBy(col("w").desc, col("tok")).limit(kExpand)
+      .select(col("tok"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val qt = seedTerms.distinct.toDF("tok").union(expansion).distinct()
+      .select(lit(0L).as("query_id"), col("tok"))
+    scoreTerms(postings, stats, kTop, k1, b, idCol)(qt)
+      .select(col(idCol), col("n_hit_terms"), col("score_micro"), col("rnk"))
   }
 
   /** Reciprocal-rank-fusion term for a rank column: `round(1e9/(k + rnk))`

@@ -4489,6 +4489,62 @@ object ExtQueries {
                         FROM r WHERE rnk = 1 GROUP BY query_id)
               SELECT query_id, pos_id, pos_cos, neg_id, neg_cos,
                      CAST(round((pos_cos - neg_cos) * 1e6) AS BIGINT) AS margin_micro
-              FROM p ORDER BY query_id"""))
+              FROM p ORDER BY query_id""")),
+
+    // x132 — pseudo-relevance-feedback retrieval (RM3/Rocchio-lite): seed
+    // BM25 → top-3 feedback docs → the 2 highest Σ tf·idf_micro NEW terms
+    // in them → re-scored BM25 over seeds ∪ expansion, top-10. The whole
+    // two-stage chain is ONE lazy plan (expansion terms flow as a frame,
+    // no driver collect); every stage quantizes to exact integers, so the
+    // chosen terms — and the final ranking — hash-match the unrolled SQL.
+    QueryDef("x132_bm25_prf",
+      (s, d) => Retrieval.bm25Prf(Tables.documents(s, d), Seq("dup", "vector"))
+        .orderBy("rnk"),
+      Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
+                     WHERE length(trim(text)) > 0),
+                  dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                  st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+                  tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                  tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+                  df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                  c1 AS (SELECT tf.doc_id,
+                           CAST(round(
+                             ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                             (CAST(tf AS DOUBLE) * 2.2) /
+                             (CAST(tf AS DOUBLE) + 1.2 *
+                               (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                             * 1e6) AS BIGINT) AS c_micro
+                         FROM tf JOIN df USING (tok)
+                              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+                         WHERE tok IN ('dup', 'vector')),
+                  s1 AS (SELECT doc_id, sum(c_micro) AS score
+                         FROM c1 GROUP BY doc_id),
+                  fb AS (SELECT doc_id FROM s1
+                         QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 3),
+                  ex AS (SELECT tok,
+                           sum(tf * CAST(round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+                                                        (CAST(df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)) AS w
+                         FROM tf JOIN df USING (tok) CROSS JOIN st
+                         WHERE doc_id IN (SELECT doc_id FROM fb)
+                           AND tok NOT IN ('dup', 'vector')
+                         GROUP BY tok
+                         QUALIFY row_number() OVER (ORDER BY w DESC, tok) <= 2),
+                  terms AS (SELECT 'dup' AS tok UNION SELECT 'vector'
+                            UNION SELECT tok FROM ex),
+                  c2 AS (SELECT tf.doc_id,
+                           CAST(round(
+                             ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+                             (CAST(tf AS DOUBLE) * 2.2) /
+                             (CAST(tf AS DOUBLE) + 1.2 *
+                               (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))
+                             * 1e6) AS BIGINT) AS c_micro
+                         FROM tf JOIN terms USING (tok) JOIN df USING (tok)
+                              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                  s2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                           CAST(sum(c_micro) AS BIGINT) AS score_micro
+                         FROM c2 GROUP BY doc_id)
+              SELECT doc_id, n_hit_terms, score_micro,
+                     CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              FROM s2 QUALIFY rnk <= 10 ORDER BY rnk"""))
   )
 }

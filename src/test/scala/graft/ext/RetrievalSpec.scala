@@ -44,6 +44,25 @@ class RetrievalSpec extends SparkSpec {
       10L -> t(1), 20L -> (t(2) + t(1)), 30L -> t(2)))
   }
 
+  test("bm25Prf expands the query and degrades to plain BM25 at kExpand=0") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // kExpand=0 must reproduce the plain seed ranking exactly
+    val plain = Retrieval.bm25(docs, Seq("dup", "vector"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val noExp = Retrieval.bm25Prf(docs, Seq("dup", "vector"), kExpand = 0)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(noExp === plain)
+    // with expansion, some returned doc hits more terms than the seeds
+    // offer — proof the expanded terms actually scored
+    val exp = Retrieval.bm25Prf(docs, Seq("dup", "vector"), kExpand = 2)
+      .collect()
+    assert(exp.nonEmpty)
+    assert(exp.map(_.getLong(1)).max > 2,
+      "expansion terms never contributed to any returned doc")
+  }
+
   test("contrastiveTriplets pairs each anchor with its true nearest pos/neg") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = emb.filter(col("vec_id") < 8)
