@@ -236,6 +236,21 @@ class PlanSpec extends SparkSpec {
     assert(p108.contains("codegen id"), s"x108 fell out of codegen:\n$p108")
   }
 
+  test("BM25 family: top-k via TakeOrderedAndProject, postings join broadcasts terms") {
+    // x127/x128 rank only a TakeOrderedAndProject shortlist — a global
+    // Sort before the limit would be the 100 TB regression
+    assert(plan("x127_bm25_topk").contains("TakeOrderedAndProject"),
+      "x127 lost its top-k short-circuit")
+    assert(plan("x128_hybrid_rrf").contains("TakeOrderedAndProject"),
+      "x128 lost its top-k short-circuit")
+    // x130/x132 join corpus-sized postings against BROADCAST query terms —
+    // a shuffled term join would move the postings for a handful of terms
+    assert(plan("x130_bm25_cross_topk").contains("BroadcastHashJoin"),
+      "x130 stopped broadcasting the query-term side")
+    assert(plan("x132_bm25_prf").contains("BroadcastHashJoin"),
+      "x132 stopped broadcasting the query-term/feedback side")
+  }
+
   test("IVF/PQ probes dedup NARROW id pairs — no vectors or LUTs in the exchange") {
     // The round-11 probe rewrite: multi-assign candidate dedup must shuffle
     // only (query_id, vec_id). A regression that re-attaches the per-query
