@@ -94,14 +94,22 @@ object ExtQueries {
     * query; without the attribution, whichever query alphabetically first
     * touches an expensive shared subtree looks like a regression whenever
     * the catalog's run order shifts). */
-  def sharedFrameTags: Set[String] =
-    frameCache.keySet.map(_._3).toSet ++
+  /** Tags are DIR-QUALIFIED (`sf0.1:jacc-n3-t06`): frames are cached per
+    * (session, dir, tag), so the warm-up pass at the tiny SF builds its
+    * own entries and the timed pass at the bench SF builds distinct ones —
+    * an unqualified tag set made the timed pass's diff come up empty
+    * (every bare tag already present from warm-up) and silently blanked
+    * the default pass's attribution block. */
+  def sharedFrameTags: Set[String] = {
+    def base(d: String) = d.replaceAll("/+$", "").split('/').last
+    frameCache.keySet.map { case (_, d, tag) => s"${base(d)}:$tag" }.toSet ++
       // driver-VALUE caches (BPE merge training, PCA models) attribute the
       // same way as frame builds: their one-time training cost lands in
       // whichever timed query first forces them, and without a tag that
       // cost migrates invisibly when the catalog's run order shifts
-      mergesCache.keySet.map(_ => "bpe-train-n4") ++
-      pcaCache.keySet.map { case (_, _, k) => s"pca-model-k$k" }
+      mergesCache.keySet.map { case (_, d) => s"${base(d)}:bpe-train-n4" } ++
+      pcaCache.keySet.map { case (_, d, k) => s"${base(d)}:pca-model-k$k" }
+  }
 
   /** x80's export scratch location: ONE deterministic dir per sf-dir
     * (Overwrite reuse bounds disk) with a single process-wide cleanup
