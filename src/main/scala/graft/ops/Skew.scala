@@ -81,4 +81,28 @@ object Skew {
       .agg(min(col(valueCol)).as("_pmin"), max(col(valueCol)).as("_pmax"))
       .groupBy(col(keyCol))
       .agg(min(col("_pmin")).as("min"), max(col("_pmax")).as("max"))
+
+  /** The key-skew PROFILE that decides whether [[saltedSumCount]]/
+    * [[saltedJoin]] are worth their cost before a shuffle is planned: the `kTop` hottest
+    * keys with exact row counts, each key's corpus share in exact ppm, and
+    * a `salt_recommended` verdict — true when the key's share exceeds
+    * `1/parallelism` (a single reduce task would carry more than one
+    * task's fair slice, i.e. the key IS a straggler at that width). One
+    * hash aggregate over (key) — 16 bytes a row at any scale — then a
+    * kTop-row TakeOrderedAndProject; integer-exact everywhere, so the
+    * report hash-matches across engines. */
+  def skewProfile(df: DataFrame, keyCol: String, kTop: Int = 10,
+                  parallelism: Int = 32): DataFrame = {
+    require(kTop >= 1 && parallelism >= 1,
+      s"need kTop >= 1 and parallelism >= 1, got $kTop/$parallelism")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
+          .as("share_ppm"))
+      .withColumn("salt_recommended",
+        col("share_ppm") > lit(1000000L / parallelism))
+      .orderBy(col("n").desc, col(keyCol)).limit(kTop)
+  }
 }

@@ -4553,6 +4553,25 @@ object ExtQueries {
                          FROM c2 GROUP BY doc_id)
               SELECT doc_id, n_hit_terms, score_micro,
                      CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
-              FROM s2 QUALIFY rnk <= 10 ORDER BY rnk"""))
+              FROM s2 QUALIFY rnk <= 10 ORDER BY rnk""")),
+
+    // x133 — key-skew profile: the report that decides whether q31/q32's
+    // salting is worth its cost BEFORE the shuffle is planned — hottest
+    // keys, exact ppm shares, and a salt_recommended verdict (share >
+    // 1/parallelism ⇒ one reduce task would carry more than its fair
+    // slice). One 16-byte-per-key hash aggregate at any scale, then a
+    // kTop-row TakeOrderedAndProject; integer-exact → full hash-match.
+    QueryDef("x133_skew_profile",
+      (s, d) => graft.ops.Skew.skewProfile(
+          Tables.events(s, d), "event_type", kTop = 5, parallelism = 32)
+        .orderBy(col("n").desc, col("event_type")),
+      Some("""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+                  t AS (SELECT sum(n) AS total FROM c)
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                     CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+                     (CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) > 31250)
+                       AS salt_recommended
+              FROM c CROSS JOIN t
+              ORDER BY n DESC, event_type LIMIT 5"""))
   )
 }

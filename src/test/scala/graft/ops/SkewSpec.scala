@@ -54,4 +54,21 @@ class SkewSpec extends SparkSpec {
       Skew.saltedSumCount(df, "k", "v", buckets = 0).collect()
     }
   }
+
+  test("skewProfile flags keys over the fair slice and only those") {
+    import spark.implicits._
+    // 64 rows for "hot" (50% share), 32 for "warm" (25%), 1 each for 32
+    // cold keys (~0.78%) — at parallelism 4 the fair slice is 25%, so hot
+    // is flagged, warm sits exactly AT the threshold (not over -> false),
+    // cold keys are far under
+    val rows = Seq.fill(64)("hot") ++ Seq.fill(32)("warm") ++
+      (0 until 32).map(i => s"cold$i")
+    val profile = Skew.skewProfile(rows.toDF("k"), "k",
+        kTop = 3, parallelism = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(profile.length === 3)
+    assert(profile(0) === (("hot", 64L, 500000L, true)))
+    assert(profile(1) === (("warm", 32L, 250000L, false)))
+    assert(profile(2)._4 === false)
+  }
 }
