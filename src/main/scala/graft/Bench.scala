@@ -62,14 +62,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    // shared-frame attribution: record which timed query first forced each
-    // shared frame's build — the one-time cost lands in THAT query's
-    // number, and run-order shifts between rounds would otherwise read as
-    // per-query regressions (r9 saw x69/x70/x88 "double" for this reason).
+    // shared-frame attribution: each one-time shared build (persisted frame,
+    // BPE training, PCA model) is reported as its OWN `frame:<tag>` timing
+    // key, measured inside ExtQueries.timedBuild and SUBTRACTED from the
+    // catalog query that happened to force it — so no query's number
+    // conflates frame build with query run, and run-order shifts between
+    // rounds cannot read as per-query regressions (r9 saw x69/x70/x88
+    // "double", r11 saw x07 carry two family frames, for this reason).
+    // `shared_frames` still records which query forced each build.
     val frameBuilders = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timedPass(): (Seq[(String, Double)], List[String]) = {
       var errors = List.empty[String]
-      val results = names.map { name =>
+      val results = names.flatMap { name =>
         val before = graft.queries.ExtQueries.sharedFrameTags
         val t0 = System.nanoTime()
         val ok =
@@ -77,9 +81,13 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); errors ::= name; false
           }
-        (graft.queries.ExtQueries.sharedFrameTags -- before)
-          .foreach(tag => frameBuilders.getOrElseUpdate(tag, name))
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val newTags = (graft.queries.ExtQueries.sharedFrameTags -- before).toSeq.sorted
+        newTags.foreach(tag => frameBuilders.getOrElseUpdate(tag, name))
+        val builds = graft.queries.ExtQueries.sharedFrameBuildSecs
+        val frameRows = newTags.map(tag => s"frame:$tag" -> builds.getOrElse(tag, 0.0))
+        val own = math.max(0.0, elapsed - frameRows.map(_._2).sum)
+        frameRows :+ (name -> (if (ok) own else -1.0))
       }
       (results, errors)
     }

@@ -881,15 +881,135 @@ object Dedup {
       .persist()
     // build-time job: materialize the frozen table now, not on first batch
     refBands.count()
-    new Retriever(docs =>
-      simHashBandsOf(simHashSigs(docs, textCol, idCol))
-        .join(refBands, "band")
-        .filter(col("doc_id") =!= col("ref_id"))
-        .select(col("doc_id"), col("ref_id"),
-          expr("bit_count(simhash ^ sb)").cast("long").as("ham"))
-        .filter(col("ham") <= hMax)
-        .dropDuplicates("doc_id", "ref_id"),
+    new Retriever(simHashProbe(refBands, hMax, textCol, idCol),
       () => refBands.unpersist())
+  }
+
+  /** The probe side of the SimHash flagger lifecycle, defined ONCE for the
+    * in-memory [[simHashFlagger]] and the reloaded [[loadSimHashFlagger]]
+    * so the two cannot drift: one band equi-join against the frozen
+    * (band, ref_id, sb) table, `bit_count(xor)` verification, self-pairs
+    * excluded. */
+  private def simHashProbe(refBands: DataFrame, hMax: Int, textCol: String,
+                           idCol: String)(docs: DataFrame): DataFrame =
+    simHashBandsOf(simHashSigs(docs, textCol, idCol))
+      .join(refBands, "band")
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("doc_id"), col("ref_id"),
+        expr("bit_count(simhash ^ sb)").cast("long").as("ham"))
+      .filter(col("ham") <= hMax)
+      .dropDuplicates("doc_id", "ref_id")
+
+  /** Persist a [[simHashFlagger]] reference index so the ~48 B/doc frozen
+    * state survives the session — the [[saveNearDupIndex]] lifecycle for
+    * the sketch-dedup family (previously the ONE index family that could
+    * not survive a driver restart). Layout: `dir/bands` — the
+    * (band, ref_id, sb) table, 4 rows per corpus doc, 24 B each; and
+    * `dir/meta` — one row (`h_max`) so a loaded flagger reproduces the
+    * build's Hamming radius without the caller re-supplying it. Hadoop-FS
+    * URIs throughout. An empty corpus writes an empty, schema-complete
+    * bands table and round-trips (no partitionBy → no missing-directory
+    * trap). */
+  def saveSimHashIndex(corpus: DataFrame, dir: String, hMax: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): Unit = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    simHashBandsOf(simHashSigs(corpus, textCol, idCol))
+      .select(col("band"), col("doc_id").as("ref_id"), col("simhash").as("sb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/bands")
+    Seq(hMax).toDF("h_max")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[saveSimHashIndex]] directory as a ready [[Retriever]]: the
+    * band table persists in memory for probe-many reuse (materialized now,
+    * not on first batch), `hMax` comes from the saved meta, and the probe
+    * plan is [[simHashProbe]] — identical to the in-memory flagger's, so a
+    * reloaded index reproduces the x111 pair membership exactly (pinned in
+    * DedupSpec). `textCol`/`idCol` describe the PROBE frames. */
+  def loadSimHashFlagger(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): Retriever = {
+    val hMax = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("h_max")
+    val refBands = spark.read.parquet(s"$dir/bands").persist()
+    refBands.count()
+    new Retriever(simHashProbe(refBands, hMax, textCol, idCol),
+      () => refBands.unpersist())
+  }
+
+  /** Exact-substring duplication stats — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") rule,
+    * the standard complement to MinHash in production LLM pipelines: any
+    * `windowTokens`-token substring occurring at least `minOcc` times
+    * CORPUS-WIDE (across docs or repeated within one doc) marks every
+    * window of it as duplicated. Windows are OVERLAPPING (stride 1 — every
+    * token position starts one), which is what makes the rule exact:
+    * x97's fixed non-overlapping blocks miss a repeat that straddles a
+    * block boundary (two docs sharing a long span at different block
+    * phases never produce equal blocks), while here every repeated
+    * `windowTokens`-span yields identical window content at the same
+    * offsets within the span in BOTH occurrences, whatever the phase
+    * (pinned in DedupSpec against a boundary-straddling fixture).
+    *
+    * Plan shape (x38's, with overlapping windows): one map-side pass emits
+    * (doc_id, pos, xxhash64(window)) — 8-byte keys, the window STRING never
+    * shuffles; a hash aggregate counts corpus-wide occurrences per key; a
+    * join back + per-doc aggregate summarizes. Occurrence counting on the
+    * 64-bit hash is collision-equivalent to counting the strings (the x38
+    * contract the oracle checks). ~n_tokens rows per doc — linear in corpus
+    * size, never quadratic; the heavy column (text) stays in the scan.
+    * `n_dup_tokens` is the token count covered by ≥1 duplicated window
+    * (interval union per doc — the scrub-budget figure: how many tokens a
+    * Lee-rule scrub would touch). Total over `docs`: blank and
+    * shorter-than-window docs report zero windows.
+    * Output: (`doc_id`, `n_windows`, `n_dup_windows`, `n_dup_tokens`,
+    * `has_dup`). */
+  def substringDupStats(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", windowTokens: Int = 50,
+                        minOcc: Long = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val w = windowTokens
+    val wins = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
+      // stride-1 window starts: filter keeps sequence() ascending-safe for
+      // docs shorter than the window (sequence(0, negative) would DESCEND)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(filter(sequence(0, size(toks) - 1),
+                             i -> i + $w <= size(toks)),
+                      i -> named_struct(
+                        'pos', cast(i as bigint),
+                        'h', xxhash64(array_join(slice(toks, i + 1, $w), ' '))))"""))
+        .as("win"))
+      .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h"))
+    val occ = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val perDoc = wins.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= minOcc, 1L).otherwise(0L)).as("n_dup_windows"),
+        // collect_list skips nulls: only duplicated positions enter the union
+        sort_array(collect_list(when(col("occ") >= minOcc, col("pos")))).as("ps"))
+      .withColumn("n_dup_tokens", expr(
+        s"""aggregate(ps,
+              named_struct('e', cast(-1 as bigint), 't', cast(0 as bigint)),
+              (acc, p) -> named_struct(
+                'e', greatest(acc.e, p + $w),
+                't', acc.t + greatest(cast(0 as bigint), p + $w - greatest(p, acc.e))),
+              acc -> acc.t)"""))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (coalesce(col("n_dup_windows"), lit(0L)) > 0L).as("has_dup"))
   }
 
   /** x111b: in-engine completeness gate for [[simHashNearDupPairs]] — on a

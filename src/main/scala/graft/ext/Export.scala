@@ -214,12 +214,17 @@ object Export {
     // no partition directories, so the read-back would fail schema
     // inference — a 0-row export is legitimate (the loader reads the
     // manifest first and sees total 0), so short-circuit to empty counts.
-    val counts =
-      if (shardDirs.isEmpty) Map.empty[Long, Long]
-      else df.sparkSession.read.parquet(dir)
-        .groupBy(col(shardCol).cast("long").as(shardCol))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ONE aggregate over the written files answers row counts AND the
+    // x109-fold content digest per shard (count + bit_xor + modular sum of
+    // a 60-bit row hash — [[corpusDigest]]'s commutative/associative fold,
+    // so the digest costs nothing beyond the recount scan the writer
+    // already pays). The digest rides the manifest so
+    // [[validateShardsContent]] can catch a same-length bit-flip that the
+    // byte/file-count gate cannot see.
+    val digests =
+      if (shardDirs.isEmpty) Map.empty[Long, (Long, Long, Long)]
+      else shardDigests(df.sparkSession, dir, shardCol)
+    val counts = digests.map { case (k, v) => k -> v._1 }
     val stats = statsFor(hfs, shardDirs, shardCol)
     require(stats.keySet == counts.keySet,
       s"$caller: row-count shards ${counts.keySet.toSeq.sorted} and " +
@@ -229,6 +234,8 @@ object Export {
     val manifest =
       s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
         s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, """ +
+        s""""xor": ${obj(digests.map { case (k, v) => k -> v._2 })}, """ +
+        s""""sum": ${obj(digests.map { case (k, v) => k -> v._3 })}, """ +
         s""""epochs": ${epochs.toSeq.sorted.mkString("[", ", ", "]")}, """ +
         s""""total": ${counts.values.sum}}"""
     val out = hfs.create(new Path(root, ManifestName), true)
@@ -250,6 +257,33 @@ object Export {
       }
       shard -> ((files.map(_.getLen).sum, files.length.toLong))
     }.toMap
+
+  /** Per-shard (rows, xor_digest, sum_digest) over the WRITTEN files — the
+    * shared definition behind the writer's manifest digest and
+    * [[validateShardsContent]]'s recount, so the two sides cannot drift.
+    * The row hash is the [[corpusDigest]] shape generalized to any schema:
+    * a 60-bit md5 slice of the row's JSON rendering over the DATA columns
+    * in sorted-name order (the shard column is excluded — its value is the
+    * directory identity, and partition values read back type-inferred,
+    * which would make the hash depend on the reader). Both folds are
+    * commutative + associative — partitioning- and order-invariant. */
+  private def shardDigests(spark: SparkSession, dir: String,
+                           shardCol: String): Map[Long, (Long, Long, Long)] = {
+    val frame = spark.read.parquet(dir)
+    val dataCols = frame.columns.filter(_ != shardCol).sorted
+      .map(c => s"`$c`").mkString(",")
+    frame
+      .select(col(shardCol).cast("long").as("__shard"),
+        expr(s"""CAST(conv(substr(md5(to_json(struct($dataCols))), 1, 15),
+                           16, 10) AS BIGINT)""").as("h"))
+      .groupBy(col("__shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+        expr("""CAST(sum(CAST(h AS DECIMAL(38,0)))
+                     % 2305843009213693952 AS BIGINT)""").as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
 
   /** [[statsFor]] from a fresh root listing (the loader-side entry). */
   private def shardFileStats(spark: SparkSession, dir: String,
@@ -356,6 +390,42 @@ object Export {
       require(liveBytes == bytes(shard),
         s"validateShards: shard $shard is $liveBytes bytes on disk, " +
           s"manifest recorded ${bytes(shard)} — truncated or corrupt shard file")
+    }
+    counts
+  }
+
+  /** Deep loader-side integrity gate: [[validateShards]]'s listing checks
+    * PLUS a content-digest recount — re-derive every shard's
+    * (rows, xor, sum) digest from the written files and require equality
+    * with what the writer recorded in the manifest. This is the check that
+    * catches a SAME-LENGTH bit-flip (disk/network corruption, a bad copy
+    * tool) that byte counts cannot see (ExportSpec pins exactly that
+    * case). Costs one scan of the export — the explicit price of content
+    * validation; run it on ingest of an export that crossed an untrusted
+    * boundary, and the free listing-only [[validateShards]] everywhere
+    * else. Manifests written before the digest fields refuse loudly. */
+  def validateShardsContent(spark: SparkSession, dir: String,
+                            shardCol: String = "shard"): Map[Long, Long] = {
+    val counts = validateShards(spark, dir, shardCol)
+    val tree = manifestTree(spark, dir)
+    val xor = fieldMap(tree, "xor", dir)
+    val sum = fieldMap(tree, "sum", dir)
+    require(xor.keySet == counts.keySet && sum.keySet == counts.keySet,
+      s"validateShardsContent: manifest at $dir records shards " +
+        s"${counts.keySet.toSeq.sorted} but digests for " +
+        s"${xor.keySet.toSeq.sorted}/${sum.keySet.toSeq.sorted}")
+    val live = shardDigests(spark, dir, shardCol)
+    require(live.keySet == counts.keySet,
+      s"validateShardsContent: manifest shards ${counts.keySet.toSeq.sorted} " +
+        s"vs on-disk ${live.keySet.toSeq.sorted}")
+    for ((shard, (n, x, s)) <- live) {
+      require(n == counts(shard),
+        s"validateShardsContent: shard $shard has $n rows, manifest " +
+          s"recorded ${counts(shard)}")
+      require(x == xor(shard) && s == sum(shard),
+        s"validateShardsContent: shard $shard content digest " +
+          s"($x, $s) != manifest (${xor(shard)}, ${sum(shard)}) — " +
+          "same-length corruption in a shard file")
     }
     counts
   }

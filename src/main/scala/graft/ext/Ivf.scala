@@ -58,6 +58,16 @@ object Ivf {
     *     collecting k×dim doubles per round. Only worth it when the corpus
     *     is small and bit-exact full-data means matter.
     *
+    * COST WARNING for `sampleCap = 0` at scale: each of the `iters` rounds
+    * is a FULL corpus scan (assignment + posexplode + per-(cluster, pos)
+    * average) ending in a synchronous driver `collect()` of the k×dim
+    * cluster means — the collect itself is bounded (k×dim rows, never
+    * corpus rows), but the loop serializes `iters` cluster-wide jobs with
+    * a driver round-trip between each, so at 100 TB the wall-clock is
+    * `iters × (full scan + shuffle)` with zero cross-round pipelining. Do
+    * not flip this on for a large corpus; the sampled default trains the
+    * same coarse quantizer from ONE bounded job.
+    *
     * Both modes share the init ordering, the argmax assignment with
     * lowest-id tie-break, and the empty-cluster rule (an empty cluster
     * keeps its centroid), so `sampleCap ≥ n` differs from `sampleCap = 0`
@@ -514,6 +524,11 @@ object Ivf {
   private def probeAgainstCells(queries: DataFrame, corpusAssigned: DataFrame,
                                 centroids: Array[Array[Double]], np: Int,
                                 kTop: Int, minCos: Double): DataFrame = {
+    // the plan below broadcasts the raw query frame (embeddings included):
+    // enforce the crossTopK contract instead of merely citing it, or a
+    // corpus-sized query batch OOMs executors / trips the broadcast limit
+    Similarity.requireBroadcastableBatch(queries, "ivfCrossTopK",
+      "Probe in bounded batches, or use ivfCosinePairs for all-pairs work.")
     // The pair dedup (multi-assignment duplicates a (query, candidate)
     // pair once per shared cell; the dot must run once per pair) shuffles
     // NARROW 16-byte id pairs only — a first cut carried BOTH embeddings

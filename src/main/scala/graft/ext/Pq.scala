@@ -207,6 +207,10 @@ object Pq {
                       refine: Int): DataFrame = {
     require(refine <= 0 || refineSrc.nonEmpty,
       "refine > 0 needs the raw-vector corpus frame")
+    // the per-query LUT frame (m·k doubles per row) broadcasts below:
+    // enforce the crossTopK contract instead of merely citing it
+    Similarity.requireBroadcastableBatch(queries, "ivfPqCrossTopK",
+      "Probe in bounded batches against the built index (pqRetriever).")
     // The candidate dedup (multi-assignment duplicates a (query, candidate)
     // pair once per shared cell; the ADC must run once per pair) shuffles
     // NARROW 16-byte id pairs only. A first cut deduped after attaching the

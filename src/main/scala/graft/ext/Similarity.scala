@@ -498,6 +498,19 @@ object Similarity {
     * belongs on the banded path. */
   val maxBroadcastQueries = 100000L
 
+  /** Fail-fast guard for every path that BROADCASTS the query batch
+    * (crossTopK, hard negatives, triplets, the IVF/PQ probe sides): counts
+    * at most `maxBroadcastQueries + 1` rows (a bounded probe job, not a
+    * full count) and rejects oversized batches loudly instead of letting
+    * the broadcast blow past the size limit or executor memory. */
+  private[ext] def requireBroadcastableBatch(queries: DataFrame, op: String,
+                                             alternative: String): Unit = {
+    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
+    require(nQ <= maxBroadcastQueries,
+      s"$op broadcasts the query batch; input exceeds " +
+        s"$maxBroadcastQueries rows. $alternative")
+  }
+
   /** Exact batch retrieval: EVERY query vector's `kTop` highest-cosine
     * corpus neighbors at or above `minCos` — the "embed a batch, look each
     * one up" shape ([[cosineTopK]] answers one lookup; this answers a
@@ -511,10 +524,8 @@ object Similarity {
     * frames is not special-cased (it scores like any corpus row). */
   def crossTopK(queries: DataFrame, corpus: DataFrame,
                 kTop: Int, minCos: Double): DataFrame = {
-    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
-    require(nQ <= maxBroadcastQueries,
-      s"crossTopK broadcasts the query batch; input exceeds " +
-        s"$maxBroadcastQueries rows. Use srpCrossTopK for corpus-sized query sets.")
+    requireBroadcastableBatch(queries, "crossTopK",
+      "Use srpCrossTopK for corpus-sized query sets.")
     val q = withNorms(queries).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("nrm").as("qnrm"))
     withNorms(corpus)
@@ -608,9 +619,6 @@ object Similarity {
       () => { postings.unpersist(); corpusNorms.unpersist() })
   }
 
-  /** Per-query rank window shared by the retrieval paths: `row_number`
-    * over (cos desc, vec_id asc) partitioned by query_id — deterministic
-    * cut (cos already rounded to 6 decimals), natural shuffle key. */
   /** Hard-negative mining for contrastive training: each query vector's
     * `kTop` highest-cosine corpus vectors with a DIFFERENT label — the
     * near-miss negatives that make embedding-model batches informative
@@ -624,11 +632,9 @@ object Similarity {
     * Output: (`query_id`, `vec_id`, `label`, `cos`, `rnk`). */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, kTop: Int,
                        labelCol: String = "label"): DataFrame = {
-    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
-    require(nQ <= maxBroadcastQueries,
-      s"hardNegativeTopK broadcasts the query batch; input exceeds " +
-        s"$maxBroadcastQueries rows. Route corpus-sized query sets through " +
-        "srpCrossTopK candidates with the label filter applied before ranking.")
+    requireBroadcastableBatch(queries, "hardNegativeTopK",
+      "Route corpus-sized query sets through srpCrossTopK candidates " +
+        "with the label filter applied before ranking.")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm(col("embedding")).as("qnrm"),
       col(labelCol).as("qlabel"))
@@ -680,11 +686,9 @@ object Similarity {
     * `nrm`, `clabel`). */
   private def tripletsAgainst(corpusSide: DataFrame, labelCol: String)
                              (queries: DataFrame): DataFrame = {
-    val nQ = queries.limit((maxBroadcastQueries + 1).toInt).count()
-    require(nQ <= maxBroadcastQueries,
-      s"contrastiveTriplets broadcasts the query batch; input exceeds " +
-        s"$maxBroadcastQueries rows. Route corpus-sized query sets through " +
-        "srpCrossTopK candidates ranked per (query, same-label) partition.")
+    requireBroadcastableBatch(queries, "contrastiveTriplets",
+      "Route corpus-sized query sets through srpCrossTopK candidates " +
+        "ranked per (query, same-label) partition.")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), norm(col("embedding")).as("qnrm"),
       col(labelCol).as("qlabel"))
@@ -708,6 +712,9 @@ object Similarity {
         expr("CAST(round((pos_cos - neg_cos) * 1e6) AS BIGINT)"))
   }
 
+  /** Per-query rank window shared by the retrieval paths: `row_number`
+    * over (cos desc, vec_id asc) partitioned by query_id — deterministic
+    * cut (cos already rounded to 6 decimals), natural shuffle key. */
   private[ext] def rankPerQuery(kTop: Int)(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))

@@ -72,6 +72,41 @@ object Skew {
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 
+  /** PROFILE-DRIVEN skew-safe equi-join — [[saltedJoin]] with [[skewProfile]]
+    * (x133) deciding WHICH keys pay for salting, instead of replicating the
+    * small side ×`buckets` unconditionally (16× replication on a uniform
+    * corpus bought nothing). One bounded pre-job runs the profile on the
+    * big side (a 16-byte-per-key hash aggregate + a `kTop`-row driver
+    * collect — the [[graft.ext.Ivf]] sampled-training shape, never corpus
+    * rows); the ≤ `kTop` keys with `salt_recommended` become a literal
+    * hot-key list:
+    *   - no hot keys → the PLAIN equi-join, zero salting overhead
+    *     (SkewSpec pins the plan);
+    *   - hot keys → only THEIR big-side rows take a spreading salt and only
+    *     THEIR small-side rows replicate ×`buckets`; everything else joins
+    *     on salt 0 exactly once.
+    * Row-identical to the plain join in every case. A key outside the kTop
+    * hottest that still exceeds the fair share cannot exist (counts are
+    * descending), so the profile's cut is sound. */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                     buckets: Int = 8, parallelism: Int = 32,
+                     kTop: Int = 10): DataFrame = {
+    require(!big.columns.contains(SaltCol) && !small.columns.contains(SaltCol),
+      s"input already carries a $SaltCol column")
+    val hot = skewProfile(big, key, kTop, parallelism)
+      .filter(col("salt_recommended")).select(col(key)).collect().map(_.get(0))
+    if (hot.isEmpty) big.join(small, Seq(key))
+    else {
+      val salted = big.withColumn(SaltCol,
+        when(col(key).isin(hot.toSeq: _*), salt(buckets)).otherwise(lit(0))
+          .cast("int"))
+      val replicated = small.withColumn(SaltCol,
+        explode(when(col(key).isin(hot.toSeq: _*),
+          sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
+      salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
+    }
+  }
+
   /** min/max per key, skew-safely. */
   def saltedMinMax(df: DataFrame, keyCol: String, valueCol: String,
                    buckets: Int = 16): DataFrame =
@@ -87,10 +122,14 @@ object Skew {
     * keys with exact row counts, each key's corpus share in exact ppm, and
     * a `salt_recommended` verdict — true when the key's share exceeds
     * `1/parallelism` (a single reduce task would carry more than one
-    * task's fair slice, i.e. the key IS a straggler at that width). One
-    * hash aggregate over (key) — 16 bytes a row at any scale — then a
-    * kTop-row TakeOrderedAndProject; integer-exact everywhere, so the
-    * report hash-matches across engines. */
+    * task's fair slice, i.e. the key IS a straggler at that width). The
+    * verdict compares `n * parallelism > total` in exact integers — no
+    * floored-ppm threshold, so it is exact for ANY parallelism, including
+    * ones that don't divide 1,000,000 (the reported `share_ppm` column is
+    * still floor-divided, display only). One hash aggregate over (key) —
+    * 16 bytes a row at any scale — then a kTop-row TakeOrderedAndProject;
+    * integer-exact everywhere, so the report hash-matches across
+    * engines. */
   def skewProfile(df: DataFrame, keyCol: String, kTop: Int = 10,
                   parallelism: Int = 32): DataFrame = {
     require(kTop >= 1 && parallelism >= 1,
@@ -100,9 +139,9 @@ object Skew {
     counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("n"),
         expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)")
-          .as("share_ppm"))
-      .withColumn("salt_recommended",
-        col("share_ppm") > lit(1000000L / parallelism))
+          .as("share_ppm"),
+        (expr("CAST(n AS DECIMAL(38,0))") * parallelism > col("total"))
+          .as("salt_recommended"))
       .orderBy(col("n").desc, col(keyCol)).limit(kTop)
   }
 }

@@ -330,16 +330,19 @@ object ExtendedQueries {
                      count(*) AS n
               FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
-    // Q32 — skew-safe salted equi-join (graft.ops.Skew.saltedJoin):
-    // row-identical to the plain join the oracle runs; ties in the
-    // determinism sort are exact duplicate rows, so order within them
-    // cannot affect the value compare.
+    // Q32 — skew-safe salted equi-join, PROFILE-DRIVEN (graft.ops.Skew
+    // .autoSaltedJoin): the x133 skew profile decides whether salting is
+    // worth its replication cost — l_orderkey is uniform, so on this
+    // fixture the operator takes the plain-join path (SkewSpec pins the
+    // salted path on a skewed fixture). Row-identical to the plain join
+    // the oracle runs either way; ties in the determinism sort are exact
+    // duplicate rows, so order within them cannot affect the value compare.
     QueryDef("q32_salted_join",
       (s, d) => {
         val big = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
         val small = Tables.orders(s, d)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        graft.ops.Skew.saltedJoin(big, small, "l_orderkey")
+        graft.ops.Skew.autoSaltedJoin(big, small, "l_orderkey")
           .orderBy("l_orderkey", "l_quantity", "o_orderpriority")
       },
       Some("""SELECT l_orderkey, l_quantity, o_orderpriority

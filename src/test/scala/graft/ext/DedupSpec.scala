@@ -459,4 +459,77 @@ class DedupSpec extends SparkSpec {
       assert(got.count(_._4) === neigh.size)
     } finally flag.close()
   }
+
+  test("saved simhash index reloads to a flagger identical to the in-memory build") {
+    val ref = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    val mem = Dedup.simHashFlagger(ref)
+    try {
+      Dedup.saveSimHashIndex(ref, dir)
+      val loaded = Dedup.loadSimHashFlagger(spark, dir)
+      try {
+        val want = mem(ref).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        val got = loaded(ref).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(want.nonEmpty, "fixture must contain simhash near-dups")
+        // save → load → flag reproduces the in-memory flagger's x111 pair
+        // membership exactly (the flagger itself is pinned against
+        // simHashNearDupPairs above)
+        assert(got === want)
+      } finally loaded.close()
+      // empty corpus round-trips schema-complete
+      val emptyDir = java.nio.file.Files.createTempDirectory("shidx0").toString
+      Dedup.saveSimHashIndex(ref.limit(0), emptyDir)
+      val emptyFlag = Dedup.loadSimHashFlagger(spark, emptyDir)
+      try assert(emptyFlag(ref.limit(5)).count() === 0L)
+      finally {
+        emptyFlag.close()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(emptyDir))
+      }
+    } finally {
+      mem.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("substringDupStats catches a repeat straddling an x97 block boundary") {
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    val span = toks("s", 16) // the shared 16-token span
+    // doc 1 carries the span at offset 8 (straddles the 16-token block
+    // boundary); doc 2 at offset 0; doc 3 repeats it twice WITHIN itself
+    val corpus = docs(
+      1L -> s"${toks("a", 8)} $span ${toks("t", 8)}",
+      2L -> s"$span ${toks("u", 16)}",
+      3L -> s"$span x $span")
+    // x97's fixed non-overlapping 16-token blocks: doc 1's blocks are
+    // [a1..a8 s1..s8] and [s9..s16 t1..t8] — no block content repeats
+    // corpus-wide except doc 2/3's aligned [s1..s16], so the straddling
+    // copy in doc 1 is INVISIBLE to the block rule
+    val scrub = graft.ext.TextAnalysis.blockScrubber(corpus, blockTokens = 16)
+    try {
+      val kept = scrub(corpus).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(kept(1L)._1 === kept(1L)._2, "x97 must NOT scrub the straddling doc")
+    } finally scrub.close()
+    // x100's overlapping windows catch all three occurrences
+    val got = Dedup.substringDupStats(corpus, windowTokens = 16, minOcc = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // doc 1: 32 tokens → 17 windows, 1 dup (pos 8), 16 covered tokens
+    assert(got(0) === ((1L, 17L, 1L, 16L, true)))
+    // doc 2: 32 tokens → 17 windows, 1 dup (pos 0)
+    assert(got(1) === ((2L, 17L, 1L, 16L, true)))
+    // doc 3: 33 tokens → 18 windows, 2 dups (pos 0, 17), two disjoint
+    // 16-token intervals → 32 covered tokens (within-doc repeats count)
+    assert(got(2) === ((3L, 18L, 2L, 32L, true)))
+  }
+
+  test("substringDupStats is total: blank and short docs report zero windows") {
+    val corpus = docs(1L -> "a b c", 2L -> "   ", 3L -> ((1 to 60).map("w" + _).mkString(" ")))
+    val got = Dedup.substringDupStats(corpus, windowTokens = 50, minOcc = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(got === Array((1L, 0L, 0L, false), (2L, 0L, 0L, false), (3L, 11L, 0L, false)))
+  }
 }

@@ -74,6 +74,38 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("validateShardsContent catches a same-length byte-flip validateShards cannot") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"document number $i padded", i % 4))
+      .toDF("doc_id", "text", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-flip").toString
+    try {
+      val counts = Export.writeShards(df, dir)
+      // healthy export: both gates pass and agree
+      assert(Export.validateShards(spark, dir) === counts)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      // flip ONE byte in the middle of a shard data file — length, file
+      // count, and manifest row counts all still match
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .head.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
+      java.nio.file.Files.write(part.toPath, bytes)
+      val crc = new java.io.File(part.getParent, s".${part.getName}.crc")
+      if (crc.exists()) crc.delete()
+      // the listing-only gate is blind to it...
+      assert(Export.validateShards(spark, dir) === counts)
+      // ...the content-digest gate refuses (digest mismatch, or a parquet
+      // decode error if the flip landed in file structure — loud either way)
+      intercept[Exception](Export.validateShardsContent(spark, dir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")

@@ -67,6 +67,26 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"projection plans a shuffle:\n$plan")
   }
 
+  test("projection stays map-only under AQE (x123's bench twin config)") {
+    // the Bench AQE twin re-runs the catalog with adaptive execution on;
+    // r11 measured x123 at 4.9× its default-pass self there. The projection
+    // itself must stay a shuffle-free map pass under AQE — any Exchange
+    // here means AQE re-planned the MatVecExpr projection.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val model = Pca.train(emb, 8)
+      val proj = Pca.project(emb, model)
+      proj.write.format("noop").mode("overwrite").save()
+      val plan = proj.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"projection shuffles under AQE:\n$plan")
+      assert(proj.count() === emb.count())
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("empty corpus is total") {
     val none = emb.filter(lit(false))
     val model = Pca.train(none, 8)

@@ -55,6 +55,32 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("autoSaltedJoin: plain plan on uniform keys, salted plan on the skewed fixture") {
+    import spark.implicits._
+    // uniform keys: the profile flags nothing → plain equi-join, no salt
+    // column (and no ×buckets replication) anywhere in the plan
+    val uniBig = (1 to 64).flatMap(i => Seq((s"k$i", "p1"), (s"k$i", "p2"))).toDF("k", "v")
+    val uniSmall = (1 to 64).map(i => (s"k$i", i.toLong)).toDF("k", "w")
+    val uni = Skew.autoSaltedJoin(uniBig, uniSmall, "k", buckets = 8, parallelism = 4)
+    assert(!uni.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "uniform keys must take the plain-join plan")
+    assert(uni.count() === 128L)
+    // skewed fixture: the hot key is flagged → salted plan, row-identical
+    // to the plain join (duplicates and the hot fan-out included)
+    val big = ((1 to 500).map(_ => ("hot", "payload")) ++
+      Seq(("a", "p1"), ("a", "p1"), ("b", "p2"), ("orphan", "px"))).toDF("k", "v")
+    val small = Seq(("hot", 1L), ("a", 2L), ("b", 3L), ("unmatched", 9L)).toDF("k", "w")
+    val auto = Skew.autoSaltedJoin(big, small, "k", buckets = 8, parallelism = 4)
+    assert(auto.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "a flagged hot key must take the salted plan")
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val got = auto
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(got.length === plain.length)
+    assert(got === plain)
+  }
+
   test("skewProfile flags keys over the fair slice and only those") {
     import spark.implicits._
     // 64 rows for "hot" (50% share), 32 for "warm" (25%), 1 each for 32
