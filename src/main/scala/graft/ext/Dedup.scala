@@ -974,8 +974,20 @@ object Dedup {
                         minOcc: Long = 2): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
-    val w = windowTokens
-    val wins = docs
+    val wins = windowHashes(docs, textCol, idCol, windowTokens)
+    val occ = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val flagged = wins.join(occ, "h")
+      .select(col("doc_id"), col("pos"), (col("occ") >= minOcc).as("dup"))
+    substringSummary(docs, flagged, windowTokens, idCol)
+  }
+
+  /** The stride-1 window-hash table: (doc_id, pos, h) — one row per token
+    * position with a full window to its right. Shared by [[substringDupStats]]
+    * (corpus-wide occurrence counting) and [[substringFlagger]] (probe side),
+    * so the two cannot hash differently. */
+  private def windowHashes(docs: DataFrame, textCol: String, idCol: String,
+                           w: Int): DataFrame =
+    docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
         graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -989,13 +1001,18 @@ object Dedup {
                         'h', xxhash64(array_join(slice(toks, i + 1, $w), ' '))))"""))
         .as("win"))
       .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h"))
-    val occ = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-    val perDoc = wins.join(occ, "h")
+
+  /** Per-doc rollup of a dup-flagged window table, total over `docs`:
+    * window counts, flagged counts, and the interval-union token coverage
+    * (`aggregate` over the sorted flagged positions — the scrub budget). */
+  private def substringSummary(docs: DataFrame, flagged: DataFrame, w: Int,
+                               idCol: String): DataFrame = {
+    val perDoc = flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("occ") >= minOcc, 1L).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"),
         // collect_list skips nulls: only duplicated positions enter the union
-        sort_array(collect_list(when(col("occ") >= minOcc, col("pos")))).as("ps"))
+        sort_array(collect_list(when(col("dup"), col("pos")))).as("ps"))
       .withColumn("n_dup_tokens", expr(
         s"""aggregate(ps,
               named_struct('e', cast(-1 as bigint), 't', cast(0 as bigint)),
@@ -1010,6 +1027,82 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
         (coalesce(col("n_dup_windows"), lit(0L)) > 0L).as("has_dup"))
+  }
+
+  /** The probe side of the substring-flagger lifecycle, defined ONCE for
+    * [[substringFlagger]] and [[loadSubstringFlagger]]: batch windows
+    * LEFT-join the frozen duplicated-window-hash set (8-byte keys both
+    * sides), then the per-doc [[substringSummary]] rollup. */
+  private def substringProbe(dups: DataFrame, w: Int, textCol: String,
+                             idCol: String)(docs: DataFrame): DataFrame = {
+    val flagged = windowHashes(docs, textCol, idCol, w)
+      .join(dups.withColumn("dup0", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("dup0"), lit(false)).as("dup"))
+    substringSummary(docs, flagged, w, idCol)
+  }
+
+  /** Freeze the corpus's duplicated-substring window set ONCE and return
+    * the per-batch flagger — x100 as a build/apply split (the
+    * [[nearDupFlagger]] lifecycle): the frozen state is the set of window
+    * HASHES occurring ≥ `minOcc` times in the BUILD corpus (8 B per
+    * duplicated window — dup-volume-sized, not corpus-sized), and the
+    * returned [[Retriever]] summarizes ANY doc frame against it with the
+    * x100 output shape. Corpus-self application reproduces the x100 rows
+    * EXACTLY (occurrence counts are corpus-wide either way — DedupSpec).
+    * Frozen-model semantics on NEW docs: a substring repeated only within
+    * the arriving batch, or matching a corpus-UNIQUE window, is not
+    * flagged (the corpus never saw it duplicated) — the trade every frozen
+    * scorer here makes; rebuild nightly to absorb it. `close()` releases
+    * the persisted set. */
+  def substringFlagger(corpus: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", windowTokens: Int = 50,
+                       minOcc: Long = 2): Retriever = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val dups = windowHashes(corpus, textCol, idCol, windowTokens)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("h"))
+      .persist()
+    // build-time job: materialize the frozen set now, not on first batch
+    dups.count()
+    new Retriever(substringProbe(dups, windowTokens, textCol, idCol),
+      () => dups.unpersist())
+  }
+
+  /** Persist a [[substringFlagger]] duplicated-window index (the
+    * [[saveNearDupIndex]] lifecycle): `dir/dups` — the 8 B/window hash set;
+    * `dir/meta` — one row (window_tokens, min_occ) so a loaded flagger
+    * reproduces the build's semantics. An empty or dup-free corpus writes
+    * an empty, schema-complete set and round-trips. */
+  def saveSubstringIndex(corpus: DataFrame, dir: String,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         windowTokens: Int = 50, minOcc: Long = 2): Unit = {
+    require(windowTokens >= 1 && minOcc >= 1,
+      s"need windowTokens >= 1 and minOcc >= 1, got $windowTokens/$minOcc")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    windowHashes(corpus, textCol, idCol, windowTokens)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("h"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/dups")
+    Seq((windowTokens, minOcc)).toDF("window_tokens", "min_occ")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[saveSubstringIndex]] directory as a ready [[Retriever]]
+    * with the identical probe plan as the in-memory [[substringFlagger]]
+    * (reload parity pinned in DedupSpec). */
+  def loadSubstringFlagger(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, textCol: String = "text",
+                           idCol: String = "doc_id"): Retriever = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val w = m.getAs[Int]("window_tokens")
+    val dups = spark.read.parquet(s"$dir/dups").persist()
+    dups.count()
+    new Retriever(substringProbe(dups, w, textCol, idCol),
+      () => dups.unpersist())
   }
 
   /** x111b: in-engine completeness gate for [[simHashNearDupPairs]] — on a

@@ -525,6 +525,45 @@ class DedupSpec extends SparkSpec {
     assert(got(2) === ((3L, 18L, 2L, 32L, true)))
   }
 
+  test("substringFlagger: corpus-self ≡ x100 stats; saved index reloads identically; frozen semantics on new docs") {
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    val span = toks("s", 16)
+    val corpus = docs(
+      1L -> s"${toks("a", 8)} $span ${toks("t", 8)}",
+      2L -> s"$span ${toks("u", 16)}",
+      3L -> toks("c", 20)) // clean doc
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val want = rows(Dedup.substringDupStats(corpus, windowTokens = 16, minOcc = 2L))
+    assert(want.count(_._5) === 2, "fixture must contain a cross-doc repeat")
+    val flag = Dedup.substringFlagger(corpus, windowTokens = 16, minOcc = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("ssidx").toString
+    try {
+      // corpus-self application reproduces x100 exactly (occurrence counts
+      // are corpus-wide either way)
+      assert(rows(flag(corpus)) === want)
+      // frozen-model semantics on NEW docs: a corpus-duplicated span flags,
+      // a batch-only repeat does not
+      val batch = docs(
+        10L -> s"${toks("z", 4)} $span",        // carries the frozen dup span
+        11L -> s"${toks("n", 16)} end one",     // new span, repeated only...
+        12L -> s"${toks("n", 16)} end two")     // ...within this batch
+      val got = rows(flag(batch))
+      assert(got(0) === ((10L, 5L, 1L, 16L, true)))
+      assert(!got(1)._5 && !got(2)._5, "batch-only repeats must not flag (frozen model)")
+      // save → load → probe parity with the in-memory flagger
+      Dedup.saveSubstringIndex(corpus, dir, windowTokens = 16, minOcc = 2L)
+      val loaded = Dedup.loadSubstringFlagger(spark, dir)
+      try {
+        assert(rows(loaded(corpus)) === want)
+        assert(rows(loaded(batch)) === got)
+      } finally loaded.close()
+    } finally {
+      flag.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("substringDupStats is total: blank and short docs report zero windows") {
     val corpus = docs(1L -> "a b c", 2L -> "   ", 3L -> ((1 to 60).map("w" + _).mkString(" ")))
     val got = Dedup.substringDupStats(corpus, windowTokens = 50, minOcc = 2L)
