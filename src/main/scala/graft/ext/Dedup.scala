@@ -1029,6 +1029,60 @@ object Dedup {
         (coalesce(col("n_dup_windows"), lit(0L)) > 0L).as("has_dup"))
   }
 
+  /** Exact-substring SCRUB — [[substringDupStats]]'s actionable rewrite,
+    * the Lee et al. 2022 dedup rule applied as x97-style text surgery:
+    * for every duplicated window hash the corpus-wide FIRST occurrence
+    * (minimum (doc_id, pos)) is canonical and keeps its text; every other
+    * occurrence's tokens are removed, survivors rejoin in order. A token
+    * is removed iff ≥ 1 non-canonical duplicated window covers it — so
+    * each repeated span survives exactly once corpus-wide (including
+    * within-doc repeats: the second copy in the SAME doc scrubs too).
+    *
+    * Plan shape: the window-hash table (8-byte keys) → per-hash
+    * (occ, argmin occurrence) hash aggregate → covered-position explode
+    * (scrub-volume-sized, not corpus-sized) → anti-join against the
+    * posexploded token stream → x97's ordered rebuild aggregate. Linear
+    * end to end; the scrubbed-token explode is bounded by the dup mass
+    * x100's `n_dup_tokens` reports. Total over `docs`: blank docs return
+    * `''`, not vanish; a fully-duplicated doc scrubs to `''`.
+    * Output: (`doc_id`, `n_tokens`, `n_scrubbed`, `scrub_text`). */
+  def substringScrub(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", windowTokens: Int = 50,
+                     minOcc: Long = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val w = windowTokens
+    val wins = windowHashes(docs, textCol, idCol, w)
+    val canon = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+    val scrubWins = wins.join(canon, "h")
+      .filter(col("occ") >= minOcc &&
+        !(col("doc_id") === col("keep.doc_id") && col("pos") === col("keep.pos")))
+    val covered = scrubWins
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w.toLong) - 1L)).as("p"))
+      .distinct()
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.ext.TextAnalysis.tokens(col(textCol))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(array_sort(collect_list(struct(p, tok))),
+                                     x -> x.tok), ' ')""").as("scrub_text"))
+    val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_scrubbed"),
+        coalesce(col("scrub_text"), lit("")).as("scrub_text"))
+  }
+
   /** The probe side of the substring-flagger lifecycle, defined ONCE for
     * [[substringFlagger]] and [[loadSubstringFlagger]]: batch windows
     * LEFT-join the frozen duplicated-window-hash set (8-byte keys both

@@ -4645,6 +4645,51 @@ object ExtQueries {
                      CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
                      (CAST(n AS HUGEINT) * 32 > total) AS salt_recommended
               FROM c CROSS JOIN t
-              ORDER BY n DESC, event_type LIMIT 5"""))
+              ORDER BY n DESC, event_type LIMIT 5""")),
+
+    // x134 — exact-substring scrub: x100's flags made actionable, the Lee
+    // et al. 2022 rule as x97-style text surgery — the corpus-wide FIRST
+    // occurrence of each duplicated 50-token window keeps its text, every
+    // other occurrence's tokens are removed, survivors rejoin in order
+    // (within-doc repeats scrub too; fully-duplicated docs return '').
+    // Linear plan: per-hash argmin aggregate → scrub-volume-sized covered-
+    // position explode → anti-join on the token stream → ordered rebuild.
+    // Canonical selection groups on the window HASH, collision-equivalent
+    // to the oracle's string grouping (the x38/x100 contract).
+    QueryDef("x134_substring_scrub",
+      (s, d) => graft.ext.Dedup.substringScrub(
+          Tables.documents(s, d), "text", "doc_id",
+          windowTokens = 50, minOcc = 2L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents WHERE length(trim(text)) > 0),
+                   w AS (SELECT doc_id, i AS pos,
+                           array_to_string(toks[(i+1):(i+50)], ' ') AS win
+                         FROM t, unnest(range(0, len(toks))) AS u(i)
+                         WHERE i + 50 <= len(toks)),
+                   cw AS (SELECT doc_id, pos,
+                            count(*) OVER (PARTITION BY win) AS occ,
+                            row_number() OVER (PARTITION BY win
+                                               ORDER BY doc_id, pos) AS rn
+                          FROM w),
+                   sw AS (SELECT doc_id, pos FROM cw WHERE occ >= 2 AND rn > 1),
+                   cov AS (SELECT DISTINCT doc_id, pos + j AS p
+                           FROM sw, unnest(range(0, 50)) AS v(j)),
+                   tok AS (SELECT doc_id, i AS p, toks[i+1] AS tok
+                           FROM t, unnest(range(0, len(toks))) AS u(i)),
+                   kept AS (SELECT tok.doc_id, count(*) AS n_kept,
+                              string_agg(tok.tok, ' ' ORDER BY tok.p) AS scrub_text
+                            FROM tok LEFT JOIN cov
+                              ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                            WHERE cov.p IS NULL GROUP BY tok.doc_id),
+                   tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(tot.n_tokens, 0) - coalesce(kept.n_kept, 0) AS BIGINT)
+                       AS n_scrubbed,
+                     coalesce(kept.scrub_text, '') AS scrub_text
+              FROM documents d
+              LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
+              ORDER BY d.doc_id"""))
   )
 }

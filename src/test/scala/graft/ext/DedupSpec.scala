@@ -564,6 +564,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substringScrub keeps each repeated span exactly once corpus-wide") {
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    val span = toks("s", 16)
+    val d1 = s"${toks("a", 8)} $span ${toks("t", 8)}"
+    val corpus = docs(
+      1L -> d1,                        // canonical occurrence (min (doc, pos))
+      2L -> s"$span ${toks("u", 16)}", // cross-doc copy — scrubbed
+      3L -> s"$span x $span",          // two more copies — BOTH scrubbed
+      4L -> "   ")                     // blank doc stays, returns ''
+    val got = Dedup.substringScrub(corpus, windowTokens = 16, minOcc = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) === ((1L, 32L, 0L, d1)))
+    assert(got(1) === ((2L, 32L, 16L, toks("u", 16))))
+    assert(got(2) === ((3L, 33L, 32L, "x")))
+    assert(got(3) === ((4L, 0L, 0L, "")))
+  }
+
   test("substringDupStats is total: blank and short docs report zero windows") {
     val corpus = docs(1L -> "a b c", 2L -> "   ", 3L -> ((1 to 60).map("w" + _).mkString(" ")))
     val got = Dedup.substringDupStats(corpus, windowTokens = 50, minOcc = 2L)
