@@ -97,6 +97,10 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       (total, s"""{"total":$total,"queries":$qs,"errors":$errJson}""")
     }
+    // Settle the heap before the first timed pass (the AQE pass gets the
+    // same treatment below): the warm-up's allocations otherwise bill
+    // their GC to whichever early queries trigger collection.
+    System.gc()
     val (results, errors) = timedPass()
     val (total, _) = blockJson(results, errors)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1083,6 +1083,54 @@ object Dedup {
         coalesce(col("scrub_text"), lit("")).as("scrub_text"))
   }
 
+  /** Freeze the corpus's duplicated-window hash set ONCE and return the
+    * per-batch SCRUBBER — [[substringScrub]]'s frozen-model twin (the
+    * [[TextAnalysis.blockScrubber]] lifecycle): any batch token covered by
+    * a window whose hash the BUILD corpus saw duplicated is removed — the
+    * canonical copy lives in the corpus, so every arriving copy is
+    * non-canonical by construction (the daily-ingest contract: the corpus
+    * is the kept text; new crawls shed everything already known to
+    * repeat). Batch-only repeats are untouched (frozen-model trade, as
+    * [[substringFlagger]]). Output matches x134: (`doc_id`, `n_tokens`,
+    * `n_scrubbed`, `scrub_text`); `close()` releases the frozen set. */
+  def substringScrubber(corpus: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", windowTokens: Int = 50,
+                        minOcc: Long = 2): Retriever = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minOcc >= 1, s"minOcc must be >= 1, got $minOcc")
+    val w = windowTokens
+    val dups = windowHashes(corpus, textCol, idCol, w)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("h"))
+      .persist()
+    dups.count()
+    new Retriever(docs => {
+      val covered = windowHashes(docs, textCol, idCol, w)
+        .join(dups, Seq("h"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(w.toLong) - 1L)).as("p"))
+        .distinct()
+      val toks = docs.filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).cast("long").as("doc_id"),
+          posexplode(graft.ext.TextAnalysis.tokens(col(textCol))).as(Seq("p", "tok")))
+        .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+      val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("""array_join(transform(array_sort(collect_list(struct(p, tok))),
+                                       x -> x.tok), ' ')""").as("scrub_text"))
+      val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .as("n_scrubbed"),
+          coalesce(col("scrub_text"), lit("")).as("scrub_text"))
+    }, () => dups.unpersist())
+  }
+
   /** The probe side of the substring-flagger lifecycle, defined ONCE for
     * [[substringFlagger]] and [[loadSubstringFlagger]]: batch windows
     * LEFT-join the frozen duplicated-window-hash set (8-byte keys both

@@ -582,6 +582,25 @@ class DedupSpec extends SparkSpec {
     assert(got(3) === ((4L, 0L, 0L, "")))
   }
 
+  test("substringScrubber scrubs known-duplicated spans from new batches, leaves novel text") {
+    def toks(prefix: String, n: Int) = (1 to n).map(prefix + _).mkString(" ")
+    val span = toks("s", 16)
+    val corpus = docs(
+      1L -> s"${toks("a", 8)} $span ${toks("t", 8)}",
+      2L -> s"$span ${toks("u", 16)}")
+    val scrub = Dedup.substringScrubber(corpus, windowTokens = 16, minOcc = 2L)
+    try {
+      val batch = docs(
+        10L -> s"${toks("z", 4)} $span",    // carries the corpus-duplicated span
+        11L -> toks("n", 20))               // novel text — untouched
+      val got = scrub(batch).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // every arriving copy of a known-duplicated span is non-canonical
+      assert(got(0) === ((10L, 20L, 16L, toks("z", 4))))
+      assert(got(1) === ((11L, 20L, 0L, toks("n", 20))))
+    } finally scrub.close()
+  }
+
   test("substringDupStats is total: blank and short docs report zero windows") {
     val corpus = docs(1L -> "a b c", 2L -> "   ", 3L -> ((1 to 60).map("w" + _).mkString(" ")))
     val got = Dedup.substringDupStats(corpus, windowTokens = 50, minOcc = 2L)
