@@ -531,6 +531,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming substring flagging via substringFlagger matches the batch x100 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    // corpus-self flagging IS x100 (occurrence counts are corpus-wide
+    // either way), so the streaming union must reproduce the catalog rows
+    val expected = graft.SparkEntry.queries("x100_substring_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sorted.toSeq
+    assert(expected.exists(_._5), "fixture must contain duplicated windows")
+    val flag = graft.ext.Dedup.substringFlagger(docs)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = flag(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // each doc flags against the frozen dup set only: union == batch
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      flag.close()
+    }
+  }
+
+  test("streaming substring scrubbing via substringScrubber matches its one-shot batch run") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val scrub = graft.ext.Dedup.substringScrubber(docs)
+    // one-shot reference over the whole corpus (every copy of a duplicated
+    // span scrubs — the frozen-model contract, unlike x134's keep-one)
+    val expected = scrub(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(expected.exists(_._3 > 0L), "fixture must scrub something")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = scrub(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      scrub.close()
+    }
+  }
+
   test("streaming typo-dup flagging via editDistFlagger matches the batch rows") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
