@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graft.FunctionRegistration
 
 /** SparkSessionExtensions entry point: makes graft's native expressions
-  * (`graft_dot`, `graft_shingle_hash`, `graft_minhash_bands`,
-  * `graft_simhash`, `graft_sorted_intersect`, `graft_srp_sketch`,
-  * `graft_deflate_len`) callable
+  * (`graft_dot`, `graft_shingle_hash`, `graft_token_window_hash`,
+  * `graft_minhash_bands`, `graft_simhash`, `graft_sorted_intersect`,
+  * `graft_srp_sketch`, `graft_deflate_len`) callable
   * from SQL in any session started with
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   * L2 norm composes as `sqrt(graft_dot(v, v))`.

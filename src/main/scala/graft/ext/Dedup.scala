@@ -984,23 +984,28 @@ object Dedup {
   /** The stride-1 window-hash table: (doc_id, pos, h) — one row per token
     * position with a full window to its right. Shared by [[substringDupStats]]
     * (corpus-wide occurrence counting) and [[substringFlagger]] (probe side),
-    * so the two cannot hash differently. */
+    * so the two cannot hash differently. Hashing is the codegen'd
+    * [[org.apache.spark.sql.graft.TokenWindowHashExpr]] — one tight loop
+    * per doc (token bytes hash once, windows chain token hashes), where
+    * the first-cut SQL formulation built an O(w)-token string per position
+    * through interpreted lambdas. Counting on the 64-bit window hash is
+    * collision-equivalent to counting the window strings (the x38
+    * contract the oracle checks). */
   private def windowHashes(docs: DataFrame, textCol: String, idCol: String,
                            w: Int): DataFrame =
     docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
-        graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
-      // stride-1 window starts: filter keeps sequence() ascending-safe for
-      // docs shorter than the window (sequence(0, negative) would DESCEND)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(filter(sequence(0, size(toks) - 1),
-                             i -> i + $w <= size(toks)),
-                      i -> named_struct(
-                        'pos', cast(i as bigint),
-                        'h', xxhash64(array_join(slice(toks, i + 1, $w), ' '))))"""))
-        .as("win"))
-      .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h"))
+        org.apache.spark.sql.graft.VectorFunctions.tokenWindowHashF(
+          graft.ext.TextAnalysis.tokens(col(textCol)), w).as("hs"))
+      // posexplode_OUTER + isNotNull on the OUTPUT attr, not a plain
+      // posexplode: InferFiltersFromGenerate would re-inline the whole
+      // window-hash expression into an inferred `size(hs) > 0` scan filter
+      // and compute it three times per row (measured 2× wall on x100/x134;
+      // the tokenBlocks dodge)
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
 
   /** Per-doc rollup of a dup-flagged window table, total over `docs`:
     * window counts, flagged counts, and the interval-union token coverage

@@ -63,6 +63,11 @@ object FunctionRegistration {
         litInt(exprs(1), "graft_minhash_bands", "k"),
         litInt(exprs(2), "graft_minhash_bands", "bands"))
     },
+    "graft_token_window_hash" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_token_window_hash requires (tokens, w), got ${exprs.length} arguments")
+      TokenWindowHashExpr(exprs(0), litInt(exprs(1), "graft_token_window_hash", "w"))
+    },
     "graft_simhash" -> { exprs =>
       require(exprs.length == 1,
         s"graft_simhash requires exactly 1 argument, got ${exprs.length}")

@@ -214,6 +214,68 @@ object MinHashBandsExpr {
   }
 }
 
+/** Native POSITIONAL window hashes: element `i` of the output is the
+  * chained 64-bit hash of tokens `i .. i + w - 1` — [[ShingleHashExpr]]'s
+  * window loop WITHOUT the sort/dedup tail, so the position survives (the
+  * x100/x134 exact-substring family needs (pos, hash), not the set). One
+  * tight loop per row: token bytes hash once, each window chains `w`
+  * `hashLong` steps — no per-window string building, no slice/array_join
+  * allocation, no interpreted lambda (the SQL formulation paid all three
+  * per position; at w = 50 that was ~50 UTF8 copies per token). Token
+  * boundaries are preserved by construction (windows combine token
+  * HASHES); equal token sequences hash equal, so occurrence counting is
+  * collision-equivalent to counting the window strings — the same trade
+  * every hashed-key family member makes. Fewer than `w` tokens → empty
+  * array. */
+case class TokenWindowHashExpr(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, s"window width must be >= 1, got $w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_token_window_hash"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenWindowHashExpr.compute(a.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenWindowHashExpr.compute($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashExpr =
+    copy(child = newChild)
+}
+
+object TokenWindowHashExpr {
+  /** Tight-loop positional window hashing, shared by eval and codegen. */
+  def compute(toks: ArrayData, w: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = toks.getUTF8String(i)
+      th(i) =
+        if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - w + 1)
+    i = 0
+    while (i <= m - w) {
+      var h = 42L
+      var j = 0
+      while (j < w) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native sorted-merge intersection count of two SORTED DISTINCT long
   * arrays (the form [[ShingleHashExpr]] emits). One O(|a|+|b|) merge pass
   * per pair inside whole-stage codegen — the declarative
@@ -448,6 +510,9 @@ object VectorFunctions {
     ColumnBridge.column(MinHashBandsExpr(ColumnBridge.expression(shs), k, bandsN))
 
   /** Codegen'd map-side 64-bit SimHash of a token array. */
+  def tokenWindowHashF(toks: Column, w: Int): Column =
+    ColumnBridge.column(TokenWindowHashExpr(ColumnBridge.expression(toks), w))
+
   def simHashF(toks: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
 

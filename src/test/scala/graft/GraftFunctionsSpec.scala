@@ -26,9 +26,11 @@ class GraftFunctionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT size(graft_shingle_hash(array('a','b','c','d'), 2)) AS nsh,
         |       size(graft_minhash_bands(graft_shingle_hash(array('a','b','c','d'), 2), 64, 32)) AS nb,
-        |       graft_simhash(array('x','y')) AS sh""".stripMargin).head()
+        |       graft_simhash(array('x','y')) AS sh,
+        |       size(graft_token_window_hash(array('a','b','c','d'), 2)) AS nw""".stripMargin).head()
     assert(row.getInt(0) === 3)
     assert(row.getInt(1) === 32)
+    assert(row.getInt(3) === 3)
     // simhash of a token list equals the Dedup operator's output
     import spark.implicits._
     val viaOp = graft.ext.Dedup.simHash(Seq((1L, "x y")).toDF("doc_id", "text"),
@@ -79,6 +81,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(hashes("ab c", 2).toSet.intersect(hashes("a bc", 2).toSet).isEmpty)
     // determinism across rows/plans
     assert(hashes("x y z", 2) === hashes("x y z", 2))
+  }
+
+  test("tokenWindowHashF: positional, boundary-sensitive, shingleHash-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.split
+    import org.apache.spark.sql.graft.VectorFunctions.{shingleHashF, tokenWindowHashF}
+    def hashes(text: String, w: Int): Seq[Long] =
+      Seq(text).toDF("t").select(tokenWindowHashF(split($"t", " "), w).as("h"))
+        .head().getSeq[Long](0)
+    // one hash per window START; position is the index — no sort, no dedup
+    assert(hashes("a b c d", 2).length === 3)
+    assert(hashes("a b a b", 2).length === 3) // repeated window KEEPS both slots
+    val rep = hashes("a b a b", 2)
+    assert(rep(0) === rep(2) && rep(0) != rep(1)) // "a b" at 0 and 2, "b a" at 1
+    // equal token sequences hash equal across docs and offsets
+    assert(hashes("x s1 s2 s3", 3)(1) === hashes("s1 s2 s3 y", 3)(0))
+    // boundary-sensitivity: ("ab","c") vs ("a","bc") differ
+    assert(hashes("ab c", 2)(0) != hashes("a bc", 2)(0))
+    // short/blank: fewer than w tokens → empty
+    assert(hashes("a", 2).isEmpty)
+    // same window loop as shingleHashF: the sorted distinct positional
+    // hashes ARE the shingle set (one definition, two access patterns)
+    val pos = hashes("a b c d e", 2)
+    val sh = Seq("a b c d e").toDF("t")
+      .select(shingleHashF(split($"t", " "), 2).as("h")).head().getSeq[Long](0)
+    assert(pos.distinct.sorted === sh)
   }
 
   test("minHashBandsF: band count, determinism, identical sets collide, empty set empty") {
