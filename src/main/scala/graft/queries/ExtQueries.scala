@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Pack, Retrieval, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline query surface over `documents` and
   * `embeddings` (builder brief; SURVEY.md §7.2 step 5): deduplication
@@ -163,6 +163,16 @@ object ExtQueries {
     mergesCache.clear()
     pcaCache.clear()
   }
+
+  /** x135/x135b/x136's shared packing layout — ONE deterministic artifact
+    * (the two-phase prefix-sum plan) with three consumers: the per-doc
+    * plan, the segment explode, and the capacity gate. Catalog knobs:
+    * capacity 128 (small enough that sf-corpus docs straddle boundaries),
+    * seed 42. */
+  private def packPlanShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pack-plan-c128-s42") {
+      Pack.packPlan(Tables.documents(s, d), capacity = 128L, seed = 42L)
+    }
 
   /** x29 (pairs), x45 (removal), x48 (gate): the bipartite contamination
     * pair set — decontaminate once, reuse the flag frame. */
@@ -4690,6 +4700,101 @@ object ExtQueries {
                      coalesce(kept.scrub_text, '') AS scrub_text
               FROM documents d
               LEFT JOIN tot USING (doc_id) LEFT JOIN kept USING (doc_id)
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // x135 — sequence-pack plan: the GPT-style concat-and-chunk layout as
+    // a deterministic function of (corpus, capacity, seed) — each doc's
+    // shuffle position (md5 order key, engine-portable), exclusive prefix
+    // token count, and the [start_seq, end_seq] interval it occupies at
+    // capacity 128. The textbook global running-sum window is a single-
+    // partition sort at 100 TB; Pack.packPlan computes the identical
+    // prefix sum in two phases (256-bucket subtotal cumsum — the only
+    // single-partition window, ≤256 rows — then within-bucket windows
+    // hash-partitioned by the key prefix, so bucket order refines key
+    // order). All-BIGINT output → full hash-match.
+    QueryDef("x135_pack_plan",
+      (s, d) => packPlanShared(s, d).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t)
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     CAST(cb AS BIGINT) AS cum_before,
+                     CAST(cb // 128 AS BIGINT) AS start_seq,
+                     CAST(cb % 128 AS BIGINT) AS start_off,
+                     CAST((cb + n - 1) // 128 AS BIGINT) AS end_seq,
+                     CAST((cb + n - 1) // 128 - cb // 128 + 1 AS BIGINT)
+                       AS n_segs
+              FROM c ORDER BY doc_id""")),
+
+    // x136 — packed segments: the x135 plan exploded into the shard-
+    // writer's input — one row per (sequence, document-slice), slices
+    // tiling both the sequence's [0,128) and the document's [0,n_tokens)
+    // token intervals. The explode is bounded per doc by n_tokens/capacity
+    // (never corpus-scale fan-out) and adds no shuffle beyond the plan's.
+    QueryDef("x136_pack_segments",
+      (s, d) => Pack.packSegments(packPlanShared(s, d), capacity = 128L)
+        .orderBy("seq_id", "seq_off", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT doc_id, n, cb, cb // 128 AS ss,
+                            cb % 128 AS so, u.s AS seq_id
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s))
+              SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                     CAST(CASE WHEN seq_id = ss THEN so ELSE 0 END AS BIGINT)
+                       AS seq_off,
+                     CAST(CASE WHEN seq_id = ss THEN 0
+                               ELSE seq_id * 128 - cb END AS BIGINT)
+                       AS doc_off,
+                     CAST(least(cb + n, (seq_id + 1) * 128)
+                          - greatest(cb, seq_id * 128) AS BIGINT) AS seg_len
+              FROM seg ORDER BY seq_id, seq_off, doc_id""")),
+
+    // x135b — packing capacity gate: every sequence except the last is
+    // filled to EXACTLY capacity tokens and none exceeds it — the
+    // invariant a fixed-shape training loader depends on. One
+    // groupBy(seq_id) over the shared segments + a broadcast one-row max
+    // frame; empty corpus is vacuous success.
+    QueryDef("x135b_pack_capacity_gate",
+      (s, d) => Pack.capacityGate(
+        Pack.packSegments(packPlanShared(s, d), capacity = 128L),
+        capacity = 128L),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT cb // 128 AS ss, u.s AS seq_id,
+                            least(cb + n, (u.s + 1) * 128)
+                              - greatest(cb, u.s * 128) AS seg_len
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  per AS (SELECT seq_id, sum(seg_len) AS n_tok
+                          FROM seg GROUP BY 1),
+                  m AS (SELECT max(seq_id) AS mx, count(*) AS n_all FROM per)
+              SELECT CAST(coalesce(max(n_all), 0) AS BIGINT) AS n_seqs,
+                     coalesce(bool_and((n_tok = 128 OR seq_id = mx)
+                                       AND n_tok <= 128), true)
+                       AS capacity_ok
+              FROM per CROSS JOIN m"""))
   )
 }
