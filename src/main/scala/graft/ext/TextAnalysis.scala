@@ -321,6 +321,79 @@ object TextAnalysis {
         expr("array_join(transform(keep_idx, i -> blocks[i]), ' ')").as("scrub_text"))
   }
 
+  /** Gopher-style within-document repetition statistics (Rae et al. 2021
+    * §A1.1's repetition filters): per doc — duplicate-line count and the
+    * characters those duplicate occurrences carry, the most frequent
+    * 2-gram's occurrence count, and the duplicate-3-gram count, each with
+    * its exact ppm fraction (floored integer division, the x133 ppm
+    * convention, so cross-engine hashes match without float compares).
+    * "Duplicate" counts occurrences AFTER the first; "lines" are the
+    * newline-split, trimmed, non-blank segments of the raw text.
+    *
+    * Shape: ONE map-only projection of higher-order array expressions —
+    * NO shuffle, NO corpus state (the x106 posture): duplicates come from
+    * `array_distinct` size deltas, duplicate chars and the top-2-gram
+    * multiplicity from a sorted-array adjacent-run walk (sorting groups
+    * equal elements, so the longest equal-adjacent run IS the max
+    * multiplicity). Per-row arrays are doc-sized; trivially streaming-safe
+    * (apply inside any readStream select). Blank docs are out of domain
+    * (filtered, like x92). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_sort(expr(
+          s"filter(transform(split($textCol, '\\n'), x -> trim(x)), x -> length(x) > 0)"))
+          .as("ls"),
+        tokens(col(textCol)).as("toks"))
+      // n-gram arrays in their own projection (the CollapseProject dodge:
+      // referencing `toks` from inside downstream lambdas would re-inline
+      // the tokenize into every walk)
+      .select(col("doc_id"), col("ls"),
+        expr("""array_sort(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                                    slice(toks, 2, greatest(size(toks) - 1, 0)),
+                                    (a, b) -> concat(a, ' ', b)))""").as("bs"),
+        expr("""array_sort(zip_with(zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+                                             slice(toks, 2, greatest(size(toks) - 2, 0)),
+                                             (a, b) -> concat(a, ' ', b)),
+                                    slice(toks, 3, greatest(size(toks) - 2, 0)),
+                                    (ab, c) -> concat(ab, ' ', c)))""").as("ts"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(array_distinct(col("ls")))).cast("long")
+          .as("dup_line_cnt"),
+        // chars carried by duplicate line occurrences: each adjacent-equal
+        // pair in the sorted array is one occurrence after the first
+        expr("""aggregate(zip_with(slice(ls, 1, greatest(size(ls) - 1, 0)),
+                                   slice(ls, 2, greatest(size(ls) - 1, 0)),
+                                   (a, b) -> IF(a = b, CAST(length(a) AS BIGINT), 0L)),
+                          0L, (acc, x) -> acc + x)""").as("dup_line_chars"),
+        size(col("bs")).cast("long").as("n_bigrams"),
+        expr("""IF(size(bs) = 0, 0L,
+                   aggregate(zip_with(slice(bs, 1, greatest(size(bs) - 1, 0)),
+                                      slice(bs, 2, greatest(size(bs) - 1, 0)),
+                                      (a, b) -> IF(a = b, 1, 0)),
+                             named_struct('run', 1L, 'best', 1L),
+                             (acc, e) -> IF(e = 1,
+                               named_struct('run', acc.run + 1L,
+                                            'best', greatest(acc.best, acc.run + 1L)),
+                               named_struct('run', 1L, 'best', acc.best)),
+                             acc -> acc.best))""").as("top_bigram_cnt"),
+        size(col("ts")).cast("long").as("n_trigrams"),
+        (size(col("ts")) - size(array_distinct(col("ts")))).cast("long")
+          .as("dup_trigram_cnt"))
+      .select(col("doc_id"), col("n_lines"), col("dup_line_cnt"),
+        col("dup_line_chars"),
+        expr("IF(n_lines = 0, 0L, (1000000L * dup_line_cnt) div n_lines)")
+          .as("dup_line_ppm"),
+        col("n_bigrams"), col("top_bigram_cnt"),
+        expr("IF(n_bigrams = 0, 0L, (1000000L * top_bigram_cnt) div n_bigrams)")
+          .as("top_bigram_ppm"),
+        col("n_trigrams"), col("dup_trigram_cnt"),
+        expr("IF(n_trigrams = 0, 0L, (1000000L * dup_trigram_cnt) div n_trigrams)")
+          .as("dup_trigram_ppm"))
+
   /** Train a Naive-Bayes reference-vs-crawl quality classifier ONCE and
     * return the per-batch scorer — the CCNet/fastText quality-filter shape
     * as a build/apply split (the [[unigramScorer]] lifecycle). `reference`

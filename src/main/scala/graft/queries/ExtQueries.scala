@@ -4795,6 +4795,67 @@ object ExtQueries {
                      coalesce(bool_and((n_tok = 128 OR seq_id = mx)
                                        AND n_tok <= 128), true)
                        AS capacity_ok
-              FROM per CROSS JOIN m"""))
+              FROM per CROSS JOIN m""")),
+
+    // x137 — Gopher repetition filters: per-doc duplicate-line count +
+    // chars, top-2-gram multiplicity, duplicate-3-gram count, each with
+    // its exact floored-ppm fraction (Rae et al. 2021's within-document
+    // repetition signals — the quality filter that catches stuck
+    // generation loops and boilerplate stutter BEFORE any corpus-level
+    // dedup). ONE map-only HOF projection — no shuffle, no corpus state;
+    // duplicates via array_distinct size deltas, multiplicities via a
+    // sorted-array adjacent-run walk. All-BIGINT → full hash-match.
+    QueryDef("x137_repetition_stats",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+                         WHERE length(trim(text)) > 0),
+                  l AS (SELECT doc_id,
+                          unnest(list_filter(list_transform(
+                            string_split(text, chr(10)), x -> trim(x)),
+                            x -> length(x) > 0)) AS line
+                        FROM d),
+                  lc AS (SELECT doc_id, line, count(*) AS c
+                         FROM l GROUP BY 1, 2),
+                  lst AS (SELECT doc_id, sum(c) AS n_lines,
+                            sum(c - 1) AS dup_cnt,
+                            sum((c - 1) * length(line)) AS dup_chars
+                          FROM lc GROUP BY 1),
+                  t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                        FROM d),
+                  b AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+                        FROM t, unnest(range(0, len(toks) - 1)) AS u(i)),
+                  bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+                  bst AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_cnt
+                          FROM bc GROUP BY 1),
+                  tr AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2]
+                                        || ' ' || toks[i + 3] AS g
+                         FROM t, unnest(range(0, len(toks) - 2)) AS u(i)),
+                  tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+                  tst AS (SELECT doc_id, sum(c) AS n_tri,
+                            sum(c - 1) AS dup_tri
+                          FROM tc GROUP BY 1)
+              SELECT d.doc_id,
+                     CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+                     CAST(coalesce(dup_cnt, 0) AS BIGINT) AS dup_line_cnt,
+                     CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_line_chars,
+                     CAST(CASE WHEN coalesce(n_lines, 0) = 0 THEN 0
+                               ELSE 1000000 * dup_cnt // n_lines END AS BIGINT)
+                       AS dup_line_ppm,
+                     CAST(coalesce(n_big, 0) AS BIGINT) AS n_bigrams,
+                     CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+                     CAST(CASE WHEN coalesce(n_big, 0) = 0 THEN 0
+                               ELSE 1000000 * top_cnt // n_big END AS BIGINT)
+                       AS top_bigram_ppm,
+                     CAST(coalesce(n_tri, 0) AS BIGINT) AS n_trigrams,
+                     CAST(coalesce(dup_tri, 0) AS BIGINT) AS dup_trigram_cnt,
+                     CAST(CASE WHEN coalesce(n_tri, 0) = 0 THEN 0
+                               ELSE 1000000 * dup_tri // n_tri END AS BIGINT)
+                       AS dup_trigram_ppm
+              FROM d LEFT JOIN lst USING (doc_id)
+                     LEFT JOIN bst USING (doc_id)
+                     LEFT JOIN tst USING (doc_id)
+              ORDER BY d.doc_id"""))
   )
 }
