@@ -462,6 +462,103 @@ object TextAnalysis {
     }
   }
 
+  /** Hashed (unigram + bigram) feature-bucket stream — DSIR's feature map
+    * (Xie et al. 2023 "Data Selection for Language Models via Importance
+    * Resampling"): every token and adjacent token pair hashes into one of
+    * `buckets` ids via the leading 24 bits of its md5, so the feature
+    * space is FIXED-SIZE regardless of vocabulary (the trick that keeps
+    * the distribution tables bucket-sized, not vocab-sized, at 100 TB) and
+    * engine-portable (DuckDB's md5 + hex-cast reproduces the bucket ids
+    * exactly — no xxhash64 divergence). */
+  private def dsirFeatures(docs: DataFrame, tgt: Column, buckets: Int,
+                           textCol: String, idCol: String): DataFrame =
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), tgt.as("tgt"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("tgt"),
+        explode(concat(col("toks"), expr(
+          """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                      slice(toks, 2, greatest(size(toks) - 1, 0)),
+                      (a, b) -> concat(a, ' ', b))"""))).as("g"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(expr("CAST(conv(substring(md5(g), 1, 6), 16, 10) AS BIGINT)"),
+          lit(buckets.toLong)).as("b"))
+
+  /** DSIR importance weights: per doc, the hashed-n-gram log-likelihood
+    * ratio of the TARGET distribution (docs where `isTarget`) against the
+    * RAW distribution (the whole frame) — the data-selection score that
+    * up-weights docs resembling the target domain. Per-bucket Laplace(+1)
+    * log-ratios quantize ONCE to integer micro-nats (the x92/x103 idiom);
+    * per-doc sums are exact BIGINTs, `w_mean` their truncated per-feature
+    * division — everything hash-matches cross-engine. Scale: the bucket
+    * table is `buckets`-sized (constant), totals ride a broadcast one-row
+    * frame, and the scoring join keys on an 8-byte bucket id; nothing is
+    * vocab- or corpus-width. Output: (`doc_id`, `n_feat`, `w_sum`,
+    * `w_mean`), blank docs out of domain. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    val feats = dsirFeatures(docs, isTarget, buckets, textCol, idCol)
+    val cnt = feats.groupBy(col("b")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lr = cnt.crossJoin(broadcast(tot)).select(col("b"), expr(
+      s"""CAST(round((ln((ct + 1) / (tt + $buckets.0D))
+                      - ln((cr + 1) / (tr + $buckets.0D))) * 1e6) AS BIGINT)""")
+      .as("q"))
+    feats.join(lr, Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("q")).as("w_sum"))
+      .withColumn("w_mean", expr("w_sum div n_feat"))
+  }
+
+  /** Freeze the DSIR distributions ONCE and return the per-batch importance
+    * scorer — [[dsirWeights]] as a build/apply split (the [[unigramScorer]]
+    * lifecycle): the bucket log-ratio table and totals freeze at build time,
+    * and the returned [[Retriever]] scores ANY doc frame, mapping buckets
+    * the corpus never produced to the frozen zero-count ratio (computed on
+    * the driver from the two totals — same JVM `Math.log`, so it extends
+    * the table's own quantization). Build cost: the corpus feature agg plus
+    * ONE bounded one-row driver read of the totals. */
+  def dsirScorer(corpus: DataFrame, isTarget: Column, buckets: Int = 4096,
+                 textCol: String = "text", idCol: String = "doc_id"): Retriever = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets must be in [2, 2^24], got $buckets")
+    val cnt = dsirFeatures(corpus, isTarget, buckets, textCol, idCol)
+      .groupBy(col("b")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .persist()
+    val totRow = cnt.agg(coalesce(sum(col("ct")), lit(0L)),
+      coalesce(sum(col("cr")), lit(0L))).head()
+    val (tt, tr) = (totRow.getLong(0), totRow.getLong(1))
+    if (tr == 0L) {
+      cnt.unpersist()
+      new Retriever(docs => docs.sparkSession.range(0)
+        .select(col("id").as("doc_id"), col("id").as("n_feat"),
+          col("id").as("w_sum"), col("id").as("w_mean")))
+    } else {
+      val lr = cnt.select(col("b"), expr(
+        s"""CAST(round((ln((ct + 1) / (${tt}L + $buckets.0D))
+                        - ln((cr + 1) / (${tr}L + $buckets.0D))) * 1e6)
+                 AS BIGINT)""").as("q")).persist()
+      cnt.unpersist()
+      val qDefault = math.round((math.log(1.0 / (tt + buckets.toDouble))
+        - math.log(1.0 / (tr + buckets.toDouble))) * 1e6)
+      new Retriever(
+        docs => dsirFeatures(docs, lit(false), buckets, textCol, idCol)
+          .join(lr, Seq("b"), "left")
+          .select(col("doc_id"), coalesce(col("q"), lit(qDefault)).as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feat"), sum(col("q")).as("w_sum"))
+          .withColumn("w_mean", expr("w_sum div n_feat")),
+        () => lr.unpersist())
+    }
+  }
+
   /** Top-`k` tokens with exact AND count-min-sketch counts — the mergeable-
     * sketch heavy-hitter primitive (x99). The sketch is ONE distributed
     * `count_min_sketch` aggregate (map-side partials merge associatively;

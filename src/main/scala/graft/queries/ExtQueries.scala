@@ -38,6 +38,32 @@ object ExtQueries {
        WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6
        ORDER BY ia, ib"""
 
+  /** Shared CTE prefix of the x138/x139 DSIR oracles: hashed unigram+bigram
+    * feature buckets (md5 hex-cast — bit-identical to Spark's
+    * conv(substring(md5,1,6),16,10)), Laplace log-ratio per bucket in
+    * integer micro-nats. */
+  private val dsirOracleBase =
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS tgt,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+          f AS (SELECT doc_id, tgt,
+                  unnest(list_concat(toks,
+                    list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+                FROM d),
+          h AS (SELECT doc_id, tgt,
+                  CAST(('0x' || substr(md5(g), 1, 6))::BIGINT % 4096
+                       AS BIGINT) AS b
+                FROM f),
+          c AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                  count(*) AS cr FROM h GROUP BY b),
+          t AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+          lr AS (SELECT b,
+                   CAST(round((ln((ct + 1) / (CAST(tt AS DOUBLE) + 4096.0))
+                               - ln((cr + 1) / (CAST(tr AS DOUBLE) + 4096.0)))
+                              * 1e6) AS BIGINT) AS q
+                 FROM c CROSS JOIN t)"""
+
   /** 32-token chunks at stride 24, chunk index carried — shared by x22
     * (chunk emission) and x38 (boilerplate-chunk detection).
     * posexplode_outer + null filter on the OUTPUT attribute (the
@@ -163,6 +189,15 @@ object ExtQueries {
     mergesCache.clear()
     pcaCache.clear()
   }
+
+  /** x138/x139's shared DSIR weight frame — the per-doc importance scores
+    * computed once (target = lang 'en', 4096 hashed buckets), consumed by
+    * the weight report and the selection. */
+  private def dsirShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "dsir-b4096-en") {
+      TextAnalysis.dsirWeights(Tables.documents(s, d),
+        isTarget = col("lang") === "en", buckets = 4096)
+    }
 
   /** x135/x135b/x136's shared packing layout — ONE deterministic artifact
     * (the two-phase prefix-sum plan) with three consumers: the per-doc
@@ -4856,6 +4891,36 @@ object ExtQueries {
               FROM d LEFT JOIN lst USING (doc_id)
                      LEFT JOIN bst USING (doc_id)
                      LEFT JOIN tst USING (doc_id)
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // x138 — DSIR importance weights (Xie et al. 2023): per-doc hashed-
+    // n-gram log-likelihood ratio of the target distribution (lang 'en')
+    // against the raw corpus — the data-selection score behind importance
+    // resampling. Features are md5-hashed unigram+bigram buckets (4096 —
+    // fixed-size tables at any corpus scale, engine-portable ids);
+    // per-bucket Laplace log-ratios quantize once to integer micro-nats,
+    // per-doc sums are exact BIGINTs → full hash-match.
+    QueryDef("x138_dsir_weights",
+      (s, d) => dsirShared(s, d).orderBy("doc_id"),
+      Some(s"""$dsirOracleBase
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+                     CAST(sum(q) AS BIGINT) AS w_sum,
+                     CAST(sum(q) // count(*) AS BIGINT) AS w_mean
+              FROM h JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x139 — DSIR selection: the deterministic top-100 docs by per-feature
+    // mean importance (ties broken by doc_id) — the "keep the most
+    // target-like slice" step. TakeOrderedAndProject over the shared
+    // weight frame: k rows cross any corpus size.
+    QueryDef("x139_dsir_select",
+      (s, d) => dsirShared(s, d)
+        .orderBy(col("w_mean").desc, col("doc_id")).limit(100),
+      Some(s"""$dsirOracleBase,
+                  w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+                          CAST(sum(q) AS BIGINT) AS w_sum,
+                          CAST(sum(q) // count(*) AS BIGINT) AS w_mean
+                        FROM h JOIN lr USING (b) GROUP BY doc_id)
+              SELECT doc_id, n_feat, w_sum, w_mean FROM w
+              ORDER BY w_mean DESC, doc_id LIMIT 100"""))
   )
 }
