@@ -338,6 +338,31 @@ object TextAnalysis {
     * multiplicity). Per-row arrays are doc-sized; trivially streaming-safe
     * (apply inside any readStream select). Blank docs are out of domain
     * (filtered, like x92). */
+  /** Sorted adjacent n-gram arrays and run-walk expressions shared by
+    * [[repetitionStats]] and [[filterVerdicts]] (SQL fragments over a
+    * `toks` / `bs` / `ts` column). */
+  private val sortedBigramsSql =
+    """array_sort(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                           slice(toks, 2, greatest(size(toks) - 1, 0)),
+                           (a, b) -> concat(a, ' ', b)))"""
+  private val sortedTrigramsSql =
+    """array_sort(zip_with(zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+                                    slice(toks, 2, greatest(size(toks) - 2, 0)),
+                                    (a, b) -> concat(a, ' ', b)),
+                           slice(toks, 3, greatest(size(toks) - 2, 0)),
+                           (ab, c) -> concat(ab, ' ', c)))"""
+  private val topBigramRunSql =
+    """IF(size(bs) = 0, 0L,
+         aggregate(zip_with(slice(bs, 1, greatest(size(bs) - 1, 0)),
+                            slice(bs, 2, greatest(size(bs) - 1, 0)),
+                            (a, b) -> IF(a = b, 1, 0)),
+                   named_struct('run', 1L, 'best', 1L),
+                   (acc, e) -> IF(e = 1,
+                     named_struct('run', acc.run + 1L,
+                                  'best', greatest(acc.best, acc.run + 1L)),
+                     named_struct('run', 1L, 'best', acc.best)),
+                   acc -> acc.best))"""
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame =
     docs
@@ -351,14 +376,7 @@ object TextAnalysis {
       // referencing `toks` from inside downstream lambdas would re-inline
       // the tokenize into every walk)
       .select(col("doc_id"), col("ls"),
-        expr("""array_sort(zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
-                                    slice(toks, 2, greatest(size(toks) - 1, 0)),
-                                    (a, b) -> concat(a, ' ', b)))""").as("bs"),
-        expr("""array_sort(zip_with(zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
-                                             slice(toks, 2, greatest(size(toks) - 2, 0)),
-                                             (a, b) -> concat(a, ' ', b)),
-                                    slice(toks, 3, greatest(size(toks) - 2, 0)),
-                                    (ab, c) -> concat(ab, ' ', c)))""").as("ts"))
+        expr(sortedBigramsSql).as("bs"), expr(sortedTrigramsSql).as("ts"))
       .select(col("doc_id"),
         size(col("ls")).cast("long").as("n_lines"),
         (size(col("ls")) - size(array_distinct(col("ls")))).cast("long")
@@ -370,16 +388,7 @@ object TextAnalysis {
                                    (a, b) -> IF(a = b, CAST(length(a) AS BIGINT), 0L)),
                           0L, (acc, x) -> acc + x)""").as("dup_line_chars"),
         size(col("bs")).cast("long").as("n_bigrams"),
-        expr("""IF(size(bs) = 0, 0L,
-                   aggregate(zip_with(slice(bs, 1, greatest(size(bs) - 1, 0)),
-                                      slice(bs, 2, greatest(size(bs) - 1, 0)),
-                                      (a, b) -> IF(a = b, 1, 0)),
-                             named_struct('run', 1L, 'best', 1L),
-                             (acc, e) -> IF(e = 1,
-                               named_struct('run', acc.run + 1L,
-                                            'best', greatest(acc.best, acc.run + 1L)),
-                               named_struct('run', 1L, 'best', acc.best)),
-                             acc -> acc.best))""").as("top_bigram_cnt"),
+        expr(topBigramRunSql).as("top_bigram_cnt"),
         size(col("ts")).cast("long").as("n_trigrams"),
         (size(col("ts")) - size(array_distinct(col("ts")))).cast("long")
           .as("dup_trigram_cnt"))
@@ -393,6 +402,64 @@ object TextAnalysis {
         col("n_trigrams"), col("dup_trigram_cnt"),
         expr("IF(n_trigrams = 0, 0L, (1000000L * dup_trigram_cnt) div n_trigrams)")
           .as("dup_trigram_ppm"))
+
+  /** Composite quality-filter verdict — the C4/Gopher rule battery as ONE
+    * keep/drop decision with an auditable reason BITMASK (a pipeline debugs
+    * "why did doc X drop" from the mask, and per-rule drop rates are one
+    * `groupBy` away). Bits: 1 too_short (n_tokens < `minTokens`), 2
+    * too_long (> `maxTokens`), 4 word_length (mean token chars outside
+    * [2, 12]), 8 symbol_heavy (non-alnum-non-space chars > 10% of text),
+    * 16 no_stopword (none of the/a/of/to/and — the C4 English gate), 32
+    * repetitive_bigram (top 2-gram > 20% of bigrams), 64 repetitive_trigram
+    * (duplicate 3-grams > 30%). All thresholds compare as EXACT integer
+    * cross-multiplications (top·5 > n, chars·10 > len — no ppm rounding, no
+    * doubles) so the verdict hash-matches cross-engine. Same shape as
+    * [[repetitionStats]]: ONE map-only HOF projection, no shuffle, no
+    * corpus state, streaming-safe. Blank docs are out of domain. */
+  def filterVerdicts(docs: DataFrame, minTokens: Long = 5L,
+                     maxTokens: Long = 50000L, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(minTokens >= 0 && maxTokens >= minTokens,
+      s"need 0 <= minTokens <= maxTokens, got $minTokens/$maxTokens")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
+          .as("tok_chars"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("long")
+          .as("sym_chars"),
+        length(col("text")).cast("long").as("n_chars"),
+        arrays_overlap(col("toks"),
+          array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and")))
+          .as("has_stop"),
+        expr(sortedBigramsSql).as("bs"), expr(sortedTrigramsSql).as("ts"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+        col("sym_chars"), col("n_chars"), col("has_stop"),
+        size(col("bs")).cast("long").as("n_bigrams"),
+        expr(topBigramRunSql).as("top_bigram_cnt"),
+        size(col("ts")).cast("long").as("n_trigrams"),
+        (size(col("ts")) - size(array_distinct(col("ts")))).cast("long")
+          .as("dup_trigram_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        (when(col("n_tokens") < minTokens, 1L).otherwise(0L) +
+         when(col("n_tokens") > maxTokens, 2L).otherwise(0L) +
+         when(col("tok_chars") < col("n_tokens") * 2L ||
+              col("tok_chars") > col("n_tokens") * 12L, 4L).otherwise(0L) +
+         when(col("sym_chars") * 10L > col("n_chars"), 8L).otherwise(0L) +
+         when(!col("has_stop"), 16L).otherwise(0L) +
+         // repetition rules need a minimum sample: below 10 n-grams any
+         // single repeat clears the percentage bar vacuously
+         when(col("n_bigrams") >= 10L &&
+              col("top_bigram_cnt") * 5L > col("n_bigrams"), 32L)
+           .otherwise(0L) +
+         when(col("n_trigrams") >= 10L &&
+              col("dup_trigram_cnt") * 10L > col("n_trigrams") * 3L, 64L)
+           .otherwise(0L)).as("reasons"))
+      .withColumn("keep", col("reasons") === 0L)
+  }
 
   /** Train a Naive-Bayes reference-vs-crawl quality classifier ONCE and
     * return the per-batch scorer — the CCNet/fastText quality-filter shape

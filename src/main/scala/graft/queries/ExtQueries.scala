@@ -4921,6 +4921,59 @@ object ExtQueries {
                           CAST(sum(q) // count(*) AS BIGINT) AS w_mean
                         FROM h JOIN lr USING (b) GROUP BY doc_id)
               SELECT doc_id, n_feat, w_sum, w_mean FROM w
-              ORDER BY w_mean DESC, doc_id LIMIT 100"""))
+              ORDER BY w_mean DESC, doc_id LIMIT 100""")),
+
+    // x140 — composite quality-filter verdict: the C4/Gopher rule battery
+    // as one keep/drop + reason bitmask per doc (1 too_short, 2 too_long,
+    // 4 word_length, 8 symbol_heavy, 16 no_stopword, 32 repetitive_bigram,
+    // 64 repetitive_trigram). Every threshold an exact integer cross-
+    // multiplication — no ppm rounding, no doubles → full hash-match. Same
+    // map-only no-shuffle shape as x137.
+    QueryDef("x140_filter_verdicts",
+      (s, d) => TextAnalysis.filterVerdicts(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  base AS (SELECT doc_id, len(toks) AS n,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))
+                       AS tok_chars,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                       AS sym_chars,
+                     length(text) AS n_chars,
+                     len(list_intersect(toks,
+                       ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop
+                   FROM d),
+                  b AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+                        FROM d, unnest(range(0, len(toks) - 1)) AS u(i)),
+                  bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+                  bst AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_cnt
+                          FROM bc GROUP BY 1),
+                  tr AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2]
+                                        || ' ' || toks[i + 3] AS g
+                         FROM d, unnest(range(0, len(toks) - 2)) AS u(i)),
+                  tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+                  tst AS (SELECT doc_id, sum(c) AS n_tri, sum(c - 1) AS dup_tri
+                          FROM tc GROUP BY 1),
+                  v AS (SELECT base.doc_id, n,
+                          (CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n > 50000 THEN 2 ELSE 0 END)
+                        + (CASE WHEN tok_chars < 2 * n
+                                  OR tok_chars > 12 * n THEN 4 ELSE 0 END)
+                        + (CASE WHEN sym_chars * 10 > n_chars
+                                THEN 8 ELSE 0 END)
+                        + (CASE WHEN NOT has_stop THEN 16 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_big, 0) >= 10
+                                 AND coalesce(top_cnt, 0) * 5 > n_big
+                                THEN 32 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_tri, 0) >= 10
+                                 AND coalesce(dup_tri, 0) * 10 > n_tri * 3
+                                THEN 64 ELSE 0 END) AS reasons
+                        FROM base LEFT JOIN bst USING (doc_id)
+                                  LEFT JOIN tst USING (doc_id))
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     CAST(reasons AS BIGINT) AS reasons,
+                     reasons = 0 AS keep
+              FROM v ORDER BY doc_id"""))
   )
 }

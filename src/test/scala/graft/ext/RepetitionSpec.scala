@@ -58,6 +58,44 @@ class RepetitionSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"x137 shuffles:\n$p")
   }
 
+  private def verdicts(rows: (Long, String)*) =
+    TextAnalysis.filterVerdicts(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("reasons"), r.getAs[Boolean]("keep"))).toMap
+
+  test("every filter rule fires on its crafted doc and only there") {
+    val m = verdicts(
+      1L -> "the quick brown fox jumps over the lazy dog today", // clean
+      2L -> "the of cats here",                                  // too_short
+      3L -> ("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa the " +
+             "bbbbbbbbbbbbbbbbbbbbbbbbbb of xxxxxxxxxxxxxxxxxxxx"), // word_length
+      4L -> "the cat !!! ### $$$ %%% ^^^ &&& *** (((",           // symbol_heavy
+      5L -> "quick brown fox jumps high fast",                   // no_stopword
+      6L -> Seq.fill(20)("the cat").mkString(" "),               // rep bigram+trigram
+      7L -> Seq.fill(7)("the vv ww xx yy zz").mkString(" "))     // rep trigram only
+    assert(m(1L) == (0L, true))
+    assert(m(2L) == (1L, false))
+    assert(m(3L) == (4L, false))
+    assert(m(4L) == (8L, false))
+    assert(m(5L) == (16L, false))
+    assert(m(6L) == (96L, false)) // 32 + 64: stuck loop trips both
+    assert(m(7L) == (64L, false))
+  }
+
+  test("repetition rules are exempt below the 10-n-gram sample floor") {
+    // 3 tokens → 2 bigrams, 1 trigram: top bigram is trivially 50% but the
+    // sample floor keeps the repetition bits silent
+    val m = verdicts(1L -> "the cat cat sat on")
+    assert(m(1L) == (0L, true))
+  }
+
+  test("filter verdict plan is map-only: no shuffle") {
+    val df = TextAnalysis.filterVerdicts(
+      Seq((1L, "the cat sat")).toDF("doc_id", "text"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"x140 shuffles:\n$p")
+  }
+
   test("streaming parity: the same projection applies to a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
