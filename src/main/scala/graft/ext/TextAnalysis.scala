@@ -418,14 +418,16 @@ object TextAnalysis {
     * corpus state, streaming-safe. Blank docs are out of domain. */
   def filterVerdicts(docs: DataFrame, minTokens: Long = 5L,
                      maxTokens: Long = 50000L, textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id",
+                     passthrough: Seq[String] = Nil): DataFrame = {
     require(minTokens >= 0 && maxTokens >= minTokens,
       s"need 0 <= minTokens <= maxTokens, got $minTokens/$maxTokens")
+    val pass = passthrough.map(col)
     docs
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id") +: pass :+
+        col(textCol).as("text") :+ tokens(col(textCol)).as("toks"): _*)
+      .select(col("doc_id") +: pass ++: Seq(
         size(col("toks")).cast("long").as("n_tokens"),
         length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
           .as("tok_chars"),
@@ -435,15 +437,16 @@ object TextAnalysis {
         arrays_overlap(col("toks"),
           array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and")))
           .as("has_stop"),
-        expr(sortedBigramsSql).as("bs"), expr(sortedTrigramsSql).as("ts"))
-      .select(col("doc_id"), col("n_tokens"), col("tok_chars"),
+        expr(sortedBigramsSql).as("bs"), expr(sortedTrigramsSql).as("ts")): _*)
+      .select(col("doc_id") +: pass ++: Seq(
+        col("n_tokens"), col("tok_chars"),
         col("sym_chars"), col("n_chars"), col("has_stop"),
         size(col("bs")).cast("long").as("n_bigrams"),
         expr(topBigramRunSql).as("top_bigram_cnt"),
         size(col("ts")).cast("long").as("n_trigrams"),
         (size(col("ts")) - size(array_distinct(col("ts")))).cast("long")
-          .as("dup_trigram_cnt"))
-      .select(col("doc_id"), col("n_tokens"),
+          .as("dup_trigram_cnt")): _*)
+      .select(col("doc_id") +: pass ++: Seq(col("n_tokens"),
         (when(col("n_tokens") < minTokens, 1L).otherwise(0L) +
          when(col("n_tokens") > maxTokens, 2L).otherwise(0L) +
          when(col("tok_chars") < col("n_tokens") * 2L ||
@@ -457,7 +460,7 @@ object TextAnalysis {
            .otherwise(0L) +
          when(col("n_trigrams") >= 10L &&
               col("dup_trigram_cnt") * 10L > col("n_trigrams") * 3L, 64L)
-           .otherwise(0L)).as("reasons"))
+           .otherwise(0L)).as("reasons")): _*)
       .withColumn("keep", col("reasons") === 0L)
   }
 

@@ -4974,6 +4974,85 @@ object ExtQueries {
               SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                      CAST(reasons AS BIGINT) AS reasons,
                      reasons = 0 AS keep
-              FROM v ORDER BY doc_id"""))
+              FROM v ORDER BY doc_id""")),
+
+    // x141 — per-source corpus health: the x140 battery rolled up to the
+    // report a pipeline owner actually reads — per source, doc and token
+    // volume, keep count, and each rule's drop count (bitmask tests,
+    // integer-exact). One extra hash aggregate over the map-only verdict
+    // projection; output is sources-sized.
+    QueryDef("x141_source_health",
+      (s, d) => TextAnalysis.filterVerdicts(Tables.documents(s, d),
+          passthrough = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(expr("IF((reasons & 1) > 0, 1L, 0L)")).as("n_too_short"),
+          sum(expr("IF((reasons & 2) > 0, 1L, 0L)")).as("n_too_long"),
+          sum(expr("IF((reasons & 4) > 0, 1L, 0L)")).as("n_word_length"),
+          sum(expr("IF((reasons & 8) > 0, 1L, 0L)")).as("n_symbol_heavy"),
+          sum(expr("IF((reasons & 16) > 0, 1L, 0L)")).as("n_no_stopword"),
+          sum(expr("IF((reasons & 32) > 0, 1L, 0L)")).as("n_rep_bigram"),
+          sum(expr("IF((reasons & 64) > 0, 1L, 0L)")).as("n_rep_trigram"))
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT doc_id, source, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  base AS (SELECT doc_id, source, len(toks) AS n,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))
+                       AS tok_chars,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                       AS sym_chars,
+                     length(text) AS n_chars,
+                     len(list_intersect(toks,
+                       ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop
+                   FROM d),
+                  b AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+                        FROM d, unnest(range(0, len(toks) - 1)) AS u(i)),
+                  bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+                  bst AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_cnt
+                          FROM bc GROUP BY 1),
+                  tr AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2]
+                                        || ' ' || toks[i + 3] AS g
+                         FROM d, unnest(range(0, len(toks) - 2)) AS u(i)),
+                  tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+                  tst AS (SELECT doc_id, sum(c) AS n_tri, sum(c - 1) AS dup_tri
+                          FROM tc GROUP BY 1),
+                  v AS (SELECT base.doc_id, source, n,
+                          (CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n > 50000 THEN 2 ELSE 0 END)
+                        + (CASE WHEN tok_chars < 2 * n
+                                  OR tok_chars > 12 * n THEN 4 ELSE 0 END)
+                        + (CASE WHEN sym_chars * 10 > n_chars
+                                THEN 8 ELSE 0 END)
+                        + (CASE WHEN NOT has_stop THEN 16 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_big, 0) >= 10
+                                 AND coalesce(top_cnt, 0) * 5 > n_big
+                                THEN 32 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_tri, 0) >= 10
+                                 AND coalesce(dup_tri, 0) * 10 > n_tri * 3
+                                THEN 64 ELSE 0 END) AS reasons
+                        FROM base LEFT JOIN bst USING (doc_id)
+                                  LEFT JOIN tst USING (doc_id))
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN reasons = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN (reasons & 1) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_too_short,
+                     CAST(sum(CASE WHEN (reasons & 2) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_too_long,
+                     CAST(sum(CASE WHEN (reasons & 4) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_word_length,
+                     CAST(sum(CASE WHEN (reasons & 8) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_symbol_heavy,
+                     CAST(sum(CASE WHEN (reasons & 16) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_no_stopword,
+                     CAST(sum(CASE WHEN (reasons & 32) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rep_bigram,
+                     CAST(sum(CASE WHEN (reasons & 64) > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_rep_trigram
+              FROM v GROUP BY source ORDER BY source"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, sum, when}
 
 class RepetitionSpec extends SparkSpec {
   import spark.implicits._
@@ -87,6 +88,23 @@ class RepetitionSpec extends SparkSpec {
     // sample floor keeps the repetition bits silent
     val m = verdicts(1L -> "the cat cat sat on")
     assert(m(1L) == (0L, true))
+  }
+
+  test("passthrough columns ride the verdict projection for rollups") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the dog", "web"),
+      (2L, "no stopwords here whatsoever friends", "web"),
+      (3L, "the tiny", "books")).toDF("doc_id", "text", "source")
+    val v = TextAnalysis.filterVerdicts(df, passthrough = Seq("source"))
+    assert(v.columns.toSeq ==
+      Seq("doc_id", "source", "n_tokens", "reasons", "keep"))
+    val bySrc = v.groupBy("source")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("web" -> 1L, "books" -> 0L))
+    // still map-only with passthrough
+    val p = v.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"passthrough added a shuffle:\n$p")
   }
 
   test("filter verdict plan is map-only: no shuffle") {
