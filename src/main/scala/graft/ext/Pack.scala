@@ -110,6 +110,31 @@ object Pack {
          greatest(col("cum_before"), col("seq_id") * capacity))
           .as("seg_len"))
 
+  /** Materialize packed sequences: join a [[packSegments]] frame back to
+    * the corpus, slice each document's token array at (doc_off, seg_len),
+    * and reassemble every sequence's text in slice order — the final
+    * shard-writer step that turns layout coordinates into training rows.
+    * Two shuffles, both keyed and bounded: the slice join co-partitions on
+    * `doc_id` (corpus-sized, 8-byte key), the reassembly groups on
+    * `seq_id` with per-group state bounded by `capacity` tokens (the
+    * collect_list can never exceed one sequence). Output: (`seq_id`,
+    * `n_slices`, `seq_text`), ordered reassembly via a sorted
+    * (seq_off, slice) struct array — no window needed. */
+  def rehydrate(segments: DataFrame, docs: DataFrame,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    segments
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks")), Seq("doc_id"))
+      .select(col("seq_id"), col("seq_off"),
+        expr("""array_join(slice(toks, CAST(doc_off + 1 AS INT),
+                                 CAST(seg_len AS INT)), ' ')""").as("seg"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_slices"),
+        collect_list(struct(col("seq_off"), col("seg"))).as("parts"))
+      .select(col("seq_id"), col("n_slices"),
+        expr("array_join(transform(array_sort(parts), p -> p.seg), ' ')")
+          .as("seq_text"))
+
   /** Boolean packing invariant over a [[packSegments]] frame: every
     * sequence except the last is filled to EXACTLY `capacity` tokens and
     * none exceeds it. One groupBy(seq_id) + a broadcast one-row max frame;

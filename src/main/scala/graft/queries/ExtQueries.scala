@@ -4832,6 +4832,47 @@ object ExtQueries {
                        AS capacity_ok
               FROM per CROSS JOIN m""")),
 
+    // x142 — pack rehydration: the packing family closed end-to-end —
+    // x136's layout coordinates joined back to the corpus, token arrays
+    // sliced at (doc_off, seg_len), sequences reassembled in slice order.
+    // Two keyed shuffles (doc_id slice join, seq_id regroup with state
+    // bounded by capacity tokens); ordered reassembly via a sorted struct
+    // array, no window. Hash-match includes the rebuilt sequence text.
+    QueryDef("x142_pack_rehydrate",
+      (s, d) => Pack.rehydrate(
+          Pack.packSegments(packPlanShared(s, d), capacity = 128L),
+          Tables.documents(s, d))
+        .orderBy("seq_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT doc_id, n, cb, cb // 128 AS ss,
+                            cb % 128 AS so, u.s AS seq_id
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  sl AS (SELECT seg.seq_id,
+                           CASE WHEN seq_id = ss THEN so ELSE 0 END AS seq_off,
+                           CASE WHEN seq_id = ss THEN 0
+                                ELSE seq_id * 128 - cb END AS doc_off,
+                           least(cb + seg.n, (seq_id + 1) * 128)
+                             - greatest(cb, seq_id * 128) AS seg_len,
+                           t.toks
+                         FROM seg JOIN t USING (doc_id))
+              SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                     CAST(count(*) AS BIGINT) AS n_slices,
+                     string_agg(array_to_string(
+                       toks[(doc_off + 1):(doc_off + seg_len)], ' '),
+                       ' ' ORDER BY seq_off) AS seq_text
+              FROM sl GROUP BY seq_id ORDER BY seq_id""")),
+
     // x137 — Gopher repetition filters: per-doc duplicate-line count +
     // chars, top-2-gram multiplicity, duplicate-3-gram count, each with
     // its exact floored-ppm fraction (Rae et al. 2021's within-document

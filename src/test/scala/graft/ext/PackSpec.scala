@@ -88,6 +88,27 @@ class PackSpec extends SparkSpec {
     segs.unpersist()
   }
 
+  test("rehydration reproduces the shuffled corpus token stream exactly") {
+    val plan = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
+    val segs = Pack.packSegments(plan, capacity = 8L)
+    val seqs = Pack.rehydrate(segs, fixture)
+      .orderBy("seq_id").collect()
+    // every non-final sequence rehydrates to exactly capacity tokens
+    seqs.dropRight(1).foreach { r =>
+      val n = r.getAs[String]("seq_text").split("\\s+").length
+      assert(n == 8, s"seq ${r.getAs[Long]("seq_id")} has $n tokens")
+    }
+    // concatenating sequences in order reproduces the doc stream in the
+    // seeded shuffle order — packing loses nothing and reorders nothing
+    val stream = seqs.map(_.getAs[String]("seq_text")).mkString(" ")
+    val expected = plan.orderBy("cum_before").collect()
+      .map(_.getAs[Long]("doc_id"))
+      .map(id => fixture.filter($"doc_id" === id).collect()(0)
+        .getAs[String]("text").trim.split("\\s+").mkString(" "))
+      .mkString(" ")
+    assert(stream == expected)
+  }
+
   test("gate rejects a corrupted layout and passes the empty corpus") {
     val plan = Pack.packPlan(fixture, 8L, 7L)
     val segs = Pack.packSegments(plan, 8L)
