@@ -1251,4 +1251,68 @@ object Dedup {
         .toDF("n_pairs", "band_complete")
     } finally sigs.unpersist()
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local fingerprinting scheme): hash every token `k`-gram, slide a
+    * `window`-wide frame over the hash stream, keep each frame's MINIMUM
+    * hash, dedupe. The selection is LOCAL, so it carries winnowing's two
+    * guarantees that block hashing (x97) and whole-doc rolling hashes (x06)
+    * lack: any shared run of at least `window + k - 1` tokens yields at
+    * least one shared fingerprint (detection guarantee), and inserting or
+    * deleting text far from a match never disturbs the fingerprints the
+    * match selected (shift robustness — the x38 chunk grid re-aligns and
+    * misses, winnowing does not; WinnowSpec pins both). Fingerprinting by
+    * VALUE makes the in-window tie rule irrelevant (any minimal occurrence
+    * contributes the same value, and values dedupe). Docs with fewer than
+    * `window` k-grams contribute their single global minimum, keeping short
+    * docs in domain. Hashes are the leading 48 bits of the k-gram's md5 —
+    * engine-portable (the oracle reproduces them), collision odds ~n²/2⁴⁹.
+    * Shape: ONE map-only HOF projection + an explode sized by fingerprint
+    * count ≈ 2·n_grams/(window+1) — no shuffle, no corpus state. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, window: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k, window >= 1, got $k/$window")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - $k),
+              i -> CAST(conv(substring(md5(array_join(
+                     slice(toks, i + 1, $k), ' ')), 1, 12), 16, 10)
+                   AS BIGINT))""").as("gh"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(CASE WHEN size(gh) < $window
+              THEN array(array_min(gh))
+              ELSE transform(sequence(0, size(gh) - $window),
+                     j -> array_min(slice(gh, j + 1, $window))) END)"""))
+        .as("fp"))
+  }
+
+  /** Winnow-based near-dup pair detection: docs sharing at least
+    * `minShared` selected fingerprints. The pair join follows the x07
+    * postings discipline — 8-byte fingerprint keys, never raw text, and a
+    * `maxDf` document-frequency cap that drops corpus-wide fingerprints
+    * (a globally common k-gram whose hash happens to be locally minimal
+    * would otherwise build a df²-sized bucket) — so candidate volume stays
+    * quasi-linear at 100 TB. Output: (`ia`, `ib`, `n_shared`). */
+  def winnowPairs(docs: DataFrame, k: Int = 3, window: Int = 4,
+                  minShared: Long = 2L, maxDf: Long = 64L,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
+    val fps = winnowFingerprints(docs, k, window, textCol, idCol)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val kept = fps.join(keep, Seq("fp"))
+    val a = kept.toDF("fp", "ia")
+    val b = kept.toDF("fp", "ib")
+    a.join(b, Seq("fp"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -5094,6 +5094,47 @@ object ExtQueries {
                           AS BIGINT) AS n_rep_bigram,
                      CAST(sum(CASE WHEN (reasons & 64) > 0 THEN 1 ELSE 0 END)
                           AS BIGINT) AS n_rep_trigram
-              FROM v GROUP BY source ORDER BY source"""))
+              FROM v GROUP BY source ORDER BY source""")),
+
+    // x143 — winnowing near-dup pairs (Schleimer et al. 2003 MOSS): hash
+    // every token 3-gram, keep each 4-wide window's MINIMUM hash, pair
+    // docs sharing ≥2 selected fingerprints. The local-min selection gives
+    // the detection guarantee (any shared ≥6-token run yields a shared
+    // fingerprint) and shift robustness x97's block grid lacks. md5-derived
+    // 48-bit hashes are engine-portable → full hash-match; the pair join
+    // follows the x07 postings discipline with a df ≤ 64 fingerprint cap.
+    QueryDef("x143_winnow_pairs",
+      (s, d) => graft.ext.Dedup.winnowPairs(Tables.documents(s, d))
+        .orderBy("ia", "ib"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  gh AS (SELECT doc_id, i,
+                           ('0x' || substr(md5(toks[i + 1] || ' ' ||
+                              toks[i + 2] || ' ' || toks[i + 3]), 1, 12))
+                             ::BIGINT AS h
+                         FROM t, unnest(range(0, len(toks) - 2)) AS u(i)
+                         WHERE len(toks) >= 3),
+                  n AS (SELECT doc_id, count(*) AS ng FROM gh GROUP BY 1),
+                  sel AS (SELECT gh.doc_id, i, ng,
+                            min(h) OVER (PARTITION BY gh.doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                          FROM gh JOIN n USING (doc_id)),
+                  fps AS (SELECT DISTINCT doc_id, fp
+                          FROM sel WHERE i <= ng - 4
+                          UNION
+                          SELECT gh.doc_id, min(h) AS fp
+                          FROM gh JOIN n USING (doc_id)
+                          WHERE ng < 4 GROUP BY gh.doc_id),
+                  df AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+                  kept AS (SELECT doc_id, fps.fp
+                           FROM fps JOIN df USING (fp) WHERE df.df <= 64),
+                  p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                          count(*) AS n_shared
+                        FROM kept a JOIN kept b USING (fp)
+                        WHERE a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT ia, ib, CAST(n_shared AS BIGINT) AS n_shared
+              FROM p WHERE n_shared >= 2 ORDER BY ia, ib"""))
   )
 }
