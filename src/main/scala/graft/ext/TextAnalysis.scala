@@ -563,8 +563,12 @@ object TextAnalysis {
     * per-doc sums are exact BIGINTs, `w_mean` their truncated per-feature
     * division — everything hash-matches cross-engine. Scale: the bucket
     * table is `buckets`-sized (constant), totals ride a broadcast one-row
-    * frame, and the scoring join keys on an 8-byte bucket id; nothing is
-    * vocab- or corpus-width. Output: (`doc_id`, `n_feat`, `w_sum`,
+    * frame, and the scoring join broadcasts the bucket table against an
+    * 8-byte key; nothing is vocab- or corpus-width. The feature stream IS
+    * scanned twice (once aggregating the distributions, once scoring) —
+    * the inherent two-pass cost of estimate-then-weigh; a caller scoring
+    * many batches against one corpus should use [[dsirScorer]], which
+    * freezes the first pass. Output: (`doc_id`, `n_feat`, `w_sum`,
     * `w_mean`), blank docs out of domain. */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -579,7 +583,11 @@ object TextAnalysis {
       s"""CAST(round((ln((ct + 1) / (tt + $buckets.0D))
                       - ln((cr + 1) / (tr + $buckets.0D))) * 1e6) AS BIGINT)""")
       .as("q"))
-    feats.join(lr, Seq("b"))
+    // lr is <= buckets rows BY CONSTRUCTION — broadcast it explicitly so
+    // the corpus-sized feature stream never shuffles for the score join
+    // (the static planner sees an aggregate of unknown size and would
+    // otherwise plan a sort-merge join)
+    feats.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"), sum(col("q")).as("w_sum"))
       .withColumn("w_mean", expr("w_sum div n_feat"))
@@ -620,7 +628,7 @@ object TextAnalysis {
         - math.log(1.0 / (tr + buckets.toDouble))) * 1e6)
       new Retriever(
         docs => dsirFeatures(docs, lit(false), buckets, textCol, idCol)
-          .join(lr, Seq("b"), "left")
+          .join(broadcast(lr), Seq("b"), "left")
           .select(col("doc_id"), coalesce(col("q"), lit(qDefault)).as("q"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_feat"), sum(col("q")).as("w_sum"))

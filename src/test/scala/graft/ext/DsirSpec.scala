@@ -60,6 +60,14 @@ class DsirSpec extends SparkSpec {
     } finally scorer.close()
   }
 
+  test("the score join broadcasts the bucket table, never the corpus") {
+    val df = TextAnalysis.dsirWeights(corpus, $"lang" === "en")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast score join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized feature stream shuffled for the score join:\n$p")
+  }
+
   test("empty corpus is total") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     assert(TextAnalysis.dsirWeights(empty, $"lang" === "en").count() == 0L)
