@@ -1303,10 +1303,7 @@ object Dedup {
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1 and maxDf >= 2, got $minShared/$maxDf")
-    val fps = winnowFingerprints(docs, k, window, textCol, idCol)
-    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("fp"))
-    val kept = fps.join(keep, Seq("fp"))
+    val kept = winnowKeptFps(docs, k, window, maxDf, textCol, idCol)
     val a = kept.toDF("fp", "ia")
     val b = kept.toDF("fp", "ib")
     a.join(b, Seq("fp"))
@@ -1314,5 +1311,80 @@ object Dedup {
       .groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** The df-capped (fp, doc_id) fingerprint table — the ONE artifact behind
+    * [[winnowPairs]], [[winnowFlagger]] and [[saveWinnowIndex]]. */
+  private def winnowKeptFps(docs: DataFrame, k: Int, window: Int, maxDf: Long,
+                            textCol: String, idCol: String): DataFrame = {
+    val fps = winnowFingerprints(docs, k, window, textCol, idCol)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    fps.join(keep, Seq("fp")).select(col("fp"), col("doc_id"))
+  }
+
+  /** The probe side shared by the in-memory and reloaded winnow flaggers:
+    * fingerprint the batch, join the frozen capped table, flag docs
+    * sharing >= minShared fingerprints with any single reference doc
+    * OTHER than themselves (so a corpus-self probe flags exactly the docs
+    * appearing in a [[winnowPairs]] pair — WinnowSpec pins this). */
+  private def winnowProbe(ref: DataFrame, k: Int, window: Int,
+                          minShared: Long, textCol: String,
+                          idCol: String): DataFrame => DataFrame =
+    batch => winnowFingerprints(batch, k, window, textCol, idCol)
+      .join(ref, Seq("fp"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .groupBy(col("doc_id"), col("ref_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("n_shared")).as("max_shared"))
+
+  /** Freeze the corpus's winnow fingerprint table ONCE and return the
+    * per-batch near-dup flagger — [[winnowPairs]] as a build/apply split
+    * (the [[nearDupFlagger]] lifecycle). Output per flagged batch doc:
+    * (`doc_id`, `n_matches`, `max_shared`). */
+  def winnowFlagger(corpus: DataFrame, k: Int = 3, window: Int = 4,
+                    minShared: Long = 2L, maxDf: Long = 64L,
+                    textCol: String = "text", idCol: String = "doc_id"): Retriever = {
+    val ref = winnowKeptFps(corpus, k, window, maxDf, textCol, idCol)
+      .toDF("fp", "ref_id").persist()
+    new Retriever(winnowProbe(ref, k, window, minShared, textCol, idCol),
+      () => ref.unpersist())
+  }
+
+  /** Persist a [[winnowFlagger]] index so the build survives the session —
+    * the [[saveNearDupIndex]] shape for winnow fingerprints: 16 B/selected
+    * fingerprint (≈ 2/(window+1) of the corpus k-gram count) plus a one-row
+    * meta (k, window, min_shared, max_df) so a loaded flagger reproduces
+    * the build's semantics without the caller re-supplying them. */
+  def saveWinnowIndex(corpus: DataFrame, dir: String, k: Int = 3,
+                      window: Int = 4, minShared: Long = 2L, maxDf: Long = 64L,
+                      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    winnowKeptFps(corpus, k, window, maxDf, textCol, idCol)
+      .toDF("fp", "ref_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/fingerprints")
+    Seq((k, window, minShared, maxDf))
+      .toDF("k", "window", "min_shared", "max_df")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[saveWinnowIndex]] directory as a ready [[Retriever]]
+    * (materialized now, not on first batch; semantics from the saved
+    * meta — WinnowSpec pins reload parity with the in-memory flagger). */
+  def loadWinnowFlagger(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Retriever = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val ref = spark.read.parquet(s"$dir/fingerprints").persist()
+    ref.count()
+    new Retriever(
+      winnowProbe(ref, m.getAs[Int]("k"), m.getAs[Int]("window"),
+        m.getAs[Long]("min_shared"), textCol, idCol),
+      () => ref.unpersist())
   }
 }

@@ -47,6 +47,43 @@ class WinnowSpec extends SparkSpec {
     assert(Dedup.winnowPairs(df, maxDf = 8L).count() == 15L) // C(6,2)
   }
 
+  test("flagger corpus-self probe flags exactly the winnowPairs doc set") {
+    val corpus = Seq(
+      1L -> "alpha beta p q r s t u gamma delta epsilon",
+      2L -> "one two three p q r s t u four five six",
+      3L -> "fully unrelated content with nothing shared at all here"
+    ).toDF("doc_id", "text")
+    val flagger = Dedup.winnowFlagger(corpus)
+    try {
+      val flagged = flagger(corpus).collect().map(_.getLong(0)).toSet
+      val inPairs = Dedup.winnowPairs(corpus).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == inPairs)
+    } finally flagger.close()
+  }
+
+  test("saved index reloads to an identical flagger") {
+    val run = (1 to 16).map(i => s"run$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"alpha beta $run gamma delta epsilon",
+      2L -> "one two three completely different four five six").toDF("doc_id", "text")
+    val batch = Seq(9L -> s"noise prefix $run noise suffix words")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("winnow-idx").toString
+    try {
+      Dedup.saveWinnowIndex(corpus, dir)
+      val mem = Dedup.winnowFlagger(corpus)
+      val loaded = Dedup.loadWinnowFlagger(spark, dir)
+      try {
+        val a = mem(batch).orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val b = loaded(batch).orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(a == b && a.nonEmpty)
+      } finally { mem.close(); loaded.close() }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("fingerprint volume is the winnowing density, not the gram count") {
     // a 200-token doc of distinct tokens: expected fingerprints ≈
     // 2·n_grams/(window+1) — assert well under the gram count
