@@ -228,4 +228,55 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming sequence packer — [[graft.ext.Pack.packPlan]]'s incremental
+    * twin. A stream has no global shuffle, so the streaming contract is
+    * ARRIVAL-order packing into PER-SHARD sequence spaces: docs hash into
+    * `shards` lanes (md5 of the id — deterministic), each lane keeps ONE
+    * `Long` of `flatMapGroupsWithState` state (its cumulative token count),
+    * and every arriving doc gets the same packing coordinates the batch
+    * planner derives — `start_seq = cum div capacity`, boundary-straddling
+    * docs split across consecutive sequences. Within a micro-batch, lane
+    * rows process in doc_id order, so delivery order + lane hashing fully
+    * determine the layout: one shard fed in the batch planner's key order
+    * reproduces `packPlan`'s exact coordinates (PackSpec pins this).
+    * State is `shards` × 8 bytes FOREVER — constant on an unbounded
+    * stream, the property that makes incremental packing deployable where
+    * the batch planner's corpus-wide prefix sum is a nightly job. Output:
+    * (`shard`, `doc_id`, `n_tokens`, `cum_before`, `start_seq`,
+    * `start_off`, `end_seq`, `n_segs`); blank docs are out of domain. */
+  def streamingPacker(stream: DataFrame, capacity: Long = 2048L,
+                      shards: Int = 1, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(capacity >= 1 && shards >= 1,
+      s"need capacity, shards >= 1, got $capacity/$shards")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n"),
+        pmod(expr(s"""CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 6),
+                               16, 10) AS BIGINT)"""), lit(shards.toLong))
+          .as("shard"))
+      .filter(col("n") > 0)
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_._1).map { case (id, n, _) =>
+            val cb = cum
+            cum += n
+            val startSeq = cb / capacity
+            val endSeq = (cb + n - 1) / capacity
+            (shard, id, n, cb, startSeq, cb % capacity, endSeq,
+              endSeq - startSeq + 1)
+          }
+          state.update(cum)
+          out.iterator
+        })
+      .toDF("shard", "doc_id", "n_tokens", "cum_before", "start_seq",
+        "start_off", "end_seq", "n_segs")
+  }
 }

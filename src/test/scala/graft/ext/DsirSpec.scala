@@ -68,6 +68,29 @@ class DsirSpec extends SparkSpec {
       s"corpus-sized feature stream shuffled for the score join:\n$p")
   }
 
+  test("streaming parity: the frozen scorer applies to a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val scorer = TextAnalysis.dsirScorer(corpus, $"lang" === "en", buckets = 512)
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = scorer(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("dsir_stream")
+        .outputMode("complete").start()
+      try {
+        val batch = Seq(7L -> "wiki facts spam deal mixed bag",
+          8L -> "zzqx vvwp qqrr")
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("dsir_stream").orderBy("doc_id")
+          .collect().map(_.toSeq).toSeq
+        val direct = scorer(batch.toDF("doc_id", "text")).orderBy("doc_id")
+          .collect().map(_.toSeq).toSeq
+        assert(streamed == direct && streamed.size == 2)
+      } finally q.stop()
+    } finally scorer.close()
+  }
+
   test("empty corpus is total") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     assert(TextAnalysis.dsirWeights(empty, $"lang" === "en").count() == 0L)

@@ -123,6 +123,35 @@ class PackSpec extends SparkSpec {
     assert(empty.getAs[Boolean]("capacity_ok"))
   }
 
+  test("streaming packer fed in key order reproduces the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batchPlan = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
+      .orderBy("cum_before").collect()
+    val ordered = batchPlan.map(r => r.getAs[Long]("doc_id") ->
+      fixture.filter($"doc_id" === r.getAs[Long]("doc_id"))
+        .collect()(0).getAs[String]("text"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.streamingPacker(
+        in.toDF().toDF("doc_id", "text"), capacity = 8L, shards = 1)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      // one micro-batch per doc, in the batch planner's key order —
+      // arrival order then IS the batch order, so coordinates must match
+      ordered.foreach { d => in.addData(d); q.processAllAvailable() }
+      val streamed = spark.table("pack_stream")
+        .select("doc_id", "n_tokens", "cum_before", "start_seq",
+          "start_off", "end_seq", "n_segs")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batch = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
+        .select("doc_id", "n_tokens", "cum_before", "start_seq",
+          "start_off", "end_seq", "n_segs")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("prefix sum is two-phase: doc windows partition by bucket, only the " +
        "bucket-subtotal window is single-partition") {
     val plan = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
