@@ -681,6 +681,27 @@ object ExtQueries {
     (base +: iters).mkString(",\n")
   }
 
+  /** Shared CTE prefix of the x144/x145 stitch oracles: per-doc k-token
+    * head/tail strings (k = 3, proper prefix/suffix only), 48-bit
+    * md5-derived keys (bit-identical to Spark's conv(substring(md5,1,12),
+    * 16,10)), and the per-side df ≤ 16 cap. */
+  private val stitchPairsOracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                  FROM documents WHERE length(trim(text)) > 0),
+            e AS (SELECT doc_id,
+                    array_to_string(toks[1:3], ' ') AS head,
+                    array_to_string(toks[(len(toks)-2):len(toks)], ' ') AS tail
+                  FROM t WHERE len(toks) > 3),
+            tl AS (SELECT doc_id, tail AS ov,
+                     ('0x' || substr(md5(tail), 1, 12))::BIGINT AS h FROM e),
+            hd AS (SELECT doc_id, head AS ov,
+                     ('0x' || substr(md5(head), 1, 12))::BIGINT AS h FROM e),
+            tk AS (SELECT tl.* FROM tl JOIN (SELECT h FROM tl GROUP BY h
+                     HAVING count(*) <= 16) ct USING (h)),
+            hk AS (SELECT hd.* FROM hd JOIN (SELECT h FROM hd GROUP BY h
+                     HAVING count(*) <= 16) ch USING (h))
+       """
+
   val defs: Seq[QueryDef] = Seq(
 
     // x01 — exact dedup: one surviving id per distinct content.
@@ -5135,6 +5156,126 @@ object ExtQueries {
                         WHERE a.doc_id < b.doc_id
                         GROUP BY 1, 2)
               SELECT ia, ib, CAST(n_shared AS BIGINT) AS n_shared
-              FROM p WHERE n_shared >= 2 ORDER BY ia, ib"""))
+              FROM p WHERE n_shared >= 2 ORDER BY ia, ib""")),
+
+    // x144 — crawl-split stitch pairs: directed continuation seams (one
+    // doc's k-token TAIL = another's k-token HEAD — the boundary a record
+    // splitter or sliding-window chunk export leaves). One head + one tail
+    // row per doc (8-byte md5-48 keys), df-capped both sides (a viral
+    // footer is not a seam), candidates string-verified — exact
+    // cross-engine, shuffle 2 rows/doc at any corpus size. k=3 exercises
+    // the fixture's seams; production crawls run k ≈ 20–50.
+    QueryDef("x144_stitch_pairs",
+      (s, d) => graft.ext.Stitch.stitchPairs(Tables.documents(s, d))
+        .orderBy("prev_id", "next_id"),
+      Some(stitchPairsOracle +
+        """SELECT tk.doc_id AS prev_id, hk.doc_id AS next_id,
+                  tk.ov AS overlap
+           FROM tk JOIN hk ON tk.h = hk.h AND tk.ov = hk.ov
+             AND tk.doc_id <> hk.doc_id
+           ORDER BY prev_id, next_id""")),
+
+    // x145 — stitch chains: connected components over the x144 seams (the
+    // x25 two-tier union-find/min-label machinery) + per-member roles:
+    // is_head (no incoming seam — the reassembled doc starts here) and
+    // is_tail (no outgoing). The regroup key + ordering hints a
+    // repartition-and-merge reassembly pass needs.
+    QueryDef("x145_stitch_chains",
+      (s, d) => graft.ext.Stitch.stitchChains(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE " + stitchPairsOracle.trim.stripPrefix("WITH") +
+        """,
+             p AS (SELECT tk.doc_id AS prev_id, hk.doc_id AS next_id
+                   FROM tk JOIN hk ON tk.h = hk.h AND tk.ov = hk.ov
+                     AND tk.doc_id <> hk.doc_id),
+             u AS (SELECT least(prev_id, next_id) AS ia,
+                          greatest(prev_id, next_id) AS ib
+                   FROM p GROUP BY 1, 2),
+             ed AS (SELECT ia AS a, ib AS b FROM u
+                    UNION SELECT ib, ia FROM u),
+             r AS (SELECT a AS id, a AS reach FROM ed
+                   UNION
+                   SELECT r.id, ed.b FROM r JOIN ed ON ed.a = r.reach),
+             comp AS (SELECT id AS doc_id, min(reach) AS chain_rep
+                      FROM r GROUP BY id)
+           SELECT c.doc_id, c.chain_rep,
+                  c.doc_id NOT IN (SELECT next_id FROM p) AS is_head,
+                  c.doc_id NOT IN (SELECT prev_id FROM p) AS is_tail
+           FROM comp c ORDER BY doc_id""")),
+
+    // x146 — token-multiset F1 + containment over the x07 candidate pairs:
+    // the VERIFY grade for near-dup candidates. Multiset min-counting keeps
+    // repeated tokens honest where shingle sets collapse them, and the two
+    // asymmetric containments expose quote/excerpt relations symmetric
+    // Jaccard hides. Tokens explode only for docs IN a pair (semi-join
+    // first); exact integer ppm via div → full cross-engine hash-match.
+    QueryDef("x146_pair_token_f1",
+      (s, d) => graft.ext.Dedup.pairTokenOverlap(
+          Tables.documents(s, d), jaccardPairsShared(s, d))
+        .orderBy("ia", "ib"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents),
+                   sh AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                          FROM t WHERE len(toks) >= 3),
+                   z AS (SELECT doc_id, len(s) AS n FROM sh),
+                   ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                   pc AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2),
+                   pr AS (SELECT ia, ib
+                          FROM pc JOIN z za ON za.doc_id = pc.ia
+                                  JOIN z zb ON zb.doc_id = pc.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                   tk AS (SELECT doc_id,
+                            unnest(string_split_regex(trim(text), '\s+')) AS tok
+                          FROM documents WHERE length(trim(text)) > 0),
+                   tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+                   nn AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+                   ov AS (SELECT pr.ia, pr.ib,
+                            CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS ov
+                          FROM pr JOIN tf a ON a.doc_id = pr.ia
+                                  JOIN tf b ON b.doc_id = pr.ib AND b.tok = a.tok
+                          GROUP BY 1, 2)
+              SELECT pr.ia, pr.ib, na.n AS n_a, nb.n AS n_b,
+                     CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
+                     CAST(2000000 * coalesce(ov.ov, 0) // (na.n + nb.n) AS BIGINT) AS f1_ppm,
+                     CAST(1000000 * coalesce(ov.ov, 0) // na.n AS BIGINT) AS cont_a_ppm,
+                     CAST(1000000 * coalesce(ov.ov, 0) // nb.n AS BIGINT) AS cont_b_ppm
+              FROM pr LEFT JOIN ov ON ov.ia = pr.ia AND ov.ib = pr.ib
+                   JOIN nn na ON na.doc_id = pr.ia
+                   JOIN nn nb ON nb.doc_id = pr.ib
+              ORDER BY ia, ib""")),
+
+    // x147 — Dirichlet query-likelihood retrieval (Zhai/Lafferty): the
+    // language-modeling ranker beside x127's BM25, same query terms for
+    // side-by-side comparison. Same pushed-down plan shape (isin filter on
+    // the exploded scan, cf from the same filtered rows, broadcast stats);
+    // micro-nat quantization before the sum → exact integer scores.
+    QueryDef("x147_ql_topk",
+      (s, d) => graft.ext.Retrieval.qlTopK(Tables.documents(s, d),
+          Seq("dup", "vector", "stream"))
+        .orderBy("rnk"),
+      Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
+                         WHERE length(trim(text)) > 0),
+                   dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                   st AS (SELECT sum(dl) AS sum_dl FROM dl),
+                   tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                   tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+                          WHERE tok IN ('dup', 'vector', 'stream') GROUP BY 1, 2),
+                   cf AS (SELECT tok, sum(tf) AS cf FROM tf GROUP BY tok),
+                   c AS (SELECT tf.doc_id,
+                           CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
+                             (300.0 * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT) AS c_micro,
+                           CAST(round(ln(CAST(dl AS DOUBLE) + 300.0) * 1e6) AS BIGINT) AS norm_micro
+                         FROM tf JOIN cf USING (tok)
+                              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                   sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                            CAST(sum(c_micro) - 3 * min(norm_micro) AS BIGINT) AS score_micro
+                          FROM c GROUP BY doc_id)
+              SELECT doc_id, n_hit_terms, score_micro,
+                     CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              FROM sc QUALIFY rnk <= 10 ORDER BY rnk"""))
   )
 }
