@@ -1387,4 +1387,53 @@ object Dedup {
         m.getAs[Long]("min_shared"), textCol, idCol),
       () => ref.unpersist())
   }
+
+  /** Exact token-MULTISET overlap scores for candidate pairs — the verify
+    * step that grades what a candidate miner found: per pair (`ia`, `ib`),
+    * the token counts `n_a`/`n_b`, the multiset intersection size
+    * `overlap = Σ_tok min(tf_a, tf_b)`, the token F1 `2·overlap/(n_a+n_b)`
+    * and both asymmetric CONTAINMENTS `overlap/n_a`, `overlap/n_b` — all
+    * three in exact integer ppm. Containment is the signal set-Jaccard
+    * (x07) cannot express: a quote or excerpt has low symmetric Jaccard but
+    * containment ≈ 1 on the shorter side, and multiset counting keeps
+    * repeated tokens honest where shingle sets collapse them.
+    *
+    * Scale shape: tokens explode ONLY for docs appearing in a pair (semi-
+    * join before the explode — candidate pair lists are tiny relative to
+    * their corpus); the per-pair fan-out is |pairs| × per-doc vocab with an
+    * (id, tok) equi-join, never corpus-sized. Integer ppm via `div`, so
+    * scores hash-match cross-engine. Input contract: pairs (`ia`, `ib`);
+    * docs with blank text score n = 0 and cannot appear (their ids simply
+    * find no token rows — callers pass pairs over the tokenizable corpus). */
+  def pairTokenOverlap(docs: DataFrame, pairs: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val p = pairs.select(col("ia").cast("long").as("ia"),
+      col("ib").cast("long").as("ib"))
+    val ids = p.select(col("ia").as("id"))
+      .union(p.select(col("ib").as("id"))).distinct()
+    val tf = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .join(ids, Seq("id"), "left_semi")
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(col("id")).agg(sum(col("tf")).as("n"))
+    val ov = p
+      .join(tf.select(col("id").as("ia"), col("tok"), col("tf").as("tfa")),
+        Seq("ia"))
+      .join(tf.select(col("id").as("ib"), col("tok"), col("tf").as("tfb")),
+        Seq("ib", "tok"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("ov"))
+    p.join(ov, Seq("ia", "ib"), "left")
+      .join(n.select(col("id").as("ia"), col("n").as("n_a")), Seq("ia"))
+      .join(n.select(col("id").as("ib"), col("n").as("n_b")), Seq("ib"))
+      .select(col("ia"), col("ib"), col("n_a"), col("n_b"),
+        coalesce(col("ov"), lit(0L)).as("overlap"))
+      .withColumn("f1_ppm",
+        expr("CAST(2000000 * overlap div (n_a + n_b) AS BIGINT)"))
+      .withColumn("cont_a_ppm", expr("CAST(1000000 * overlap div n_a AS BIGINT)"))
+      .withColumn("cont_b_ppm", expr("CAST(1000000 * overlap div n_b AS BIGINT)"))
+  }
 }

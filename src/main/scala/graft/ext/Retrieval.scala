@@ -208,4 +208,54 @@ object Retrieval {
       .select(col(idCol),
         (rrfTerm(col("rnk_l"), k) + rrfTerm(col("rnk_r"), k)).as("rrf_micro"))
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai/Lafferty 2001 —
+    * the language-modeling ranker beside BM25's probabilistic one): top-`kTop`
+    * docs by `log p(q|d)` with `p(t|d) = (tf + μ·p(t|C)) / (dl + μ)`,
+    * `p(t|C) = cf_t / |C|`. Scores are RANK-EQUIVALENT to the full query
+    * likelihood — the doc-independent `Σ_t ln(μ·p(t|C))` constant is
+    * dropped, leaving per matched term `ln(1 + tf·|C| / (μ·cf))` minus the
+    * per-doc length norm `|q|·ln(dl + μ)`; as usual for posting-list
+    * retrieval only docs matching ≥ 1 term are candidates.
+    *
+    * Same plan shape as [[bm25]]: the term `isin` filter rides the exploded
+    * scan, `cf` is one tiny aggregate over the SAME filtered rows (the sum
+    * over all docs of a query term's tf IS its collection frequency — no
+    * second corpus pass), stats broadcast. Both log factors quantize to
+    * integer micro-nats BEFORE the sum (the object's determinism contract),
+    * so `score_micro` is an exact integer cross-engine. `mu` defaults to
+    * 300 — the classic 500–2000 range assumes web-length docs; set it
+    * relative to the corpus avgdl. Output: (`doc_id`, `n_hit_terms`,
+    * `score_micro`, `rnk`), ties on doc id. */
+  def qlTopK(docs: DataFrame, terms: Seq[String], mu: Double = 300.0,
+             kTop: Int = 10, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "qlTopK needs at least one query term")
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    val nTerms = terms.distinct.size
+    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
+    val tf = tokenizable
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
+    tf.join(broadcast(cf), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", expr(
+        s"""CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
+              ($mu * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT)"""))
+      .withColumn("norm_micro", expr(
+        s"CAST(round(ln(CAST(dl AS DOUBLE) + $mu) * 1e6) AS BIGINT)"))
+      .groupBy(col(idCol), col("norm_micro"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("m_micro"))
+      .select(col(idCol), col("n_hit_terms"),
+        (col("m_micro") - lit(nTerms.toLong) * col("norm_micro"))
+          .as("score_micro"))
+      // top-k as TakeOrderedAndProject (no global window over the matched
+      // set); the rank window then runs over kTop rows only
+      .orderBy(col("score_micro").desc, col(idCol)).limit(kTop)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_micro").desc, col(idCol))))
+  }
 }

@@ -5246,7 +5246,7 @@ object ExtQueries {
               FROM pr LEFT JOIN ov ON ov.ia = pr.ia AND ov.ib = pr.ib
                    JOIN nn na ON na.doc_id = pr.ia
                    JOIN nn nb ON nb.doc_id = pr.ib
-              ORDER BY ia, ib""")),
+              ORDER BY pr.ia, pr.ib""")),
 
     // x147 — Dirichlet query-likelihood retrieval (Zhai/Lafferty): the
     // language-modeling ranker beside x127's BM25, same query terms for

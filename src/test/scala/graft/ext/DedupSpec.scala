@@ -608,4 +608,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
     assert(got === Array((1L, 0L, 0L, false), (2L, 0L, 0L, false), (3L, 11L, 0L, false)))
   }
+
+  test("pairTokenOverlap counts multiset overlap, F1 and containments exactly") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> "a a b c",        // tf: a=2 b=1 c=1, n=4
+      2L -> "a b b d",        // tf: a=1 b=2 d=1, n=4
+      3L -> "a a",            // contained in 1: overlap=2, n=2
+      4L -> "zz yy")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("ia", "ib")
+    val got = Dedup.pairTokenOverlap(corpus, pairs).orderBy("ia", "ib")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (ia, ib, n_a, n_b, overlap, f1_ppm, cont_a_ppm, cont_b_ppm)
+    assert(got(0) === ((1L, 2L, 4L, 4L, 2L, 500000L, 500000L, 500000L)))
+    // quote relation: low-ish F1 but full containment on the short side
+    assert(got(1) === ((1L, 3L, 4L, 2L, 2L, 666666L, 500000L, 1000000L)))
+    // disjoint pair survives with zero overlap (left join, not dropped)
+    assert(got(2) === ((1L, 4L, 4L, 2L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -104,4 +104,48 @@ class RetrievalSpec extends SparkSpec {
         p.head.getDouble(3) >= p.last.getDouble(3)))
     }
   }
+
+  test("qlTopK ranks by smoothed likelihood with length normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "cat cat cat dog"),               // tf(cat)=3, short
+      (1L, "cat dog fish bird mouse"),       // tf(cat)=1
+      (2L, "dog dog dog dog"),               // no cat: not a candidate
+      (3L, "cat " + ("filler " * 40).trim),  // tf(cat)=1 but long doc
+      (4L, "   ")                             // blank: out of the universe
+    ).toDF("doc_id", "text")
+    val got = Retrieval.qlTopK(docs, Seq("cat"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got.keySet === Set(0L, 1L, 3L))
+    // higher tf wins; the longer doc pays the (dl + mu) norm
+    assert(got(0L)._2 === 1 && got(0L)._1 > got(1L)._1)
+    assert(got(1L)._1 > got(3L)._1)
+  }
+
+  test("qlTopK multi-term: matching both terms beats matching one") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha other filler words"),
+      (2L, "beta other filler words"),
+      (3L, "none of the query words")).toDF("doc_id", "text")
+    val got = Retrieval.qlTopK(docs, Seq("alpha", "beta"), kTop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.head._1 === 0L && got.head._2 === 2L) // both terms, rank 1
+    assert(got.map(_._1).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("qlTopK is exactly the textbook formula on a tiny fixture") {
+    import spark.implicits._
+    // corpus: |C| = 6 tokens, cf(cat) = 2
+    val docs = Seq(
+      (0L, "cat dog"), (1L, "cat fish bird"), (2L, "mouse")).toDF("doc_id", "text")
+    val mu = 10.0
+    val got = Retrieval.qlTopK(docs, Seq("cat"), mu = mu)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def exp(tf: Long, dl: Long): Long =
+      Math.round(Math.log(1.0 + tf * 6.0 / (mu * 2.0)) * 1e6) -
+        Math.round(Math.log(dl + mu) * 1e6)
+    assert(got === Map(0L -> exp(1, 2), 1L -> exp(1, 3)))
+  }
 }
