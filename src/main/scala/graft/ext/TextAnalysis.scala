@@ -732,4 +732,52 @@ object TextAnalysis {
   def cmsMonitor(eps: Double = 1e-4, conf: Double = 0.999, seed: Int = 42,
                  textCol: String = "text"): CmsMonitor =
     new CmsMonitor(eps, conf, seed, textCol)
+
+  /** Per-source unigram-distribution drift: `KL(P_source ‖ P_corpus)` over
+    * whitespace tokens, in integer tenth-micro-nats — the mixture-health
+    * scalar that says WHICH source's language has wandered from the corpus
+    * it feeds (templated spam inflates it; a source sampled from the
+    * corpus's own distribution sits near 0). KL(P_s‖P_c) =
+    * Σ_t (c_st/N_s)·ln(c_st·N / (N_s·C_t)); every source token exists in
+    * the corpus, so no zero terms.
+    *
+    * Exactness (the x102 discipline): each log-ratio quantizes to integer
+    * TENTH-micro-nats via floor half-up (floor(x·1e7 + 0.5) — round()'s
+    * negative-half behavior differs across engines and log-ratios ARE
+    * negative for underrepresented tokens) BEFORE the weighted sum; the sum
+    * `Σ c_st·L_t` runs in DECIMAL(38,0) (a 1e12-count token at |L| ≈ 3e8
+    * would be 3e20 — past BIGINT at extreme scale), and one integral `div`
+    * by N_s lands the result back in BIGINT tenth-micro-nats. Bit-identical
+    * in DuckDB with HUGEINT sums.
+    *
+    * Plan shape: ONE corpus-sized token explode → (source, tok) hash
+    * aggregate; everything after runs on vocab-sized frames (C_t is the
+    * SECOND-level aggregate of c_st, never a second corpus pass). Output:
+    * (`source`, `n_tokens`, `vocab`, `kl_tmn`). */
+  def sourceUnigramKl(docs: DataFrame, textCol: String = "text",
+                      srcCol: String = "source"): DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab_s"))
+    val n = ns.agg(sum(col("n_s")).as("n_tot"))
+    st.join(ct, "tok").join(ns, "source").crossJoin(broadcast(n))
+      .withColumn("l_tmn", floor(
+        log((col("c_st").cast("double") * col("n_tot").cast("double")) /
+            (col("n_s").cast("double") * col("c_t").cast("double"))) * 1e7
+          + 0.5).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), max(col("vocab_s")).as("vocab"),
+        // clamp before the div: true KL is >= 0 but per-term quantization
+        // error can push a near-zero sum a hair negative, and integral
+        // division of negatives truncates toward zero in Spark but floors
+        // in DuckDB — clamping at 0 keeps both engines exact AND identical
+        expr("""CAST(greatest(sum(CAST(c_st AS DECIMAL(38,0)) * l_tmn),
+                              CAST(0 AS DECIMAL(38,0))) div max(n_s) AS BIGINT)""")
+          .as("kl_tmn"))
+  }
 }

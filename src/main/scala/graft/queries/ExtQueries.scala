@@ -5276,6 +5276,37 @@ object ExtQueries {
                           FROM c GROUP BY doc_id)
               SELECT doc_id, n_hit_terms, score_micro,
                      CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
-              FROM sc QUALIFY rnk <= 10 ORDER BY rnk"""))
+              FROM sc QUALIFY rnk <= 10 ORDER BY rnk""")),
+
+    // x148 — per-source unigram KL drift vs the corpus: the mixture-health
+    // scalar (which source's language has wandered). One corpus token pass;
+    // C_t is the second-level aggregate of the (source, tok) counts.
+    // Tenth-micro-nat floor-half-up quantization before the weighted sum,
+    // DECIMAL(38,0) accumulation, 0-clamp before the integral div (Spark
+    // truncates, DuckDB floors on negatives) → exact cross-engine.
+    QueryDef("x148_source_kl",
+      (s, d) => graft.ext.TextAnalysis.sourceUnigramKl(Tables.documents(s, d))
+        .orderBy("source"),
+      Some("""WITH tk AS (SELECT source,
+                            unnest(string_split_regex(trim(text), '\s+')) AS tok
+                          FROM documents WHERE length(trim(text)) > 0),
+                   st AS (SELECT source, tok, count(*) AS c_st
+                          FROM tk GROUP BY 1, 2),
+                   ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+                          FROM st GROUP BY 1),
+                   ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+                            CAST(count(*) AS BIGINT) AS vocab_s
+                          FROM st GROUP BY 1),
+                   nt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+                   l AS (SELECT st.source, st.c_st, ns.n_s, ns.vocab_s,
+                           CAST(floor(ln((CAST(c_st AS DOUBLE) * CAST(n_tot AS DOUBLE)) /
+                             (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1e7
+                             + 0.5) AS BIGINT) AS l_tmn
+                         FROM st JOIN ct USING (tok) JOIN ns USING (source)
+                              CROSS JOIN nt)
+              SELECT source, min(n_s) AS n_tokens, min(vocab_s) AS vocab,
+                     CAST(greatest(sum(c_st * l_tmn), 0) // min(n_s) AS BIGINT)
+                       AS kl_tmn
+              FROM l GROUP BY source ORDER BY source"""))
   )
 }

@@ -305,4 +305,37 @@ class TextModelSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("rnk", "tok", "exact_cnt", "est_cnt", "slack"))
     assert(out.count() === 0L)
   }
+
+  test("sourceUnigramKl: identical distributions score 0, drift scores > 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("s0", "x y"), ("s0", "y x"),          // P(x)=P(y)=1/2
+      ("s1", "x y x y"),                      // same distribution
+      ("s2", "z z z y")                       // drifted: z-heavy
+    ).toDF("source", "text").withColumn("doc_id", lit(0L))
+    val got = TextAnalysis.sourceUnigramKl(corpus).orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = got.map(t => t._1 -> t).toMap
+    // s0 and s1 both have corpus-marginal... not exactly: the corpus
+    // includes s2's z mass, so even x/y sources drift a little — but s0
+    // and s1 share one distribution, hence one KL value
+    assert(bySrc("s0")._4 === bySrc("s1")._4)
+    assert(bySrc("s2")._4 > bySrc("s0")._4)
+    assert(got.forall(_._4 >= 0L))
+    assert(bySrc("s0")._2 === 4L && bySrc("s0")._3 === 2L) // n_tokens, vocab
+  }
+
+  test("sourceUnigramKl matches the hand formula in tenth-micro-nats") {
+    import spark.implicits._
+    // A: a=2 b=1 (N=3);  B: a=1 b=3 (N=4);  corpus: a=3 b=4 (N=7)
+    val corpus = Seq(("A", "a a b"), ("B", "a b b b"))
+      .toDF("source", "text")
+    def lt(cst: Long, ns: Long, ct: Long): Long =
+      math.floor(math.log(cst.toDouble * 7.0 / (ns.toDouble * ct.toDouble)) * 1e7 + 0.5).toLong
+    val expA = math.max(0L, 2L * lt(2, 3, 3) + 1L * lt(1, 3, 4)) / 3L
+    val expB = math.max(0L, 1L * lt(1, 4, 3) + 3L * lt(3, 4, 4)) / 4L
+    val got = TextAnalysis.sourceUnigramKl(corpus).orderBy("source")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("A" -> expA, "B" -> expB))
+  }
 }
