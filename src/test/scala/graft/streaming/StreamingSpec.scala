@@ -884,4 +884,38 @@ class StreamingSpec extends SparkSpec {
       mine.close()
     }
   }
+
+  test("streaming stitch flagging via stitchFlagger matches the batch rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val flag = graft.ext.Stitch.stitchFlagger(docs)
+    val expected = flag(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(expected.nonEmpty, "fixture must contain stitch seams at k=3")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = flag(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // seams are against the frozen corpus only: batch union == batch run
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      flag.close()
+    }
+  }
 }
