@@ -5307,6 +5307,57 @@ object ExtQueries {
               SELECT source, min(n_s) AS n_tokens, min(vocab_s) AS vocab,
                      CAST(greatest(sum(c_st * l_tmn), 0) // min(n_s) AS BIGINT)
                        AS kl_tmn
-              FROM l GROUP BY source ORDER BY source"""))
+              FROM l GROUP BY source ORDER BY source""")),
+
+    // x149 — curriculum stages: each source's docs quartiled by unigram-LM
+    // difficulty (the x92 mean −ln p in integer micro-nats; stage 1 = the
+    // easiest/most-typical quarter, 4 = the hardest tail), rolled up to the
+    // per-(source, stage) mixing table difficulty-staged training reads.
+    // Difficulty is an exact integral div of the x92 micro-nat sum; ntile
+    // runs per-source over a total order (difficulty, doc_id), so stages
+    // are bit-deterministic. Scale: one corpus token pass (the shared x92
+    // frame), then a per-source sort — the distributed sort shape — over
+    // doc-level rows only; output is sources×4.
+    QueryDef("x149_curriculum_stages",
+      (s, d) => {
+        val toks = tokensShared(s, d)
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = uni.agg(sum(col("cnt")).as("total"))
+        val per = toks.join(uni, "tok").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(round(-ln(cnt / total) * 1e6) AS BIGINT)").as("q"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tok"),
+            expr("CAST(sum(q) div count(1) AS BIGINT)").as("d_micro"))
+        per
+          .withColumn("stage", ntile(4).over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("d_micro"), col("doc_id"))))
+          .groupBy(col("source"), col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("d_micro")).as("min_d_micro"),
+            max(col("d_micro")).as("max_d_micro"))
+          .orderBy("source", "stage")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+                  q AS (SELECT doc_id, source,
+                          CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS q
+                        FROM t JOIN c USING (tok) CROSS JOIN n),
+                  per AS (SELECT doc_id, source,
+                            CAST(count(*) AS BIGINT) AS n_tok,
+                            CAST(sum(q) // count(*) AS BIGINT) AS d_micro
+                          FROM q GROUP BY doc_id, source),
+                  st AS (SELECT source, n_tok, d_micro,
+                           CAST(ntile(4) OVER (PARTITION BY source
+                             ORDER BY d_micro, doc_id) AS INT) AS stage
+                         FROM per)
+              SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     min(d_micro) AS min_d_micro, max(d_micro) AS max_d_micro
+              FROM st GROUP BY source, stage ORDER BY source, stage"""))
   )
 }
