@@ -5358,6 +5358,73 @@ object ExtQueries {
               SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                      min(d_micro) AS min_d_micro, max(d_micro) AS max_d_micro
-              FROM st GROUP BY source, stage ORDER BY source, stage"""))
+              FROM st GROUP BY source, stage ORDER BY source, stage""")),
+
+    // x150 — cluster labels (corpus cartography): each x46 semantic cluster
+    // labeled by its top-3 TF-IDF terms, treating the CLUSTER as the
+    // pseudo-document (tf over member texts, df = clusters containing the
+    // term, idf over the cluster count) — the map-of-the-corpus readout
+    // that turns anonymous embedding clusters into named topics. Integer
+    // micro-nat idf × BIGINT tf (the x93 exactness contract); the rank
+    // window partitions by cluster. Scale: member tokens aggregate to
+    // (cluster, tok) in one pass over CLUSTERED docs only (semantic
+    // clusters are tiny vs the corpus); df/idf are cluster-vocab-sized.
+    QueryDef("x150_cluster_labels",
+      (s, d) => {
+        val clusters = embClustersShared(s, d)
+          .select(col("doc_id"), col("cluster_rep"))
+        val tf = tokensShared(s, d).select(col("doc_id"), col("tok"))
+          .join(clusters, "doc_id")
+          .groupBy(col("cluster_rep"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nc = clusters.agg(countDistinct(col("cluster_rep"))
+          .cast("double").as("nc"))
+        val members = clusters.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"))
+        val w = Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("tfidf_micro").desc, col("tok"))
+        tf.join(df_, "tok").crossJoin(broadcast(nc))
+          .select(col("cluster_rep"), col("tok"),
+            (col("tf") * expr("CAST(round(ln(nc / df) * 1e6) AS BIGINT)"))
+              .as("tfidf_micro"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .join(broadcast(members), "cluster_rep")
+          .select(col("cluster_rep"), col("n_members"), col("rnk"),
+            col("tok"), col("tfidf_micro"))
+          .orderBy("cluster_rep", "rnk")
+      },
+      Some("""WITH RECURSIVE
+                p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+                e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+                r AS (SELECT a AS id, a AS reach FROM e
+                      UNION
+                      SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach),
+                comp AS (SELECT id AS doc_id, min(reach) AS cluster_rep
+                         FROM r GROUP BY id),
+                mem AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members
+                        FROM comp GROUP BY 1),
+                t AS (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0),
+                tf AS (SELECT comp.cluster_rep, t.tok, count(*) AS tf
+                       FROM t JOIN comp USING (doc_id) GROUP BY 1, 2),
+                df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+                n AS (SELECT CAST(count(DISTINCT cluster_rep) AS DOUBLE) AS nc
+                      FROM comp),
+                sc AS (SELECT cluster_rep, tok,
+                         CAST(tf * CAST(round(ln(nc / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS BIGINT)
+                           AS tfidf_micro
+                       FROM tf JOIN df USING (tok) CROSS JOIN n),
+                rr AS (SELECT cluster_rep, tok, tfidf_micro,
+                         row_number() OVER (PARTITION BY cluster_rep
+                           ORDER BY tfidf_micro DESC, tok) AS rnk
+                       FROM sc)
+              SELECT rr.cluster_rep, mem.n_members, rr.rnk, rr.tok,
+                     rr.tfidf_micro
+              FROM rr JOIN mem USING (cluster_rep) WHERE rnk <= 3
+              ORDER BY cluster_rep, rnk"""))
   )
 }
