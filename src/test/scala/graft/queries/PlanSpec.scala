@@ -275,4 +275,22 @@ class PlanSpec extends SparkSpec {
         assert(!l.contains(wide), s"$tag: pair dedup carries '$wide':\n$l")
     }
   }
+
+  test("x144 stitch candidates join on the 8-byte key, never nested-loop") {
+    val p = plan("x144_stitch_pairs")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"stitch pairs must equi-join on the hash key:\n$p")
+  }
+
+  test("x146 tokenizes only docs appearing in a pair (semi-join first)") {
+    val p = plan("x146_pair_token_f1")
+    assert(p.contains("LeftSemi"),
+      s"x146 must semi-join pair ids before the token explode:\n$p")
+  }
+
+  test("x147 QL top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("x147_ql_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x147 top-k must be a TakeOrderedAndProject:\n$p")
+  }
 }
