@@ -227,6 +227,75 @@ object Retrieval {
     * 300 — the classic 500–2000 range assumes web-length docs; set it
     * relative to the corpus avgdl. Output: (`doc_id`, `n_hit_terms`,
     * `score_micro`, `rnk`), ties on doc id. */
+  /** Build the QL corpus state ONCE — postings with each term's collection
+    * frequency and the doc length attached, plus corpus totals — and return
+    * the per-batch scorer: [[bm25Retriever]]'s build/apply split for the
+    * language-modeling ranker. Query frame contract: (`query_id`, `terms`
+    * array<string>); output (`query_id`, doc id, `n_hit_terms`,
+    * `score_micro`, `rnk`), per-query rank, ties on doc id. A query's
+    * result depends only on its own row and the static corpus state, so
+    * streaming output ≡ batch output on the same rows (StreamingSpec). */
+  def qlRetriever(docs: DataFrame, kTop: Int, mu: Double = 300.0,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): Retriever = {
+    val (postings, stats) = buildQlPostings(docs, textCol, idCol)
+    val postingsP = postings.persist()
+    val statsP = stats.persist()
+    new Retriever(
+      qlScoreBatch(postingsP, statsP, kTop, mu, idCol),
+      () => { postingsP.unpersist(); statsP.unpersist() })
+  }
+
+  /** One-shot multi-query QL retrieval: [[qlRetriever]]'s exact plan
+    * without the persistence split — the catalog-entry shape. */
+  def qlCrossTopK(docs: DataFrame, queries: DataFrame, kTop: Int,
+                  mu: Double = 300.0, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val (postings, stats) = buildQlPostings(docs, textCol, idCol)
+    qlScoreBatch(postings, stats, kTop, mu, idCol)(queries)
+  }
+
+  /** Corpus-side QL state: postings (doc, term, tf) with the term's
+    * COLLECTION frequency (Σ tf — QL's background statistic, where BM25
+    * carries df) and the doc length attached, plus (n_docs, sum_dl). */
+  private def buildQlPostings(docs: DataFrame, textCol: String,
+                              idCol: String): (DataFrame, DataFrame) = {
+    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
+    val tf = tokenizable
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val postings = tf
+      .join(tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf")), "tok")
+      .join(dl, idCol)
+    (postings, stats)
+  }
+
+  /** The per-(doc, term) QL contribution and per-doc length norm over an
+    * exploded (`query_id`, `nq`, `tok`) term frame — ONE definition shared
+    * by [[qlTopK]]'s oracle contract and the batch paths. */
+  private def qlScoreBatch(postings: DataFrame, stats: DataFrame, kTop: Int,
+                           mu: Double,
+                           idCol: String): DataFrame => DataFrame = queries => {
+    val qt = queries.select(col("query_id"),
+      size(array_distinct(col("terms"))).cast("long").as("nq"),
+      explode(array_distinct(col("terms"))).as("tok"))
+    postings.join(broadcast(qt), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", expr(
+        s"""CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
+              ($mu * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT)"""))
+      .withColumn("norm_micro", expr(
+        s"CAST(round(ln(CAST(dl AS DOUBLE) + $mu) * 1e6) AS BIGINT)"))
+      .groupBy(col("query_id"), col("nq"), col(idCol), col("norm_micro"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("m_micro"))
+      .select(col("query_id"), col(idCol), col("n_hit_terms"),
+        (col("m_micro") - col("nq") * col("norm_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_micro").desc, col(idCol))))
+      .filter(col("rnk") <= kTop)
+  }
+
   def qlTopK(docs: DataFrame, terms: Seq[String], mu: Double = 300.0,
              kTop: Int = 10, textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {

@@ -5556,6 +5556,53 @@ object ExtQueries {
        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
               CAST(max(err) AS BIGINT) AS max_err_ppm,
               max(err) <= 120000 AS ok
-       FROM err"""))
+       FROM err""")),
+
+    // x152 — multi-query QL batch retrieval: a query TABLE of term lists
+    // scored against the corpus in one pass (x130's batch shape on the
+    // query-likelihood axis): QL postings (cf + dl attached) join the
+    // BROADCAST exploded (query, term) rows, exact micro-nat sums per
+    // (query, doc), per-query rank window. `Retrieval.qlRetriever` is the
+    // build-once streaming twin (StreamingSpec parity).
+    QueryDef("x152_ql_cross_topk",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (0L, Seq("dup", "vector", "stream")),
+          (1L, Seq("graph", "join"))).toDF("query_id", "terms")
+        graft.ext.Retrieval.qlCrossTopK(Tables.documents(s, d), queries,
+            kTop = 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT * FROM (VALUES
+                     (0, ['dup', 'vector', 'stream']),
+                     (1, ['graph', 'join'])) AS v(query_id, terms)),
+                   qt AS (SELECT query_id,
+                            CAST(len(list_distinct(terms)) AS BIGINT) AS nq,
+                            unnest(list_distinct(terms)) AS tok FROM q),
+                   u AS (SELECT doc_id, trim(text) AS t FROM documents
+                         WHERE length(trim(text)) > 0),
+                   dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
+                   st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+                   tk AS (SELECT doc_id, unnest(string_split_regex(t, '\s+')) AS tok FROM u),
+                   tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+                          WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2),
+                   cf AS (SELECT tok, sum(tf) AS cf FROM tf GROUP BY tok),
+                   c AS (SELECT qt.query_id, qt.nq, tf.doc_id,
+                           CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
+                             (300.0 * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT) AS c_micro,
+                           CAST(round(ln(CAST(dl AS DOUBLE) + 300.0) * 1e6) AS BIGINT) AS norm_micro
+                         FROM tf JOIN cf USING (tok) JOIN qt USING (tok)
+                              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+                   sc AS (SELECT query_id, doc_id,
+                            CAST(count(*) AS BIGINT) AS n_hit_terms,
+                            CAST(sum(c_micro) - min(nq) * min(norm_micro) AS BIGINT)
+                              AS score_micro
+                          FROM c GROUP BY query_id, doc_id)
+              SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                     n_hit_terms, score_micro,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
+              FROM sc QUALIFY rnk <= 5 ORDER BY query_id, rnk"""))
   )
 }

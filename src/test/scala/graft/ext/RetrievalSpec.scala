@@ -135,6 +135,18 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._1).toSet === Set(0L, 1L, 2L))
   }
 
+  test("qlCrossTopK with one query reproduces qlTopK's ranking") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val single = Retrieval.qlTopK(docs, Seq("dup", "vector", "stream"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val cross = Retrieval.qlCrossTopK(docs,
+        Seq((7L, Seq("dup", "vector", "stream"))).toDF("query_id", "terms"),
+        kTop = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    assert(single.nonEmpty && single.sorted === cross.sorted)
+  }
+
   test("qlTopK is exactly the textbook formula on a tiny fixture") {
     import spark.implicits._
     // corpus: |C| = 6 tokens, cf(cat) = 2

@@ -845,6 +845,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming QL retrieval via qlRetriever matches batch qlCrossTopK") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val qRows = Seq(
+      (0L, Seq("dup", "vector")), (1L, Seq("stream", "batch")),
+      (2L, Seq("customer", "query")), (3L, Seq("merge", "sort", "window")),
+      (4L, Seq("data")))
+    val expected = graft.ext.Retrieval
+      .qlCrossTopK(docs, qRows.toDF("query_id", "terms"), kTop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+      .sorted.toSeq
+    assert(expected.nonEmpty)
+    val retrieve = graft.ext.Retrieval.qlRetriever(docs, kTop = 3)
+    val mem = MemoryStream[(Long, Seq[String])]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Int)]
+    val query = mem.toDF().toDF("query_id", "terms").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = retrieve(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getInt(4)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(qRows.take(2))
+      query.processAllAvailable()
+      mem.addData(qRows.drop(2))
+      query.processAllAvailable()
+      // QL scores read only the query's own terms + frozen corpus postings
+      assert(acc.sorted.toSeq === expected)
+    } finally {
+      query.stop()
+      retrieve.close()
+    }
+  }
+
   test("streaming triplet mining via tripletMiner matches batch contrastiveTriplets") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
