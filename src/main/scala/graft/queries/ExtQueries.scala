@@ -5603,6 +5603,109 @@ object ExtQueries {
                      n_hit_terms, score_micro,
                      CAST(row_number() OVER (PARTITION BY query_id
                        ORDER BY score_micro DESC, doc_id) AS INT) AS rnk
-              FROM sc QUALIFY rnk <= 5 ORDER BY query_id, rnk"""))
+              FROM sc QUALIFY rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // x153 — dedup impact per source: what deduplication actually COSTS
+    // each source — docs removed by exact dedup (x01's min-id-per-content
+    // rule), docs removed as non-canonical near-dup cluster members (the
+    // x35 quality-argmax pick; exact-removed docs don't double-count), and
+    // the surviving token volume in exact ppm. The accounting report a
+    // pipeline owner reads before retraining mixture weights on the
+    // deduped corpus. Scale: content-hash window (32-byte keys), the
+    // shared x25 cluster frame, one sources-sized rollup.
+    QueryDef("x153_dedup_impact",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tok"),
+          sha2(col("text"), 256).as("ch"))
+        val exFlag = base
+          .withColumn("kid", min(col("doc_id")).over(
+            Window.partitionBy(col("ch"))))
+          .select(col("doc_id"), (col("doc_id") =!= col("kid")).as("ex"))
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        val picks = Dedup.canonicalPick(jacClustersShared(s, d), scored,
+            "doc_id", "score")
+          .select(col("keep_id").as("doc_id"))
+        val nrFlag = jacClustersShared(s, d).select(col("doc_id"))
+          .join(picks, Seq("doc_id"), "left_anti")
+          .withColumn("nr0", lit(true))
+        base.join(exFlag, "doc_id").join(nrFlag, Seq("doc_id"), "left")
+          .select(col("source"), col("n_tok"), col("ex"),
+            (coalesce(col("nr0"), lit(false)) && !col("ex")).as("nr"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            sum(expr("IF(ex, 1L, 0L)")).as("n_exact_removed"),
+            sum(expr("IF(nr, 1L, 0L)")).as("n_neardup_removed"),
+            sum(expr("IF(NOT ex AND NOT nr, n_tok, 0L)")).as("tokens_kept"))
+          .withColumn("kept_ppm",
+            expr("tokens_kept * 1000000 div greatest(n_tokens, 1L)"))
+          .orderBy("source")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH RECURSIVE
+              t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+              sh AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM t WHERE len(toks) >= 3),
+              z AS (SELECT doc_id, len(s) AS n FROM sh),
+              ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+              p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              pairs AS (SELECT ia, ib
+                        FROM p JOIN z za ON za.doc_id = p.ia
+                               JOIN z zb ON zb.doc_id = p.ib
+                        WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+              e AS (SELECT ia AS a, ib AS b FROM pairs
+                    UNION SELECT ib, ia FROM pairs),
+              r AS (SELECT a AS id, a AS reach FROM e
+                    UNION
+                    SELECT r.id, e.b FROM r JOIN e ON e.a = r.reach),
+              c AS (SELECT id AS doc_id, min(reach) AS cluster_rep
+                    FROM r GROUP BY id),
+              q AS (SELECT doc_id, floor((
+                      least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                    + (1.0 - least(CAST(pu AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                    + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                    ) * 10000.0 + 0.5) / 10000.0 AS score
+                  FROM (SELECT doc_id,
+                          CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                          length(text) AS ch,
+                          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS pu,
+                          len(regexp_extract_all(text, '[A-Z]')) AS u,
+                          len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                        FROM documents) raw),
+              win AS (SELECT c.cluster_rep, c.doc_id, q.score,
+                      row_number() OVER (PARTITION BY c.cluster_rep
+                                         ORDER BY q.score DESC, c.doc_id ASC) AS rn
+                    FROM c JOIN q USING (doc_id)),
+              nonpick AS (SELECT doc_id FROM win WHERE rn > 1),
+              exd AS (SELECT d.doc_id FROM documents d
+                      JOIN (SELECT text, min(doc_id) AS kid
+                            FROM documents GROUP BY text) k
+                        ON d.text = k.text AND d.doc_id <> k.kid),
+              base AS (SELECT doc_id, source,
+                         CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+                       FROM documents),
+              fl AS (SELECT b.source, b.n_tok,
+                       b.doc_id IN (SELECT doc_id FROM exd) AS ex_f,
+                       (b.doc_id IN (SELECT doc_id FROM nonpick))
+                         AND NOT (b.doc_id IN (SELECT doc_id FROM exd)) AS nr_f
+                     FROM base b)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN ex_f THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_removed,
+                   CAST(sum(CASE WHEN nr_f THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_removed,
+                   CAST(sum(CASE WHEN NOT ex_f AND NOT nr_f THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+                   CAST(sum(CASE WHEN NOT ex_f AND NOT nr_f THEN n_tok ELSE 0 END) * 1000000
+                        // greatest(sum(n_tok), 1) AS BIGINT) AS kept_ppm
+            FROM fl GROUP BY source ORDER BY source"""
+      })
   )
 }
