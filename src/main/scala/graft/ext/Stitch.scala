@@ -122,6 +122,29 @@ object Stitch {
     } finally pairs.unpersist()
   }
 
+  /** Seam SCRUB — the stitch family's actionable member (the x134 shape
+    * for continuation seams): every doc with at least one INCOMING seam
+    * (it continues some other doc, so its first `k` tokens duplicate that
+    * doc's tail) gets those `k` tokens removed; a chain reassembled from
+    * head onward through scrubbed continuations then carries each seam's
+    * tokens exactly once. Output one row per affected doc: (`doc_id`,
+    * `n_prev` incoming seams, `n_tok` original tokens, `scrub_text`).
+    * Multiple predecessors still share the ONE k-token head, so exactly
+    * `k` tokens drop regardless of `n_prev`. Unaffected docs are by
+    * definition unchanged and not emitted. */
+  def stitchScrub(docs: DataFrame, k: Int = 3, maxDf: Long = 16L,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flagged = stitchPairs(docs, k, maxDf, textCol, idCol)
+      .groupBy(col("next_id").as("doc_id")).agg(count(lit(1)).as("n_prev"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(flagged, "doc_id")
+      .select(col("doc_id"), col("n_prev"), size(col("toks")).cast("long").as("n_tok"),
+        expr(s"array_join(slice(toks, ${k + 1}, size(toks) - $k), ' ')")
+          .as("scrub_text"))
+  }
+
   /** The probe shared by the in-memory and reloaded stitch flaggers: a
     * batch doc is flagged when its HEAD continues a frozen corpus doc's
     * tail (`n_prev` such predecessors) or its TAIL is continued by a frozen

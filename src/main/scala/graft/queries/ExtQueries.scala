@@ -5706,6 +5706,27 @@ object ExtQueries {
                    CAST(sum(CASE WHEN NOT ex_f AND NOT nr_f THEN n_tok ELSE 0 END) * 1000000
                         // greatest(sum(n_tok), 1) AS BIGINT) AS kept_ppm
             FROM fl GROUP BY source ORDER BY source"""
-      })
+      }),
+
+    // x154 — stitch seam scrub: the x144 family's actionable member (the
+    // x134 shape for continuation seams) — every doc with an incoming seam
+    // drops its first k tokens (they duplicate the predecessor's tail), so
+    // a chain reassembled head-first carries each seam's tokens exactly
+    // once. One row per affected doc; hash-match includes the rebuilt
+    // text.
+    QueryDef("x154_stitch_scrub",
+      (s, d) => graft.ext.Stitch.stitchScrub(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(stitchPairsOracle +
+        """, sp AS (SELECT tk.doc_id AS prev_id, hk.doc_id AS next_id
+                    FROM tk JOIN hk ON tk.h = hk.h AND tk.ov = hk.ov
+                      AND tk.doc_id <> hk.doc_id),
+            fl AS (SELECT next_id AS doc_id, CAST(count(*) AS BIGINT) AS n_prev
+                   FROM sp GROUP BY 1)
+           SELECT fl.doc_id, fl.n_prev,
+                  CAST(len(t.toks) AS BIGINT) AS n_tok,
+                  array_to_string(t.toks[4:len(t.toks)], ' ') AS scrub_text
+           FROM fl JOIN t ON t.doc_id = fl.doc_id
+           ORDER BY fl.doc_id"""))
   )
 }

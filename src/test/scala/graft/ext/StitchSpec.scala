@@ -95,6 +95,21 @@ class StitchSpec extends SparkSpec {
     } finally flagger.close()
   }
 
+  test("stitchScrub drops exactly the k-token seam from continuation docs") {
+    val got = Stitch.stitchScrub(corpus, k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // only doc 3 continues another doc; its 3-token head is the seam
+    assert(got == Set((3L, 1L, 7L, "nu xi omicron pi")))
+    // a doc continuing TWO predecessors still drops only the one shared head
+    val df = Seq(
+      1L -> "a b seam tok run",
+      2L -> "c d seam tok run",
+      3L -> "seam tok run body continues here").toDF("doc_id", "text")
+    val multi = Stitch.stitchScrub(df, k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(multi == Set((3L, 2L, 6L, "body continues here")))
+  }
+
   test("save/load round-trip reproduces the in-memory flagger") {
     val dir = java.nio.file.Files.createTempDirectory("stitch-idx").toString
     Stitch.saveStitchIndex(corpus, dir, k = 3)
