@@ -270,9 +270,18 @@ object Retrieval {
     (postings, stats)
   }
 
-  /** The per-(doc, term) QL contribution and per-doc length norm over an
-    * exploded (`query_id`, `nq`, `tok`) term frame — ONE definition shared
-    * by [[qlTopK]]'s oracle contract and the batch paths. */
+  /** The per-(doc, term) QL contribution in integer micro-nats, over
+    * columns `tf`, `cf`, `sum_dl` — ONE definition shared by [[qlTopK]]
+    * and the batch paths so the two cannot drift (the [[contributionMicro]]
+    * rule for the LM ranker). */
+  private def qlContributionMicro(mu: Double): Column = expr(
+    s"""CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
+          ($mu * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT)""")
+
+  /** The per-doc QL length norm `ln(dl + mu)` in integer micro-nats. */
+  private def qlNormMicro(mu: Double): Column = expr(
+    s"CAST(round(ln(CAST(dl AS DOUBLE) + $mu) * 1e6) AS BIGINT)")
+
   private def qlScoreBatch(postings: DataFrame, stats: DataFrame, kTop: Int,
                            mu: Double,
                            idCol: String): DataFrame => DataFrame = queries => {
@@ -281,11 +290,8 @@ object Retrieval {
       explode(array_distinct(col("terms"))).as("tok"))
     postings.join(broadcast(qt), "tok")
       .crossJoin(broadcast(stats))
-      .withColumn("c_micro", expr(
-        s"""CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
-              ($mu * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT)"""))
-      .withColumn("norm_micro", expr(
-        s"CAST(round(ln(CAST(dl AS DOUBLE) + $mu) * 1e6) AS BIGINT)"))
+      .withColumn("c_micro", qlContributionMicro(mu))
+      .withColumn("norm_micro", qlNormMicro(mu))
       .groupBy(col("query_id"), col("nq"), col(idCol), col("norm_micro"))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("m_micro"))
       .select(col("query_id"), col(idCol), col("n_hit_terms"),
@@ -311,11 +317,8 @@ object Retrieval {
     tf.join(broadcast(cf), "tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
-      .withColumn("c_micro", expr(
-        s"""CAST(round(ln(1.0 + CAST(tf AS DOUBLE) * CAST(sum_dl AS DOUBLE) /
-              ($mu * CAST(cf AS DOUBLE))) * 1e6) AS BIGINT)"""))
-      .withColumn("norm_micro", expr(
-        s"CAST(round(ln(CAST(dl AS DOUBLE) + $mu) * 1e6) AS BIGINT)"))
+      .withColumn("c_micro", qlContributionMicro(mu))
+      .withColumn("norm_micro", qlNormMicro(mu))
       .groupBy(col(idCol), col("norm_micro"))
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("m_micro"))
       .select(col(idCol), col("n_hit_terms"),

@@ -5727,6 +5727,57 @@ object ExtQueries {
                   CAST(len(t.toks) AS BIGINT) AS n_tok,
                   array_to_string(t.toks[4:len(t.toks)], ' ') AS scrub_text
            FROM fl JOIN t ON t.doc_id = fl.doc_id
-           ORDER BY fl.doc_id"""))
+           ORDER BY fl.doc_id""")),
+
+    // x155 — epoch/repeat-factor schedule: x94's sqrt-smoothed mixture
+    // weights turned into the per-source REPEAT TABLE a multi-epoch
+    // training run consumes (the LLaMA-style data schedule): for a token
+    // budget of 2× the corpus, each source's target token draw and its
+    // repeat factor in exact centi-epochs (over-weighted small sources
+    // repeat > 1×, big sources sample < 1×). Pure integer arithmetic over
+    // the sources-sized x94 frame — DECIMAL(38,0) for the ppm multiply,
+    // truncated div both engines.
+    QueryDef("x155_epoch_schedule",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tok"))
+          .withColumn("q", expr(
+            "CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)"))
+        val denom = perSource.agg(sum(col("q")).as("qsum"),
+          sum(col("n_tok")).as("total_tok"))
+        perSource.crossJoin(broadcast(denom))
+          .select(col("source"), col("n_tok"),
+            expr("CAST(CAST(q AS DECIMAL(38,0)) * 1000000 DIV qsum AS BIGINT)")
+              .as("weight_ppm"))
+          .crossJoin(broadcast(denom.select(col("total_tok"))))
+          .withColumn("target_tok", expr(
+            "CAST(CAST(2 * total_tok AS DECIMAL(38,0)) * weight_ppm DIV 1000000 AS BIGINT)"))
+          .withColumn("epochs_centi", expr(
+            "target_tok * 100 div greatest(n_tok, 1L)"))
+          .select(col("source"), col("n_tok"), col("weight_ppm"),
+            col("target_tok"), col("epochs_centi"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum,
+                           CAST(sum(n_tok) AS BIGINT) AS total_tok FROM qq),
+                  w AS (SELECT source, n_tok,
+                          CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm,
+                          total_tok
+                        FROM qq CROSS JOIN dn),
+                  tg AS (SELECT source, n_tok, weight_ppm,
+                           CAST(CAST(2 * total_tok AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+                             AS target_tok
+                         FROM w)
+              SELECT source, n_tok, weight_ppm, target_tok,
+                     CAST(target_tok * 100 // greatest(n_tok, 1) AS BIGINT) AS epochs_centi
+              FROM tg ORDER BY source"""))
   )
 }
