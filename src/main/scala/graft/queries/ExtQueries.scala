@@ -5778,6 +5778,65 @@ object ExtQueries {
                          FROM w)
               SELECT source, n_tok, weight_ppm, target_tok,
                      CAST(target_tok * 100 // greatest(n_tok, 1) AS BIGINT) AS epochs_centi
-              FROM tg ORDER BY source"""))
+              FROM tg ORDER BY source""")),
+
+    // x156 — epoch expansion: the x155 schedule MATERIALIZED into training
+    // rows — every doc repeats floor(epochs/1) times plus one more for a
+    // deterministic md5-selected fraction of its source (bucket(doc) <
+    // epochs_centi % 100 of 100 buckets — the x21 quota idiom, so the
+    // fractional epoch is a reproducible subset, not a random draw).
+    // Output (doc_id, source, copy_no). Scale: per-source scalars
+    // broadcast; the explode emits exactly the schedule's row count (≈
+    // budget/avg-doc), no shuffle beyond the sources-sized join.
+    QueryDef("x156_epoch_expand",
+      (s, d) => {
+        val sched = graft.SparkEntry.queries("x155_epoch_schedule")(s, d)
+          .select(col("source"), col("epochs_centi"))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(sched), "source")
+          .withColumn("bucket",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+              16, 10).cast("long"), lit(100L)))
+          .withColumn("copies",
+            expr("epochs_centi div 100 + IF(bucket < epochs_centi % 100, 1L, 0L)"))
+          .filter(col("copies") > 0)
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1L, copies)")).as("copy_no"))
+          .orderBy("doc_id", "copy_no")
+      },
+      Some("""WITH t AS (SELECT source,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum,
+                           CAST(sum(n_tok) AS BIGINT) AS total_tok FROM qq),
+                  w AS (SELECT source, n_tok,
+                          CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm,
+                          total_tok
+                        FROM qq CROSS JOIN dn),
+                  tg AS (SELECT source,
+                           CAST(CAST(2 * total_tok AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+                             AS target_tok, n_tok
+                         FROM w),
+                  sched AS (SELECT source,
+                              CAST(target_tok * 100 // greatest(n_tok, 1) AS BIGINT)
+                                AS epochs_centi
+                            FROM tg),
+                  docs AS (SELECT d.doc_id, d.source, sched.epochs_centi,
+                             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                               AS bucket
+                           FROM documents d JOIN sched USING (source)),
+                  cp AS (SELECT doc_id, source,
+                           epochs_centi // 100 +
+                             (CASE WHEN bucket < epochs_centi % 100 THEN 1 ELSE 0 END)
+                             AS copies
+                         FROM docs)
+              SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_no
+              FROM cp, unnest(range(1, copies + 1)) AS u(c)
+              WHERE copies > 0
+              ORDER BY doc_id, copy_no"""))
   )
 }
