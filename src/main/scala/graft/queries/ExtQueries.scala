@@ -5837,6 +5837,67 @@ object ExtQueries {
               SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_no
               FROM cp, unnest(range(1, copies + 1)) AS u(c)
               WHERE copies > 0
-              ORDER BY doc_id, copy_no"""))
+              ORDER BY doc_id, copy_no""")),
+
+    // x157 — BPE encode to token IDS: the tokenizer family's terminal step
+    // (x116/x121 train the merges, x122 counts fertility — this emits the
+    // actual (doc, pos, tok_id) stream a training shard materializes).
+    // Vocab ids are deterministic: every merged symbol ranked by corpus
+    // count desc, symbol asc (the vocab-sized x95 bounded window). The
+    // merge application is the x122 map-side nested-replace projection (no
+    // shuffle); the id join keys on the symbol. The catalog row encodes
+    // the doc_id % 25 == 0 sample (the oracle replays the FULL train +
+    // encode chain on it — the whole-loop hash-match discipline of x121).
+    QueryDef("x157_bpe_encode",
+      (s, d) => {
+        val merges = bpeMergesShared(s, d)
+        val symsOf = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            filter(split(graft.ext.Bpe.applyMerges(
+              TextAnalysis.tokens(col("text")), merges), " "),
+              x => x =!= "·§·").as("ss"))
+        val vocab = symsOf.select(explode(col("ss")).as("sym"))
+          .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+          .withColumn("tok_id", row_number().over(
+            Window.orderBy(col("cnt").desc, col("sym"))).cast("long"))
+          .select(col("sym"), col("tok_id"))
+        symsOf.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), posexplode(col("ss")).as(Seq("pos", "sym")))
+          .join(vocab, "sym")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("tok_id"))
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""${bpeOracleCtes(4)},
+              docsym AS (SELECT doc_id, array_to_string(list_transform(
+                           string_split_regex(trim(text), '\\s+'),
+                           t -> array_to_string(list_transform(range(0, length(t)),
+                                  i -> '·' || substr(t, i + 1, 1) || '·'), ' ')), ' ·§· ') AS sym
+                         FROM documents WHERE length(trim(text)) > 0),
+              applied AS (SELECT doc_id,
+                            replace(replace(replace(replace(sym,
+                              coalesce((SELECT pair FROM m1), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m1), '')),
+                              coalesce((SELECT pair FROM m2), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m2), '')),
+                              coalesce((SELECT pair FROM m3), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m3), '')),
+                              coalesce((SELECT pair FROM m4), chr(1)),
+                              coalesce((SELECT replace(pair, '· ·', '') FROM m4), '')) AS sym
+                          FROM docsym),
+              symlist AS (SELECT doc_id,
+                            list_filter(string_split(sym, ' '), x -> x <> '·§·') AS ss
+                          FROM applied),
+              voc AS (SELECT sym, count(*) AS cnt
+                      FROM (SELECT unnest(ss) AS sym FROM symlist) GROUP BY sym),
+              vid AS (SELECT sym,
+                        CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT) AS tok_id
+                      FROM voc),
+              enc AS (SELECT doc_id, i AS pos, ss[i + 1] AS sym
+                      FROM symlist, unnest(range(0, len(ss))) AS u(i)
+                      WHERE doc_id % 25 = 0)
+              SELECT enc.doc_id, CAST(enc.pos AS BIGINT) AS pos, vid.tok_id
+              FROM enc JOIN vid USING (sym) ORDER BY enc.doc_id, enc.pos"""))
   )
 }
