@@ -5898,6 +5898,71 @@ object ExtQueries {
                       FROM symlist, unnest(range(0, len(ss))) AS u(i)
                       WHERE doc_id % 25 = 0)
               SELECT enc.doc_id, CAST(enc.pos AS BIGINT) AS pos, vid.tok_id
-              FROM enc JOIN vid USING (sym) ORDER BY enc.doc_id, enc.pos"""))
+              FROM enc JOIN vid USING (sym) ORDER BY enc.doc_id, enc.pos""")),
+
+    // x158 — retrieval quality metrics (the eval harness the similarity
+    // family reports into): for each query vector (vec_id < 20), exact-
+    // cosine-rank the corpus (self excluded), and score label agreement IR
+    // metrics within the top-50 candidate pool — first same-label hit
+    // rank, reciprocal rank (micro), precision@5 (ppm). Label = the
+    // embeddings table's ground-truth class, so this measures what x55's
+    // recall gate cannot: whether the METRIC SPACE ranks semantically-same
+    // items first. Pool-bounded by construction (queries broadcast, rank
+    // window per query, metrics on ≤ 50 rows/query) — the shape that
+    // survives when the pool comes from IVF/SRP retrieval instead of the
+    // exact scorer. Exact integer metrics → full hash-match.
+    QueryDef("x158_retrieval_label_metrics",
+      (s, d) => {
+        import graft.ext.Similarity.{dot, withNorms}
+        val emb = Tables.embeddings(s, d)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val q = withNorms(emb.filter(col("vec_id") < 20))
+          .join(labels, "vec_id")
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("embedding").as("qe"), col("nrm").as("qnrm"))
+        val pool = withNorms(emb).join(labels, "vec_id")
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+            round(dot(col("embedding"), col("qe")) / (col("nrm") * col("qnrm")), 6)
+              .as("cos"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("r") <= 50)
+        pool.groupBy(col("query_id"))
+          .agg(min(when(col("label") === col("qlabel"), col("r")))
+              .as("fh"),
+            sum(when(col("r") <= 5 && col("label") === col("qlabel"), 1L)
+              .otherwise(0L)).as("h5"))
+          .select(col("query_id"),
+            coalesce(col("fh").cast("long"), lit(0L)).as("first_hit"),
+            expr("CAST(coalesce(1000000 div CAST(fh AS BIGINT), 0) AS BIGINT)")
+              .as("rr_micro"),
+            (col("h5") * lit(200000L)).as("p5_ppm"))
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                     label AS qlabel
+                   FROM embeddings WHERE vec_id < 20),
+                  sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+                           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                             q.qe::DOUBLE[]), 6) AS cos
+                         FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+                  rk AS (SELECT query_id, qlabel, vec_id, label,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) AS r
+                         FROM sc),
+                  pool AS (SELECT * FROM rk WHERE r <= 50),
+                  m AS (SELECT query_id,
+                          min(CASE WHEN label = qlabel THEN r END) AS fh,
+                          CAST(sum(CASE WHEN r <= 5 AND label = qlabel
+                            THEN 1 ELSE 0 END) AS BIGINT) AS h5
+                        FROM pool GROUP BY query_id)
+              SELECT query_id,
+                     CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
+                     CAST(coalesce(1000000 // fh, 0) AS BIGINT) AS rr_micro,
+                     CAST(h5 * 200000 AS BIGINT) AS p5_ppm
+              FROM m ORDER BY query_id"""))
   )
 }
