@@ -5963,6 +5963,72 @@ object ExtQueries {
                      CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
                      CAST(coalesce(1000000 // fh, 0) AS BIGINT) AS rr_micro,
                      CAST(h5 * 200000 AS BIGINT) AS p5_ppm
-              FROM m ORDER BY query_id"""))
+              FROM m ORDER BY query_id""")),
+
+    // x159 — PageRank over the exact kNN graph (graph centrality as a data
+    // curation signal: high-rank vectors sit in dense, well-connected
+    // semantic neighborhoods — the corpus's "representative" examples; low
+    // ranks are outliers). Five damped power iterations (d = 0.85) in
+    // EXACT integer micro-units: each iteration is one keyed join + hash
+    // aggregate over the 5-out-degree edge list (no driver collect, no
+    // per-node loops) with the quantization order fixed as
+    // r_j div outdeg → sum → ×850000 div 1e6, so every iteration is
+    // bit-identical cross-engine (the oracle unrolls the same five).
+    // Dangling-node mass is dropped (the standard simplification — both
+    // engines identically). Output: the top-20 hub report.
+    QueryDef("x159_knn_pagerank",
+      (s, d) => {
+        val edges = knnGraphShared(s, d)
+          .select(col("vec_id").as("src"), col("nb").as("dst"))
+        val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+        val e = edges
+          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+            "src")
+        var pr = nodes.withColumn("pr", lit(1000000L))
+        for (_ <- 1 to 5) {
+          val contrib = e
+            .join(pr.select(col("vec_id").as("src"), col("pr")), "src")
+            .select(col("dst").as("vec_id"), expr("pr div outdeg").as("c"))
+            .groupBy(col("vec_id")).agg(sum(col("c")).as("inflow"))
+          pr = nodes.join(contrib, Seq("vec_id"), "left")
+            .select(col("vec_id"), expr(
+              """CAST(150000 + CAST(850000 AS DECIMAL(38,0)) *
+                 coalesce(inflow, 0L) DIV 1000000 AS BIGINT)""").as("pr"))
+        }
+        pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("pr").desc, col("vec_id"))))
+          .select(col("rnk"), col("vec_id"), col("pr").as("pr_micro"))
+          .orderBy("rnk")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""c$i AS (SELECT e.dst AS vec_id, sum(r${i - 1}.pr // e.outdeg) AS inflow
+                      FROM e JOIN r${i - 1} ON r${i - 1}.vec_id = e.src
+                      GROUP BY e.dst),
+              r$i AS (SELECT n.vec_id,
+                        CAST(150000 + CAST(850000 AS HUGEINT) *
+                          coalesce(c$i.inflow, 0) // 1000000 AS BIGINT) AS pr
+                      FROM nodes n LEFT JOIN c$i USING (vec_id))"""
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS nb,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos
+                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               rr AS (SELECT va, nb,
+                   row_number() OVER (PARTITION BY va ORDER BY cos DESC, nb) AS rnk
+                 FROM p WHERE cos >= 0.2),
+               ed AS (SELECT va AS src, nb AS dst FROM rr WHERE rnk <= 5),
+               nodes AS (SELECT vec_id FROM embeddings),
+               od AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+               e AS (SELECT ed.src, ed.dst, od.outdeg FROM ed JOIN od USING (src)),
+               r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+               $iters,
+               top AS (SELECT vec_id, pr,
+                         CAST(row_number() OVER (ORDER BY pr DESC, vec_id) AS INT) AS rnk
+                       FROM r5)
+            SELECT rnk, vec_id, pr AS pr_micro
+            FROM top WHERE rnk <= 20 ORDER BY rnk"""
+      })
   )
 }
