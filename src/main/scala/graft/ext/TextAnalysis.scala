@@ -733,6 +733,29 @@ object TextAnalysis {
                  textCol: String = "text"): CmsMonitor =
     new CmsMonitor(eps, conf, seed, textCol)
 
+  /** Category blocklist screening (the C4/RefinedWeb word-list rule as a
+    * configurable operator): per doc, word-boundary hit counts for each
+    * (category → term list) plus an any-category `flagged` verdict. The
+    * catalog row runs placeholder categories over fixture vocabulary;
+    * production swaps in real lists (LDNOOBW-style) without touching the
+    * plan — which is ONE map-only projection of codegen'd regexp counts
+    * (the x28 idiom): no shuffle, no corpus state, safe at any scale. */
+  def blocklistScreen(docs: DataFrame,
+                      categories: Seq[(String, Seq[String])],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(categories.nonEmpty && categories.forall(_._2.nonEmpty),
+      "blocklistScreen needs at least one category with at least one term")
+    val hitCols = categories.map { case (cat, words) =>
+      stopHits(col(textCol), words).cast("long").as(s"hits_$cat")
+    }
+    val flagged = categories.map { case (cat, _) =>
+      col(s"hits_$cat") > 0
+    }.reduce(_ || _)
+    docs.select(col(idCol) +: hitCols: _*)
+      .withColumn("flagged", flagged)
+  }
+
   /** Per-source unigram-distribution drift: `KL(P_source ‖ P_corpus)` over
     * whitespace tokens, in integer tenth-micro-nats — the mixture-health
     * scalar that says WHICH source's language has wandered from the corpus

@@ -6029,6 +6029,28 @@ object ExtQueries {
                        FROM r5)
             SELECT rnk, vec_id, pr AS pr_micro
             FROM top WHERE rnk <= 20 ORDER BY rnk"""
-      })
+      }),
+
+    // x160 — blocklist screening: the C4/RefinedWeb word-list rule with
+    // configurable categories (the catalog row uses fixture-vocabulary
+    // placeholder lists; production swaps in real lists without touching
+    // the map-only plan). Word-boundary regexp counts per category + an
+    // any-category flag — one projection, no shuffle.
+    QueryDef("x160_blocklist_screen",
+      (s, d) => graft.ext.TextAnalysis.blocklistScreen(
+          Tables.documents(s, d),
+          Seq("infra" -> Seq("stream", "vector", "graph"),
+              "query" -> Seq("merge", "sort", "join")))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text),
+                       '\b(stream|vector|graph)\b')) AS BIGINT) AS hits_infra,
+                     CAST(len(regexp_extract_all(lower(text),
+                       '\b(merge|sort|join)\b')) AS BIGINT) AS hits_query,
+                     (len(regexp_extract_all(lower(text),
+                        '\b(stream|vector|graph)\b')) > 0 OR
+                      len(regexp_extract_all(lower(text),
+                        '\b(merge|sort|join)\b')) > 0) AS flagged
+              FROM documents ORDER BY doc_id"""))
   )
 }
