@@ -423,36 +423,10 @@ object ExtQueries {
     * concatenated sketches), pair estimates run on k-row frames, and the
     * sources×sources pair seed is a broadcast nested loop over the tiny
     * source list (the x53 deliberate-bounded shape). */
-  private def sourceSketchJaccard(s: SparkSession, d: String): DataFrame = {
-    val k = 256
-    val g = trigramsShared(s, d).select(col("source"), col("tri")).distinct()
-      .select(col("source"),
-        conv(substring(md5(col("tri")), 1, 12), 16, 10).cast("long").as("h"))
-      .distinct()
-    val bk = g.withColumn("r", row_number().over(
-        Window.partitionBy(col("source")).orderBy(col("h"))))
-      .filter(col("r") <= k).select(col("source"), col("h"))
-    val srcs = bk.select(col("source")).distinct()
-    val pairs = srcs.toDF("source_a")
-      .crossJoin(broadcast(srcs.toDF("source_b")))
-      .filter(col("source_a") < col("source_b"))
-    val contrib = pairs.join(bk.toDF("source_a", "h"), "source_a")
-        .select(col("source_a"), col("source_b"), col("h"),
-          lit(1).as("ia"), lit(0).as("ib"))
-      .union(pairs.join(bk.toDF("source_b", "h"), "source_b")
-        .select(col("source_a"), col("source_b"), col("h"),
-          lit(0).as("ia"), lit(1).as("ib")))
-    contrib.groupBy(col("source_a"), col("source_b"), col("h"))
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("source_a"), col("source_b"))
-          .orderBy(col("h"))))
-      .filter(col("r") <= k)
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("k_used"),
-        sum(expr("IF(ia = 1 AND ib = 1, 1L, 0L)")).as("est_inter"))
-      .withColumn("est_ppm", expr("est_inter * 1000000 div k_used"))
-  }
+  private def sourceSketchJaccard(s: SparkSession, d: String): DataFrame =
+    graft.ext.Sketch.pairEstimates(
+      graft.ext.Sketch.sketches(
+        trigramsShared(s, d).select(col("source"), col("tri"))))
 
   /** Shared CTE prefix of the x151/x151b oracles: distinct per-source
     * trigram hashes, bottom-256 sketches, per-pair union ranking and the
