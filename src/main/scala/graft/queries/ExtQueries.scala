@@ -6025,6 +6025,70 @@ object ExtQueries {
                         '\b(stream|vector|graph)\b')) > 0 OR
                       len(regexp_extract_all(lower(text),
                         '\b(merge|sort|join)\b')) > 0) AS flagged
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // x161 — event funnel (view → click → purchase): the sequence-match
+    // analysis the q-series sessions/sweep-lines don't cover — per user,
+    // the EARLIEST strictly-ordered completion (first view, first click
+    // after it, first purchase after that; the standard greedy funnel
+    // simplification) and a 24 h completion verdict. Three keyed filters +
+    // min-aggregates + left joins — every stage shuffles on user_id only,
+    // no windows over the event stream, no state. All-BIGINT epoch-ms →
+    // full hash-match.
+    QueryDef("x161_event_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ms"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t1_ms"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ms") > col("t1_ms"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t2_ms"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ms") > col("t2_ms"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t3_ms"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t1_ms"), col("t2_ms"), col("t3_ms"),
+            (col("t3_ms").isNotNull &&
+              col("t3_ms") - col("t1_ms") <= 86400000L).as("completed_24h"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                   v AS (SELECT user_id, min(ms) AS t1_ms FROM e
+                         WHERE event_type = 'view' GROUP BY 1),
+                   c AS (SELECT e.user_id, min(ms) AS t2_ms
+                         FROM e JOIN v USING (user_id)
+                         WHERE event_type = 'click' AND ms > v.t1_ms GROUP BY 1),
+                   p AS (SELECT e.user_id, min(ms) AS t3_ms
+                         FROM e JOIN c USING (user_id)
+                         WHERE event_type = 'purchase' AND ms > c.t2_ms GROUP BY 1)
+              SELECT v.user_id, v.t1_ms, c.t2_ms, p.t3_ms,
+                     (p.t3_ms IS NOT NULL AND p.t3_ms - v.t1_ms <= 86400000)
+                       AS completed_24h
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+              ORDER BY user_id""")),
+
+    // x162 — cohort retention: users cohorted by first-active epoch-day,
+    // distinct active users per (cohort_day, day offset) — the classic
+    // retention triangle. Two keyed aggregates (first-day per user, then
+    // (cohort, offset) distinct-user counts); integer epoch-day arithmetic
+    // → full hash-match.
+    QueryDef("x162_cohort_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr("ms div 86400000").as("day"))
+        val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        e.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+                   c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+              SELECT c.cohort_day, e.day - c.cohort_day AS offset_days,
+                     CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+              FROM e JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY cohort_day, offset_days"""))
   )
 }
