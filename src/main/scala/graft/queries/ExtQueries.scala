@@ -6089,6 +6089,41 @@ object ExtQueries {
               SELECT c.cohort_day, e.day - c.cohort_day AS offset_days,
                      CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
               FROM e JOIN c USING (user_id)
-              GROUP BY 1, 2 ORDER BY cohort_day, offset_days"""))
+              GROUP BY 1, 2 ORDER BY cohort_day, offset_days""")),
+
+    // x163 — event-type transition matrix: per user, each event's successor
+    // under the total (ms, event_id) order; counts and exact row-share ppm
+    // per (from, to) — the first-order Markov behavior model (what follows
+    // what) complementing x161's fixed funnel. ONE lead window partitioned
+    // by user (the natural key — no global sort), then a 25-row aggregate.
+    QueryDef("x163_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val t = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = t.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        t.join(totals, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div tot").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                     epoch_ms(ts) AS ms FROM events),
+                   l AS (SELECT event_type AS from_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ms, event_id) AS to_type
+                         FROM e),
+                   t AS (SELECT from_type, to_type, count(*) AS n FROM l
+                         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+                   tt AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY 1)
+              SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+                     CAST(t.n * 1000000 // tt.tot AS BIGINT) AS p_ppm
+              FROM t JOIN tt USING (from_type)
+              ORDER BY from_type, to_type"""))
   )
 }
