@@ -279,4 +279,47 @@ object StreamingOps {
       .toDF("shard", "doc_id", "n_tokens", "cum_before", "start_seq",
         "start_off", "end_seq", "n_segs")
   }
+
+  /** Streaming funnel monitor — the x161 view → click → purchase funnel
+    * computed INCREMENTALLY: per user, THREE Longs of
+    * `flatMapGroupsWithState` state (earliest view, first later click,
+    * first later purchase — constant per user on an unbounded stream).
+    * Each micro-batch processes its group's rows in (ms, event_id) order
+    * and re-emits the user's funnel row whenever the state advances, so
+    * the LAST emission per user always carries the current funnel.
+    * Delivered in timestamp order (the watermark contract), any micro-
+    * batch chop yields exactly the batch x161 rows (StreamingSpec pins
+    * this); out-of-order delivery would freeze an already-committed
+    * earlier stage, which is the standard streaming-funnel tradeoff.
+    * Input columns: (`user_id`, `event_type`, `ms`, `event_id`). Output:
+    * (`user_id`, `t1_ms`, `t2_ms`, `t3_ms`, `completed_24h`) with nulls
+    * for unreached stages. */
+  def funnelMonitor(stream: DataFrame, windowMs: Long = 86400000L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ms").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) => {
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val before = (t1, t2, t3)
+          rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ms, _) =>
+            if (typ == "view" && t1 < 0) t1 = ms
+            else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
+            else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+          }
+          state.update((t1, t2, t3))
+          if ((t1, t2, t3) != before && t1 >= 0)
+            Iterator((user, t1,
+              if (t2 < 0) None else Some(t2),
+              if (t3 < 0) None else Some(t3),
+              t3 >= 0 && t3 - t1 <= windowMs))
+          else Iterator.empty
+        })
+      .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
+  }
 }

@@ -845,6 +845,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel via funnelMonitor converges to the batch x161 rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x161_event_funnel")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).sorted.toSeq
+    assert(expected.nonEmpty)
+    // deliver the whole event stream in timestamp order, chopped in two
+    val rows = graft.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._3, r._4)).toSeq
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long], Option[Long], Boolean)]
+    val query = graft.streaming.StreamingOps.funnelMonitor(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      // the LAST emission per user is the converged funnel row
+      val last = acc.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, g) => g.maxBy(_._2)._1 }.toSeq.sorted
+      assert(last === expected)
+    } finally query.stop()
+  }
+
   test("streaming QL retrieval via qlRetriever matches batch qlCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
