@@ -6124,6 +6124,90 @@ object ExtQueries {
               SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
                      CAST(t.n * 1000000 // tt.tot AS BIGINT) AS p_ppm
               FROM t JOIN tt USING (from_type)
-              ORDER BY from_type, to_type"""))
+              ORDER BY from_type, to_type""")),
+
+    // x164 — doc/embedding alignment report: the integrity gate an
+    // embedding-dependent pipeline (ANN, SemDeDup, clustering) checks
+    // BEFORE trusting its joins — documents and vectors matched by id,
+    // counts of each side's orphans, coverage in exact ppm. Two anti-join
+    // counts + one semi count, all on 8-byte ids. The sf0.1 fixture
+    // deliberately covers only 40% of docs, so the report is non-trivial.
+    QueryDef("x164_alignment_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+        val matched = docs.join(vecs.withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"), "left_semi")
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(vecs.agg(count(lit(1)).as("n_vecs"))))
+          .crossJoin(broadcast(matched.agg(count(lit(1)).as("n_matched"))))
+          .select(col("n_docs"), col("n_vecs"), col("n_matched"),
+            (col("n_docs") - col("n_matched")).as("docs_without_vec"),
+            (col("n_vecs") - col("n_matched")).as("vecs_without_doc"),
+            expr("""CAST(CASE WHEN n_docs > 0
+                         THEN n_matched * 1000000 div n_docs ELSE 0 END
+                    AS BIGINT)""").as("doc_coverage_ppm"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents),
+                   v AS (SELECT vec_id FROM embeddings),
+                   m AS (SELECT count(*) AS nm FROM d
+                         WHERE doc_id IN (SELECT vec_id FROM v)),
+                   nd AS (SELECT count(*) AS nd FROM d),
+                   nv AS (SELECT count(*) AS nv FROM v)
+              SELECT CAST(nd AS BIGINT) AS n_docs, CAST(nv AS BIGINT) AS n_vecs,
+                     CAST(nm AS BIGINT) AS n_matched,
+                     CAST(nd - nm AS BIGINT) AS docs_without_vec,
+                     CAST(nv - nm AS BIGINT) AS vecs_without_doc,
+                     CAST(CASE WHEN nd > 0 THEN nm * 1000000 // nd ELSE 0 END
+                       AS BIGINT) AS doc_coverage_ppm
+              FROM m, nd, nv""")),
+
+    // x165 — funnel conversion latency: exact order statistics (min, p50,
+    // p90 as k-th smallest, max) and the integral mean of t3 − t1 over
+    // COMPLETED x161 funnels — the latency readout behind the funnel's
+    // boolean verdict. Rank window runs over per-user aggregate rows (one
+    // row per completed user, not per event); k-th-order-statistic
+    // percentiles dodge every interpolation ambiguity (the x24 idiom).
+    QueryDef("x165_funnel_latency",
+      (s, d) => {
+        val fun = graft.SparkEntry.queries("x161_event_funnel")(s, d)
+          .filter(col("t3_ms").isNotNull)
+          .select((col("t3_ms") - col("t1_ms")).as("lat"))
+        // rank + global count windows over ONE ROW PER COMPLETED USER (a
+        // per-user aggregate, never the event stream); ties in `lat` make
+        // the k-th VALUE tie-order-invariant, so the unqualified orderBy
+        // is value-deterministic
+        fun
+          .withColumn("r", row_number().over(Window.orderBy(col("lat"))))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(lit(1))))
+          .agg(count(lit(1)).as("n_completed"),
+            min(col("lat")).as("min_ms"),
+            min(when(col("r") === expr("(n + 1) div 2"), col("lat")))
+              .as("p50_ms"),
+            min(when(col("r") === expr("(9 * n + 9) div 10"), col("lat")))
+              .as("p90_ms"),
+            max(col("lat")).as("max_ms"),
+            expr("CAST(sum(lat) div count(1) AS BIGINT)").as("mean_ms"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                   v AS (SELECT user_id, min(ms) AS t1 FROM e
+                         WHERE event_type = 'view' GROUP BY 1),
+                   c AS (SELECT e.user_id, min(ms) AS t2 FROM e JOIN v USING (user_id)
+                         WHERE event_type = 'click' AND ms > v.t1 GROUP BY 1),
+                   p AS (SELECT e.user_id, min(ms) AS t3 FROM e JOIN c USING (user_id)
+                         WHERE event_type = 'purchase' AND ms > c.t2 GROUP BY 1),
+                   lat AS (SELECT p.t3 - v.t1 AS lat
+                           FROM p JOIN v USING (user_id)),
+                   rk AS (SELECT lat, row_number() OVER (ORDER BY lat) AS r,
+                            count(*) OVER () AS n
+                          FROM lat)
+              SELECT CAST(count(*) AS BIGINT) AS n_completed,
+                     CAST(min(lat) AS BIGINT) AS min_ms,
+                     CAST(min(CASE WHEN r = (n + 1) // 2 THEN lat END) AS BIGINT) AS p50_ms,
+                     CAST(min(CASE WHEN r = (9 * n + 9) // 10 THEN lat END) AS BIGINT) AS p90_ms,
+                     CAST(max(lat) AS BIGINT) AS max_ms,
+                     CAST(sum(lat) // count(*) AS BIGINT) AS mean_ms
+              FROM rk"""))
   )
 }
