@@ -322,4 +322,38 @@ object StreamingOps {
         })
       .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
   }
+
+  /** Streaming transition emitter — the x163 Markov matrix computed
+    * incrementally: per user, ONE (ms, event_id, type) triple of
+    * `flatMapGroupsWithState` state (the last event seen). Each micro-batch
+    * sorts its group's rows in (ms, event_id) order and emits one
+    * (`user_id`, `from_type`, `to_type`) row per consecutive pair,
+    * INCLUDING the pair that straddles the previous batch's boundary — so
+    * delivered in timestamp order, the union of all emissions aggregates
+    * to exactly the batch x163 counts under any chop (StreamingSpec pins
+    * this). Downstream keeps the running (from, to) counts however it
+    * likes (the rows are append-only increments). */
+  def transitionMonitor(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ms").cast("long"), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, String)]) => {
+          val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+          var last = state.getOption
+          val out = sorted.flatMap { case (_, typ, ms, id) =>
+            val e = last.map { case (_, _, prevType) => (user, prevType, typ) }
+            last = Some((ms, id, typ))
+            e
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+      .toDF("user_id", "from_type", "to_type")
+  }
 }

@@ -887,6 +887,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming transitions via transitionMonitor aggregate to batch x163 counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x163_event_transitions")(spark, d)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    val rows = graft.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._3, r._4)).toSeq
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val query = graft.streaming.StreamingOps.transitionMonitor(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getString(1), r.getString(2)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      // three uneven chops — boundary-straddling pairs must still emit
+      mem.addData(rows.take(rows.length / 3))
+      query.processAllAvailable()
+      mem.addData(rows.slice(rows.length / 3, rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      val counts = acc.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      assert(counts === expected)
+    } finally query.stop()
+  }
+
   test("streaming QL retrieval via qlRetriever matches batch qlCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
