@@ -1403,8 +1403,10 @@ object Dedup {
     * their corpus); the per-pair fan-out is |pairs| × per-doc vocab with an
     * (id, tok) equi-join, never corpus-sized. Integer ppm via `div`, so
     * scores hash-match cross-engine. Input contract: pairs (`ia`, `ib`);
-    * docs with blank text score n = 0 and cannot appear (their ids simply
-    * find no token rows — callers pass pairs over the tokenizable corpus). */
+    * EVERY input pair produces a row — a side with blank text (or an id
+    * absent from the corpus) scores n = 0 with zero overlap/F1/containment,
+    * so a miner emitting an out-of-domain pair is visible as a zero row
+    * rather than silently dropped. */
   def pairTokenOverlap(docs: DataFrame, pairs: DataFrame,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
@@ -1427,13 +1429,19 @@ object Dedup {
       .groupBy(col("ia"), col("ib"))
       .agg(sum(least(col("tfa"), col("tfb"))).as("ov"))
     p.join(ov, Seq("ia", "ib"), "left")
-      .join(n.select(col("id").as("ia"), col("n").as("n_a")), Seq("ia"))
-      .join(n.select(col("id").as("ib"), col("n").as("n_b")), Seq("ib"))
-      .select(col("ia"), col("ib"), col("n_a"), col("n_b"),
+      .join(n.select(col("id").as("ia"), col("n").as("n_a")), Seq("ia"), "left")
+      .join(n.select(col("id").as("ib"), col("n").as("n_b")), Seq("ib"), "left")
+      .select(col("ia"), col("ib"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("ov"), lit(0L)).as("overlap"))
-      .withColumn("f1_ppm",
-        expr("CAST(2000000 * overlap div (n_a + n_b) AS BIGINT)"))
-      .withColumn("cont_a_ppm", expr("CAST(1000000 * overlap div n_a AS BIGINT)"))
-      .withColumn("cont_b_ppm", expr("CAST(1000000 * overlap div n_b AS BIGINT)"))
+      // zero-token sides divide by zero — define those scores as 0 (an
+      // empty doc overlaps nothing) instead of null/dropped
+      .withColumn("f1_ppm", when(col("n_a") + col("n_b") === 0, lit(0L))
+        .otherwise(expr("CAST(2000000 * overlap div (n_a + n_b) AS BIGINT)")))
+      .withColumn("cont_a_ppm", when(col("n_a") === 0, lit(0L))
+        .otherwise(expr("CAST(1000000 * overlap div n_a AS BIGINT)")))
+      .withColumn("cont_b_ppm", when(col("n_b") === 0, lit(0L))
+        .otherwise(expr("CAST(1000000 * overlap div n_b AS BIGINT)")))
   }
 }

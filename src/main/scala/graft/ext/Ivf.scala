@@ -108,13 +108,23 @@ object Ivf {
     * with the smallest seeded vec_id hash (`TakeOrderedAndProject` — a
     * per-partition top-K, no sort shuffle), collected to the driver. Every
     * sampled-training entry point goes through here, so sample order — and
-    * with it the claimed bit-exactness across paths — cannot fork. */
-  private[ext] def collectSample(emb: DataFrame, sampleCap: Int): Array[Array[Double]] =
+    * with it the claimed bit-exactness across paths — cannot fork. Public
+    * so pipelines training several sample-based models (IVF + PQ + PCA at
+    * several k) can collect once and fan the sample out via the
+    * `trainFromSample` twins. */
+  def collectSample(emb: DataFrame, sampleCap: Int): Array[Array[Double]] =
     emb.select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(lit(7L), col("vec_id")))
       .orderBy(col("h"), col("vec_id"))
       .limit(sampleCap).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** [[trainCentroids]]' sampled mode on a PRE-COLLECTED
+    * [[collectSample]] sample (the `trainFromSample` twin for the coarse
+    * quantizer). */
+  def trainCentroidsFromSample(sample: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] =
+    lloydTrain(sample, k, iters)
 
   /** The ONE definition of driver-local training: first-k init in sample
     * order, `iters` Lloyd rounds. An empty sample (empty corpus) yields

@@ -45,9 +45,16 @@ object Pca {
     * per-round contraction is slow) and is still sub-millisecond on a
     * 64-dim covariance. */
   def train(emb: DataFrame, nComponents: Int, iters: Int = 300,
-            sampleCap: Int = Ivf.defaultSampleCap): PcaModel = {
+            sampleCap: Int = Ivf.defaultSampleCap): PcaModel =
+    trainFromSample(Ivf.collectSample(emb, sampleCap), nComponents, iters)
+
+  /** [[train]] on a PRE-COLLECTED [[Ivf.collectSample]] sample — pipelines
+    * training several sample-based models (PCA at multiple k, PQ codebooks,
+    * IVF centroids) collect the one seeded sample once and fan it out, so
+    * the corpus-wide sampling job never repeats per model. */
+  def trainFromSample(sample: Array[Array[Double]], nComponents: Int,
+                      iters: Int = 300): PcaModel = {
     require(nComponents >= 1, s"need nComponents >= 1, got $nComponents")
-    val sample = Ivf.collectSample(emb, sampleCap)
     if (sample.isEmpty)
       return PcaModel(Array.emptyDoubleArray, Array.emptyDoubleArray,
         Array.emptyDoubleArray, 0.0)

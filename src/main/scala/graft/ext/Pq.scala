@@ -76,11 +76,12 @@ object Pq {
     trainFromSample(Ivf.collectSample(emb, sampleCap), m, k, iters)
   }
 
-  /** [[train]] on a PRE-COLLECTED sample — IVF-PQ builds pass the one
-    * seeded sample to both the coarse-centroid and the codebook training
-    * so the corpus-wide sampling job runs once. */
-  private[ext] def trainFromSample(sample: Array[Array[Double]],
-      m: Int, k: Int, iters: Int): PqModel = {
+  /** [[train]] on a PRE-COLLECTED sample — IVF-PQ builds (and any pipeline
+    * training several sample-based models) pass the one seeded
+    * [[Ivf.collectSample]] sample to every training so the corpus-wide
+    * sampling job runs once. */
+  def trainFromSample(sample: Array[Array[Double]],
+      m: Int, k: Int, iters: Int = 3): PqModel = {
     require(m >= 1 && k >= 1, s"need m >= 1 and k >= 1, got m=$m k=$k")
     if (sample.isEmpty) return PqModel(m, k, 0, Array.emptyDoubleArray)
     val dim = sample.iterator.map(_.length).max

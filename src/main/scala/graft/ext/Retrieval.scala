@@ -238,6 +238,7 @@ object Retrieval {
   def qlRetriever(docs: DataFrame, kTop: Int, mu: Double = 300.0,
                   textCol: String = "text",
                   idCol: String = "doc_id"): Retriever = {
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
     val (postings, stats) = buildQlPostings(docs, textCol, idCol)
     val postingsP = postings.persist()
     val statsP = stats.persist()
@@ -251,6 +252,7 @@ object Retrieval {
   def qlCrossTopK(docs: DataFrame, queries: DataFrame, kTop: Int,
                   mu: Double = 300.0, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
     val (postings, stats) = buildQlPostings(docs, textCol, idCol)
     qlScoreBatch(postings, stats, kTop, mu, idCol)(queries)
   }

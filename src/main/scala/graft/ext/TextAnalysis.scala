@@ -746,8 +746,12 @@ object TextAnalysis {
                       idCol: String = "doc_id"): DataFrame = {
     require(categories.nonEmpty && categories.forall(_._2.nonEmpty),
       "blocklistScreen needs at least one category with at least one term")
+    // Production word lists (LDNOOBW-style) contain regex metacharacters;
+    // each term is literal-quoted so `a$b` or `c++` cannot corrupt the
+    // alternation the hits column compiles to.
     val hitCols = categories.map { case (cat, words) =>
-      stopHits(col(textCol), words).cast("long").as(s"hits_$cat")
+      stopHits(col(textCol), words.map(java.util.regex.Pattern.quote))
+        .cast("long").as(s"hits_$cat")
     }
     val flagged = categories.map { case (cat, _) =>
       col(s"hits_$cat") > 0

@@ -160,7 +160,8 @@ object ExtQueries {
       // whichever timed query first forces them, and without a tag that
       // cost migrates invisibly when the catalog's run order shifts
       mergesCache.keySet.map { case (_, d, n) => s"${base(d)}:bpe-train-n$n" } ++
-      pcaCache.keySet.map { case (_, d, k) => s"${base(d)}:pca-model-k$k" }
+      pcaCache.keySet.map { case (_, d, k) => s"${base(d)}:pca-model-k$k" } ++
+      sampleCache.keySet.map { case (_, d, c) => s"${base(d)}:emb-sample-n$c" }
   }
 
   /** x80's export scratch location: ONE deterministic dir per sf-dir
@@ -188,6 +189,7 @@ object ExtQueries {
     frameCache.clear()
     mergesCache.clear()
     pcaCache.clear()
+    sampleCache.clear()
   }
 
   /** x138/x139's shared DSIR weight frame — the per-doc importance scores
@@ -486,7 +488,7 @@ object ExtQueries {
     .empty[(SparkSession, String), Array[Array[Double]]]
   private def diverseCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     centroidCache.getOrElseUpdate((s, d),
-      Ivf.trainCentroids(Tables.embeddings(s, d), k = 16, iters = 2))
+      Ivf.trainCentroidsFromSample(embSampleShared(s, d), k = 16, iters = 2))
   private def diverseRankedShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "diverse-k16-ranked") {
       val quality = Tables.documents(s, d)
@@ -645,7 +647,7 @@ object ExtQueries {
     sharedFrame(s, d, "pq-topk-q0-m16") {
       val emb = Tables.embeddings(s, d)
       graft.ext.Pq.pqTopK(emb, queryId = 0L, kTop = 10,
-        graft.ext.Pq.train(emb, m = 16, k = 16))
+        graft.ext.Pq.trainFromSample(embSampleShared(s, d), m = 16, k = 16))
     }
 
   /** x119 (IVF-PQ retrieval) and x119b (gate approx side). refine=16:
@@ -667,7 +669,8 @@ object ExtQueries {
   private def pqStatsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pq-stats-m16") {
       val emb = Tables.embeddings(s, d)
-      graft.ext.Pq.pqStats(emb, graft.ext.Pq.train(emb, m = 16, k = 16))
+      graft.ext.Pq.pqStats(emb,
+        graft.ext.Pq.trainFromSample(embSampleShared(s, d), m = 16, k = 16))
     }
 
   /** x121 (merge table), x122 (fertility) and x126 (compression curve):
@@ -685,6 +688,20 @@ object ExtQueries {
   private def bpeMergesShared(s: SparkSession, d: String): Seq[String] =
     bpeTrainedShared(s, d)._1
 
+  /** The ONE seeded driver sample every sample-based training consumes
+    * (PCA k16 AND k32, the PQ m16 codebooks, the diverse-subsample
+    * centroids): [[graft.ext.Ivf.collectSample]] is a corpus scan, and
+    * before this cache each model training re-ran it — five identical
+    * scans per catalog pass. Driver-value cache (the [[bpeMergesShared]]
+    * pattern), its one-time cost attributed as its own `frame:` tag. */
+  private val sampleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Array[Array[Double]]]
+  private def embSampleShared(s: SparkSession, d: String,
+      cap: Int = graft.ext.Ivf.defaultSampleCap): Array[Array[Double]] =
+    sampleCache.getOrElseUpdate((s, d, cap),
+      timedBuild(d, s"emb-sample-n$cap")(
+        graft.ext.Ivf.collectSample(Tables.embeddings(s, d), cap)))
+
   /** x123 (projection) and x123b (variance gate): ONE PCA training run
     * (driver-value cache, the [[bpeMergesShared]] pattern) and ONE
     * projected frame. */
@@ -694,7 +711,7 @@ object ExtQueries {
                              k: Int = 16): graft.ext.Pca.PcaModel =
     pcaCache.getOrElseUpdate((s, d, k),
       timedBuild(d, s"pca-model-k$k")(
-        graft.ext.Pca.train(Tables.embeddings(s, d), nComponents = k)))
+        graft.ext.Pca.trainFromSample(embSampleShared(s, d), nComponents = k)))
   private def pcaProjShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pca-proj-k16")(
       graft.ext.Pca.project(Tables.embeddings(s, d), pcaModelShared(s, d))
@@ -884,11 +901,20 @@ object ExtQueries {
       Some(jaccardOracle)),
 
     // x08 — MinHash-LSH near-dedup, exact-verified: same contract as x07,
-    // found via banded signature buckets instead of the full shingle join
-    // (uncapped for the same oracle-contract reason as x07).
+    // found via banded signature buckets instead of the full shingle join.
+    // The df cap is CORPUS-ADAPTIVE, max(64, n/10): orders of magnitude
+    // above any real shingle/bucket df on the fixtures (max observed df is
+    // 25 at sf0.1 — DedupSpec pins that the cap is not binding, so the
+    // oracle contract stays exact), while bounding the one quadratic
+    // blowup a viral boilerplate shingle could cause at scale. n comes
+    // from the persisted shingle frame — a cached-block count, not a scan.
     QueryDef("x08_minhash_lsh",
-      (s, d) => Dedup.minHashLshPairsOf(shinglesShared(s, d),
-        threshold = 0.6, maxDf = Int.MaxValue).orderBy("ia", "ib"),
+      (s, d) => {
+        val sh = shinglesShared(s, d)
+        val cap = math.min(math.max(64L, sh.count() / 10L), Int.MaxValue.toLong).toInt
+        Dedup.minHashLshPairsOf(sh, threshold = 0.6, maxDf = cap)
+          .orderBy("ia", "ib")
+      },
       Some(jaccardOracle)),
 
     // x36 — prefix-filtered exact Jaccard: same pair set as x07 (same

@@ -293,32 +293,50 @@ object StreamingOps {
     * earlier stage, which is the standard streaming-funnel tradeoff.
     * Input columns: (`user_id`, `event_type`, `ms`, `event_id`). Output:
     * (`user_id`, `t1_ms`, `t2_ms`, `t3_ms`, `completed_24h`) with nulls
-    * for unreached stages. */
-  def funnelMonitor(stream: DataFrame, windowMs: Long = 86400000L): DataFrame = {
+    * for unreached stages.
+    *
+    * STATE RETENTION: per-user state is three Longs, but the number of
+    * distinct users on an unbounded stream grows without limit, so the
+    * default `stateTimeoutMs = 0` (keep forever — exact parity with batch
+    * x161 on a bounded replay) is for backfills. Long-running monitors pass
+    * a processing-time horizon: a user idle past it is evicted (the
+    * [[streamingIncrementalDedup]] trade — a re-appearing user restarts
+    * their funnel), and every sighting renews the horizon. */
+  def funnelMonitor(stream: DataFrame, windowMs: Long = 86400000L,
+                    stateTimeoutMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeout =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream
       .select(col("user_id").cast("long"), col("event_type"),
         col("ms").cast("long"), col("event_id").cast("long"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (user: Long, rows: Iterator[(Long, String, Long, Long)],
          state: GroupState[(Long, Long, Long)]) => {
-          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
-          val before = (t1, t2, t3)
-          rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ms, _) =>
-            if (typ == "view" && t1 < 0) t1 = ms
-            else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
-            else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+            val before = (t1, t2, t3)
+            rows.toArray.sortBy(r => (r._3, r._4)).foreach { case (_, typ, ms, _) =>
+              if (typ == "view" && t1 < 0) t1 = ms
+              else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
+              else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+            }
+            state.update((t1, t2, t3))
+            if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+            if ((t1, t2, t3) != before && t1 >= 0)
+              Iterator((user, t1,
+                if (t2 < 0) None else Some(t2),
+                if (t3 < 0) None else Some(t3),
+                t3 >= 0 && t3 - t1 <= windowMs))
+            else Iterator.empty
           }
-          state.update((t1, t2, t3))
-          if ((t1, t2, t3) != before && t1 >= 0)
-            Iterator((user, t1,
-              if (t2 < 0) None else Some(t2),
-              if (t3 < 0) None else Some(t3),
-              t3 >= 0 && t3 - t1 <= windowMs))
-          else Iterator.empty
         })
       .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
   }
@@ -332,27 +350,44 @@ object StreamingOps {
     * delivered in timestamp order, the union of all emissions aggregates
     * to exactly the batch x163 counts under any chop (StreamingSpec pins
     * this). Downstream keeps the running (from, to) counts however it
-    * likes (the rows are append-only increments). */
-  def transitionMonitor(stream: DataFrame): DataFrame = {
+    * likes (the rows are append-only increments).
+    *
+    * STATE RETENTION: one triple per DISTINCT user — unbounded on a
+    * long-running stream under the default `stateTimeoutMs = 0` (exact
+    * bounded-replay parity). Long-running monitors pass a processing-time
+    * horizon; an evicted user's next event simply starts a fresh chain
+    * (its boundary pair is not emitted — the cost of bounding state). */
+  def transitionMonitor(stream: DataFrame,
+                        stateTimeoutMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeout =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream
       .select(col("user_id").cast("long"), col("event_type"),
         col("ms").cast("long"), col("event_id").cast("long"))
       .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
         (user: Long, rows: Iterator[(Long, String, Long, Long)],
          state: GroupState[(Long, Long, String)]) => {
-          val sorted = rows.toArray.sortBy(r => (r._3, r._4))
-          var last = state.getOption
-          val out = sorted.flatMap { case (_, typ, ms, id) =>
-            val e = last.map { case (_, _, prevType) => (user, prevType, typ) }
-            last = Some((ms, id, typ))
-            e
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+            var last = state.getOption
+            val out = sorted.flatMap { case (_, typ, ms, id) =>
+              val e = last.map { case (_, _, prevType) => (user, prevType, typ) }
+              last = Some((ms, id, typ))
+              e
+            }
+            last.foreach(state.update)
+            if (stateTimeoutMs > 0 && state.exists)
+              state.setTimeoutDuration(stateTimeoutMs)
+            out.iterator
           }
-          last.foreach(state.update)
-          out.iterator
         })
       .toDF("user_id", "from_type", "to_type")
   }

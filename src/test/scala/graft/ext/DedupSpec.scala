@@ -97,6 +97,32 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 1000L * 999L / 2)
   }
 
+  test("x08's corpus-adaptive df cap (max(64, n/10)) is not binding on the fixtures") {
+    // The catalog x08 entry runs capped at max(64, n/10) while keeping the
+    // exact uncapped oracle contract — valid only while no fixture shingle
+    // df (and hence no LSH bucket) reaches the cap. Pin that invariant at
+    // every fixture SF, and pin pair-set equality capped-vs-uncapped where
+    // the corpus is small enough to verify cheaply.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = graft.Tables.documents(spark, s"/root/testdata/$sf")
+      val n = d.count()
+      val cap = math.max(64L, n / 10L).toInt
+      val audit = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = cap).head()
+      assert(audit.getLong(2) === 0L,
+        s"$sf: ${audit.getLong(2)} shingles over cap $cap (max_df ${audit.getLong(1)})")
+      assert(audit.getLong(1) < cap,
+        s"$sf: max_df ${audit.getLong(1)} too close to cap $cap")
+    }
+    val small = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = math.max(64L, small.count() / 10L).toInt
+    val capped = Dedup.minHashLshPairs(small, "text", "doc_id", 3, 0.6, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.minHashLshPairs(small, "text", "doc_id", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
   test("prefix filtering keeps a boilerplate corpus linear without losing pairs") {
     // Pathological corpus for the postings path: every doc shares a 12-token
     // license header (df = corpus for every header shingle), plus unique
