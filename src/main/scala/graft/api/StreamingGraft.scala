@@ -212,26 +212,46 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
     * failures detach the tool from the session (self-shutdown). */
   private val analysisBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Testing seam for [[analyzeGuarded]]: the analysis it guards. Specs
+    * override this with a deliberately slow plan to exercise the
+    * timeout/cancellation path without fabricating slow telemetry. */
+  protected def runGuardedAnalysis(): Dataset[CriticalPathResult] = analyzeNow()
+
   def analyzeGuarded(): Dataset[CriticalPathResult] = {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // A timed-out Await abandons (cannot cancel) the running plan; the busy
-    // flag prevents repeated ticks from stacking zombie analyses, and the
-    // abandoned run clears it when it eventually finishes.
+    // The busy flag prevents repeated ticks from stacking analyses; a
+    // timed-out analysis is actively CANCELLED (below), and clears the
+    // flag when its cancellation unwinds.
     if (!analysisBusy.compareAndSet(false, true)) {
       System.err.println("[graft] analysis still running; skipping this tick")
       return spark.createDataset(Seq.empty[CriticalPathResult])
     }
+    // The analysis thread launches its Spark jobs inside a per-invocation
+    // job group so a timeout can cancelJobGroup — the abandoned plan frees
+    // its executors instead of running to completion holding cluster
+    // resources (the reference cannot cancel; we can —
+    // ref `QueryInsightsManager.scala:149-178` only abandons).
+    val jobGroup = s"graft-analysis-${java.util.UUID.randomUUID()}"
     try {
       val out = Await.result(
-        Future { try analyzeNow() finally analysisBusy.set(false) },
+        Future {
+          try {
+            spark.sparkContext.setJobGroup(jobGroup,
+              "graft guarded analysis", interruptOnCancel = true)
+            try runGuardedAnalysis()
+            finally spark.sparkContext.clearJobGroup()
+          } finally analysisBusy.set(false)
+        },
         config.maxAnalysisTimeSeconds.seconds)
       consecutiveFailures.set(0)
       out
     } catch {
       case e: Throwable =>
+        if (e.isInstanceOf[java.util.concurrent.TimeoutException])
+          spark.sparkContext.cancelJobGroup(jobGroup)
         System.err.println(s"[graft] analysis failed: ${e.getMessage}")
         if (consecutiveFailures.incrementAndGet() >= config.maxRetries) stop()
         spark.createDataset(Seq(CriticalPathResult(

@@ -157,4 +157,45 @@ object Pca {
         .select(col("vec_id"), lit(Array.emptyDoubleArray).as("proj"))
     else
       emb.select(col("vec_id"), projectCol(col("embedding"), model).as("proj"))
+
+  /** Persist a trained model as a tiny parquet directory — the
+    * [[Pq.savePqIndex]] shape for the one trained artifact that could not
+    * previously be frozen: train once on the curation cluster, ship the
+    * directory, and every scoring cluster projects through the identical
+    * [[MatVecExpr]] plan. Layout: `components` holds one row per principal
+    * component (rank, eigenvalue, the dim-length row vector); `meta` holds
+    * the mean and total variance. Exact doubles round-trip through parquet,
+    * so a reloaded model is BIT-IDENTICAL (PcaSpec pins save→load→project
+    * parity). Empty model → schema-complete empty writes. */
+  def savePcaModel(model: PcaModel, dir: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    (0 until model.k).map { j =>
+      (j, model.explained(j),
+        model.flat.slice(j * model.dim, (j + 1) * model.dim).toSeq)
+    }.toDF("j", "eig", "component").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/components")
+    Seq((model.mean.toSeq, model.totalVar)).toDF("mean", "total_var")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[savePcaModel]] directory: two one-small-file driver reads
+    * (k×dim + dim doubles), ready for [[project]]/[[projectCol]]. */
+  def loadPcaModel(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): PcaModel = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()
+    val comps = spark.read.parquet(s"$dir/components").orderBy("j").collect()
+    if (meta.isEmpty || comps.isEmpty)
+      return PcaModel(Array.emptyDoubleArray, Array.emptyDoubleArray,
+        Array.emptyDoubleArray, 0.0)
+    val m = meta(0)
+    PcaModel(
+      m.getSeq[Double](m.fieldIndex("mean")).toArray,
+      comps.flatMap(_.getSeq[Double](2)),
+      comps.map(_.getDouble(1)),
+      m.getDouble(m.fieldIndex("total_var")))
+  }
 }

@@ -201,11 +201,12 @@ object ExtQueries {
         isTarget = col("lang") === "en", buckets = 4096)
     }
 
-  /** x135/x135b/x136's shared packing layout — ONE deterministic artifact
-    * (the two-phase prefix-sum plan) with three consumers: the per-doc
-    * plan, the segment explode, and the capacity gate. Catalog knobs:
-    * capacity 128 (small enough that sf-corpus docs straddle boundaries),
-    * seed 42. */
+  /** x135/x135b/x136/x75's shared packing layout — ONE deterministic
+    * artifact (the two-phase prefix-sum plan) with four consumers: the
+    * per-doc plan, the segment explode, the capacity gate, and the
+    * budget-curve evaluation (cum_before is capacity-independent, so one
+    * layout serves every budget). Catalog knobs: capacity 128 (small
+    * enough that sf-corpus docs straddle boundaries), seed 42. */
   private def packPlanShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "pack-plan-c128-s42") {
       Pack.packPlan(Tables.documents(s, d), capacity = 128L, seed = 42L)
@@ -738,6 +739,51 @@ object ExtQueries {
         .select(col("vec_id"))
       Similarity.cosineTopKWithin(emb, queryId = 0L, kTop = 10, shortlist)
     }
+
+  /** x161's batch funnel frame, shared with the x161b streaming-parity
+    * gate (which must compare against the EXACT batch plan, not a copy
+    * that could drift). Unordered; consumers sort. */
+  private def eventFunnelBatch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1_ms"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ms") > col("t1_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2_ms"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ms") > col("t2_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t3_ms"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_ms"), col("t2_ms"), col("t3_ms"),
+        (col("t3_ms").isNotNull &&
+          col("t3_ms") - col("t1_ms") <= 86400000L).as("completed_24h"))
+  }
+
+  /** x163's per-(from, to) transition counts, shared with the x163b
+    * streaming-parity gate (same no-drift rule as [[eventFunnelBatch]]). */
+  private def transitionCountsBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The event stream as driver-side rows in (ms, event_id) order — the
+    * ts-ordered delivery both streaming monitors contract on. Bounded by
+    * the fixture event table (100 k rows at sf0.1); the gates replay it
+    * through a real MemoryStream in uneven chops. */
+  private def orderedEventRows(s: SparkSession, d: String): Seq[(Long, String, Long, Long)] =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._3, r._4)).toSeq
 
   /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
     * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
@@ -2456,42 +2502,42 @@ object ExtQueries {
                      CAST(sum(n2q) AS BIGINT) AS n2q_sum
               FROM q""")),
 
-    // x75 — packing-efficiency curve: x32's contiguous-fill packing
-    // evaluated at several sequence budgets at once — n_seqs, packed
-    // tokens, and the utilization fraction per budget — the diagnostic
-    // that picks a training sequence length (too-long budgets waste
-    // capacity on the final partial fill of each sequence; the curve makes
-    // the trade visible). Integer window cumsum per budget; division only
-    // in the final utilization column.
+    // x75 — packing-efficiency curve: the x135 packPlan layout evaluated
+    // at several sequence budgets at once — n_seqs, packed tokens, and the
+    // utilization fraction per budget — the diagnostic that picks a
+    // training sequence length (too-long budgets waste capacity on the
+    // final partial fill of each sequence; the curve makes the trade
+    // visible). The curve runs off the SHARED two-phase prefix-sum
+    // coordinates (Pack.packPlan — cum_before is capacity-independent, so
+    // the x135 frame serves every budget): no global unpartitioned window
+    // anywhere, the bounded-window layout a 100 TB user runs as-is.
+    // Budgets explode off the computed running total (a per-budget branch
+    // would re-run the whole layout three times). x32 keeps the textbook
+    // doc_id-ordered global-cumsum form for contrast; this entry is the
+    // scale path.
     QueryDef("x75_packing_efficiency",
-      (s, d) => {
-        val w = Window.orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // ONE cumsum pass; budgets explode off the computed running total
-        // (a per-budget branch would re-run the global sort three times)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
-          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
-          .withColumn("budget",
-            explode(array(lit(128L), lit(512L), lit(2048L))))
-          .withColumn("seq_id", expr("cum div budget"))
-          .groupBy(col("budget"), col("seq_id"))
-          .agg(sum(col("toks")).as("seq_toks"))
-          .groupBy(col("budget"))
-          .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
-          .select(col("budget"), col("n_seqs"), col("n_tokens"),
-            round(col("n_tokens").cast("double") /
-              (col("n_seqs") * col("budget")).cast("double"), 6).as("utilization"))
-          .orderBy("budget")
-      },
+      (s, d) => packPlanShared(s, d)
+        .select(col("doc_id"), col("n_tokens").as("toks"),
+          col("cum_before").as("cum"))
+        .withColumn("budget",
+          explode(array(lit(128L), lit(512L), lit(2048L))))
+        .withColumn("seq_id", expr("cum div budget"))
+        .groupBy(col("budget"), col("seq_id"))
+        .agg(sum(col("toks")).as("seq_toks"))
+        .groupBy(col("budget"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
+        .select(col("budget"), col("n_seqs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            (col("n_seqs") * col("budget")).cast("double"), 6).as("utilization"))
+        .orderBy("budget"),
       Some("""WITH t AS (SELECT doc_id,
-                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
-                   FROM documents),
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
                  c AS (SELECT doc_id, toks,
-                     sum(toks) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum
+                     CAST(coalesce(sum(toks) OVER (ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum
                    FROM t),
                  b AS (SELECT unnest([128, 512, 2048]) AS budget),
                  s AS (SELECT b.budget, CAST(c.cum // b.budget AS BIGINT) AS seq_id,
@@ -5969,32 +6015,22 @@ object ExtQueries {
     // curation signal: high-rank vectors sit in dense, well-connected
     // semantic neighborhoods — the corpus's "representative" examples; low
     // ranks are outliers). Five damped power iterations (d = 0.85) in
-    // EXACT integer micro-units: each iteration is one keyed join + hash
-    // aggregate over the 5-out-degree edge list (no driver collect, no
-    // per-node loops) with the quantization order fixed as
-    // r_j div outdeg → sum → ×850000 div 1e6, so every iteration is
-    // bit-identical cross-engine (the oracle unrolls the same five).
-    // Dangling-node mass is dropped (the standard simplification — both
-    // engines identically). Output: the top-20 hub report.
+    // EXACT integer micro-units via Graphs.pageRankMicro: each iteration
+    // is one keyed join + hash aggregate over the 5-out-degree edge list
+    // (no driver collect, no per-node loops) with the quantization order
+    // fixed as r_j div outdeg → sum → ×850000 div 1e6, so every iteration
+    // is bit-identical cross-engine (the oracle unrolls the same five).
+    // Past 3 iterations each round localCheckpoints, so the plan does not
+    // deepen with the iteration count (GraphsSpec pins constant depth);
+    // the oracle row proves checkpointing is value-neutral. Dangling-node
+    // mass is dropped (the standard simplification — both engines
+    // identically). Output: the top-20 hub report.
     QueryDef("x159_knn_pagerank",
       (s, d) => {
         val edges = knnGraphShared(s, d)
           .select(col("vec_id").as("src"), col("nb").as("dst"))
         val nodes = Tables.embeddings(s, d).select(col("vec_id"))
-        val e = edges
-          .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-            "src")
-        var pr = nodes.withColumn("pr", lit(1000000L))
-        for (_ <- 1 to 5) {
-          val contrib = e
-            .join(pr.select(col("vec_id").as("src"), col("pr")), "src")
-            .select(col("dst").as("vec_id"), expr("pr div outdeg").as("c"))
-            .groupBy(col("vec_id")).agg(sum(col("c")).as("inflow"))
-          pr = nodes.join(contrib, Seq("vec_id"), "left")
-            .select(col("vec_id"), expr(
-              """CAST(150000 + CAST(850000 AS DECIMAL(38,0)) *
-                 coalesce(inflow, 0L) DIV 1000000 AS BIGINT)""").as("pr"))
-        }
+        val pr = graft.ext.Graphs.pageRankMicro(edges, nodes, iters = 5)
         pr.orderBy(col("pr").desc, col("vec_id")).limit(20)
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("pr").desc, col("vec_id"))))
@@ -6062,24 +6098,7 @@ object ExtQueries {
     // no windows over the event stream, no state. All-BIGINT epoch-ms →
     // full hash-match.
     QueryDef("x161_event_funnel",
-      (s, d) => {
-        val e = Tables.events(s, d)
-          .select(col("user_id"), col("event_type"), col("ms"))
-        val v = e.filter(col("event_type") === "view")
-          .groupBy(col("user_id")).agg(min(col("ms")).as("t1_ms"))
-        val c = e.filter(col("event_type") === "click").join(v, "user_id")
-          .filter(col("ms") > col("t1_ms"))
-          .groupBy(col("user_id")).agg(min(col("ms")).as("t2_ms"))
-        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-          .filter(col("ms") > col("t2_ms"))
-          .groupBy(col("user_id")).agg(min(col("ms")).as("t3_ms"))
-        v.join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
-          .select(col("user_id"), col("t1_ms"), col("t2_ms"), col("t3_ms"),
-            (col("t3_ms").isNotNull &&
-              col("t3_ms") - col("t1_ms") <= 86400000L).as("completed_24h"))
-          .orderBy("user_id")
-      },
+      (s, d) => eventFunnelBatch(s, d).orderBy("user_id"),
       Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
                    v AS (SELECT user_id, min(ms) AS t1_ms FROM e
                          WHERE event_type = 'view' GROUP BY 1),
@@ -6124,14 +6143,7 @@ object ExtQueries {
     // by user (the natural key — no global sort), then a 25-row aggregate.
     QueryDef("x163_event_transitions",
       (s, d) => {
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ms"), col("event_id"))
-        val t = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("ms"), col("event_type"))
-          .withColumn("to_type", lead(col("event_type"), 1).over(w))
-          .filter(col("to_type").isNotNull)
-          .groupBy(col("event_type").as("from_type"), col("to_type"))
-          .agg(count(lit(1)).as("n"))
+        val t = transitionCountsBatch(s, d)
         val totals = t.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
         t.join(totals, "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
@@ -6234,6 +6246,91 @@ object ExtQueries {
                      CAST(min(CASE WHEN r = (9 * n + 9) // 10 THEN lat END) AS BIGINT) AS p90_ms,
                      CAST(max(lat) AS BIGINT) AS max_ms,
                      CAST(sum(lat) // count(*) AS BIGINT) AS mean_ms
-              FROM rk"""))
+              FROM rk""")),
+
+    // x161b — streaming funnel parity gate: replay the sf event stream in
+    // ts order through a REAL MemoryStream query (funnelMonitor, two
+    // uneven micro-batch chops) and assert the converged per-user rows
+    // equal the batch x161 frame — the StreamingSpec chop-parity contract
+    // made driver-visible as an oracle-checked boolean, so a drift between
+    // the incremental and batch funnels fails the correctness gate, not
+    // only CI. Bounded: one events collect + per-user emissions.
+    QueryDef("x161b_funnel_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        val expected = eventFunnelBatch(s, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            r.getBoolean(4))).toSet
+        val rows = orderedEventRows(s, d)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Long, Long)]
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Boolean)]
+        val query = graft.streaming.StreamingOps.funnelMonitor(
+            mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) -1L else r.getLong(2),
+              if (r.isNullAt(3)) -1L else r.getLong(3),
+              r.getBoolean(4)))
+            acc.synchronized { acc ++= got }
+            ()
+          }
+          .outputMode("append").start()
+        try {
+          mem.addData(rows.take(rows.length / 3))
+          query.processAllAvailable()
+          mem.addData(rows.drop(rows.length / 3))
+          query.processAllAvailable()
+        } finally query.stop()
+        // the LAST emission per user is the converged funnel row
+        val last = acc.zipWithIndex.groupBy(_._1._1)
+          .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
+        Seq((last == expected) && expected.nonEmpty)
+          .toDF("funnel_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS funnel_stream_ok")),
+
+    // x163b — streaming transition parity gate: the x163 analog — replay
+    // in three uneven chops (boundary-straddling pairs must still emit),
+    // aggregate the emitted (from, to) increments, and assert equality
+    // with the batch transition counts.
+    QueryDef("x163b_transition_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        val expected = transitionCountsBatch(s, d).collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val rows = orderedEventRows(s, d)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Long, Long)]
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val query = graft.streaming.StreamingOps.transitionMonitor(
+            mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val got = batch.collect().map(r => (r.getString(1), r.getString(2)))
+            acc.synchronized { acc ++= got }
+            ()
+          }
+          .outputMode("append").start()
+        try {
+          mem.addData(rows.take(rows.length / 3))
+          query.processAllAvailable()
+          mem.addData(rows.slice(rows.length / 3, rows.length / 2))
+          query.processAllAvailable()
+          mem.addData(rows.drop(rows.length / 2))
+          query.processAllAvailable()
+        } finally query.stop()
+        val counts = acc.groupBy(identity)
+          .map { case (k, g) => k -> g.size.toLong }
+        Seq((counts == expected) && expected.nonEmpty)
+          .toDF("transition_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS transition_stream_ok"))
   )
 }

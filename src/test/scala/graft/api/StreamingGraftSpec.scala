@@ -146,6 +146,46 @@ class StreamingGraftSpec extends SparkSpec {
     } finally g.stop()
   }
 
+  test("a timed-out analysis returns the ERROR row AND its Spark jobs are cancelled") {
+    import org.apache.spark.sql.Dataset
+    import graft.model.CriticalPathResult
+    // a plan whose job runs ~100 s if left alone: 8 tasks x 15 s sleep —
+    // if cancellation works, the executors free within a few seconds of
+    // the 1 s timeout instead of holding 8 cores for the full duration
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val g = new StreamingGraft(spark, Map(
+      "streamingLens.maxAnalysisTimeSeconds" -> "1",
+      "streamingLens.shouldLogResults" -> "false")) {
+      override protected def runGuardedAnalysis(): Dataset[CriticalPathResult] = {
+        import spark.implicits._
+        spark.range(0, 8, 1, 8).mapPartitions { it =>
+          Thread.sleep(15000); it
+        }.count()
+        slowDone.set(true)
+        spark.createDataset(Seq.empty[CriticalPathResult])
+      }
+    }
+    try {
+      val t0 = System.nanoTime()
+      val out = g.analyzeGuarded().collect()
+      val guardedSecs = (System.nanoTime() - t0) / 1e9
+      assert(out.length === 1 && out(0).streamingQueryState === "ERROR",
+        s"expected the single ERROR row, got ${out.toSeq}")
+      assert(guardedSecs < 10, s"guard blocked ${guardedSecs}s past its 1s timeout")
+      // the abandoned job must actually die: poll the status tracker until
+      // no active jobs remain — well before the 15 s a surviving task
+      // would need (interruptOnCancel breaks the sleep immediately)
+      val tracker = spark.sparkContext.statusTracker
+      var waitedMs = 0
+      while (tracker.getActiveJobIds().nonEmpty && waitedMs < 10000) {
+        Thread.sleep(200); waitedMs += 200
+      }
+      assert(tracker.getActiveJobIds().isEmpty,
+        s"analysis jobs still running ${waitedMs}ms after cancellation")
+      assert(!slowDone.get, "slow analysis ran to completion despite cancellation")
+    } finally g.stop()
+  }
+
   test("full loop: live query + analysis ticker accumulating classified results") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -93,4 +93,39 @@ class PcaSpec extends SparkSpec {
     assert(model.isEmpty)
     assert(Pca.project(none, model).count() === 0L)
   }
+
+  test("savePcaModel → loadPcaModel round-trips bit-identically and projects identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-idx").toString
+    try {
+      val model = Pca.train(emb, 8)
+      Pca.savePcaModel(model, dir, spark)
+      val re = Pca.loadPcaModel(spark, dir)
+      // doubles round-trip parquet exactly — the reloaded model must be
+      // BIT-identical, so the shipped projector cannot drift from training
+      assert(re.mean.toSeq === model.mean.toSeq)
+      assert(re.flat.toSeq === model.flat.toSeq)
+      assert(re.explained.toSeq === model.explained.toSeq)
+      assert(re.totalVar === model.totalVar)
+      val a = Pca.project(emb, model).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val b = Pca.project(emb, re).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      assert(a.toSeq === b.toSeq)
+      // the x123b-style variance gate holds on the RELOADED model: the
+      // spectrum still explains a positive, <=1 fraction of total variance
+      val ratio = re.explained.sum / re.totalVar
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-12, s"variance ratio $ratio")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("empty model persistence is total") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-empty").toString
+    try {
+      val model = Pca.train(emb.filter(lit(false)), 8)
+      Pca.savePcaModel(model, dir, spark)
+      val re = Pca.loadPcaModel(spark, dir)
+      assert(re.isEmpty)
+      assert(Pca.project(emb.filter(lit(false)), re).count() === 0L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

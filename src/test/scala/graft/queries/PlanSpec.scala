@@ -182,6 +182,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x08 keeps its banded bucket-join shape under AQE (r12 spike audit)") {
+    // The r12 driver capture timed x08 at 11.1 s in the AQE pass vs 2.8 s
+    // default in the SAME run — load noise, not a re-plan. Pin the plan
+    // facts that make a real regression detectable: under AQE the
+    // candidate set still joins the pair-intersection postings through an
+    // equi-join on (ia, ib) — never a nested loop / cartesian, which would
+    // be the corpus-quadratic failure.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = SparkEntry.queries("x08_minhash_lsh")(spark, sf)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"x08 candidate verification degraded to a quadratic join under AQE:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"no equi-join on the pair key:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("x119 IVF-PQ retrieval pairs through keyed joins only — no cartesian") {
     val p = plan("x119_ivfpq_cross_topk")
     // the candidate universe is the cell equi-join; the refine stage joins
@@ -193,6 +218,26 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi-join on the cell key:\n$p")
     // shortlist cut is a WindowGroupLimit (rank pushdown), not a full sort
     assert(p.contains("WindowGroupLimit"), s"ADC shortlist not rank-limited:\n$p")
+  }
+
+  test("x75 evaluates budgets off the two-phase pack layout — no global window of its own") {
+    val p = plan("x75_packing_efficiency")
+    // the consumer tail (everything above the cached x135 layout) is
+    // explode + hash aggregates only: a global unpartitioned cumsum here
+    // would be the single-partition 100 TB sort the two-phase layout
+    // exists to avoid
+    val cacheIdx = p.indexOf("InMemoryTableScan")
+    assert(cacheIdx >= 0, s"x75 no longer reads the shared pack layout:\n$p")
+    val consumer = p.substring(0, cacheIdx)
+    assert(!consumer.contains("Window"),
+      s"x75's own tail plans a window:\n$consumer")
+    assert(!consumer.contains("SinglePartition"),
+      s"x75's own tail plans a single-partition exchange:\n$consumer")
+    // and the cached layout is the two-phase prefix sum (doc-level window
+    // partitioned by bucket; PackSpec pins the exactly-one-single-partition
+    // bucket-subtotal shape on the operator itself)
+    assert(p.contains("hashpartitioning(bucket"),
+      s"cached layout lost its bucketed window:\n$p")
   }
 
   test("x98 samples via distributed top-k, not a global sort or window") {
