@@ -856,6 +856,22 @@ object Dedup {
     simHashNearDupPairsOf(simHashSigs(docs, textCol, idCol), hMax, maxBucket)
   }
 
+  /** The x111 banded-Hamming machinery over ANY 64-bit signature frame
+    * `(<idCol>, <sigCol>)` — text SimHash and pixel dHash (x167) share one
+    * pair miner, so the complete-for-hMax ≤ 3 pigeonhole argument, the
+    * bucket cap, and the `bit_count(xor)` verification cannot fork.
+    * Output: (`ia` < `ib`, `ham`). */
+  def hammingNearDupPairsOf(sigs: DataFrame, sigCol: String,
+                            hMax: Int = 3, maxBucket: Int = 10000,
+                            idCol: String = "doc_id"): DataFrame = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    simHashNearDupPairsOf(
+      sigs.select(col(idCol).cast("long").as("doc_id"),
+        col(sigCol).cast("long").as("simhash")),
+      hMax, maxBucket)
+  }
+
   /** Freeze the corpus's SimHash band table ONCE and return the per-batch
     * near-dup flagger — x111 as a build/apply split (the [[nearDupFlagger]]
     * lifecycle, at 1/10th the state: 4 packed band rows + one signature

@@ -277,6 +277,124 @@ object Multimodal {
       (means :+ overall :+ mn / 255.0f :+ mx / 255.0f :+ r.channels / 4.0f).toArray
     }
 
+    /** Integer luma plane of a raster: the gray sample for 1/2-channel
+      * rasters, the Rec.601 integer weighting (299R + 587G + 114B)/1000
+      * for RGB(A) — exact integer arithmetic, so every engine and every
+      * run agrees bit-for-bit. */
+    def lumaPlane(r: Raster): Array[Int] = {
+      val n = r.width * r.height
+      val out = new Array[Int](n)
+      var p = 0
+      while (p < n) {
+        val base = p * r.channels
+        out(p) =
+          if (r.channels <= 2) r.pixels(base) & 0xff
+          else (299 * (r.pixels(base) & 0xff) + 587 * (r.pixels(base + 1) & 0xff) +
+            114 * (r.pixels(base + 2) & 0xff)) / 1000
+        p += 1
+      }
+      out
+    }
+
+    /** 64-bit difference hash (dHash — the standard perceptual image
+      * fingerprint): area-average the luma plane onto a 9×8 grid (exact
+      * integer box averaging with floor boundaries `g·dim/9`; cells clamp
+      * to ≥1 pixel so the hash is total for any raster size — a 9×8 input
+      * maps cell-per-pixel), then bit (gy·8 + gx) = 1 iff
+      * cell(gy, gx+1) > cell(gy, gx). Robust to re-encoding, format
+      * conversion, and resampling (the properties the compressed-byte
+      * fingerprints of x31 cannot offer), Hamming-comparable via the x111
+      * band machinery. */
+    def dHash64(r: Raster): Long = {
+      val luma = lumaPlane(r)
+      val cells = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * r.height / 8
+        val y1 = { val e = (gy + 1) * r.height / 8; if (e <= y0) y0 + 1 else e }
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * r.width / 9
+          val x1 = { val e = (gx + 1) * r.width / 9; if (e <= x0) x0 + 1 else e }
+          var s = 0L
+          var c = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += luma(y * r.width + x); c += 1; x += 1 }
+            y += 1
+          }
+          cells(gy)(gx) = s / c
+          gx += 1
+        }
+        gy += 1
+      }
+      var h = 0L
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (cells(gy)(gx + 1) > cells(gy)(gx)) h |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      h
+    }
+
+    /** Minimal PNG encoder — the [[pngPixels]] layout in reverse (8-bit,
+      * non-interlaced, filter-0 scanlines, one deflated IDAT, CRC32
+      * chunks), so an encode→decode round trip is pixel-exact
+      * (MultimodalSpec pins it). Exists so fixtures and tests can
+      * synthesize REAL decodable payloads without a codec library; a
+      * production pipeline encodes with its own codec at the same seam. */
+    def pngEncode(r: Raster): Array[Byte] = {
+      require(r.width > 0 && r.height > 0 &&
+        r.channels >= 1 && r.channels <= 4 &&
+        r.pixels.length == r.width * r.height * r.channels,
+        s"malformed raster ${r.width}x${r.height}x${r.channels}")
+      val colorType = r.channels match {
+        case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6
+      }
+      val stride = r.width * r.channels
+      val raw = new Array[Byte]((stride + 1) * r.height)
+      var y = 0
+      while (y < r.height) {
+        System.arraycopy(r.pixels, y * stride, raw, (stride + 1) * y + 1, stride)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) idat.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def be32(v: Int): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(typ: String, payload: Array[Byte]): Unit = {
+        val tp = typ.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(tp)
+        crc.update(payload)
+        out.write(be32(payload.length))
+        out.write(tp)
+        out.write(payload)
+        out.write(be32(crc.getValue.toInt))
+      }
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(be32(r.width))
+      ihdr.write(be32(r.height))
+      ihdr.write(Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", idat.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
     /** Container-aware decoder: header-parsed dimensions for PNG / JPEG /
       * GIF payloads (None otherwise — "unknown", never a fake), REAL pixel
       * statistics for decodable PNGs ([[pngPixels]]), and a content-byte
@@ -318,6 +436,24 @@ object Multimodal {
       // per-partition codec context would be created here
       it.map(MediaCodecs.decode)
     }
+  }
+
+  /** Partition-wise 64-bit perceptual hashing over a typed media Dataset:
+    * decode the raster (PNG through the spec-pinned pure-JVM decoder,
+    * other containers through the ImageIO bridge) and dHash its luma
+    * plane. Output `(media_id, phash)`, phash NULL for payloads with no
+    * decodable raster — "unknown", never a byte-stream fake. One map-side
+    * pass; codec context per partition, per the [[extractFeatures]]
+    * contract. */
+  def perceptualHashes(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { f =>
+        val r = MediaCodecs.pngPixels(f.content)
+          .orElse(MediaCodecs.imageIoPixels(f.content))
+        (f.media_id, r.map(MediaCodecs.dHash64))
+      }
+    }.toDF("media_id", "phash")
   }
 
   /** Deterministic "frame sampling": every `stride`-th fixed-size block of

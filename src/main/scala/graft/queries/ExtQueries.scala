@@ -785,6 +785,36 @@ object ExtQueries {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(r => (r._3, r._4)).toSeq
 
+  /** x166/x167's shared pixel-fingerprint frame: each doc rendered as a
+    * REAL 9×8 grayscale PNG (first 72 char codes as luma, cyclic —
+    * deterministic and engine-reproducible), pushed through the FULL
+    * pixel chain: pngEncode → pngPixels decode → luma → dHash. The
+    * oracle recomputes the hash from char codes directly (it never sees a
+    * PNG), so a hash-match proves the encode → decode → hash pipeline is
+    * pixel-exact — the catalog-level twin of MultimodalSpec's raster
+    * round-trip tests. */
+  private def pixelDHashShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pixel-dhash-9x8") {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val px = new Array[Byte](72)
+            var i = 0
+            while (i < 72) {
+              px(i) = (text.charAt(i % text.length) & 0xff).toByte
+              i += 1
+            }
+            Multimodal.MediaFile(id, "image",
+              Multimodal.MediaCodecs.pngEncode(Multimodal.Raster(9, 8, 1, px)),
+              Map.empty)
+          }
+        }
+      Multimodal.perceptualHashes(media)
+    }
+
   /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
     * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
     * jobs, unrolled (iteration i: pair counts of s(i-1) → argmax m(i) →
@@ -6331,6 +6361,72 @@ object ExtQueries {
         Seq((counts == expected) && expected.nonEmpty)
           .toDF("transition_stream_ok")
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS transition_stream_ok"))
+      Some("SELECT CAST(1 AS BOOLEAN) AS transition_stream_ok")),
+
+    // x166 — pixel-level perceptual fingerprints: every doc rendered as a
+    // REAL 9×8 grayscale PNG and pushed through the full pixel pipeline
+    // (pngEncode → pure-JVM pngPixels decode → luma → 64-bit dHash),
+    // reported as the hash's 8 row-bytes so the DuckDB oracle — which
+    // recomputes the same dHash from char codes WITHOUT ever seeing a
+    // PNG — hash-matches: the oracle-checked proof that pixel decode is
+    // exact, not a byte-stream proxy. One map-side pass per doc.
+    QueryDef("x166_pixel_dhash",
+      (s, d) => pixelDHashShared(s, d)
+        .filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 7), g -> shiftright(phash, 8 * g) & 255L)"))
+            .as(Seq("row_no", "bits")))
+        .select(col("doc_id"), col("row_no").cast("long").as("row_no"),
+          col("bits"))
+        .orderBy("doc_id", "row_no"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((gy.range * 9 + gx.range) % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 8) gy, range(0, 9) gx),
+                   p AS (SELECT a.doc_id, a.gy, a.gx,
+                           CASE WHEN b.v > a.v THEN 1 << a.gx ELSE 0 END AS bit
+                         FROM g a JOIN g b ON a.doc_id = b.doc_id
+                           AND a.gy = b.gy AND b.gx = a.gx + 1
+                         WHERE a.gx < 8)
+              SELECT doc_id, CAST(gy AS BIGINT) AS row_no,
+                     CAST(sum(bit) AS BIGINT) AS bits
+              FROM p GROUP BY 1, 2 ORDER BY doc_id, row_no""")),
+
+    // x167 — pixel near-dup pairs: banded Hamming pairing over the x166
+    // dHashes through the SAME 4×16-bit machinery as text SimHash (x111)
+    // — complete for hamming ≤ 3 by pigeonhole, bucket-capped, one
+    // bit_count(xor) per candidate. The oracle brute-forces hamming from
+    // its independently-computed row-bytes, so the banded pair set is
+    // EXACT-checked, not gated: re-encoded payloads pair only via pixels,
+    // which the x31 compressed-byte fingerprints cannot do.
+    QueryDef("x167_phash_hamming_pairs",
+      (s, d) => Dedup.hammingNearDupPairsOf(
+          pixelDHashShared(s, d).filter(col("phash").isNotNull),
+          "phash", hMax = 3, idCol = "media_id")
+        .orderBy("ia", "ib"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((gy.range * 9 + gx.range) % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 8) gy, range(0, 9) gx),
+                   byts AS (SELECT a.doc_id, a.gy AS row_no,
+                              CAST(sum(CASE WHEN b.v > a.v THEN 1 << a.gx
+                                       ELSE 0 END) AS BIGINT) AS bits
+                            FROM g a JOIN g b ON a.doc_id = b.doc_id
+                              AND a.gy = b.gy AND b.gx = a.gx + 1
+                            WHERE a.gx < 8 GROUP BY 1, 2),
+                   h AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT)
+                             AS ham
+                         FROM byts a JOIN byts b
+                           ON a.row_no = b.row_no AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib"""))
   )
 }

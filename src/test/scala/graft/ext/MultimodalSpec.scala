@@ -235,4 +235,92 @@ class MultimodalSpec extends SparkSpec {
     val m0 = media.find(_.media_id == 0L).get
     assert(m0.kind === "image")
   }
+
+  test("pngEncode → pngPixels round-trips pixel-exactly for every channel count") {
+    val rnd = new scala.util.Random(7)
+    for (channels <- 1 to 4; (w, h) <- Seq((1, 1), (5, 3), (9, 8), (16, 16))) {
+      val px = Array.fill(w * h * channels)(rnd.nextInt(256).toByte)
+      val r = Raster(w, h, channels, px)
+      val decoded = MediaCodecs.pngPixels(MediaCodecs.pngEncode(r))
+      assert(decoded.isDefined, s"$w x $h x $channels did not decode")
+      assert(decoded.get.width === w && decoded.get.height === h)
+      assert(decoded.get.channels === channels)
+      assert(decoded.get.pixels.toSeq === px.toSeq, s"$w x $h x $channels")
+    }
+  }
+
+  test("dHash64 is invariant under re-encoding and format conversion") {
+    val rnd = new scala.util.Random(11)
+    val px = Array.fill(32 * 24 * 3)(rnd.nextInt(256).toByte)
+    val r = Raster(32, 24, 3, px)
+    val base = MediaCodecs.dHash64(r)
+    // re-encode through our PNG writer: different byte stream (filter-0 +
+    // fresh deflate), identical pixels, identical hash
+    val png = MediaCodecs.pngEncode(r)
+    assert(MediaCodecs.dHash64(MediaCodecs.pngPixels(png).get) === base)
+    // format conversion through a REAL second codec (JDK BMP writer)
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val i = (y * 32 + x) * 3
+      img.setRGB(x, y, ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff))
+    }
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    val viaBmp = MediaCodecs.imageIoPixels(bmp.toByteArray).get
+    assert(MediaCodecs.dHash64(viaBmp) === base, "BMP conversion changed the hash")
+  }
+
+  test("dHash64 is invariant under integer upscaling (2x nearest neighbor)") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(9 * 8)(rnd.nextInt(256).toByte)
+    val up = new Array[Byte](18 * 16)
+    for (y <- 0 until 16; x <- 0 until 18)
+      up(y * 18 + x) = base((y / 2) * 9 + (x / 2))
+    val h1 = MediaCodecs.dHash64(Raster(9, 8, 1, base))
+    val h2 = MediaCodecs.dHash64(Raster(18, 16, 1, up))
+    assert(h1 === h2, "2x-upscaled raster hashed differently")
+  }
+
+  test("re-encoded PNGs pair ONLY via pixels: dHash matches where byte fingerprints cannot") {
+    import spark.implicits._
+    implicit val ord = Ordering.Long
+    val rnd = new scala.util.Random(17)
+    // 18x16: an exact multiple of the 9x8 hash grid, so integer upscaling
+    // preserves every cell average exactly
+    val px = Array.fill(18 * 16)(rnd.nextInt(256).toByte)
+    // payload 1: our filter-0 PNG at native size; payload 2: the SAME
+    // image RESAMPLED to 2x and re-encoded through the JDK PNG writer — a
+    // different resolution, different pixel array, and entirely different
+    // compressed byte stream; payload 3: an unrelated raster
+    val p1 = MediaCodecs.pngEncode(Raster(18, 16, 1, px))
+    val img = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // raw raster samples, NOT setRGB: setRGB routes through an sRGB->gray
+    // colorspace conversion that would alter the stored pixel values
+    for (y <- 0 until 32; x <- 0 until 36)
+      img.getRaster.setSample(x, y, 0, px((y / 2) * 18 + (x / 2)) & 0xff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val p2 = buf.toByteArray
+    assert(!java.util.Arrays.equals(p1, p2), "re-encode produced identical bytes")
+    val p3 = MediaCodecs.pngEncode(
+      Raster(18, 16, 1, Array.fill(18 * 16)(rnd.nextInt(256).toByte)))
+    // byte-level block fingerprints (the x31 shape) fall below its 0.2
+    // Jaccard threshold: only the shared signature/IHDR header block can
+    // collide — the pixel data streams are disjoint
+    def blocks(b: Array[Byte]) = b.grouped(32).map(_.toSeq).toSet
+    val (b1, b2) = (blocks(p1), blocks(p2))
+    val jacc = (b1 intersect b2).size.toDouble / (b1 union b2).size
+    assert(jacc < 0.2, s"re-encoded byte streams too similar: jacc $jacc")
+    // pixel dHash pairs them at hamming 0, and only them
+    val media = Seq(MediaFile(1L, "image", p1, Map.empty),
+      MediaFile(2L, "image", p2, Map.empty),
+      MediaFile(3L, "image", p3, Map.empty)).toDS()
+    val sigs = perceptualHashes(media)
+    val pairs = Dedup.hammingNearDupPairsOf(sigs, "phash", hMax = 3,
+        idCol = "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
 }
