@@ -395,6 +395,94 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Minimal WAV (RIFF/PCM16LE mono) encoder — the audio analog of
+      * [[pngEncode]]: a real, decodable container synthesized without any
+      * codec library, so fixtures and tests exercise the full
+      * encode → parse → fingerprint chain. */
+    def wavEncode(samples: Array[Short], sampleRate: Int = 16000): Array[Byte] = {
+      require(sampleRate > 0, s"sampleRate must be > 0, got $sampleRate")
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1) // PCM, mono
+      out.putInt(sampleRate).putInt(sampleRate * 2)
+      out.putShort(2).putShort(16) // block align, bits/sample
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(out.putShort)
+      out.array()
+    }
+
+    /** Parse a [[wavEncode]]-shaped WAV: RIFF/WAVE signature, a chunk walk
+      * to `fmt ` (must be PCM16 mono) and `data`. Total — anything else
+      * (compressed codecs, multi-channel, truncated) returns None, the
+      * "unknown, never a fake" rule. Returns (sampleRate, samples). */
+    def wavSamples(b: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (b.length < 44 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      var rate = 0
+      var okFmt = false
+      var data: Option[Array[Short]] = None
+      while (i + 8 <= b.length && (data.isEmpty || !okFmt)) {
+        val typ = new String(b, i, 4, "US-ASCII")
+        val len = buf.getInt(i + 4)
+        if (len < 0 || i + 8 + len.toLong > b.length) return None
+        if (typ == "fmt ") {
+          if (len < 16) return None
+          val fmt = buf.getShort(i + 8)
+          val ch = buf.getShort(i + 10)
+          val bits = buf.getShort(i + 22)
+          if (fmt != 1 || ch != 1 || bits != 16) return None
+          rate = buf.getInt(i + 12)
+          okFmt = true
+        } else if (typ == "data") {
+          val n = len / 2
+          val s = new Array[Short](n)
+          var k = 0
+          while (k < n) { s(k) = buf.getShort(i + 8 + 2 * k); k += 1 }
+          data = Some(s)
+        }
+        i += 8 + len + (len & 1) // RIFF chunks pad to even
+      }
+      if (okFmt && rate > 0) data.map(d => (rate, d)) else None
+    }
+
+    /** 64-bit audio envelope fingerprint — dHash's shape on the time axis:
+      * the absolute-amplitude ENERGY SUM over 65 equal-rule windows
+      * (`w·n/65` floor boundaries, clamped to ≥1 sample — total for any
+      * non-empty signal), bit b = 1 iff envelope(b+1) > envelope(b). Exact
+      * integer arithmetic end to end; robust to uniform gain (strict sums
+      * scale monotonically) and to integer-aligned resampling, the audio
+      * near-dup signal compressed-byte fingerprints cannot give. Empty
+      * signal → 0L. */
+    def audioFingerprint64(samples: Array[Short]): Long = {
+      if (samples.isEmpty) return 0L
+      val n = samples.length
+      val env = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val a0 = w * n / 65
+        val a1 = { val e = (w + 1) * n / 65; if (e <= a0) a0 + 1 else e }
+        var s = 0L
+        var k = a0
+        while (k < a1) { s += math.abs(samples(math.min(k, n - 1)).toLong); k += 1 }
+        env(w) = s
+        w += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (env(b + 1) > env(b)) h |= 1L << b
+        b += 1
+      }
+      h
+    }
+
     /** Container-aware decoder: header-parsed dimensions for PNG / JPEG /
       * GIF payloads (None otherwise — "unknown", never a fake), REAL pixel
       * statistics for decodable PNGs ([[pngPixels]]), and a content-byte
@@ -454,6 +542,20 @@ object Multimodal {
         (f.media_id, r.map(MediaCodecs.dHash64))
       }
     }.toDF("media_id", "phash")
+  }
+
+  /** Partition-wise audio fingerprinting over a typed media Dataset: parse
+    * the WAV container ([[MediaCodecs.wavSamples]]) and fingerprint the
+    * energy envelope. `(media_id, afp)`, NULL for payloads that are not
+    * decodable PCM16 mono WAV. */
+  def audioFingerprints(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { f =>
+        (f.media_id, MediaCodecs.wavSamples(f.content)
+          .map { case (_, s) => MediaCodecs.audioFingerprint64(s) })
+      }
+    }.toDF("media_id", "afp")
   }
 
   /** Deterministic "frame sampling": every `stride`-th fixed-size block of

@@ -815,6 +815,57 @@ object ExtQueries {
       Multimodal.perceptualHashes(media)
     }
 
+  /** x172/x173's shared audio-fingerprint frame — the x166 pattern on the
+    * audio axis: each doc rendered as a REAL PCM16 mono WAV (130 samples
+    * from char codes, exactly 2 per envelope window), pushed through the
+    * full wavEncode → wavSamples parse → energy-envelope fingerprint
+    * chain; the oracle recomputes the envelope from char codes without
+    * ever seeing a WAV. */
+  private def audioFpShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "audio-fp-130") {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val sm = new Array[Short](130)
+            var i = 0
+            while (i < 130) {
+              sm(i) = (((text.charAt(i % text.length) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            Multimodal.MediaFile(id, "audio",
+              Multimodal.MediaCodecs.wavEncode(sm), Map.empty)
+          }
+        }
+      Multimodal.audioFingerprints(media)
+    }
+
+  /** x168/x168b's shared matryoshka retrieval frame: query vec 0's exact
+    * cosine top-10 at each embedding PREFIX length (8/16/32/64 dims) —
+    * the MRL truncation evaluation run once, consumed by the ranking
+    * report and the overlap verdict. */
+  private def matryoshkaShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "matryoshka-topk-q0") {
+      val emb = Tables.embeddings(s, d)
+      Seq(8, 16, 32, 64).map { m =>
+        val e = expr(s"transform(slice(embedding, 1, $m), x -> CAST(x AS DOUBLE))")
+        val sliced = emb.filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), e.as("e"))
+        val qs = emb.filter(col("vec_id") === 0L).select(e.as("qe"))
+        sliced.crossJoin(broadcast(qs))
+          .select(lit(m.toLong).as("m"), col("vec_id"),
+            round(Similarity.dot(col("e"), col("qe")) /
+              (Similarity.norm(col("e")) * Similarity.norm(col("qe"))), 6)
+              .as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      }.reduce(_ unionAll _)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("m"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+    }
+
   /** The x121/x122 oracle's shared CTE chain: re-derive `n` BPE merges in
     * pure SQL — the exact recurrence [[graft.ext.Bpe.train]] runs as Spark
     * jobs, unrolled (iteration i: pair counts of s(i-1) → argmax m(i) →
@@ -6421,6 +6472,291 @@ object ExtQueries {
                             FROM g a JOIN g b ON a.doc_id = b.doc_id
                               AND a.gy = b.gy AND b.gx = a.gx + 1
                             WHERE a.gx < 8 GROUP BY 1, 2),
+                   h AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT)
+                             AS ham
+                         FROM byts a JOIN byts b
+                           ON a.row_no = b.row_no AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib""")),
+
+    // x168 — matryoshka (MRL) truncation retrieval: query vec 0's exact
+    // cosine top-10 computed at each embedding PREFIX length (8/16/32/64
+    // dims) — the evaluation a pipeline runs before committing to
+    // truncated-embedding indexes (half the dims = half of every
+    // downstream shuffle/index/distance — IF the ranking survives).
+    // Broadcast query row per prefix, TakeOrderedAndProject top-10, rank
+    // window over the 40 survivor rows only.
+    QueryDef("x168_matryoshka_topk",
+      (s, d) => matryoshkaShared(s, d).orderBy("m", "rnk"),
+      Some("""WITH m AS (SELECT unnest([8, 16, 32, 64]) AS m),
+                   q AS (SELECT m.m, embedding[1:m.m]::DOUBLE[] AS qe
+                         FROM embeddings, m WHERE vec_id = 0),
+                   sc AS (SELECT q.m, e.vec_id,
+                            round(list_cosine_similarity(
+                              e.embedding[1:q.m]::DOUBLE[], q.qe), 6) AS cos
+                          FROM embeddings e, q WHERE e.vec_id <> 0),
+                   rk AS (SELECT m, vec_id, cos,
+                            CAST(row_number() OVER (PARTITION BY m
+                              ORDER BY cos DESC, vec_id) AS INT) AS rnk
+                          FROM sc)
+              SELECT CAST(m AS BIGINT) AS m, vec_id, cos, rnk
+              FROM rk WHERE rnk <= 10 ORDER BY m, rnk""")),
+
+    // x168b — truncation-safety verdict: overlap@10 of each prefix's
+    // top-10 with the full-dim top-10, the scalar that says which prefix
+    // is safe to index at. Tiny self-join over the 40-row shared frame.
+    QueryDef("x168b_matryoshka_overlap",
+      (s, d) => {
+        val f = matryoshkaShared(s, d)
+        f.filter(col("m") =!= 64L)
+          .join(f.filter(col("m") === 64L).select(col("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .groupBy(col("m")).agg(count(lit(1)).as("overlap_at_10"))
+          .orderBy("m")
+      },
+      Some("""WITH m AS (SELECT unnest([8, 16, 32, 64]) AS m),
+                   q AS (SELECT m.m, embedding[1:m.m]::DOUBLE[] AS qe
+                         FROM embeddings, m WHERE vec_id = 0),
+                   sc AS (SELECT q.m, e.vec_id,
+                            round(list_cosine_similarity(
+                              e.embedding[1:q.m]::DOUBLE[], q.qe), 6) AS cos
+                          FROM embeddings e, q WHERE e.vec_id <> 0),
+                   rk AS (SELECT m, vec_id,
+                            row_number() OVER (PARTITION BY m
+                              ORDER BY cos DESC, vec_id) AS rnk
+                          FROM sc),
+                   top AS (SELECT m, vec_id FROM rk WHERE rnk <= 10)
+              SELECT CAST(a.m AS BIGINT) AS m, count(*) AS overlap_at_10
+              FROM top a JOIN top f ON f.m = 64 AND f.vec_id = a.vec_id
+              WHERE a.m <> 64 GROUP BY 1 ORDER BY m""")),
+
+    // x169 — length-bucketed batching report: docs assigned to
+    // power-of-two token buckets (the dynamic-batching layout that
+    // replaces one global pad-to-max), with the padding overhead each
+    // bucket pays — the loader diagnostic that picks bucket boundaries.
+    // Integer CASE ladder (no float log2 — engines disagree at exact
+    // powers), one hash aggregate over ≤ 10 buckets.
+    QueryDef("x169_length_buckets",
+      (s, d) => {
+        val n = TextAnalysis.wsTokenCount(col("text")).cast("long")
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), n.as("n"))
+          .withColumn("bucket",
+            when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+              .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+              .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+              .when(col("n") <= 1024, 1024L).when(col("n") <= 2048, 2048L)
+              .when(col("n") <= 4096, 4096L).otherwise(8192L))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .select(col("bucket"), col("n_docs"), col("n_tokens"),
+            (col("bucket") * col("n_docs") - col("n_tokens")).as("n_padding"),
+            expr("CAST(n_tokens * 1000000 div (bucket * n_docs) AS BIGINT)")
+              .as("fill_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                   FROM documents WHERE length(trim(text)) > 0),
+                   b AS (SELECT doc_id, n,
+                           CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                                WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                                WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                                WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                                WHEN n <= 4096 THEN 4096 ELSE 8192 END AS bucket
+                         FROM t)
+              SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(bucket * count(*) - sum(n) AS BIGINT) AS n_padding,
+                     CAST(sum(n) * 1000000 // (bucket * count(*)) AS BIGINT)
+                       AS fill_ppm
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // x170 — T5-style span-corruption plan: a DETERMINISTIC noise mask
+    // (position p starts a 3-token masked span iff its seeded md5 bucket
+    // hits — the DSIR md5-portable idiom, ~5% starts → ~15% masked), with
+    // the per-doc corruption accounting a denoising-objective loader
+    // needs: masked tokens, contiguous spans (= sentinels inserted), and
+    // the resulting input length. Keyed lag windows per doc, never global.
+    QueryDef("x170_span_corruption",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("n"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr("sequence(1, n)")).as(Seq("i", "p")))
+          .withColumn("st", (expr(
+            """CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+               CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)""") % 20 === 0)
+            .cast("int"))
+          .withColumn("mask", greatest(col("st"),
+            coalesce(lag(col("st"), 1).over(w), lit(0)),
+            coalesce(lag(col("st"), 2).over(w), lit(0))))
+          .withColumn("span_start",
+            (col("mask") === 1 &&
+              coalesce(lag(col("mask"), 1).over(w), lit(0)) === 0).cast("int"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            sum(col("mask")).cast("long").as("n_masked"),
+            sum(col("span_start")).cast("long").as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+            col("n_spans"),
+            (col("n_tokens") - col("n_masked") + col("n_spans"))
+              .as("input_len"),
+            expr("CAST(n_masked * 1000000 div n_tokens AS BIGINT)")
+              .as("mask_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                   FROM documents WHERE length(trim(text)) > 0),
+                   pos AS (SELECT doc_id, n, unnest(range(0, n)) + 1 AS p
+                           FROM t),
+                   st AS (SELECT doc_id, n, p,
+                            CASE WHEN ('0x' || substr(md5(doc_id || ':' || p), 1, 6))::BIGINT
+                                 % 20 = 0 THEN 1 ELSE 0 END AS s
+                          FROM pos),
+                   mk AS (SELECT doc_id, n, p, s,
+                            greatest(s,
+                              coalesce(lag(s, 1) OVER dw, 0),
+                              coalesce(lag(s, 2) OVER dw, 0)) AS mask
+                          FROM st
+                          WINDOW dw AS (PARTITION BY doc_id ORDER BY p)),
+                   sp AS (SELECT doc_id, n, p, mask,
+                            CASE WHEN mask = 1 AND
+                              coalesce(lag(mask, 1) OVER dw, 0) = 0
+                              THEN 1 ELSE 0 END AS span_start
+                          FROM mk
+                          WINDOW dw AS (PARTITION BY doc_id ORDER BY p))
+              SELECT doc_id, max(n) AS n_tokens,
+                     CAST(sum(mask) AS BIGINT) AS n_masked,
+                     CAST(sum(span_start) AS BIGINT) AS n_spans,
+                     CAST(max(n) - sum(mask) + sum(span_start) AS BIGINT)
+                       AS input_len,
+                     CAST(sum(mask) * 1000000 // max(n) AS BIGINT) AS mask_ppm
+              FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x171 — preference-pair construction (the DPO/RLHF data-prep shape
+    // on this corpus): within each source, docs ranked by integer quality
+    // score, best paired against worst (rank i vs rank n+1-i) with the
+    // exact score margin — deterministic chosen/rejected pairs with no
+    // random draw. Keyed rank windows per source + one keyed self-join.
+    QueryDef("x171_preference_pairs",
+      (s, d) => {
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val wn = Window.partitionBy(col("source"))
+        val ranked = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScoreInt(col("text")).as("q"))
+          .withColumn("rnk", row_number().over(ws).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+        ranked.as("a")
+          .join(ranked.as("b"),
+            col("a.source") === col("b.source") &&
+              col("b.rnk") === col("a.n") + 1 - col("a.rnk") &&
+              col("a.rnk") < col("b.rnk"))
+          .select(col("a.source").as("source"), col("a.rnk").as("pair_no"),
+            col("a.doc_id").as("chosen_id"), col("b.doc_id").as("rejected_id"),
+            (col("a.q") - col("b.q")).as("margin"))
+          .orderBy("source", "pair_no")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH tq AS (SELECT source, doc_id, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM (SELECT source, doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents) t),
+              rk AS (SELECT source, doc_id, q,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY q DESC, doc_id) AS BIGINT) AS rnk,
+                       count(*) OVER (PARTITION BY source) AS n
+                     FROM tq)
+            SELECT a.source AS source, a.rnk AS pair_no, a.doc_id AS chosen_id,
+                   b.doc_id AS rejected_id,
+                   CAST(a.q - b.q AS BIGINT) AS margin
+            FROM rk a JOIN rk b ON a.source = b.source
+              AND b.rnk = a.n + 1 - a.rnk AND a.rnk < b.rnk
+            ORDER BY a.source, pair_no"""
+      }),
+
+    // x172 — audio envelope fingerprints: the x166 discipline on the
+    // audio axis — every doc rendered as a REAL PCM16 mono WAV (130
+    // samples from char codes), parsed back through the container walk
+    // and fingerprinted from the energy envelope (65 windows of exactly
+    // 2 samples, sign-of-adjacent-diff bits). Reported as row-bytes; the
+    // oracle recomputes from char codes without ever seeing a WAV, so a
+    // hash-match proves the container parse is sample-exact.
+    QueryDef("x172_audio_fingerprint",
+      (s, d) => audioFpShared(s, d)
+        .filter(col("afp").isNotNull)
+        .select(col("media_id").as("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 7), g -> shiftright(afp, 8 * g) & 255L)"))
+            .as(Seq("row_no", "bits")))
+        .select(col("doc_id"), col("row_no").cast("long").as("row_no"),
+          col("bits"))
+        .orderBy("doc_id", "row_no"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   sm AS (SELECT doc_id, i.range AS i,
+                            abs((ord(substr(text,
+                              CAST((i.range % n) + 1 AS BIGINT), 1)) % 256
+                              - 128) * 256) AS a
+                          FROM d, range(0, 130) i),
+                   env AS (SELECT doc_id, i // 2 AS w,
+                             CAST(sum(a) AS BIGINT) AS e
+                           FROM sm GROUP BY 1, 2),
+                   p AS (SELECT a.doc_id, a.w,
+                           CASE WHEN c.e > a.e THEN 1 << CAST(a.w % 8 AS INT)
+                                ELSE 0 END AS bit
+                         FROM env a JOIN env c
+                           ON a.doc_id = c.doc_id AND c.w = a.w + 1
+                         WHERE a.w < 64)
+              SELECT doc_id, CAST(w // 8 AS BIGINT) AS row_no,
+                     CAST(sum(bit) AS BIGINT) AS bits
+              FROM p GROUP BY 1, 2 ORDER BY doc_id, row_no""")),
+
+    // x173 — audio near-dup pairs: banded Hamming over the x172
+    // fingerprints through the SAME generalized x111 machinery as text
+    // SimHash and pixel dHash — one pair miner, three modalities. Exact
+    // oracle (brute-force Hamming from the independent row-bytes).
+    QueryDef("x173_audio_hamming_pairs",
+      (s, d) => Dedup.hammingNearDupPairsOf(
+          audioFpShared(s, d).filter(col("afp").isNotNull),
+          "afp", hMax = 3, idCol = "media_id")
+        .orderBy("ia", "ib"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   sm AS (SELECT doc_id, i.range AS i,
+                            abs((ord(substr(text,
+                              CAST((i.range % n) + 1 AS BIGINT), 1)) % 256
+                              - 128) * 256) AS a
+                          FROM d, range(0, 130) i),
+                   env AS (SELECT doc_id, i // 2 AS w,
+                             CAST(sum(a) AS BIGINT) AS e
+                           FROM sm GROUP BY 1, 2),
+                   byts AS (SELECT a.doc_id, CAST(a.w // 8 AS BIGINT) AS row_no,
+                              CAST(sum(CASE WHEN c.e > a.e
+                                THEN 1 << CAST(a.w % 8 AS INT)
+                                ELSE 0 END) AS BIGINT) AS bits
+                            FROM env a JOIN env c
+                              ON a.doc_id = c.doc_id AND c.w = a.w + 1
+                            WHERE a.w < 64 GROUP BY 1, 2),
                    h AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
                            CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT)
                              AS ham

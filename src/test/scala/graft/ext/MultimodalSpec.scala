@@ -282,6 +282,62 @@ class MultimodalSpec extends SparkSpec {
     assert(h1 === h2, "2x-upscaled raster hashed differently")
   }
 
+  test("wavEncode → wavSamples round-trips PCM16 samples exactly; parse is total") {
+    val rnd = new scala.util.Random(19)
+    for (n <- Seq(1, 2, 130, 1001)) {
+      val s = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val parsed = MediaCodecs.wavSamples(MediaCodecs.wavEncode(s, 22050))
+      assert(parsed.isDefined, s"n=$n did not parse")
+      assert(parsed.get._1 === 22050)
+      assert(parsed.get._2.toSeq === s.toSeq, s"n=$n samples differ")
+    }
+    // total on malformed / foreign payloads
+    assert(MediaCodecs.wavSamples("RIFFxxxx".getBytes("US-ASCII")) === None)
+    assert(MediaCodecs.wavSamples("not audio".getBytes("UTF-8")) === None)
+    assert(MediaCodecs.wavSamples(
+      MediaCodecs.wavEncode(Array[Short](1, 2, 3)).dropRight(2)) === None)
+    // stereo / non-PCM rejected, not misparsed
+    val stereo = MediaCodecs.wavEncode(Array[Short](1, 2, 3, 4))
+    stereo(22) = 2 // channel count field
+    assert(MediaCodecs.wavSamples(stereo) === None)
+  }
+
+  test("audioFingerprint64 is invariant under aligned resampling and uniform gain") {
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(130)((rnd.nextInt(2000) - 1000).toShort)
+    val h = MediaCodecs.audioFingerprint64(base)
+    // 2x sample-repeat (aligned: 260 = 65 windows x 4): envelope sums
+    // double uniformly, strict comparisons unchanged
+    val up = base.flatMap(s => Array(s, s))
+    assert(MediaCodecs.audioFingerprint64(up) === h, "2x resample changed the fingerprint")
+    // uniform gain: sums scale, signs of strict differences survive
+    val louder = base.map(s => (s * 8).toShort)
+    assert(MediaCodecs.audioFingerprint64(louder) === h, "gain changed the fingerprint")
+    // an unrelated signal does not collide
+    val other = Array.fill(130)((rnd.nextInt(2000) - 1000).toShort)
+    assert(MediaCodecs.audioFingerprint64(other) !== h)
+    assert(MediaCodecs.audioFingerprint64(Array.emptyShortArray) === 0L)
+  }
+
+  test("re-encoded audio pairs via the envelope where byte streams differ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(130)((rnd.nextInt(2000) - 1000).toShort)
+    // payload 2: 2x-resampled at a different sample rate — different
+    // container bytes, same envelope fingerprint
+    val p1 = MediaCodecs.wavEncode(base, 16000)
+    val p2 = MediaCodecs.wavEncode(base.flatMap(s => Array(s, s)), 32000)
+    val p3 = MediaCodecs.wavEncode(
+      Array.fill(130)((rnd.nextInt(2000) - 1000).toShort), 16000)
+    val media = Seq(MediaFile(1L, "audio", p1, Map.empty),
+      MediaFile(2L, "audio", p2, Map.empty),
+      MediaFile(3L, "audio", p3, Map.empty)).toDS()
+    val pairs = Dedup.hammingNearDupPairsOf(
+        audioFingerprints(media), "afp", hMax = 3, idCol = "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
   test("re-encoded PNGs pair ONLY via pixels: dHash matches where byte fingerprints cannot") {
     import spark.implicits._
     implicit val ord = Ordering.Long
