@@ -6763,6 +6763,137 @@ object ExtQueries {
                          FROM byts a JOIN byts b
                            ON a.row_no = b.row_no AND a.doc_id < b.doc_id
                          GROUP BY 1, 2)
-              SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib"""))
+              SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib""")),
+
+    // x174 — packing attention accounting: what fraction of causal
+    // attention pairs inside the x135 packed sequences stay WITHIN one
+    // document — the diagnostic behind the "attention-mask vs plain
+    // concat" packing decision (a low within-doc fraction means plain
+    // concatenation trains mostly on cross-document noise). Two keyed
+    // aggregates over the shared segments frame; exact integer pair
+    // arithmetic.
+    QueryDef("x174_pack_attention",
+      (s, d) => Pack.packSegments(packPlanShared(s, d), capacity = 128L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_slices"),
+          sum(col("seg_len")).as("t"),
+          sum(expr("seg_len * (seg_len + 1) div 2")).as("within"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_slices")).as("n_slices"),
+          sum(col("within")).as("within_pairs"),
+          sum(expr("t * (t + 1) div 2")).as("total_pairs"))
+        .select(col("n_seqs"), col("n_slices"),
+          expr("CAST(n_slices * 1000000 div n_seqs AS BIGINT)")
+            .as("slices_per_seq_ppm"),
+          col("within_pairs"), col("total_pairs"),
+          expr("CAST(within_pairs * 1000000 div total_pairs AS BIGINT)")
+            .as("within_doc_ppm")),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT u.s AS seq_id,
+                            least(cb + n, (u.s + 1) * 128)
+                              - greatest(cb, u.s * 128) AS seg_len
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  per AS (SELECT seq_id, count(*) AS n_slices,
+                            sum(seg_len) AS t,
+                            sum(seg_len * (seg_len + 1) // 2) AS within
+                          FROM seg GROUP BY 1)
+              SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+                     CAST(sum(n_slices) AS BIGINT) AS n_slices,
+                     CAST(sum(n_slices) * 1000000 // count(*) AS BIGINT)
+                       AS slices_per_seq_ppm,
+                     CAST(sum(within) AS BIGINT) AS within_pairs,
+                     CAST(sum(t * (t + 1) // 2) AS BIGINT) AS total_pairs,
+                     CAST(sum(within) * 1000000 // sum(t * (t + 1) // 2)
+                       AS BIGINT) AS within_doc_ppm
+              FROM per""")),
+
+    // x175 — quality × length joint histogram: the 2-D curation heatmap
+    // (x169's length buckets × 5 integer quality bands) read before
+    // setting joint thresholds — short-and-high-quality vs
+    // long-and-low-quality populations are invisible to the two marginal
+    // histograms. One hash aggregate over ≤ 50 cells.
+    QueryDef("x175_quality_length_grid",
+      (s, d) => {
+        val n = TextAnalysis.wsTokenCount(col("text")).cast("long")
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(n.as("n"), TextAnalysis.qualityScoreInt(col("text")).as("q"))
+          .withColumn("len_bucket",
+            when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+              .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+              .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+              .otherwise(1024L))
+          .withColumn("q_band", expr("q div 2000"))
+          .groupBy(col("len_bucket"), col("q_band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .orderBy("len_bucket", "q_band")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH tq AS (SELECT CAST(w AS BIGINT) AS n, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM (SELECT len(string_split_regex(trim(text), '\\s+')) AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents WHERE length(trim(text)) > 0) t),
+              b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                           WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                           WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                           ELSE 1024 END AS len_bucket,
+                         q // 2000 AS q_band, n
+                    FROM tq)
+            SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+                   CAST(q_band AS BIGINT) AS q_band,
+                   count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM b GROUP BY 1, 2 ORDER BY len_bucket, q_band"""
+      }),
+
+    // x176 — near-dup degree distribution: how many docs participate in
+    // 1, 2, … near-dup pairs (the x07 pair set's degree histogram) — the
+    // shape that distinguishes isolated re-posts (degree 1 spikes) from
+    // template families (heavy tail). Two keyed aggregates over the
+    // shared pair frame.
+    QueryDef("x176_dup_degree_histogram",
+      (s, d) => jaccardPairsShared(s, d)
+        .select(explode(array(col("ia"), col("ib"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("deg"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents),
+                   s AS (SELECT doc_id,
+                           list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                         FROM t WHERE len(toks) >= 3),
+                   z AS (SELECT doc_id, len(sh) AS n FROM s),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+                   pr AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                   d AS (SELECT ia AS doc_id FROM pr
+                         UNION ALL SELECT ib FROM pr),
+                   dg AS (SELECT doc_id, count(*) AS deg FROM d GROUP BY 1)
+              SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_docs
+              FROM dg GROUP BY deg ORDER BY deg"""))
   )
 }
