@@ -958,6 +958,86 @@ object Dedup {
       () => refBands.unpersist())
   }
 
+  /** [[simHashBandsOf]] for an ARBITRARY 64-bit signature frame
+    * (`<idCol>`, `<sigCol>`) — null signatures (undecodable media) drop
+    * out before banding. */
+  private def sigBandsOf(sigs: DataFrame, sigCol: String,
+                         idCol: String): DataFrame =
+    simHashBandsOf(sigs.filter(col(sigCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(sigCol).cast("long").as("simhash")))
+
+  /** [[simHashFlagger]] generalized to any 64-bit signature frame — the
+    * build/apply split for the pixel-dHash (x167) and audio-envelope
+    * (x173) families: freeze a reference corpus's band table once
+    * (~48 B/item), then flag each arriving batch of SIGNATURES against it
+    * (one band equi-join + `bit_count(xor)` verify, complete for
+    * hMax ≤ 3). The caller computes signatures with the matching operator
+    * ([[Multimodal.perceptualHashes]] / [[Multimodal.audioFingerprints]] /
+    * [[simHash]]) on both sides — the flagger is modality-agnostic.
+    * Probe contract: frames with (`<idCol>`, `<sigCol>`); output
+    * (`<idCol>`, `ref_id`, `ham`), self-pairs excluded. Corpus-self
+    * probing reproduces exactly the [[hammingNearDupPairsOf]] pair
+    * membership (MultimodalSpec). */
+  def hammingFlagger(refSigs: DataFrame, sigCol: String, hMax: Int = 3,
+                     idCol: String = "doc_id"): Retriever = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    val refBands = sigBandsOf(refSigs, sigCol, idCol)
+      .select(col("band"), col("doc_id").as("ref_id"),
+        col("simhash").as("sb"))
+      .persist()
+    refBands.count()
+    new Retriever(hammingProbe(refBands, hMax, sigCol, idCol),
+      () => refBands.unpersist())
+  }
+
+  /** The probe side of [[hammingFlagger]], shared with
+    * [[loadHammingFlagger]] so in-memory and reloaded probes cannot
+    * drift. */
+  private def hammingProbe(refBands: DataFrame, hMax: Int, sigCol: String,
+                           idCol: String)(sigs: DataFrame): DataFrame =
+    sigBandsOf(sigs, sigCol, idCol)
+      .join(refBands, "band")
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("doc_id").as(idCol), col("ref_id"),
+        expr("bit_count(simhash ^ sb)").cast("long").as("ham"))
+      .filter(col("ham") <= hMax)
+      .dropDuplicates(idCol, "ref_id")
+
+  /** Persist a [[hammingFlagger]] reference index (the
+    * [[saveSimHashIndex]] layout: `dir/bands` + one-row `dir/meta` with
+    * the Hamming radius and signature column name). */
+  def saveHammingIndex(refSigs: DataFrame, sigCol: String, dir: String,
+                       hMax: Int = 3, idCol: String = "doc_id"): Unit = {
+    require(hMax >= 0 && hMax <= 3,
+      s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    val spark = refSigs.sparkSession
+    import spark.implicits._
+    sigBandsOf(refSigs, sigCol, idCol)
+      .select(col("band"), col("doc_id").as("ref_id"), col("simhash").as("sb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/bands")
+    Seq((hMax, sigCol)).toDF("h_max", "sig_col")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/meta")
+  }
+
+  /** Reload a [[saveHammingIndex]] directory as a ready [[Retriever]]
+    * (probe plan identical to the in-memory flagger's — reload parity in
+    * MultimodalSpec). `idCol` describes the PROBE frames; the signature
+    * column name comes from the saved meta. */
+  def loadHammingFlagger(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, idCol: String = "doc_id"): Retriever = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val refBands = spark.read.parquet(s"$dir/bands").persist()
+    refBands.count()
+    new Retriever(
+      hammingProbe(refBands, m.getAs[Int]("h_max"),
+        m.getAs[String]("sig_col"), idCol),
+      () => refBands.unpersist())
+  }
+
   /** Exact-substring duplication stats — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better") rule,
     * the standard complement to MinHash in production LLM pipelines: any

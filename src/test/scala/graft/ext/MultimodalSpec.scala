@@ -338,6 +338,56 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("hammingFlagger: frozen media index flags re-encodes; corpus-self == pair set; reload parity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // corpus: 4 images, two of which (1, 2) are the same picture
+    val pxA = Array.fill(9 * 8)(rnd.nextInt(256).toByte)
+    val pxB = Array.fill(9 * 8)(rnd.nextInt(256).toByte)
+    val corpus = Seq(
+      MediaFile(1L, "image", MediaCodecs.pngEncode(Raster(9, 8, 1, pxA)), Map.empty),
+      MediaFile(2L, "image", MediaCodecs.pngEncode(Raster(9, 8, 1, pxA)), Map.empty),
+      MediaFile(3L, "image", MediaCodecs.pngEncode(Raster(9, 8, 1, pxB)), Map.empty),
+      MediaFile(4L, "image", "not an image".getBytes("UTF-8"), Map.empty)).toDS()
+    val sigs = perceptualHashes(corpus)
+    val flag = Dedup.hammingFlagger(sigs, "phash", hMax = 3, idCol = "media_id")
+    try {
+      // corpus-self probe reproduces exactly the pair miner's membership
+      val self = flag(sigs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pairs = Dedup.hammingNearDupPairsOf(sigs, "phash", hMax = 3,
+          idCol = "media_id")
+        .collect().flatMap(r =>
+          Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+      assert(self === pairs)
+      assert(self.contains((1L, 2L)))
+      // an arriving re-encode of pxA (2x upscale through the JDK writer)
+      // flags against BOTH frozen copies; pxB's image does not flag it
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.getRaster.setSample(x, y, 0, pxA((y / 2) * 9 + (x / 2)) & 0xff)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      val batch = perceptualHashes(
+        Seq(MediaFile(10L, "image", buf.toByteArray, Map.empty)).toDS())
+      val got = flag(batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((10L, 1L, 0L), (10L, 2L, 0L)))
+      // save -> load -> identical probe results
+      val dir = java.nio.file.Files.createTempDirectory("graft-phash-idx").toString
+      try {
+        Dedup.saveHammingIndex(sigs, "phash", dir, hMax = 3, idCol = "media_id")
+        val re = Dedup.loadHammingFlagger(spark, dir, idCol = "media_id")
+        try {
+          val got2 = re(batch).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(got2 === got)
+        } finally re.close()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    } finally flag.close()
+  }
+
   test("re-encoded PNGs pair ONLY via pixels: dHash matches where byte fingerprints cannot") {
     import spark.implicits._
     implicit val ord = Ordering.Long
