@@ -250,8 +250,13 @@ class StreamingGraft(spark: SparkSession, options: Map[String, String]) {
       out
     } catch {
       case e: Throwable =>
+        // cancelJobGroupAndFutureJobs, not cancelJobGroup: a plain cancel
+        // only kills jobs ACTIVE at that instant, so an analysis still in
+        // driver-side planning (or between two jobs) at the timeout would
+        // survive it — the future-jobs variant also kills anything the
+        // abandoned thread submits under the group afterwards.
         if (e.isInstanceOf[java.util.concurrent.TimeoutException])
-          spark.sparkContext.cancelJobGroup(jobGroup)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(jobGroup)
         System.err.println(s"[graft] analysis failed: ${e.getMessage}")
         if (consecutiveFailures.incrementAndGet() >= config.maxRetries) stop()
         spark.createDataset(Seq(CriticalPathResult(

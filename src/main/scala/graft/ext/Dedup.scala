@@ -866,9 +866,13 @@ object Dedup {
                             idCol: String = "doc_id"): DataFrame = {
     require(hMax >= 0 && hMax <= 3,
       s"4-band blocking is complete only for hMax <= 3, got $hMax")
+    // drop null signatures (undecodable media) HERE, not per call site:
+    // un-filtered nulls would all band to the same null-key buckets —
+    // corpus-scale collect_sets that can never verify (ham = NULL)
     simHashNearDupPairsOf(
-      sigs.select(col(idCol).cast("long").as("doc_id"),
-        col(sigCol).cast("long").as("simhash")),
+      sigs.filter(col(sigCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(sigCol).cast("long").as("simhash")),
       hMax, maxBucket)
   }
 

@@ -31,7 +31,7 @@ object Graphs {
       .select(col("src"), col("dst"))
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
     var pr = nodes.select(col("vec_id")).withColumn("pr", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("vec_id").as("src"), col("pr")), "src")
         .select(col("dst").as("vec_id"), expr("pr div outdeg").as("c"))
@@ -40,7 +40,9 @@ object Graphs {
         .select(col("vec_id"), expr(
           """CAST(150000 + CAST(850000 AS DECIMAL(38,0)) *
              coalesce(inflow, 0L) DIV 1000000 AS BIGINT)""").as("pr"))
-      if (iters > checkpointFrom) pr = pr.localCheckpoint(true)
+      // truncate only once the chain is actually deep — the early rounds'
+      // plans are shallow and need no eager materialization
+      if (i > checkpointFrom) pr = pr.localCheckpoint(true)
     }
     pr
   }

@@ -748,9 +748,15 @@ object TextAnalysis {
       "blocklistScreen needs at least one category with at least one term")
     // Production word lists (LDNOOBW-style) contain regex metacharacters;
     // each term is literal-quoted so `a$b` or `c++` cannot corrupt the
-    // alternation the hits column compiles to.
+    // alternation. Boundaries are \w-LOOKAROUNDS, not \b: \b is defined
+    // relative to the ADJACENT char, so `\bc++\b` can never match "c++ "
+    // (the trailing \b would need a word char after '+') — lookarounds
+    // give every term, symbol-edged or not, the intended whole-word
+    // semantics, and coincide with \b for word-charactered terms.
     val hitCols = categories.map { case (cat, words) =>
-      stopHits(col(textCol), words.map(java.util.regex.Pattern.quote))
+      val pat = "(?<!\\w)(?:" +
+        words.map(java.util.regex.Pattern.quote).mkString("|") + ")(?!\\w)"
+      size(regexp_extract_all(lower(col(textCol)), lit(pat), lit(0)))
         .cast("long").as(s"hits_$cat")
     }
     val flagged = categories.map { case (cat, _) =>

@@ -785,6 +785,34 @@ object ExtQueries {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(r => (r._3, r._4)).toSeq
 
+  /** The x161b/x163b replay harness, defined ONCE: feed the chopped event
+    * rows through `monitor` via a real MemoryStream query, collecting
+    * every emission decoded by `decode`. One shared lifecycle (foreachBatch
+    * accumulator, processAllAvailable per chop, stop in finally) so a fix
+    * to one gate's replay cannot silently miss the other. */
+  private def replayMonitor[T: scala.reflect.ClassTag](s: SparkSession,
+      chops: Seq[Seq[(Long, String, Long, Long)]],
+      monitor: DataFrame => DataFrame)(
+      decode: org.apache.spark.sql.Row => T): Seq[T] = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[T]
+    val query = monitor(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.collect().map(decode)
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try chops.foreach { c => mem.addData(c); query.processAllAvailable() }
+    finally query.stop()
+    acc.toSeq
+  }
+
   /** x166/x167's shared pixel-fingerprint frame: each doc rendered as a
     * REAL 9×8 grayscale PNG (first 72 char codes as luma, cyclic —
     * deterministic and engine-reproducible), pushed through the FULL
@@ -801,10 +829,14 @@ object ExtQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
+            // CODEPOINTS, not UTF-16 units: the oracle indexes with
+            // substr/ord (codepoint semantics), and the two diverge on any
+            // astral char — cyclic length AND sample values both shift
+            val cps = text.codePoints().toArray
             val px = new Array[Byte](72)
             var i = 0
             while (i < 72) {
-              px(i) = (text.charAt(i % text.length) & 0xff).toByte
+              px(i) = (cps(i % cps.length) % 256).toByte
               i += 1
             }
             Multimodal.MediaFile(id, "image",
@@ -829,10 +861,12 @@ object ExtQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
+            // codepoint indexing — the pixelDHashShared rationale
+            val cps = text.codePoints().toArray
             val sm = new Array[Short](130)
             var i = 0
             while (i < 130) {
-              sm(i) = (((text.charAt(i % text.length) & 0xff) - 128) * 256).toShort
+              sm(i) = (((cps(i % cps.length) % 256) - 128) * 256).toShort
               i += 1
             }
             Multimodal.MediaFile(id, "audio",
@@ -5445,14 +5479,23 @@ object ExtQueries {
                           FROM pr JOIN tf a ON a.doc_id = pr.ia
                                   JOIN tf b ON b.doc_id = pr.ib AND b.tok = a.tok
                           GROUP BY 1, 2)
-              SELECT pr.ia, pr.ib, na.n AS n_a, nb.n AS n_b,
+              SELECT pr.ia, pr.ib,
+                     CAST(coalesce(na.n, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(nb.n, 0) AS BIGINT) AS n_b,
                      CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
-                     CAST(2000000 * coalesce(ov.ov, 0) // (na.n + nb.n) AS BIGINT) AS f1_ppm,
-                     CAST(1000000 * coalesce(ov.ov, 0) // na.n AS BIGINT) AS cont_a_ppm,
-                     CAST(1000000 * coalesce(ov.ov, 0) // nb.n AS BIGINT) AS cont_b_ppm
+                     CAST(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0
+                          THEN 0 ELSE 2000000 * coalesce(ov.ov, 0)
+                               // (coalesce(na.n, 0) + coalesce(nb.n, 0)) END
+                       AS BIGINT) AS f1_ppm,
+                     CAST(CASE WHEN coalesce(na.n, 0) = 0 THEN 0
+                          ELSE 1000000 * coalesce(ov.ov, 0) // na.n END
+                       AS BIGINT) AS cont_a_ppm,
+                     CAST(CASE WHEN coalesce(nb.n, 0) = 0 THEN 0
+                          ELSE 1000000 * coalesce(ov.ov, 0) // nb.n END
+                       AS BIGINT) AS cont_b_ppm
               FROM pr LEFT JOIN ov ON ov.ia = pr.ia AND ov.ib = pr.ib
-                   JOIN nn na ON na.doc_id = pr.ia
-                   JOIN nn nb ON nb.doc_id = pr.ib
+                   LEFT JOIN nn na ON na.doc_id = pr.ia
+                   LEFT JOIN nn nb ON nb.doc_id = pr.ib
               ORDER BY pr.ia, pr.ib""")),
 
     // x147 — Dirichlet query-likelihood retrieval (Zhai/Lafferty): the
@@ -6339,35 +6382,20 @@ object ExtQueries {
     QueryDef("x161b_funnel_stream_gate",
       (s, d) => {
         import s.implicits._
-        implicit val sq = s.sqlContext
         val expected = eventFunnelBatch(s, d).collect()
           .map(r => (r.getLong(0), r.getLong(1),
             if (r.isNullAt(2)) -1L else r.getLong(2),
             if (r.isNullAt(3)) -1L else r.getLong(3),
             r.getBoolean(4))).toSet
         val rows = orderedEventRows(s, d)
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, Long, Long)]
-        val acc = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Boolean)]
-        val query = graft.streaming.StreamingOps.funnelMonitor(
-            mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
-              if (r.isNullAt(2)) -1L else r.getLong(2),
-              if (r.isNullAt(3)) -1L else r.getLong(3),
-              r.getBoolean(4)))
-            acc.synchronized { acc ++= got }
-            ()
-          }
-          .outputMode("append").start()
-        try {
-          mem.addData(rows.take(rows.length / 3))
-          query.processAllAvailable()
-          mem.addData(rows.drop(rows.length / 3))
-          query.processAllAvailable()
-        } finally query.stop()
+        val acc = replayMonitor(s,
+          Seq(rows.take(rows.length / 3), rows.drop(rows.length / 3)),
+          graft.streaming.StreamingOps.funnelMonitor(_)) { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            r.getBoolean(4))
+        }
         // the LAST emission per user is the converged funnel row
         val last = acc.zipWithIndex.groupBy(_._1._1)
           .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
@@ -6383,30 +6411,17 @@ object ExtQueries {
     QueryDef("x163b_transition_stream_gate",
       (s, d) => {
         import s.implicits._
-        implicit val sq = s.sqlContext
         val expected = transitionCountsBatch(s, d).collect()
           .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
         val rows = orderedEventRows(s, d)
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, Long, Long)]
-        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        val query = graft.streaming.StreamingOps.transitionMonitor(
-            mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val got = batch.collect().map(r => (r.getString(1), r.getString(2)))
-            acc.synchronized { acc ++= got }
-            ()
-          }
-          .outputMode("append").start()
-        try {
-          mem.addData(rows.take(rows.length / 3))
-          query.processAllAvailable()
-          mem.addData(rows.slice(rows.length / 3, rows.length / 2))
-          query.processAllAvailable()
-          mem.addData(rows.drop(rows.length / 2))
-          query.processAllAvailable()
-        } finally query.stop()
+        // three uneven chops: boundary-straddling pairs must still emit
+        val acc = replayMonitor(s,
+          Seq(rows.take(rows.length / 3),
+            rows.slice(rows.length / 3, rows.length / 2),
+            rows.drop(rows.length / 2)),
+          graft.streaming.StreamingOps.transitionMonitor(_)) { r =>
+          (r.getString(1), r.getString(2))
+        }
         val counts = acc.groupBy(identity)
           .map { case (k, g) => k -> g.size.toLong }
         Seq((counts == expected) && expected.nonEmpty)

@@ -105,6 +105,10 @@ class DedupSpec extends SparkSpec {
     // the corpus is small enough to verify cheaply.
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = graft.Tables.documents(spark, s"/root/testdata/$sf")
+      // n here = document count, which equals the catalog's
+      // shinglesShared.count() (hashedShingles emits exactly ONE row per
+      // doc — shingles are an array column), so this pins the same cap
+      // value x08 actually runs with
       val n = d.count()
       val cap = math.max(64L, n / 10L).toInt
       val audit = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = cap).head()

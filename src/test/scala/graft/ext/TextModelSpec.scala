@@ -338,4 +338,23 @@ class TextModelSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got === Map("A" -> expA, "B" -> expB))
   }
+
+  test("blocklistScreen counts whole-word hits for word AND symbol-edged terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "learn c++ today and pay $x now"), // both symbol terms, word-adjacent
+      (2L, "the c++11 standard and tax law"), // c++ inside a longer token: no hit
+      (3L, "plain bad words bad again"),      // word term, twice
+      (4L, "notbad embedded badly"))          // substrings must not match
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs,
+        Seq("sym" -> Seq("c++", "$x"), "word" -> Seq("bad")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0L, true),  // c++ and $x both hit as whole terms
+      (2L, 0L, 0L, false), // \b would have matched inside c++11; lookarounds don't
+      (3L, 0L, 2L, true),
+      (4L, 0L, 0L, false)))
+  }
 }
