@@ -156,6 +156,48 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming media flagging via hammingFlagger matches the batch probe") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // signatures from the x166 pixel chain at sf0.001: corpus = even docs
+    // frozen, odd docs arrive as a signature stream in two chops — each
+    // batch's flags depend only on its own signatures + the frozen bands,
+    // so streaming ≡ batch on the same rows
+    val d = "/root/testdata/sf0.001"
+    val sigs = graft.SparkEntry.queries("x166_pixel_dhash")(spark, d)
+      .groupBy(col("doc_id"))
+      // reassemble the 64-bit hash from its disjoint row-bytes (bit_or —
+      // a sum could ANSI-overflow when byte 7 sets the sign bit)
+      .agg(expr("bit_or(shiftleft(bits, 8 * CAST(row_no AS INT)))")
+        .as("phash"))
+    val ref = sigs.filter(col("doc_id") % 2 === 0)
+    val probe = sigs.filter(col("doc_id") % 2 =!= 0)
+    val flag = graft.ext.Dedup.hammingFlagger(ref, "phash", hMax = 3)
+    try {
+      val expected = flag(probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(expected.nonEmpty)
+      val rows = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val mem = MemoryStream[(Long, Long)]
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val query = mem.toDF().toDF("doc_id", "phash").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = flag(batch).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          acc.synchronized { acc ++= got }
+          ()
+        }
+        .outputMode("append").start()
+      try {
+        mem.addData(rows.take(rows.length / 2))
+        query.processAllAvailable()
+        mem.addData(rows.drop(rows.length / 2))
+        query.processAllAvailable()
+        assert(acc.sorted.toSeq === expected)
+      } finally query.stop()
+    } finally flag.close()
+  }
+
   test("streaming batch retrieval via srpRetriever matches batch srpCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
