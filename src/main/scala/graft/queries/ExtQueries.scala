@@ -6793,6 +6793,40 @@ object ExtQueries {
                          GROUP BY 1, 2)
               SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib""")),
 
+    // x177 — pixel-dedup threshold yield curve: cumulative pair counts at
+    // Hamming radius 0..3 over the x166 dHashes — the x83 threshold-tuning
+    // read on the perceptual axis (how much more a looser radius removes),
+    // derived from ONE banded mining pass, no re-mining per radius.
+    QueryDef("x177_phash_threshold_curve",
+      (s, d) => Dedup.hammingNearDupPairsOf(
+          pixelDHashShared(s, d), "phash", hMax = 3, idCol = "media_id")
+        .select(explode(expr("sequence(ham, 3)")).as("h_max"))
+        .groupBy(col("h_max")).agg(count(lit(1)).as("n_pairs"))
+        .select(col("h_max").cast("long").as("h_max"), col("n_pairs"))
+        .orderBy("h_max"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((gy.range * 9 + gx.range) % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 8) gy, range(0, 9) gx),
+                   byts AS (SELECT a.doc_id, a.gy AS row_no,
+                              CAST(sum(CASE WHEN b.v > a.v THEN 1 << a.gx
+                                       ELSE 0 END) AS BIGINT) AS bits
+                            FROM g a JOIN g b ON a.doc_id = b.doc_id
+                              AND a.gy = b.gy AND b.gx = a.gx + 1
+                            WHERE a.gx < 8 GROUP BY 1, 2),
+                   h AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT)
+                             AS ham
+                         FROM byts a JOIN byts b
+                           ON a.row_no = b.row_no AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT CAST(t.range AS BIGINT) AS h_max, count(*) AS n_pairs
+              FROM h, range(0, 4) t WHERE h.ham <= t.range
+              GROUP BY 1 ORDER BY h_max""")),
+
     // x174 — packing attention accounting: what fraction of causal
     // attention pairs inside the x135 packed sequences stay WITHIN one
     // document — the diagnostic behind the "attention-mask vs plain
