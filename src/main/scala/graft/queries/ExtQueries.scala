@@ -6827,6 +6827,69 @@ object ExtQueries {
               FROM h, range(0, 4) t WHERE h.ham <= t.range
               GROUP BY 1 ORDER BY h_max""")),
 
+    // x178 — related-document packing (the in-context-pretraining layout):
+    // docs of each multi-member near-dup cluster packed CLUSTER-
+    // CONTIGUOUSLY into that cluster's own sequence space, so a training
+    // context window sees related documents together — the ICLM idea
+    // expressed with EVERY window partitioned by cluster_rep (state
+    // bounded by the largest cluster, never corpus-wide; singletons keep
+    // the standard x135 global layout and are out of scope here). One
+    // keyed join to the shared cluster frame + one keyed cumsum.
+    QueryDef("x178_related_packing",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks.join(jacClustersShared(s, d), "doc_id")
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
+            col("cum_before"),
+            expr("cum_before div 128").as("seq_no"),
+            pmod(col("cum_before"), lit(128L)).as("start_off"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+                          AS n_tokens
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n_tokens,
+                        CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m)
+              SELECT doc_id, cluster_rep, n_tokens, cb AS cum_before,
+                     CAST(cb // 128 AS BIGINT) AS seq_no,
+                     CAST(cb % 128 AS BIGINT) AS start_off
+              FROM c ORDER BY doc_id""")),
+
     // x174 — packing attention accounting: what fraction of causal
     // attention pairs inside the x135 packed sequences stay WITHIN one
     // document — the diagnostic behind the "attention-mask vs plain

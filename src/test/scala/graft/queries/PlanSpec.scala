@@ -240,6 +240,20 @@ class PlanSpec extends SparkSpec {
       s"cached layout lost its bucketed window:\n$p")
   }
 
+  test("x178 related packing windows are cluster-partitioned — never global") {
+    val p = plan("x178_related_packing")
+    val cacheIdx = p.indexOf("InMemoryTableScan")
+    assert(cacheIdx >= 0, s"x178 no longer reads the shared cluster frame:\n$p")
+    // the consumer tail's only window is the per-cluster cumsum: state
+    // bounded by the largest cluster, never a corpus-wide sort
+    val consumer = p.substring(0, cacheIdx)
+    assert(consumer.contains("Window"), s"x178 lost its cumsum window:\n$consumer")
+    assert(!consumer.contains("SinglePartition"),
+      s"x178 plans a single-partition exchange:\n$consumer")
+    assert(p.contains("hashpartitioning(cluster_rep"),
+      s"x178 window lost its cluster partitioning:\n$p")
+  }
+
   test("x98 samples via distributed top-k, not a global sort or window") {
     val p = plan("x98_weighted_sample")
     // the 50-survivor cut is TakeOrderedAndProject (map-side partial
