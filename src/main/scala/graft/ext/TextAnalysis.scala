@@ -754,8 +754,11 @@ object TextAnalysis {
     // give every term, symbol-edged or not, the intended whole-word
     // semantics, and coincide with \b for word-charactered terms.
     val hitCols = categories.map { case (cat, words) =>
+      // terms lowercase to match the lowercased text — an uppercase list
+      // entry would otherwise silently never hit
       val pat = "(?<!\\w)(?:" +
-        words.map(java.util.regex.Pattern.quote).mkString("|") + ")(?!\\w)"
+        words.map(w => java.util.regex.Pattern.quote(w.toLowerCase))
+          .mkString("|") + ")(?!\\w)"
       size(regexp_extract_all(lower(col(textCol)), lit(pat), lit(0)))
         .cast("long").as(s"hits_$cat")
     }

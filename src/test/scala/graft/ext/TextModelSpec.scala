@@ -347,8 +347,9 @@ class TextModelSpec extends SparkSpec {
       (3L, "plain bad words bad again"),      // word term, twice
       (4L, "notbad embedded badly"))          // substrings must not match
       .toDF("doc_id", "text")
+    // "BAD" uppercase in the list: matching is case-insensitive both ways
     val got = TextAnalysis.blocklistScreen(docs,
-        Seq("sym" -> Seq("c++", "$x"), "word" -> Seq("bad")))
+        Seq("sym" -> Seq("c++", "$x"), "word" -> Seq("BAD")))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(got.toSeq === Seq(
