@@ -826,6 +826,29 @@ object ExtQueries {
     }
   }
 
+  /** x178/x179's shared related-packing layout: the multi-member near-dup
+    * clusters' cluster-contiguous pack coordinates (capacity 128), every
+    * window partitioned by cluster_rep — consumed by the per-doc plan and
+    * the segment explode. */
+  private def relatedPlanShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "related-pack-c128") {
+      val toks = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.join(jacClustersShared(s, d), "doc_id")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
+          col("cum_before"),
+          expr("cum_before div 128").as("start_seq"),
+          pmod(col("cum_before"), lit(128L)).as("start_off"),
+          expr("(cum_before + n_tokens - 1) div 128").as("end_seq"))
+    }
+
   /** x166/x167's shared pixel-fingerprint frame: each doc rendered as a
     * REAL 9×8 grayscale PNG (first 72 char codes as luma, cyclic —
     * deterministic and engine-reproducible), pushed through the FULL
@@ -6836,23 +6859,10 @@ object ExtQueries {
     // the standard x135 global layout and are out of scope here). One
     // keyed join to the shared cluster frame + one keyed cumsum.
     QueryDef("x178_related_packing",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"),
-            TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
-        val w = Window.partitionBy(col("cluster_rep"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        toks.join(jacClustersShared(s, d), "doc_id")
-          .withColumn("cum_before",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
-            col("cum_before"),
-            expr("cum_before div 128").as("seq_no"),
-            pmod(col("cum_before"), lit(128L)).as("start_off"))
-          .orderBy("doc_id")
-      },
+      (s, d) => relatedPlanShared(s, d)
+        .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
+          col("cum_before"), col("start_seq").as("seq_no"), col("start_off"))
+        .orderBy("doc_id"),
       Some("""WITH RECURSIVE
                 t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
                 sh AS (SELECT doc_id,
@@ -6889,6 +6899,65 @@ object ExtQueries {
                      CAST(cb // 128 AS BIGINT) AS seq_no,
                      CAST(cb % 128 AS BIGINT) AS start_off
               FROM c ORDER BY doc_id""")),
+
+    // x179 — related-packing segments: the x178 layout exploded into the
+    // shard-writer's input (the x136 shape in per-cluster sequence
+    // spaces): one row per (cluster, sequence, doc-slice), slices tiling
+    // both each sequence's [0, 128) and each document's token interval.
+    // Same bounded explode (n_segs ≤ n_tokens/128 + 1 per doc) and one
+    // keyed join back for the cluster key — no new shuffle class.
+    QueryDef("x179_related_segments",
+      (s, d) => {
+        val plan = relatedPlanShared(s, d)
+        Pack.packSegments(plan, capacity = 128L)
+          .join(plan.select(col("doc_id"), col("cluster_rep")), "doc_id")
+          .select(col("cluster_rep"), col("seq_id").as("seq_no"),
+            col("doc_id"), col("seq_off"), col("doc_off"), col("seg_len"))
+          .orderBy("cluster_rep", "seq_no", "seq_off", "doc_id")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n,
+                        CAST(coalesce(sum(n) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m),
+                seg AS (SELECT doc_id, cluster_rep, n, cb, cb // 128 AS ss,
+                          cb % 128 AS so, u.s AS seq_no
+                        FROM c, unnest(range(cb // 128,
+                                             (cb + n - 1) // 128 + 1)) AS u(s))
+              SELECT cluster_rep, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+                     CAST(CASE WHEN seq_no = ss THEN so ELSE 0 END AS BIGINT)
+                       AS seq_off,
+                     CAST(CASE WHEN seq_no = ss THEN 0
+                               ELSE seq_no * 128 - cb END AS BIGINT) AS doc_off,
+                     CAST(least(cb + n, (seq_no + 1) * 128)
+                          - greatest(cb, seq_no * 128) AS BIGINT) AS seg_len
+              FROM seg ORDER BY cluster_rep, seq_no, seq_off, doc_id""")),
 
     // x174 — packing attention accounting: what fraction of causal
     // attention pairs inside the x135 packed sequences stay WITHIN one

@@ -242,16 +242,19 @@ class PlanSpec extends SparkSpec {
 
   test("x178 related packing windows are cluster-partitioned — never global") {
     val p = plan("x178_related_packing")
+    // the layout lives in the shared cached frame (the x75 shape); the
+    // consumer tail adds no window or single-partition exchange of its
+    // own, and the cached layout's cumsum is partitioned by cluster_rep —
+    // state bounded by the largest cluster, never a corpus-wide sort
     val cacheIdx = p.indexOf("InMemoryTableScan")
-    assert(cacheIdx >= 0, s"x178 no longer reads the shared cluster frame:\n$p")
-    // the consumer tail's only window is the per-cluster cumsum: state
-    // bounded by the largest cluster, never a corpus-wide sort
+    assert(cacheIdx >= 0, s"x178 no longer reads the shared layout frame:\n$p")
     val consumer = p.substring(0, cacheIdx)
-    assert(consumer.contains("Window"), s"x178 lost its cumsum window:\n$consumer")
+    assert(!consumer.contains("Window"),
+      s"x178's own tail plans a window:\n$consumer")
     assert(!consumer.contains("SinglePartition"),
-      s"x178 plans a single-partition exchange:\n$consumer")
+      s"x178's own tail plans a single-partition exchange:\n$consumer")
     assert(p.contains("hashpartitioning(cluster_rep"),
-      s"x178 window lost its cluster partitioning:\n$p")
+      s"cached layout lost its cluster-partitioned window:\n$p")
   }
 
   test("x98 samples via distributed top-k, not a global sort or window") {
