@@ -6959,6 +6959,82 @@ object ExtQueries {
                           - greatest(cb, seq_no * 128) AS BIGINT) AS seg_len
               FROM seg ORDER BY cluster_rep, seq_no, seq_off, doc_id""")),
 
+    // x180 — related-packing rehydration: the x179 segments materialized
+    // into training rows per (cluster, sequence) — the x142 shard-writer
+    // step in per-cluster sequence spaces, completing the related family's
+    // plan → segments → text chain. Slice join co-partitions on doc_id,
+    // reassembly groups on the (cluster, seq) key with per-group state
+    // bounded by the 128-token capacity; hash-match includes the rebuilt
+    // text.
+    QueryDef("x180_related_rehydrate",
+      (s, d) => {
+        val plan = relatedPlanShared(s, d)
+        Pack.packSegments(plan, capacity = 128L)
+          .join(plan.select(col("doc_id"), col("cluster_rep")), "doc_id")
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("toks")), Seq("doc_id"))
+          .select(col("cluster_rep"), col("seq_id").as("seq_no"),
+            col("seq_off"),
+            expr("""array_join(slice(toks, CAST(doc_off + 1 AS INT),
+                                     CAST(seg_len AS INT)), ' ')""").as("seg"))
+          .groupBy(col("cluster_rep"), col("seq_no"))
+          .agg(count(lit(1)).as("n_slices"),
+            collect_list(struct(col("seq_off"), col("seg"))).as("parts"))
+          .select(col("cluster_rep"), col("seq_no"), col("n_slices"),
+            expr("array_join(transform(array_sort(parts), p -> p.seg), ' ')")
+              .as("seq_text"))
+          .orderBy("cluster_rep", "seq_no")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n,
+                        CAST(coalesce(sum(n) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m),
+                seg AS (SELECT doc_id, cluster_rep, n, cb, cb // 128 AS ss,
+                          cb % 128 AS so, u.s AS seq_no
+                        FROM c, unnest(range(cb // 128,
+                                             (cb + n - 1) // 128 + 1)) AS u(s)),
+                sl AS (SELECT seg.cluster_rep, seg.seq_no,
+                         CASE WHEN seq_no = ss THEN so ELSE 0 END AS seq_off,
+                         CASE WHEN seq_no = ss THEN 0
+                              ELSE seq_no * 128 - cb END AS doc_off,
+                         least(cb + seg.n, (seq_no + 1) * 128)
+                           - greatest(cb, seq_no * 128) AS seg_len,
+                         t.toks
+                       FROM seg JOIN t USING (doc_id))
+              SELECT cluster_rep, CAST(seq_no AS BIGINT) AS seq_no,
+                     CAST(count(*) AS BIGINT) AS n_slices,
+                     string_agg(array_to_string(
+                       toks[(doc_off + 1):(doc_off + seg_len)], ' '),
+                       ' ' ORDER BY seq_off) AS seq_text
+              FROM sl GROUP BY 1, 2 ORDER BY cluster_rep, seq_no""")),
+
     // x174 — packing attention accounting: what fraction of causal
     // attention pairs inside the x135 packed sequences stay WITHIN one
     // document — the diagnostic behind the "attention-mask vs plain
