@@ -96,8 +96,15 @@ object Dedup {
     * (a CollectMetrics node below AQE-replanned exchanges does not reach
     * `QueryExecution.observedMetrics` — verified empirically on 4.1). */
   def postingsDfStats(docs: DataFrame, textCol: String, idCol: String,
-                      n: Int, maxDf: Int = recommendedScaleMaxDf): DataFrame = {
-    val ex = hashedShingles(docs, textCol, idCol, n)
+                      n: Int, maxDf: Int = recommendedScaleMaxDf): DataFrame =
+    postingsDfStatsOf(hashedShingles(docs, textCol, idCol, n), maxDf)
+
+  /** [[postingsDfStats]] over a PREBUILT [[hashedShingles]] frame — lets a
+    * pipeline that already persists its shingles (the catalog's shared
+    * frame) audit its cap without re-shingling the corpus. */
+  def postingsDfStatsOf(sh: DataFrame,
+                        maxDf: Int = recommendedScaleMaxDf): DataFrame = {
+    val ex = sh
       .select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
     ex.groupBy(col("g")).agg(count(lit(1)).as("df"))

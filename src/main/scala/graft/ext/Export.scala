@@ -125,6 +125,7 @@ object Export {
       s"$caller needs an integral '$shardCol' column (manifest keys are " +
         s"shard ids); got ${field.dataType.simpleString}")
     var epochs = Set.empty[Long]
+    var priorHashes = Map.empty[String, Long]
     if (mode == SaveMode.Append) {
       // Input contracts hold BEFORE any file lands (both checks are
       // batch-sized, not corpus-sized — an epoch batch is the small side):
@@ -140,9 +141,29 @@ object Export {
       // only committed state — and so a failed append is repaired by its
       // own retry rather than poisoning the directory forever.
       val committed =
-        if (hfsPre.exists(new Path(rootPre, ManifestName)))
-          committedEpochs(df.sparkSession, dir)
-        else Set.empty[Long]
+        if (hfsPre.exists(new Path(rootPre, ManifestName))) {
+          val tree = manifestTree(df.sparkSession, dir)
+          // carry the prior epochs' per-file checksums forward so an append
+          // re-hashes only ITS OWN files — without this, every daily epoch
+          // would re-read the full corpus's bytes just to republish hashes
+          // it already recorded
+          val fh = tree.get("filehash")
+          if (fh != null && fh.isObject) {
+            val it = fh.properties().iterator()
+            val b = Map.newBuilder[String, Long]
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asLong()
+            }
+            priorHashes = b.result()
+          }
+          val node = tree.get("epochs")
+          if (node == null || !node.isArray) Set.empty[Long]
+          else {
+            val it = node.elements(); val b = Set.newBuilder[Long]
+            while (it.hasNext) b += it.next().asLong()
+            b.result()
+          }
+        } else Set.empty[Long]
       retractUncommitted(hfsPre, rootPre, shardCol, committed)
       //   2. no schema drift vs the existing export (path-based parquet
       //      append enforces nothing; a missing column would read back as
@@ -229,13 +250,27 @@ object Export {
     require(stats.keySet == counts.keySet,
       s"$caller: row-count shards ${counts.keySet.toSeq.sorted} and " +
         s"listed shard directories ${stats.keySet.toSeq.sorted} disagree")
+    // Per-file xxhash64 of the RAW bytes, keyed by `shard=N/name`. The
+    // content digest above is computed over DECODED rows, so it is
+    // structurally blind to a flip in bytes parquet decoding never touches
+    // (footer statistics, column indexes, padding); the byte checksum
+    // closes that gap. Prior epochs' hashes carry forward — only files not
+    // already in the manifest are read.
+    val liveFiles = dataFileList(hfs, shardDirs)
+    val fileHash =
+      priorHashes.filter { case (rel, _) => liveFiles.exists(_._1 == rel) } ++
+        fileHashes(df.sparkSession,
+          liveFiles.filterNot { case (rel, _) => priorHashes.contains(rel) })
     def obj(m: Map[Long, Long]): String = m.toSeq.sorted
+      .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
+    def objStr(m: Map[String, Long]): String = m.toSeq.sorted
       .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
     val manifest =
       s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
         s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, """ +
         s""""xor": ${obj(digests.map { case (k, v) => k -> v._2 })}, """ +
         s""""sum": ${obj(digests.map { case (k, v) => k -> v._3 })}, """ +
+        s""""filehash": ${objStr(fileHash)}, """ +
         s""""epochs": ${epochs.toSeq.sorted.mkString("[", ", ", "]")}, """ +
         s""""total": ${counts.values.sum}}"""
     val out = hfs.create(new Path(root, ManifestName), true)
@@ -257,6 +292,50 @@ object Export {
       }
       shard -> ((files.map(_.getLen).sum, files.length.toLong))
     }.toMap
+
+  /** Every data file under the pre-listed shard directories as
+    * (relative path `shard=N/name`, absolute Path) — the manifest's
+    * checksum keys. One listing per shard, same hidden-file filter as
+    * [[statsFor]]. */
+  private def dataFileList(hfs: FileSystem,
+                           shardDirs: Array[org.apache.hadoop.fs.FileStatus])
+      : Seq[(String, Path)] =
+    shardDirs.iterator.flatMap { st =>
+      hfs.listStatus(st.getPath).iterator.collect {
+        case f if f.isFile && !f.getPath.getName.startsWith(".") &&
+          !f.getPath.getName.startsWith("_") =>
+          (s"${st.getPath.getName}/${f.getPath.getName}",
+            f.getPath)
+      }
+    }.toSeq
+
+  /** xxhash64 of each listed file's raw bytes, computed DISTRIBUTED via the
+    * binaryFile source (one executor task per file, the codegen'd xxhash64
+    * function, seed 42) — the writer never streams export bytes through the
+    * driver. Keys are the `shard=N/name` relative paths (the last two URI
+    * segments — part-file NAMES alone are not unique across shard
+    * directories, because one partitionBy task writes the same file name
+    * into every shard it touches). */
+  private def fileHashes(spark: SparkSession,
+                         files: Seq[(String, Path)]): Map[String, Long] =
+    if (files.isEmpty) Map.empty
+    else {
+      val byTail = files.map { case (rel, p) =>
+        (s"${p.getParent.getName}/${p.getName}", rel)
+      }.toMap
+      spark.read.format("binaryFile")
+        .load(files.map(_._2.toString): _*)
+        .select(col("path"), xxhash64(col("content")).as("h"))
+        .collect()
+        .map { r =>
+          // binaryFile's path is a URI string; '=' in the shard dir may
+          // come back percent-encoded depending on the FS — decode the
+          // tail segments before keying (no '+' appears in part names)
+          val tail = r.getString(0).split('/').takeRight(2)
+            .map(java.net.URLDecoder.decode(_, "UTF-8")).mkString("/")
+          byTail(tail) -> r.getLong(1)
+        }.toMap
+    }
 
   /** Per-shard (rows, xor_digest, sum_digest) over the WRITTEN files — the
     * shared definition behind the writer's manifest digest and
@@ -395,15 +474,20 @@ object Export {
   }
 
   /** Deep loader-side integrity gate: [[validateShards]]'s listing checks
-    * PLUS a content-digest recount — re-derive every shard's
-    * (rows, xor, sum) digest from the written files and require equality
-    * with what the writer recorded in the manifest. This is the check that
-    * catches a SAME-LENGTH bit-flip (disk/network corruption, a bad copy
-    * tool) that byte counts cannot see (ExportSpec pins exactly that
-    * case). Costs one scan of the export — the explicit price of content
+    * PLUS a content-digest recount PLUS a per-file byte-checksum recount.
+    * The digest pass re-derives every shard's (rows, xor, sum) digest from
+    * the DECODED rows and requires equality with the manifest — the check
+    * that catches a same-length bit-flip inside data pages (ExportSpec pins
+    * exactly that case), and the one that survives a content-preserving
+    * re-layout. The checksum pass re-hashes every data file's RAW bytes
+    * (xxhash64, distributed) against the manifest's `filehash` — the check
+    * that catches a flip in bytes decoding never touches (footer
+    * statistics, column indexes), which the digest is structurally blind
+    * to. Costs two scans of the export — the explicit price of content
     * validation; run it on ingest of an export that crossed an untrusted
     * boundary, and the free listing-only [[validateShards]] everywhere
-    * else. Manifests written before the digest fields refuse loudly. */
+    * else. Manifests written before the digest/checksum fields refuse
+    * loudly. */
   def validateShardsContent(spark: SparkSession, dir: String,
                             shardCol: String = "shard"): Map[Long, Long] = {
     val counts = validateShards(spark, dir, shardCol)
@@ -427,6 +511,31 @@ object Export {
           s"($x, $s) != manifest (${xor(shard)}, ${sum(shard)}) — " +
           "same-length corruption in a shard file")
     }
+    // byte-checksum pass: catches corruption OUTSIDE decoded content
+    val fhNode = tree.get("filehash")
+    require(fhNode != null && fhNode.isObject,
+      s"validateShardsContent: no 'filehash' object in manifest at $dir — " +
+        "written before per-file checksums existed; rewrite the export " +
+        "(or append an epoch) to gain byte-level validation")
+    val want = {
+      val it = fhNode.properties().iterator()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }
+    val (hfs, root) = fs(spark, dir)
+    val liveFiles = dataFileList(hfs, hfs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")))
+    require(liveFiles.map(_._1).toSet == want.keySet,
+      s"validateShardsContent: manifest checksums cover ${want.keySet.toSeq.sorted} " +
+        s"but the export contains ${liveFiles.map(_._1).sorted}")
+    val got = fileHashes(spark, liveFiles)
+    for ((rel, h) <- got)
+      require(h == want(rel),
+        s"validateShardsContent: file $rel xxhash64 checksum $h != manifest " +
+          s"${want(rel)} — byte corruption outside decoded content " +
+          "(footer/statistics region)")
     counts
   }
 

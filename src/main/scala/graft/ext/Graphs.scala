@@ -27,9 +27,14 @@ object Graphs {
   def pageRankMicro(edges: DataFrame, nodes: DataFrame, iters: Int,
                     checkpointFrom: Int = 3): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges
+    // materialize the (src, dst, outdeg) frame ONCE: localCheckpoint
+    // truncates only the RANK lineage below, so without this the outdeg
+    // aggregate (and the edge scan, when the input is unpersisted) would
+    // re-execute inside every iteration's plan
+    val eJoin = edges
       .select(col("src"), col("dst"))
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+    val e = if (iters > 0) eJoin.localCheckpoint(true) else eJoin
     var pr = nodes.select(col("vec_id")).withColumn("pr", lit(1000000L))
     for (i <- 1 to iters) {
       val contrib = e

@@ -192,10 +192,13 @@ object Pca {
       return PcaModel(Array.emptyDoubleArray, Array.emptyDoubleArray,
         Array.emptyDoubleArray, 0.0)
     val m = meta(0)
+    // name-based access throughout (matching the meta read) — a future
+    // column reorder/addition in savePcaModel must not silently swap
+    // eigenvalues and component vectors
     PcaModel(
       m.getSeq[Double](m.fieldIndex("mean")).toArray,
-      comps.flatMap(_.getSeq[Double](2)),
-      comps.map(_.getDouble(1)),
+      comps.flatMap(r => r.getSeq[Double](r.fieldIndex("component"))),
+      comps.map(r => r.getDouble(r.fieldIndex("eig"))),
       m.getDouble(m.fieldIndex("total_var")))
   }
 }

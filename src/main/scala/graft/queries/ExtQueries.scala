@@ -794,36 +794,33 @@ object ExtQueries {
       chops: Seq[Seq[(Long, String, Long, Long)]],
       monitor: DataFrame => DataFrame)(
       decode: org.apache.spark.sql.Row => T): Seq[T] = {
-    import s.implicits._
-    implicit val sq = s.sqlContext
     // The replay's cost is dominated by per-micro-batch state-store task
     // overhead (a fixed price × shuffle partitions × chops, independent of
     // the fixture's row count) — pin the gate's stateful shuffle to a few
     // partitions so the parity check stays far inside the per-query
-    // budget. Scoped to this one streaming query and restored after; the
-    // MONITORS themselves inherit whatever the production session sets.
-    val prev = s.conf.getOption("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Long, Long)]
-      val acc = scala.collection.mutable.ArrayBuffer.empty[T]
-      val query = monitor(
-          mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val got = batch.collect().map(decode)
-          acc.synchronized { acc ++= got }
-          ()
-        }
-        .outputMode("append").start()
-      try chops.foreach { c => mem.addData(c); query.processAllAvailable() }
-      finally query.stop()
-      acc.toSeq
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
-      case None => s.conf.unset("spark.sql.shuffle.partitions")
-    }
+    // budget. The override lives on a CLONED session (same SparkContext,
+    // isolated SQLConf), so a query running concurrently on the shared
+    // session — a parallel bench twin — never sees it; the MONITORS
+    // themselves inherit whatever the production session sets.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    implicit val sq = ss.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[T]
+    val query = monitor(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.collect().map(decode)
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try chops.foreach { c => mem.addData(c); query.processAllAvailable() }
+    finally query.stop()
+    acc.toSeq
   }
 
   /** x178/x179's shared related-packing layout: the multi-member near-dup
@@ -1105,10 +1102,21 @@ object ExtQueries {
     // oracle contract stays exact), while bounding the one quadratic
     // blowup a viral boilerplate shingle could cause at scale. n comes
     // from the persisted shingle frame — a cached-block count, not a scan.
+    // A BINDING cap is not silent: the df audit below runs over the same
+    // persisted frame (one small aggregate — the inline observe() counter
+    // is AQE-swallowed, per Dedup.postingsDfStats) and warns on stderr
+    // when any shingle df reaches the cap, i.e. whenever the entry's
+    // result could diverge from the exact-oracle contract.
     QueryDef("x08_minhash_lsh",
       (s, d) => {
         val sh = shinglesShared(s, d)
         val cap = math.min(math.max(64L, sh.count() / 10L), Int.MaxValue.toLong).toInt
+        val audit = Dedup.postingsDfStatsOf(sh, maxDf = cap).head()
+        if (audit.getLong(2) > 0L)
+          System.err.println(
+            s"graft x08: df cap $cap BINDING — ${audit.getLong(2)} shingles " +
+              s"over cap (max_df ${audit.getLong(1)}); pairs dropped, result " +
+              "is no longer exact vs the uncapped oracle")
         Dedup.minHashLshPairsOf(sh, threshold = 0.6, maxDf = cap)
           .orderBy("ia", "ib")
       },

@@ -74,33 +74,87 @@ class ExportSpec extends SparkSpec {
     }
   }
 
-  test("validateShardsContent catches a same-length byte-flip validateShards cannot") {
+  /** Write `df` sharded under a temp dir with parquet compression OFF, so a
+    * known row literal is findable verbatim in the file bytes (its FIRST
+    * occurrence is the dictionary/data page copy; its LAST is the footer
+    * statistics copy — data pages always precede column indexes and the
+    * footer). Returns (dir, the one shard data file containing the literal,
+    * its bytes, first index, last index). */
+  private def writeForFlip(df: org.apache.spark.sql.DataFrame, literal: String)
+      : (String, java.io.File, Array[Byte], Int, Int) = {
+    val key = "spark.sql.parquet.compression.codec"
+    val prior = spark.conf.get(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-flip").toString
+    spark.conf.set(key, "uncompressed")
+    try Export.writeShards(df, dir)
+    finally spark.conf.set(key, prior)
+    val needle = literal.getBytes("UTF-8")
+    def indexOf(hay: Array[Byte], from: Int): Int =
+      (from to hay.length - needle.length).find(i =>
+        needle.indices.forall(j => hay(i + j) == needle(j))).getOrElse(-1)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+      .head.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val first = indexOf(bytes, 0)
+    assert(first >= 0, s"literal '$literal' not found in uncompressed parquet")
+    var last = first
+    var next = indexOf(bytes, last + 1)
+    while (next >= 0) { last = next; next = indexOf(bytes, last + 1) }
+    (dir, part, bytes, first, last)
+  }
+
+  private def flipAt(part: java.io.File, bytes: Array[Byte], at: Int): Unit = {
+    val out = bytes.clone()
+    out(at) = (out(at) ^ 0x5a).toByte
+    java.nio.file.Files.write(part.toPath, out)
+    val crc = new java.io.File(part.getParent, s".${part.getName}.crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  test("validateShardsContent catches a same-length data-page byte-flip validateShards cannot") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"document number $i padded", i % 4))
       .toDF("doc_id", "text", "shard")
-    val dir = java.nio.file.Files.createTempDirectory("graft-export-flip").toString
+    // flip a byte INSIDE a located row literal's first (data/dictionary
+    // page) occurrence — deterministically decode-relevant, unlike a
+    // length/2 guess that can land in stats/padding
+    val (dir, part, bytes, first, _) = writeForFlip(df, "document number ")
     try {
-      val counts = Export.writeShards(df, dir)
-      // healthy export: both gates pass and agree
+      val counts = Export.readManifest(spark, dir)
       assert(Export.validateShards(spark, dir) === counts)
       assert(Export.validateShardsContent(spark, dir) === counts)
-      // flip ONE byte in the middle of a shard data file — length, file
-      // count, and manifest row counts all still match
-      val part = new java.io.File(dir).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-        .head.listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .head
-      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
-      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x5a).toByte
-      java.nio.file.Files.write(part.toPath, bytes)
-      val crc = new java.io.File(part.getParent, s".${part.getName}.crc")
-      if (crc.exists()) crc.delete()
-      // the listing-only gate is blind to it...
+      flipAt(part, bytes, first + 3)
+      // the listing-only gate is blind to it (same length, same file count)...
       assert(Export.validateShards(spark, dir) === counts)
-      // ...the content-digest gate refuses (digest mismatch, or a parquet
-      // decode error if the flip landed in file structure — loud either way)
-      intercept[Exception](Export.validateShardsContent(spark, dir))
+      // ...the content-digest recount refuses: the flipped byte changes a
+      // decoded string, so the shard's (xor, sum) digest moves
+      val e = intercept[IllegalArgumentException](
+        Export.validateShardsContent(spark, dir))
+      assert(e.getMessage.contains("content digest"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("validateShardsContent catches a statistics-region flip via the file checksum") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"document number $i padded", i % 4))
+      .toDF("doc_id", "text", "shard")
+    // the literal's LAST occurrence is the footer/column-index statistics
+    // copy — bytes parquet decoding never touches, so the row-digest
+    // recount passes and only the raw-byte xxhash64 can refuse
+    val (dir, part, bytes, first, last) = writeForFlip(df, "document number ")
+    try {
+      assert(last > first, "no statistics copy of the literal found")
+      val counts = Export.readManifest(spark, dir)
+      flipAt(part, bytes, last + 3)
+      assert(Export.validateShards(spark, dir) === counts)
+      val e = intercept[IllegalArgumentException](
+        Export.validateShardsContent(spark, dir))
+      assert(e.getMessage.contains("checksum"), e.getMessage)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
