@@ -341,6 +341,70 @@ object StreamingOps {
       .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
   }
 
+  /** [[funnelMonitor]] with OUT-OF-ORDER tolerance: an event-time-buffered
+    * mode that holds each user's arrivals in state until the WATERMARK
+    * passes them, then feeds them to the funnel in (ms, event_id) order —
+    * so any delivery order within the `lateness` horizon (shuffled inside
+    * a micro-batch, or straggling into a later one) converges to exactly
+    * the batch x161 rows, where the unbuffered monitor would freeze an
+    * already-committed earlier stage (StreamingSpec pins shuffled-delivery
+    * parity). The cost is the standard watermark trade: results trail the
+    * stream by up to `lateness`, events later than it are lost to the
+    * funnel, and per-user state carries the not-yet-ripe buffer (bounded
+    * by the user's arrival rate × lateness) on top of the three Longs.
+    *
+    * Mechanics: the input gains a `timestamp_millis(ms)` watermark column;
+    * each invocation splits (pending ++ arrivals) at the current
+    * watermark, advances the funnel over the ripe half in event order, and
+    * re-arms an EventTimeTimeout at the earliest still-buffered ms so the
+    * flush fires when the watermark passes it even if the user goes quiet.
+    * Emission contract matches [[funnelMonitor]]: the user's row re-emits
+    * whenever the funnel advances; the LAST emission is current.
+    * Streaming-only (a batch frame never advances a watermark — use the
+    * batch x161 query there). */
+  def funnelMonitorBuffered(stream: DataFrame, windowMs: Long = 86400000L,
+                            lateness: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ms").cast("long"), col("event_id").cast("long"),
+        timestamp_millis(col("ms").cast("long")).as("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[((Long, Long, Long), Seq[(Long, Long, String)])]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse(((-1L, -1L, -1L), Seq.empty[(Long, Long, String)]))
+          var (t1, t2, t3) = st._1
+          val before = (t1, t2, t3)
+          // (ms, event_id, type): buffer ++ this batch's arrivals, split at
+          // the watermark — nothing older than a ripe event can now arrive
+          val (ripe, hold) = (st._2 ++ rows.map(r => (r._3, r._4, r._2)))
+            .partition(_._1 <= wm)
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (ms, _, typ) =>
+            if (typ == "view" && t1 < 0) t1 = ms
+            else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
+            else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+          }
+          state.update(((t1, t2, t3), hold))
+          // every held ms is > wm (the partition above), so this is a legal
+          // event-time timeout — it fires exactly when the buffer ripens
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+          if ((t1, t2, t3) != before && t1 >= 0)
+            Iterator((user, t1,
+              if (t2 < 0) None else Some(t2),
+              if (t3 < 0) None else Some(t3),
+              t3 >= 0 && t3 - t1 <= windowMs))
+          else Iterator.empty
+        })
+      .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
+  }
+
   /** Streaming transition emitter — the x163 Markov matrix computed
     * incrementally: per user, ONE (ms, event_id, type) triple of
     * `flatMapGroupsWithState` state (the last event seen). Each micro-batch
@@ -388,6 +452,51 @@ object StreamingOps {
               state.setTimeoutDuration(stateTimeoutMs)
             out.iterator
           }
+        })
+      .toDF("user_id", "from_type", "to_type")
+  }
+
+  /** [[transitionMonitor]] with OUT-OF-ORDER tolerance — the
+    * [[funnelMonitorBuffered]] mechanics applied to the transition chain:
+    * per user, arrivals buffer in state until the watermark passes them,
+    * then emit one (`user_id`, `from_type`, `to_type`) row per consecutive
+    * ripe pair in (ms, event_id) order, including the pair straddling the
+    * previous flush. Any delivery order within `lateness` aggregates to
+    * exactly the batch x163 counts (StreamingSpec pins shuffled-delivery
+    * parity); the unbuffered monitor would chain events in arrival order.
+    * State = the last RIPE event + the not-yet-ripe buffer; an
+    * EventTimeTimeout armed at the earliest buffered ms flushes a quiet
+    * user's buffer when the watermark passes it. Streaming-only. */
+  def transitionMonitorBuffered(stream: DataFrame,
+                                lateness: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("ms").cast("long"), col("event_id").cast("long"),
+        timestamp_millis(col("ms").cast("long")).as("ts"))
+      .withWatermark("ts", lateness)
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Option[(Long, Long, String)], Seq[(Long, Long, String)])]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse((Option.empty[(Long, Long, String)],
+              Seq.empty[(Long, Long, String)]))
+          var last = st._1
+          val (ripe, hold) = (st._2 ++ rows.map(r => (r._3, r._4, r._2)))
+            .partition(_._1 <= wm)
+          val out = ripe.sortBy(e => (e._1, e._2)).flatMap { case (ms, id, typ) =>
+            val e = last.map { case (_, _, prev) => (user, prev, typ) }
+            last = Some((ms, id, typ))
+            e
+          }
+          state.update((last, hold))
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+          out.iterator
         })
       .toDF("user_id", "from_type", "to_type")
   }

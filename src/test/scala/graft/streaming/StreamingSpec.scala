@@ -964,6 +964,85 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  /** Shared harness for the BUFFERED monitors' out-of-order parity: the
+    * sf event rows chopped into time-ordered thirds but SHUFFLED inside
+    * each chop (seeded — deterministic), replayed through `monitor`, then
+    * flushed by two far-future sentinel events (an unused user whose
+    * single "sentinel" row emits nothing) that advance the watermark past
+    * every real event so armed event-time timeouts drain the buffers. */
+  private def replayShuffled[T: scala.reflect.ClassTag](
+      monitor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
+      decode: org.apache.spark.sql.Row => T): Seq[T] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._3, r._4)).toSeq
+    val rnd = new scala.util.Random(42)
+    val chops = Seq(
+      rows.take(rows.length / 3),
+      rows.slice(rows.length / 3, 2 * rows.length / 3),
+      rows.drop(2 * rows.length / 3)).map(rnd.shuffle(_))
+    val maxMs = rows.map(_._3).max
+    val sentinelUser = rows.map(_._1).max + 1
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[T]
+    val query = monitor(mem.toDF().toDF("user_id", "event_type", "ms", "event_id"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(decode)
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      chops.foreach { c => mem.addData(c); query.processAllAvailable() }
+      // two sentinel batches: the first advances the watermark past every
+      // real event, the second forces one more micro-batch so the armed
+      // timeouts actually fire and drain the buffers
+      mem.addData(Seq((sentinelUser, "sentinel", maxMs + 10L * 86400000L, 0L)))
+      query.processAllAvailable()
+      mem.addData(Seq((sentinelUser, "sentinel", maxMs + 20L * 86400000L, 1L)))
+      query.processAllAvailable()
+      acc.toSeq
+    } finally query.stop()
+  }
+
+  test("funnelMonitorBuffered: shuffled within-chop delivery converges to batch x161") {
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x161_event_funnel")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).sorted.toSeq
+    assert(expected.nonEmpty)
+    val acc = replayShuffled(df =>
+      graft.streaming.StreamingOps.funnelMonitorBuffered(df, lateness = "1 minute"))(
+      r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4)))
+    // the LAST emission per user is the converged funnel row — identical
+    // to batch despite the shuffled delivery the unbuffered monitor
+    // would mis-chain
+    val last = acc.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, g) => g.maxBy(_._2)._1 }.toSeq.sorted
+    assert(last === expected)
+  }
+
+  test("transitionMonitorBuffered: shuffled within-chop delivery aggregates to batch x163") {
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x163_event_transitions")(spark, d)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    val acc = replayShuffled(df =>
+      graft.streaming.StreamingOps.transitionMonitorBuffered(df, lateness = "1 minute"))(
+      r => (r.getString(1), r.getString(2)))
+    val counts = acc.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    assert(counts === expected)
+  }
+
   test("streaming QL retrieval via qlRetriever matches batch qlCrossTopK") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
