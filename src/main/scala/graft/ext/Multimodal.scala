@@ -483,6 +483,186 @@ object Multimodal {
       h
     }
 
+    /** Minimal uncompressed AVI (RIFF) encoder — the video analog of
+      * [[pngEncode]]/[[wavEncode]]: a real, decodable container
+      * synthesized without any codec library. Published RIFF/AVI layout:
+      * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+      * LIST('movi' 00db...))` with each frame a bottom-up 24-bit BI_RGB
+      * DIB (`00db` = stream 0, uncompressed DIB), rows padded to 4 bytes.
+      * Rasters of any channel count encode: gray replicates to BGR
+      * (lossless for luma — Rec.601 of (v,v,v) is exactly v), RGB(A) maps
+      * to BGR dropping alpha, so an encode → [[aviFrames]] → [[dHash64]]
+      * chain hashes the SOURCE luma exactly. All frames must share
+      * dimensions (one video stream, fixed frame size). */
+    def aviEncode(frames: Seq[Raster], fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "aviEncode needs at least one frame")
+      require(fps > 0, s"fps must be > 0, got $fps")
+      val w = frames.head.width
+      val h = frames.head.height
+      require(frames.forall(f => f.width == w && f.height == h),
+        "all frames must share dimensions")
+      val stride = (w * 3 + 3) & ~3
+      val frameBytes = stride * h
+      def dib(r: Raster): Array[Byte] = {
+        val out = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < h) {
+          val src = (h - 1 - y) * w // bottom-up: DIB row y = raster row h-1-y
+          var x = 0
+          while (x < w) {
+            val base = (src + x) * r.channels
+            val (rr, gg, bb) =
+              if (r.channels <= 2) {
+                val v = r.pixels(base); (v, v, v)
+              } else (r.pixels(base), r.pixels(base + 1), r.pixels(base + 2))
+            out(y * stride + x * 3) = bb
+            out(y * stride + x * 3 + 1) = gg
+            out(y * stride + x * 3 + 2) = rr
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def le32(v: Int): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+        ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+        fourcc(id) ++ le32(payload.length) ++ payload ++
+          (if (payload.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+      def list(typ: String, payload: Array[Byte]): Array[Byte] =
+        fourcc("LIST") ++ le32(payload.length + 4) ++ fourcc(typ) ++ payload
+      // MainAVIHeader (56 bytes)
+      val avih = le32(1000000 / fps) ++ le32(frameBytes * fps) ++ le32(0) ++
+        le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+        le32(frameBytes) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0)
+      // AVIStreamHeader (56 bytes): vids / DIB, rate = fps, scale = 1
+      val strh = fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le16(0) ++
+        le16(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+        le32(frames.length) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+      // BITMAPINFOHEADER (40 bytes): 24-bit BI_RGB
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++
+          list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi",
+        frames.iterator.map(f => chunk("00db", dib(f)))
+          .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length) ++ body
+    }
+
+    /** Parse an uncompressed-DIB AVI ([[aviEncode]]'s shape) into its
+      * frame rasters — the [[wavSamples]] chunk-walk discipline on the
+      * video container: RIFF/'AVI ' signature, walk the top-level LISTs
+      * to `hdrl` (strf's BITMAPINFOHEADER must say 24-bit BI_RGB) and
+      * `movi` (each `00db`/`00dc` frame chunk must be exactly one
+      * bottom-up padded BGR frame). Total — compressed codecs,
+      * palettized DIBs, size mismatches, and truncations all return None,
+      * the "unknown, never a fake" rule. Frames decode to 3-channel RGB
+      * rasters in stream order. */
+    def aviFrames(b: Array[Byte]): Option[Seq[Raster]] = {
+      if (b.length < 24 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "AVI ") return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var w = 0
+      var h = 0
+      var okFmt = false
+      var frames = List.newBuilder[Raster]
+      var nFrames = 0
+      // walk one LIST's children in [from, until)
+      def walkStrl(from: Int, until: Int): Boolean = {
+        var i = from
+        while (i + 8 <= until) {
+          val typ = new String(b, i, 4, "US-ASCII")
+          val len = buf.getInt(i + 4)
+          if (len < 0 || i + 8 + len.toLong > until) return false
+          if (typ == "strf") {
+            if (len < 40) return false
+            val biW = buf.getInt(i + 12)
+            val biH = buf.getInt(i + 16)
+            val planes = buf.getShort(i + 20)
+            val bits = buf.getShort(i + 22)
+            val comp = buf.getInt(i + 24)
+            if (bits != 24 || comp != 0 || planes != 1 ||
+              biW <= 0 || biH <= 0) return false
+            w = biW; h = biH; okFmt = true
+          }
+          i += 8 + len + (len & 1)
+        }
+        true
+      }
+      def walkHdrl(from: Int, until: Int): Boolean = {
+        var i = from
+        while (i + 8 <= until) {
+          val typ = new String(b, i, 4, "US-ASCII")
+          val len = buf.getInt(i + 4)
+          if (len < 0 || i + 8 + len.toLong > until) return false
+          if (typ == "LIST" && len >= 4 &&
+            new String(b, i + 8, 4, "US-ASCII") == "strl") {
+            if (!walkStrl(i + 12, i + 8 + len)) return false
+          }
+          i += 8 + len + (len & 1)
+        }
+        true
+      }
+      def decodeFrame(off: Int, len: Int): Boolean = {
+        val stride = (w * 3 + 3) & ~3
+        if (len != stride * h) return false
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val srcRow = off + (h - 1 - y) * stride // un-flip bottom-up
+          var x = 0
+          while (x < w) {
+            px((y * w + x) * 3) = b(srcRow + x * 3 + 2)     // R
+            px((y * w + x) * 3 + 1) = b(srcRow + x * 3 + 1) // G
+            px((y * w + x) * 3 + 2) = b(srcRow + x * 3)     // B
+            x += 1
+          }
+          y += 1
+        }
+        frames += Raster(w, h, 3, px)
+        nFrames += 1
+        true
+      }
+      def walkMovi(from: Int, until: Int): Boolean = {
+        var i = from
+        while (i + 8 <= until) {
+          val typ = new String(b, i, 4, "US-ASCII")
+          val len = buf.getInt(i + 4)
+          if (len < 0 || i + 8 + len.toLong > until) return false
+          if (typ.endsWith("db") || typ.endsWith("dc")) {
+            // a frame chunk we cannot decode (wrong size = compressed or
+            // truncated) poisons the whole parse — no partial fakes
+            if (!okFmt || !decodeFrame(i + 8, len)) return false
+          }
+          i += 8 + len + (len & 1)
+        }
+        true
+      }
+      var i = 12
+      while (i + 8 <= b.length) {
+        val typ = new String(b, i, 4, "US-ASCII")
+        val len = buf.getInt(i + 4)
+        if (len < 0 || i + 8 + len.toLong > b.length) return None
+        if (typ == "LIST" && len >= 4) {
+          val sub = new String(b, i + 8, 4, "US-ASCII")
+          if (sub == "hdrl" && !walkHdrl(i + 12, i + 8 + len)) return None
+          if (sub == "movi" && !walkMovi(i + 12, i + 8 + len)) return None
+        }
+        i += 8 + len + (len & 1)
+      }
+      if (okFmt && nFrames > 0) Some(frames.result()) else None
+    }
+
     /** Container-aware decoder: header-parsed dimensions for PNG / JPEG /
       * GIF payloads (None otherwise — "unknown", never a fake), REAL pixel
       * statistics for decodable PNGs ([[pngPixels]]), and a content-byte
@@ -556,6 +736,27 @@ object Multimodal {
           .map { case (_, s) => MediaCodecs.audioFingerprint64(s) })
       }
     }.toDF("media_id", "afp")
+  }
+
+  /** Partition-wise per-frame perceptual hashing over a typed media
+    * Dataset — the video pixel path: parse the AVI container
+    * ([[MediaCodecs.aviFrames]]), dHash every frame's luma plane. Output
+    * `(media_id, frame_no, phash)` in stream order; payloads with no
+    * decodable uncompressed-AVI stream contribute ZERO rows (the
+    * exploding analog of the NULL-hash rule — no partial fakes). This is
+    * what graduates video near-dup from x31's compressed-byte blocks to
+    * pixels: re-muxed/re-contained payloads hash identically per frame
+    * (MultimodalSpec pins re-mux invariance) and feed the same 64-bit
+    * Hamming band miner as image dHash and text SimHash. */
+  def videoFrameHashes(media: Dataset[MediaFile]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { f =>
+        MediaCodecs.aviFrames(f.content).toSeq.flatMap(_.zipWithIndex.map {
+          case (r, i) => (f.media_id, i.toLong, MediaCodecs.dHash64(r))
+        })
+      }
+    }.toDF("media_id", "frame_no", "phash")
   }
 
   /** Deterministic "frame sampling": every `stride`-th fixed-size block of

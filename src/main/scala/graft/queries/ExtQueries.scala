@@ -880,6 +880,41 @@ object ExtQueries {
       Multimodal.perceptualHashes(media)
     }
 
+  /** x181/x182's shared video frame-fingerprint frame: each doc rendered
+    * as a REAL 2-frame 9×8 uncompressed AVI (frame f's luma = char codes
+    * starting at cyclic offset f*72 — frame 0 is exactly x166's image),
+    * pushed through the FULL video chain: aviEncode mux → aviFrames
+    * container parse → per-frame luma → dHash. The oracle recomputes each
+    * frame's hash from char codes directly (it never sees an AVI), so a
+    * hash match proves the mux → demux → raster → hash pipeline is
+    * pixel-exact — video near-dup on PIXELS, not x31's compressed-byte
+    * blocks. */
+  private def videoDHashShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "video-dhash-9x8x2") {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            // codepoint indexing — the pixelDHashShared rationale
+            val cps = text.codePoints().toArray
+            val frames = (0 until 2).map { f =>
+              val px = new Array[Byte](72)
+              var i = 0
+              while (i < 72) {
+                px(i) = (cps((f * 72 + i) % cps.length) % 256).toByte
+                i += 1
+              }
+              Multimodal.Raster(9, 8, 1, px)
+            }
+            Multimodal.MediaFile(id, "video",
+              Multimodal.MediaCodecs.aviEncode(frames), Map.empty)
+          }
+        }
+      Multimodal.videoFrameHashes(media)
+    }
+
   /** x172/x173's shared audio-fingerprint frame — the x166 pattern on the
     * audio axis: each doc rendered as a REAL PCM16 mono WAV (130 samples
     * from char codes, exactly 2 per envelope window), pushed through the
@@ -6536,6 +6571,92 @@ object ExtQueries {
                              AS ham
                          FROM byts a JOIN byts b
                            ON a.row_no = b.row_no AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib""")),
+
+    // x181 — video frame fingerprints: every doc rendered as a REAL
+    // 2-frame uncompressed AVI and pushed through the full video pipeline
+    // (aviEncode mux → pure-JVM aviFrames demux → per-frame luma →
+    // 64-bit dHash), reported as each frame hash's 8 row-bytes so the
+    // DuckDB oracle — which recomputes the same per-frame dHash from char
+    // codes WITHOUT ever seeing an AVI — hash-matches: the oracle-checked
+    // proof that container demux + frame raster decode are pixel-exact.
+    // One map-side pass per doc; frames enumerate inside the partition.
+    QueryDef("x181_video_frame_dhash",
+      (s, d) => videoDHashShared(s, d)
+        .select(col("media_id").as("doc_id"), col("frame_no"),
+          posexplode(expr(
+            "transform(sequence(0, 7), g -> shiftright(phash, 8 * g) & 255L)"))
+            .as(Seq("row_no", "bits")))
+        .select(col("doc_id"), col("frame_no"),
+          col("row_no").cast("long").as("row_no"), col("bits"))
+        .orderBy("doc_id", "frame_no", "row_no"),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, f.range AS f, gy.range AS gy,
+                           gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((f.range * 72 + gy.range * 9 + gx.range)
+                                   % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 2) f, range(0, 8) gy, range(0, 9) gx),
+                   p AS (SELECT a.doc_id, a.f, a.gy, a.gx,
+                           CASE WHEN b.v > a.v THEN 1 << a.gx ELSE 0 END AS bit
+                         FROM g a JOIN g b ON a.doc_id = b.doc_id
+                           AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1
+                         WHERE a.gx < 8)
+              SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+                     CAST(gy AS BIGINT) AS row_no,
+                     CAST(sum(bit) AS BIGINT) AS bits
+              FROM p GROUP BY 1, 2, 3 ORDER BY doc_id, frame_no, row_no""")),
+
+    // x182 — video near-dup pairs on PIXELS: videos pair when the TOTAL
+    // Hamming distance over their aligned frame dHashes is ≤ 3 (the x167
+    // contract summed across frames). Mining rides the same 4×16-bit band
+    // machinery: total ≤ 3 implies frame-0 hamming ≤ 3, so banding
+    // frame 0 at hMax=3 is COMPLETE by pigeonhole; candidates then verify
+    // the exact total with one bit_count per remaining frame. The oracle
+    // brute-forces the total from its independently-computed row-bytes,
+    // so the banded pair set is EXACT-checked — re-muxed payloads pair
+    // only via pixels, which x31's compressed-byte blocks cannot do.
+    QueryDef("x182_video_near_dup",
+      (s, d) => {
+        val vh = videoDHashShared(s, d)
+        val f0 = vh.filter(col("frame_no") === 0L)
+          .select(col("media_id"), col("phash"))
+        val f1 = vh.filter(col("frame_no") === 1L)
+          .select(col("media_id"), col("phash").as("h1"))
+        Dedup.hammingNearDupPairsOf(f0, "phash", hMax = 3, idCol = "media_id")
+          .join(f1.select(col("media_id").as("ia"), col("h1").as("h1a")), "ia")
+          .join(f1.select(col("media_id").as("ib"), col("h1").as("h1b")), "ib")
+          .select(col("ia"), col("ib"),
+            (col("ham") + expr("CAST(bit_count(h1a ^ h1b) AS BIGINT)"))
+              .as("ham"))
+          .filter(col("ham") <= 3)
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, f.range AS f, gy.range AS gy,
+                           gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((f.range * 72 + gy.range * 9 + gx.range)
+                                   % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 2) f, range(0, 8) gy, range(0, 9) gx),
+                   byts AS (SELECT a.doc_id, a.f, a.gy,
+                              CAST(sum(CASE WHEN b.v > a.v THEN 1 << a.gx
+                                       ELSE 0 END) AS BIGINT) AS bits
+                            FROM g a JOIN g b ON a.doc_id = b.doc_id
+                              AND a.f = b.f AND a.gy = b.gy
+                              AND b.gx = a.gx + 1
+                            WHERE a.gx < 8 GROUP BY 1, 2, 3),
+                   h AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           CAST(sum(bit_count(xor(a.bits, b.bits))) AS BIGINT)
+                             AS ham
+                         FROM byts a JOIN byts b
+                           ON a.f = b.f AND a.gy = b.gy
+                             AND a.doc_id < b.doc_id
                          GROUP BY 1, 2)
               SELECT ia, ib, ham FROM h WHERE ham <= 3 ORDER BY ia, ib""")),
 

@@ -429,4 +429,88 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(pairs === Seq((1L, 2L, 0L)))
   }
+
+  test("aviEncode → aviFrames round-trips RGB frames pixel-exactly") {
+    val rnd = new scala.util.Random(17)
+    for ((w, h, n) <- Seq((1, 1, 1), (5, 3, 2), (9, 8, 3), (16, 16, 4))) {
+      val frames = (0 until n).map(_ =>
+        Raster(w, h, 3, Array.fill(w * h * 3)(rnd.nextInt(256).toByte)))
+      val got = MediaCodecs.aviFrames(MediaCodecs.aviEncode(frames))
+      assert(got.isDefined, s"$w x $h x $n frames did not decode")
+      assert(got.get.length === n)
+      got.get.zip(frames).zipWithIndex.foreach { case ((d, o), i) =>
+        assert(d.width === w && d.height === h && d.channels === 3)
+        assert(d.pixels.toSeq === o.pixels.toSeq, s"$w x $h frame $i")
+      }
+      // gray frames survive as replicated-BGR with the SAME luma (Rec.601
+      // of (v,v,v) is exactly v) — the dHash chain hashes the source luma
+      val gray = Raster(9, 8, 1, Array.fill(72)(rnd.nextInt(256).toByte))
+      val dec = MediaCodecs.aviFrames(MediaCodecs.aviEncode(Seq(gray))).get.head
+      assert(MediaCodecs.lumaPlane(dec).toSeq ===
+        MediaCodecs.lumaPlane(gray).toSeq)
+      assert(MediaCodecs.dHash64(dec) === MediaCodecs.dHash64(gray))
+    }
+  }
+
+  test("re-muxed AVIs: bytes differ, per-frame dHashes identical, miner pairs them") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val frames = (0 until 3).map(_ =>
+      Raster(16, 12, 3, Array.fill(16 * 12 * 3)(rnd.nextInt(256).toByte)))
+    val v1 = MediaCodecs.aviEncode(frames, fps = 10)
+    // re-mux: decode and re-contain at a different frame rate — new
+    // container bytes, identical frame pixels (what a lossless remux tool
+    // does)
+    val v2 = MediaCodecs.aviEncode(MediaCodecs.aviFrames(v1).get, fps = 25)
+    assert(!java.util.Arrays.equals(v1, v2), "re-mux produced identical bytes")
+    // an unrelated video shares no frame hash
+    val v3 = MediaCodecs.aviEncode((0 until 3).map(_ =>
+      Raster(16, 12, 3, Array.fill(16 * 12 * 3)(rnd.nextInt(256).toByte))))
+    val media = Seq(MediaFile(1L, "video", v1, Map.empty),
+      MediaFile(2L, "video", v2, Map.empty),
+      MediaFile(3L, "video", v3, Map.empty),
+      MediaFile(4L, "video", "not an avi".getBytes("UTF-8"), Map.empty)).toDS()
+    val vh = videoFrameHashes(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // undecodable payload contributes zero rows, decodable ones a row per frame
+    assert(vh.count(_._1 == 4L) === 0)
+    assert(vh.count(_._1 == 1L) === 3)
+    val byId = vh.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(byId(1L) === byId(2L), "re-mux changed a frame hash")
+    assert(byId(1L) !== byId(3L))
+    // frame-0 signatures through the SAME 64-bit Hamming miner as
+    // image dHash / text SimHash: the re-muxed twins pair at hamming 0
+    val sigs = videoFrameHashes(media).filter(col("frame_no") === 0L)
+      .select(col("media_id"), col("phash"))
+    val pairs = Dedup.hammingNearDupPairsOf(sigs, "phash", hMax = 3,
+        idCol = "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+  }
+
+  test("aviFrames is total on malformed input") {
+    val rnd = new scala.util.Random(23)
+    val good = MediaCodecs.aviEncode(Seq(
+      Raster(5, 4, 3, Array.fill(60)(rnd.nextInt(256).toByte))))
+    assert(MediaCodecs.aviFrames(good).isDefined)
+    // truncation anywhere → None, never a partial decode
+    for (cut <- Seq(4, 11, 30, good.length / 2, good.length - 3))
+      assert(MediaCodecs.aviFrames(good.take(cut)).isEmpty, s"cut at $cut")
+    // a RIFF that is not AVI (our own WAV) → None
+    assert(MediaCodecs.aviFrames(
+      MediaCodecs.wavEncode(Array.fill(100)(7.toShort))).isEmpty)
+    // random bytes → None
+    assert(MediaCodecs.aviFrames(Array.fill(200)(rnd.nextInt(256).toByte)).isEmpty)
+    // a compressed frame chunk (size != stride*h) poisons the parse: flip
+    // the movi frame chunk id to 00dc and shrink it — still None, and the
+    // original stays decodable
+    val bad = good.clone()
+    // find the '00db' fourcc and corrupt its declared length
+    val idx = bad.indices.find(i => i + 4 <= bad.length &&
+      new String(bad, i, 4, "US-ASCII") == "00db").get
+    bad(idx + 4) = (bad(idx + 4) ^ 0x01).toByte
+    assert(MediaCodecs.aviFrames(bad).isEmpty)
+  }
 }
