@@ -26,8 +26,10 @@ object Multimodal {
       meta: Map[String, String])
 
   /** Extracted features. `width`/`height` are None when the payload is not
-    * a recognized image container (a real pipeline wants "unknown", not a
-    * plausible fake); `feature` is decoded-pixel statistics for PNG
+    * a recognized image container, and `sample_rate`/`duration_ms` are
+    * None when it is not a recognized audio container (WAV/MP3/FLAC via
+    * [[MediaCodecs.audioInfo]]) — a real pipeline wants "unknown", not a
+    * plausible fake; `feature` is decoded-pixel statistics for PNG
     * payloads and a content-byte projection otherwise (the codec seam). */
   case class MediaFeatures(
       media_id: Long,
@@ -36,6 +38,8 @@ object Multimodal {
       sha: String,
       width: Option[Int],
       height: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long],
       n_frames: Int,
       feature: Array[Float])
 
@@ -483,6 +487,173 @@ object Multimodal {
       h
     }
 
+    /** Pure-JVM audio container info — [[imageDimensions]]'s shape on the
+      * audio axis: (format, sample rate Hz, duration ms) parsed
+      * header-exactly from the container, NO sample decode.
+      *
+      *   - WAV: RIFF chunk walk to `fmt ` (PCM only) + `data`; duration =
+      *     data bytes / block align samples.
+      *   - FLAC: "fLaC" magic, then the STREAMINFO metadata block (the
+      *     spec mandates it first): sample rate (20 bits) and total
+      *     samples (36 bits) from the packed field block.
+      *   - MP3: optional ID3v2 skip (syncsafe size), then a Layer III
+      *     frame-HEADER walk (sync + version/bitrate/rate fields give each
+      *     frame's byte length — headers only, payloads skipped):
+      *     duration = frames × samples-per-frame (1152 MPEG1 / 576
+      *     MPEG2/2.5) at the stream's fixed sample rate. The walk must
+      *     land exactly at EOF or a trailing ID3v1 `TAG` block — embedded
+      *     garbage means "not an MP3", never a guessed duration.
+      *
+      * Durations floor to whole milliseconds (exact integer arithmetic —
+      * every engine agrees). Returns None for anything else — the
+      * "unknown, never a fake" rule. */
+    def audioInfo(b: Array[Byte]): Option[(String, Int, Long)] =
+      wavInfo(b).orElse(flacInfo(b)).orElse(mp3Info(b))
+
+    private def wavInfo(b: Array[Byte]): Option[(String, Int, Long)] = {
+      if (b.length < 44 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      var rate = 0
+      var blockAlign = 0
+      var dataLen = -1L
+      while (i + 8 <= b.length) {
+        val typ = new String(b, i, 4, "US-ASCII")
+        val len = buf.getInt(i + 4)
+        if (len < 0 || i + 8 + len.toLong > b.length) return None
+        if (typ == "fmt ") {
+          if (len < 16 || buf.getShort(i + 8) != 1) return None // PCM only
+          rate = buf.getInt(i + 12)
+          blockAlign = buf.getShort(i + 20)
+        } else if (typ == "data") dataLen = len.toLong
+        i += 8 + len + (len & 1)
+      }
+      if (rate > 0 && blockAlign > 0 && dataLen >= 0)
+        Some(("wav", rate, dataLen / blockAlign * 1000L / rate))
+      else None
+    }
+
+    private def flacInfo(b: Array[Byte]): Option[(String, Int, Long)] = {
+      if (b.length < 42 ||
+        new String(b, 0, 4, "US-ASCII") != "fLaC") return None
+      def u8(i: Int): Int = b(i) & 0xff
+      // first metadata block MUST be STREAMINFO (type 0), length 34
+      if ((u8(4) & 0x7f) != 0) return None
+      val len = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+      if (len < 34 || 8 + len > b.length) return None
+      val s = 8 // STREAMINFO payload start
+      val rate = (u8(s + 10) << 12) | (u8(s + 11) << 4) | (u8(s + 12) >> 4)
+      val total = ((u8(s + 13) & 0x0f).toLong << 32) |
+        (u8(s + 14).toLong << 24) | (u8(s + 15).toLong << 16) |
+        (u8(s + 16).toLong << 8) | u8(s + 17).toLong
+      if (rate <= 0) None
+      else Some(("flac", rate, total * 1000L / rate))
+    }
+
+    private val Mp3RatesMpeg1 = Array(44100, 48000, 32000)
+    private val Mp3BitratesMpeg1 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320)
+    private val Mp3BitratesMpeg2 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+      64, 80, 96, 112, 128, 144, 160)
+
+    private def mp3Info(b: Array[Byte]): Option[(String, Int, Long)] = {
+      def u8(i: Int): Int = b(i) & 0xff
+      var i = 0
+      // ID3v2: "ID3" + 2 version + 1 flags + 4 SYNCSAFE size bytes
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None
+        i = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      }
+      var rate = 0
+      var frames = 0L
+      var samplesPerFrame = 0
+      while (i + 4 <= b.length) {
+        // trailing ID3v1 tag ends the stream cleanly
+        if (i + 3 <= b.length && b(i) == 'T' && b(i + 1) == 'A' &&
+          b(i + 2) == 'G' && b.length - i == 128)
+          return if (frames > 0) Some(("mp3", rate, frames * samplesPerFrame * 1000L / rate)) else None
+        if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
+        val version = (u8(i + 1) >> 3) & 3 // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layer = (u8(i + 1) >> 1) & 3   // 1 = Layer III
+        if (version == 1 || layer != 1) return None
+        val brIdx = u8(i + 2) >> 4
+        val rateIdx = (u8(i + 2) >> 2) & 3
+        val padding = (u8(i + 2) >> 1) & 1
+        if (brIdx == 0 || brIdx == 15 || rateIdx == 3) return None
+        val mpeg1 = version == 3
+        val thisRate = Mp3RatesMpeg1(rateIdx) /
+          (if (mpeg1) 1 else if (version == 2) 2 else 4)
+        if (rate == 0) rate = thisRate
+        else if (rate != thisRate) return None // VBR bitrate ok, rate is fixed
+        val kbps = (if (mpeg1) Mp3BitratesMpeg1 else Mp3BitratesMpeg2)(brIdx)
+        samplesPerFrame = if (mpeg1) 1152 else 576
+        val frameLen = samplesPerFrame / 8 * kbps * 1000 / thisRate + padding
+        if (frameLen <= 4 || i + frameLen > b.length) return None
+        frames += 1
+        i += frameLen
+      }
+      if (frames > 0 && i == b.length)
+        Some(("mp3", rate, frames * samplesPerFrame * 1000L / rate))
+      else None
+    }
+
+    /** Synthesize a structurally-real Layer III MP3: `nFrames` valid frame
+      * headers with zero audio payloads (the header walk never decodes
+      * payloads, so fixtures need real HEADERS, not real audio) — the
+      * [[pngEncode]]/[[wavEncode]] role for the compressed-audio parser.
+      * MPEG1 rates {44100, 48000, 32000}; CBR at `bitrateKbps`. */
+    def mp3Encode(nFrames: Int, sampleRate: Int = 44100,
+                  bitrateKbps: Int = 128): Array[Byte] = {
+      require(nFrames > 0, s"nFrames must be > 0, got $nFrames")
+      val rateIdx = Mp3RatesMpeg1.indexOf(sampleRate)
+      require(rateIdx >= 0, s"unsupported MPEG1 rate $sampleRate")
+      val brIdx = Mp3BitratesMpeg1.indexOf(bitrateKbps)
+      require(brIdx > 0, s"unsupported MPEG1 Layer III bitrate $bitrateKbps")
+      val frameLen = 144 * bitrateKbps * 1000 / sampleRate // no padding
+      val out = new Array[Byte](nFrames * frameLen)
+      var f = 0
+      while (f < nFrames) {
+        val o = f * frameLen
+        out(o) = 0xff.toByte
+        out(o + 1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+        out(o + 2) = ((brIdx << 4) | (rateIdx << 2)).toByte // no padding
+        out(o + 3) = 0xc4.toByte // mono, no emphasis
+        f += 1
+      }
+      out
+    }
+
+    /** Synthesize a structurally-real FLAC header: "fLaC" + the mandatory
+      * STREAMINFO metadata block (marked last) carrying `sampleRate` and
+      * `totalSamples` — all [[audioInfo]] reads. */
+    def flacEncode(sampleRate: Int, totalSamples: Long): Array[Byte] = {
+      require(sampleRate > 0 && sampleRate < (1 << 20),
+        s"sampleRate out of STREAMINFO range: $sampleRate")
+      require(totalSamples >= 0 && totalSamples < (1L << 36),
+        s"totalSamples out of STREAMINFO range: $totalSamples")
+      val out = new Array[Byte](8 + 34)
+      out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+      out(4) = 0x80.toByte // last-metadata-block, type 0 = STREAMINFO
+      out(7) = 34          // block length
+      val s = 8
+      out(s) = 0x10; out(s + 1) = 0x00     // min block 4096
+      out(s + 2) = 0x10; out(s + 3) = 0x00 // max block 4096
+      // min/max frame size 0 (unknown): bytes s+4..s+9 stay 0
+      out(s + 10) = (sampleRate >> 12).toByte
+      out(s + 11) = ((sampleRate >> 4) & 0xff).toByte
+      // rate low nibble | (channels-1 = 0) << 1 | (bps-1 = 15) >> 4
+      out(s + 12) = (((sampleRate & 0xf) << 4) | (15 >> 4)).toByte
+      out(s + 13) = (((15 & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+      out(s + 14) = ((totalSamples >> 24) & 0xff).toByte
+      out(s + 15) = ((totalSamples >> 16) & 0xff).toByte
+      out(s + 16) = ((totalSamples >> 8) & 0xff).toByte
+      out(s + 17) = (totalSamples & 0xff).toByte
+      // 16-byte MD5 of the (absent) audio stream stays zero
+      out
+    }
+
     /** Minimal uncompressed AVI (RIFF) encoder — the video analog of
       * [[pngEncode]]/[[wavEncode]]: a real, decodable container
       * synthesized without any codec library. Published RIFF/AVI layout:
@@ -673,6 +844,7 @@ object Multimodal {
     def decode(f: MediaFile): MediaFeatures = {
       val n = f.content.length
       val dims = imageDimensions(f.content)
+      val audio = audioInfo(f.content)
       MediaFeatures(
         media_id = f.media_id,
         kind = f.kind,
@@ -681,6 +853,8 @@ object Multimodal {
           .digest(f.content).map("%02x".format(_)).mkString,
         width = dims.map(_._1),
         height = dims.map(_._2),
+        sample_rate = audio.map(_._2),
+        duration_ms = audio.map(_._3),
         n_frames = if (f.kind == "video") (n % 300) + 1 else 1,
         // Raster decode ONLY for recognized image containers (the header
         // parse already ran — audio/video/opaque payloads must not pay a

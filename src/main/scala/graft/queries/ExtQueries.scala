@@ -2402,7 +2402,7 @@ object ExtQueries {
         val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
         Multimodal.extractFeatures(media).toDF()
           .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
-            col("width"), col("height"))
+            col("width"), col("height"), col("sample_rate"), col("duration_ms"))
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id,
@@ -2410,8 +2410,61 @@ object ExtQueries {
                      CAST(strlen(text) AS BIGINT) AS n_bytes,
                      sha256(text) AS sha,
                      CAST(NULL AS INTEGER) AS width,
-                     CAST(NULL AS INTEGER) AS height
+                     CAST(NULL AS INTEGER) AS height,
+                     CAST(NULL AS INTEGER) AS sample_rate,
+                     CAST(NULL AS BIGINT) AS duration_ms
               FROM documents ORDER BY media_id""")),
+
+    // x183 — compressed-audio header info through the SAME features row:
+    // each doc synthesized as a REAL audio container chosen by doc_id % 3
+    // (PCM WAV / Layer III MP3 frame stream / FLAC STREAMINFO — all built
+    // by the MediaCodecs writers, all parsed back header-exactly by
+    // audioInfo with NO sample decode), surfacing (sample_rate,
+    // duration_ms) in the x14 features row. The oracle recomputes both
+    // from the synthesis arithmetic WITHOUT ever seeing a container, so
+    // the MP3 frame walk and FLAC STREAMINFO unpack are exact-checked.
+    QueryDef("x183_audio_info",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              // codepoint length — the pixelDHashShared rationale
+              val len = text.codePointCount(0, text.length).toLong
+              val content = (id % 3) match {
+                case 0 =>
+                  Multimodal.MediaCodecs.wavEncode(
+                    new Array[Short]((1 + len % 1000).toInt),
+                    8000 + (id % 8).toInt * 1000)
+                case 1 =>
+                  Multimodal.MediaCodecs.mp3Encode((1 + id % 5).toInt)
+                case _ =>
+                  Multimodal.MediaCodecs.flacEncode(48000, 1 + len * 37 % 100000)
+              }
+              Multimodal.MediaFile(id, "audio", content, Map.empty)
+            }
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id").as("doc_id"), col("sample_rate"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, length(text) AS n
+                         FROM documents WHERE length(text) > 0)
+              SELECT doc_id,
+                     CAST(CASE doc_id % 3
+                          WHEN 0 THEN 8000 + (doc_id % 8) * 1000
+                          WHEN 1 THEN 44100
+                          ELSE 48000 END AS INTEGER) AS sample_rate,
+                     CAST(CASE doc_id % 3
+                          WHEN 0 THEN ((1 + n % 1000) * 1000)
+                                      // (8000 + (doc_id % 8) * 1000)
+                          WHEN 1 THEN ((1 + doc_id % 5) * 1152 * 1000) // 44100
+                          ELSE ((1 + (n * 37) % 100000) * 1000) // 48000
+                          END AS BIGINT) AS duration_ms
+              FROM d ORDER BY doc_id""")),
 
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).

@@ -490,6 +490,64 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0L)))
   }
 
+  test("audioInfo parses real WAV/MP3/FLAC headers exactly, no sample decode") {
+    // WAV: duration from data bytes / block align at the fmt rate
+    val wav = MediaCodecs.wavEncode(new Array[Short](16000), 16000)
+    assert(MediaCodecs.audioInfo(wav) === Some(("wav", 16000, 1000L)))
+    // MP3: Layer III frame-header walk — 38 frames of 1152 samples at
+    // 44100 Hz = floor(38*1152*1000/44100) ms
+    val mp3 = MediaCodecs.mp3Encode(38, sampleRate = 44100, bitrateKbps = 128)
+    assert(MediaCodecs.audioInfo(mp3) ===
+      Some(("mp3", 44100, 38L * 1152 * 1000 / 44100)))
+    // an ID3v2 prefix (syncsafe size) and a trailing ID3v1 TAG block are
+    // skipped, not misparsed
+    val id3v2 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10)
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    assert(MediaCodecs.audioInfo(id3v2 ++ mp3 ++ id3v1) ===
+      Some(("mp3", 44100, 38L * 1152 * 1000 / 44100)))
+    // FLAC: STREAMINFO sample rate (20 bits) + total samples (36 bits)
+    val flac = MediaCodecs.flacEncode(48000, 96000L)
+    assert(MediaCodecs.audioInfo(flac) === Some(("flac", 48000, 2000L)))
+    // 36-bit total samples survive (> 2^32)
+    assert(MediaCodecs.audioInfo(MediaCodecs.flacEncode(8000, 1L << 33)) ===
+      Some(("flac", 8000, (1L << 33) * 1000 / 8000)))
+  }
+
+  test("audioInfo is total on malformed input") {
+    val rnd = new scala.util.Random(29)
+    assert(MediaCodecs.audioInfo("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecs.audioInfo(Array.fill(64)(rnd.nextInt(256).toByte)).isEmpty)
+    // truncated containers refuse rather than guess
+    val mp3 = MediaCodecs.mp3Encode(3)
+    assert(MediaCodecs.audioInfo(mp3.take(mp3.length - 10)).isEmpty)
+    assert(MediaCodecs.audioInfo(MediaCodecs.flacEncode(48000, 100).take(20)).isEmpty)
+    // embedded garbage after valid MP3 frames means "not an MP3"
+    assert(MediaCodecs.audioInfo(mp3 ++ "x".getBytes("UTF-8")).isEmpty)
+    // a Layer I/II stream is not an MP3 duration source: flip layer bits
+    val l2 = mp3.clone(); l2(1) = 0xfd.toByte
+    assert(MediaCodecs.audioInfo(l2).isEmpty)
+    // an AVI (also RIFF) is not audio
+    assert(MediaCodecs.audioInfo(MediaCodecs.aviEncode(Seq(
+      Raster(2, 2, 3, new Array[Byte](12))))).isEmpty)
+  }
+
+  test("extractFeatures surfaces header-parsed audio info, null for non-audio") {
+    import spark.implicits._
+    val media = Seq(
+      MediaFile(1L, "audio", MediaCodecs.wavEncode(new Array[Short](8000), 8000), Map.empty),
+      MediaFile(2L, "audio", MediaCodecs.mp3Encode(10), Map.empty),
+      MediaFile(3L, "audio", MediaCodecs.flacEncode(44100, 44100L), Map.empty),
+      MediaFile(4L, "image", "plain text payload".getBytes("UTF-8"), Map.empty))
+      .toDS()
+    val got = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(got(0).sample_rate === Some(8000) && got(0).duration_ms === Some(1000L))
+    assert(got(1).sample_rate === Some(44100) &&
+      got(1).duration_ms === Some(10L * 1152 * 1000 / 44100))
+    assert(got(2).sample_rate === Some(44100) && got(2).duration_ms === Some(1000L))
+    assert(got(3).sample_rate === None && got(3).duration_ms === None)
+  }
+
   test("aviFrames is total on malformed input") {
     val rnd = new scala.util.Random(23)
     val good = MediaCodecs.aviEncode(Seq(
