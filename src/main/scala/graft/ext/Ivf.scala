@@ -287,6 +287,38 @@ object Ivf {
     IvfIndex(centroids, assigned)
   }
 
+  /** Assign a NEW vector batch to a persisted index's FROZEN centroids and
+    * append it into `dir/assigned` — the daily-ingest ANN path, which
+    * previously required a full rebuild. The coarse quantizer stays as
+    * trained (new vectors inherit the existing cell geometry — the recall
+    * contract the x67 gate pins is about probe coverage, not batch
+    * membership), the batch pays only its OWN assignment pass, and the
+    * write lands through [[Export.appendShards]]'s staged epoch commit
+    * with `cluster` as the shard column: same `cluster=N` directory layout
+    * probes already prune on, plus the manifest/self-healing/schema-drift
+    * contracts of the export sink (a failed append retracts on retry; the
+    * republished manifest re-derives from the full written state and
+    * doubles as `Export.validateShards` input for the index). A reloaded
+    * index then probes the union exactly as a frozen-centroid rebuild
+    * would (IvfSpec pins append ≡ rebuild parity and the recall floor on
+    * an appended index). Refuses an empty index — there is no quantizer
+    * to assign against; build/retrain instead. Returns the per-cluster
+    * row counts of the UNION (the republished manifest). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, dir: String): Map[Long, Long] = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster_id")
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(centroids.nonEmpty,
+      s"appendToIndex: index at $dir has no centroids (empty index) — " +
+        "buildIndex/saveIndex on the first real corpus instead")
+    val rows = assign(batch.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+    Export.appendShards(rows, s"$dir/assigned", shardCol = "cluster")
+  }
+
   /** Approximate top-k against a prebuilt index: exact cosine restricted to
     * the `nProbe` cells nearest the query vector. */
   def topK(index: IvfIndex, queryId: Long, kTop: Int, nProbe: Int): DataFrame =

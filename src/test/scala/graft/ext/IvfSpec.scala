@@ -210,6 +210,76 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: append ≡ frozen-centroid rebuild; reload parity; recall holds") {
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Ivf.buildIndex(half1, nClusters = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    try {
+      Ivf.saveIndex(idx, dir)
+      val counts = Ivf.appendToIndex(spark,
+        half2.select(col("vec_id"), col("embedding")), dir)
+      assert(counts.values.sum === emb.count())
+      val appended = Ivf.loadIndex(spark, dir)
+      // centroids stay FROZEN through the append
+      assert(appended.centroids.zip(idx.centroids).forall {
+        case (a, b) => a.sameElements(b) })
+      // reload parity: the appended table is exactly the frozen-centroid
+      // assignment of the union (vec_id → cluster, every row present once)
+      val rebuilt = Ivf.IvfIndex(idx.centroids,
+        Ivf.assign(emb.select(col("vec_id"), col("embedding")), idx.centroids)
+          .withColumn("nrm", Similarity.norm(col("embedding"))))
+      val gotAssign = appended.assigned.select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val wantAssign = rebuilt.assigned.select("vec_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(gotAssign === wantAssign)
+      // probe parity: append ≡ rebuild on the union, several queries
+      for (qid <- Seq(0L, 7L, 42L)) {
+        val a = Ivf.topK(appended, qid, kTop = 5, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val b = Ivf.topK(rebuilt, qid, kTop = 5, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(a === b, s"appended vs rebuilt probe drifted for qid=$qid")
+      }
+      // the x67 recall contract on the APPENDED index: probe half the
+      // cells, expect the x67-floor share of the exact neighbors
+      val exact = Similarity.cosineTopK(emb, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Ivf.topK(appended, 0L, 10, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact & approx).size >= 4,
+        s"appended-index recall too low: ${(exact & approx).size}/10")
+      // appended epoch files live under the pruned cluster layout and the
+      // export-sink manifest validates the written state
+      assert(Export.validateShards(spark, s"$dir/assigned", "cluster") === counts)
+      // a second append keeps all contracts (epochs accumulate)
+      val again = Ivf.appendToIndex(spark,
+        emb.filter(col("vec_id") === 0L).select(col("vec_id"), col("embedding")),
+        dir)
+      assert(again.values.sum === emb.count() + 1)
+      assert(Export.committedEpochs(spark, s"$dir/assigned") === Set(1L, 2L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("appendToIndex refuses an empty index instead of faking assignments") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val idx = Ivf.buildIndex(empty, nClusters = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append-empty").toString
+    try {
+      Ivf.saveIndex(idx, dir)
+      val e = intercept[IllegalArgumentException] {
+        Ivf.appendToIndex(spark, emb.select(col("vec_id"), col("embedding")), dir)
+      }
+      assert(e.getMessage.contains("no centroids"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("retrieverFromIndex probes a reloaded index identically to the live one") {
     val idx = Ivf.buildIndex(emb, nClusters = 8, iters = 2)
     val queries = emb.filter(col("vec_id") % 50 === 0)
