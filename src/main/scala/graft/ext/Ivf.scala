@@ -259,10 +259,16 @@ object Ivf {
         .parquet(s"$dir/centroids")
       return
     }
-    index.assigned
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cluster").parquet(s"$dir/assigned")
+    // the assigned table lands through the export sink: same cluster=N
+    // layout probes prune on, PLUS the writeShards manifest (per-cluster
+    // counts, bytes, content digests, per-file checksums) — so a fresh
+    // index validates with Export.validateShards immediately and
+    // [[appendToIndex]]'s schema-drift/self-healing guards are active from
+    // the FIRST append, not only after one epoch has republished a manifest
+    Export.writeShards(
+      index.assigned
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster")),
+      s"$dir/assigned", shardCol = "cluster")
     index.centroids.zipWithIndex
       .map { case (c, j) => (j, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid")

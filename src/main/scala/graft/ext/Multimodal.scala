@@ -26,11 +26,15 @@ object Multimodal {
       meta: Map[String, String])
 
   /** Extracted features. `width`/`height` are None when the payload is not
-    * a recognized image container, and `sample_rate`/`duration_ms` are
-    * None when it is not a recognized audio container (WAV/MP3/FLAC via
-    * [[MediaCodecs.audioInfo]]) — a real pipeline wants "unknown", not a
-    * plausible fake; `feature` is decoded-pixel statistics for PNG
-    * payloads and a content-byte projection otherwise (the codec seam). */
+    * a recognized image (PNG/JPEG/GIF) or video (AVI `avih`) container;
+    * `sample_rate` is None outside recognized audio (WAV/MP3/FLAC via
+    * [[MediaCodecs.audioInfo]]); `duration_ms` comes from the audio parse
+    * or the AVI header (frames × µs-per-frame); `n_frames` is the REAL
+    * `avih` frame count for a parseable AVI and a length-derived
+    * placeholder only for opaque video payloads — a real pipeline wants
+    * "unknown", not a plausible fake; `feature` is decoded-pixel
+    * statistics for PNG payloads and a content-byte projection otherwise
+    * (the codec seam). */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -729,6 +733,51 @@ object Multimodal {
       fourcc("RIFF") ++ le32(body.length) ++ body
     }
 
+    /** Pure-JVM video container info — the [[imageDimensions]]/[[audioInfo]]
+      * shape completing the triptych: (width, height, frame count,
+      * duration ms) from the AVI `avih` MainAVIHeader alone, NO movi walk
+      * and NO frame decode — so it is header-exact for ANY AVI, including
+      * compressed-codec streams [[aviFrames]] refuses to decode (info
+      * never requires a codec; pixels do). Duration = total frames ×
+      * µs-per-frame, floored to whole milliseconds. Returns None for
+      * anything that is not a RIFF/AVI with a well-formed hdrl. */
+    def videoInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length < 24 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "AVI ") return None
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val typ = new String(b, i, 4, "US-ASCII")
+        val len = buf.getInt(i + 4)
+        if (len < 0 || i + 8 + len.toLong > b.length) return None
+        if (typ == "LIST" && len >= 4 &&
+          new String(b, i + 8, 4, "US-ASCII") == "hdrl") {
+          var j = i + 12
+          val until = i + 8 + len
+          while (j + 8 <= until) {
+            val t2 = new String(b, j, 4, "US-ASCII")
+            val l2 = buf.getInt(j + 4)
+            if (l2 < 0 || j + 8 + l2.toLong > until) return None
+            if (t2 == "avih") {
+              if (l2 < 40) return None
+              val usPerFrame = buf.getInt(j + 8).toLong & 0xffffffffL
+              val frames = buf.getInt(j + 24)
+              val w = buf.getInt(j + 40)
+              val h = buf.getInt(j + 44)
+              return if (w > 0 && h > 0 && frames >= 0)
+                Some((w, h, frames, frames * usPerFrame / 1000L))
+              else None
+            }
+            j += 8 + l2 + (l2 & 1)
+          }
+          return None // hdrl without avih is not a well-formed AVI
+        }
+        i += 8 + len + (len & 1)
+      }
+      None
+    }
+
     /** Parse an uncompressed-DIB AVI ([[aviEncode]]'s shape) into its
       * frame rasters — the [[wavSamples]] chunk-walk discipline on the
       * video container: RIFF/'AVI ' signature, walk the top-level LISTs
@@ -843,7 +892,8 @@ object Multimodal {
       * pipeline tests pin. */
     def decode(f: MediaFile): MediaFeatures = {
       val n = f.content.length
-      val dims = imageDimensions(f.content)
+      val video = videoInfo(f.content)
+      val dims = imageDimensions(f.content).orElse(video.map(v => (v._1, v._2)))
       val audio = audioInfo(f.content)
       MediaFeatures(
         media_id = f.media_id,
@@ -854,8 +904,11 @@ object Multimodal {
         width = dims.map(_._1),
         height = dims.map(_._2),
         sample_rate = audio.map(_._2),
-        duration_ms = audio.map(_._3),
-        n_frames = if (f.kind == "video") (n % 300) + 1 else 1,
+        duration_ms = audio.map(_._3).orElse(video.map(_._4)),
+        // REAL frame count for a parseable AVI header; the length-derived
+        // placeholder only where the container is opaque
+        n_frames = video.map(_._3).getOrElse(
+          if (f.kind == "video") (n % 300) + 1 else 1),
         // Raster decode ONLY for recognized image containers (the header
         // parse already ran — audio/video/opaque payloads must not pay a
         // speculative ImageIO format probe per row): PNG through the

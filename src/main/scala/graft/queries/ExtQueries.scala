@@ -2466,6 +2466,46 @@ object ExtQueries {
                           END AS BIGINT) AS duration_ms
               FROM d ORDER BY doc_id""")),
 
+    // x184 — video container info: the x183 discipline on the video axis.
+    // Each doc synthesized as a REAL AVI with per-doc dimensions, frame
+    // count, and frame rate; videoInfo reads all four fields from the
+    // avih MainAVIHeader ALONE (no movi walk, no frame decode — so it is
+    // header-exact even for compressed codecs aviFrames refuses), and the
+    // features row surfaces them (width/height/n_frames/duration_ms). The
+    // oracle recomputes everything from the synthesis arithmetic,
+    // including the two chained integer floors in duration (µs-per-frame
+    // = 1000000 div fps, then frames × that div 1000).
+    QueryDef("x184_video_info",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = 3 + (id % 5).toInt
+              val h = 2 + (id % 3).toInt
+              val nf = 1 + (id % 4).toInt
+              val fps = 5 + (id % 6).toInt
+              Multimodal.MediaFile(id, "video",
+                Multimodal.MediaCodecs.aviEncode(
+                  Seq.fill(nf)(Multimodal.Raster(w, h, 1, new Array[Byte](w * h))),
+                  fps),
+                Map.empty)
+            }
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(3 + doc_id % 5 AS INTEGER) AS width,
+                     CAST(2 + doc_id % 3 AS INTEGER) AS height,
+                     CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+                     CAST((1 + doc_id % 4) * (1000000 // (5 + doc_id % 6))
+                          // 1000 AS BIGINT) AS duration_ms
+              FROM documents ORDER BY doc_id""")),
+
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).
     // Character blocks, not bytes: DuckDB's substr is character-indexed and
@@ -6560,6 +6600,76 @@ object ExtQueries {
           .toDF("transition_stream_ok")
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS transition_stream_ok")),
+
+    // x161c — OUT-OF-ORDER funnel parity gate: the x161b replay with each
+    // chop SHUFFLED (seeded — deterministic) through the event-time-
+    // BUFFERED monitor. Two far-future sentinel events (an unused user, a
+    // type the funnel ignores) advance the watermark past every real
+    // event and force the batch where the armed event-time timeouts drain
+    // the buffers — so the gate asserts the watermark-buffered path
+    // converges to the exact batch x161 rows under delivery disorder the
+    // unbuffered monitor cannot absorb.
+    QueryDef("x161c_funnel_ooo_gate",
+      (s, d) => {
+        import s.implicits._
+        val expected = eventFunnelBatch(s, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            r.getBoolean(4))).toSet
+        val rows = orderedEventRows(s, d)
+        val rnd = new scala.util.Random(42)
+        val maxMs = rows.map(_._3).max
+        val sentinel = rows.map(_._1).max + 1
+        val acc = replayMonitor(s,
+          Seq(rnd.shuffle(rows.take(rows.length / 3)),
+            rnd.shuffle(rows.slice(rows.length / 3, 2 * rows.length / 3)),
+            rnd.shuffle(rows.drop(2 * rows.length / 3)),
+            Seq((sentinel, "sentinel", maxMs + 10L * 86400000L, 0L)),
+            Seq((sentinel, "sentinel", maxMs + 20L * 86400000L, 1L))),
+          df => graft.streaming.StreamingOps
+            .funnelMonitorBuffered(df, lateness = "1 minute")) { r =>
+          (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            r.getBoolean(4))
+        }
+        val last = acc.zipWithIndex.groupBy(_._1._1)
+          .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
+        Seq((last == expected) && expected.nonEmpty)
+          .toDF("funnel_ooo_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS funnel_ooo_ok")),
+
+    // x163c — OUT-OF-ORDER transition parity gate: the x163b contract
+    // under shuffled delivery through the buffered monitor — the union of
+    // emissions must aggregate to exactly the batch x163 counts once the
+    // sentinel-driven watermark drains every buffer.
+    QueryDef("x163c_transition_ooo_gate",
+      (s, d) => {
+        import s.implicits._
+        val expected = transitionCountsBatch(s, d).collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val rows = orderedEventRows(s, d)
+        val rnd = new scala.util.Random(42)
+        val maxMs = rows.map(_._3).max
+        val sentinel = rows.map(_._1).max + 1
+        val acc = replayMonitor(s,
+          Seq(rnd.shuffle(rows.take(rows.length / 3)),
+            rnd.shuffle(rows.slice(rows.length / 3, rows.length / 2)),
+            rnd.shuffle(rows.drop(rows.length / 2)),
+            Seq((sentinel, "sentinel", maxMs + 10L * 86400000L, 0L)),
+            Seq((sentinel, "sentinel", maxMs + 20L * 86400000L, 1L))),
+          df => graft.streaming.StreamingOps
+            .transitionMonitorBuffered(df, lateness = "1 minute")) { r =>
+          (r.getString(1), r.getString(2))
+        }
+        val counts = acc.groupBy(identity)
+          .map { case (k, g) => k -> g.size.toLong }
+        Seq((counts == expected) && expected.nonEmpty)
+          .toDF("transition_ooo_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS transition_ooo_ok")),
 
     // x166 — pixel-level perceptual fingerprints: every doc rendered as a
     // REAL 9×8 grayscale PNG and pushed through the full pixel pipeline

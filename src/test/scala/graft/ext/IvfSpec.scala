@@ -217,6 +217,10 @@ class IvfSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
     try {
       Ivf.saveIndex(idx, dir)
+      // a FRESH index already carries the export-sink manifest: validation
+      // and appendToIndex's guards are active before any epoch lands
+      assert(Export.validateShards(spark, s"$dir/assigned", "cluster")
+        .values.sum === half1.count())
       val counts = Ivf.appendToIndex(spark,
         half2.select(col("vec_id"), col("embedding")), dir)
       assert(counts.values.sum === emb.count())

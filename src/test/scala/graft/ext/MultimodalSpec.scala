@@ -548,6 +548,37 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3).sample_rate === None && got(3).duration_ms === None)
   }
 
+  test("videoInfo reads the avih header exactly without touching frames") {
+    val rnd = new scala.util.Random(31)
+    val frames = (0 until 7).map(_ =>
+      Raster(6, 4, 3, Array.fill(72)(rnd.nextInt(256).toByte)))
+    val avi = MediaCodecs.aviEncode(frames, fps = 8)
+    // duration = frames * floor(1e6/fps) / 1000 ms — two integer floors
+    assert(MediaCodecs.videoInfo(avi) ===
+      Some((6, 4, 7, 7L * (1000000 / 8) / 1000)))
+    // header-only: truncating the payload AFTER hdrl still parses (a
+    // compressed or partially-fetched stream keeps its info), while
+    // aviFrames (which needs movi) refuses the same bytes
+    val hdrlEnd = 12 + 8 + java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(16)
+    val headerOnly = avi.take(hdrlEnd)
+    assert(MediaCodecs.videoInfo(headerOnly) === MediaCodecs.videoInfo(avi))
+    assert(MediaCodecs.aviFrames(headerOnly).isEmpty)
+    // totality: not-RIFF, RIFF-but-WAV, truncated-before-avih
+    assert(MediaCodecs.videoInfo("zzzz".getBytes("UTF-8") ++ avi.drop(4)).isEmpty)
+    assert(MediaCodecs.videoInfo(
+      MediaCodecs.wavEncode(Array.fill(10)(3.toShort))).isEmpty)
+    assert(MediaCodecs.videoInfo(avi.take(16)).isEmpty)
+    // the features row surfaces the header fields for a decodable AVI
+    import spark.implicits._
+    val got = extractFeatures(Seq(
+      MediaFile(1L, "video", avi, Map.empty)).toDS()).collect()(0)
+    assert(got.width === Some(6) && got.height === Some(4))
+    assert(got.n_frames === 7)
+    assert(got.duration_ms === Some(7L * (1000000 / 8) / 1000))
+    assert(got.sample_rate === None)
+  }
+
   test("aviFrames is total on malformed input") {
     val rnd = new scala.util.Random(23)
     val good = MediaCodecs.aviEncode(Seq(
