@@ -281,6 +281,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan("x97_block_scrub").contains("Window"))
   }
 
+  test("x181/x184 media chains are map-only: synthesize/demux/hash without exchange") {
+    // the whole per-doc media chain (container synthesis → demux →
+    // per-frame hash / header info) is partition-local by design — ANY
+    // Exchange means a 100 TB media scan grew a shuffle it never needs
+    // (the catalog entries' orderBy is presentation only)
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val media = docs.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val px = new Array[Byte](72)
+        graft.ext.Multimodal.MediaFile(id, "video",
+          graft.ext.Multimodal.MediaCodecs.aviEncode(
+            Seq(graft.ext.Multimodal.Raster(9, 8, 1, px))), Map.empty)
+      }
+    }
+    val p181 = planOf(graft.ext.Multimodal.videoFrameHashes(media))
+    assert(!p181.contains("Exchange"), s"x181 frame-hash chain shuffles:\n$p181")
+    val p184 = planOf(graft.ext.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("width"), col("n_frames"), col("duration_ms")))
+    assert(!p184.contains("Exchange"), s"x184 feature chain shuffles:\n$p184")
+  }
+
   test("x106/x108 are map-only: no exchange anywhere in the per-doc rewrites") {
     // both operators are scan-local scalars/rewrites by design — ANY
     // Exchange here means a 100 TB scan just grew a shuffle it never needs
