@@ -2506,6 +2506,80 @@ object ExtQueries {
                           // 1000 AS BIGINT) AS duration_ms
               FROM documents ORDER BY doc_id""")),
 
+    // x185 — dedup-channel overlap report: how the TEXT near-dup channel
+    // (x07's exact shingle-Jaccard pairs) and the PIXEL channel (x167's
+    // Hamming ≤ 3 dHash pairs over the doc-rendered images) agree — the
+    // diagnostic a curation pipeline reads before trusting one channel to
+    // stand in for the other (a 'both' majority says byte-cheap pixel
+    // dedup captures the text dups; channel-only pairs say each modality
+    // sees dups the other is blind to). One full-outer join of two SPARSE
+    // pair sets on the pair key, then a 3-row aggregate; both inputs ride
+    // their existing shared frames. Oracle recomputes BOTH channels from
+    // scratch and joins them the same way.
+    QueryDef("x185_dedup_channel_overlap",
+      (s, d) => {
+        val text = jaccardPairsShared(s, d)
+          .select(col("ia"), col("ib"), lit(1).as("t"))
+        val pixel = Dedup.hammingNearDupPairsOf(
+            pixelDHashShared(s, d).filter(col("phash").isNotNull),
+            "phash", hMax = 3, idCol = "media_id")
+          .select(col("ia"), col("ib"), lit(1).as("p"))
+        text.join(pixel, Seq("ia", "ib"), "full_outer")
+          .select(when(col("t").isNotNull && col("p").isNotNull, lit("both"))
+            .when(col("t").isNotNull, lit("text_only"))
+            .otherwise(lit("pixel_only")).as("channel"))
+          .groupBy(col("channel")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy("channel")
+      },
+      Some("""WITH jt AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+                   js AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                         AS sh
+                     FROM jt WHERE len(toks) >= 3),
+                   jz AS (SELECT doc_id, len(sh) AS n FROM js),
+                   je AS (SELECT doc_id, unnest(sh) AS g FROM js),
+                   jp AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                            count(*) AS inter
+                          FROM je a JOIN je b
+                            ON a.g = b.g AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2),
+                   tpairs AS (SELECT ia, ib
+                              FROM jp JOIN jz za ON za.doc_id = jp.ia
+                                JOIN jz zb ON zb.doc_id = jp.ib
+                              WHERE CAST(inter AS DOUBLE)
+                                    / (za.n + zb.n - inter) >= 0.6),
+                   pd AS (SELECT doc_id, text, length(text) AS n
+                          FROM documents WHERE length(text) > 0),
+                   pg AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+                            ord(substr(text,
+                              CAST(((gy.range * 9 + gx.range) % n) + 1
+                                   AS BIGINT), 1)) % 256 AS v
+                          FROM pd, range(0, 8) gy, range(0, 9) gx),
+                   byts AS (SELECT a.doc_id, a.gy AS row_no,
+                              CAST(sum(CASE WHEN b.v > a.v THEN 1 << a.gx
+                                       ELSE 0 END) AS BIGINT) AS bits
+                            FROM pg a JOIN pg b ON a.doc_id = b.doc_id
+                              AND a.gy = b.gy AND b.gx = a.gx + 1
+                            WHERE a.gx < 8 GROUP BY 1, 2),
+                   ph AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                            CAST(sum(bit_count(xor(a.bits, b.bits)))
+                                 AS BIGINT) AS ham
+                          FROM byts a JOIN byts b
+                            ON a.row_no = b.row_no AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2),
+                   ppairs AS (SELECT ia, ib FROM ph WHERE ham <= 3),
+                   u AS (SELECT CASE WHEN t.ia IS NOT NULL
+                                      AND p.ia IS NOT NULL THEN 'both'
+                                     WHEN t.ia IS NOT NULL THEN 'text_only'
+                                     ELSE 'pixel_only' END AS channel
+                         FROM tpairs t FULL OUTER JOIN ppairs p
+                           ON t.ia = p.ia AND t.ib = p.ib)
+              SELECT channel, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM u GROUP BY 1 ORDER BY channel""")),
+
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).
     // Character blocks, not bytes: DuckDB's substr is character-indexed and
