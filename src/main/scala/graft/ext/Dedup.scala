@@ -168,6 +168,29 @@ object Dedup {
                           maxDf: Int = Int.MaxValue): DataFrame =
     jaccardFromCounts(pairIntersections(sh, maxDf), threshold)
 
+  /** Exact shingle-CONTAINMENT near-dup pairs — the excerpt/quote MINER:
+    * containment of the smaller side, c = |A∩B| / min(|A|, |B|) ≥
+    * threshold. Symmetric Jaccard hides exactly these relations (a
+    * verbatim excerpt of a 10× longer doc has jacc ≈ 0.1 but containment
+    * 1.0), and x146's pair-verify only SCORES containment on pairs some
+    * other miner already surfaced — this one finds them. Same one-
+    * evaluation postings-join shape (and opt-in `maxDf` skew cap) as
+    * [[ngramJaccardPairsOf]]; quadratic only in per-shingle document
+    * frequency. Output: `ia < ib`, `cont` (4dp). */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double,
+                       maxDf: Int = Int.MaxValue): DataFrame =
+    containmentPairsOf(hashedShingles(docs, textCol, idCol, n), threshold, maxDf)
+
+  /** [[containmentPairs]] over a prebuilt [[hashedShingles]] frame. */
+  def containmentPairsOf(sh: DataFrame, threshold: Double,
+                         maxDf: Int = Int.MaxValue): DataFrame =
+    pairIntersections(sh, maxDf)
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .select(col("ia"), col("ib"), round(col("cont"), 4).as("cont"))
+
   /** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style PREFIX
     * FILTERING — the scale path that stays exact. Same output contract as
     * [[ngramJaccardPairs]] (`ia < ib`, `jacc` 4dp), but only each document's

@@ -2580,6 +2580,38 @@ object ExtQueries {
               SELECT channel, CAST(count(*) AS BIGINT) AS n_pairs
               FROM u GROUP BY 1 ORDER BY channel""")),
 
+    // x186 — containment (excerpt/quote) pair mining: the near-dup family
+    // member symmetric Jaccard cannot express — containment of the
+    // SMALLER side |A∩B| / min(|A|,|B|) ≥ 0.9 surfaces a verbatim excerpt
+    // of a much longer doc (jacc ≈ |A|/|B|, invisible to x07 at any
+    // useful threshold) — the dedup a training corpus needs against
+    // quote-heavy crawl. Same one-evaluation postings join as x07, same
+    // shared shingle frame; x146's verify grade already scores
+    // containment on FOUND pairs — this entry is the finder.
+    QueryDef("x186_containment_pairs",
+      (s, d) => Dedup.containmentPairsOf(shinglesShared(s, d), threshold = 0.9)
+        .orderBy("ia", "ib"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+                   s AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                         AS sh
+                     FROM t WHERE len(toks) >= 3),
+                   z AS (SELECT doc_id, len(sh) AS n FROM s),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           count(*) AS inter
+                         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT ia, ib,
+                     round(CAST(inter AS DOUBLE) / least(za.n, zb.n), 4) AS cont
+              FROM p JOIN z za ON za.doc_id = p.ia
+                JOIN z zb ON zb.doc_id = p.ib
+              WHERE CAST(inter AS DOUBLE) / least(za.n, zb.n) >= 0.9
+              ORDER BY ia, ib""")),
+
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).
     // Character blocks, not bytes: DuckDB's substr is character-indexed and

@@ -70,6 +70,28 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(4L)) > 12, s"unrelated hamming ${hamming(sigs(1L), sigs(4L))}")
   }
 
+  test("containmentPairs mines excerpts symmetric Jaccard is blind to") {
+    val long = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (500 to 560).map(i => s"alien$i").mkString(" ")
+    val d = docs((1L, long), (2L, excerpt), (3L, other))
+    // the excerpt's shingles are all inside the long doc: containment 1.0
+    val cont = Dedup.containmentPairs(d, "text", "doc_id", 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont === Seq((1L, 2L, 1.0)))
+    // Jaccard at the x07 threshold never surfaces the pair (≈ 28/298)
+    assert(Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, threshold = 0.6)
+      .count() === 0L)
+    // threshold is respected: a half-contained doc stays out at 0.9
+    val half = ((1 to 15).map(i => s"tok$i") ++ (900 to 915).map(i => s"new$i"))
+      .mkString(" ")
+    val d2 = docs((1L, long), (2L, half))
+    assert(Dedup.containmentPairs(d2, "text", "doc_id", 3, threshold = 0.9)
+      .count() === 0L)
+    assert(Dedup.containmentPairs(d2, "text", "doc_id", 3, threshold = 0.4)
+      .count() === 1L)
+  }
+
   test("postingsDfStats reports what a maxDf cap drops") {
     val d = docs((1L to 100L).map(i => (i, "same boilerplate text repeated in every doc")): _*)
     val row = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = 10).head()
