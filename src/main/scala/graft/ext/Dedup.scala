@@ -582,6 +582,59 @@ object Dedup {
       () => capped.unpersist())
   }
 
+  /** [[flagAgainst]] with the CONTAINMENT score — same postings join, the
+    * smaller side's containment instead of Jaccard. */
+  private def containAgainst(capped: DataFrame, textCol: String,
+                             idCol: String, n: Int, threshold: Double)(
+      docs: DataFrame): DataFrame =
+    hashedShingles(docs, textCol, idCol, n)
+      .select(col("doc_id"), col("n_sh").as("na"),
+        explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+      .join(capped, "g")
+      .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .select(col("doc_id"), col("ref_id"), round(col("cont"), 4).as("cont"))
+
+  /** [[nearDupFlagger]]'s containment twin — x186 as a build/apply split:
+    * freeze the reference corpus's shingle postings ONCE, then flag each
+    * arriving batch doc against every reference doc whose containment
+    * (smaller side) reaches `threshold` — the excerpt/quote guard a
+    * quote-heavy crawl needs at ingest, which the Jaccard flagger is
+    * blind to. The POSTINGS INDEX IS SCORE-AGNOSTIC: it is byte-identical
+    * to [[nearDupFlagger]]'s (the (g, ref_id, nb) table), so one build —
+    * or one [[saveNearDupIndex]] directory — serves both flaggers;
+    * [[loadContainmentFlagger]] reloads the same layout with a
+    * containment threshold. Corpus-self flagging reproduces x186 pair
+    * membership (DedupSpec). Output: (`doc_id`, `ref_id`, `cont`). */
+  def containmentFlagger(reference: DataFrame, textCol: String, idCol: String,
+                         n: Int, threshold: Double,
+                         maxDf: Int = Int.MaxValue): Retriever = {
+    val capped = nearDupPostings(reference, textCol, idCol, n, maxDf).persist()
+    new Retriever(containAgainst(capped, textCol, idCol, n, threshold),
+      () => capped.unpersist())
+  }
+
+  /** Reload a [[saveNearDupIndex]] directory as a CONTAINMENT flagger —
+    * the postings index is score-agnostic, so the same saved build serves
+    * Jaccard and containment probes; `n` comes from the saved meta (it
+    * shaped the postings), while the containment `threshold` is the
+    * caller's (the saved one belongs to the Jaccard contract). */
+  def loadContainmentFlagger(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, threshold: Double,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): Retriever = {
+    val m = spark.read.parquet(s"$dir/meta").collect()(0)
+    val n = m.getAs[Int]("n")
+    val capped = spark.read.parquet(s"$dir/postings").persist()
+    capped.count()
+    new Retriever(containAgainst(capped, textCol, idCol, n, threshold),
+      () => capped.unpersist())
+  }
+
   /** Persist a [[nearDupFlagger]] reference index so the build survives the
     * session — the [[Ivf.saveIndex]] shape for shingle dedup: build the
     * capped postings ONCE on the cluster that owns the reference corpus,

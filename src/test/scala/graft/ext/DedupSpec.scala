@@ -92,6 +92,43 @@ class DedupSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("containmentFlagger: corpus-self ≡ x186 pairs; one saved index serves both scores") {
+    val docs3 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // corpus-self flagging (minus self rows) reproduces exactly the x186
+    // miner's pair membership at the same threshold
+    val wantPairs = Dedup.containmentPairs(docs3, "text", "doc_id", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flag = Dedup.containmentFlagger(docs3, "text", "doc_id", 3, 0.9)
+    try {
+      val self = flag(docs3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      assert(self === wantPairs)
+      assert(wantPairs.nonEmpty, "fixture has no containment pairs to pin")
+    } finally flag.close()
+    // the SAME saveNearDupIndex directory serves the containment probe:
+    // reload with a containment threshold, identical flags
+    val dir = java.nio.file.Files.createTempDirectory("cont-idx").toString
+    try {
+      Dedup.saveNearDupIndex(docs3, dir, n = 3, threshold = 0.8)
+      val loaded = Dedup.loadContainmentFlagger(spark, dir, threshold = 0.9)
+      try {
+        val viaDisk = loaded(docs3).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+        assert(viaDisk === wantPairs)
+        // and the Jaccard flagger still reads the same index unchanged
+        val jacc = Dedup.loadNearDupFlagger(spark, dir)
+        try assert(jacc(docs3).filter(col("doc_id") =!= col("ref_id")).count() >= 0L)
+        finally jacc.close()
+      } finally loaded.close()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("postingsDfStats reports what a maxDf cap drops") {
     val d = docs((1L to 100L).map(i => (i, "same boilerplate text repeated in every doc")): _*)
     val row = Dedup.postingsDfStats(d, "text", "doc_id", 3, maxDf = 10).head()
