@@ -156,6 +156,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming containment flagging against a static reference matches the batch pair set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val stream = docs.filter(col("doc_id") % 2 =!= 0)
+    val flag = graft.ext.Dedup.containmentFlagger(ref, "text", "doc_id",
+      n = 3, threshold = 0.8)
+    // expected: the full-corpus x186-style pair set restricted to
+    // odd-even pairs, oriented stream-side (odd) first
+    val expected = graft.ext.Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, c) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, c) else (b, a, c) }.sorted.toSeq
+    assert(expected.nonEmpty) // the fixture must actually exercise the flagger
+
+    val rows = stream.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val flagged = flag(batch).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        acc.synchronized { acc ++= flagged }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      query.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2))
+      query.processAllAvailable()
+      assert(acc.sorted.toSeq === expected)
+    } finally query.stop()
+  }
+
   test("streaming media flagging via hammingFlagger matches the batch probe") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
