@@ -191,6 +191,55 @@ object Dedup {
       .filter(col("cont") >= threshold)
       .select(col("ia"), col("ib"), round(col("cont"), 4).as("cont"))
 
+  /** Prefix-filtered exact containment pairs — [[containmentPairsOf]]'s
+    * SCALE form, the x36 discipline adapted to the asymmetric metric.
+    * Soundness: cont ≥ τ means the SMALLER side S shares ≥ ⌈τ|S|⌉ of its
+    * own shingles, so among its |S| − ⌈τ|S|⌉ + 1 globally-RAREST shingles
+    * at least one is shared (pigeonhole on the ≤ |S| − ⌈τ|S|⌉ unshared
+    * ones). The asymmetry is fundamental: the LARGER side of an excerpt
+    * pair shares only |S| of its |L| ≫ |S| shingles, so a useful prefix
+    * of L cannot exist — hence each doc's prefix probes the FULL postings
+    * (prefix ⋈ all), not prefix ⋈ prefix as in the Jaccard join. The
+    * candidate volume is Σ_prefix-shingle df(g): rarest-first ordering
+    * keeps boilerplate shingles out of prefixes, which is the exact
+    * answer to the df blowup the opt-in `maxDf` cap only approximates.
+    * Candidates verify with one sorted-intersect per pair — same output
+    * contract as [[containmentPairsOf]], no recall loss (DedupSpec pins
+    * equality; x187 pins it against the uncapped oracle). */
+  def containmentPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
+                             n: Int, threshold: Double): DataFrame =
+    containmentPairsPrefixOf(hashedShingles(docs, textCol, idCol, n), threshold)
+
+  /** [[containmentPairsPrefix]] over a prebuilt [[hashedShingles]] frame. */
+  def containmentPairsPrefixOf(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh
+      .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
+      .filter(col("g").isNotNull)
+    val prefix = prefixPostings(sh, threshold)
+    val cands = prefix
+      .select(col("doc_id").as("pid"), col("n_sh").as("pn"), col("g"))
+      .join(ex.select(col("doc_id").as("fid"), col("n_sh").as("fn"), col("g")),
+        "g")
+      .filter(col("pid") =!= col("fid"))
+      .select(
+        least(col("pid"), col("fid")).as("ia"),
+        when(col("pid") < col("fid"), col("pn")).otherwise(col("fn")).as("na"),
+        greatest(col("pid"), col("fid")).as("ib"),
+        when(col("pid") < col("fid"), col("fn")).otherwise(col("pn")).as("nb"))
+      .distinct()
+    val verified = cands
+      .join(sh.select(col("doc_id").as("ia"), col("shs").as("sa")), "ia")
+      .join(sh.select(col("doc_id").as("ib"), col("shs").as("sb")), "ib")
+      .withColumn("inter",
+        org.apache.spark.sql.graft.VectorFunctions.sortedIntersectF(col("sa"), col("sb")))
+      .select(col("ia"), col("na"), col("ib"), col("nb"), col("inter"))
+    verified
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("cont") >= threshold)
+      .select(col("ia"), col("ib"), round(col("cont"), 4).as("cont"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs with AllPairs/PPJoin-style PREFIX
     * FILTERING — the scale path that stays exact. Same output contract as
     * [[ngramJaccardPairs]] (`ia < ib`, `jacc` 4dp), but only each document's

@@ -2617,6 +2617,36 @@ object ExtQueries {
               WHERE CAST(inter AS DOUBLE) / least(za.n, zb.n) >= 0.9
               ORDER BY ia, ib""")),
 
+    // x187 — prefix-filtered containment: same pair set as x186 (the same
+    // oracle proves it), found by probing each doc's rarest-first shingle
+    // PREFIX against the full postings instead of joining all postings
+    // pairwise — the exact scale answer to boilerplate-df blowup for the
+    // asymmetric metric (the larger side of an excerpt pair cannot be
+    // prefix-pruned, so prefix ⋈ full, not prefix ⋈ prefix).
+    QueryDef("x187_containment_prefix",
+      (s, d) => Dedup.containmentPairsPrefixOf(shinglesShared(s, d),
+          threshold = 0.9).orderBy("ia", "ib"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+                   s AS (SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                         AS sh
+                     FROM t WHERE len(toks) >= 3),
+                   z AS (SELECT doc_id, len(sh) AS n FROM s),
+                   e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+                   p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           count(*) AS inter
+                         FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2)
+              SELECT ia, ib,
+                     round(CAST(inter AS DOUBLE) / least(za.n, zb.n), 4) AS cont
+              FROM p JOIN z za ON za.doc_id = p.ia
+                JOIN z zb ON zb.doc_id = p.ib
+              WHERE CAST(inter AS DOUBLE) / least(za.n, zb.n) >= 0.9
+              ORDER BY ia, ib""")),
+
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).
     // Character blocks, not bytes: DuckDB's substr is character-indexed and

@@ -92,6 +92,25 @@ class DedupSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("containmentPairsPrefix equals the full postings join, excerpts included") {
+    val docs3 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.9, 0.6)) {
+      val full = pairSet(Dedup.containmentPairs(docs3, "text", "doc_id", 3, tau))
+      val pref = pairSet(Dedup.containmentPairsPrefix(docs3, "text", "doc_id", 3, tau))
+      assert(pref === full, s"prefix containment diverged at tau=$tau")
+    }
+    // the excerpt case survives the prefix filter: the smaller side's
+    // rarest-prefix must hit the host even though the host's own prefix
+    // misses the excerpt
+    val long = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, long), (2L, excerpt))
+    assert(pairSet(Dedup.containmentPairsPrefix(d, "text", "doc_id", 3, 0.9))
+      === Set((1L, 2L, 1.0)))
+  }
+
   test("containmentFlagger: corpus-self ≡ x186 pairs; one saved index serves both scores") {
     val docs3 = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     // corpus-self flagging (minus self rows) reproduces exactly the x186
