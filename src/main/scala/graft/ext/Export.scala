@@ -257,8 +257,9 @@ object Export {
     // closes that gap. Prior epochs' hashes carry forward — only files not
     // already in the manifest are read.
     val liveFiles = dataFileList(hfs, shardDirs)
+    val liveSet = liveFiles.map(_._1).toSet
     val fileHash =
-      priorHashes.filter { case (rel, _) => liveFiles.exists(_._1 == rel) } ++
+      priorHashes.filter { case (rel, _) => liveSet.contains(rel) } ++
         fileHashes(df.sparkSession,
           liveFiles.filterNot { case (rel, _) => priorHashes.contains(rel) })
     def obj(m: Map[Long, Long]): String = m.toSeq.sorted

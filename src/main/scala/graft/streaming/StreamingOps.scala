@@ -361,9 +361,21 @@ object StreamingOps {
     * Emission contract matches [[funnelMonitor]]: the user's row re-emits
     * whenever the funnel advances; the LAST emission is current.
     * Streaming-only (a batch frame never advances a watermark — use the
-    * batch x161 query there). */
+    * batch x161 query there).
+    *
+    * STATE RETENTION: the PENDING buffer is watermark-bounded by
+    * construction, but the committed funnel triple would otherwise live
+    * per distinct user forever. `evictAfterMs > 0` adds an EVENT-TIME
+    * idle horizon on the same timeout channel: a user with nothing
+    * buffered re-arms an eviction timer `evictAfterMs` past the current
+    * watermark, and if it fires with the buffer still empty the user's
+    * state drops (a re-appearing user restarts their funnel — the
+    * [[funnelMonitor]] retention trade, measured in event time instead
+    * of wall clock, so a paused-and-resumed backfill does not evict).
+    * Default 0 keeps state forever for bounded replays. */
   def funnelMonitorBuffered(stream: DataFrame, windowMs: Long = 86400000L,
-                            lateness: String = "10 minutes"): DataFrame = {
+                            lateness: String = "10 minutes",
+                            evictAfterMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -380,27 +392,38 @@ object StreamingOps {
           val wm = state.getCurrentWatermarkMs()
           val st = state.getOption
             .getOrElse(((-1L, -1L, -1L), Seq.empty[(Long, Long, String)]))
-          var (t1, t2, t3) = st._1
-          val before = (t1, t2, t3)
-          // (ms, event_id, type): buffer ++ this batch's arrivals, split at
-          // the watermark — nothing older than a ripe event can now arrive
-          val (ripe, hold) = (st._2 ++ rows.map(r => (r._3, r._4, r._2)))
-            .partition(_._1 <= wm)
-          ripe.sortBy(e => (e._1, e._2)).foreach { case (ms, _, typ) =>
-            if (typ == "view" && t1 < 0) t1 = ms
-            else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
-            else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+          val incoming = rows.map(r => (r._3, r._4, r._2)).toSeq
+          if (state.hasTimedOut && incoming.isEmpty && st._2.isEmpty) {
+            // the idle-eviction timer fired with nothing buffered: drop
+            // the user (flush timers are only ever armed with a buffer)
+            state.remove()
+            Iterator.empty
+          } else {
+            var (t1, t2, t3) = st._1
+            val before = (t1, t2, t3)
+            // (ms, event_id, type): buffer ++ this batch's arrivals, split
+            // at the watermark — nothing older than a ripe event can now
+            // arrive
+            val (ripe, hold) = (st._2 ++ incoming).partition(_._1 <= wm)
+            ripe.sortBy(e => (e._1, e._2)).foreach { case (ms, _, typ) =>
+              if (typ == "view" && t1 < 0) t1 = ms
+              else if (typ == "click" && t1 >= 0 && t2 < 0 && ms > t1) t2 = ms
+              else if (typ == "purchase" && t2 >= 0 && t3 < 0 && ms > t2) t3 = ms
+            }
+            state.update(((t1, t2, t3), hold))
+            // every held ms is > wm (the partition above), so this is a
+            // legal event-time timeout — it fires when the buffer ripens;
+            // with nothing buffered, the same channel arms idle eviction
+            if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+            else if (evictAfterMs > 0)
+              state.setTimeoutTimestamp(math.max(wm, 0L) + evictAfterMs)
+            if ((t1, t2, t3) != before && t1 >= 0)
+              Iterator((user, t1,
+                if (t2 < 0) None else Some(t2),
+                if (t3 < 0) None else Some(t3),
+                t3 >= 0 && t3 - t1 <= windowMs))
+            else Iterator.empty
           }
-          state.update(((t1, t2, t3), hold))
-          // every held ms is > wm (the partition above), so this is a legal
-          // event-time timeout — it fires exactly when the buffer ripens
-          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
-          if ((t1, t2, t3) != before && t1 >= 0)
-            Iterator((user, t1,
-              if (t2 < 0) None else Some(t2),
-              if (t3 < 0) None else Some(t3),
-              t3 >= 0 && t3 - t1 <= windowMs))
-          else Iterator.empty
         })
       .toDF("user_id", "t1_ms", "t2_ms", "t3_ms", "completed_24h")
   }
@@ -466,9 +489,14 @@ object StreamingOps {
     * parity); the unbuffered monitor would chain events in arrival order.
     * State = the last RIPE event + the not-yet-ripe buffer; an
     * EventTimeTimeout armed at the earliest buffered ms flushes a quiet
-    * user's buffer when the watermark passes it. Streaming-only. */
+    * user's buffer when the watermark passes it, and `evictAfterMs > 0`
+    * re-arms the same channel as an event-time idle horizon that drops a
+    * buffer-empty user's state (their next event starts a fresh chain —
+    * the [[transitionMonitor]] retention trade; see
+    * [[funnelMonitorBuffered]]). Streaming-only. */
   def transitionMonitorBuffered(stream: DataFrame,
-                                lateness: String = "10 minutes"): DataFrame = {
+                                lateness: String = "10 minutes",
+                                evictAfterMs: Long = 0L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
@@ -486,17 +514,24 @@ object StreamingOps {
           val st = state.getOption
             .getOrElse((Option.empty[(Long, Long, String)],
               Seq.empty[(Long, Long, String)]))
-          var last = st._1
-          val (ripe, hold) = (st._2 ++ rows.map(r => (r._3, r._4, r._2)))
-            .partition(_._1 <= wm)
-          val out = ripe.sortBy(e => (e._1, e._2)).flatMap { case (ms, id, typ) =>
-            val e = last.map { case (_, _, prev) => (user, prev, typ) }
-            last = Some((ms, id, typ))
-            e
+          val incoming = rows.map(r => (r._3, r._4, r._2)).toSeq
+          if (state.hasTimedOut && incoming.isEmpty && st._2.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = st._1
+            val (ripe, hold) = (st._2 ++ incoming).partition(_._1 <= wm)
+            val out = ripe.sortBy(e => (e._1, e._2)).flatMap { case (ms, id, typ) =>
+              val e = last.map { case (_, _, prev) => (user, prev, typ) }
+              last = Some((ms, id, typ))
+              e
+            }
+            state.update((last, hold))
+            if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+            else if (evictAfterMs > 0)
+              state.setTimeoutTimestamp(math.max(wm, 0L) + evictAfterMs)
+            out.iterator
           }
-          state.update((last, hold))
-          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
-          out.iterator
         })
       .toDF("user_id", "from_type", "to_type")
   }

@@ -1047,6 +1047,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelMonitorBuffered evicts idle users past the event-time horizon") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val day = 86400000L
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long])]
+    val query = graft.streaming.StreamingOps.funnelMonitorBuffered(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"),
+        lateness = "1 minute", evictAfterMs = 3600000L)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      def feed(rows: (Long, String, Long, Long)*): Unit = {
+        mem.addData(rows); query.processAllAvailable()
+      }
+      // user 1's view commits once the watermark passes it
+      feed((1L, "view", t0, 0L))
+      feed((99L, "sentinel", t0 + 100L * day, 0L))
+      feed((99L, "sentinel", t0 + 101L * day, 1L))
+      assert(acc.toSeq === Seq((1L, t0, None)))
+      // the idle horizon (1h << 100 days) has long passed: user 1's state
+      // is evicted, so a NEW view starts a FRESH funnel (without eviction
+      // the second view could never re-emit — t1 is already set)
+      feed((1L, "view", t0 + 200L * day, 2L))
+      feed((99L, "sentinel", t0 + 300L * day, 3L))
+      feed((99L, "sentinel", t0 + 301L * day, 4L))
+      assert(acc.toSeq === Seq((1L, t0, None), (1L, t0 + 200L * day, None)))
+    } finally query.stop()
+  }
+
   test("funnelMonitorBuffered: shuffled within-chop delivery converges to batch x161") {
     val d = "/root/testdata/sf0.001"
     val expected = graft.SparkEntry.queries("x161_event_funnel")(spark, d)
