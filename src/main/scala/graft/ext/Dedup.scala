@@ -609,8 +609,15 @@ object Dedup {
 
   /** The probe side of the flagger lifecycle: flag `docs` against a
     * (persisted) capped postings frame. */
-  private def flagAgainst(capped: DataFrame, textCol: String, idCol: String,
-                          n: Int, threshold: Double)(docs: DataFrame): DataFrame =
+  /** The ONE probe pipeline every shingle flagger runs (batch doc explode →
+    * frozen-postings join → per-(doc, ref) intersection count), scored by
+    * the caller's metric — so a fix to the probe path reaches the Jaccard
+    * and containment twins alike. */
+  private def scoredAgainst(capped: DataFrame, textCol: String, idCol: String,
+                            n: Int, threshold: Double, scoreName: String)(
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+              org.apache.spark.sql.Column) => org.apache.spark.sql.Column)(
+      docs: DataFrame): DataFrame =
     hashedShingles(docs, textCol, idCol, n)
       .select(col("doc_id"), col("n_sh").as("na"),
         explode_outer(col("shs")).as("g"))
@@ -618,10 +625,15 @@ object Dedup {
       .join(capped, "g")
       .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jacc",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jacc") >= threshold)
-      .select(col("doc_id"), col("ref_id"), round(col("jacc"), 4).as("jacc"))
+      .withColumn(scoreName, score(col("inter"), col("na"), col("nb")))
+      .filter(col(scoreName) >= threshold)
+      .select(col("doc_id"), col("ref_id"),
+        round(col(scoreName), 4).as(scoreName))
+
+  private def flagAgainst(capped: DataFrame, textCol: String, idCol: String,
+                          n: Int, threshold: Double)(docs: DataFrame): DataFrame =
+    scoredAgainst(capped, textCol, idCol, n, threshold, "jacc")(
+      (inter, na, nb) => inter.cast("double") / (na + nb - inter))(docs)
 
   def nearDupFlagger(reference: DataFrame, textCol: String, idCol: String,
                      n: Int, threshold: Double,
@@ -631,22 +643,13 @@ object Dedup {
       () => capped.unpersist())
   }
 
-  /** [[flagAgainst]] with the CONTAINMENT score — same postings join, the
+  /** [[flagAgainst]] with the CONTAINMENT score — same probe pipeline, the
     * smaller side's containment instead of Jaccard. */
   private def containAgainst(capped: DataFrame, textCol: String,
                              idCol: String, n: Int, threshold: Double)(
       docs: DataFrame): DataFrame =
-    hashedShingles(docs, textCol, idCol, n)
-      .select(col("doc_id"), col("n_sh").as("na"),
-        explode_outer(col("shs")).as("g"))
-      .filter(col("g").isNotNull)
-      .join(capped, "g")
-      .groupBy(col("doc_id"), col("ref_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("cont",
-        col("inter").cast("double") / least(col("na"), col("nb")))
-      .filter(col("cont") >= threshold)
-      .select(col("doc_id"), col("ref_id"), round(col("cont"), 4).as("cont"))
+    scoredAgainst(capped, textCol, idCol, n, threshold, "cont")(
+      (inter, na, nb) => inter.cast("double") / least(na, nb))(docs)
 
   /** [[nearDupFlagger]]'s containment twin — x186 as a build/apply split:
     * freeze the reference corpus's shingle postings ONCE, then flag each

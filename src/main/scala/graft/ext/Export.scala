@@ -83,12 +83,33 @@ object Export {
   /** The append epochs the manifest records as committed (empty for a
     * fresh/overwrite export or a pre-epoch manifest — base files carry no
     * epoch prefix and are always committed). */
-  def committedEpochs(spark: SparkSession, dir: String): Set[Long] = {
-    val node = manifestTree(spark, dir).get("epochs")
+  def committedEpochs(spark: SparkSession, dir: String): Set[Long] =
+    epochsOf(manifestTree(spark, dir))
+
+  /** [[committedEpochs]] from an already-parsed manifest tree — the ONE
+    * definition of the epochs-array layout (writer and readers share it,
+    * so they cannot drift). */
+  private def epochsOf(tree: com.fasterxml.jackson.databind.JsonNode): Set[Long] = {
+    val node = tree.get("epochs")
     if (node == null || !node.isArray) Set.empty
     else {
       val it = node.elements(); val b = Set.newBuilder[Long]
       while (it.hasNext) b += it.next().asLong()
+      b.result()
+    }
+  }
+
+  /** One manifest field's {string: long} object (empty when absent) — the
+    * ONE parse of the `filehash` layout, shared by the writer's epoch
+    * carry-forward and [[validateShardsContent]]. */
+  private def stringLongMap(tree: com.fasterxml.jackson.databind.JsonNode,
+                            field: String): Map[String, Long] = {
+    val node = tree.get(field)
+    if (node == null || !node.isObject) Map.empty
+    else {
+      val it = node.properties().iterator()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
       b.result()
     }
   }
@@ -147,22 +168,8 @@ object Export {
           // re-hashes only ITS OWN files — without this, every daily epoch
           // would re-read the full corpus's bytes just to republish hashes
           // it already recorded
-          val fh = tree.get("filehash")
-          if (fh != null && fh.isObject) {
-            val it = fh.properties().iterator()
-            val b = Map.newBuilder[String, Long]
-            while (it.hasNext) {
-              val e = it.next(); b += e.getKey -> e.getValue.asLong()
-            }
-            priorHashes = b.result()
-          }
-          val node = tree.get("epochs")
-          if (node == null || !node.isArray) Set.empty[Long]
-          else {
-            val it = node.elements(); val b = Set.newBuilder[Long]
-            while (it.hasNext) b += it.next().asLong()
-            b.result()
-          }
+          priorHashes = stringLongMap(tree, "filehash")
+          epochsOf(tree)
         } else Set.empty[Long]
       retractUncommitted(hfsPre, rootPre, shardCol, committed)
       //   2. no schema drift vs the existing export (path-based parquet
@@ -246,7 +253,8 @@ object Export {
       if (shardDirs.isEmpty) Map.empty[Long, (Long, Long, Long)]
       else shardDigests(df.sparkSession, dir, shardCol)
     val counts = digests.map { case (k, v) => k -> v._1 }
-    val stats = statsFor(hfs, shardDirs, shardCol)
+    val listing = shardListing(hfs, shardDirs, shardCol)
+    val stats = statsFor(listing)
     require(stats.keySet == counts.keySet,
       s"$caller: row-count shards ${counts.keySet.toSeq.sorted} and " +
         s"listed shard directories ${stats.keySet.toSeq.sorted} disagree")
@@ -256,7 +264,7 @@ object Export {
     // (footer statistics, column indexes, padding); the byte checksum
     // closes that gap. Prior epochs' hashes carry forward — only files not
     // already in the manifest are read.
-    val liveFiles = dataFileList(hfs, shardDirs)
+    val liveFiles = dataFileList(listing)
     val liveSet = liveFiles.map(_._1).toSet
     val fileHash =
       priorHashes.filter { case (rel, _) => liveSet.contains(rel) } ++
@@ -279,63 +287,83 @@ object Export {
     counts
   }
 
-  /** Per-shard (bytes, data files) from pre-listed shard directories — one
-    * listing per shard, data files only (hidden `.`/`_` names like local-FS
-    * checksums excluded, matching what parquet reads). */
-  private def statsFor(hfs: FileSystem,
-                       shardDirs: Array[org.apache.hadoop.fs.FileStatus],
-                       shardCol: String): Map[Long, (Long, Long)] =
+  /** ONE listing per shard directory (a LIST RPC each on an object store),
+    * data files only (hidden `.`/`_` names like local-FS checksums
+    * excluded, matching what parquet reads) — every per-file view below
+    * ([[statsFor]], [[dataFileList]]) derives from THIS, so a validation
+    * or manifest write never lists the same directory twice. */
+  private def shardListing(hfs: FileSystem,
+                           shardDirs: Array[org.apache.hadoop.fs.FileStatus],
+                           shardCol: String)
+      : Seq[(Long, String, Array[org.apache.hadoop.fs.FileStatus])] =
     shardDirs.iterator.map { st =>
-      val shard = st.getPath.getName.stripPrefix(s"$shardCol=").toLong
       val files = hfs.listStatus(st.getPath).filter { f =>
         val n = f.getPath.getName
         f.isFile && !n.startsWith(".") && !n.startsWith("_")
       }
+      (st.getPath.getName.stripPrefix(s"$shardCol=").toLong,
+        st.getPath.getName, files)
+    }.toSeq
+
+  /** Per-shard (bytes, data files) from a [[shardListing]]. */
+  private def statsFor(listing: Seq[(Long, String, Array[org.apache.hadoop.fs.FileStatus])])
+      : Map[Long, (Long, Long)] =
+    listing.map { case (shard, _, files) =>
       shard -> ((files.map(_.getLen).sum, files.length.toLong))
     }.toMap
 
-  /** Every data file under the pre-listed shard directories as
-    * (relative path `shard=N/name`, absolute Path) — the manifest's
-    * checksum keys. One listing per shard, same hidden-file filter as
-    * [[statsFor]]. */
-  private def dataFileList(hfs: FileSystem,
-                           shardDirs: Array[org.apache.hadoop.fs.FileStatus])
+  /** Every data file in a [[shardListing]] as (relative path
+    * `shard=N/name`, absolute Path) — the manifest's checksum keys. */
+  private def dataFileList(listing: Seq[(Long, String, Array[org.apache.hadoop.fs.FileStatus])])
       : Seq[(String, Path)] =
-    shardDirs.iterator.flatMap { st =>
-      hfs.listStatus(st.getPath).iterator.collect {
-        case f if f.isFile && !f.getPath.getName.startsWith(".") &&
-          !f.getPath.getName.startsWith("_") =>
-          (s"${st.getPath.getName}/${f.getPath.getName}",
-            f.getPath)
-      }
-    }.toSeq
+    listing.flatMap { case (_, dirName, files) =>
+      files.map(f => (s"$dirName/${f.getPath.getName}", f.getPath))
+    }
 
-  /** xxhash64 of each listed file's raw bytes, computed DISTRIBUTED via the
-    * binaryFile source (one executor task per file, the codegen'd xxhash64
-    * function, seed 42) — the writer never streams export bytes through the
-    * driver. Keys are the `shard=N/name` relative paths (the last two URI
-    * segments — part-file NAMES alone are not unique across shard
-    * directories, because one partitionBy task writes the same file name
-    * into every shard it touches). */
+  /** Seed-chained xxhash64 of each listed file's raw bytes, computed
+    * DISTRIBUTED (one executor task per file) and STREAMED: 1 MiB blocks
+    * read off an FSDataInputStream, each block hashed with the previous
+    * block's hash as the seed (initial seed 42, the SQL function's) — so
+    * memory stays one block per task and there is NO 2 GiB single-cell
+    * cap, unlike a binaryFile read whose `content` column materializes
+    * the whole file and refuses parts ≥ Int.MaxValue bytes. The chained
+    * definition is the manifest's own contract — writer and validator
+    * both call THIS function, so the two sides cannot drift. Keys are the
+    * `shard=N/name` relative paths (part-file NAMES alone are not unique
+    * across shard directories — one partitionBy task writes the same file
+    * name into every shard it touches). */
   private def fileHashes(spark: SparkSession,
                          files: Seq[(String, Path)]): Map[String, Long] =
     if (files.isEmpty) Map.empty
     else {
-      val byTail = files.map { case (rel, p) =>
-        (s"${p.getParent.getName}/${p.getName}", rel)
-      }.toMap
-      spark.read.format("binaryFile")
-        .load(files.map(_._2.toString): _*)
-        .select(col("path"), xxhash64(col("content")).as("h"))
-        .collect()
-        .map { r =>
-          // binaryFile's path is a URI string; '=' in the shard dir may
-          // come back percent-encoded depending on the FS — decode the
-          // tail segments before keying (no '+' appears in part names)
-          val tail = r.getString(0).split('/').takeRight(2)
-            .map(java.net.URLDecoder.decode(_, "UTF-8")).mkString("/")
-          byTail(tail) -> r.getLong(1)
-        }.toMap
+      import spark.implicits._
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val paths = files.map { case (rel, p) => (rel, p.toString) }
+      spark.createDataset(paths)
+        .repartition(math.min(paths.size, 64))
+        .mapPartitions { it =>
+          val conf = confB.value.value
+          val buf = new Array[Byte](1 << 20)
+          it.map { case (rel, uri) =>
+            val p = new Path(uri)
+            val in = p.getFileSystem(conf).open(p)
+            try {
+              var h = 42L
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0)
+                  h = org.apache.spark.sql.catalyst.expressions.XXH64
+                    .hashUnsafeBytes(buf,
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n, h)
+                n = in.read(buf)
+              }
+              (rel, h)
+            } finally in.close()
+          }
+        }
+        .collect().toMap
     }
 
   /** Per-shard (rows, xor_digest, sum_digest) over the WRITTEN files — the
@@ -369,9 +397,10 @@ object Export {
   private def shardFileStats(spark: SparkSession, dir: String,
                              shardCol: String): Map[Long, (Long, Long)] = {
     val (hfs, root) = fs(spark, dir)
-    statsFor(hfs, hfs.listStatus(root).filter(st => st.isDirectory &&
-      st.getPath.getName.startsWith(s"$shardCol=") &&
-      !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")), shardCol)
+    statsFor(shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")), shardCol))
   }
 
   /** Parse a [[writeShards]] manifest back into per-shard counts — the
@@ -513,21 +542,16 @@ object Export {
           "same-length corruption in a shard file")
     }
     // byte-checksum pass: catches corruption OUTSIDE decoded content
-    val fhNode = tree.get("filehash")
-    require(fhNode != null && fhNode.isObject,
+    require(tree.get("filehash") != null && tree.get("filehash").isObject,
       s"validateShardsContent: no 'filehash' object in manifest at $dir — " +
         "written before per-file checksums existed; rewrite the export " +
         "(or append an epoch) to gain byte-level validation")
-    val want = {
-      val it = fhNode.properties().iterator()
-      val b = Map.newBuilder[String, Long]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
-      b.result()
-    }
+    val want = stringLongMap(tree, "filehash")
     val (hfs, root) = fs(spark, dir)
-    val liveFiles = dataFileList(hfs, hfs.listStatus(root).filter(st =>
-      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
-        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")))
+    val liveFiles = dataFileList(shardListing(hfs,
+      hfs.listStatus(root).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$shardCol=") &&
+          !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")), shardCol))
     require(liveFiles.map(_._1).toSet == want.keySet,
       s"validateShardsContent: manifest checksums cover ${want.keySet.toSeq.sorted} " +
         s"but the export contains ${liveFiles.map(_._1).sorted}")

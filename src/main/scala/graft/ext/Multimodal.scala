@@ -765,8 +765,12 @@ object Multimodal {
               val frames = buf.getInt(j + 24)
               val w = buf.getInt(j + 40)
               val h = buf.getInt(j + 44)
+              // a corrupt avih with huge frames × µs-per-frame must not
+              // overflow into a NEGATIVE duration — "unknown, never a fake"
               return if (w > 0 && h > 0 && frames >= 0)
-                Some((w, h, frames, frames * usPerFrame / 1000L))
+                (try Some(Math.multiplyExact(frames.toLong, usPerFrame) / 1000L)
+                 catch { case _: ArithmeticException => None })
+                  .map(d => (w, h, frames, d))
               else None
             }
             j += 8 + l2 + (l2 & 1)
@@ -893,7 +897,11 @@ object Multimodal {
     def decode(f: MediaFile): MediaFeatures = {
       val n = f.content.length
       val video = videoInfo(f.content)
-      val dims = imageDimensions(f.content).orElse(video.map(v => (v._1, v._2)))
+      // image-container dims kept SEPARATE from the video-merged dims:
+      // the raster-decode branch below must key on the image parse alone,
+      // or every AVI payload would pay a speculative per-row ImageIO probe
+      val imgDims = imageDimensions(f.content)
+      val dims = imgDims.orElse(video.map(v => (v._1, v._2)))
       val audio = audioInfo(f.content)
       MediaFeatures(
         media_id = f.media_id,
@@ -914,7 +922,7 @@ object Multimodal {
         // speculative ImageIO format probe per row): PNG through the
         // spec-pinned decoder, other containers through the ImageIO
         // bridge, everything else through the content-byte projection.
-        feature = (if (dims.isDefined)
+        feature = (if (imgDims.isDefined)
             pngPixels(f.content).orElse(imageIoPixels(f.content))
           else None) match {
           case Some(r) => rasterFeature(r)

@@ -800,10 +800,11 @@ object ExtQueries {
     // partitions so the parity check stays far inside the per-query
     // budget. The override lives on a CLONED session (same SparkContext,
     // isolated SQLConf), so a query running concurrently on the shared
-    // session — a parallel bench twin — never sees it; the MONITORS
-    // themselves inherit whatever the production session sets. AQE is
-    // pinned OFF on the clone for the same reason: these gates check
-    // batch-parity SEMANTICS, and adaptive re-planning only adds
+    // session — a parallel bench twin — never sees it. Note newSession()
+    // starts from the BASE SparkConf, not the shared session's runtime
+    // conf: the replay always runs with the pins below regardless of what
+    // the caller set at runtime — deliberate, because these gates check
+    // batch-parity SEMANTICS, and e.g. adaptive re-planning only adds
     // per-micro-batch overhead to every state-store round (measured 2×
     // on the 5-chop out-of-order replays under the bench's AQE twin).
     val ss = s.newSession()
