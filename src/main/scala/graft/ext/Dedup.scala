@@ -107,10 +107,14 @@ object Dedup {
     val ex = sh
       .select(col("doc_id"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
+    // coalesce: a corpus with no n-token docs yields an EMPTY shingle
+    // frame, where the global max/sum aggregate NULLs — callers read these
+    // with Row.getLong, which would NPE instead of seeing "no cap hits"
     ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(count(lit(1)).as("n_shingles"),
-        max(col("df")).as("max_df"),
-        sum(when(col("df") > maxDf, 1).otherwise(0)).as("n_over_cap"))
+        coalesce(max(col("df")), lit(0L)).as("max_df"),
+        coalesce(sum(when(col("df") > maxDf, 1).otherwise(0)), lit(0L))
+          .as("n_over_cap"))
   }
 
   /** Shared-shingle intersection counts per doc pair, via postings lists:

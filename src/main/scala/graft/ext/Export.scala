@@ -326,9 +326,16 @@ object Export {
     * block's hash as the seed (initial seed 42, the SQL function's) — so
     * memory stays one block per task and there is NO 2 GiB single-cell
     * cap, unlike a binaryFile read whose `content` column materializes
-    * the whole file and refuses parts ≥ Int.MaxValue bytes. The chained
-    * definition is the manifest's own contract — writer and validator
-    * both call THIS function, so the two sides cannot drift. Keys are the
+    * the whole file and refuses parts ≥ Int.MaxValue bytes. Each block is
+    * FILLED with a readFully-style inner loop before hashing (only the
+    * final block may be short): `InputStream.read` may legally return
+    * short reads at arbitrary boundaries (HDFS packet edges, S3 socket
+    * buffers), and hashing whatever one read() returned would make the
+    * chained value depend on the chunking, not the bytes — a manifest
+    * written on one filesystem would then fail validation on another. The
+    * chained definition is the manifest's own contract — writer and
+    * validator both call THIS function, so the two sides cannot drift.
+    * Keys are the
     * `shard=N/name` relative paths (part-file NAMES alone are not unique
     * across shard directories — one partitionBy task writes the same file
     * name into every shard it touches). */
@@ -351,13 +358,18 @@ object Export {
             val in = p.getFileSystem(conf).open(p)
             try {
               var h = 42L
-              var n = in.read(buf)
-              while (n >= 0) {
-                if (n > 0)
+              var eof = false
+              while (!eof) {
+                var filled = 0
+                while (!eof && filled < buf.length) {
+                  val n = in.read(buf, filled, buf.length - filled)
+                  if (n < 0) eof = true else filled += n
+                }
+                if (filled > 0)
                   h = org.apache.spark.sql.catalyst.expressions.XXH64
                     .hashUnsafeBytes(buf,
-                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, n, h)
-                n = in.read(buf)
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                      filled, h)
               }
               (rel, h)
             } finally in.close()
@@ -516,8 +528,12 @@ object Export {
     * to. Costs two scans of the export — the explicit price of content
     * validation; run it on ingest of an export that crossed an untrusted
     * boundary, and the free listing-only [[validateShards]] everywhere
-    * else. Manifests written before the digest/checksum fields refuse
-    * loudly. */
+    * else. Manifests written before the digest fields refuse loudly; a
+    * manifest that predates only the `filehash` field (older exports that
+    * previously passed full content validation) degrades gracefully — the
+    * digest pass still runs and a warning is logged that the checksum
+    * pass was skipped, so already-deployed exports keep validating
+    * without a rewrite while new exports get both passes. */
   def validateShardsContent(spark: SparkSession, dir: String,
                             shardCol: String = "shard"): Map[Long, Long] = {
     val counts = validateShards(spark, dir, shardCol)
@@ -541,11 +557,19 @@ object Export {
           s"($x, $s) != manifest (${xor(shard)}, ${sum(shard)}) — " +
           "same-length corruption in a shard file")
     }
-    // byte-checksum pass: catches corruption OUTSIDE decoded content
-    require(tree.get("filehash") != null && tree.get("filehash").isObject,
-      s"validateShardsContent: no 'filehash' object in manifest at $dir — " +
-        "written before per-file checksums existed; rewrite the export " +
-        "(or append an epoch) to gain byte-level validation")
+    // byte-checksum pass: catches corruption OUTSIDE decoded content.
+    // Pre-filehash manifests (older exports) get digest-only validation
+    // with a loud warning rather than a refusal — the digest pass above
+    // already ran, matching what those exports were validated with when
+    // written; rewriting or appending an epoch upgrades them.
+    if (tree.get("filehash") == null || !tree.get("filehash").isObject) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"validateShardsContent: manifest at $dir predates per-file " +
+          "checksums — byte-checksum pass SKIPPED (digest pass ran); " +
+          "rewrite the export or append an epoch to gain byte-level " +
+          "validation")
+      return counts
+    }
     val want = stringLongMap(tree, "filehash")
     val (hfs, root) = fs(spark, dir)
     val liveFiles = dataFileList(shardListing(hfs,

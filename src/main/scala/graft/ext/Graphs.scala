@@ -30,7 +30,13 @@ object Graphs {
     // materialize the (src, dst, outdeg) frame ONCE: localCheckpoint
     // truncates only the RANK lineage below, so without this the outdeg
     // aggregate (and the edge scan, when the input is unpersisted) would
-    // re-execute inside every iteration's plan
+    // re-execute inside every iteration's plan. localCheckpoint (not
+    // persist+count) is DELIBERATE, same trade as the rank-frame
+    // checkpoint below: the blocks live in non-replicated executor
+    // storage, so losing an executor mid-loop fails the job instead of
+    // recomputing — acceptable because the loop is minutes-bounded and a
+    // retry restarts from the persisted edge input, while keeping lineage
+    // would put the full edge-scan plan back under every iteration
     val eJoin = edges
       .select(col("src"), col("dst"))
       .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")

@@ -160,6 +160,34 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("validateShardsContent degrades to digest-only on a pre-filehash manifest") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"document number $i padded", i % 4))
+      .toDF("doc_id", "text", "shard")
+    val (dir, part, bytes, first, _) = writeForFlip(df, "document number ")
+    try {
+      val counts = Export.readManifest(spark, dir)
+      // simulate an export written before the filehash field existed
+      val mf = java.nio.file.Paths.get(dir, "_graft_manifest.json")
+      val json = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      val stripped = json.replaceAll(""""filehash": \{[^}]*\}, """, "")
+      assert(stripped != json, "manifest surgery failed to remove filehash")
+      java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+      val mfCrc = new java.io.File(dir, "._graft_manifest.json.crc")
+      if (mfCrc.exists()) mfCrc.delete()
+      // healthy old export still passes full content validation (digest
+      // pass runs; checksum pass is skipped with a warning, not a refusal)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      // and the digest pass is still live: a data-page flip is caught
+      flipAt(part, bytes, first + 3)
+      val e = intercept[IllegalArgumentException](
+        Export.validateShardsContent(spark, dir))
+      assert(e.getMessage.contains("content digest"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")
