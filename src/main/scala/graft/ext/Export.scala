@@ -221,7 +221,26 @@ object Export {
       epochs = committed + next
     } else
       df.write.mode(mode).partitionBy(shardCol).parquet(dir)
-    val (hfs, root) = fs(df.sparkSession, dir)
+    publishManifest(df.sparkSession, dir, shardCol, caller,
+      d => df.sparkSession.read.parquet(d), epochs, priorHashes)
+  }
+
+  /** Recount the WRITTEN files and publish the manifest — the shared tail
+    * of every shard writer ([[writeShards]]/[[appendShards]] over parquet,
+    * [[writeJsonlShards]] over JSONL): one root listing answers the
+    * null-shard check and seeds per-shard stats, `loader` re-reads the
+    * written files for the row-count + content digest (so the digest
+    * validates the actual encode→decode round trip, not the in-memory
+    * frame), and `extra` carries format-specific manifest fields as raw
+    * JSON values. */
+  private def publishManifest(spark: SparkSession, dir: String,
+                              shardCol: String, caller: String,
+                              loader: String => DataFrame,
+                              epochs: Set[Long],
+                              priorHashes: Map[String, Long],
+                              extra: Seq[(String, String)] = Nil)
+      : Map[Long, Long] = {
+    val (hfs, root) = fs(spark, dir)
     // ONE root listing answers the null-shard check, the any-rows check,
     // and seeds the per-shard stats — one LIST RPC on an object store, not
     // three. Null shards land in the Hive default partition and would
@@ -251,7 +270,7 @@ object Export {
     // byte/file-count gate cannot see.
     val digests =
       if (shardDirs.isEmpty) Map.empty[Long, (Long, Long, Long)]
-      else shardDigests(df.sparkSession, dir, shardCol)
+      else shardDigests(loader(dir), shardCol)
     val counts = digests.map { case (k, v) => k -> v._1 }
     val listing = shardListing(hfs, shardDirs, shardCol)
     val stats = statsFor(listing)
@@ -268,18 +287,21 @@ object Export {
     val liveSet = liveFiles.map(_._1).toSet
     val fileHash =
       priorHashes.filter { case (rel, _) => liveSet.contains(rel) } ++
-        fileHashes(df.sparkSession,
+        fileHashes(spark,
           liveFiles.filterNot { case (rel, _) => priorHashes.contains(rel) })
     def obj(m: Map[Long, Long]): String = m.toSeq.sorted
       .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
     def objStr(m: Map[String, Long]): String = m.toSeq.sorted
       .map { case (s, v) => s""""$s": $v""" }.mkString("{", ", ", "}")
+    val extraJson = extra
+      .map { case (k, v) => s""""$k": $v, """ }.mkString
     val manifest =
       s"""{"shards": ${obj(counts)}, "bytes": ${obj(stats.map { case (k, v) => k -> v._1 })}, """ +
         s""""files": ${obj(stats.map { case (k, v) => k -> v._2 })}, """ +
         s""""xor": ${obj(digests.map { case (k, v) => k -> v._2 })}, """ +
         s""""sum": ${obj(digests.map { case (k, v) => k -> v._3 })}, """ +
         s""""filehash": ${objStr(fileHash)}, """ +
+        extraJson +
         s""""epochs": ${epochs.toSeq.sorted.mkString("[", ", ", "]")}, """ +
         s""""total": ${counts.values.sum}}"""
     val out = hfs.create(new Path(root, ManifestName), true)
@@ -387,9 +409,8 @@ object Export {
     * directory identity, and partition values read back type-inferred,
     * which would make the hash depend on the reader). Both folds are
     * commutative + associative — partitioning- and order-invariant. */
-  private def shardDigests(spark: SparkSession, dir: String,
+  private def shardDigests(frame: DataFrame,
                            shardCol: String): Map[Long, (Long, Long, Long)] = {
-    val frame = spark.read.parquet(dir)
     val dataCols = frame.columns.filter(_ != shardCol).sorted
       .map(c => s"`$c`").mkString(",")
     frame
@@ -544,7 +565,7 @@ object Export {
       s"validateShardsContent: manifest at $dir records shards " +
         s"${counts.keySet.toSeq.sorted} but digests for " +
         s"${xor.keySet.toSeq.sorted}/${sum.keySet.toSeq.sorted}")
-    val live = shardDigests(spark, dir, shardCol)
+    val live = shardDigests(exportFrame(spark, dir, tree, shardCol), shardCol)
     require(live.keySet == counts.keySet,
       s"validateShardsContent: manifest shards ${counts.keySet.toSeq.sorted} " +
         s"vs on-disk ${live.keySet.toSeq.sorted}")
@@ -595,4 +616,86 @@ object Export {
                  shards: Seq[Long], shardCol: String = "shard"): DataFrame =
     spark.read.parquet(dir)
       .filter(col(shardCol).isin(shards: _*))
+
+  /** The export's frame per its manifest `format` field: JSONL exports
+    * read back under the manifest's recorded schema (JSON carries no
+    * schema of its own — inference would both cost a scan and drift
+    * types), parquet exports (or pre-`format` manifests) through the
+    * parquet reader. The ONE loader behind every format-agnostic
+    * content check. */
+  private def exportFrame(spark: SparkSession, dir: String,
+                          tree: com.fasterxml.jackson.databind.JsonNode,
+                          shardCol: String): DataFrame = {
+    val fmt = Option(tree.get("format")).map(_.asText).getOrElse("parquet")
+    if (fmt == "jsonl") {
+      val schema = Option(tree.get("schema")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(
+          s"jsonl manifest at $dir has no 'schema' field — cannot read " +
+            "back without type drift"))
+      jsonlFrame(spark, dir, schema, shardCol)
+    } else spark.read.parquet(dir)
+  }
+
+  /** JSONL shard directory as a DataFrame: the data columns under the
+    * recorded DDL schema, the shard partition column typed long — an
+    * explicit read schema, so no inference scan and no type drift
+    * between writer and any later reader. */
+  private def jsonlFrame(spark: SparkSession, dir: String,
+                         ddl: String, shardCol: String): DataFrame = {
+    val data = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(!data.fieldNames.contains(shardCol),
+      s"jsonl schema must not contain the shard column '$shardCol'")
+    spark.read.schema(data.add(shardCol, LongType)).json(dir)
+  }
+
+  /** JSONL training-shard export — the [[writeShards]] contract on the
+    * format actual dataloaders consume: `df` partitioned by `shardCol`
+    * into `shard=N/part-*.json[.gz]` line-delimited JSON files, plus the
+    * SAME manifest (per-shard row counts, byte/file stats, order-invariant
+    * content digests recounted from the WRITTEN files, per-file streamed
+    * xxhash64 checksums) extended with `format: "jsonl"`, the compression
+    * codec, and the data-column DDL schema — so [[validateShards]] /
+    * [[validateShardsContent]] / [[readJsonlShards]] all work over it
+    * unchanged and schema round-trips without inference. Gzip is the
+    * default (the dataloader-standard framing: each part file one gzip
+    * member, concatenation-safe); pass `"none"` for plain `.json`.
+    * Overwrite-only — epoch append is a parquet-path feature
+    * ([[appendShards]]); a JSONL export is a terminal artifact, re-export
+    * to change it. */
+  def writeJsonlShards(df: DataFrame, dir: String,
+                       shardCol: String = "shard",
+                       compression: String = "gzip"): Map[Long, Long] = {
+    require(df.columns.contains(shardCol),
+      s"writeJsonlShards needs a '$shardCol' column; got ${df.columns.mkString(",")}")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(shardCol).dataType),
+      s"writeJsonlShards needs an integral '$shardCol' column; got " +
+        df.schema(shardCol).dataType.simpleString)
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.filter(_.name != shardCol)).toDDL
+    df.write.mode(SaveMode.Overwrite).partitionBy(shardCol)
+      .option("compression", compression).json(dir)
+    publishManifest(df.sparkSession, dir, shardCol, "writeJsonlShards",
+      d => jsonlFrame(df.sparkSession, d, ddl, shardCol),
+      epochs = Set.empty, priorHashes = Map.empty,
+      extra = Seq(
+        "format" -> "\"jsonl\"",
+        "compression" ->
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(compression)
+            .toString,
+        "schema" ->
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(ddl).toString))
+  }
+
+  /** Read named shards of a JSONL export (all shards when `shards` is
+    * empty) under the manifest's recorded schema — the [[readShards]]
+    * contract for the JSONL format. The shard filter is on the partition
+    * column, so the scan prunes to those directories. */
+  def readJsonlShards(spark: SparkSession, dir: String,
+                      shards: Seq[Long] = Nil,
+                      shardCol: String = "shard"): DataFrame = {
+    val frame = exportFrame(spark, dir, manifestTree(spark, dir), shardCol)
+    if (shards.isEmpty) frame else frame.filter(col(shardCol).isin(shards: _*))
+  }
 }

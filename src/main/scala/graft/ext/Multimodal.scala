@@ -26,12 +26,14 @@ object Multimodal {
       meta: Map[String, String])
 
   /** Extracted features. `width`/`height` are None when the payload is not
-    * a recognized image (PNG/JPEG/GIF) or video (AVI `avih`) container;
-    * `sample_rate` is None outside recognized audio (WAV/MP3/FLAC via
-    * [[MediaCodecs.audioInfo]]); `duration_ms` comes from the audio parse
-    * or the AVI header (frames × µs-per-frame); `n_frames` is the REAL
-    * `avih` frame count for a parseable AVI and a length-derived
-    * placeholder only for opaque video payloads — a real pipeline wants
+    * a recognized image (PNG/JPEG/GIF) or video (AVI `avih` / MP4 `moov`)
+    * container; `sample_rate` is None outside recognized audio
+    * (WAV/MP3/FLAC via [[MediaCodecs.audioInfo]]); `duration_ms` comes
+    * from the audio parse or the video header (AVI frames ×
+    * µs-per-frame; MP4 mvhd duration/timescale); `n_frames` is the REAL
+    * header-declared frame count for a parseable AVI/MP4 and a
+    * length-derived placeholder only for opaque video payloads — a real
+    * pipeline wants
     * "unknown", not a plausible fake; `feature` is decoded-pixel
     * statistics for PNG payloads and a content-byte projection otherwise
     * (the codec seam). */
@@ -733,15 +735,203 @@ object Multimodal {
       fourcc("RIFF") ++ le32(body.length) ++ body
     }
 
+    /** Minimal ISO-BMFF (MP4) encoder — the [[aviEncode]] discipline on
+      * the container modern crawls actually carry: `ftyp` plus a fully
+      * nested `moov` (`mvhd`, one video `trak` with
+      * `tkhd`/`mdia`/`mdhd`/`hdlr('vide')`/`minf`/`stbl`) and no media
+      * samples (`stsz` declares `nFrames` constant-size samples, `stco`
+      * lists zero chunks), so the output is a valid header-only MP4. Box
+      * layout per the published ISO/IEC 14496-12 structure: big-endian
+      * 32-bit box size including the 8-byte header, fourcc type, FullBox
+      * version+flags. `version` selects the 32-bit (0) or 64-bit (1) time
+      * fields in mvhd/tkhd/mdhd — real muxers emit both, so the decoder
+      * must be tested against both. */
+    def mp4Encode(w: Int, h: Int, nFrames: Int, timescale: Int,
+                  durationUnits: Long, version: Int = 0): Array[Byte] = {
+      require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+      require(nFrames >= 0, s"nFrames must be >= 0, got $nFrames")
+      require(timescale > 0, s"timescale must be > 0, got $timescale")
+      require(durationUnits >= 0,
+        s"durationUnits must be >= 0, got $durationUnits")
+      require(version == 0 || version == 1,
+        s"mvhd version must be 0 or 1, got $version")
+      def be16(v: Int): Array[Byte] =
+        Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+      def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+      def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+        val body = payload.foldLeft(Array.emptyByteArray)(_ ++ _)
+        be32(body.length + 8L) ++ fourcc(typ) ++ body
+      }
+      // FullBox time fields: 32-bit in version 0, 64-bit in version 1
+      def time(x: Long): Array[Byte] = if (version == 1) be64(x) else be32(x)
+      val vf = Array(version.toByte, 0.toByte, 0.toByte, 0.toByte)
+      val vf0 = Array[Byte](0, 0, 0, 0)
+      // the identity transform matrix every muxer writes
+      val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x10000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000L)
+      val mvhd = box("mvhd", vf, time(0), time(0), be32(timescale),
+        time(durationUnits), be32(0x10000) /* rate 1.0 */,
+        be16(0x0100) /* volume 1.0 */, be16(0), be32(0), be32(0),
+        matrix, new Array[Byte](24) /* pre_defined */,
+        be32(2) /* next_track_ID */)
+      // tkhd flags 7 = enabled | in_movie | in_preview; dims 16.16 fixed
+      val tkhd = box("tkhd", Array(version.toByte, 0, 0, 7), time(0),
+        time(0), be32(1) /* track_ID */, be32(0), time(durationUnits),
+        be32(0), be32(0), be16(0) /* layer */, be16(0) /* alt_group */,
+        be16(0) /* volume */, be16(0), matrix,
+        be32(w.toLong << 16), be32(h.toLong << 16))
+      val mdhd = box("mdhd", vf, time(0), time(0), be32(timescale),
+        time(durationUnits), be16(0x55c4) /* language 'und' */, be16(0))
+      val hdlr = box("hdlr", vf0, be32(0), fourcc("vide"),
+        new Array[Byte](12), Array[Byte](0) /* empty name */)
+      val stbl = box("stbl",
+        box("stsd", vf0, be32(0)),
+        box("stts", vf0, be32(1), be32(nFrames), be32(1)),
+        box("stsc", vf0, be32(0)),
+        box("stsz", vf0, be32(1) /* constant sample_size */, be32(nFrames)),
+        box("stco", vf0, be32(0)))
+      val minf = box("minf",
+        box("vmhd", Array[Byte](0, 0, 0, 1), be16(0), be16(0), be16(0),
+          be16(0)),
+        box("dinf", box("dref", vf0, be32(1),
+          box("url ", Array[Byte](0, 0, 0, 1) /* self-contained */))),
+        stbl)
+      val ftyp = box("ftyp", fourcc("isom"), be32(0x200),
+        fourcc("isom"), fourcc("mp42"))
+      ftyp ++ box("moov", mvhd, box("trak", tkhd,
+        box("mdia", mdhd, hdlr, minf)))
+    }
+
+    /** MP4/ISO-BMFF header info: (width, height, sample count,
+      * duration ms) from the `moov` box walk ALONE — `mvhd` gives
+      * timescale + duration (version 0 and 1 layouts), the first `trak`
+      * whose `tkhd` carries nonzero 16.16-fixed dimensions gives the
+      * video dims, and that trak's `stbl` gives the declared sample
+      * count (`stsz` sample_count, falling back to the `stts` entry
+      * sum, 0 when the trak declares no sample table). Handles 64-bit
+      * `largesize` boxes and to-end-of-file size-0 boxes; any box whose
+      * declared size overruns its container returns None — "unknown,
+      * never a fake" — as does a version-0 duration of 0xFFFFFFFF /
+      * version-1 -1 (the spec's "unknown duration" sentinel). No sample
+      * data is touched, so this is header-exact for any codec. */
+    private def mp4Info(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xffffffffL
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      // the box at offset i inside [i, limit): (type, payloadStart, end);
+      // None = malformed (short header, size overrun) — callers refuse
+      def boxAt(i: Int, limit: Int): Option[(String, Int, Int)] = {
+        if (i + 8 > limit) return None
+        val sz32 = be32(i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        val (hdr, size): (Int, Long) =
+          if (sz32 == 1L) {
+            if (i + 16 > limit) return None
+            (16, be64(i + 8))
+          } else if (sz32 == 0L) (8, (limit - i).toLong)
+          else (8, sz32)
+        if (size < hdr || i + size > limit) None
+        else Some((typ, i + hdr, (i + size).toInt))
+      }
+      def findBox(from: Int, limit: Int, typ: String): Option[(Int, Int)] = {
+        var i = from
+        while (i < limit) {
+          boxAt(i, limit) match {
+            case Some((t, ps, end)) =>
+              if (t == typ) return Some((ps, end)); i = end
+            case None => return None
+          }
+        }
+        None
+      }
+      // declared sample count of a trak: stsz's fixed-offset count,
+      // else the stts table sum, else 0 (no sample table declared)
+      def sampleCount(trakStart: Int, trakEnd: Int): Int = {
+        val stbl = for {
+          (ms, me) <- findBox(trakStart, trakEnd, "mdia")
+          (is, ie) <- findBox(ms, me, "minf")
+          sb <- findBox(is, ie, "stbl")
+        } yield sb
+        stbl match {
+          case None => 0
+          case Some((ss, se)) =>
+            findBox(ss, se, "stsz") match {
+              case Some((zs, ze)) if ze - zs >= 12 =>
+                math.min(be32(zs + 8), Int.MaxValue.toLong).toInt
+              case _ =>
+                findBox(ss, se, "stts") match {
+                  case Some((ts, te)) if te - ts >= 8 =>
+                    val entries = be32(ts + 4)
+                    var sum = 0L
+                    var k = 0
+                    while (k < entries && ts + 8 + k * 8 + 8 <= te) {
+                      sum += be32(ts + 8 + k * 8)
+                      k += 1
+                    }
+                    math.min(sum, Int.MaxValue.toLong).toInt
+                  case _ => 0
+                }
+            }
+        }
+      }
+      if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp")
+        return None
+      val (moovS, moovE) = findBox(0, b.length, "moov").getOrElse(return None)
+      val (mvS, mvE) = findBox(moovS, moovE, "mvhd").getOrElse(return None)
+      val (timescale, duration) = u8(mvS) match {
+        case 0 if mvE - mvS >= 20 => (be32(mvS + 12), be32(mvS + 16))
+        case 1 if mvE - mvS >= 32 => (be32(mvS + 20), be64(mvS + 24))
+        case _ => return None
+      }
+      if (timescale <= 0 || timescale > Int.MaxValue) return None
+      if (duration == 0xffffffffL && u8(mvS) == 0) return None // unknown
+      if (duration < 0) return None // v1 sentinel / overflow
+      // first trak with nonzero video dims carries the answer
+      var i = moovS
+      while (i < moovE) {
+        boxAt(i, moovE) match {
+          case Some(("trak", ps, end)) =>
+            findBox(ps, end, "tkhd").foreach { case (ts, te) =>
+              val wOff = if (u8(ts) == 1) ts + 88 else ts + 76
+              if ((u8(ts) == 0 || u8(ts) == 1) && te - wOff >= 8) {
+                val tw = (be32(wOff) >> 16).toInt
+                val th = (be32(wOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) {
+                  val durMs =
+                    try Math.multiplyExact(duration, 1000L) / timescale
+                    catch { case _: ArithmeticException => return None }
+                  return Some((tw, th, sampleCount(ps, end), durMs))
+                }
+              }
+            }
+            i = end
+          case Some((_, _, end)) => i = end
+          case None => return None
+        }
+      }
+      None
+    }
+
     /** Pure-JVM video container info — the [[imageDimensions]]/[[audioInfo]]
       * shape completing the triptych: (width, height, frame count,
-      * duration ms) from the AVI `avih` MainAVIHeader alone, NO movi walk
-      * and NO frame decode — so it is header-exact for ANY AVI, including
-      * compressed-codec streams [[aviFrames]] refuses to decode (info
-      * never requires a codec; pixels do). Duration = total frames ×
-      * µs-per-frame, floored to whole milliseconds. Returns None for
-      * anything that is not a RIFF/AVI with a well-formed hdrl. */
+      * duration ms) from the container HEADER alone, NO sample walk and
+      * NO frame decode — so it is header-exact for ANY stream including
+      * compressed-codec ones [[aviFrames]] refuses to decode (info never
+      * requires a codec; pixels do). Two container families: AVI reads
+      * the `avih` MainAVIHeader (duration = total frames ×
+      * µs-per-frame, floored to whole milliseconds); MP4/ISO-BMFF walks
+      * `moov` ([[mp4Info]]: `mvhd` timescale+duration, `tkhd` 16.16
+      * dims, `stbl` sample count). Returns None for anything else. */
     def videoInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length >= 12 && new String(b, 4, 4, "US-ASCII") == "ftyp")
+        return mp4Info(b)
       if (b.length < 24 ||
         new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "AVI ") return None

@@ -22,9 +22,47 @@ object TextAnalysis {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** CJK codepoint class (Han, Hiragana, Katakana, Hangul) in Java regex
+    * script syntax — the scripts that carry no inter-word spaces. */
+  private val CjkClass =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+
+  /** Pluggable tokenizer seam. Whitespace splitting is the catalog
+    * contract and stays the default everywhere ([[tokens(text:Column)*]]),
+    * but a CJK/Thai corpus degrades under it to one-token documents,
+    * silently distorting every token-derived signal (counts, LM scores,
+    * packing budgets) — these modes are the escape hatch:
+    *
+    *  - `"ws"` — whitespace runs (the default contract, unchanged);
+    *  - `"script"` — script-aware: each CJK codepoint
+    *    (Han/Hiragana/Katakana/Hangul — the non-spaced scripts) is its
+    *    own token, every other non-space run splits on whitespace as
+    *    before, so mixed-script text tokenizes sensibly without a
+    *    segmenter library;
+    *  - `"codepoint"` — every non-whitespace codepoint is a token, the
+    *    universal fallback when the script is unknown.
+    *
+    * All modes yield an EMPTY array for blank text and tokenize by Java
+    * regex over codepoints (astral chars are one token, not two
+    * surrogate halves). Codegen'd `regexp_extract_all` — no UDFs. */
+  def tokens(text: Column, mode: String): Column = mode match {
+    case "ws" => tokens(text)
+    case "script" =>
+      regexp_extract_all(text,
+        lit(s"[$CjkClass]|[^$CjkClass\\s]+"), lit(0))
+    case "codepoint" =>
+      regexp_extract_all(text, lit("\\S"), lit(0))
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer mode '$other' (expected ws|script|codepoint)")
+  }
+
   /** Whitespace token count (0 for blank text). */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** Token count under a [[tokens(text:Column,mode:String)*]] mode. */
+  def tokenCount(text: Column, mode: String): Column =
+    if (mode == "ws") wsTokenCount(text) else size(tokens(text, mode))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space symbols — the shape of a byte-pair-encoder's pre-tokenizer. */

@@ -173,10 +173,10 @@ object ExtQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchDirs.values().forEach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))))
-  private def exportScratchDir(sfDir: String): String = {
+  private def exportScratchDir(sfDir: String, tag: String = "x80"): String = {
     scratchHook
-    scratchDirs.computeIfAbsent(sfDir, _ =>
-      java.nio.file.Files.createTempDirectory("graft-x80-export").toString)
+    scratchDirs.computeIfAbsent(s"$tag:$sfDir", _ =>
+      java.nio.file.Files.createTempDirectory(s"graft-$tag-export").toString)
   }
 
   /** Drop every shared frame (unpersist + forget). For measurement
@@ -2510,6 +2510,122 @@ object ExtQueries {
                      CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
                      CAST((1 + doc_id % 4) * (1000000 // (5 + doc_id % 6))
                           // 1000 AS BIGINT) AS duration_ms
+              FROM documents ORDER BY doc_id""")),
+
+    // x188 — MP4/ISO-BMFF header info: the x184 discipline on the
+    // container modern crawls actually carry. Each doc synthesized as a
+    // REAL header-only MP4 (ftyp + fully nested moov, built by
+    // MediaCodecs.mp4Encode) with per-doc dimensions, sample count,
+    // timescale, and duration — alternating mvhd version 0/1 by doc_id so
+    // BOTH the 32-bit and 64-bit time-field layouts are exercised through
+    // the catalog, not just the spec. videoInfo reads everything from the
+    // moov box walk alone (tkhd 16.16 dims, stsz sample count, mvhd
+    // timescale+duration — no sample decode), and the oracle recomputes
+    // all four fields from the synthesis arithmetic, including the
+    // floored duration division.
+    QueryDef("x188_mp4_info",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              Multimodal.MediaFile(id, "video",
+                Multimodal.MediaCodecs.mp4Encode(
+                  w = 16 + (id % 9).toInt,
+                  h = 9 + (id % 7).toInt,
+                  nFrames = 1 + (id % 6).toInt,
+                  timescale = 600 * (1 + id % 4).toInt,
+                  durationUnits = 500 + (id * 37) % 10000,
+                  version = (id % 2).toInt),
+                Map.empty)
+            }
+          }
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("duration_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(16 + doc_id % 9 AS INTEGER) AS width,
+                     CAST(9 + doc_id % 7 AS INTEGER) AS height,
+                     CAST(1 + doc_id % 6 AS INTEGER) AS n_frames,
+                     CAST((500 + (doc_id * 37) % 10000) * 1000
+                          // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
+              FROM documents ORDER BY doc_id""")),
+
+    // x189 — the tokenizer seam exercised end-to-end: each doc's text is
+    // deterministically mixed with a CJK fragment (Han digits, offset and
+    // length keyed by doc_id — non-spaced script, exactly what degrades
+    // the whitespace contract to one-token runs), then counted under all
+    // three TextAnalysis tokenizer modes. The ws count sees the CJK
+    // fragment as ONE token; the script mode splits it into per-codepoint
+    // tokens while keeping Latin runs whole; the codepoint fallback
+    // splits everything. The oracle recomputes all three in DuckDB (RE2
+    // \p{Han} classes ≡ Java \p{IsHan} on these codepoints), so the seam
+    // is hash-checked, not just gated.
+    QueryDef("x189_script_tokens", {
+      val cjk = "一二三四五六七八九十"
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(expr("substr(text, 1, 40)"), lit(" "),
+              expr(s"substr('$cjk', cast(doc_id % 6 as int) + 1, 4)"))
+              .as("t"))
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("t"), "ws").cast("long").as("n_ws"),
+            TextAnalysis.tokenCount(col("t"), "script").cast("long")
+              .as("n_script"),
+            TextAnalysis.tokenCount(col("t"), "codepoint").cast("long")
+              .as("n_cp"))
+          .orderBy("doc_id")
+    },
+      Some(s"""WITH m AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || ' ' ||
+                       substr('一二三四五六七八九十',
+                              CAST(doc_id % 6 AS INT) + 1, 4) AS t
+                FROM documents)
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(t), '\\s+'))
+                          END AS BIGINT) AS n_ws,
+                     CAST(len(regexp_extract_all(t,
+                       '[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]|[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}\\s]+'))
+                       AS BIGINT) AS n_script,
+                     CAST(len(regexp_extract_all(t, '[^\\s]')) AS BIGINT)
+                       AS n_cp
+              FROM m ORDER BY doc_id""")),
+
+    // x190 — JSONL training-shard export round-trip: the x80 discipline
+    // on the format actual dataloaders consume. documents sharded by
+    // doc_id % 8 → writeJsonlShards (gzip line-JSON + the shared
+    // manifest: counts/bytes/files, content digests recounted from the
+    // WRITTEN .json.gz files, per-file xxhash64 checksums, recorded DDL
+    // schema) → validateShardsContent (the DEEP gate: listing + digest
+    // recount + byte-checksum recount, format-dispatched off the
+    // manifest) → readJsonlShards under the recorded schema → canonical
+    // order. The oracle reads the PRE-export table, so a lost shard, an
+    // encode/decode type drift, or a gzip-member corruption all fail the
+    // row/hash compare.
+    QueryDef("x190_jsonl_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x190-jsonl")
+        val counts = Export.writeJsonlShards(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("lang"), col("text"),
+              (col("doc_id") % 8).cast("int").as("shard")),
+          dir)
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"jsonl manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readJsonlShards(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, text,
+                     CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
     // x185 — dedup-channel overlap report: how the TEXT near-dup channel

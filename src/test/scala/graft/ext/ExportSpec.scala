@@ -188,6 +188,52 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("jsonl export round-trips under validation and refuses a flipped gz byte") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"line doc $i\nsecond line", i % 4))
+    val df = rows.toDF("doc_id", "text", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-jsonl").toString
+    try {
+      val counts = Export.writeJsonlShards(df, dir)
+      assert(counts.values.sum === 200L)
+      // layout: shard=N dirs holding gzip line-JSON data files
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(parts.map(_.getName).sorted === Array("shard=0", "shard=1", "shard=2", "shard=3"))
+      val dataFiles = parts.flatMap(_.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+      assert(dataFiles.nonEmpty && dataFiles.forall(_.getName.endsWith(".json.gz")))
+      // manifest records the jsonl format + schema, and BOTH loader gates
+      // (listing-only and deep content) pass on the healthy export
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
+      assert(manifest.contains(""""format": "jsonl""""))
+      assert(manifest.contains(""""schema":"""))
+      assert(Export.validateShards(spark, dir) === counts)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      // read-back under the recorded schema equals the input, values and
+      // types (shard partition column reads back long; embedded newlines
+      // survive the line-JSON escaping)
+      val back = Export.readJsonlShards(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          r.getAs[Long]("shard"))).toSet
+      assert(back === rows.toSet)
+      // shard-selective read prunes to the named directory
+      assert(Export.readJsonlShards(spark, dir, Seq(1L)).count() === counts(1L))
+      // flip one byte inside a gzip member: same file length, so the
+      // listing-only gate stays blind — the content gate must refuse
+      // (gzip/digest/checksum, whichever layer sees it first is loud)
+      val victim = dataFiles.maxBy(_.length)
+      val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x10).toByte
+      java.nio.file.Files.write(victim.toPath, bytes)
+      assert(Export.validateShards(spark, dir) === counts)
+      intercept[Exception](Export.validateShardsContent(spark, dir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")

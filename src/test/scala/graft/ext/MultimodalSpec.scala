@@ -579,6 +579,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got.sample_rate === None)
   }
 
+  test("mp4 header info: both mvhd versions, largesize, totality") {
+    def find(b: Array[Byte], fourcc: String): Int = {
+      val pat = fourcc.getBytes("US-ASCII")
+      b.indices.find(i => i + 4 <= b.length &&
+        pat.indices.forall(k => b(i + k) == pat(k))).get
+    }
+    // version 0: all four fields recovered exactly, duration floored
+    val v0 = MediaCodecs.mp4Encode(w = 320, h = 180, nFrames = 9,
+      timescale = 600, durationUnits = 1234L, version = 0)
+    assert(MediaCodecs.videoInfo(v0) ===
+      Some((320, 180, 9, 1234L * 1000 / 600)))
+    // version 1: the 64-bit time-field layout parses to the same answer
+    val v1 = MediaCodecs.mp4Encode(w = 320, h = 180, nFrames = 9,
+      timescale = 600, durationUnits = 1234L, version = 1)
+    assert(MediaCodecs.videoInfo(v1) === MediaCodecs.videoInfo(v0))
+    // 64-bit largesize header on moov: same answer (real muxers use
+    // largesize for >4 GiB boxes; the parser must not assume size32)
+    val moovAt = find(v0, "moov") - 4
+    val be = java.nio.ByteBuffer.wrap(v0)
+    val moovSize = be.getInt(moovAt)
+    val large = v0.take(moovAt) ++
+      Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(8).putLong(moovSize + 8L).array() ++
+      v0.slice(moovAt + 8, v0.length)
+    assert(MediaCodecs.videoInfo(large) === MediaCodecs.videoInfo(v0))
+    // stsz knocked out → sample count falls back to the stts entry sum
+    val noStsz = v0.clone()
+    val stszAt = find(noStsz, "stsz")
+    "free".getBytes("US-ASCII").zipWithIndex
+      .foreach { case (c, k) => noStsz(stszAt + k) = c }
+    assert(MediaCodecs.videoInfo(noStsz) === MediaCodecs.videoInfo(v0))
+    // totality: truncation inside moov, truncation to nothing, not-ftyp
+    assert(MediaCodecs.videoInfo(v0.take(v0.length - 5)).isEmpty)
+    assert(MediaCodecs.videoInfo(v0.take(10)).isEmpty)
+    assert(MediaCodecs.videoInfo("zzzz".getBytes ++ v0.drop(4)).isEmpty)
+    // the spec's unknown-duration sentinel (v0 all-ones) → None, never
+    // a fake duration
+    val unk = v0.clone()
+    val mvhdAt = find(unk, "mvhd")
+    for (k <- 0 until 4) unk(mvhdAt + 4 + 16 + k) = 0xff.toByte
+    assert(MediaCodecs.videoInfo(unk).isEmpty)
+    // the features row surfaces the MP4 header fields
+    import spark.implicits._
+    val got = extractFeatures(Seq(
+      MediaFile(1L, "video", v1, Map.empty)).toDS()).collect()(0)
+    assert(got.width === Some(320) && got.height === Some(180))
+    assert(got.n_frames === 9)
+    assert(got.duration_ms === Some(1234L * 1000 / 600))
+    assert(got.sample_rate === None)
+  }
+
   test("aviFrames is total on malformed input") {
     val rnd = new scala.util.Random(23)
     val good = MediaCodecs.aviEncode(Seq(
