@@ -60,7 +60,9 @@ object SpanBuilder {
           ignoreNulls = true).as("parentStageIds"),
         max(coalesce(col("numTasks"), lit(0))).as("numTasks"),
         max(when(col("kind") === "taskEnd", coalesce(col("durationMs"), lit(0L)))
-          .otherwise(lit(0L))).as("maxTaskDurationMs"))
+          .otherwise(lit(0L))).as("maxTaskDurationMs"),
+        sum(when(col("kind") === "taskEnd", coalesce(col("durationMs"), lit(0L)))
+          .otherwise(lit(0L))).as("totalTaskDurationMs"))
     stageAgg
       .join(stageToJob, "stageId")
       // Same in-flight guard as jobSpans: stages without a completion event
@@ -68,7 +70,7 @@ object SpanBuilder {
       .filter(col("startTime").isNotNull && col("endTime").isNotNull)
       .select(col("stageId"), col("jobId"), col("startTime"), col("endTime"),
         coalesce(col("parentStageIds"), array().cast("array<int>")).as("parentStageIds"),
-        col("numTasks"), col("maxTaskDurationMs"))
+        col("numTasks"), col("maxTaskDurationMs"), col("totalTaskDurationMs"))
       .as[StageSpan]
   }
 

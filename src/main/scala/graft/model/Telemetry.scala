@@ -50,7 +50,9 @@ case class JobSpan(
     batchId: Option[Long])
 
 /** One stage's span + the longest single task in it (ref T2 `stageMap`,
-  * sparklens `StageTimeSpan`; max task time feeds the critical path). */
+  * sparklens `StageTimeSpan`; max task time feeds the critical path;
+  * total task time feeds the executor-count what-if — defaulted so
+  * pre-existing construction sites and serialized spans stay valid). */
 case class StageSpan(
     stageId: Int,
     jobId: Long,
@@ -58,7 +60,8 @@ case class StageSpan(
     endTime: Long,
     parentStageIds: Seq[Int],
     numTasks: Int,
-    maxTaskDurationMs: Long)
+    maxTaskDurationMs: Long,
+    totalTaskDurationMs: Long = 0L)
 
 /** One executor's lifetime (ref T6 `executorMap`). */
 case class ExecutorSpan(

@@ -2764,6 +2764,60 @@ object ExtQueries {
               WHERE CAST(inter AS DOUBLE) / least(za.n, zb.n) >= 0.9
               ORDER BY ia, ib""")),
 
+    // x186b — streaming containment-flagging parity gate: the x161b
+    // discipline on the excerpt guard. Freeze the EVEN docs as the
+    // containmentFlagger's reference index, replay the ODD docs through a
+    // REAL MemoryStream query in two uneven chops, and assert the union
+    // of per-batch flags equals the batch x186-style pair set restricted
+    // to odd-even pairs (oriented stream-side first) — the StreamingSpec
+    // ingest-parity contract made oracle-visible, so a drift between the
+    // frozen-index probe and the batch pair miner fails the correctness
+    // gate, not only CI. Each batch's flags depend only on its own rows +
+    // the frozen postings, so streaming ≡ batch on the same rows; exact
+    // double equality holds because both paths run the identical
+    // containment arithmetic on the identical shingle sets.
+    QueryDef("x186b_containment_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        implicit val sq = s.sqlContext
+        val docs = Tables.documents(s, d)
+        val expected = Dedup.containmentPairs(docs, "text", "doc_id",
+            n = 3, threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .collect { case (a, b, c) if a % 2 != b % 2 =>
+            if (a % 2 == 1) (a, b, c) else (b, a, c) }.toSet
+        val flag = Dedup.containmentFlagger(
+          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+          n = 3, threshold = 0.8)
+        try {
+          val rows = docs.filter(col("doc_id") % 2 =!= 0)
+            .select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val acc = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+          val query = mem.toDF().toDF("doc_id", "text").writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val got = flag(batch).collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+              acc.synchronized { acc ++= got }
+              ()
+            }
+            .outputMode("append").start()
+          // two uneven chops: the second batch must flag against the
+          // frozen index exactly as the first did, never against itself
+          try {
+            mem.addData(rows.take(rows.length / 3))
+            query.processAllAvailable()
+            mem.addData(rows.drop(rows.length / 3))
+            query.processAllAvailable()
+          } finally query.stop()
+          Seq((acc.toSet == expected) && expected.nonEmpty)
+            .toDF("containment_stream_ok")
+        } finally flag.close()
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS containment_stream_ok")),
+
     // x15 — deterministic frame sampling: every 2nd 32-CHARACTER block of
     // the payload, fingerprinted. Pure column expressions (no UDF).
     // Character blocks, not bytes: DuckDB's substr is character-indexed and

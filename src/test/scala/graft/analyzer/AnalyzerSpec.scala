@@ -128,6 +128,50 @@ class AnalyzerSpec extends SparkSpec {
     assert(r.expectedMicroBatchSLA === 120000L)
   }
 
+  test("estimateAt: throughput-bound at small n, critical-path floor at large n, serial fraction never scales") {
+    import spark.implicits._
+    // One batch ("q", 7), one job [0, 3000] (islandSpan 3000), brt 4000
+    // => serial = 1000. Two serial stages: stage 0 has 4×1000ms tasks
+    // (max 1000, total 4000), stage 1 has 500+300 (max 500, total 800)
+    // => criticalPath = 1500, totalTaskTime = 4800. Two 2-core executors
+    // => coresPerExec = 2. So:
+    //   n=1: 1000 + max(1500, ceil(4800/2))  = 1000 + 2400 = 3400
+    //   n=2: 1000 + max(1500, ceil(4800/4))  = 1000 + 1500 = 2500
+    //   n=4: 1000 + max(1500, ceil(4800/8))  = 1000 + 1500 = 2500 (floor)
+    // Batch ("q", 8) has no jobs => estimate = brt = 700 at every n.
+    val events = Seq(
+      ev("jobStart", 0, jobId = Some(1), stageIds = Seq(0, 1),
+        sqlExecutionId = Some(11), queryId = Some("q"), batchId = Some(7)),
+      ev("stageSubmitted", 0, stageId = Some(0)),
+      ev("taskEnd", 900, stageId = Some(0), durationMs = Some(1000)),
+      ev("taskEnd", 950, stageId = Some(0), durationMs = Some(1000)),
+      ev("taskEnd", 1900, stageId = Some(0), durationMs = Some(1000)),
+      ev("taskEnd", 1950, stageId = Some(0), durationMs = Some(1000)),
+      ev("stageCompleted", 2000, stageId = Some(0)),
+      ev("stageSubmitted", 2000, stageId = Some(1), parents = Seq(0)),
+      ev("taskEnd", 2600, stageId = Some(1), durationMs = Some(500)),
+      ev("taskEnd", 2700, stageId = Some(1), durationMs = Some(300)),
+      ev("stageCompleted", 2900, stageId = Some(1)),
+      ev("jobEnd", 3000, jobId = Some(1)),
+      SchedulerEvent("executorAdded", 0, None, Nil, None, Nil, None, None,
+        Some("ex1"), Some("h1"), Some(2), None, None, None, None, None),
+      SchedulerEvent("executorAdded", 0, None, Nil, None, Nil, None, None,
+        Some("ex2"), Some("h2"), Some(2), None, None, None, None, None)).toDS()
+    val got = BatchAnalyzer.estimateAt(
+        SpanBuilder.jobSpans(events), SpanBuilder.stageSpans(events),
+        Seq(progress("q", 7, rows = 4000, rps = 1000.0),
+          progress("q", 8, rows = 700, rps = 1000.0)).toDS(),
+        SpanBuilder.executorSpans(events), Seq(4, 1, 2))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got(("q", 7L, 1)) === 3400L)
+    assert(got(("q", 7L, 2)) === 2500L)
+    assert(got(("q", 7L, 4)) === 2500L) // converged to serial + criticalPath
+    assert(Seq(1, 2, 4).map(n => got(("q", 8L, n))).forall(_ === 700L))
+    assert(got.size === 6) // every batch × every asked count, exactly once
+  }
+
   test("jobExecutors bridge + batchExecutors semi-join chain") {
     import spark.implicits._
     val events = Seq(
