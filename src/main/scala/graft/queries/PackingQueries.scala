@@ -1,0 +1,1486 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Pack, Retrieval, Similarity, TextAnalysis}
+
+/** Packing/sampling/export catalog entries: sequence packing, mixtures, splits, curriculum/epoch schedules, shard exports.
+  *
+  * Split from the original monolithic ExtQueries catalog — entries
+  * verbatim; shared frames and helpers live in [[ExtShared]]. */
+object PackingQueries {
+  import ExtShared._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // x44 — per-source token-budget mixture sampling: the data-mixing
+    // primitive of a training run. Docs fill each source's token budget
+    // greedily in deterministic content-hash order (md5 — reproducible,
+    // engine-portable, no RNG state); a doc is taken while the EXCLUSIVE
+    // running token total is under budget, so the first doc of a source is
+    // always taken and the last may overflow (standard greedy fill). The
+    // per-source window parallelizes across sources; a single mega-source
+    // shards the window by a hash-bucket sub-key, same mitigation as x32.
+    QueryDef("x44_token_budget_mix",
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("ok"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"),
+            md5(col("text")).as("ok"))
+          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+          .filter(col("cum") < 64)
+          .select(col("doc_id"), col("source"), col("toks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, md5(text) AS ok,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                 c AS (SELECT doc_id, source, toks,
+                     CAST(sum(toks) OVER (PARTITION BY source ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS cum
+                   FROM t)
+              SELECT doc_id, source, toks FROM c WHERE cum < 64 ORDER BY doc_id""")),
+
+    // x52 — deterministic content-hash sharding: the reproducible global
+    // shuffle of a training run. Shard = first md5 hex digit (16 shards;
+    // scale takes more digits), position = rank within shard by (md5,
+    // doc_id). Pure scan expressions + a per-shard window — the shard key
+    // IS the x32 window mitigation, built in: no global sort anywhere, and
+    // content addressing keeps the assignment stable under corpus
+    // re-partitioning (doc_id renumbering changes nothing but tie-breaks).
+    QueryDef("x52_content_shards",
+      (s, d) => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("ok"))
+          .withColumn("shard",
+            expr("CAST(instr('0123456789abcdef', substring(ok, 1, 1)) - 1 AS BIGINT)"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some("""SELECT doc_id,
+                     CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+                     row_number() OVER (PARTITION BY substring(md5(text), 1, 1)
+                       ORDER BY md5(text), doc_id) AS pos
+              FROM documents ORDER BY shard, pos""")),
+
+    // x58 — stratified content-hash split: train/val/test held out PER
+    // SOURCE at exact ceil proportions (10% test, 10% val), assignment by
+    // deterministic md5 order so the split survives doc_id renumbering and
+    // corpus re-partitioning. The boundary test is INTEGER arithmetic —
+    // (rn-1)*10 < n ⟺ rn ≤ ⌈n/10⌉ — because ceil(n * 0.1) differs between
+    // decimal and binary float engines at n = 30 (3.0000000000000004 in
+    // double rounds the ceiling up).
+    QueryDef("x58_stratified_split",
+      (s, d) => stratifiedSplit(s, d).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, md5(text) AS ok FROM documents),
+                   r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn,
+                           count(*) OVER (PARTITION BY source) AS n
+                         FROM t)
+              SELECT doc_id, source,
+                     CASE WHEN (rn - 1) * 10 < n THEN 'test'
+                          WHEN (rn - 1) * 5 < n THEN 'val'
+                          ELSE 'train' END AS split
+              FROM r ORDER BY doc_id""")),
+
+    // x21 — deterministic stratified sampling: hash the CONTENT into 16
+    // buckets (md5 first hex digit) and keep a per-language bucket quota —
+    // the reproducible corpus-mixing primitive of a training-data pipeline
+    // (rerunnable, no RNG state; at 100 TB it is a pure scan filter that
+    // pushes nothing to the driver).
+    QueryDef("x21_stratified_sample",
+      (s, d) => {
+        val bucket = (expr("instr('0123456789abcdef', substring(md5(text), 1, 1))") - 1).cast("long")
+        val quota = when(col("lang") === "en", 8).when(col("lang") === "de", 4).otherwise(2)
+        Tables.documents(s, d)
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < quota)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+                     CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS bucket
+              FROM documents
+              WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 <
+                    CASE WHEN lang = 'en' THEN 8 WHEN lang = 'de' THEN 4 ELSE 2 END
+              ORDER BY doc_id""")),
+
+    // x22 — overlapping token-window chunking (context-window preparation):
+    // x22 — token-window chunking (shared tokenChunks helper).
+    QueryDef("x22_chunking",
+      (s, d) => tokenChunks(Tables.documents(s, d)).orderBy("doc_id", "chunk_no"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                         FROM documents WHERE length(trim(text)) > 0),
+                   c AS (SELECT doc_id, unnest(range(0, len(toks), 24)) AS o, toks FROM t)
+              SELECT doc_id, o // 24 AS chunk_no,
+                     array_to_string(toks[(o+1):(o+32)], ' ') AS chunk
+              FROM c ORDER BY doc_id, chunk_no""")),
+
+    // x26 — per-group quota sampling: keep N docs per language, picked by a
+    // deterministic content-hash order (reproducible, no RNG; the per-source
+    // quota primitive of corpus mixing). rank window per group — one shuffle.
+    QueryDef("x26_group_quota_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select(col("lang"), col("rnk").cast("long").as("rnk"), col("doc_id"))
+          .orderBy("lang", "rnk")
+      },
+      Some("""SELECT lang, rnk, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+                FROM documents) t
+              WHERE rnk <= 20 ORDER BY lang, rnk""")),
+
+    // x32 — sequence packing: assign docs (in doc_id order) to fixed-budget
+    // training sequences by exclusive running token count div budget — the
+    // deterministic contiguous-fill packing of a pretraining data loader.
+    // One window cumsum + one aggregation; the window's global order is the
+    // doc_id sort the pack order REQUIRES (at scale: pack per source shard
+    // — partition the window by a shard key — exactly how loaders do it).
+    QueryDef("x32_sequence_packing",
+      (s, d) => {
+        val w = Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w) - col("toks"))
+          .withColumn("seq_id", expr("cum div 512"))
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("seq_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                 c AS (SELECT doc_id, toks,
+                     sum(toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum
+                   FROM t)
+              SELECT CAST(cum // 512 AS BIGINT) AS seq_id, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+                     min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // x190 — JSONL training-shard export round-trip: the x80 discipline
+    // on the format actual dataloaders consume. documents sharded by
+    // doc_id % 8 → writeJsonlShards (gzip line-JSON + the shared
+    // manifest: counts/bytes/files, content digests recounted from the
+    // WRITTEN .json.gz files, per-file xxhash64 checksums, recorded DDL
+    // schema) → validateShardsContent (the DEEP gate: listing + digest
+    // recount + byte-checksum recount, format-dispatched off the
+    // manifest) → readJsonlShards under the recorded schema → canonical
+    // order. The oracle reads the PRE-export table, so a lost shard, an
+    // encode/decode type drift, or a gzip-member corruption all fail the
+    // row/hash compare.
+    QueryDef("x190_jsonl_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x190-jsonl")
+        val counts = Export.writeJsonlShards(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("lang"), col("text"),
+              (col("doc_id") % 8).cast("int").as("shard")),
+          dir)
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"jsonl manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readJsonlShards(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, text,
+                     CAST(doc_id % 8 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
+    // x73 — the END-TO-END curation pipeline as one artifact: exact dedup →
+    // eval holdout → per-source relative quality filter (top half) →
+    // decontamination against the held-out eval set → deterministic
+    // content-hash sharding. Every stage is an operator proven above
+    // (x01/x57/x29/x45/x52); this entry witnesses that they COMPOSE — the
+    // "switch your pipeline to this library" query — and the whole chain is
+    // one DuckDB-oracle row set. Scale: each stage keeps its own posture
+    // (hash agg / per-source window / 8-byte-key bipartite join + anti-join
+    // / scan-local shard key); nothing in the composition adds a shuffle
+    // beyond the stages themselves.
+    QueryDef("x73_curation_pipeline",
+      (s, d) => curationShared(s, d),
+      Some(curationOracle)),
+
+    // x80 — the export sink's ROUND-TRIP on the board as an oracle row:
+    QueryDef("x80_export_roundtrip",
+      (s, d) => {
+        // The full loop a training run actually exercises: curate (x73's
+        // SHARED output frame — the export sink's cost is the round-trip,
+        // not a second run of the whole pipeline) → writeShards
+        // (partitioned parquet + Hadoop-FS manifest) → loader
+        // validateShards (per-shard file count + byte integrity) →
+        // readShards of EVERY manifest shard → canonical order. The oracle
+        // is x73's SQL verbatim, so the round-trip is hash-checked against
+        // the pre-export frame — a lost shard, a short manifest, or a
+        // type-drifting partition column all fail the row/hash compare.
+        // One STABLE scratch dir per sf-dir (Overwrite mode reuses it), so
+        // repeated invocations in one JVM — warm-up, timed, AQE passes —
+        // bound disk use and register exactly one cleanup hook.
+        val dir = exportScratchDir(d)
+        val counts = Export.writeShards(curationShared(s, d), dir)
+        val manifest = Export.validateShards(s, dir)
+        require(manifest == counts,
+          s"manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readShards(s, dir, manifest.keySet.toSeq.sorted)
+          .select(col("doc_id"), col("source"), col("score"),
+            // partition-directory values read back type-inferred (int)
+            col("shard").cast("long").as("shard"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      Some(curationOracle)),
+
+    // x75 — packing-efficiency curve: the x135 packPlan layout evaluated
+    // at several sequence budgets at once — n_seqs, packed tokens, and the
+    // utilization fraction per budget — the diagnostic that picks a
+    // training sequence length (too-long budgets waste capacity on the
+    // final partial fill of each sequence; the curve makes the trade
+    // visible). The curve runs off the SHARED two-phase prefix-sum
+    // coordinates (Pack.packPlan — cum_before is capacity-independent, so
+    // the x135 frame serves every budget): no global unpartitioned window
+    // anywhere, the bounded-window layout a 100 TB user runs as-is.
+    // Budgets explode off the computed running total (a per-budget branch
+    // would re-run the whole layout three times). x32 keeps the textbook
+    // doc_id-ordered global-cumsum form for contrast; this entry is the
+    // scale path.
+    QueryDef("x75_packing_efficiency",
+      (s, d) => packPlanShared(s, d)
+        .select(col("doc_id"), col("n_tokens").as("toks"),
+          col("cum_before").as("cum"))
+        .withColumn("budget",
+          explode(array(lit(128L), lit(512L), lit(2048L))))
+        .withColumn("seq_id", expr("cum div budget"))
+        .groupBy(col("budget"), col("seq_id"))
+        .agg(sum(col("toks")).as("seq_toks"))
+        .groupBy(col("budget"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("seq_toks")).as("n_tokens"))
+        .select(col("budget"), col("n_seqs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            (col("n_seqs") * col("budget")).cast("double"), 6).as("utilization"))
+        .orderBy("budget"),
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                 c AS (SELECT doc_id, toks,
+                     CAST(coalesce(sum(toks) OVER (ORDER BY okey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum
+                   FROM t),
+                 b AS (SELECT unnest([128, 512, 2048]) AS budget),
+                 s AS (SELECT b.budget, CAST(c.cum // b.budget AS BIGINT) AS seq_id,
+                              sum(c.toks) AS seq_toks
+                       FROM c CROSS JOIN b GROUP BY 1, 2)
+              SELECT CAST(budget AS BIGINT) AS budget,
+                     count(*) AS n_seqs,
+                     CAST(sum(seq_toks) AS BIGINT) AS n_tokens,
+                     round(CAST(sum(seq_toks) AS DOUBLE)
+                           / (count(*) * budget), 6) AS utilization
+              FROM s GROUP BY budget ORDER BY budget""")),
+
+    // x79 — quality-weighted epoch assignment: the data-recipe step that
+    // UP-SAMPLES good sources (the x44 token-budget mix bounds, this one
+    // repeats): sources ranked by mean quality (exact integer score sums;
+    // the one double division is identical IEEE in both engines, ties
+    // broken by source name), top quarter trains 3 epochs, top half 2,
+    // rest 1; each doc emits one row per epoch via a sequence explode.
+    // The rank runs over the ~|sources| aggregate rows, never the docs.
+    QueryDef("x79_source_epochs",
+      (s, d) => {
+        val perSrc = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.qualityScoreInt(col("text"))).as("qsum"),
+            count(lit(1)).as("n"))
+        val wr = Window.orderBy(
+          (col("qsum").cast("double") / col("n").cast("double")).desc,
+          col("source"))
+        val wn = Window.partitionBy(lit(1))
+        val epochs = perSrc
+          .withColumn("rnk", row_number().over(wr))
+          .withColumn("nsrc", count(lit(1)).over(wn))
+          .select(col("source"),
+            when(col("rnk") * 4 <= col("nsrc"), 3L)
+              .when(col("rnk") * 2 <= col("nsrc"), 2L)
+              .otherwise(1L).as("n_epochs"))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(epochs), "source")
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1L, n_epochs)")).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH q AS (SELECT doc_id, source, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS qi
+              FROM (SELECT doc_id, source,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents) t),
+                ps AS (SELECT source, sum(qi) AS qsum, count(*) AS n FROM q GROUP BY 1),
+                r AS (SELECT source,
+                        row_number() OVER (ORDER BY CAST(qsum AS DOUBLE) / n DESC, source) AS rnk,
+                        count(*) OVER () AS nsrc
+                      FROM ps),
+                e AS (SELECT source,
+                        CASE WHEN rnk * 4 <= nsrc THEN 3
+                             WHEN rnk * 2 <= nsrc THEN 2
+                             ELSE 1 END AS n_epochs
+                      FROM r)
+            SELECT d.doc_id, d.source, CAST(unnest(range(1, e.n_epochs + 1)) AS BIGINT) AS epoch
+            FROM documents d JOIN e USING (source)
+            ORDER BY doc_id, epoch"""
+      }),
+
+    // x84 — shard balance audit: per x52 content-hash shard, doc and token
+    // counts plus each shard's parts-per-million share of the corpus — the
+    // operational companion of the export sink (an unbalanced shard is a
+    // dataloader straggler; md5 sharding should sit near 62,500 ppm each
+    // on 16 shards). Shares are integer ppm (exact cross-engine, no float
+    // division); totals ride as a window over the 16 aggregate rows.
+    QueryDef("x84_shard_balance",
+      (s, d) => {
+        val wAll = Window.partitionBy(lit(1))
+        Tables.documents(s, d)
+          .select(
+            expr("CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT)").as("shard"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("toks"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .withColumn("total_docs", sum(col("n_docs")).over(wAll))
+          .withColumn("total_tokens", sum(col("n_tokens")).over(wAll))
+          .withColumn("doc_ppm", expr("n_docs * 1000000 div total_docs"))
+          .withColumn("token_ppm", expr("n_tokens * 1000000 div total_tokens"))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            col("doc_ppm").cast("long").as("doc_ppm"),
+            col("token_ppm").cast("long").as("token_ppm"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT
+                     CAST(instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS BIGINT) AS shard,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks
+                   FROM documents),
+                  g AS (SELECT shard, count(*) AS n_docs, sum(toks) AS n_tokens
+                        FROM t GROUP BY 1)
+              SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT) AS doc_ppm,
+                     CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT) AS token_ppm
+              FROM g ORDER BY shard""")),
+
+    // x85 — SEMANTIC curation pipeline: the embedding-side twin of x73's
+    // shingle pipeline, composing x01 + x11 + x46 + x35 machinery — exact
+    // text dedup → embedding near-dup clusters over the SURVIVORS
+    // (documents ⋈ embeddings on the aligned doc_id/vec_id) → one
+    // highest-quality canonical per cluster (lowest-id tie-break) →
+    // non-clustered survivors pass through. The exact quadratic pair
+    // baseline keeps this oracle-checkable; at scale the candidate source
+    // swaps to srpCosinePairs/ivfCosinePairs (same downstream — the x46
+    // lesson), and every stage keeps its own documented posture.
+    QueryDef("x85_semantic_curation",
+      (s, d) => Curation.semanticCurate(
+          Tables.documents(s, d), Tables.embeddings(s, d),
+          vecs => Similarity.cosinePairs(vecs, threshold = 0.35))
+        .orderBy("doc_id"),
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH RECURSIVE
+              dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+              sv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                     JOIN dd ON dd.doc_id = e.vec_id),
+              p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                    FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+                    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]), 6) >= 0.35),
+              e2 AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+              r AS (SELECT a AS id, a AS reach FROM e2
+                    UNION
+                    SELECT r.id, e2.b FROM r JOIN e2 ON e2.a = r.reach),
+              cl AS (SELECT id AS doc_id, min(reach) AS rep FROM r GROUP BY id),
+              q AS (SELECT doc_id, floor((
+                      least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                    + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                    + (1.0 - least(CAST(pn AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                    + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                    ) * 10000.0 + 0.5) / 10000.0 AS score
+                  FROM (SELECT doc_id,
+                          CASE WHEN length(trim(text)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                          length(text) AS ch,
+                          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS pn,
+                          len(regexp_extract_all(text, '[A-Z]')) AS u,
+                          len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                        FROM documents) t),
+              pick AS (SELECT doc_id FROM (
+                         SELECT cl.doc_id,
+                                row_number() OVER (PARTITION BY cl.rep
+                                  ORDER BY q.score DESC, cl.doc_id) AS rn
+                         FROM cl JOIN q USING (doc_id)) z
+                       WHERE rn = 1),
+              kept AS (SELECT doc_id FROM dd
+                       WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+                       UNION SELECT doc_id FROM pick)
+            SELECT k.doc_id, d.source, q.score
+            FROM kept k JOIN documents d USING (doc_id) JOIN q USING (doc_id)
+            ORDER BY doc_id"""
+      }),
+
+    // x94 — temperature-sampled mixture weights: per-source sampling
+    // probability w_s ∝ n_s^α (α = 0.5 — the multilingual-corpus upweighting
+    // of small sources), the knob that turns corpus token counts into a
+    // training sampler's per-source weights. The sqrt quantizes to integer
+    // micro-units per source BEFORE the normalizing sum, so the denominator
+    // is an exact BIGINT sum and every weight an exact integer division —
+    // no cross-engine float-accumulation drift. One vocab-free aggregate:
+    // per-source token counts (16 rows) then arithmetic.
+    QueryDef("x94_mixture_weights",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tok"))
+          .withColumn("q", expr("CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)"))
+        val denom = perSource.agg(sum(col("q")).as("qsum"))
+        perSource.crossJoin(broadcast(denom))
+          .select(col("source"), col("n_tok"),
+            // widen the ppm multiply: q*1e6 overflows BIGINT once a
+            // source's q passes ~9.2e12 (≈ 8.5e13 corpus tokens — inside
+            // the 100 TB envelope); DECIMAL(38,0) keeps it exact
+            expr("CAST(CAST(q AS DECIMAL(38,0)) * 1000000 DIV qsum AS BIGINT)")
+              .as("weight_ppm"))
+          .orderBy("source")
+      },
+      // n_tok must CAST: DuckDB sum() yields HUGEINT, which pandas widens to
+      // float64 — value-equal but hash-different vs Spark's BIGINT (r9/r10).
+      Some("""WITH t AS (SELECT source,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum FROM qq)
+              SELECT source, n_tok,
+                     CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm
+              FROM qq CROSS JOIN dn ORDER BY source""")),
+
+    // x98 — deterministic weighted sample (Efraimidis–Spirakis): top-50
+    // docs without replacement with inclusion probability ∝ n_chars — the
+    // quality-weighted subcorpus cut (x21/x26/x90 sample uniformly,
+    // stratified, or diversity-first; none weight by a score). The A-ES
+    // key ln(u)/w uses a uniform DERIVED FROM md5 OF THE CONTENT (x52's
+    // determinism trick widened from one hex digit to 32 bits), so the
+    // sample is reproducible across engines, runs, and partitionings —
+    // no rand(), no seed plumbing. The key quantizes to integer nano units
+    // before ranking (a 1-ulp cross-engine ln() difference only matters
+    // within 1e-9 of a rounding boundary). Scale: scan-local key compute +
+    // distributed top-k (TakeOrderedAndProject — map-side partial top-50
+    // per partition, NO global sort, NO single-partition window); the rank
+    // column is a window over the 50 survivors only.
+    QueryDef("x98_weighted_sample",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("wt"),
+            expr("""CAST(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)
+                    AS DOUBLE)""").as("v"))
+          .select(col("doc_id"), col("wt"),
+            expr("CAST(round(ln((v + 1) / 4294967297.0) / wt * 1e9) AS BIGINT)")
+              .as("key_nano"))
+          .orderBy(col("key_nano").desc, col("doc_id")).limit(50)
+        val w = Window.orderBy(col("key_nano").desc, col("doc_id"))
+        keyed.withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("rnk"), col("doc_id"), col("wt"), col("key_nano"))
+          .orderBy("rnk")
+      },
+      Some("""WITH w AS (SELECT doc_id, greatest(n_chars, 1) AS wt,
+                     CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS DOUBLE) AS v
+                   FROM documents),
+                  k AS (SELECT doc_id, wt,
+                          CAST(round(ln((v + 1) / 4294967297.0) / wt * 1e9) AS BIGINT)
+                            AS key_nano
+                        FROM w),
+                  r AS (SELECT doc_id, wt, key_nano,
+                          row_number() OVER (ORDER BY key_nano DESC, doc_id) AS rnk
+                        FROM k)
+              SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, wt, key_nano
+              FROM r WHERE rnk <= 50 ORDER BY rnk""")),
+
+    // x125 — leakage-safe (cluster-atomic) train/val/test split: under
+    // x58's naive per-doc split roughly 1 in 5 near-dup pairs ends up
+    // straddling the train/eval boundary (6 of 25 on the sf0.01 fixture)
+    // — the eval set then scores memorization, not generalization. This split keys on the x25 dup
+    // cluster instead, so all copies of a document travel together.
+    // Oracle: the full x25 recursive closure + the same md5-uniform hash,
+    // end-to-end hash-match.
+    QueryDef("x125_cluster_split",
+      (s, d) => clusterSplit(s, d).orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                a AS (SELECT d.doc_id,
+                        coalesce(cl.cluster_rep, d.doc_id) AS cluster_rep
+                      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+              SELECT doc_id, cluster_rep,
+                     CASE CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 8) AS BIGINT) % 10
+                       WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+              FROM a ORDER BY doc_id""")),
+
+    // x125b — split-leakage audit, fully oracle-checked: the count of
+    // near-dup pairs straddling splits under the naive x58 assignment
+    // (non-zero on any corpus with near-dups — the hazard) vs under the
+    // cluster-atomic x125 assignment (zero BY CONSTRUCTION — both engines
+    // recount it from scratch rather than trusting the construction).
+    // Scale: the pair frame is dup-sized, the two split joins are keyed,
+    // and the naive side reuses x58's own documented window cost.
+    QueryDef("x125b_split_leakage_gate",
+      (s, d) => {
+        val pairs = jaccardPairsShared(s, d).select(col("ia"), col("ib"))
+        def crossCount(sp: DataFrame): DataFrame =
+          pairs
+            .join(sp.select(col("doc_id").as("ia"), col("split").as("sa")), "ia")
+            .join(sp.select(col("doc_id").as("ib"), col("split").as("sb")), "ib")
+            .filter(col("sa") =!= col("sb"))
+            .agg(count(lit(1)).as("n"))
+        crossCount(stratifiedSplit(s, d)).select(col("n").as("naive_cross_pairs"))
+          .crossJoin(crossCount(clusterSplit(s, d))
+            .select(col("n").as("cluster_cross_pairs")))
+          .select(col("naive_cross_pairs"), col("cluster_cross_pairs"),
+            (col("cluster_cross_pairs") === 0 && col("naive_cross_pairs") > 0)
+              .as("split_ok"))
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                cs AS (SELECT d.doc_id,
+                         CASE CAST('0x' || substr(md5(CAST(
+                                coalesce(cl.cluster_rep, d.doc_id) AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 10
+                           WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+                       FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+                ns0 AS (SELECT doc_id, source, md5(text) AS ok FROM documents),
+                ns1 AS (SELECT doc_id,
+                          row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n
+                        FROM ns0),
+                ns AS (SELECT doc_id,
+                         CASE WHEN (rn - 1) * 10 < n THEN 'test'
+                              WHEN (rn - 1) * 5 < n THEN 'val'
+                              ELSE 'train' END AS split
+                       FROM ns1),
+                ncross AS (SELECT count(*) AS n FROM pairs
+                           JOIN ns a ON a.doc_id = pairs.ia
+                           JOIN ns b ON b.doc_id = pairs.ib
+                           WHERE a.split <> b.split),
+                ccross AS (SELECT count(*) AS n FROM pairs
+                           JOIN cs a ON a.doc_id = pairs.ia
+                           JOIN cs b ON b.doc_id = pairs.ib
+                           WHERE a.split <> b.split)
+              SELECT ncross.n AS naive_cross_pairs, ccross.n AS cluster_cross_pairs,
+                     (ccross.n = 0 AND ncross.n > 0) AS split_ok
+              FROM ncross, ccross""")),
+
+    // x133 — key-skew profile: the report that decides whether q31/q32's
+    // salting is worth its cost BEFORE the shuffle is planned — hottest
+    // keys, exact ppm shares, and a salt_recommended verdict (share >
+    // 1/parallelism ⇒ one reduce task would carry more than its fair
+    // slice). One 16-byte-per-key hash aggregate at any scale, then a
+    // kTop-row TakeOrderedAndProject; integer-exact → full hash-match.
+    QueryDef("x133_skew_profile",
+      (s, d) => graft.ops.Skew.skewProfile(
+          Tables.events(s, d), "event_type", kTop = 5, parallelism = 32)
+        .orderBy(col("n").desc, col("event_type")),
+      Some("""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+                  t AS (SELECT sum(n) AS total FROM c)
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                     CAST(CAST(n AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+                     (CAST(n AS HUGEINT) * 32 > total) AS salt_recommended
+              FROM c CROSS JOIN t
+              ORDER BY n DESC, event_type LIMIT 5""")),
+
+    // x135 — sequence-pack plan: the GPT-style concat-and-chunk layout as
+    // a deterministic function of (corpus, capacity, seed) — each doc's
+    // shuffle position (md5 order key, engine-portable), exclusive prefix
+    // token count, and the [start_seq, end_seq] interval it occupies at
+    // capacity 128. The textbook global running-sum window is a single-
+    // partition sort at 100 TB; Pack.packPlan computes the identical
+    // prefix sum in two phases (256-bucket subtotal cumsum — the only
+    // single-partition window, ≤256 rows — then within-bucket windows
+    // hash-partitioned by the key prefix, so bucket order refines key
+    // order). All-BIGINT output → full hash-match.
+    QueryDef("x135_pack_plan",
+      (s, d) => packPlanShared(s, d).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t)
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     CAST(cb AS BIGINT) AS cum_before,
+                     CAST(cb // 128 AS BIGINT) AS start_seq,
+                     CAST(cb % 128 AS BIGINT) AS start_off,
+                     CAST((cb + n - 1) // 128 AS BIGINT) AS end_seq,
+                     CAST((cb + n - 1) // 128 - cb // 128 + 1 AS BIGINT)
+                       AS n_segs
+              FROM c ORDER BY doc_id""")),
+
+    // x136 — packed segments: the x135 plan exploded into the shard-
+    // writer's input — one row per (sequence, document-slice), slices
+    // tiling both the sequence's [0,128) and the document's [0,n_tokens)
+    // token intervals. The explode is bounded per doc by n_tokens/capacity
+    // (never corpus-scale fan-out) and adds no shuffle beyond the plan's.
+    QueryDef("x136_pack_segments",
+      (s, d) => Pack.packSegments(packPlanShared(s, d), capacity = 128L)
+        .orderBy("seq_id", "seq_off", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT doc_id, n, cb, cb // 128 AS ss,
+                            cb % 128 AS so, u.s AS seq_id
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s))
+              SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                     CAST(CASE WHEN seq_id = ss THEN so ELSE 0 END AS BIGINT)
+                       AS seq_off,
+                     CAST(CASE WHEN seq_id = ss THEN 0
+                               ELSE seq_id * 128 - cb END AS BIGINT)
+                       AS doc_off,
+                     CAST(least(cb + n, (seq_id + 1) * 128)
+                          - greatest(cb, seq_id * 128) AS BIGINT) AS seg_len
+              FROM seg ORDER BY seq_id, seq_off, doc_id""")),
+
+    // x135b — packing capacity gate: every sequence except the last is
+    // filled to EXACTLY capacity tokens and none exceeds it — the
+    // invariant a fixed-shape training loader depends on. One
+    // groupBy(seq_id) over the shared segments + a broadcast one-row max
+    // frame; empty corpus is vacuous success.
+    QueryDef("x135b_pack_capacity_gate",
+      (s, d) => Pack.capacityGate(
+        Pack.packSegments(packPlanShared(s, d), capacity = 128L),
+        capacity = 128L),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT cb // 128 AS ss, u.s AS seq_id,
+                            least(cb + n, (u.s + 1) * 128)
+                              - greatest(cb, u.s * 128) AS seg_len
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  per AS (SELECT seq_id, sum(seg_len) AS n_tok
+                          FROM seg GROUP BY 1),
+                  m AS (SELECT max(seq_id) AS mx, count(*) AS n_all FROM per)
+              SELECT CAST(coalesce(max(n_all), 0) AS BIGINT) AS n_seqs,
+                     coalesce(bool_and((n_tok = 128 OR seq_id = mx)
+                                       AND n_tok <= 128), true)
+                       AS capacity_ok
+              FROM per CROSS JOIN m""")),
+
+    // x142 — pack rehydration: the packing family closed end-to-end —
+    // x136's layout coordinates joined back to the corpus, token arrays
+    // sliced at (doc_off, seg_len), sequences reassembled in slice order.
+    // Two keyed shuffles (doc_id slice join, seq_id regroup with state
+    // bounded by capacity tokens); ordered reassembly via a sorted struct
+    // array, no window. Hash-match includes the rebuilt sequence text.
+    QueryDef("x142_pack_rehydrate",
+      (s, d) => Pack.rehydrate(
+          Pack.packSegments(packPlanShared(s, d), capacity = 128L),
+          Tables.documents(s, d))
+        .orderBy("seq_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT doc_id, n, cb, cb // 128 AS ss,
+                            cb % 128 AS so, u.s AS seq_id
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  sl AS (SELECT seg.seq_id,
+                           CASE WHEN seq_id = ss THEN so ELSE 0 END AS seq_off,
+                           CASE WHEN seq_id = ss THEN 0
+                                ELSE seq_id * 128 - cb END AS doc_off,
+                           least(cb + seg.n, (seq_id + 1) * 128)
+                             - greatest(cb, seq_id * 128) AS seg_len,
+                           t.toks
+                         FROM seg JOIN t USING (doc_id))
+              SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                     CAST(count(*) AS BIGINT) AS n_slices,
+                     string_agg(array_to_string(
+                       toks[(doc_off + 1):(doc_off + seg_len)], ' '),
+                       ' ' ORDER BY seq_off) AS seq_text
+              FROM sl GROUP BY seq_id ORDER BY seq_id""")),
+
+    // x138 — DSIR importance weights (Xie et al. 2023): per-doc hashed-
+    // n-gram log-likelihood ratio of the target distribution (lang 'en')
+    // against the raw corpus — the data-selection score behind importance
+    // resampling. Features are md5-hashed unigram+bigram buckets (4096 —
+    // fixed-size tables at any corpus scale, engine-portable ids);
+    // per-bucket Laplace log-ratios quantize once to integer micro-nats,
+    // per-doc sums are exact BIGINTs → full hash-match.
+    QueryDef("x138_dsir_weights",
+      (s, d) => dsirShared(s, d).orderBy("doc_id"),
+      Some(s"""$dsirOracleBase
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+                     CAST(sum(q) AS BIGINT) AS w_sum,
+                     CAST(sum(q) // count(*) AS BIGINT) AS w_mean
+              FROM h JOIN lr USING (b) GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x139 — DSIR selection: the deterministic top-100 docs by per-feature
+    // mean importance (ties broken by doc_id) — the "keep the most
+    // target-like slice" step. TakeOrderedAndProject over the shared
+    // weight frame: k rows cross any corpus size.
+    QueryDef("x139_dsir_select",
+      (s, d) => dsirShared(s, d)
+        .orderBy(col("w_mean").desc, col("doc_id")).limit(100),
+      Some(s"""$dsirOracleBase,
+                  w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+                          CAST(sum(q) AS BIGINT) AS w_sum,
+                          CAST(sum(q) // count(*) AS BIGINT) AS w_mean
+                        FROM h JOIN lr USING (b) GROUP BY doc_id)
+              SELECT doc_id, n_feat, w_sum, w_mean FROM w
+              ORDER BY w_mean DESC, doc_id LIMIT 100""")),
+
+    // x140 — composite quality-filter verdict: the C4/Gopher rule battery
+    // as one keep/drop + reason bitmask per doc (1 too_short, 2 too_long,
+    // 4 word_length, 8 symbol_heavy, 16 no_stopword, 32 repetitive_bigram,
+    // 64 repetitive_trigram). Every threshold an exact integer cross-
+    // multiplication — no ppm rounding, no doubles → full hash-match. Same
+    // map-only no-shuffle shape as x137.
+    QueryDef("x140_filter_verdicts",
+      (s, d) => TextAnalysis.filterVerdicts(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents WHERE length(trim(text)) > 0),
+                  base AS (SELECT doc_id, len(toks) AS n,
+                     length(regexp_replace(trim(text), '\s+', '', 'g'))
+                       AS tok_chars,
+                     length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                       AS sym_chars,
+                     length(text) AS n_chars,
+                     len(list_intersect(toks,
+                       ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop
+                   FROM d),
+                  b AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+                        FROM d, unnest(range(0, len(toks) - 1)) AS u(i)),
+                  bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+                  bst AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_cnt
+                          FROM bc GROUP BY 1),
+                  tr AS (SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2]
+                                        || ' ' || toks[i + 3] AS g
+                         FROM d, unnest(range(0, len(toks) - 2)) AS u(i)),
+                  tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+                  tst AS (SELECT doc_id, sum(c) AS n_tri, sum(c - 1) AS dup_tri
+                          FROM tc GROUP BY 1),
+                  v AS (SELECT base.doc_id, n,
+                          (CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n > 50000 THEN 2 ELSE 0 END)
+                        + (CASE WHEN tok_chars < 2 * n
+                                  OR tok_chars > 12 * n THEN 4 ELSE 0 END)
+                        + (CASE WHEN sym_chars * 10 > n_chars
+                                THEN 8 ELSE 0 END)
+                        + (CASE WHEN NOT has_stop THEN 16 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_big, 0) >= 10
+                                 AND coalesce(top_cnt, 0) * 5 > n_big
+                                THEN 32 ELSE 0 END)
+                        + (CASE WHEN coalesce(n_tri, 0) >= 10
+                                 AND coalesce(dup_tri, 0) * 10 > n_tri * 3
+                                THEN 64 ELSE 0 END) AS reasons
+                        FROM base LEFT JOIN bst USING (doc_id)
+                                  LEFT JOIN tst USING (doc_id))
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     CAST(reasons AS BIGINT) AS reasons,
+                     reasons = 0 AS keep
+              FROM v ORDER BY doc_id""")),
+
+    // x149 — curriculum stages: each source's docs quartiled by unigram-LM
+    // difficulty (the x92 mean −ln p in integer micro-nats; stage 1 = the
+    // easiest/most-typical quarter, 4 = the hardest tail), rolled up to the
+    // per-(source, stage) mixing table difficulty-staged training reads.
+    // Difficulty is an exact integral div of the x92 micro-nat sum; ntile
+    // runs per-source over a total order (difficulty, doc_id), so stages
+    // are bit-deterministic. Scale: one corpus token pass (the shared x92
+    // frame), then a per-source sort — the distributed sort shape — over
+    // doc-level rows only; output is sources×4.
+    QueryDef("x149_curriculum_stages",
+      (s, d) => {
+        val toks = tokensShared(s, d)
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val total = uni.agg(sum(col("cnt")).as("total"))
+        val per = toks.join(uni, "tok").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(round(-ln(cnt / total) * 1e6) AS BIGINT)").as("q"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tok"),
+            expr("CAST(sum(q) div count(1) AS BIGINT)").as("d_micro"))
+        per
+          .withColumn("stage", ntile(4).over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("d_micro"), col("doc_id"))))
+          .groupBy(col("source"), col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            min(col("d_micro")).as("min_d_micro"),
+            max(col("d_micro")).as("max_d_micro"))
+          .orderBy("source", "stage")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+                  n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+                  q AS (SELECT doc_id, source,
+                          CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS q
+                        FROM t JOIN c USING (tok) CROSS JOIN n),
+                  per AS (SELECT doc_id, source,
+                            CAST(count(*) AS BIGINT) AS n_tok,
+                            CAST(sum(q) // count(*) AS BIGINT) AS d_micro
+                          FROM q GROUP BY doc_id, source),
+                  st AS (SELECT source, n_tok, d_micro,
+                           CAST(ntile(4) OVER (PARTITION BY source
+                             ORDER BY d_micro, doc_id) AS INT) AS stage
+                         FROM per)
+              SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                     min(d_micro) AS min_d_micro, max(d_micro) AS max_d_micro
+              FROM st GROUP BY source, stage ORDER BY source, stage""")),
+
+    // x155 — epoch/repeat-factor schedule: x94's sqrt-smoothed mixture
+    // weights turned into the per-source REPEAT TABLE a multi-epoch
+    // training run consumes (the LLaMA-style data schedule): for a token
+    // budget of 2× the corpus, each source's target token draw and its
+    // repeat factor in exact centi-epochs (over-weighted small sources
+    // repeat > 1×, big sources sample < 1×). Pure integer arithmetic over
+    // the sources-sized x94 frame — DECIMAL(38,0) for the ppm multiply,
+    // truncated div both engines.
+    QueryDef("x155_epoch_schedule",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.wsTokenCount(col("text"))).as("n_tok"))
+          .withColumn("q", expr(
+            "CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)"))
+        val denom = perSource.agg(sum(col("q")).as("qsum"),
+          sum(col("n_tok")).as("total_tok"))
+        perSource.crossJoin(broadcast(denom))
+          .select(col("source"), col("n_tok"),
+            expr("CAST(CAST(q AS DECIMAL(38,0)) * 1000000 DIV qsum AS BIGINT)")
+              .as("weight_ppm"))
+          .crossJoin(broadcast(denom.select(col("total_tok"))))
+          .withColumn("target_tok", expr(
+            "CAST(CAST(2 * total_tok AS DECIMAL(38,0)) * weight_ppm DIV 1000000 AS BIGINT)"))
+          .withColumn("epochs_centi", expr(
+            "target_tok * 100 div greatest(n_tok, 1L)"))
+          .select(col("source"), col("n_tok"), col("weight_ppm"),
+            col("target_tok"), col("epochs_centi"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum,
+                           CAST(sum(n_tok) AS BIGINT) AS total_tok FROM qq),
+                  w AS (SELECT source, n_tok,
+                          CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm,
+                          total_tok
+                        FROM qq CROSS JOIN dn),
+                  tg AS (SELECT source, n_tok, weight_ppm,
+                           CAST(CAST(2 * total_tok AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+                             AS target_tok
+                         FROM w)
+              SELECT source, n_tok, weight_ppm, target_tok,
+                     CAST(target_tok * 100 // greatest(n_tok, 1) AS BIGINT) AS epochs_centi
+              FROM tg ORDER BY source""")),
+
+    // x156 — epoch expansion: the x155 schedule MATERIALIZED into training
+    // rows — every doc repeats floor(epochs/1) times plus one more for a
+    // deterministic md5-selected fraction of its source (bucket(doc) <
+    // epochs_centi % 100 of 100 buckets — the x21 quota idiom, so the
+    // fractional epoch is a reproducible subset, not a random draw).
+    // Output (doc_id, source, copy_no). Scale: per-source scalars
+    // broadcast; the explode emits exactly the schedule's row count (≈
+    // budget/avg-doc), no shuffle beyond the sources-sized join.
+    QueryDef("x156_epoch_expand",
+      (s, d) => {
+        val sched = graft.SparkEntry.queries("x155_epoch_schedule")(s, d)
+          .select(col("source"), col("epochs_centi"))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(broadcast(sched), "source")
+          .withColumn("bucket",
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+              16, 10).cast("long"), lit(100L)))
+          .withColumn("copies",
+            expr("epochs_centi div 100 + IF(bucket < epochs_centi % 100, 1L, 0L)"))
+          .filter(col("copies") > 0)
+          .select(col("doc_id"), col("source"),
+            explode(expr("sequence(1L, copies)")).as("copy_no"))
+          .orderBy("doc_id", "copy_no")
+      },
+      Some("""WITH t AS (SELECT source,
+                     CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY source),
+                  qq AS (SELECT source, n_tok,
+                           CAST(round(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS q
+                         FROM t),
+                  dn AS (SELECT sum(q) AS qsum,
+                           CAST(sum(n_tok) AS BIGINT) AS total_tok FROM qq),
+                  w AS (SELECT source, n_tok,
+                          CAST(CAST(q AS HUGEINT) * 1000000 // qsum AS BIGINT) AS weight_ppm,
+                          total_tok
+                        FROM qq CROSS JOIN dn),
+                  tg AS (SELECT source,
+                           CAST(CAST(2 * total_tok AS HUGEINT) * weight_ppm // 1000000 AS BIGINT)
+                             AS target_tok, n_tok
+                         FROM w),
+                  sched AS (SELECT source,
+                              CAST(target_tok * 100 // greatest(n_tok, 1) AS BIGINT)
+                                AS epochs_centi
+                            FROM tg),
+                  docs AS (SELECT d.doc_id, d.source, sched.epochs_centi,
+                             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                               AS bucket
+                           FROM documents d JOIN sched USING (source)),
+                  cp AS (SELECT doc_id, source,
+                           epochs_centi // 100 +
+                             (CASE WHEN bucket < epochs_centi % 100 THEN 1 ELSE 0 END)
+                             AS copies
+                         FROM docs)
+              SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy_no
+              FROM cp, unnest(range(1, copies + 1)) AS u(c)
+              WHERE copies > 0
+              ORDER BY doc_id, copy_no""")),
+
+    // x169 — length-bucketed batching report: docs assigned to
+    // power-of-two token buckets (the dynamic-batching layout that
+    // replaces one global pad-to-max), with the padding overhead each
+    // bucket pays — the loader diagnostic that picks bucket boundaries.
+    // Integer CASE ladder (no float log2 — engines disagree at exact
+    // powers), one hash aggregate over ≤ 10 buckets.
+    QueryDef("x169_length_buckets",
+      (s, d) => {
+        val n = TextAnalysis.wsTokenCount(col("text")).cast("long")
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), n.as("n"))
+          .withColumn("bucket",
+            when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+              .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+              .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+              .when(col("n") <= 1024, 1024L).when(col("n") <= 2048, 2048L)
+              .when(col("n") <= 4096, 4096L).otherwise(8192L))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .select(col("bucket"), col("n_docs"), col("n_tokens"),
+            (col("bucket") * col("n_docs") - col("n_tokens")).as("n_padding"),
+            expr("CAST(n_tokens * 1000000 div (bucket * n_docs) AS BIGINT)")
+              .as("fill_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                   FROM documents WHERE length(trim(text)) > 0),
+                   b AS (SELECT doc_id, n,
+                           CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                                WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                                WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                                WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                                WHEN n <= 4096 THEN 4096 ELSE 8192 END AS bucket
+                         FROM t)
+              SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(bucket * count(*) - sum(n) AS BIGINT) AS n_padding,
+                     CAST(sum(n) * 1000000 // (bucket * count(*)) AS BIGINT)
+                       AS fill_ppm
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // x170 — T5-style span-corruption plan: a DETERMINISTIC noise mask
+    // (position p starts a 3-token masked span iff its seeded md5 bucket
+    // hits — the DSIR md5-portable idiom, ~5% starts → ~15% masked), with
+    // the per-doc corruption accounting a denoising-objective loader
+    // needs: masked tokens, contiguous spans (= sentinels inserted), and
+    // the resulting input length. Keyed lag windows per doc, never global.
+    QueryDef("x170_span_corruption",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("n"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr("sequence(1, n)")).as(Seq("i", "p")))
+          .withColumn("st", (expr(
+            """CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+               CAST(p AS STRING))), 1, 6), 16, 10) AS BIGINT)""") % 20 === 0)
+            .cast("int"))
+          .withColumn("mask", greatest(col("st"),
+            coalesce(lag(col("st"), 1).over(w), lit(0)),
+            coalesce(lag(col("st"), 2).over(w), lit(0))))
+          .withColumn("span_start",
+            (col("mask") === 1 &&
+              coalesce(lag(col("mask"), 1).over(w), lit(0)) === 0).cast("int"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            sum(col("mask")).cast("long").as("n_masked"),
+            sum(col("span_start")).cast("long").as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+            col("n_spans"),
+            (col("n_tokens") - col("n_masked") + col("n_spans"))
+              .as("input_len"),
+            expr("CAST(n_masked * 1000000 div n_tokens AS BIGINT)")
+              .as("mask_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+                   FROM documents WHERE length(trim(text)) > 0),
+                   pos AS (SELECT doc_id, n, unnest(range(0, n)) + 1 AS p
+                           FROM t),
+                   st AS (SELECT doc_id, n, p,
+                            CASE WHEN ('0x' || substr(md5(doc_id || ':' || p), 1, 6))::BIGINT
+                                 % 20 = 0 THEN 1 ELSE 0 END AS s
+                          FROM pos),
+                   mk AS (SELECT doc_id, n, p, s,
+                            greatest(s,
+                              coalesce(lag(s, 1) OVER dw, 0),
+                              coalesce(lag(s, 2) OVER dw, 0)) AS mask
+                          FROM st
+                          WINDOW dw AS (PARTITION BY doc_id ORDER BY p)),
+                   sp AS (SELECT doc_id, n, p, mask,
+                            CASE WHEN mask = 1 AND
+                              coalesce(lag(mask, 1) OVER dw, 0) = 0
+                              THEN 1 ELSE 0 END AS span_start
+                          FROM mk
+                          WINDOW dw AS (PARTITION BY doc_id ORDER BY p))
+              SELECT doc_id, max(n) AS n_tokens,
+                     CAST(sum(mask) AS BIGINT) AS n_masked,
+                     CAST(sum(span_start) AS BIGINT) AS n_spans,
+                     CAST(max(n) - sum(mask) + sum(span_start) AS BIGINT)
+                       AS input_len,
+                     CAST(sum(mask) * 1000000 // max(n) AS BIGINT) AS mask_ppm
+              FROM sp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // x171 — preference-pair construction (the DPO/RLHF data-prep shape
+    // on this corpus): within each source, docs ranked by integer quality
+    // score, best paired against worst (rank i vs rank n+1-i) with the
+    // exact score margin — deterministic chosen/rejected pairs with no
+    // random draw. Keyed rank windows per source + one keyed self-join.
+    QueryDef("x171_preference_pairs",
+      (s, d) => {
+        val ws = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+        val wn = Window.partitionBy(col("source"))
+        val ranked = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScoreInt(col("text")).as("q"))
+          .withColumn("rnk", row_number().over(ws).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+        ranked.as("a")
+          .join(ranked.as("b"),
+            col("a.source") === col("b.source") &&
+              col("b.rnk") === col("a.n") + 1 - col("a.rnk") &&
+              col("a.rnk") < col("b.rnk"))
+          .select(col("a.source").as("source"), col("a.rnk").as("pair_no"),
+            col("a.doc_id").as("chosen_id"), col("b.doc_id").as("rejected_id"),
+            (col("a.q") - col("b.q")).as("margin"))
+          .orderBy("source", "pair_no")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH tq AS (SELECT source, doc_id, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM (SELECT source, doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents) t),
+              rk AS (SELECT source, doc_id, q,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY q DESC, doc_id) AS BIGINT) AS rnk,
+                       count(*) OVER (PARTITION BY source) AS n
+                     FROM tq)
+            SELECT a.source AS source, a.rnk AS pair_no, a.doc_id AS chosen_id,
+                   b.doc_id AS rejected_id,
+                   CAST(a.q - b.q AS BIGINT) AS margin
+            FROM rk a JOIN rk b ON a.source = b.source
+              AND b.rnk = a.n + 1 - a.rnk AND a.rnk < b.rnk
+            ORDER BY a.source, pair_no"""
+      }),
+
+    // x178 — related-document packing (the in-context-pretraining layout):
+    // docs of each multi-member near-dup cluster packed CLUSTER-
+    // CONTIGUOUSLY into that cluster's own sequence space, so a training
+    // context window sees related documents together — the ICLM idea
+    // expressed with EVERY window partitioned by cluster_rep (state
+    // bounded by the largest cluster, never corpus-wide; singletons keep
+    // the standard x135 global layout and are out of scope here). One
+    // keyed join to the shared cluster frame + one keyed cumsum.
+    QueryDef("x178_related_packing",
+      (s, d) => relatedPlanShared(s, d)
+        .select(col("doc_id"), col("cluster_rep"), col("n_tokens"),
+          col("cum_before"), col("start_seq").as("seq_no"), col("start_off"))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+                          AS n_tokens
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n_tokens,
+                        CAST(coalesce(sum(n_tokens) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m)
+              SELECT doc_id, cluster_rep, n_tokens, cb AS cum_before,
+                     CAST(cb // 128 AS BIGINT) AS seq_no,
+                     CAST(cb % 128 AS BIGINT) AS start_off
+              FROM c ORDER BY doc_id""")),
+
+    // x179 — related-packing segments: the x178 layout exploded into the
+    // shard-writer's input (the x136 shape in per-cluster sequence
+    // spaces): one row per (cluster, sequence, doc-slice), slices tiling
+    // both each sequence's [0, 128) and each document's token interval.
+    // Same bounded explode (n_segs ≤ n_tokens/128 + 1 per doc) and one
+    // keyed join back for the cluster key — no new shuffle class.
+    QueryDef("x179_related_segments",
+      (s, d) => {
+        val plan = relatedPlanShared(s, d)
+        Pack.packSegments(plan, capacity = 128L)
+          .join(plan.select(col("doc_id"), col("cluster_rep")), "doc_id")
+          .select(col("cluster_rep"), col("seq_id").as("seq_no"),
+            col("doc_id"), col("seq_off"), col("doc_off"), col("seg_len"))
+          .orderBy("cluster_rep", "seq_no", "seq_off", "doc_id")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n,
+                        CAST(coalesce(sum(n) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m),
+                seg AS (SELECT doc_id, cluster_rep, n, cb, cb // 128 AS ss,
+                          cb % 128 AS so, u.s AS seq_no
+                        FROM c, unnest(range(cb // 128,
+                                             (cb + n - 1) // 128 + 1)) AS u(s))
+              SELECT cluster_rep, CAST(seq_no AS BIGINT) AS seq_no, doc_id,
+                     CAST(CASE WHEN seq_no = ss THEN so ELSE 0 END AS BIGINT)
+                       AS seq_off,
+                     CAST(CASE WHEN seq_no = ss THEN 0
+                               ELSE seq_no * 128 - cb END AS BIGINT) AS doc_off,
+                     CAST(least(cb + n, (seq_no + 1) * 128)
+                          - greatest(cb, seq_no * 128) AS BIGINT) AS seg_len
+              FROM seg ORDER BY cluster_rep, seq_no, seq_off, doc_id""")),
+
+    // x180 — related-packing rehydration: the x179 segments materialized
+    // into training rows per (cluster, sequence) — the x142 shard-writer
+    // step in per-cluster sequence spaces, completing the related family's
+    // plan → segments → text chain. Slice join co-partitions on doc_id,
+    // reassembly groups on the (cluster, seq) key with per-group state
+    // bounded by the 128-token capacity; hash-match includes the rebuilt
+    // text.
+    QueryDef("x180_related_rehydrate",
+      (s, d) => {
+        val plan = relatedPlanShared(s, d)
+        Pack.packSegments(plan, capacity = 128L)
+          .join(plan.select(col("doc_id"), col("cluster_rep")), "doc_id")
+          .join(Tables.documents(s, d).select(col("doc_id"),
+            TextAnalysis.tokens(col("text")).as("toks")), Seq("doc_id"))
+          .select(col("cluster_rep"), col("seq_id").as("seq_no"),
+            col("seq_off"),
+            expr("""array_join(slice(toks, CAST(doc_off + 1 AS INT),
+                                     CAST(seg_len AS INT)), ' ')""").as("seg"))
+          .groupBy(col("cluster_rep"), col("seq_no"))
+          .agg(count(lit(1)).as("n_slices"),
+            collect_list(struct(col("seq_off"), col("seg"))).as("parts"))
+          .select(col("cluster_rep"), col("seq_no"), col("n_slices"),
+            expr("array_join(transform(array_sort(parts), p -> p.seg), ' ')")
+              .as("seq_text"))
+          .orderBy("cluster_rep", "seq_no")
+      },
+      Some("""WITH RECURSIVE
+                t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                sh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                       FROM t WHERE len(toks) >= 3),
+                z AS (SELECT doc_id, len(s) AS n FROM sh),
+                ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+                p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+                pairs AS (SELECT ia, ib
+                          FROM p JOIN z za ON za.doc_id = p.ia
+                                 JOIN z zb ON zb.doc_id = p.ib
+                          WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.6),
+                eadj AS (SELECT ia AS a, ib AS b FROM pairs
+                         UNION SELECT ib, ia FROM pairs),
+                r AS (SELECT a AS id, a AS reach FROM eadj
+                      UNION
+                      SELECT r.id, eadj.b FROM r JOIN eadj ON eadj.a = r.reach),
+                cl AS (SELECT id AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY id),
+                m AS (SELECT cl.doc_id, cl.cluster_rep,
+                        CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n
+                      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+                      WHERE length(trim(d.text)) > 0),
+                c AS (SELECT doc_id, cluster_rep, n,
+                        CAST(coalesce(sum(n) OVER (
+                          PARTITION BY cluster_rep ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS BIGINT) AS cb
+                      FROM m),
+                seg AS (SELECT doc_id, cluster_rep, n, cb, cb // 128 AS ss,
+                          cb % 128 AS so, u.s AS seq_no
+                        FROM c, unnest(range(cb // 128,
+                                             (cb + n - 1) // 128 + 1)) AS u(s)),
+                sl AS (SELECT seg.cluster_rep, seg.seq_no,
+                         CASE WHEN seq_no = ss THEN so ELSE 0 END AS seq_off,
+                         CASE WHEN seq_no = ss THEN 0
+                              ELSE seq_no * 128 - cb END AS doc_off,
+                         least(cb + seg.n, (seq_no + 1) * 128)
+                           - greatest(cb, seq_no * 128) AS seg_len,
+                         t.toks
+                       FROM seg JOIN t USING (doc_id))
+              SELECT cluster_rep, CAST(seq_no AS BIGINT) AS seq_no,
+                     CAST(count(*) AS BIGINT) AS n_slices,
+                     string_agg(array_to_string(
+                       toks[(doc_off + 1):(doc_off + seg_len)], ' '),
+                       ' ' ORDER BY seq_off) AS seq_text
+              FROM sl GROUP BY 1, 2 ORDER BY cluster_rep, seq_no""")),
+
+    // x174 — packing attention accounting: what fraction of causal
+    // attention pairs inside the x135 packed sequences stay WITHIN one
+    // document — the diagnostic behind the "attention-mask vs plain
+    // concat" packing decision (a low within-doc fraction means plain
+    // concatenation trains mostly on cross-document noise). Two keyed
+    // aggregates over the shared segments frame; exact integer pair
+    // arithmetic.
+    QueryDef("x174_pack_attention",
+      (s, d) => Pack.packSegments(packPlanShared(s, d), capacity = 128L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_slices"),
+          sum(col("seg_len")).as("t"),
+          sum(expr("seg_len * (seg_len + 1) div 2")).as("within"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_slices")).as("n_slices"),
+          sum(col("within")).as("within_pairs"),
+          sum(expr("t * (t + 1) div 2")).as("total_pairs"))
+        .select(col("n_seqs"), col("n_slices"),
+          expr("CAST(n_slices * 1000000 div n_seqs AS BIGINT)")
+            .as("slices_per_seq_ppm"),
+          col("within_pairs"), col("total_pairs"),
+          expr("CAST(within_pairs * 1000000 div total_pairs AS BIGINT)")
+            .as("within_doc_ppm")),
+      Some("""WITH t AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n,
+                     md5(doc_id || ':42') AS okey
+                   FROM documents WHERE length(trim(text)) > 0),
+                  c AS (SELECT doc_id, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY okey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                        FROM t),
+                  seg AS (SELECT u.s AS seq_id,
+                            least(cb + n, (u.s + 1) * 128)
+                              - greatest(cb, u.s * 128) AS seg_len
+                          FROM c, unnest(range(cb // 128,
+                                               (cb + n - 1) // 128 + 1))
+                            AS u(s)),
+                  per AS (SELECT seq_id, count(*) AS n_slices,
+                            sum(seg_len) AS t,
+                            sum(seg_len * (seg_len + 1) // 2) AS within
+                          FROM seg GROUP BY 1)
+              SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+                     CAST(sum(n_slices) AS BIGINT) AS n_slices,
+                     CAST(sum(n_slices) * 1000000 // count(*) AS BIGINT)
+                       AS slices_per_seq_ppm,
+                     CAST(sum(within) AS BIGINT) AS within_pairs,
+                     CAST(sum(t * (t + 1) // 2) AS BIGINT) AS total_pairs,
+                     CAST(sum(within) * 1000000 // sum(t * (t + 1) // 2)
+                       AS BIGINT) AS within_doc_ppm
+              FROM per""")),
+
+    // x175 — quality × length joint histogram: the 2-D curation heatmap
+    // (x169's length buckets × 5 integer quality bands) read before
+    // setting joint thresholds — short-and-high-quality vs
+    // long-and-low-quality populations are invisible to the two marginal
+    // histograms. One hash aggregate over ≤ 50 cells.
+    QueryDef("x175_quality_length_grid",
+      (s, d) => {
+        val n = TextAnalysis.wsTokenCount(col("text")).cast("long")
+        Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(n.as("n"), TextAnalysis.qualityScoreInt(col("text")).as("q"))
+          .withColumn("len_bucket",
+            when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+              .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+              .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+              .otherwise(1024L))
+          .withColumn("q_band", expr("q div 2000"))
+          .groupBy(col("len_bucket"), col("q_band"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+          .orderBy("len_bucket", "q_band")
+      },
+      Some {
+        val stopPat = TextAnalysis.langProfiles.flatMap(_._2).mkString("|")
+        s"""WITH tq AS (SELECT CAST(w AS BIGINT) AS n, CAST(floor((
+                  least(CAST(w AS DOUBLE) / 100.0, 1.0) * 0.4
+                + least(CAST(st AS DOUBLE) / greatest(CAST(w AS DOUBLE), 1.0), 1.0) * 0.3
+                + (1.0 - least(CAST(p AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.2
+                + (1.0 - least(CAST(u AS DOUBLE) / greatest(CAST(ch AS DOUBLE), 1.0), 1.0)) * 0.1
+                ) * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM (SELECT len(string_split_regex(trim(text), '\\s+')) AS w,
+                      length(text) AS ch,
+                      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS p,
+                      len(regexp_extract_all(text, '[A-Z]')) AS u,
+                      len(regexp_extract_all(lower(text), '\\b($stopPat)\\b')) AS st
+                    FROM documents WHERE length(trim(text)) > 0) t),
+              b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                           WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                           WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                           ELSE 1024 END AS len_bucket,
+                         q // 2000 AS q_band, n
+                    FROM tq)
+            SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+                   CAST(q_band AS BIGINT) AS q_band,
+                   count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM b GROUP BY 1, 2 ORDER BY len_bucket, q_band"""
+      }),
+  )
+}
