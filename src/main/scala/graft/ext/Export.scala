@@ -1,9 +1,9 @@
 package graft.ext
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Training-data export sink: the END of the curation pipeline (x73's
   * output feeds this) written in the layout a dataloader consumes.
@@ -633,6 +633,16 @@ object Export {
           s"jsonl manifest at $dir has no 'schema' field — cannot read " +
             "back without type drift"))
       jsonlFrame(spark, dir, schema, shardCol)
+    } else if (fmt == "tar") {
+      val ddl = Option(tree.get("schema")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(
+          s"tar manifest at $dir has no 'schema' field"))
+      val binNode = tree.get("bincols")
+      require(binNode != null && binNode.isArray,
+        s"tar manifest at $dir has no 'bincols' array")
+      val binCols = (0 until binNode.size).map(binNode.get(_).asText)
+      val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+      tarShardFrame(spark, dir, ddl, binCols, key, shardCol, Set.empty)
     } else spark.read.parquet(dir)
   }
 
@@ -697,5 +707,374 @@ object Export {
                       shardCol: String = "shard"): DataFrame = {
     val frame = exportFrame(spark, dir, manifestTree(spark, dir), shardCol)
     if (shards.isEmpty) frame else frame.filter(col(shardCol).isin(shards: _*))
+  }
+
+  // ── WebDataset-style tar shards ────────────────────────────────────────
+
+  /** One POSIX ustar header block (512 bytes) for a regular file member.
+    * Every field a reader could vary on is pinned for determinism: mode
+    * 0644, uid/gid 0, mtime 0, empty uname/gname, zero dev numbers — so
+    * byte-identical input rows produce a byte-identical archive and the
+    * manifest's file checksums are reproducible. Member names are capped
+    * at the ustar 100-byte name field (no prefix-field splitting — a
+    * sample key long enough to need it is refused at write). */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val nameB = name.getBytes("UTF-8")
+    require(nameB.length <= 100,
+      s"tar member name '$name' exceeds the ustar 100-byte name field")
+    require(size >= 0 && size <= 0x1FFFFFFFFFFL, // 11 octal digits
+      s"tar member '$name' size $size outside the ustar 12-byte size field")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    put(100, "0000644\u0000") // mode
+    put(108, "0000000\u0000") // uid
+    put(116, "0000000\u0000") // gid
+    put(124, f"$size%011o\u0000") // size
+    put(136, "00000000000\u0000") // mtime
+    put(148, "        ") // chksum placeholder: 8 spaces during the sum
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar\u0000") // magic
+    put(263, "00") // version
+    put(329, "0000000\u0000") // devmajor
+    put(337, "0000000\u0000") // devminor
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o\u0000 ") // 6 octal digits, NUL, space (POSIX form)
+    h
+  }
+
+  private def writeTarMember(out: java.io.OutputStream, name: String,
+                             bytes: Array[Byte]): Unit = {
+    out.write(tarHeader(name, bytes.length.toLong))
+    out.write(bytes)
+    val pad = (512 - (bytes.length % 512)) % 512
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** WebDataset-style tar training shards — the [[writeShards]] contract on
+    * the sequential-read format multimodal dataloaders consume: each row is
+    * one SAMPLE, written as a group of adjacent tar members sharing the
+    * row's `keyCol` basename — `<key>.json` carrying every non-binary data
+    * column as one JSON object, plus one raw `<key>.<column>` member per
+    * binary column (the image/audio/video payload path; a null binary
+    * writes no member and reads back null). One archive per shard at
+    * `shard=N/part-00000.tar[.gz]`, members key-sorted within the shard and
+    * every header field pinned ([[tarHeader]]) so the bytes are a pure
+    * function of the rows. The SAME manifest follows (per-shard row counts,
+    * byte/file stats, content digests recounted from the WRITTEN archives
+    * via a full decode pass, per-file streamed xxhash64) extended with
+    * `format: "tar"`, the compression codec, the recorded non-binary DDL
+    * schema, the binary column list, and the key column name — so
+    * [[validateShards]]/[[validateShardsContent]]/[[readTarShards]] work
+    * over it unchanged and the round trip never infers anything. Keys must
+    * be non-empty, dot/slash/NUL-free (WebDataset splits the sample key at
+    * the first dot) and unique within their shard (checked against the
+    * sorted stream — free); a violation fails the write, not the reader.
+    * Overwrite-only, like [[writeJsonlShards]]: a tar export is a terminal
+    * artifact. Each shard's archive is written by exactly ONE task (rows
+    * hash-partitioned by shard, archives streamed member-by-member — no
+    * per-shard materialization), landed via a hidden temp name + rename so
+    * a task retry replaces rather than corrupts. */
+  def writeTarShards(df: DataFrame, dir: String,
+                     keyCol: String = "key",
+                     shardCol: String = "shard",
+                     compression: String = "none"): Map[Long, Long] = {
+    val spark = df.sparkSession
+    require(compression == "none" || compression == "gzip",
+      s"writeTarShards compression must be none|gzip, got '$compression'")
+    require(df.columns.contains(shardCol) && df.columns.contains(keyCol),
+      s"writeTarShards needs '$shardCol' and '$keyCol' columns; got " +
+        df.columns.mkString(","))
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(shardCol).dataType),
+      s"writeTarShards needs an integral '$shardCol' column; got " +
+        df.schema(shardCol).dataType.simpleString)
+    require(df.schema(keyCol).dataType == StringType,
+      s"writeTarShards needs a string '$keyCol' column; got " +
+        df.schema(keyCol).dataType.simpleString)
+    val binCols = df.schema.fields
+      .filter(f => f.name != keyCol && f.name != shardCol &&
+        f.dataType == BinaryType).map(_.name).toSeq
+    require(!binCols.contains("json"),
+      "writeTarShards: a binary column named 'json' collides with the " +
+        "sample's JSON member extension — rename it")
+    val dataCols = df.schema.fields
+      .filter(f => f.name != keyCol && f.name != shardCol &&
+        f.dataType != BinaryType).map(_.name).toSeq
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.filter(f => dataCols.contains(f.name))).toDDL
+    val sels =
+      Seq(col(shardCol).cast("long").as("__shard"), col(keyCol).as("__key")) ++
+        (if (dataCols.nonEmpty)
+          Seq(to_json(struct(dataCols.map(col): _*)).as("__json"))
+        else Nil) ++ binCols.map(col)
+    val hasJson = dataCols.nonEmpty
+    val nBin = binCols.length
+    val (hfs, root) = fs(spark, dir)
+    if (hfs.exists(root)) hfs.delete(root, true)
+    hfs.mkdirs(root)
+    val rootUri = hfs.makeQualified(root).toString
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val gz = compression == "gzip"
+    val fileName = if (gz) "part-00000.tar.gz" else "part-00000.tar"
+    val shardColName = shardCol
+    df.select(sels: _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = confB.value.value
+        val rootP = new Path(rootUri)
+        val tfs = rootP.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var shard = Long.MinValue
+        var lastKey: String = null
+        var raw: org.apache.hadoop.fs.FSDataOutputStream = null
+        var out: java.io.OutputStream = null
+        var tmp: Path = null
+        var fin: Path = null
+        def closeCurrent(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // end-of-archive marker
+          out.close(); raw = null; out = null
+          if (tfs.exists(fin)) tfs.delete(fin, false)
+          require(tfs.rename(tmp, fin),
+            s"writeTarShards: could not move $tmp into place at $fin")
+        }
+        try {
+          it.foreach { row =>
+            val s = row.getLong(0)
+            val key = row.getString(1)
+            require(key != null && key.nonEmpty &&
+              !key.exists(c => c == '.' || c == '/' || c == '\u0000'),
+              s"writeTarShards: sample key '$key' in shard $s must be " +
+                "non-empty and dot/slash/NUL-free (WebDataset splits the " +
+                "key at the first dot)")
+            if (s != shard) {
+              closeCurrent()
+              shard = s; lastKey = null
+              val sdir = new Path(rootP, s"$shardColName=$s")
+              tfs.mkdirs(sdir)
+              fin = new Path(sdir, fileName)
+              tmp = new Path(sdir, s".$fileName.inprogress-$attempt")
+              raw = tfs.create(tmp, true)
+              out = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
+            }
+            require(key != lastKey,
+              s"writeTarShards: duplicate sample key '$key' in shard $s — " +
+                "keys must be unique within their shard")
+            lastKey = key
+            if (hasJson)
+              writeTarMember(out, s"$key.json",
+                row.getString(2).getBytes("UTF-8"))
+            var b = 0
+            while (b < nBin) {
+              val bytes = row.get((if (hasJson) 3 else 2) + b)
+              if (bytes != null)
+                writeTarMember(out, s"$key.${binCols(b)}",
+                  bytes.asInstanceOf[Array[Byte]])
+              b += 1
+            }
+          }
+          closeCurrent()
+        } finally if (out != null) { out.close(); tfs.delete(tmp, false) }
+      }
+    def q(s: String): String =
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+    publishManifest(spark, dir, shardCol, "writeTarShards",
+      d => tarShardFrame(spark, d, ddl, binCols, keyCol, shardCol),
+      epochs = Set.empty, priorHashes = Map.empty,
+      extra = Seq(
+        "format" -> "\"tar\"",
+        "compression" -> q(compression),
+        "schema" -> q(if (hasJson) ddl else ""),
+        "bincols" -> binCols.map(q).mkString("[", ", ", "]"),
+        "key" -> q(keyCol)))
+  }
+
+  /** Consecutive tar members grouped into samples by their basename key
+    * (the segment before the first dot): each element is (key, ext →
+    * bytes). Streams one member at a time — memory is one member, never
+    * one archive. A short header or a declared size overrunning the
+    * stream throws (corrupt archive); clean EOF or a zero header block
+    * ends the walk. */
+  private def tarSamples(in: java.io.InputStream)
+      : Iterator[(String, Map[String, Array[Byte]])] =
+    new scala.collection.AbstractIterator[(String, Map[String, Array[Byte]])] {
+      private val hdr = new Array[Byte](512)
+      private var pendingName: String = null
+      private var pendingBytes: Array[Byte] = null
+      private var done = false
+      private def readFullyOpt(buf: Array[Byte], len: Int): Boolean = {
+        var filled = 0
+        while (filled < len) {
+          val n = in.read(buf, filled, len - filled)
+          if (n < 0) {
+            require(filled == 0,
+              s"corrupt tar: EOF inside a ${len}-byte block after $filled bytes")
+            return false
+          }
+          filled += n
+        }
+        true
+      }
+      // loads the next member into pending*; false at end of archive
+      private def nextMember(): Boolean = {
+        if (done) return false
+        if (!readFullyOpt(hdr, 512)) { done = true; return false }
+        if (hdr.forall(_ == 0)) { done = true; return false }
+        var e = 0
+        while (e < 100 && hdr(e) != 0) e += 1
+        val name = new String(hdr, 0, e, "UTF-8")
+        val sizeStr = new String(hdr, 124, 12, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        require(name.nonEmpty && sizeStr.nonEmpty,
+          "corrupt tar: empty member name or size field")
+        val size = java.lang.Long.parseLong(sizeStr, 8)
+        require(size <= Int.MaxValue.toLong,
+          s"tar member '$name' of $size bytes exceeds the 2 GiB member cap")
+        val bytes = new Array[Byte](size.toInt)
+        require(readFullyOpt(bytes, size.toInt) || size == 0,
+          s"corrupt tar: EOF inside member '$name'")
+        val pad = ((size + 511) / 512 * 512 - size).toInt
+        if (pad > 0) {
+          val scratch = new Array[Byte](pad)
+          require(readFullyOpt(scratch, pad),
+            s"corrupt tar: EOF inside padding after member '$name'")
+        }
+        pendingName = name; pendingBytes = bytes
+        true
+      }
+      private var started = false
+      override def hasNext: Boolean = {
+        if (!started) { started = true; nextMember() }
+        pendingName != null
+      }
+      override def next(): (String, Map[String, Array[Byte]]) = {
+        if (!hasNext) throw new NoSuchElementException("end of archive")
+        val dot = pendingName.indexOf('.')
+        require(dot > 0, s"tar member '$pendingName' has no .ext — not a " +
+          "writeTarShards archive")
+        val key = pendingName.substring(0, dot)
+        var members = Map(pendingName.substring(dot + 1) -> pendingBytes)
+        pendingName = null; pendingBytes = null
+        var more = nextMember()
+        while (more) {
+          val d = pendingName.indexOf('.')
+          require(d > 0, s"tar member '$pendingName' has no .ext")
+          if (pendingName.substring(0, d) != key) more = false
+          else {
+            members += pendingName.substring(d + 1) -> pendingBytes
+            pendingName = null; pendingBytes = null
+            more = nextMember()
+          }
+        }
+        (key, members)
+      }
+    }
+
+  /** Tar shard directory as a DataFrame: one row per sample — the key
+    * column, the non-binary data columns parsed from each sample's `.json`
+    * member under the recorded DDL (no inference), the binary columns from
+    * their raw members (absent member → null), the shard from the
+    * directory identity. Archives are STREAMED via the filesystem API (one
+    * executor task per archive, one member in memory at a time) — no
+    * binaryFile 2 GiB ceiling. */
+  private def tarShardFrame(spark: SparkSession, dir: String,
+                            ddl: String, binCols: Seq[String],
+                            keyCol: String, shardCol: String,
+                            only: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val (hfs, root) = fs(spark, dir)
+    val files = dataFileList(shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol))
+      .map { case (rel, p) =>
+        (rel.stripPrefix(s"$shardCol=").takeWhile(_ != '/').toLong,
+          hfs.makeQualified(p).toString)
+      }
+      .filter { case (shard, _) => only.isEmpty || only.contains(shard) }
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val hasJson = ddl.nonEmpty
+    val bins = binCols
+    val rows = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 64)))
+      .flatMap { case (shard, uri) =>
+        val p = new Path(uri)
+        val rawIn = p.getFileSystem(confB.value.value).open(p)
+        val in: java.io.InputStream =
+          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
+          else rawIn
+        // the task consumes the iterator fully before the next file, so
+        // closing on exhaustion is safe; a parse failure fails the task,
+        // which closes the stream via JVM teardown of the attempt
+        new Iterator[(String, Option[String], Seq[Array[Byte]], Long)] {
+          private val it = tarSamples(in)
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): (String, Option[String], Seq[Array[Byte]], Long) = {
+            val (key, members) = it.next()
+            (key,
+              if (hasJson) Some(new String(
+                members.getOrElse("json", Array.emptyByteArray), "UTF-8"))
+              else None,
+              bins.map(c => members.get(c).orNull),
+              shard)
+          }
+        }
+      }
+      .toDF("__key", "__json", "__bins", "__shard")
+    val dataSel: Seq[Column] =
+      if (hasJson) {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        require(!schema.fieldNames.contains(keyCol) &&
+          !schema.fieldNames.contains(shardCol),
+          s"tar manifest schema must not contain '$keyCol'/'$shardCol'")
+        schema.fieldNames.toSeq.map(f =>
+          from_json(col("__json"), schema).getField(f).as(f))
+      } else Nil
+    val binSel = bins.zipWithIndex.map { case (c, i) =>
+      col("__bins").getItem(i).as(c)
+    }
+    rows.select(
+      (col("__key").as(keyCol) +: dataSel) ++ binSel :+
+        col("__shard").as(shardCol): _*)
+  }
+
+  /** Read named shards of a tar export (all shards when `shards` is empty)
+    * under the manifest's recorded schema and column lists — the
+    * [[readShards]] contract for the WebDataset-style format. Only the
+    * named shards' archives are opened. */
+  def readTarShards(spark: SparkSession, dir: String,
+                    shards: Seq[Long] = Nil,
+                    shardCol: String = "shard"): DataFrame = {
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains("tar"),
+      s"manifest at $dir is not a writeTarShards export")
+    val ddl = Option(tree.get("schema")).map(_.asText).getOrElse(
+      throw new IllegalArgumentException(
+        s"tar manifest at $dir has no 'schema' field"))
+    val binNode = tree.get("bincols")
+    require(binNode != null && binNode.isArray,
+      s"tar manifest at $dir has no 'bincols' array")
+    val binCols = (0 until binNode.size).map(binNode.get(_).asText)
+    val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+    // prune at the FILE LIST, not post-hoc: only the named shards'
+    // archives are ever opened
+    tarShardFrame(spark, dir, ddl, binCols, key, shardCol, shards.toSet)
   }
 }

@@ -205,6 +205,48 @@ object PackingQueries {
                      CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x191 — the WebDataset-style TAR export round trip: the x190
+    // discipline on the sequential-read format multimodal dataloaders
+    // consume. Each document becomes one SAMPLE (a group of adjacent tar
+    // members sharing the doc's key): `<key>.json` carries the non-binary
+    // columns, `<key>.payload` carries a REAL binary member (the UTF-8
+    // bytes of the text head — so the binary path is exercised with
+    // content the oracle can reconstruct). writeTarShards (one
+    // deterministic gzip ustar archive per shard, key-sorted, pinned
+    // header fields) → validateShardsContent (listing + decoded-row digest
+    // recount + per-file xxhash64 — the digest pass re-DECODES every
+    // archive, so member framing, json parse, and binary payloads are all
+    // on the hash path) → readTarShards under the manifest's recorded
+    // schema → binary decoded back to string for the oracle compare. A
+    // lost archive, a member-boundary bug, or a payload flip all fail the
+    // row/hash compare. Scale: one archive per shard written by one task
+    // (rows hash-partitioned by shard), read back one task per archive,
+    // one member in memory at a time — the dataloader IO shape.
+    QueryDef("x191_wds_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x191-wds")
+        val counts = Export.writeTarShards(
+          Tables.documents(s, d)
+            .select(
+              concat(lit("doc-"),
+                lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+              col("doc_id"), col("source"), col("lang"), col("text"),
+              encode(substring(col("text"), 1, 48), "UTF-8").as("payload"),
+              (col("doc_id") % 8).cast("int").as("shard")),
+          dir, compression = "gzip")
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"tar manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readTarShards(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            decode(col("payload"), "UTF-8").as("payload_str"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, text,
+                     substr(text, 1, 48) AS payload_str,
+                     CAST(doc_id % 8 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x73 — the END-TO-END curation pipeline as one artifact: exact dedup →
     // eval holdout → per-source relative quality filter (top half) →
     // decontamination against the held-out eval set → deterministic

@@ -234,6 +234,89 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("tar export round-trips samples with binary members under validation") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "k001", "hello world", Array[Byte](1, 2, 3), 0L),
+      (2L, "k002", "second doc", null.asInstanceOf[Array[Byte]], 0L),
+      (3L, "k003", null.asInstanceOf[String], Array.emptyByteArray, 1L),
+      (4L, "k004", "fourth", Array[Byte](-1, 0, 5), 1L))
+    val df = rows.toDF("doc_id", "key", "text", "payload", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-tar").toString
+    try {
+      val counts = Export.writeTarShards(df, dir)
+      assert(counts === Map(0L -> 2L, 1L -> 2L))
+      // layout: one archive per shard, key-sorted members
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(parts.map(_.getName).sorted === Array("shard=0", "shard=1"))
+      parts.foreach { p =>
+        assert(p.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(_.getName).toSeq === Seq("part-00000.tar"))
+      }
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_graft_manifest.json")), "UTF-8")
+      assert(manifest.contains(""""format": "tar""""))
+      assert(manifest.contains(""""bincols": ["payload"]"""))
+      assert(Export.validateShards(spark, dir) === counts)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      // read-back: null string (json member omits it), null binary (no
+      // member), and EMPTY binary (zero-size member ≠ null) all survive
+      val back = Export.readTarShards(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("key"),
+          r.getAs[String]("text"),
+          Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq).orNull,
+          r.getAs[Long]("shard"))).toSet
+      assert(back === rows.map(t => (t._1, t._2, t._3,
+        Option(t._4).map(_.toSeq).orNull, t._5)).toSet)
+      val k3 = Export.readTarShards(spark, dir)
+        .filter(col("key") === "k003").collect().head
+      assert(k3.getAs[Array[Byte]]("payload").length === 0) // empty, not null
+      // shard-selective read prunes at the archive list
+      assert(Export.readTarShards(spark, dir, Seq(1L)).count() === 2L)
+      // a flipped byte inside an archive is caught by the deep gate
+      val victim = parts.head.listFiles().filter(_.getName.endsWith(".tar")).head
+      val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+      // flip inside a payload region (past the first 512-byte header)
+      bytes(520) = (bytes(520) ^ 0x10).toByte
+      java.nio.file.Files.write(victim.toPath, bytes)
+      intercept[Exception](Export.validateShardsContent(spark, dir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("tar export writes gzip archives and refuses bad keys and dup keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-targz").toString
+    try {
+      val ok = Seq((1L, "a1", 0L), (2L, "a2", 0L)).toDF("doc_id", "key", "shard")
+      val counts = Export.writeTarShards(ok, dir, compression = "gzip")
+      assert(counts === Map(0L -> 2L))
+      val files = new java.io.File(dir, "shard=0").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+      assert(files.map(_.getName).toSeq === Seq("part-00000.tar.gz"))
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      assert(Export.readTarShards(spark, dir).count() === 2L)
+      // a dotted key would split wrongly at read (WebDataset key = up to
+      // the first dot) — refused at write, as is a duplicate key in-shard
+      intercept[Exception](Export.writeTarShards(
+        Seq((1L, "bad.key", 0L)).toDF("doc_id", "key", "shard"), dir + "-bad"))
+      intercept[Exception](Export.writeTarShards(
+        Seq((1L, "dup", 0L), (2L, "dup", 0L)).toDF("doc_id", "key", "shard"),
+        dir + "-dup"))
+      // a binary column named 'json' collides with the sample JSON member
+      intercept[Exception](Export.writeTarShards(
+        Seq((1L, "k", Array[Byte](1), 0L)).toDF("doc_id", "key", "json", "shard"),
+        dir + "-col"))
+    } finally {
+      Seq("", "-bad", "-dup", "-col").foreach { sfx =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + sfx))
+      }
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")
