@@ -317,6 +317,43 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("tar export writes zstd archives that validate, read back, and " +
+    "refuse a flipped byte") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-tarzst").toString
+    try {
+      val rows = Seq(
+        (1L, "z1", "alpha", Array[Byte](9, 8, 7), 0L),
+        (2L, "z2", "beta", null.asInstanceOf[Array[Byte]], 0L),
+        (3L, "z3", "gamma", Array[Byte](0, 1), 1L))
+      val df = rows.toDF("doc_id", "key", "text", "payload", "shard")
+      val counts = Export.writeTarShards(df, dir, compression = "zstd")
+      assert(counts === Map(0L -> 2L, 1L -> 1L))
+      val files = new java.io.File(dir, "shard=0").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+      assert(files.map(_.getName).toSeq === Seq("part-00000.tar.zst"))
+      // the archive really is zstd (magic 0xFD2FB528 little-endian)
+      val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(4)
+      assert(head.toSeq === Seq(0x28, 0xB5, 0x2F, 0xFD).map(_.toByte))
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      val back = Export.readTarShards(spark, dir)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+          Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq).orNull)).toSet
+      assert(back === rows.map(t => (t._1, t._3,
+        Option(t._4).map(_.toSeq).orNull)).toSet)
+      // a flipped byte inside the compressed stream fails the deep gate
+      // (either the zstd frame checksum or the recounted digest/filehash)
+      val victim = new java.io.File(dir, "shard=1").listFiles()
+        .filter(_.getName.endsWith(".tar.zst")).head
+      val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x10).toByte
+      java.nio.file.Files.write(victim.toPath, bytes)
+      intercept[Exception](Export.validateShardsContent(spark, dir))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeShards rejects a frame without the shard column") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "text")
