@@ -229,6 +229,40 @@ private[queries] object ExtShared {
         Tables.documents(s, d).filter(length(trim(col("text"))) > 0))
     }
 
+  /** x192 (per-source HLL shingle cardinality) and x192b (bound gate): ONE
+    * frame holding, per source, the Datasketches-HLL(lgK=12) estimate of
+    * its distinct 3-token shingles beside the exact count, plus one
+    * '<ALL>' row whose estimate comes from UNIONING the per-source
+    * sketches — never re-scanning the corpus. The mergeable-sketch shape
+    * IS the 100 TB distinct-count pattern: per-shard sketches are tiny
+    * persistent artifacts (2^12 buckets), and corpus/day/epoch roll-ups
+    * are sketch unions, not second passes over the data. The exact counts
+    * here are gate-side fixtures (a production run would drop them — they
+    * are the second pass the sketch exists to avoid). */
+  private[queries] def hllShinglesShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "hll-shingles") {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))")).as("shingle"))
+      val per = sh.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("shingle"), 12).as("sk"),
+          count_distinct(col("shingle")).as("exact_shingles"))
+        .withColumn("est_shingles",
+          hll_sketch_estimate(col("sk")).cast("long"))
+      val all = per.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long")
+            .as("est_shingles"))
+        .crossJoin(broadcast(
+          sh.agg(count_distinct(col("shingle")).as("exact_shingles"))))
+        .select(lit("<ALL>").as("source"), col("exact_shingles"),
+          col("est_shingles"))
+      per.select(col("source"), col("exact_shingles"), col("est_shingles"))
+        .unionByName(all)
+    }
+
   /** x47 (flags) and x48 (superset gate): the Bloom-flagged train set. */
   private[queries] def bloomFlaggedShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "bloom-n3-min3") {

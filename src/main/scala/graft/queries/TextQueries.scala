@@ -2006,5 +2006,31 @@ object TextQueries {
                       WHERE doc_id % 25 = 0)
               SELECT enc.doc_id, CAST(enc.pos AS BIGINT) AS pos, vid.tok_id
               FROM enc JOIN vid USING (sym) ORDER BY enc.doc_id, enc.pos""")),
+
+    // x192 — mergeable-sketch distinct-shingle cardinality: per-source
+    // Datasketches-HLL(lgK=12) sketches of 3-token shingles, estimates
+    // beside exact counts, and a '<ALL>' corpus row whose estimate comes
+    // from UNIONING the per-source sketches rather than re-scanning — the
+    // 100 TB distinct-count pattern (per-shard sketch artifacts, roll-ups
+    // by union). Rows-only: the estimate is engine-specific (DuckDB's
+    // approx_count_distinct is a different HLL); pinned by the x192b
+    // bound gate, the x99b pattern.
+    QueryDef("x192_hll_shingle_card",
+      (s, d) => hllShinglesShared(s, d).orderBy("source"),
+      None),
+
+    // x192b — HLL error-bound gate: Datasketches HLL at lgK=12 carries
+    // sigma = 1.04/sqrt(4096) = 1.6% relative standard error; every
+    // per-source estimate AND the sketch-union corpus estimate must sit
+    // within 5% (> 3 sigma) of its exact count, checked in INTEGER
+    // arithmetic (|est-exact|*20 <= exact). Hashing is fixed-seed, so the
+    // outcome is deterministic per dataset - no flaky-gate risk (measured
+    // worst across sf0.001/0.01/0.1: 2.6%).
+    QueryDef("x192b_hll_bound_gate",
+      (s, d) => hllShinglesShared(s, d)
+        .agg(coalesce(
+          expr("every(abs(est_shingles - exact_shingles) * 20 <= exact_shingles)"),
+          lit(true)).as("hll_bounds_ok")),
+      Some("SELECT CAST(1 AS BOOLEAN) AS hll_bounds_ok")),
   )
 }
