@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, FloatType, IntegerType, LongType, ShortType, StringType}
 
 /** Training-data export sink: the END of the curation pipeline (x73's
   * output feeds this) written in the layout a dataloader consumes.
@@ -643,6 +643,11 @@ object Export {
       val binCols = (0 until binNode.size).map(binNode.get(_).asText)
       val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
       tarShardFrame(spark, dir, ddl, binCols, key, shardCol, Set.empty)
+    } else if (fmt == "tfrecord") {
+      val ddl = Option(tree.get("schema")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(
+          s"tfrecord manifest at $dir has no 'schema' field"))
+      tfrecordShardFrame(spark, dir, ddl, shardCol, Set.empty)
     } else spark.read.parquet(dir)
   }
 
@@ -1090,5 +1095,476 @@ object Export {
     // prune at the FILE LIST, not post-hoc: only the named shards'
     // archives are ever opened
     tarShardFrame(spark, dir, ddl, binCols, key, shardCol, shards.toSet)
+  }
+
+  // ── TFRecord shards ────────────────────────────────────────────────────
+
+  /** TFRecord's masked CRC32C (the public framing spec):
+    * `((crc >> 15) | (crc << 17)) + 0xa282ead8` over the unsigned 32-bit
+    * ring — computed with the JDK's CRC32C (Castagnoli), the same
+    * polynomial TensorFlow uses. */
+  private[ext] def maskedCrc32c(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes, off, len)
+    val crc = c.getValue.toInt // low 32 bits
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  /** Unsigned LEB128 varint — the protobuf integer wire form. */
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def lenDelimited(out: java.io.ByteArrayOutputStream, tag: Int,
+                           body: Array[Byte]): Unit = {
+    out.write(tag); writeVarint(out, body.length.toLong); out.write(body)
+  }
+
+  /** The column ↔ tf.train.Feature mapping [[writeTfrecordShards]] accepts.
+    * FloatList is float32 by the proto definition, so DoubleType is
+    * REFUSED rather than silently narrowed; everything else integral rides
+    * Int64List (bool as 0/1), strings/binary ride BytesList, and
+    * float/long/int arrays ride the packed list forms. */
+  private def tfSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case StringType | BinaryType | LongType | IntegerType | ShortType |
+           ByteType | BooleanType | FloatType => true
+      case org.apache.spark.sql.types.ArrayType(LongType, _) |
+           org.apache.spark.sql.types.ArrayType(IntegerType, _) |
+           org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  /** One tf.train.Feature message for a non-null value of `dt`. */
+  private def tfFeature(dt: org.apache.spark.sql.types.DataType,
+                        v: Any): Array[Byte] = {
+    val list = new java.io.ByteArrayOutputStream()
+    def packInt64(vs: Seq[Long]): Unit = {
+      val packed = new java.io.ByteArrayOutputStream()
+      vs.foreach(writeVarint(packed, _))
+      lenDelimited(list, 0x0A, packed.toByteArray)
+    }
+    def packFloat(vs: Seq[Float]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putFloat)
+      lenDelimited(list, 0x0A, bb.array())
+    }
+    val kindTag = dt match {
+      case StringType =>
+        lenDelimited(list, 0x0A, v.asInstanceOf[String].getBytes("UTF-8")); 0x0A
+      case BinaryType =>
+        lenDelimited(list, 0x0A, v.asInstanceOf[Array[Byte]]); 0x0A
+      case LongType => packInt64(Seq(v.asInstanceOf[Long])); 0x1A
+      case IntegerType => packInt64(Seq(v.asInstanceOf[Int].toLong)); 0x1A
+      case ShortType => packInt64(Seq(v.asInstanceOf[Short].toLong)); 0x1A
+      case ByteType => packInt64(Seq(v.asInstanceOf[Byte].toLong)); 0x1A
+      case BooleanType =>
+        packInt64(Seq(if (v.asInstanceOf[Boolean]) 1L else 0L)); 0x1A
+      case FloatType => packFloat(Seq(v.asInstanceOf[Float])); 0x12
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        packInt64(v.asInstanceOf[scala.collection.Seq[Long]].toSeq); 0x1A
+      case org.apache.spark.sql.types.ArrayType(IntegerType, _) =>
+        packInt64(v.asInstanceOf[scala.collection.Seq[Int]].toSeq
+          .map(_.toLong)); 0x1A
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) =>
+        packFloat(v.asInstanceOf[scala.collection.Seq[Float]].toSeq); 0x12
+      case other => throw new IllegalArgumentException(
+        s"unsupported TFRecord column type ${other.simpleString}")
+    }
+    val feature = new java.io.ByteArrayOutputStream()
+    lenDelimited(feature, kindTag, list.toByteArray)
+    feature.toByteArray
+  }
+
+  /** One serialized tf.train.Example for a row: `features` (field 1)
+    * holding one map entry per NON-NULL column, entries in sorted column
+    * order so the bytes are a pure function of the row (protobuf map order
+    * is unspecified — pinning it is what makes the file hashable). */
+  private def tfExample(fields: Seq[(String, org.apache.spark.sql.types.DataType)],
+                        row: Row, off: Int): Array[Byte] = {
+    val features = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < fields.length) {
+      val v = row.get(off + i)
+      if (v != null) {
+        val entry = new java.io.ByteArrayOutputStream()
+        lenDelimited(entry, 0x0A, fields(i)._1.getBytes("UTF-8")) // key
+        lenDelimited(entry, 0x12, tfFeature(fields(i)._2, v)) // value
+        lenDelimited(features, 0x0A, entry.toByteArray)
+      }
+      i += 1
+    }
+    val example = new java.io.ByteArrayOutputStream()
+    lenDelimited(example, 0x0A, features.toByteArray)
+    example.toByteArray
+  }
+
+  /** TFRecord training shards — the [[writeShards]] contract on the
+    * TensorFlow dataloader format: each row one `tf.train.Example` record
+    * framed per the public TFRecord spec (little-endian uint64 length +
+    * masked CRC32C of the length bytes + payload + masked CRC32C of the
+    * payload — both checksums verified on every read), one file per shard
+    * at `shard=N/part-00000.tfrecord[.gz|.zst]` written by exactly ONE
+    * task, rows sorted within the shard and feature-map entries sorted by
+    * column name so the bytes are a pure function of the rows, landed
+    * temp+rename. Column mapping: string/binary → BytesList, integrals and
+    * bool → Int64List, float and float/long/int arrays → packed
+    * FloatList/Int64List; DoubleType is REFUSED (FloatList is float32 —
+    * narrowing silently would corrupt values); a null writes no feature
+    * and reads back null, an EMPTY array writes an empty list message
+    * (present ≠ null). The SAME manifest follows (per-shard row counts,
+    * byte/file stats, order-invariant content digests recounted from the
+    * WRITTEN files via a full decode pass, per-file streamed xxhash64)
+    * extended with `format: "tfrecord"`, the compression codec, and the
+    * data-column DDL schema — so [[validateShards]] /
+    * [[validateShardsContent]] / [[readTfrecordShards]] work over it
+    * unchanged and reads never infer. Overwrite-only, like the other
+    * terminal-artifact formats. */
+  def writeTfrecordShards(df: DataFrame, dir: String,
+                          shardCol: String = "shard",
+                          compression: String = "none"): Map[Long, Long] = {
+    val spark = df.sparkSession
+    require(compression == "none" || compression == "gzip" ||
+      compression == "zstd",
+      s"writeTfrecordShards compression must be none|gzip|zstd, got " +
+        s"'$compression'")
+    require(df.columns.contains(shardCol),
+      s"writeTfrecordShards needs a '$shardCol' column; got " +
+        df.columns.mkString(","))
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(shardCol).dataType),
+      s"writeTfrecordShards needs an integral '$shardCol' column; got " +
+        df.schema(shardCol).dataType.simpleString)
+    val dataFields = df.schema.fields.filter(_.name != shardCol)
+      .sortBy(_.name).toSeq
+    dataFields.foreach(f => require(tfSupported(f.dataType),
+      s"writeTfrecordShards: column '${f.name}' has unsupported type " +
+        s"${f.dataType.simpleString} (tf.train.Example carries bytes, " +
+        "int64, and float32 lists; cast doubles explicitly if float32 " +
+        "precision is acceptable)"))
+    val ddl = org.apache.spark.sql.types.StructType(dataFields).toDDL
+    val fields = dataFields.map(f => (f.name, f.dataType))
+    val (hfs, root) = fs(spark, dir)
+    if (hfs.exists(root)) hfs.delete(root, true)
+    hfs.mkdirs(root)
+    val rootUri = hfs.makeQualified(root).toString
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val fileName = compression match {
+      case "gzip" => "part-00000.tfrecord.gz"
+      case "zstd" => "part-00000.tfrecord.zst"
+      case _      => "part-00000.tfrecord"
+    }
+    val shardColName = shardCol
+    val sortCols = col("__shard") +: fields.map(f => col(f._1))
+    df.select(col(shardCol).cast("long").as("__shard") +:
+        fields.map(f => col(f._1)): _*)
+      .repartition(col("__shard"))
+      .sortWithinPartitions(sortCols: _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = confB.value.value
+        val rootP = new Path(rootUri)
+        val tfs = rootP.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var shard = Long.MinValue
+        var out: java.io.OutputStream = null
+        var tmp: Path = null
+        var fin: Path = null
+        def closeCurrent(): Unit = if (out != null) {
+          out.close(); out = null
+          if (tfs.exists(fin)) tfs.delete(fin, false)
+          require(tfs.rename(tmp, fin),
+            s"writeTfrecordShards: could not move $tmp into place at $fin")
+        }
+        try {
+          it.foreach { row =>
+            val s = row.getLong(0)
+            if (s != shard) {
+              closeCurrent()
+              shard = s
+              val sdir = new Path(rootP, s"$shardColName=$s")
+              tfs.mkdirs(sdir)
+              fin = new Path(sdir, fileName)
+              tmp = new Path(sdir, s".$fileName.inprogress-$attempt")
+              val raw = tfs.create(tmp, true)
+              out = compression match {
+                case "gzip" => new java.util.zip.GZIPOutputStream(raw)
+                case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+                case _      => raw
+              }
+            }
+            val payload = tfExample(fields, row, 1)
+            val lenB = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putLong(payload.length.toLong).array()
+            val word = java.nio.ByteBuffer.allocate(4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            out.write(lenB)
+            out.write(word.putInt(maskedCrc32c(lenB, 0, 8)).array()); word.clear()
+            out.write(payload)
+            out.write(word.putInt(
+              maskedCrc32c(payload, 0, payload.length)).array())
+          }
+          closeCurrent()
+        } finally if (out != null) { out.close(); tfs.delete(tmp, false) }
+      }
+    def q(s: String): String =
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+    publishManifest(spark, dir, shardCol, "writeTfrecordShards",
+      d => tfrecordShardFrame(spark, d, ddl, shardCol),
+      epochs = Set.empty, priorHashes = Map.empty,
+      extra = Seq(
+        "format" -> "\"tfrecord\"",
+        "compression" -> q(compression),
+        "schema" -> q(ddl)))
+  }
+
+  /** Framed records off a TFRecord stream, both masked CRC32Cs verified
+    * per record — a flipped byte anywhere in length, payload, or either
+    * checksum fails the read. Streams one record at a time. */
+  private def tfrecordRecords(in: java.io.InputStream): Iterator[Array[Byte]] =
+    new scala.collection.AbstractIterator[Array[Byte]] {
+      private val head = new Array[Byte](12)
+      private var pending: Array[Byte] = null
+      private var done = false
+      private def readFullyOpt(buf: Array[Byte], off: Int, len: Int): Boolean = {
+        var filled = 0
+        while (filled < len) {
+          val n = in.read(buf, off + filled, len - filled)
+          if (n < 0) {
+            require(filled == 0,
+              s"corrupt tfrecord: EOF inside a $len-byte read after $filled")
+            return false
+          }
+          filled += n
+        }
+        true
+      }
+      private def advance(): Unit = {
+        if (done) return
+        if (!readFullyOpt(head, 0, 12)) { done = true; return }
+        val bb = java.nio.ByteBuffer.wrap(head)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val len = bb.getLong
+        require(maskedCrc32c(head, 0, 8) == bb.getInt,
+          "corrupt tfrecord: length checksum mismatch")
+        require(len >= 0 && len <= Int.MaxValue.toLong,
+          s"tfrecord record of $len bytes exceeds the 2 GiB record cap")
+        val payload = new Array[Byte](len.toInt + 4)
+        require(readFullyOpt(payload, 0, len.toInt + 4),
+          "corrupt tfrecord: EOF inside a record")
+        val crc = java.nio.ByteBuffer.wrap(payload, len.toInt, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        require(maskedCrc32c(payload, 0, len.toInt) == crc,
+          "corrupt tfrecord: payload checksum mismatch")
+        pending = java.util.Arrays.copyOf(payload, len.toInt)
+      }
+      private var started = false
+      override def hasNext: Boolean = {
+        if (!started) { started = true; advance() }
+        pending != null
+      }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("end of tfrecord file")
+        val r = pending; pending = null; advance(); r
+      }
+    }
+
+  /** Minimal strict protobuf walk of one tf.train.Example: column name →
+    * (kind tag, list payload bytes). Only the shapes [[tfExample]] writes
+    * are accepted — an unknown field number or wire type fails loudly
+    * (these files are this writer's own; leniency would mask corruption
+    * the checksums happened to miss). */
+  private def tfParseExample(payload: Array[Byte])
+      : Map[String, (Int, Array[Byte])] = {
+    def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+      var p = p0; var shift = 0; var v = 0L
+      while ({
+        require(p < b.length, "corrupt proto: varint overruns buffer")
+        val x = b(p); p += 1
+        v |= (x & 0x7FL) << shift; shift += 7
+        (x & 0x80) != 0
+      }) ()
+      (v, p)
+    }
+    def field(b: Array[Byte], p0: Int): (Int, Array[Byte], Int) = {
+      val (tag, p1) = varint(b, p0)
+      require((tag & 7L) == 2L, s"corrupt proto: unexpected wire type $tag")
+      val (len, p2) = varint(b, p1)
+      require(p2 + len <= b.length, "corrupt proto: field overruns buffer")
+      (tag.toInt, java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt),
+        p2 + len.toInt)
+    }
+    val (exTag, features, exEnd) = field(payload, 0)
+    require(exTag == 0x0A && exEnd == payload.length,
+      "corrupt proto: not a single-features Example")
+    var entries = Map.empty[String, (Int, Array[Byte])]
+    var p = 0
+    while (p < features.length) {
+      val (eTag, entry, p2) = field(features, p)
+      require(eTag == 0x0A, s"corrupt proto: unexpected Features field $eTag")
+      p = p2
+      val (kTag, keyB, kEnd) = field(entry, 0)
+      require(kTag == 0x0A, "corrupt proto: map entry key missing")
+      val (vTag, feature, vEnd) = field(entry, kEnd)
+      require(vTag == 0x12 && vEnd == entry.length,
+        "corrupt proto: map entry value missing")
+      val (kindTag, list, fEnd) = field(feature, 0)
+      require(fEnd == feature.length &&
+        (kindTag == 0x0A || kindTag == 0x12 || kindTag == 0x1A),
+        s"corrupt proto: unexpected Feature kind $kindTag")
+      entries += new String(keyB, "UTF-8") -> ((kindTag, list))
+    }
+    entries
+  }
+
+  /** One column value off a parsed feature, coerced to `dt`; `None` kind
+    * (absent key) is handled by the caller as null. */
+  private def tfValue(dt: org.apache.spark.sql.types.DataType,
+                      kindTag: Int, list: Array[Byte]): Any = {
+    def varints(b: Array[Byte]): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var p = 0
+      while (p < b.length) {
+        var shift = 0; var v = 0L
+        while ({
+          val x = b(p); p += 1
+          v |= (x & 0x7FL) << shift; shift += 7
+          (x & 0x80) != 0
+        }) ()
+        out += v
+      }
+      out.toSeq
+    }
+    def packedOf(expectTag: Int): Array[Byte] = {
+      require(kindTag == expectTag,
+        s"tfrecord column kind $kindTag does not match schema type " +
+          dt.simpleString)
+      if (list.isEmpty) Array.emptyByteArray
+      else {
+        // list message: field 1, len-delimited packed payload (or repeated
+        // bytes for BytesList — same framing)
+        var p = 0
+        require(list(p) == 0x0A, "corrupt proto: list payload tag")
+        p += 1
+        var shift = 0; var len = 0L
+        while ({
+          val x = list(p); p += 1
+          len |= (x & 0x7FL) << shift; shift += 7
+          (x & 0x80) != 0
+        }) ()
+        require(p + len == list.length,
+          "corrupt proto: packed list length mismatch")
+        java.util.Arrays.copyOfRange(list, p, list.length)
+      }
+    }
+    def floats: Seq[Float] = {
+      val b = packedOf(0x12)
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq.fill(b.length / 4)(bb.getFloat)
+    }
+    def int64s: Seq[Long] = varints(packedOf(0x1A))
+    def one[T](vs: Seq[T]): T = {
+      require(vs.length == 1,
+        s"tfrecord scalar column carries ${vs.length} values")
+      vs.head
+    }
+    dt match {
+      case StringType => new String(one(Seq(packedOf(0x0A))), "UTF-8")
+      case BinaryType => one(Seq(packedOf(0x0A)))
+      case LongType => one(int64s)
+      case IntegerType => one(int64s).toInt
+      case ShortType => one(int64s).toShort
+      case ByteType => one(int64s).toByte
+      case BooleanType => one(int64s) != 0L
+      case FloatType => one(floats)
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => int64s
+      case org.apache.spark.sql.types.ArrayType(IntegerType, _) =>
+        int64s.map(_.toInt)
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) => floats
+      case other => throw new IllegalArgumentException(
+        s"unsupported TFRecord column type ${other.simpleString}")
+    }
+  }
+
+  /** TFRecord shard directory as a DataFrame under the recorded DDL —
+    * one executor task per file, one record in memory at a time, both
+    * framing checksums verified per record. */
+  private def tfrecordShardFrame(spark: SparkSession, dir: String,
+                                 ddl: String, shardCol: String,
+                                 only: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val (hfs, root) = fs(spark, dir)
+    val files = dataFileList(shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol))
+      .map { case (rel, p) =>
+        (rel.stripPrefix(s"$shardCol=").takeWhile(_ != '/').toLong,
+          hfs.makeQualified(p).toString)
+      }
+      .filter { case (shard, _) => only.isEmpty || only.contains(shard) }
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val data = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(!data.fieldNames.contains(shardCol),
+      s"tfrecord manifest schema must not contain '$shardCol'")
+    val fields = data.fields.map(f => (f.name, f.dataType)).toSeq
+    val full = data.add(shardCol, LongType)
+    val rows = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 64)))
+      .rdd.flatMap { case (shard, uri) =>
+        val p = new Path(uri)
+        val rawIn = p.getFileSystem(confB.value.value).open(p)
+        val in: java.io.InputStream =
+          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
+          else if (uri.endsWith(".zst"))
+            new com.github.luben.zstd.ZstdInputStream(rawIn)
+          else rawIn
+        val it = tfrecordRecords(in)
+        new Iterator[Row] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): Row = {
+            val entries = tfParseExample(it.next())
+            Row.fromSeq(fields.map { case (name, dt) =>
+              entries.get(name) match {
+                case Some((kindTag, list)) => tfValue(dt, kindTag, list)
+                case None => null
+              }
+            } :+ shard)
+          }
+        }
+      }
+    spark.createDataFrame(rows, full)
+  }
+
+  /** Read named shards of a TFRecord export (all shards when `shards` is
+    * empty) under the manifest's recorded schema — the [[readShards]]
+    * contract for the TFRecord format. Only the named shards' files are
+    * opened. */
+  def readTfrecordShards(spark: SparkSession, dir: String,
+                         shards: Seq[Long] = Nil,
+                         shardCol: String = "shard"): DataFrame = {
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains("tfrecord"),
+      s"manifest at $dir is not a writeTfrecordShards export")
+    val ddl = Option(tree.get("schema")).map(_.asText).getOrElse(
+      throw new IllegalArgumentException(
+        s"tfrecord manifest at $dir has no 'schema' field"))
+    tfrecordShardFrame(spark, dir, ddl, shardCol, shards.toSet)
   }
 }

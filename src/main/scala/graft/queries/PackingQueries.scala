@@ -247,6 +247,52 @@ object PackingQueries {
                      CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x193 — the TFRecord export round trip, completing the dataloader
+    // format quartet (parquet x80, JSONL x190, WebDataset tar x191,
+    // TFRecord here): each document becomes one tf.train.Example —
+    // string/binary columns as BytesList, integrals as Int64List, a
+    // float32 FeatureList column, and an int64 ARRAY column riding a
+    // packed Int64List — framed per the public TFRecord spec (length +
+    // masked CRC32C + payload + masked CRC32C, both verified on every
+    // read) and zstd-compressed, so the whole codec chain (proto encode,
+    // framing, compression, manifest digests recounted via full decode)
+    // is on the oracle path. Float exactness: qscore is quarters of
+    // 0..6 — exact in float32 AND in DuckDB's double arithmetic — and
+    // the array column compares as a joined string (the driver hash has
+    // no list form). A flipped byte anywhere fails the record CRC; a
+    // lost file fails the manifest.
+    QueryDef("x193_tfrecord_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x193-tfr")
+        val counts = Export.writeTfrecordShards(
+          Tables.documents(s, d).select(
+            col("doc_id"), col("source"), col("lang"), col("text"),
+            col("n_chars"),
+            encode(substring(col("text"), 1, 32), "UTF-8").as("payload"),
+            ((col("doc_id") % 7).cast("float") * lit(0.25f)).as("qscore"),
+            array(col("doc_id"), col("n_chars")).as("ids"),
+            (col("doc_id") % 8).cast("int").as("shard")),
+          dir, compression = "zstd")
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"tfrecord manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readTfrecordShards(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            col("n_chars"),
+            decode(col("payload"), "UTF-8").as("payload_str"),
+            col("qscore").cast("double").as("qscore"),
+            concat_ws(",",
+              expr("transform(ids, x -> CAST(x AS STRING))")).as("ids_str"),
+            col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, lang, text, n_chars,
+                     substr(text, 1, 32) AS payload_str,
+                     CAST(doc_id % 7 AS DOUBLE) * 0.25 AS qscore,
+                     doc_id || ',' || n_chars AS ids_str,
+                     CAST(doc_id % 8 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x73 — the END-TO-END curation pipeline as one artifact: exact dedup →
     // eval holdout → per-source relative quality filter (top half) →
     // decontamination against the held-out eval set → deterministic

@@ -322,6 +322,7 @@ class ExportSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-export-tarzst").toString
     try {
+      import org.apache.spark.sql.Row
       val rows = Seq(
         (1L, "z1", "alpha", Array[Byte](9, 8, 7), 0L),
         (2L, "z2", "beta", null.asInstanceOf[Array[Byte]], 0L),
@@ -351,6 +352,110 @@ class ExportSpec extends SparkSpec {
       intercept[Exception](Export.validateShardsContent(spark, dir))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("maskedCrc32c matches the public TFRecord framing spec on the " +
+    "canonical CRC32C vector") {
+    // CRC32C("123456789") = 0xE3069283 is THE published Castagnoli check
+    // value; the TFRecord mask of it is 0xC78AB0E5. Passing pins both that
+    // the JDK CRC32C is the right polynomial and that the rotate-and-add
+    // mask is implemented per the spec.
+    val v = "123456789".getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32C(); c.update(v, 0, v.length)
+    assert(c.getValue === 0xE3069283L)
+    assert(Export.maskedCrc32c(v, 0, v.length) === 0xC78AB0E5.toInt)
+  }
+
+  test("tfrecord export round-trips every supported type under validation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-tfr").toString
+    try {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, txt STRING, payload BINARY, n INT, sm SMALLINT, " +
+          "tb TINYINT, flag BOOLEAN, score FLOAT, emb ARRAY<FLOAT>, " +
+          "ids ARRAY<BIGINT>, small_ids ARRAY<INT>")
+      import org.apache.spark.sql.Row
+      val rows = Seq(
+        Row(1L, "hello", Array[Byte](1, 2), 7, 3.toShort, 2.toByte, true,
+          1.5f, Seq(0.25f, -2.0f), Seq(10L, -11L), Seq(4, 5)),
+        Row(-2L, null, null, null, null, null, false,
+          null, Seq.empty[Float], null, Seq.empty[Int]),
+        Row(3L, "", Array.emptyByteArray, -1, (-3).toShort, (-2).toByte,
+          null, -0.0f, null, Seq(Long.MinValue, Long.MaxValue), Seq(0)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          Row.fromSeq(r.toSeq :+ (math.abs(r.getLong(0)) % 2)))),
+        schema.add("shard", org.apache.spark.sql.types.LongType))
+      val counts = Export.writeTfrecordShards(df, dir)
+      assert(counts === Map(0L -> 1L, 1L -> 2L))
+      assert(Export.validateShards(spark, dir) === counts)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      val back = Export.readTfrecordShards(spark, dir)
+      assert(back.schema("score").dataType ===
+        org.apache.spark.sql.types.FloatType)
+      val by = back.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(by(1L).getAs[String]("txt") === "hello")
+      assert(by(1L).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2))
+      assert(by(1L).getAs[Boolean]("flag") === true)
+      assert(by(1L).getAs[Float]("score") === 1.5f)
+      assert(by(1L).getAs[Seq[Float]]("emb") === Seq(0.25f, -2.0f))
+      assert(by(1L).getAs[Seq[Long]]("ids") === Seq(10L, -11L))
+      assert(by(1L).getAs[Seq[Int]]("small_ids") === Seq(4, 5))
+      // null scalar/binary/array all read back null; EMPTY array ≠ null
+      assert(by(-2L).getAs[String]("txt") === null)
+      assert(by(-2L).getAs[Array[Byte]]("payload") === null)
+      assert(by(-2L).isNullAt(by(-2L).fieldIndex("n")))
+      assert(by(-2L).getAs[Seq[Float]]("emb") === Seq.empty[Float])
+      assert(by(-2L).getAs[Seq[Long]]("ids") === null)
+      assert(by(-2L).getAs[Seq[Int]]("small_ids") === Seq.empty[Int])
+      // empty string and empty binary are present, not null
+      assert(by(3L).getAs[String]("txt") === "")
+      assert(by(3L).getAs[Array[Byte]]("payload").length === 0)
+      // 10-byte-varint extremes survive
+      assert(by(3L).getAs[Seq[Long]]("ids") ===
+        Seq(Long.MinValue, Long.MaxValue))
+      // shard-selective read prunes at the file list
+      assert(Export.readTfrecordShards(spark, dir, Seq(1L)).count() === 2L)
+      // a flipped payload byte is caught by the record CRC on the deep gate
+      val victim = new java.io.File(dir, "shard=1").listFiles()
+        .filter(_.getName.endsWith(".tfrecord")).head
+      val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+      bytes(14) = (bytes(14) ^ 0x04).toByte // inside the first payload
+      java.nio.file.Files.write(victim.toPath, bytes)
+      val e = intercept[Exception](Export.validateShardsContent(spark, dir))
+      assert(e.getMessage != null)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("tfrecord export refuses doubles, writes gzip and zstd variants") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-tfrz").toString
+    try {
+      // DoubleType is refused (FloatList is float32 — no silent narrowing)
+      val e = intercept[IllegalArgumentException] {
+        Export.writeTfrecordShards(
+          Seq((1L, 0.5, 0L)).toDF("doc_id", "score", "shard"), dir + "-dbl")
+      }
+      assert(e.getMessage.contains("float32"))
+      for (comp <- Seq("gzip", "zstd")) {
+        val d = s"$dir-$comp"
+        val df = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("doc_id", "txt", "shard")
+        val counts = Export.writeTfrecordShards(df, d, compression = comp)
+        val ext = if (comp == "gzip") ".tfrecord.gz" else ".tfrecord.zst"
+        val files = new java.io.File(d, "shard=0").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+        assert(files.map(_.getName).toSeq === Seq(s"part-00000$ext"))
+        assert(Export.validateShardsContent(spark, d) === counts)
+        assert(Export.readTfrecordShards(spark, d).count() === 2L)
+      }
+    } finally {
+      Seq("-dbl", "-gzip", "-zstd", "").foreach { sfx =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + sfx))
+      }
     }
   }
 
