@@ -379,4 +379,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"x147 top-k must be a TakeOrderedAndProject:\n$p")
   }
+
+  test("selective fact-to-fact joins are eligible for runtime bloom-filter " +
+    "pushdown (no UDF/odd shapes blocking InjectRuntimeFilter)") {
+    // At 100 TB the win is real: a selective dimension-side predicate
+    // becomes a bloom filter evaluated INSIDE the fact scan, skipping
+    // most of the shuffle input. The rule only fires when the application
+    // side is big, so drop its size threshold (and broadcast, so the join
+    // keeps the shuffle shape the filter exists to protect) in a cloned
+    // session — what's under test is that OUR declarative join shapes
+    // stay eligible, not the thresholds.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = graft.Tables.lineitem(s2, sf)
+    val ord = graft.Tables.orders(s2, sf)
+      .filter(col("o_totalprice") > 100000.0)
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("qty"))
+    val p = joined.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(p.contains("might_contain") || p.contains("bloomfilter"),
+      s"runtime bloom filter was not injected into the fact-side scan:\n$p")
+  }
 }
