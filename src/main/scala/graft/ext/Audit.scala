@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset auditing: the pre-training data-quality reads a pipeline runs
+  * before committing a corpus to an expensive job — a per-column profile
+  * (nulls, cardinality, range) and relational integrity checks (orphan
+  * foreign keys, duplicate primary keys). Both are plain declarative
+  * aggregations: Catalyst sees every filter and join, so the checks ride
+  * whatever pushdown/broadcast the table shapes allow.
+  *
+  * Scale notes: [[profile]] is ONE aggregation pass over the table; the
+  * per-column `count_distinct` set expands rows by the column count
+  * (Spark plans multi-distinct via Expand), which is the exact-answer
+  * cost — at 100 TB swap `countDistinct` for `approx_count_distinct` (or
+  * persist per-shard HLL sketches, the x192 pattern) and the pass becomes
+  * a single non-expanding scan. [[orphans]]/[[duplicateKeys]] are an
+  * anti-join and a self-aggregation on the key columns only — column
+  * pruning reaches the scan, and a small parent side broadcasts.
+  */
+object Audit {
+
+  /** Canonical BIGINT-or-STRING rendering for min/max so the profile's
+    * schema is uniform across column types AND engine-exact: integrals
+    * pass through, floats/doubles quantize to integer micros (monotone, so
+    * min/max commute with it), timestamps to epoch millis, booleans to
+    * 0/1, strings stay themselves; anything else renders as its string
+    * cast. */
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast("bigint")
+    case FloatType | DoubleType =>
+      round(c.cast("double") * lit(1e6)).cast("bigint")
+    case BooleanType => c.cast("bigint")
+    case TimestampType | TimestampNTZType => unix_millis(c.cast("timestamp"))
+    case DateType => unix_date(c).cast("bigint")
+    case StringType => c
+    case _ => c.cast("string")
+  }
+
+  /** Per-column profile of `df` in ONE aggregation: row count, null count,
+    * exact distinct count, and canonicalized min/max ([[canon]]) rendered
+    * as strings. One output row per column, ordered by name. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq.sortBy(_.name)
+    require(fields.nonEmpty, "profile of a zero-column frame")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__n"),
+        (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
+        countDistinct(c).as(s"${f.name}__ndist"),
+        min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+        max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(fields.map(f => struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__n").as("n_rows"),
+        col(s"${f.name}__nnull").as("n_null"),
+        col(s"${f.name}__ndist").as("n_distinct"),
+        col(s"${f.name}__min").as("min_c"),
+        col(s"${f.name}__max").as("max_c"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  /** Child rows whose `childKey` has no match in `parent.parentKey` — the
+    * orphan-foreign-key frame, NULL keys included (a NULL FK can never
+    * match and is its own violation). Anti-join on the key columns only. */
+  def orphans(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+    child.join(
+      parent.select(col(parentKey)).na.drop().distinct(),
+      child(childKey) === col(parentKey), "left_anti")
+
+  /** Key tuples appearing more than once — the duplicate-primary-key
+    * frame: one row per violating key with its multiplicity. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "duplicateKeys needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.Audit
+
+/** Data-audit catalog entries: the pre-training reads a pipeline runs
+  * before committing a corpus to an expensive job — per-column profiling
+  * and relational integrity. Library surface in [[graft.ext.Audit]]. */
+object AuditQueries {
+
+  private def check(name: String, bad: DataFrame): DataFrame =
+    bad.agg(count(lit(1)).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // x194 — the generic per-column table profile (the DESCRIBE every
+    // engine grows): one aggregation pass over lineitem emitting, per
+    // column, row/null/exact-distinct counts and canonicalized min/max
+    // (integrals as-is, doubles quantized to integer micros — monotone,
+    // so min/max commute — timestamps as epoch millis, all rendered as
+    // strings for a uniform schema). Exactness: every value the oracle
+    // compares is a BIGINT or a raw string; no float ever renders.
+    // Scale: one pass; the multi-distinct Expand is the exact-answer
+    // cost — the 100 TB form swaps in approx_count_distinct or per-shard
+    // HLL sketches (x192) and the pass stops expanding.
+    QueryDef("x194_table_profile",
+      (s, d) => Audit.profile(Tables.lineitem(s, d)),
+      Some("""WITH l AS (SELECT * FROM lineitem)
+              SELECT 'l_discount' AS col_name, count(*) AS n_rows,
+                     count(*) - count(l_discount) AS n_null,
+                     count(DISTINCT l_discount) AS n_distinct,
+                     CAST(min(CAST(round(l_discount * 1000000) AS BIGINT)) AS VARCHAR) AS min_c,
+                     CAST(max(CAST(round(l_discount * 1000000) AS BIGINT)) AS VARCHAR) AS max_c
+              FROM l
+              UNION ALL
+              SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+                     count(DISTINCT l_extendedprice),
+                     CAST(min(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+                     count(DISTINCT l_linenumber),
+                     CAST(min(CAST(l_linenumber AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(l_linenumber AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+                     count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+              FROM l
+              UNION ALL
+              SELECT 'l_orderkey', count(*), count(*) - count(l_orderkey),
+                     count(DISTINCT l_orderkey),
+                     CAST(min(CAST(l_orderkey AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(l_orderkey AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+                     count(DISTINCT l_partkey),
+                     CAST(min(CAST(l_partkey AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(l_partkey AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+                     count(DISTINCT l_quantity),
+                     CAST(min(CAST(round(l_quantity * 1000000) AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(round(l_quantity * 1000000) AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                     count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+              FROM l
+              UNION ALL
+              SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+                     count(DISTINCT l_shipdate),
+                     CAST(min(epoch_ms(l_shipdate)) AS VARCHAR),
+                     CAST(max(epoch_ms(l_shipdate)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+                     count(DISTINCT l_suppkey),
+                     CAST(min(CAST(l_suppkey AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(l_suppkey AS BIGINT)) AS VARCHAR)
+              FROM l
+              UNION ALL
+              SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                     count(DISTINCT l_tax),
+                     CAST(min(CAST(round(l_tax * 1000000) AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(round(l_tax * 1000000) AS BIGINT)) AS VARCHAR)
+              FROM l
+              ORDER BY col_name""")),
+
+    // x195 — relational integrity audit: orphan foreign keys (NULL FK
+    // counts as its own orphan — it can never match), duplicate primary
+    // keys, and NULL key columns across the order/customer/lineitem
+    // relations, one (check_name, n_bad) row each. All-declarative:
+    // anti-joins on pruned key columns (small parent sides broadcast),
+    // key-only self-aggregations — the shapes that stay cheap at 100 TB.
+    // The synthetic tables audit clean on five of six checks; the sixth —
+    // duplicate (l_orderkey, l_linenumber) pairs — is a REAL property of
+    // the generator the audit surfaces (oracle recomputes it exactly).
+    // Dirty-fixture behavior is pinned in AuditSpec.
+    QueryDef("x195_integrity_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        check("lineitem_dup_line",
+          Audit.duplicateKeys(li, Seq("l_orderkey", "l_linenumber")))
+          .unionByName(check("lineitem_null_orderkey",
+            li.filter(col("l_orderkey").isNull)))
+          .unionByName(check("lineitem_orphan_orderkey",
+            Audit.orphans(li, "l_orderkey", ord, "o_orderkey")))
+          .unionByName(check("orders_dup_orderkey",
+            Audit.duplicateKeys(ord, Seq("o_orderkey"))))
+          .unionByName(check("orders_null_custkey",
+            ord.filter(col("o_custkey").isNull)))
+          .unionByName(check("orders_orphan_custkey",
+            Audit.orphans(ord, "o_custkey", cust, "c_custkey")))
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'lineitem_dup_line' AS check_name,
+                     (SELECT count(*) FROM (SELECT l_orderkey, l_linenumber
+                        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)) AS n_bad
+              UNION ALL
+              SELECT 'lineitem_null_orderkey',
+                     (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+              UNION ALL
+              SELECT 'lineitem_orphan_orderkey',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NULL OR l_orderkey NOT IN
+                        (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+              UNION ALL
+              SELECT 'orders_dup_orderkey',
+                     (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                        GROUP BY 1 HAVING count(*) > 1))
+              UNION ALL
+              SELECT 'orders_null_custkey',
+                     (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+              UNION ALL
+              SELECT 'orders_orphan_custkey',
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey IS NULL OR o_custkey NOT IN
+                        (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+              ORDER BY check_name""")),
+  )
+}
