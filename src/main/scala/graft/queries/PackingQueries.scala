@@ -293,6 +293,46 @@ object PackingQueries {
                      CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x196 — Z-order (Morton) layout key for two-dimensional scan
+    // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
+    // in pure BIGINT arithmetic, interleave via the mask ladder — all
+    // codegen'd shifts/masks/DIV, no UDFs — so a range-partitioned write
+    // sorted by zval gives parquet row groups narrow on BOTH dimensions
+    // (the locality proof is in ZorderSpec; this row pins the arithmetic
+    // itself, which DuckDB reproduces bit-for-bit with `//` and the same
+    // mask ladder). Scale: one bounds aggregate broadcast onto the scan;
+    // the z computation is map-only.
+    QueryDef("x196_zorder_cluster",
+      (s, d) => graft.ops.Zorder.withZValue(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          "l_partkey", "l_suppkey")
+        .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey"),
+      Some("""WITH b AS (SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+                                min(l_suppkey) AS blo, max(l_suppkey) AS bhi
+                         FROM lineitem),
+                   n AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                           CASE WHEN ahi > alo
+                             THEN ((l_partkey - alo) * 65535) // (ahi - alo)
+                             ELSE 0 END AS na,
+                           CASE WHEN bhi > blo
+                             THEN ((l_suppkey - blo) * 65535) // (bhi - blo)
+                             ELSE 0 END AS nb
+                         FROM lineitem, b),
+                  s1 AS (SELECT *, (na | (na << 8)) & 16711935 AS a1,
+                                   (nb | (nb << 8)) & 16711935 AS b1 FROM n),
+                  s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+                                   (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+                  s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+                                   (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+                  s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                                   (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     CAST(a4 | (b4 << 1) AS BIGINT) AS zval
+              FROM s4
+              ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey""")),
+
     // x73 — the END-TO-END curation pipeline as one artifact: exact dedup →
     // eval holdout → per-source relative quality filter (top half) →
     // decontamination against the held-out eval set → deterministic
