@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   * aggregations: Catalyst sees every filter and join, so the checks ride
   * whatever pushdown/broadcast the table shapes allow.
   *
-  * Scale notes: [[profile]] is ONE aggregation pass over the table; the
-  * per-column `count_distinct` set expands rows by the column count
-  * (Spark plans multi-distinct via Expand), which is the exact-answer
-  * cost — at 100 TB swap `countDistinct` for `approx_count_distinct` (or
-  * persist per-shard HLL sketches, the x192 pattern) and the pass becomes
-  * a single non-expanding scan. [[orphans]]/[[duplicateKeys]] are an
-  * anti-join and a self-aggregation on the key columns only — column
-  * pruning reaches the scan, and a small parent side broadcasts.
+  * Scale notes: [[profile]] is one aggregation pass for the mergeable
+  * statistics plus one long-format pass for the exact distinct counts
+  * (explode to (col, value), two-phase aggregate — deliberately NOT a
+  * multi-distinct aggregate, whose N-branch Expand multiplies the row
+  * count by the column count; see profileFrame). At 100 TB swap the
+  * distinct pass for `approx_count_distinct` or per-shard HLL sketches
+  * (the x192 pattern) and [[mergeableProfile]] alone is a single scan.
+  * [[orphans]]/[[duplicateKeys]] are an anti-join and a
+  * self-aggregation on the key columns only — column pruning reaches the
+  * scan, and a small parent side broadcasts.
   */
 object Audit {
 
@@ -42,7 +44,18 @@ object Audit {
   /** Per-column profile of `df` in ONE aggregation: row count, null count,
     * exact distinct count, and canonicalized min/max ([[canon]]) rendered
     * as strings. One output row per column, ordered by name. */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame = profileFrame(df, distinct = true)
+
+  /** [[profile]] minus the distinct counts — every remaining statistic is
+    * MERGEABLE (counts add, min/min and max/max compose), so this form
+    * runs as a streaming complete-mode aggregation or a per-shard rollup
+    * unchanged. Exact distinct is the one non-mergeable read: in streams
+    * or shard rollups carry an HLL sketch beside it (the x192 pattern)
+    * instead. */
+  def mergeableProfile(df: DataFrame): DataFrame =
+    profileFrame(df, distinct = false)
+
+  private def profileFrame(df: DataFrame, distinct: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq.sortBy(_.name)
     require(fields.nonEmpty, "profile of a zero-column frame")
     val aggs = fields.flatMap { f =>
@@ -50,19 +63,36 @@ object Audit {
       Seq(
         count(lit(1)).as(s"${f.name}__n"),
         (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
-        countDistinct(c).as(s"${f.name}__ndist"),
         min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
         max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    one.select(explode(array(fields.map(f => struct(
+    val stats = one.select(explode(array(fields.map(f => struct(
         lit(f.name).as("col_name"),
         col(s"${f.name}__n").as("n_rows"),
         col(s"${f.name}__nnull").as("n_null"),
-        col(s"${f.name}__ndist").as("n_distinct"),
         col(s"${f.name}__min").as("min_c"),
         col(s"${f.name}__max").as("max_c"))): _*)).as("p"))
       .select(col("p.*"))
+    if (!distinct) return stats.orderBy("col_name")
+    // Exact distincts via ONE long-format pass, NOT a multi-distinct
+    // aggregate: N countDistinct columns in one agg plan as an N-branch
+    // Expand (row count × column count with every branch dragging the
+    // whole aggregate list — measured 22 s on 600 k × 11 columns where
+    // this shape runs in ~1 s). Values stringify first (injective per
+    // column — long/string/timestamp-millis trivially, doubles because
+    // Java's rendering round-trips), then two-phase aggregate:
+    // (col, value) partial-dedups map-side, count per col.
+    val kv = df.select(explode(array(fields.map(f => struct(
+        lit(f.name).as("c"),
+        col(f.name).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+    val distincts = kv.groupBy(col("c"))
+      .agg(count_distinct(col("v")).as("n_distinct"))
+    stats.join(distincts, stats("col_name") === distincts("c"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_c"), col("max_c"))
       .orderBy("col_name")
   }
 

@@ -23,9 +23,10 @@ object AuditQueries {
     // so min/max commute — timestamps as epoch millis, all rendered as
     // strings for a uniform schema). Exactness: every value the oracle
     // compares is a BIGINT or a raw string; no float ever renders.
-    // Scale: one pass; the multi-distinct Expand is the exact-answer
-    // cost — the 100 TB form swaps in approx_count_distinct or per-shard
-    // HLL sketches (x192) and the pass stops expanding.
+    // Scale: one mergeable-stats pass + one long-format distinct pass
+    // (never the N-branch multi-distinct Expand — 22× slower measured);
+    // the 100 TB form swaps the distinct pass for approx_count_distinct
+    // or per-shard HLL sketches (x192).
     QueryDef("x194_table_profile",
       (s, d) => Audit.profile(Tables.lineitem(s, d)),
       Some("""WITH l AS (SELECT * FROM lineitem)
@@ -92,6 +93,51 @@ object AuditQueries {
                      CAST(max(CAST(round(l_tax * 1000000) AS BIGINT)) AS VARCHAR)
               FROM l
               ORDER BY col_name""")),
+
+    // x194b — streaming profile parity gate: the mergeable profile subset
+    // (row/null counts, canonical min/max — everything but exact distinct,
+    // which is non-mergeable by nature; streams carry an HLL beside it,
+    // the x192 pattern) replayed through a REAL MemoryStream complete-mode
+    // aggregation in two uneven chops must converge to the batch
+    // mergeableProfile of the same rows — incremental ≡ batch, the x161b
+    // discipline on the audit family. Bounded: one documents collect.
+    QueryDef("x194b_profile_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        val batch = Tables.documents(s, d).select(
+          col("doc_id"), col("n_chars"), col("lang"),
+          ((col("doc_id") % 9).cast("double") * lit(0.5)).as("dscore"))
+        val expected = Audit.mergeableProfile(batch).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getString(4))).toSet
+        val rows = batch.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        val got = {
+          val ss = s.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "2")
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          implicit val sq: org.apache.spark.sql.SQLContext = ss.sqlContext
+          import ss.implicits._
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, String, Double)]
+          var last: Array[org.apache.spark.sql.Row] = Array.empty
+          val q = Audit.mergeableProfile(
+              mem.toDF().toDF("doc_id", "n_chars", "lang", "dscore"))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val snap = b.collect(); last = snap; ()
+            }
+            .outputMode("complete").start()
+          try Seq(rows.take(rows.length / 3), rows.drop(rows.length / 3))
+            .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+          finally q.stop()
+          last.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getString(4))).toSet
+        }
+        Seq((got == expected) && expected.nonEmpty)
+          .toDF("profile_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS profile_stream_ok")),
 
     // x195 — relational integrity audit: orphan foreign keys (NULL FK
     // counts as its own orphan — it can never match), duplicate primary

@@ -380,6 +380,15 @@ class PlanSpec extends SparkSpec {
       s"x147 top-k must be a TakeOrderedAndProject:\n$p")
   }
 
+  test("x194 profile never plans a multi-distinct Expand") {
+    // N countDistinct columns in one agg become an N-branch Expand — row
+    // count × column count, measured 22 s vs ~1 s at sf0.1. The profile
+    // computes distincts via ONE long-format two-phase aggregate instead;
+    // this pin keeps it that way.
+    val p = plan("x194_table_profile")
+    assert(!p.contains("Expand"), s"profile regressed to Expand:\n$p")
+  }
+
   test("selective fact-to-fact joins are eligible for runtime bloom-filter " +
     "pushdown (no UDF/odd shapes blocking InjectRuntimeFilter)") {
     // At 100 TB the win is real: a selective dimension-side predicate
