@@ -915,18 +915,42 @@ object Export {
         "key" -> q(keyCol)))
   }
 
+  /** Consume and discard `n` stream bytes. `skip` on a decompressing
+    * stream discards decompressed output without allocating it; on a raw
+    * filesystem stream it seeks — either way a pruned member costs no
+    * buffer. A short skip falls back to single-byte reads (skip(0) is a
+    * legal return). */
+  private def skipFully(in: java.io.InputStream, n: Long,
+                        what: String): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else {
+        val r = in.read()
+        require(r >= 0, s"corrupt tar: EOF inside $what")
+        left -= 1
+      }
+    }
+  }
+
   /** Consecutive tar members grouped into samples by their basename key
     * (the segment before the first dot): each element is (key, ext →
     * bytes). Streams one member at a time — memory is one member, never
-    * one archive. A short header or a declared size overrunning the
+    * one archive — and members whose EXTENSION fails `keep` are skipped
+    * without allocation ([[skipFully]]): the column-pruned read path for
+    * multimodal shards, where the metadata scan must not decode the
+    * payload members. A short header or a declared size overrunning the
     * stream throws (corrupt archive); clean EOF or a zero header block
     * ends the walk. */
-  private def tarSamples(in: java.io.InputStream)
+  private def tarSamples(in: java.io.InputStream,
+                         keep: String => Boolean = _ => true)
       : Iterator[(String, Map[String, Array[Byte]])] =
     new scala.collection.AbstractIterator[(String, Map[String, Array[Byte]])] {
       private val hdr = new Array[Byte](512)
       private var pendingName: String = null
-      private var pendingBytes: Array[Byte] = null
+      private var pendingExt: String = null
+      private var pendingBytes: Array[Byte] = null // null when skipped
       private var done = false
       private def readFullyOpt(buf: Array[Byte], len: Int): Boolean = {
         var filled = 0
@@ -956,16 +980,27 @@ object Export {
         val size = java.lang.Long.parseLong(sizeStr, 8)
         require(size <= Int.MaxValue.toLong,
           s"tar member '$name' of $size bytes exceeds the 2 GiB member cap")
-        val bytes = new Array[Byte](size.toInt)
-        require(readFullyOpt(bytes, size.toInt) || size == 0,
-          s"corrupt tar: EOF inside member '$name'")
-        val pad = ((size + 511) / 512 * 512 - size).toInt
-        if (pad > 0) {
-          val scratch = new Array[Byte](pad)
-          require(readFullyOpt(scratch, pad),
-            s"corrupt tar: EOF inside padding after member '$name'")
+        val dot = name.indexOf('.')
+        require(dot > 0, s"tar member '$name' has no .ext — not a " +
+          "writeTarShards archive")
+        val ext = name.substring(dot + 1)
+        val total = (size + 511) / 512 * 512 // payload + padding
+        if (keep(ext)) {
+          val bytes = new Array[Byte](size.toInt)
+          require(readFullyOpt(bytes, size.toInt) || size == 0,
+            s"corrupt tar: EOF inside member '$name'")
+          val pad = (total - size).toInt
+          if (pad > 0) {
+            val scratch = new Array[Byte](pad)
+            require(readFullyOpt(scratch, pad),
+              s"corrupt tar: EOF inside padding after member '$name'")
+          }
+          pendingBytes = bytes
+        } else {
+          skipFully(in, total, s"member '$name'")
+          pendingBytes = null
         }
-        pendingName = name; pendingBytes = bytes
+        pendingName = name.substring(0, dot); pendingExt = ext
         true
       }
       private var started = false
@@ -975,20 +1010,16 @@ object Export {
       }
       override def next(): (String, Map[String, Array[Byte]]) = {
         if (!hasNext) throw new NoSuchElementException("end of archive")
-        val dot = pendingName.indexOf('.')
-        require(dot > 0, s"tar member '$pendingName' has no .ext — not a " +
-          "writeTarShards archive")
-        val key = pendingName.substring(0, dot)
-        var members = Map(pendingName.substring(dot + 1) -> pendingBytes)
-        pendingName = null; pendingBytes = null
+        val key = pendingName
+        var members = Map.empty[String, Array[Byte]]
+        if (pendingBytes != null) members += pendingExt -> pendingBytes
+        pendingName = null; pendingExt = null; pendingBytes = null
         var more = nextMember()
         while (more) {
-          val d = pendingName.indexOf('.')
-          require(d > 0, s"tar member '$pendingName' has no .ext")
-          if (pendingName.substring(0, d) != key) more = false
+          if (pendingName != key) more = false
           else {
-            members += pendingName.substring(d + 1) -> pendingBytes
-            pendingName = null; pendingBytes = null
+            if (pendingBytes != null) members += pendingExt -> pendingBytes
+            pendingName = null; pendingExt = null; pendingBytes = null
             more = nextMember()
           }
         }
@@ -1002,11 +1033,15 @@ object Export {
     * their raw members (absent member → null), the shard from the
     * directory identity. Archives are STREAMED via the filesystem API (one
     * executor task per archive, one member in memory at a time) — no
-    * binaryFile 2 GiB ceiling. */
+    * binaryFile 2 GiB ceiling. A non-empty `wanted` prunes at the MEMBER
+    * level: unrequested binary payloads (and the `.json` member, when no
+    * data column is requested) are skipped in the stream without
+    * allocation — the metadata-scan path for multimodal shards. */
   private def tarShardFrame(spark: SparkSession, dir: String,
                             ddl: String, binCols: Seq[String],
                             keyCol: String, shardCol: String,
-                            only: Set[Long] = Set.empty): DataFrame = {
+                            only: Set[Long] = Set.empty,
+                            wanted: Set[String] = Set.empty): DataFrame = {
     import spark.implicits._
     val (hfs, root) = fs(spark, dir)
     val files = dataFileList(shardListing(hfs,
@@ -1022,8 +1057,24 @@ object Export {
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
-    val hasJson = ddl.nonEmpty
-    val bins = binCols
+    val dataNames =
+      if (ddl.nonEmpty)
+        org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames.toSeq
+      else Nil
+    if (wanted.nonEmpty) {
+      val legal = Set(keyCol, shardCol) ++ dataNames ++ binCols
+      val unknown = wanted -- legal
+      require(unknown.isEmpty,
+        s"readTarShards: unknown columns ${unknown.mkString(",")}; " +
+          s"export has ${legal.mkString(",")}")
+    }
+    val hasJson = ddl.nonEmpty &&
+      (wanted.isEmpty || dataNames.exists(wanted))
+    val bins =
+      if (wanted.isEmpty) binCols else binCols.filter(wanted)
+    val keepExt: String => Boolean =
+      if (wanted.isEmpty) _ => true
+      else { val b = bins.toSet; e => (e == "json" && hasJson) || b(e) }
     val rows = spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size, 64)))
       .flatMap { case (shard, uri) =>
@@ -1038,7 +1089,7 @@ object Export {
         // closing on exhaustion is safe; a parse failure fails the task,
         // which closes the stream via JVM teardown of the attempt
         new Iterator[(String, Option[String], Seq[Array[Byte]], Long)] {
-          private val it = tarSamples(in)
+          private val it = tarSamples(in, keepExt)
           private var closed = false
           override def hasNext: Boolean = {
             val h = it.hasNext
@@ -1063,8 +1114,9 @@ object Export {
         require(!schema.fieldNames.contains(keyCol) &&
           !schema.fieldNames.contains(shardCol),
           s"tar manifest schema must not contain '$keyCol'/'$shardCol'")
-        schema.fieldNames.toSeq.map(f =>
-          from_json(col("__json"), schema).getField(f).as(f))
+        schema.fieldNames.toSeq
+          .filter(f => wanted.isEmpty || wanted(f))
+          .map(f => from_json(col("__json"), schema).getField(f).as(f))
       } else Nil
     val binSel = bins.zipWithIndex.map { case (c, i) =>
       col("__bins").getItem(i).as(c)
@@ -1077,10 +1129,16 @@ object Export {
   /** Read named shards of a tar export (all shards when `shards` is empty)
     * under the manifest's recorded schema and column lists — the
     * [[readShards]] contract for the WebDataset-style format. Only the
-    * named shards' archives are opened. */
+    * named shards' archives are opened, and a non-empty `columns` prunes
+    * at the tar-MEMBER level: unrequested binary payloads are skipped in
+    * the stream without allocation (and the `.json` member isn't parsed
+    * when no data column is requested) — so a metadata scan over a
+    * multimodal shard store never decodes the image/audio/video bytes.
+    * The key and shard columns are identity and always present. */
   def readTarShards(spark: SparkSession, dir: String,
                     shards: Seq[Long] = Nil,
-                    shardCol: String = "shard"): DataFrame = {
+                    shardCol: String = "shard",
+                    columns: Seq[String] = Nil): DataFrame = {
     val tree = manifestTree(spark, dir)
     require(Option(tree.get("format")).map(_.asText).contains("tar"),
       s"manifest at $dir is not a writeTarShards export")
@@ -1094,7 +1152,8 @@ object Export {
     val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
     // prune at the FILE LIST, not post-hoc: only the named shards'
     // archives are ever opened
-    tarShardFrame(spark, dir, ddl, binCols, key, shardCol, shards.toSet)
+    tarShardFrame(spark, dir, ddl, binCols, key, shardCol, shards.toSet,
+      columns.toSet)
   }
 
   // ── TFRecord shards ────────────────────────────────────────────────────

@@ -355,6 +355,46 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("tar reads prune at the member level: payloads skipped, json " +
+    "unparsed when unrequested") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-tarpr").toString
+    try {
+      val rows = Seq(
+        (1L, "p1", "alpha", Array[Byte](1, 2, 3), Array[Byte](9), 0L),
+        (2L, "p2", "beta", null.asInstanceOf[Array[Byte]], Array[Byte](8), 0L))
+      val df = rows.toDF("doc_id", "key", "text", "img", "aud", "shard")
+      Export.writeTarShards(df, dir)
+      // metadata-only scan: no binary member is ever allocated
+      val meta = Export.readTarShards(spark, dir,
+        columns = Seq("doc_id", "text"))
+      assert(meta.columns.toSeq === Seq("key", "doc_id", "text", "shard"))
+      assert(meta.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet ===
+        Set((1L, "alpha"), (2L, "beta")))
+      // one payload requested: the OTHER payload is skipped, json unparsed
+      val one = Export.readTarShards(spark, dir, columns = Seq("aud"))
+      assert(one.columns.toSeq === Seq("key", "aud", "shard"))
+      assert(one.collect().map(r =>
+        r.getAs[Array[Byte]]("aud").toSeq).toSet ===
+        Set(Seq[Byte](9), Seq[Byte](8)))
+      // key/shard-only scan decodes nothing at all
+      assert(Export.readTarShards(spark, dir, columns = Seq("key"))
+        .collect().map(_.getString(0)).toSet === Set("p1", "p2"))
+      // an unknown column refuses up front
+      val e = intercept[IllegalArgumentException](
+        Export.readTarShards(spark, dir, columns = Seq("nope")).collect())
+      assert(e.getMessage.contains("unknown columns"))
+      // and the unpruned read still returns everything (null img survives)
+      val full = Export.readTarShards(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          Option(r.getAs[Array[Byte]]("img")).map(_.toSeq).orNull)).toMap
+      assert(full(1L) === Seq[Byte](1, 2, 3) && full(2L) === null)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("maskedCrc32c matches the public TFRecord framing spec on the " +
     "canonical CRC32C vector") {
     // CRC32C("123456789") = 0xE3069283 is THE published Castagnoli check
