@@ -96,6 +96,62 @@ object Audit {
       .orderBy("col_name")
   }
 
+  /** Per-group mergeable-profile PARTIALS: for each `groupCol` value and
+    * each column, the row/null counts and canonical min/max — numeric
+    * canonicals in typed BIGINT carrier columns, strings in their own, so
+    * the later merge orders numerically, never lexicographically on a
+    * rendering ("10" < "9" is the trap). This is the per-shard/per-day
+    * artifact a 100 TB pipeline persists; [[mergePartials]] rolls any
+    * subset up without touching the data again. */
+  def profilePartials(df: DataFrame, groupCol: String): DataFrame = {
+    require(df.columns.contains(groupCol),
+      s"profilePartials: no '$groupCol' column in ${df.columns.mkString(",")}")
+    val fields = df.schema.fields.toSeq.sortBy(_.name)
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val isStr = f.dataType == StringType
+      val k = canon(c, f.dataType)
+      Seq(
+        count(lit(1)).as(s"${f.name}__n"),
+        (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
+        (if (isStr) lit(null).cast("bigint") else min(k))
+          .as(s"${f.name}__minb"),
+        (if (isStr) lit(null).cast("bigint") else max(k))
+          .as(s"${f.name}__maxb"),
+        (if (isStr) min(k) else lit(null).cast("string"))
+          .as(s"${f.name}__mins"),
+        (if (isStr) max(k) else lit(null).cast("string"))
+          .as(s"${f.name}__maxs"))
+    }
+    df.groupBy(col(groupCol).as("__group"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__group"), explode(array(fields.map(f => struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__n").as("n_rows"),
+        col(s"${f.name}__nnull").as("n_null"),
+        col(s"${f.name}__minb").as("min_b"),
+        col(s"${f.name}__maxb").as("max_b"),
+        col(s"${f.name}__mins").as("min_s"),
+        col(s"${f.name}__maxs").as("max_s"))): _*)).as("p"))
+      .select(col("__group").as(groupCol), col("p.*"))
+  }
+
+  /** Roll [[profilePartials]] up to the [[mergeableProfile]] shape:
+    * counts add, mins/maxes compose on the TYPED carriers, and only the
+    * merged result renders to the uniform string schema. Merging every
+    * group reproduces the direct whole-table profile exactly (the x197
+    * oracle contract); merging a subset profiles that subset. */
+  def mergePartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
+        min(col("min_s")).as("min_s"), max(col("max_s")).as("max_s"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("min_b").cast("string"), col("min_s")).as("min_c"),
+        coalesce(col("max_b").cast("string"), col("max_s")).as("max_c"))
+      .orderBy("col_name")
+
   /** Child rows whose `childKey` has no match in `parent.parentKey` — the
     * orphan-foreign-key frame, NULL keys included (a NULL FK can never
     * match and is its own violation). Anti-join on the key columns only. */

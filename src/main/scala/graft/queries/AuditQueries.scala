@@ -94,6 +94,36 @@ object AuditQueries {
               FROM l
               ORDER BY col_name""")),
 
+    // x197 — per-shard profile ROLLUP: compute mergeable-profile partials
+    // per source (the artifact a 100 TB pipeline persists per shard/day —
+    // typed carriers, so the merge orders numerically, never on a string
+    // rendering), then merge them WITHOUT touching the data again. The
+    // oracle computes the direct whole-table statistics — hash equality IS
+    // the proof that rollup ≡ direct, the mergeability contract.
+    QueryDef("x197_profile_rollup",
+      (s, d) => Audit.mergePartials(
+        Audit.profilePartials(Tables.documents(s, d), "source")),
+      Some("""SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                     count(*) - count(doc_id) AS n_null,
+                     CAST(min(CAST(doc_id AS BIGINT)) AS VARCHAR) AS min_c,
+                     CAST(max(CAST(doc_id AS BIGINT)) AS VARCHAR) AS max_c
+              FROM documents
+              UNION ALL
+              SELECT 'lang', count(*), count(*) - count(lang),
+                     min(lang), max(lang) FROM documents
+              UNION ALL
+              SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                     CAST(min(CAST(n_chars AS BIGINT)) AS VARCHAR),
+                     CAST(max(CAST(n_chars AS BIGINT)) AS VARCHAR)
+              FROM documents
+              UNION ALL
+              SELECT 'source', count(*), count(*) - count(source),
+                     min(source), max(source) FROM documents
+              UNION ALL
+              SELECT 'text', count(*), count(*) - count(text),
+                     min(text), max(text) FROM documents
+              ORDER BY col_name""")),
+
     // x194b — streaming profile parity gate: the mergeable profile subset
     // (row/null counts, canonical min/max — everything but exact distinct,
     // which is non-mergeable by nature; streams carry an HLL beside it,

@@ -63,6 +63,28 @@ class AuditSpec extends SparkSpec {
     assert(dup.head.getAs[Long]("n_rows") === 2L)
   }
 
+  test("profile partials merge to exactly the direct mergeable profile, " +
+    "numeric order preserved") {
+    import spark.implicits._
+    // values chosen so lexicographic merge of renderings would be WRONG:
+    // min(9, 10) = 9 numerically but "10" < "9" as strings
+    val df = Seq(
+      (9L, Some("b"), "g1"), (10L, None, "g2"), (100L, Some("a"), "g2"))
+      .toDF("v", "s", "grp")
+    val direct = Audit.mergeableProfile(df).collect().map(_.toSeq).toSet
+    val rolled = Audit.mergePartials(Audit.profilePartials(df, "grp"))
+      .collect().map(_.toSeq).toSet
+    assert(rolled === direct)
+    val v = Audit.mergePartials(Audit.profilePartials(df, "grp"))
+      .filter(col("col_name") === "v").head
+    assert(v.getAs[String]("min_c") === "9" && v.getAs[String]("max_c") === "100")
+    // merging a SUBSET of partials profiles that subset
+    val sub = Audit.mergePartials(
+      Audit.profilePartials(df, "grp").filter(col("grp") === "g2"))
+      .filter(col("col_name") === "v").head
+    assert(sub.getAs[String]("min_c") === "10")
+  }
+
   test("integrity audit matches the catalog tables' real state, orphan " +
     "anti-joins broadcast") {
     val res = graft.SparkEntry.queries("x195_integrity_audit")(

@@ -385,6 +385,16 @@ class ExportSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         Export.readTarShards(spark, dir, columns = Seq("nope")).collect())
       assert(e.getMessage.contains("unknown columns"))
+      // pruning works through COMPRESSED streams too (skip() on gzip and
+      // zstd discards decompressed bytes; short-skip fallback covered)
+      for (comp <- Seq("gzip", "zstd")) {
+        val cd = s"$dir-$comp"
+        Export.writeTarShards(df, cd, compression = comp)
+        val m = Export.readTarShards(spark, cd, columns = Seq("doc_id"))
+          .collect().map(r => r.getAs[Long]("doc_id")).toSet
+        assert(m === Set(1L, 2L), s"pruned $comp read lost rows")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cd))
+      }
       // and the unpruned read still returns everything (null img survives)
       val full = Export.readTarShards(spark, dir).collect()
         .map(r => (r.getAs[Long]("doc_id"),
