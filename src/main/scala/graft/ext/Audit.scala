@@ -156,10 +156,15 @@ object Audit {
     * orphan-foreign-key frame, NULL keys included (a NULL FK can never
     * match and is its own violation). Anti-join on the key columns only. */
   def orphans(child: DataFrame, childKey: String,
-              parent: DataFrame, parentKey: String): DataFrame =
-    child.join(
-      parent.select(col(parentKey)).na.drop().distinct(),
-      child(childKey) === col(parentKey), "left_anti")
+              parent: DataFrame, parentKey: String): DataFrame = {
+    // own alias for the parent key: childKey == parentKey (the common
+    // self-named-id case) would otherwise make the join condition
+    // ambiguous between the two sides
+    val keys = parent.select(col(parentKey).as("__graft_parent_key"))
+      .na.drop().distinct()
+    child.join(keys,
+      child(childKey) === keys("__graft_parent_key"), "left_anti")
+  }
 
   /** Key tuples appearing more than once — the duplicate-primary-key
     * frame: one row per violating key with its multiplicity. */

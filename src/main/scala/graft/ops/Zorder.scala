@@ -48,15 +48,30 @@ object Zorder {
     * from one aggregate over `df` itself and attached as a broadcast
     * scalar (no second pass at the consumer). */
   def withZValue(df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(!df.columns.contains("zval"),
+      "withZValue/clusterByZ reserve a 'zval' column (clusterByZ DROPS it " +
+        "after sorting — an input column of that name would be lost); " +
+        "rename yours first")
+    // (c - lo) * 65535 must fit a BIGINT: ranges wider than 2^47 would
+    // wrap silently in non-ANSI mode and cluster garbage (and throw under
+    // ANSI) — refuse loudly instead
     val bounds = df.agg(
       min(col(colA).cast("long")).as("__alo"),
       max(col(colA).cast("long")).as("__ahi"),
       min(col(colB).cast("long")).as("__blo"),
       max(col(colB).cast("long")).as("__bhi"))
+    // the guard rides INSIDE zval (always consumed), so Catalyst cannot
+    // prune it away before it fires
+    val rangeOk =
+      (col("__ahi") - col("__alo") <= lit(Long.MaxValue / 65535L)) &&
+        (col("__bhi") - col("__blo") <= lit(Long.MaxValue / 65535L))
     df.crossJoin(broadcast(bounds))
-      .withColumn("zval", zvalue2(
-        col(colA), col("__alo"), col("__ahi"),
-        col(colB), col("__blo"), col("__bhi")))
+      .withColumn("zval", when(rangeOk, zvalue2(
+          col(colA), col("__alo"), col("__ahi"),
+          col(colB), col("__blo"), col("__bhi")))
+        .otherwise(raise_error(lit(
+          "zorder: a dimension range exceeds 2^47 - (c-lo)*65535 would " +
+            "overflow BIGINT; pre-bucket the column first")).cast("long")))
       .drop("__alo", "__ahi", "__blo", "__bhi")
   }
 

@@ -50,6 +50,13 @@ class AuditSpec extends SparkSpec {
     val bad = Audit.orphans(child, "fk", parent, "pk")
       .select("payload").as[String].collect().toSet
     assert(bad === Set("b", "c")) // 9 unmatched, null never matches
+    // child and parent sharing the key NAME must not make the join
+    // condition ambiguous (the common self-named-id case)
+    val sameName = Audit.orphans(
+      Seq((1L, "a"), (9L, "b")).toDF("id", "payload"),
+      "id", Seq(1L).toDF("id"), "id")
+      .select("payload").as[String].collect().toSet
+    assert(sameName === Set("b"))
   }
 
   test("duplicateKeys reports violating key tuples with multiplicity") {

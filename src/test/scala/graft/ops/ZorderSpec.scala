@@ -54,6 +54,23 @@ class ZorderSpec extends SparkSpec {
     assert(z(3L) === refZ(15L, 10L, 20L, 150L, 100L, 200L))
   }
 
+  test("zval name collisions and overflow-wide ranges refuse loudly") {
+    import spark.implicits._
+    // a pre-existing zval column would be silently dropped by clusterByZ
+    val clash = Seq((1L, 2L, 3L)).toDF("a", "b", "zval")
+    val e = intercept[IllegalArgumentException](
+      Zorder.withZValue(clash, "a", "b"))
+    assert(e.getMessage.contains("zval"))
+    // a dimension range beyond 2^47 would overflow (c-lo)*65535: the guard
+    // rides inside zval, so it fires at evaluation instead of clustering
+    // garbage
+    val wide = Seq((0L, 1L), (Long.MaxValue - 1L, 2L)).toDF("a", "b")
+    val e2 = intercept[Exception](
+      Zorder.withZValue(wide, "a", "b").collect())
+    assert(e2.getMessage.contains("2^47") ||
+      Option(e2.getCause).exists(_.getMessage.contains("2^47")))
+  }
+
   test("a z-clustered write is narrow on BOTH dimensions per file where a " +
     "random layout is wide") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
