@@ -44,35 +44,32 @@ object Zorder {
     spread16(normalize16(a, aLo, aHi))
       .bitwiseOR(shiftleft(spread16(normalize16(b, bLo, bHi)), 1))
 
-  /** `df` with a `zval` column over two integral dimensions, bounds taken
-    * from one aggregate over `df` itself and attached as a broadcast
-    * scalar (no second pass at the consumer). */
+  /** `df` with a `zval` column over two integral dimensions. The bounds
+    * come from one EAGER aggregate over `df` (a 1-row job at call time)
+    * and enter the plan as literals — the z expression stays a pure
+    * codegen'd function of the two columns with no join attached, and the
+    * overflow check runs on the driver: ranges wider than 2^47 would make
+    * `(c - lo) * 65535` wrap BIGINT in non-ANSI mode and cluster garbage
+    * (an earlier in-plan `when`/`raise_error` guard cost 9× on the sort —
+    * measured — which is why the check is driver-side). */
   def withZValue(df: DataFrame, colA: String, colB: String): DataFrame = {
     require(!df.columns.contains("zval"),
       "withZValue/clusterByZ reserve a 'zval' column (clusterByZ DROPS it " +
         "after sorting — an input column of that name would be lost); " +
         "rename yours first")
-    // (c - lo) * 65535 must fit a BIGINT: ranges wider than 2^47 would
-    // wrap silently in non-ANSI mode and cluster garbage (and throw under
-    // ANSI) — refuse loudly instead
-    val bounds = df.agg(
-      min(col(colA).cast("long")).as("__alo"),
-      max(col(colA).cast("long")).as("__ahi"),
-      min(col(colB).cast("long")).as("__blo"),
-      max(col(colB).cast("long")).as("__bhi"))
-    // the guard rides INSIDE zval (always consumed), so Catalyst cannot
-    // prune it away before it fires
-    val rangeOk =
-      (col("__ahi") - col("__alo") <= lit(Long.MaxValue / 65535L)) &&
-        (col("__bhi") - col("__blo") <= lit(Long.MaxValue / 65535L))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("zval", when(rangeOk, zvalue2(
-          col(colA), col("__alo"), col("__ahi"),
-          col(colB), col("__blo"), col("__bhi")))
-        .otherwise(raise_error(lit(
-          "zorder: a dimension range exceeds 2^47 - (c-lo)*65535 would " +
-            "overflow BIGINT; pre-bucket the column first")).cast("long")))
-      .drop("__alo", "__ahi", "__blo", "__bhi")
+    val b = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+    if (b.isNullAt(0) || b.isNullAt(2)) // empty (or all-null) frame
+      return df.withColumn("zval", lit(0L))
+    val (alo, ahi, blo, bhi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    require(ahi - alo <= Long.MaxValue / 65535L &&
+      bhi - blo <= Long.MaxValue / 65535L,
+      "zorder: a dimension range exceeds 2^47 — (c-lo)*65535 would " +
+        "overflow BIGINT; pre-bucket the column first")
+    df.withColumn("zval", zvalue2(
+      col(colA), lit(alo), lit(ahi), col(colB), lit(blo), lit(bhi)))
   }
 
   /** `df` clustered for a two-dimensional layout: range-partitioned and

@@ -61,14 +61,17 @@ class ZorderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Zorder.withZValue(clash, "a", "b"))
     assert(e.getMessage.contains("zval"))
-    // a dimension range beyond 2^47 would overflow (c-lo)*65535: the guard
-    // rides inside zval, so it fires at evaluation instead of clustering
+    // a dimension range beyond 2^47 would overflow (c-lo)*65535: the
+    // driver-side bounds check refuses at CALL time instead of clustering
     // garbage
     val wide = Seq((0L, 1L), (Long.MaxValue - 1L, 2L)).toDF("a", "b")
-    val e2 = intercept[Exception](
-      Zorder.withZValue(wide, "a", "b").collect())
-    assert(e2.getMessage.contains("2^47") ||
-      Option(e2.getCause).exists(_.getMessage.contains("2^47")))
+    val e2 = intercept[IllegalArgumentException](
+      Zorder.withZValue(wide, "a", "b"))
+    assert(e2.getMessage.contains("2^47"))
+    // an empty frame is total: zval attaches as 0, no rows, no crash
+    assert(Zorder.withZValue(
+      spark.emptyDataset[(Long, Long)].toDF("a", "b"), "a", "b")
+      .count() === 0L)
   }
 
   test("a z-clustered write is narrow on BOTH dimensions per file where a " +
