@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   * statistics plus one long-format pass for the exact distinct counts
   * (explode to (col, value), two-phase aggregate — deliberately NOT a
   * multi-distinct aggregate, whose N-branch Expand multiplies the row
-  * count by the column count; see profileFrame). At 100 TB swap the
-  * distinct pass for `approx_count_distinct` or per-shard HLL sketches
-  * (the x192 pattern) and [[mergeableProfile]] alone is a single scan.
+  * count by the column count; see profileFrame). At 100 TB use
+  * [[approxProfile]] — HLL distinct folded into the mergeable pass, the
+  * whole profile in a single scan — or per-shard sketches (x192 pattern).
   * [[orphans]]/[[duplicateKeys]] are an anti-join and a
   * self-aggregation on the key columns only — column pruning reaches the
   * scan, and a small parent side broadcasts.
@@ -33,12 +33,36 @@ object Audit {
   private def canon(c: Column, dt: DataType): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType => c.cast("bigint")
     case FloatType | DoubleType =>
-      round(c.cast("double") * lit(1e6)).cast("bigint")
+      // NaN casts to 0 in non-ANSI mode, which would silently corrupt the
+      // min (and the max of an all-negative column) — map it to NULL so
+      // the aggregates skip it. ±Infinity and |v| > ~9.2e12 saturate at
+      // the BIGINT bounds (non-ANSI double→long cast clamps): a profile
+      // min/max of ±Long bounds means "out of micros range", not a value.
+      when(isnan(c.cast("double")), lit(null).cast("bigint"))
+        .otherwise(round(c.cast("double") * lit(1e6)).cast("bigint"))
     case BooleanType => c.cast("bigint")
     case TimestampType | TimestampNTZType => unix_millis(c.cast("timestamp"))
     case DateType => unix_date(c).cast("bigint")
     case StringType => c
     case _ => c.cast("string")
+  }
+
+  /** A rendering that is INJECTIVE per column — all a distinct count
+    * needs — by the cheapest injective route per type: integrals/booleans
+    * via the long render, timestamps/dates as epoch numbers (the default
+    * timestamp cast runs a java.time formatter per value — measured ~25 %
+    * of the whole pass on a 3-timestamp table), doubles via Java's
+    * round-trip rendering, strings as themselves. Shared by the exact
+    * long-format distinct pass and the HLL pass so both count the same
+    * value space. */
+  private def injective(f: StructField): Column = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+      col(f.name).cast("bigint").cast("string")
+    case TimestampType | TimestampNTZType =>
+      unix_micros(col(f.name).cast("timestamp")).cast("string")
+    case DateType => unix_date(col(f.name)).cast("string")
+    case StringType => col(f.name)
+    case _ => col(f.name).cast("string")
   }
 
   /** Per-column profile of `df` in ONE aggregation: row count, null count,
@@ -54,6 +78,40 @@ object Audit {
     * instead. */
   def mergeableProfile(df: DataFrame): DataFrame =
     profileFrame(df, distinct = false)
+
+  /** The 100 TB form of [[profile]], made real rather than a comment: ONE
+    * aggregation pass computing the mergeable statistics AND an HLL++
+    * `approx_count_distinct` per column (itself mergeable — partial
+    * aggregation combines sketches map-side), so the whole profile is a
+    * single scan with no second long-format distinct pass. Same schema as
+    * [[profile]]; `n_distinct` is approximate with relative standard
+    * deviation `rsd` (HLL++ guarantee — probabilistic, not a hard bound;
+    * the x198b catalog gate checks it against the exact pass). Distinct is
+    * counted on the same [[injective]] rendering as the exact pass, so the
+    * two passes count the same value space. */
+  def approxProfile(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val fields = df.schema.fields.toSeq.sortBy(_.name)
+    require(fields.nonEmpty, "approxProfile of a zero-column frame")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__n"),
+        (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
+        approx_count_distinct(injective(f), rsd).as(s"${f.name}__nd"),
+        min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+        max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.map(f => struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__n").as("n_rows"),
+        col(s"${f.name}__nnull").as("n_null"),
+        col(s"${f.name}__nd").as("n_distinct"),
+        col(s"${f.name}__min").as("min_c"),
+        col(s"${f.name}__max").as("max_c"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
 
   private def profileFrame(df: DataFrame, distinct: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq.sortBy(_.name)
@@ -79,13 +137,12 @@ object Audit {
     // aggregate: N countDistinct columns in one agg plan as an N-branch
     // Expand (row count × column count with every branch dragging the
     // whole aggregate list — measured 22 s on 600 k × 11 columns where
-    // this shape runs in ~1 s). Values stringify first (injective per
-    // column — long/string/timestamp-millis trivially, doubles because
-    // Java's rendering round-trips), then two-phase aggregate:
-    // (col, value) partial-dedups map-side, count per col.
+    // this shape runs in ~1 s). Values render via [[injective]], then
+    // two-phase aggregate: (col, value) partial-dedups map-side, count
+    // per col.
     val kv = df.select(explode(array(fields.map(f => struct(
         lit(f.name).as("c"),
-        col(f.name).cast("string").as("v"))): _*)).as("kv"))
+        injective(f).as("v"))): _*)).as("kv"))
       .select(col("kv.c").as("c"), col("kv.v").as("v"))
     val distincts = kv.groupBy(col("c"))
       .agg(count_distinct(col("v")).as("n_distinct"))

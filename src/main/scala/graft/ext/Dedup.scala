@@ -601,8 +601,15 @@ object Dedup {
     * [[nearDupFlagger]] — shared by the in-memory build and the persisted
     * [[saveNearDupIndex]]/[[loadNearDupFlagger]] lifecycle. */
   private def nearDupPostings(reference: DataFrame, textCol: String,
-                              idCol: String, n: Int, maxDf: Int): DataFrame = {
-    val postings = hashedShingles(reference, textCol, idCol, n)
+                              idCol: String, n: Int, maxDf: Int): DataFrame =
+    nearDupPostingsOf(hashedShingles(reference, textCol, idCol, n), maxDf)
+
+  /** [[nearDupPostings]] over a PREBUILT [[hashedShingles]] frame — the
+    * flagger-build twin of [[containmentPairsOf]]: a pipeline that already
+    * carries the corpus shingle frame (the shared-upstream discipline)
+    * freezes its reference postings from it without re-tokenizing. */
+  private def nearDupPostingsOf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val postings = sh
       .select(col("doc_id").as("ref_id"), col("n_sh").as("nb"),
         explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -670,6 +677,21 @@ object Dedup {
                          n: Int, threshold: Double,
                          maxDf: Int = Int.MaxValue): Retriever = {
     val capped = nearDupPostings(reference, textCol, idCol, n, maxDf).persist()
+    new Retriever(containAgainst(capped, textCol, idCol, n, threshold),
+      () => capped.unpersist())
+  }
+
+  /** [[containmentFlagger]] with the reference postings frozen from a
+    * PREBUILT [[hashedShingles]] frame (filter the shared corpus shingle
+    * frame to the reference subset and pass it here — no re-shingling),
+    * materialized at build time so the first probe batch pays probe cost
+    * only. `n` must match the shingle width the frame was built with (it
+    * names the probe-side shingling). */
+  def containmentFlaggerOf(sh: DataFrame, textCol: String, idCol: String,
+                           n: Int, threshold: Double,
+                           maxDf: Int = Int.MaxValue): Retriever = {
+    val capped = nearDupPostingsOf(sh, maxDf).persist()
+    capped.count()
     new Retriever(containAgainst(capped, textCol, idCol, n, threshold),
       () => capped.unpersist())
   }

@@ -856,9 +856,16 @@ object Export {
         def closeCurrent(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // end-of-archive marker
           out.close(); raw = null; out = null
-          if (tfs.exists(fin)) tfs.delete(fin, false)
-          require(tfs.rename(tmp, fin),
-            s"writeTarShards: could not move $tmp into place at $fin")
+          // First-committer-wins, never delete-then-rename: a duplicate
+          // (speculative/zombie) attempt must not un-commit the attempt
+          // that already renamed — archives are deterministic (same
+          // sorted rows, fixed member metadata), so an existing
+          // destination IS this archive and losing the race is success.
+          if (!tfs.rename(tmp, fin)) {
+            require(tfs.exists(fin),
+              s"writeTarShards: could not move $tmp into place at $fin")
+            tfs.delete(tmp, false)
+          }
         }
         try {
           it.foreach { row =>
@@ -1085,15 +1092,20 @@ object Export {
           else if (uri.endsWith(".zst"))
             new com.github.luben.zstd.ZstdInputStream(rawIn)
           else rawIn
-        // the task consumes the iterator fully before the next file, so
-        // closing on exhaustion is safe; a parse failure fails the task,
-        // which closes the stream via JVM teardown of the attempt
+        // close on task completion, not only on iterator exhaustion: a
+        // partially-consumed scan (limit/take/early abort) never drains
+        // the iterator, and an unclosed zstd/gzip stream pins native
+        // resources for the executor's lifetime
         new Iterator[(String, Option[String], Seq[Array[Byte]], Long)] {
           private val it = tarSamples(in, keepExt)
           private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; try in.close() finally () }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !closed) { closed = true; in.close() }
+            if (!h) closeOnce()
             h
           }
           override def next(): (String, Option[String], Seq[Array[Byte]], Long) = {
@@ -1337,9 +1349,15 @@ object Export {
         var fin: Path = null
         def closeCurrent(): Unit = if (out != null) {
           out.close(); out = null
-          if (tfs.exists(fin)) tfs.delete(fin, false)
-          require(tfs.rename(tmp, fin),
-            s"writeTfrecordShards: could not move $tmp into place at $fin")
+          // First-committer-wins (see writeTarShards.closeCurrent): never
+          // delete an existing destination; losing the rename race to a
+          // duplicate attempt is success because shard files are
+          // deterministic functions of the sorted partition.
+          if (!tfs.rename(tmp, fin)) {
+            require(tfs.exists(fin),
+              s"writeTfrecordShards: could not move $tmp into place at $fin")
+            tfs.delete(tmp, false)
+          }
         }
         try {
           it.foreach { row =>
@@ -1592,9 +1610,15 @@ object Export {
         val it = tfrecordRecords(in)
         new Iterator[Row] {
           private var closed = false
+          // close on task completion too (see tarShardFrame): a limit()
+          // or early abort never exhausts the iterator
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; try in.close() finally () }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
           override def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !closed) { closed = true; in.close() }
+            if (!h) closeOnce()
             h
           }
           override def next(): Row = {

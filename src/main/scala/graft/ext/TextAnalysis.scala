@@ -738,11 +738,45 @@ object TextAnalysis {
     * State is one ~1.5 MB sketch at the defaults — constant for the life
     * of the stream, the property that makes per-day token monitoring
     * viable at 100 TB/day. NOT thread-safe: call from one foreachBatch
-    * loop (Structured Streaming serializes batches per query). */
+    * loop (Structured Streaming serializes batches per query).
+    *
+    * RECOVERY CONTRACT (the kill-and-resume path, pinned in
+    * StreamingSpec): the sketch lives on the DRIVER, outside Spark's
+    * checkpoint, so a restarted query needs two things — [[serialize]]
+    * the monitor after each batch (persist the bytes anywhere durable)
+    * and restore via [[TextAnalysis.cmsMonitorFrom]], and ingest through
+    * [[ingestOnce]] with the foreachBatch batchId: a checkpointed source
+    * re-delivers the in-flight batch after a restart (at-least-once), and
+    * the batchId guard is what makes the merge exactly-once. The
+    * serialized form carries the last-merged batchId WITH the sketch so
+    * the pair can never drift apart. */
   final class CmsMonitor private[TextAnalysis] (
-      eps: Double, conf: Double, seed: Int, textCol: String) {
-    private val sketch =
-      org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+      eps: Double, conf: Double, seed: Int, textCol: String,
+      restored: Option[(Long, Array[Byte])] = None) {
+    private val sketch = restored match {
+      case Some((_, bytes)) => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      case None =>
+        org.apache.spark.util.sketch.CountMinSketch.create(eps, conf, seed)
+    }
+    private var lastBatchId: Long = restored.map(_._1).getOrElse(-1L)
+
+    /** Count one micro-batch's tokens into the running sketch IF this
+      * batchId has not been merged yet — the idempotency a restarted
+      * checkpointed query needs (batchIds are monotone per query). */
+    def ingestOnce(batch: DataFrame, batchId: Long): Unit =
+      if (batchId > lastBatchId) { ingest(batch); lastBatchId = batchId }
+
+    /** The monitor's full recovery state: last-merged batchId + sketch
+      * bytes. Restore with [[TextAnalysis.cmsMonitorFrom]]. */
+    def serialize(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeLong(lastBatchId)
+      sketch.writeTo(out)
+      out.close()
+      bos.toByteArray
+    }
 
     /** Count one micro-batch's tokens into the running sketch. */
     def ingest(batch: DataFrame): Unit = {
@@ -770,6 +804,20 @@ object TextAnalysis {
   def cmsMonitor(eps: Double = 1e-4, conf: Double = 0.999, seed: Int = 42,
                  textCol: String = "text"): CmsMonitor =
     new CmsMonitor(eps, conf, seed, textCol)
+
+  /** Restore a [[CmsMonitor]] from [[CmsMonitor.serialize]] bytes. The
+    * eps/conf/seed MUST match the values the monitor was created with
+    * (they drive the per-batch distributed agg and the slack bound; the
+    * sketch's own dimensions travel in the bytes). */
+  def cmsMonitorFrom(bytes: Array[Byte], eps: Double = 1e-4,
+                     conf: Double = 0.999, seed: Int = 42,
+                     textCol: String = "text"): CmsMonitor = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val lastBatchId = in.readLong()
+    val rest = in.readAllBytes()
+    new CmsMonitor(eps, conf, seed, textCol, Some((lastBatchId, rest)))
+  }
 
   /** Category blocklist screening (the C4/RefinedWeb word-list rule as a
     * configurable operator): per doc, word-boundary hit counts for each

@@ -59,13 +59,20 @@ object Zorder {
         "rename yours first")
     val b = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
     if (b.isNullAt(0) || b.isNullAt(2)) // empty (or all-null) frame
       return df.withColumn("zval", lit(0L))
     val (alo, ahi, blo, bhi) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    require(ahi - alo <= Long.MaxValue / 65535L &&
-      bhi - blo <= Long.MaxValue / 65535L,
+    // The range itself can wrap Long (alo near MinValue, ahi near
+    // MaxValue), which would make a naive `ahi - alo <= bound` check pass
+    // on a negative wrapped value — compute it exactly and treat overflow
+    // as the same refusal.
+    def rangeOf(lo: Long, hi: Long): Long =
+      try Math.subtractExact(hi, lo)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    require(rangeOf(alo, ahi) <= Long.MaxValue / 65535L &&
+      rangeOf(blo, bhi) <= Long.MaxValue / 65535L,
       "zorder: a dimension range exceeds 2^47 — (c-lo)*65535 would " +
         "overflow BIGINT; pre-bucket the column first")
     df.withColumn("zval", zvalue2(

@@ -25,8 +25,8 @@ object AuditQueries {
     // compares is a BIGINT or a raw string; no float ever renders.
     // Scale: one mergeable-stats pass + one long-format distinct pass
     // (never the N-branch multi-distinct Expand — 22× slower measured);
-    // the 100 TB form swaps the distinct pass for approx_count_distinct
-    // or per-shard HLL sketches (x192).
+    // the 100 TB form — approx_count_distinct folded into the one
+    // mergeable pass — is real code: Audit.approxProfile, catalog x198.
     QueryDef("x194_table_profile",
       (s, d) => Audit.profile(Tables.lineitem(s, d)),
       Some("""WITH l AS (SELECT * FROM lineitem)
@@ -168,6 +168,43 @@ object AuditQueries {
           .toDF("profile_stream_ok")
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS profile_stream_ok")),
+
+    // x198 — the single-scan approx profile (the documented 100 TB form of
+    // x194, made real): mergeable statistics AND HLL++ approx distinct in
+    // ONE aggregation pass — no second long-format pass, every statistic
+    // partial-aggregates map-side. Rows-only by design: HLL estimates are
+    // engine-specific (DuckDB's HLL differs); x198b is the companion gate.
+    QueryDef("x198_approx_profile",
+      (s, d) => Audit.approxProfile(Tables.lineitem(s, d)),
+      None),
+
+    // x198b — approx-profile bound gate (the x99b discipline): the exact
+    // x194 profile and the one-scan x198 profile must agree EXACTLY on
+    // every mergeable statistic (rows, nulls, min, max), and each HLL
+    // distinct estimate must sit within 5×rsd relative error of the exact
+    // count (rsd=0.05 → ±25 % — generous because HLL++'s rsd is a standard
+    // deviation, not a hard bound; observed error at this scale is < 5 %).
+    // Bounded: two one-pass aggregates over lineitem, |columns| rows each.
+    QueryDef("x198b_approx_profile_gate",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val rsd = 0.05
+        val exact = Audit.profile(li).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getString(4), r.getString(5)))).toMap
+        val approx = Audit.approxProfile(li, rsd).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getString(4), r.getString(5)))).toMap
+        val ok = exact.nonEmpty && exact.keySet == approx.keySet &&
+          exact.forall { case (c, (n, nn, nd, mn, mx)) =>
+            val (an, ann, and, amn, amx) = approx(c)
+            an == n && ann == nn && amn == mn && amx == mx &&
+              math.abs(and - nd) <= math.max(2.0, 5 * rsd * nd)
+          }
+        Seq(ok).toDF("approx_profile_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS approx_profile_ok")),
 
     // x195 — relational integrity audit: orphan foreign keys (NULL FK
     // counts as its own orphan — it can never match), duplicate primary

@@ -137,22 +137,32 @@ object BehavioralQueries {
         val fun = graft.SparkEntry.queries("x161_event_funnel")(s, d)
           .filter(col("t3_ms").isNotNull)
           .select((col("t3_ms") - col("t1_ms")).as("lat"))
-        // rank + global count windows over ONE ROW PER COMPLETED USER (a
-        // per-user aggregate, never the event stream); ties in `lat` make
-        // the k-th VALUE tie-order-invariant, so the unqualified orderBy
-        // is value-deterministic
-        fun
-          .withColumn("r", row_number().over(Window.orderBy(col("lat"))))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(lit(1))))
-          .agg(count(lit(1)).as("n_completed"),
+        // histogram-cumsum order statistics (the x76 idiom): group the
+        // per-user latencies into a (lat, cnt) histogram, cumulative-sum
+        // over the histogram, and read the k-th smallest as the first
+        // value whose running count reaches k. The one unpartitioned
+        // window runs over DISTINCT latency values — bounded by the
+        // latency range, not the user count — where the previous
+        // row_number form sorted a users-sized frame on one partition.
+        val hist = fun.groupBy(col("lat")).agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy(col("lat"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // total `n` via a second window over the SAME histogram rows (not
+        // a crossJoin of a separate aggregate, which would recompute the
+        // whole funnel subtree a second time)
+        val wall = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        hist
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("n", sum(col("cnt")).over(wall))
+          .agg(coalesce(max(col("cum")), lit(0L)).as("n_completed"),
             min(col("lat")).as("min_ms"),
-            min(when(col("r") === expr("(n + 1) div 2"), col("lat")))
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("lat")))
               .as("p50_ms"),
-            min(when(col("r") === expr("(9 * n + 9) div 10"), col("lat")))
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lat")))
               .as("p90_ms"),
             max(col("lat")).as("max_ms"),
-            expr("CAST(sum(lat) div count(1) AS BIGINT)").as("mean_ms"))
+            expr("CAST(sum(lat * cnt) div sum(cnt) AS BIGINT)").as("mean_ms"))
       },
       Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
                    v AS (SELECT user_id, min(ms) AS t1 FROM e

@@ -564,13 +564,19 @@ object DedupQueries {
         import s.implicits._
         implicit val sq = s.sqlContext
         val docs = Tables.documents(s, d)
-        val expected = Dedup.containmentPairs(docs, "text", "doc_id",
-            n = 3, threshold = 0.8)
+        // both the expected pair set and the frozen reference postings
+        // derive from the SHARED corpus shingle frame (input-frame
+        // sharing, the shinglesShared discipline) — the corpus is
+        // tokenized+hashed once for the whole family, with the parity
+        // restriction pushed into the plan instead of a driver-side sieve
+        val sh = shinglesShared(s, d)
+        val expected = Dedup.containmentPairsOf(sh, threshold = 0.8)
+          .filter(col("ia") % 2 =!= col("ib") % 2)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-          .collect { case (a, b, c) if a % 2 != b % 2 =>
+          .map { case (a, b, c) =>
             if (a % 2 == 1) (a, b, c) else (b, a, c) }.toSet
-        val flag = Dedup.containmentFlagger(
-          docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        val flag = Dedup.containmentFlaggerOf(
+          sh.filter(col("doc_id") % 2 === 0), "text", "doc_id",
           n = 3, threshold = 0.8)
         try {
           val rows = docs.filter(col("doc_id") % 2 =!= 0)

@@ -413,4 +413,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain") || p.contains("bloomfilter"),
       s"runtime bloom filter was not injected into the fact-side scan:\n$p")
   }
+
+  test("x165 order statistics run over the latency histogram, never a users-sized frame") {
+    val p = plan("x165_funnel_latency")
+    // every Window input must carry the histogram's `cnt` column — a
+    // window whose input lacks it is the old row_number-per-user form, a
+    // single-partition sort of one row PER COMPLETED USER at 100 TB; the
+    // histogram frame is bounded by the distinct-latency range instead
+    val windowInputs = """\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windowInputs.nonEmpty, s"x165 lost its window entirely:\n$p")
+    windowInputs.foreach(in =>
+      assert(in.contains("cnt#"),
+        s"x165 window runs over a non-histogram frame [$in]:\n$p"))
+    // and the funnel subtree is computed once: no cross join re-deriving
+    // the total from a second copy of the funnel
+    assert(!p.contains("NestedLoopJoin"),
+      s"x165 re-computes the funnel for its total:\n$p")
+  }
 }
