@@ -1232,4 +1232,170 @@ class StreamingSpec extends SparkSpec {
       flag.close()
     }
   }
+
+  // ---- checkpoint kill-and-resume: the recovery contract ----
+  // The property a production deployment leans on hardest: stop a
+  // stateful query mid-stream, restart it from the SAME
+  // checkpointLocation, and the resumed run must converge to exactly the
+  // uninterrupted run's output. (Reference analog: the retry-then-restart
+  // machinery in helper/StreamingLensRetriesHelper.scala:22-36.)
+
+  test("funnelMonitorBuffered survives a kill-and-resume from its checkpoint") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x161_event_funnel")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getBoolean(4))).sorted.toSeq
+    assert(expected.nonEmpty)
+    val rows = graft.Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._3, r._4)).toSeq
+    val maxMs = rows.map(_._3).max
+    val sentinelUser = rows.map(_._1).max + 1
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ckpt").toString
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Long], Option[Long], Boolean)]
+    def startQuery() = graft.streaming.StreamingOps.funnelMonitorBuffered(
+        mem.toDF().toDF("user_id", "event_type", "ms", "event_id"),
+        lateness = "1 minute")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    // first half, committed, then KILL: the state store now holds every
+    // user's funnel triple plus the not-yet-ripe buffered events (the
+    // trailing minute of the chop — nothing past the watermark)
+    val q1 = startQuery()
+    try {
+      mem.addData(rows.take(rows.length / 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // RESUME from the same checkpoint: buffered events and committed
+    // triples must both come back, or the second half mis-chains
+    val q2 = startQuery()
+    try {
+      mem.addData(rows.drop(rows.length / 2))
+      q2.processAllAvailable()
+      mem.addData(Seq((sentinelUser, "sentinel", maxMs + 10L * 86400000L, 0L)))
+      q2.processAllAvailable()
+      mem.addData(Seq((sentinelUser, "sentinel", maxMs + 20L * 86400000L, 1L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the LAST emission per user across both runs is the converged funnel
+    val last = acc.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, g) => g.maxBy(_._2)._1 }.toSeq.sorted
+    assert(last === expected,
+      "resumed funnel diverged from the uninterrupted batch x161 rows")
+  }
+
+  test("cmsMonitor kill-and-resume: serialize + ingestOnce reproduce the batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val batch = graft.SparkEntry.queries("x99_cms_heavy_hitters")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(batch.nonEmpty)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cms-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    // the "durable store" the driver persists the monitor to after each
+    // batch — in production a file/object write, here a volatile cell
+    @volatile var saved: Array[Byte] = null
+    def startQuery(mon: graft.ext.TextAnalysis.CmsMonitor) =
+      mem.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          mon.ingestOnce(b, id)
+          saved = mon.serialize()
+          ()
+        }
+        .outputMode("append").start()
+    val mon1 = graft.ext.TextAnalysis.cmsMonitor()
+    val q1 = startQuery(mon1)
+    try {
+      mem.addData(rows.take(rows.length / 3))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(saved != null)
+    // CRASH: mon1 is gone; restore a fresh monitor from the persisted
+    // bytes and resume the stream from the same checkpoint
+    val mon2 = graft.ext.TextAnalysis.cmsMonitorFrom(saved)
+    val q2 = startQuery(mon2)
+    try {
+      mem.addData(rows.slice(rows.length / 3, 2 * rows.length / 3))
+      q2.processAllAvailable()
+      mem.addData(rows.drop(2 * rows.length / 3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // counter addition is chop- AND restart-invariant: estimates match
+    // the batch x99 sketch exactly
+    batch.foreach { case (tok, est, slack) =>
+      assert(mon2.estimate(tok) === est, s"token $tok estimate diverged")
+      assert(mon2.slack === slack)
+    }
+    // the idempotency guard: re-delivering an already-merged batchId (the
+    // at-least-once replay a restart can produce) must not double-count
+    val before = mon2.estimate(batch.head._1)
+    mon2.ingestOnce(rows.take(rows.length / 3).toDF("doc_id", "text"), 0L)
+    assert(mon2.estimate(batch.head._1) === before,
+      "replayed batchId was merged twice")
+  }
+
+  test("near-dup flagger probe kill-and-resume emits each pair exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val flag = graft.ext.Dedup.simHashFlagger(docs)
+    val expected = flag(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(expected.nonEmpty, "fixture must contain simhash near-dups")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-flag-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def startQuery() = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = flag(batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      val q1 = startQuery()
+      try {
+        mem.addData(rows.take(rows.length / 2))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // resume: the checkpoint's committed offsets mean the first half is
+      // NOT re-delivered — each probe row flags exactly once, so the
+      // union across the restart equals the batch pair set with no dups
+      val q2 = startQuery()
+      try {
+        mem.addData(rows.drop(rows.length / 2))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(acc.sorted.toSeq === expected)
+    } finally flag.close()
+  }
 }
