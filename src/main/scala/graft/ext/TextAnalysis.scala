@@ -902,4 +902,101 @@ object TextAnalysis {
                               CAST(0 AS DECIMAL(38,0))) div max(n_s) AS BIGINT)""")
           .as("kl_tmn"))
   }
+
+  // ---- HTML main-content extraction (trafilatura-lite) ----
+  // Every real crawl is HTML: the corpus pipeline starts at tag-strip +
+  // boilerplate removal before any other operator runs. The extractor is
+  // SCAN-LOCAL — a per-row expression chain (regex passes + one
+  // array-lambda density filter), no shuffle, no state, column pruning
+  // reaches the scan — so it runs at ingest speed at any corpus size.
+  // Regexes stay inside the RE2-compatible subset (no lookarounds, no
+  // backreferences) so the same patterns run on Java regex and RE2/DuckDB
+  // alike, which is what lets the x199 oracle replicate the extraction
+  // character-for-character in SQL.
+
+  /** Non-content regions dropped WHOLE before block splitting: the head
+    * (title/meta/style live there), comments, and body script/style
+    * blocks. DOTALL + case-insensitive; non-greedy so adjacent blocks
+    * survive. */
+  private val HtmlDropPat =
+    "(?is)<head\\b[^>]*>.*?</head\\s*>|<!--.*?-->" +
+      "|<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>"
+
+  /** Block-level boundary tags: the text between two boundaries is one
+    * candidate block for the link-density rule. Inline tags (<a>, <b>,
+    * <span>, …) deliberately do NOT split — an in-paragraph link must stay
+    * inside its paragraph's density computation. */
+  private val HtmlBlockPat =
+    "(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section" +
+      "|article|header|footer|nav|aside|main|figure|figcaption|pre|form" +
+      "|title|body|html)\\b[^>]*|br\\s*/?)>"
+
+  /** Anchor inner content (group 1) — the characters the link-density
+    * rule charges against a block. */
+  private val HtmlAnchorPat = "(?is)<a\\b[^>]*>(.*?)</a\\s*>"
+
+  /** Decode the common named entities. `&amp;` decodes LAST: the specific
+    * entities are matched first, and `&amp;lt;` contains no `&lt;`
+    * substring, so the chain implements a correct single-pass decode
+    * (`&amp;lt;` → `&lt;` as text, never `<`). Numeric and exotic named
+    * entities pass through undecoded by design — they are data, and a
+    * partial numeric decode would differ across engines. */
+  def htmlDecodeEntities(c: Column): Column = {
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    pairs.foldLeft(c) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+  }
+
+  /** The VISIBLE text of an HTML fragment: tags → space, entities
+    * decoded, whitespace runs collapsed, trimmed. */
+  def htmlVisibleText(c: Column): Column =
+    trim(regexp_replace(
+      htmlDecodeEntities(regexp_replace(c, "(?s)<[^>]*>", " ")),
+      "\\s+", " "))
+
+  /** Main-content extraction from an HTML column — the trafilatura-lite
+    * pipeline: drop head/comments/script/style whole, split the rest into
+    * blocks at block-level tags, keep a block iff it has visible text and
+    * its LINK DENSITY (anchor-visible chars ÷ block-visible chars) is at
+    * most `maxLinkPct` percent, join the kept blocks' visible text with
+    * single spaces. Density compares in integers (`alen·100 ≤ pct·vlen`)
+    * so the rule is engine-exact. Navigation bars, footers, and
+    * link-farm asides die under the density rule; body paragraphs — even
+    * with an inline citation link — survive.
+    *
+    * Returns `(idCol, n_blocks, n_kept, main_text)`: the block counts are
+    * the extraction audit (boilerplate fraction per doc), `main_text` the
+    * cleaned corpus column downstream operators consume. */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+                  idCol: String = "doc_id",
+                  maxLinkPct: Int = 40): DataFrame = {
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be in [0,100], got $maxLinkPct")
+    def vis(b: Column): Column = htmlVisibleText(b)
+    def alen(b: Column): Column = length(htmlVisibleText(
+      array_join(regexp_extract_all(b, lit(HtmlAnchorPat), lit(1)), " ")))
+    // each stage materializes in its own projection so the next stage's
+    // lambdas reference an attribute, not a re-inlined regex chain
+    // (CollapseProject would otherwise duplicate the whole chain per
+    // lambda); the per-block regex work runs ONCE in the struct transform
+    docs
+      .select(col(idCol),
+        split(regexp_replace(col(htmlCol), HtmlDropPat, " "),
+          HtmlBlockPat).as("__blocks"))
+      .select(col(idCol),
+        filter(
+          transform(col("__blocks"),
+            b => struct(vis(b).as("v"), alen(b).as("a"))),
+          t => length(t.getField("v")) > 0).as("__vb"))
+      .select(col(idCol),
+        size(col("__vb")).as("n_blocks"),
+        filter(col("__vb"), t =>
+          t.getField("a") * lit(100) <=
+            lit(maxLinkPct) * length(t.getField("v"))).as("__kept"))
+      .select(col(idCol),
+        col("n_blocks").cast("long").as("n_blocks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(transform(col("__kept"), t => t.getField("v")), " ")
+          .as("main_text"))
+  }
 }

@@ -2032,5 +2032,99 @@ object TextQueries {
           expr("every(abs(est_shingles - exact_shingles) * 20 <= exact_shingles)"),
           lit(true)).as("hll_bounds_ok")),
       Some("SELECT CAST(1 AS BOOLEAN) AS hll_bounds_ok")),
+
+    // x199 — HTML main-content extraction (trafilatura-lite): every real
+    // crawl starts as HTML, and this is the operator that turns it into
+    // the `text` column everything else consumes. Each document is wrapped
+    // in a synthesized page — head with title/style/script, a nav bar, an
+    // HTML comment, the doc text as an escaped paragraph (every third doc
+    // gains an inline citation link), an entity-bearing second paragraph,
+    // a link-farm aside, and a footer — and TextAnalysis.htmlExtract must
+    // recover exactly the content paragraphs: head/comment/script/style
+    // die whole, nav/aside/footer die under the 40 % link-density rule,
+    // the paragraphs (inline link included) survive with entities decoded.
+    // The oracle replicates the extraction character-for-character in
+    // DuckDB SQL — possible because the patterns stay inside the
+    // RE2-compatible subset (one engine split: DuckDB's regexp_extract_all
+    // yields NULL on zero matches where Spark yields [], hence the
+    // coalesce on the oracle's anchor length). Scan-local: no shuffle.
+    QueryDef("x199_html_extract",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val escT = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val inlineRef = when(col("doc_id") % 3 === 0,
+          lit(" See <a href=\"/ref\">the reference</a> for details."))
+          .otherwise(lit(""))
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>body{margin:0}</style>" +
+            "<script>if (a<b) { track(\"&x\"); }</script></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/all\">all docs</a></nav>" +
+            "<!-- rendered by graft -->" +
+            "<div id=\"main\"><p>"),
+          escT, inlineRef,
+          lit("</p><p>Tags: &lt;"), col("lang"),
+          lit("&gt; &amp; more</p></div>" +
+            "<aside><a href=\"/a\">one</a> <a href=\"/b\">two</a></aside>" +
+            "<footer>&copy; corpus <a href=\"/tos\">terms</a> " +
+            "<a href=\"/priv\">privacy</a></footer></body></html>"))
+        graft.ext.TextAnalysis.htmlExtract(
+          docs.select(col("doc_id"), html.as("html")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title><style>body{margin:0}</style>' ||
+                  '<script>if (a<b) { track("&x"); }</script></head><body>' ||
+                  '<nav><a href="/">home</a> <a href="/all">all docs</a></nav>' ||
+                  '<!-- rendered by graft -->' ||
+                  '<div id="main"><p>' ||
+                  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN ' See <a href="/ref">the reference</a> for details.'
+                    ELSE '' END ||
+                  '</p><p>Tags: &lt;' || lang || '&gt; &amp; more</p></div>' ||
+                  '<aside><a href="/a">one</a> <a href="/b">two</a></aside>' ||
+                  '<footer>&copy; corpus <a href="/tos">terms</a> ' ||
+                  '<a href="/priv">privacy</a></footer></body></html>' AS html
+                FROM documents),
+              c AS (
+                SELECT doc_id, regexp_replace(html,
+                  '(?is)<head\b[^>]*>.*?</head\s*>|<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+                  ' ', 'g') AS ch FROM h),
+              b AS (
+                SELECT doc_id, string_split_regex(ch,
+                  '(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|main|figure|figcaption|pre|form|title|body|html)\b[^>]*|br\s*/?)>') AS blocks
+                FROM c),
+              t AS (
+                SELECT doc_id, list_filter(list_transform(blocks, bl ->
+                    struct_pack(
+                      v := trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g')),
+                      a := coalesce(length(trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(array_to_string(
+                            regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                            ' '), '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g'))), 0))),
+                  tt -> length(tt.v) > 0) AS vb
+                FROM b)
+              SELECT doc_id,
+                CAST(len(vb) AS BIGINT) AS n_blocks,
+                CAST(len(list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v))) AS BIGINT) AS n_kept,
+                array_to_string(list_transform(
+                  list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v)),
+                  tt -> tt.v), ' ') AS main_text
+              FROM t ORDER BY doc_id""")),
   )
 }
