@@ -47,22 +47,35 @@ object Audit {
     case _ => c.cast("string")
   }
 
-  /** A rendering that is INJECTIVE per column — all a distinct count
-    * needs — by the cheapest injective route per type: integrals/booleans
-    * via the long render, timestamps/dates as epoch numbers (the default
-    * timestamp cast runs a java.time formatter per value — measured ~25 %
-    * of the whole pass on a 3-timestamp table), doubles via Java's
-    * round-trip rendering, strings as themselves. Shared by the exact
-    * long-format distinct pass and the HLL pass so both count the same
-    * value space. */
-  private def injective(f: StructField): Column = f.dataType match {
-    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
-      col(f.name).cast("bigint").cast("string")
-    case TimestampType | TimestampNTZType =>
-      unix_micros(col(f.name).cast("timestamp")).cast("string")
-    case DateType => unix_date(col(f.name)).cast("string")
-    case StringType => col(f.name)
-    case _ => col(f.name).cast("string")
+  /** A value carrier that is INJECTIVE per column — all a distinct count
+    * needs — at the cheapest representation per type: integrals/booleans/
+    * timestamps/dates as raw 8-byte longs (epoch numbers for temporals —
+    * the default timestamp→string cast runs a java.time formatter per
+    * value, measured ~25 % of the whole pass on a 3-timestamp table),
+    * floats/doubles as raw doubles (Java's round-trip toString was the
+    * next-largest cost), strings as themselves; only exotic types pay a
+    * string render. One typed slot populates per column; a NULL input
+    * stays NULL (never a struct of nulls) so distinct counts keep
+    * skipping it. Shared by the exact long-format distinct pass and the
+    * HLL pass so both count the same value space. Grouping equality on
+    * raw doubles normalizes NaN and -0.0 the same way both engines'
+    * distinct hashing does. */
+  private def injective(f: StructField): Column = {
+    val nl = lit(null).cast("bigint")
+    val nd = lit(null).cast("double")
+    val ns = lit(null).cast("string")
+    val (vl, vd, vs) = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        (col(f.name).cast("bigint"), nd, ns)
+      case TimestampType | TimestampNTZType =>
+        (unix_micros(col(f.name).cast("timestamp")), nd, ns)
+      case DateType => (unix_date(col(f.name)).cast("bigint"), nd, ns)
+      case FloatType | DoubleType => (nl, col(f.name).cast("double"), ns)
+      case StringType => (nl, nd, col(f.name))
+      case _ => (nl, nd, col(f.name).cast("string"))
+    }
+    when(col(f.name).isNotNull,
+      struct(vl.as("vl"), vd.as("vd"), vs.as("vs")))
   }
 
   /** Per-column profile of `df` in ONE aggregation: row count, null count,
@@ -86,18 +99,31 @@ object Audit {
     * single scan with no second long-format distinct pass. Same schema as
     * [[profile]]; `n_distinct` is approximate with relative standard
     * deviation `rsd` (HLL++ guarantee — probabilistic, not a hard bound;
-    * the x198b catalog gate checks it against the exact pass). Distinct is
-    * counted on the same [[injective]] rendering as the exact pass, so the
-    * two passes count the same value space. */
+    * the x198b catalog gate checks it against the exact pass). Each
+    * column's HLL hashes its own cheapest injective representation —
+    * bigint for integrals/temporals, raw double, the string itself —
+    * which counts the same value space as the exact pass's [[injective]]
+    * struct carrier (the per-type slot mapping is injective) without
+    * paying a struct projection+hash per row in the aggregate. */
   def approxProfile(df: DataFrame, rsd: Double = 0.05): DataFrame = {
     val fields = df.schema.fields.toSeq.sortBy(_.name)
     require(fields.nonEmpty, "approxProfile of a zero-column frame")
+    def acdChild(f: StructField): Column = f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+        col(f.name).cast("bigint")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp"))
+      case DateType => unix_date(col(f.name)).cast("bigint")
+      case FloatType | DoubleType => col(f.name).cast("double")
+      case StringType => col(f.name)
+      case _ => col(f.name).cast("string")
+    }
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(lit(1)).as(s"${f.name}__n"),
         (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
-        approx_count_distinct(injective(f), rsd).as(s"${f.name}__nd"),
+        approx_count_distinct(acdChild(f), rsd).as(s"${f.name}__nd"),
         min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
         max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
     }

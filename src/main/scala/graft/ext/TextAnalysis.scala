@@ -602,32 +602,41 @@ object TextAnalysis {
     * division — everything hash-matches cross-engine. Scale: the bucket
     * table is `buckets`-sized (constant), totals ride a broadcast one-row
     * frame, and the scoring join broadcasts the bucket table against an
-    * 8-byte key; nothing is vocab- or corpus-width. The feature stream IS
-    * scanned twice (once aggregating the distributions, once scoring) —
-    * the inherent two-pass cost of estimate-then-weigh; a caller scoring
-    * many batches against one corpus should use [[dsirScorer]], which
-    * freezes the first pass. Output: (`doc_id`, `n_feat`, `w_sum`,
-    * `w_mean`), blank docs out of domain. */
+    * 8-byte key; nothing is vocab- or corpus-width. The feature stream is
+    * first COMPACTED to (doc, bucket, multiplicity) — estimate-then-weigh
+    * needs the features twice, but both consumers hang off that one
+    * compacted exchange, which Catalyst's ReuseExchange serves from a
+    * single execution: the tokenize+md5 hashing (the dominant cost) runs
+    * ONCE. A caller scoring many batches against one corpus should use
+    * [[dsirScorer]], which freezes the distribution pass entirely.
+    * Output: (`doc_id`, `n_feat`, `w_sum`, `w_mean`), blank docs out of
+    * domain. */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 24),
       s"buckets must be in [2, 2^24], got $buckets")
-    val feats = dsirFeatures(docs, isTarget, buckets, textCol, idCol)
-    val cnt = feats.groupBy(col("b")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    // (doc, tgt, bucket) -> multiplicity: ≤ min(n_feat, buckets) rows per
+    // doc; the SAME frame feeds the distribution aggregate and the score
+    // join below, so the hashing pass executes once (ReuseExchange)
+    val fb = dsirFeatures(docs, isTarget, buckets, textCol, idCol)
+      .groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("nf"))
+    val cnt = fb.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("nf")).otherwise(0L)).as("ct"),
+      sum(col("nf")).as("cr"))
     val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val lr = cnt.crossJoin(broadcast(tot)).select(col("b"), expr(
       s"""CAST(round((ln((ct + 1) / (tt + $buckets.0D))
                       - ln((cr + 1) / (tr + $buckets.0D))) * 1e6) AS BIGINT)""")
       .as("q"))
     // lr is <= buckets rows BY CONSTRUCTION — broadcast it explicitly so
-    // the corpus-sized feature stream never shuffles for the score join
-    // (the static planner sees an aggregate of unknown size and would
+    // the compacted feature frame never shuffles for the score join (the
+    // static planner sees an aggregate of unknown size and would
     // otherwise plan a sort-merge join)
-    feats.join(broadcast(lr), Seq("b"))
+    fb.join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"), sum(col("q")).as("w_sum"))
+      .agg(sum(col("nf")).as("n_feat"),
+        sum(col("q") * col("nf")).as("w_sum"))
       .withColumn("w_mean", expr("w_sum div n_feat"))
   }
 

@@ -28,7 +28,7 @@ object AuditQueries {
     // the 100 TB form — approx_count_distinct folded into the one
     // mergeable pass — is real code: Audit.approxProfile, catalog x198.
     QueryDef("x194_table_profile",
-      (s, d) => Audit.profile(Tables.lineitem(s, d)),
+      (s, d) => ExtShared.profileShared(s, d),
       Some("""WITH l AS (SELECT * FROM lineitem)
               SELECT 'l_discount' AS col_name, count(*) AS n_rows,
                      count(*) - count(l_discount) AS n_null,
@@ -175,7 +175,7 @@ object AuditQueries {
     // partial-aggregates map-side. Rows-only by design: HLL estimates are
     // engine-specific (DuckDB's HLL differs); x198b is the companion gate.
     QueryDef("x198_approx_profile",
-      (s, d) => Audit.approxProfile(Tables.lineitem(s, d)),
+      (s, d) => ExtShared.approxProfileShared(s, d),
       None),
 
     // x198b — approx-profile bound gate (the x99b discipline): the exact
@@ -184,16 +184,17 @@ object AuditQueries {
     // distinct estimate must sit within 5×rsd relative error of the exact
     // count (rsd=0.05 → ±25 % — generous because HLL++'s rsd is a standard
     // deviation, not a hard bound; observed error at this scale is < 5 %).
-    // Bounded: two one-pass aggregates over lineitem, |columns| rows each.
+    // Bounded: both sides are the SHARED persisted profile frames (x194's
+    // exact rows, x198's approx rows — the gate checks the very frames
+    // those entries report), |columns| rows each.
     QueryDef("x198b_approx_profile_gate",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d)
         val rsd = 0.05
-        val exact = Audit.profile(li).collect()
+        val exact = ExtShared.profileShared(s, d).collect()
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
             r.getLong(3), r.getString(4), r.getString(5)))).toMap
-        val approx = Audit.approxProfile(li, rsd).collect()
+        val approx = ExtShared.approxProfileShared(s, d).collect()
           .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
             r.getLong(3), r.getString(4), r.getString(5)))).toMap
         val ok = exact.nonEmpty && exact.keySet == approx.keySet &&

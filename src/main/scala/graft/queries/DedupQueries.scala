@@ -494,8 +494,7 @@ object DedupQueries {
     // shared shingle frame; x146's verify grade already scores
     // containment on FOUND pairs — this entry is the finder.
     QueryDef("x186_containment_pairs",
-      (s, d) => Dedup.containmentPairsOf(shinglesShared(s, d), threshold = 0.9)
-        .orderBy("ia", "ib"),
+      (s, d) => containmentPairsShared(s, d).orderBy("ia", "ib"),
       Some("""WITH t AS (SELECT doc_id,
                      string_split_regex(trim(text), '\s+') AS toks
                    FROM documents),
@@ -564,20 +563,21 @@ object DedupQueries {
         import s.implicits._
         implicit val sq = s.sqlContext
         val docs = Tables.documents(s, d)
-        // both the expected pair set and the frozen reference postings
-        // derive from the SHARED corpus shingle frame (input-frame
-        // sharing, the shinglesShared discipline) — the corpus is
-        // tokenized+hashed once for the whole family, with the parity
-        // restriction pushed into the plan instead of a driver-side sieve
+        // the expected pair set IS x186's shared mined frame (the
+        // cmsShared relationship — the gate checks the very pairs x186
+        // reports, no re-mine), restricted to odd-even pairs in-plan;
+        // the frozen reference postings derive from the same SHARED
+        // corpus shingle frame, so the corpus is tokenized+hashed once
+        // for the whole family
         val sh = shinglesShared(s, d)
-        val expected = Dedup.containmentPairsOf(sh, threshold = 0.8)
+        val expected = containmentPairsShared(s, d)
           .filter(col("ia") % 2 =!= col("ib") % 2)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
           .map { case (a, b, c) =>
             if (a % 2 == 1) (a, b, c) else (b, a, c) }.toSet
         val flag = Dedup.containmentFlaggerOf(
           sh.filter(col("doc_id") % 2 === 0), "text", "doc_id",
-          n = 3, threshold = 0.8)
+          n = 3, threshold = 0.9)
         try {
           val rows = docs.filter(col("doc_id") % 2 =!= 0)
             .select(col("doc_id"), col("text")).collect()

@@ -358,6 +358,32 @@ private[queries] object ExtShared {
     sharedFrame(s, d, "hashed-shingles-n3")(
       Dedup.hashedShingles(Tables.documents(s, d), "text", "doc_id", n = 3))
 
+  /** x194 (catalog row) and x198b (approx-bound gate): ONE exact lineitem
+    * profile — the gate compares the approx pass against the very rows
+    * x194 reports (the cmsShared relationship), so it never recomputes
+    * the exact distinct pass. */
+  private[queries] def profileShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "lineitem-profile-exact")(
+      graft.ext.Audit.profile(Tables.lineitem(s, d)))
+
+  /** x198 (catalog row) and x198b (gate): ONE single-scan approx profile
+    * of lineitem at the catalog rsd. */
+  private[queries] def approxProfileShared(s: SparkSession,
+                                           d: String): DataFrame =
+    sharedFrame(s, d, "lineitem-profile-approx")(
+      graft.ext.Audit.approxProfile(Tables.lineitem(s, d), rsd = 0.05))
+
+  /** x186 (catalog row) and x186b (stream-parity gate): ONE mined
+    * containment pair set at threshold 0.9 — the gate asserts the flagger
+    * reproduces the very pair set x186 reports (the cmsShared
+    * relationship: sharing IS the contract), so the gate never re-mines.
+    * x187 still derives the same set via its own prefix algorithm — the
+    * never-share-across-algorithm-variants rule applies to it, not here. */
+  private[queries] def containmentPairsShared(s: SparkSession,
+                                              d: String): DataFrame =
+    sharedFrame(s, d, "containment-pairs-t09")(
+      Dedup.containmentPairsOf(shinglesShared(s, d), threshold = 0.9))
+
   /** x73 (catalog entry) and x80 (export round-trip): ONE persisted run of
     * the curation pipeline — the export query's cost is the write+read
     * round-trip, not a second execution of the whole upstream. */
