@@ -755,6 +755,49 @@ object Dedup {
       () => capped.unpersist())
   }
 
+  /** Bounded edit-distance near-dup pairs over `headLen`-char heads —
+    * x101's pair search as a library operator. Sound two-level blocking:
+    * a qualifying pair must satisfy |length diff| ≤ `dMax`, so rows
+    * equi-join on width-`dMax` length bands with the probe side exploded
+    * to band ±1 (band distance > 1 implies length distance > `dMax` — the
+    * Q27 bucketed range-join shape, no cartesian); the in-band compare is
+    * the THRESHOLDED levenshtein (early-exits past the budget, O(d·len)
+    * per pair).
+    *
+    * SCALE TRAIT (measured, 10× soak): in-band candidates are quadratic
+    * in band occupancy — 0.42 M pairs at sf0.1 → 31.1 M at 10× (74×).
+    * This is inherent to the SEMANTIC, not the blocking: at `dMax`/
+    * `headLen` = 8/48 (a 17 % relative threshold) every published filter
+    * degenerates — PassJoin segment blocking was implemented and measured
+    * 5× SLOWER here (frequent 5-char chunks in natural-language heads
+    * collide massively), and ED-Join's rarest-prefix needs q·d+1 = 41 of
+    * the 44 5-grams, i.e. no pruning. Banding is the right blocking for
+    * this regime. At corpus scale run typo-level dedup per source or
+    * template subset (band occupancy is what matters), lower `dMax`
+    * (at d ≤ 2 prefix filters regain teeth), or use MinHash/SimHash
+    * (x08/x111) — the corpus-scale near-dup answer. Output:
+    * (`doc_a` < `doc_b`, `dist`). */
+  def editDistPairs(docs: DataFrame, dMax: Int = 8, headLen: Int = 48,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(dMax >= 1, s"dMax must be >= 1, got $dMax")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      substring(col(textCol), 1, headLen).as("p"),
+      length(col(textCol)).as("lc"))
+    val a = keyed.select(col("doc_id").as("doc_a"), col("p").as("pa"),
+      col("lc").as("la"),
+      explode(expr(s"array(lc div $dMax - 1, lc div $dMax, lc div $dMax + 1)"))
+        .as("band"))
+    val b = keyed.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      col("lc").as("lb"), expr(s"lc div $dMax").as("band"))
+    a.join(b, "band")
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= dMax)
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"levenshtein(pa, pb, $dMax)").cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** Freeze the corpus's length-banded 48-char-head table ONCE and return
     * the per-batch typo-dup flagger — x101's bounded edit-distance pair
     * search as a build/apply split (the [[nearDupFlagger]] lifecycle). A

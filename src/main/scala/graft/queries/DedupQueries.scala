@@ -951,39 +951,22 @@ object DedupQueries {
     // detection on the normalized 48-char head (the x36 family extended to
     // EDIT distance — shingle/minhash dedup misses single-character
     // corruption, OCR noise, and near-identical template fills that
-    // levenshtein catches). Sound two-level blocking: a qualifying pair
-    // must satisfy |n_chars diff| <= 8, so rows equi-join on width-8
-    // length bands with the probe side exploded to band ±1 (band distance
-    // > 1 implies length distance > 8 — the Q27 bucketed range-join shape,
-    // NO cartesian, pinned in PlanSpec); the in-band compare is Spark's
-    // THRESHOLDED levenshtein (early-exits past the budget, returns -1 —
-    // O(d·len) per pair, not O(len²)). Scale: pair fan-out is per-band
-    // quadratic, not corpus-quadratic; the 48-char key caps the DP at
-    // 48×8 cells; band keys are 8-byte longs.
+    // levenshtein catches). Blocking is Dedup.editDistPairs' sound
+    // width-8 length banding (probe side exploded to band ±1 — the Q27
+    // bucketed range-join shape, NO cartesian, pinned in PlanSpec); the
+    // in-band compare is Spark's THRESHOLDED levenshtein (early-exits
+    // past the budget, returns -1 — O(d·len) per pair; the 48-char key
+    // caps the DP at 48×8 cells). The measured scale trait — in-band
+    // candidates quadratic in band occupancy, and why the published
+    // filters (PassJoin, ED-Join prefix) degenerate at this 17% relative
+    // threshold — is documented with numbers on editDistPairs. Lengths
+    // compare on length(text), not the table's n_chars column: the
+    // flagger twin (Dedup.editDistFlagger) has only the text, and the
+    // pinned parity between the two must not hinge on the dataset
+    // invariant n_chars == length(text).
     QueryDef("x101_editdist_neardup",
-      (s, d) => {
-        val dMax = 8
-        // band on length(text), not the table's n_chars column: the
-        // flagger twin (Dedup.editDistFlagger) has only the text, and the
-        // pinned parity between the two must not hinge on the dataset
-        // invariant n_chars == length(text)
-        val keyed = Tables.documents(s, d)
-          .select(col("doc_id"), substring(col("text"), 1, 48).as("p"),
-            length(col("text")).as("lc"))
-        val a = keyed.select(col("doc_id").as("doc_a"), col("p").as("pa"),
-          col("lc").as("la"),
-          explode(expr(s"""array(lc div $dMax - 1, lc div $dMax,
-                                 lc div $dMax + 1)""")).as("band"))
-        val b = keyed.select(col("doc_id").as("doc_b"), col("p").as("pb"),
-          col("lc").as("lb"), expr(s"lc div $dMax").as("band"))
-        a.join(b, "band")
-          .filter(col("doc_a") < col("doc_b") &&
-            abs(col("la") - col("lb")) <= dMax)
-          .select(col("doc_a"), col("doc_b"),
-            expr(s"levenshtein(pa, pb, $dMax)").cast("long").as("dist"))
-          .filter(col("dist") >= 0)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => Dedup.editDistPairs(Tables.documents(s, d), dMax = 8)
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH d AS (SELECT doc_id, substr(text, 1, 48) AS p,
                      length(text) AS lc
                    FROM documents)
