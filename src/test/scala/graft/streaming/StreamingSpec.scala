@@ -1357,6 +1357,46 @@ class StreamingSpec extends SparkSpec {
       "replayed batchId was merged twice")
   }
 
+  test("streamingIncrementalDedup state survives a kill-and-resume") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((100L, "frozen corpus text")).toDF("doc_id", "text")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def startQuery() = graft.streaming.StreamingOps
+      .streamingIncrementalDedup(
+        mem.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      mem.addData(Seq((1L, "alpha text"), (2L, "beta text")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(acc.toSet === Set((1L, "kept"), (2L, "kept")))
+    // RESUME: the seen-fingerprint state must come back from the state
+    // store, or the re-arriving duplicate is wrongly re-admitted as kept
+    val q2 = startQuery()
+    try {
+      mem.addData(Seq((3L, "alpha text"), (4L, "gamma text"),
+        (5L, "frozen corpus text")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = acc.toMap
+    assert(after(3L) === "dup_batch",
+      "duplicate re-admitted after restart — state was lost")
+    assert(after(4L) === "kept")
+    assert(after(5L) === "dup_corpus")
+  }
+
   test("near-dup flagger probe kill-and-resume emits each pair exactly once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
