@@ -154,7 +154,8 @@ private[queries] object ExtShared {
       // cost migrates invisibly when the catalog's run order shifts
       mergesCache.keySet.map { case (_, d, n) => s"${base(d)}:bpe-train-n$n" } ++
       pcaCache.keySet.map { case (_, d, k) => s"${base(d)}:pca-model-k$k" } ++
-      sampleCache.keySet.map { case (_, d, c) => s"${base(d)}:emb-sample-n$c" }
+      sampleCache.keySet.map { case (_, d, c) => s"${base(d)}:emb-sample-n$c" } ++
+      eventRowsCache.keySet.map { case (_, d) => s"${base(d)}:event-rows" }
   }
 
   /** x80's export scratch location: ONE deterministic dir per sf-dir
@@ -183,6 +184,7 @@ private[queries] object ExtShared {
     mergesCache.clear()
     pcaCache.clear()
     sampleCache.clear()
+    eventRowsCache.clear()
   }
 
   /** x138/x139's shared DSIR weight frame — the per-doc importance scores
@@ -830,13 +832,21 @@ private[queries] object ExtShared {
   /** The event stream as driver-side rows in (ms, event_id) order — the
     * ts-ordered delivery both streaming monitors contract on. Bounded by
     * the fixture event table (100 k rows at sf0.1); the gates replay it
-    * through a real MemoryStream in uneven chops. */
+    * through a real MemoryStream in uneven chops. Cached as a driver
+    * value (the mergesCache discipline): FOUR gates (x161b/x161c/x163b/
+    * x163c) replay the same fixture, and re-collecting it per gate was
+    * pure repeated scan cost; the one-time collect attributes to the
+    * `event-rows` tag like any shared build. */
+  private[queries] val eventRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, Long, Long)]]
   private[queries] def orderedEventRows(s: SparkSession, d: String): Seq[(Long, String, Long, Long)] =
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .sortBy(r => (r._3, r._4)).toSeq
+    eventRowsCache.getOrElseUpdate((s, d), timedBuild(d, "event-rows") {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ms"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._3, r._4)).toSeq
+    })
 
   /** The x161b/x163b replay harness, defined ONCE: feed the chopped event
     * rows through `monitor` via a real MemoryStream query, collecting
