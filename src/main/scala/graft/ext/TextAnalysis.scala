@@ -963,6 +963,55 @@ object TextAnalysis {
       htmlDecodeEntities(regexp_replace(c, "(?s)<[^>]*>", " ")),
       "\\s+", " "))
 
+  // ---- URL canonicalization ----
+  // The other half of crawl ingest (with [[htmlExtract]]): URL-level
+  // exact dedup only works after canonicalization — case-variant hosts,
+  // tracking parameters, fragments, default ports, and trailing slashes
+  // otherwise make the same page look like many. Scan-local regex
+  // chains in the RE2-compatible subset (same portability contract as
+  // the HTML patterns), so the x200 oracle replicates them in DuckDB.
+
+  /** The lowercased host (no port, no userinfo) of a URL column; NULL
+    * when the value has no `scheme://` authority. */
+  def urlHost(c: Column): Column = {
+    val h = lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    when(length(h) === 0, lit(null).cast("string"))
+      .otherwise(regexp_replace(regexp_replace(h, "^[^@]*@", ""), ":\\d+$", ""))
+  }
+
+  /** Canonical form of a URL column, the cc-net-style normalization:
+    * scheme and host lowercase (path/query case is significant and kept),
+    * userinfo dropped, explicit default ports stripped (`:80` for http,
+    * `:443` for https), the fragment removed, `utm_*` tracking parameters
+    * deleted (with `?`/`&` separators re-tidied; an emptied query drops
+    * its `?`), and a single trailing slash trimmed from a non-root path.
+    * Values without a `scheme://` authority pass through unchanged —
+    * canonicalization must never invent structure. */
+  def urlNormalize(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = regexp_replace(
+      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^[^@]*@", "")
+    val rest = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // fragment off first (a '#' ends the significant part); then split
+    // path and query so each rule is anchored — a substring match like
+    // `butm_x` can never satisfy the (^|&)-anchored utm kill, and the
+    // trailing-slash trim only ever sees the path
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path0 = regexp_replace(noFrag, "\\?.*$", "")
+    val q0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val q1 = regexp_replace(
+      regexp_replace(q0, "(^|&)utm_[^&]*", ""), "^&+", "")
+    val path1 = regexp_replace(path0, "^(/.+?)/$", "$1")
+    val rebuilt = when(length(q1) === 0, path1)
+      .otherwise(concat(path1, lit("?"), q1))
+    when(length(scheme) === 0, c)
+      .otherwise(concat(scheme, lit("://"), host, rebuilt))
+  }
+
   /** Main-content extraction from an HTML column — the trafilatura-lite
     * pipeline: drop head/comments/script/style whole, split the rest into
     * blocks at block-level tags, keep a block iff it has visible text and

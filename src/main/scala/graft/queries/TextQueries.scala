@@ -2126,5 +2126,160 @@ object TextQueries {
                   list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v)),
                   tt -> tt.v), ' ') AS main_text
               FROM t ORDER BY doc_id""")),
+
+    // x200 — URL canonicalization (the cc-net ingest rule set): synthesized
+    // crawl URLs exercising every rule — mixed-case scheme/host, explicit
+    // default ports, utm_* tracking params in leading/trailing/only
+    // positions, fragments, trailing slashes — normalized by
+    // TextAnalysis.urlNormalize (scheme+host lowercase, default port off,
+    // userinfo off, fragment off, utm killed with separators re-tidied,
+    // non-root trailing slash trimmed), plus the bare lowercased host.
+    // Scan-local regex chains in the RE2 subset; the oracle replicates
+    // them in DuckDB (replacement backrefs spell \\1 there, $1 in Spark;
+    // DuckDB regexp_replace needs the explicit 'g' flag Spark defaults to).
+    QueryDef("x200_url_canon",
+      (s, d) => {
+        val id = col("doc_id")
+        val scheme = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+        val port = when(id % 2 === 0, lit(":80")).otherwise(lit(":443"))
+        val host = concat(
+          when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM"))
+        val path = concat(lit("/docs/item"), (id % 100).cast("string"),
+          when(id % 3 === 0, lit("/")).otherwise(lit("")))
+        val query = when(id % 4 === 0,
+            lit("?utm_source=feed&ref=home&utm_medium=rss"))
+          .when(id % 4 === 1, lit("?ref=home"))
+          .when(id % 4 === 2, lit("?utm_campaign=x"))
+          .otherwise(lit(""))
+        val frag = when(id % 7 === 0, lit("#section-2")).otherwise(lit(""))
+        val raw = concat(scheme, lit("://"), host, port, path, query, frag)
+        Tables.documents(s, d)
+          .select(id.as("doc_id"), raw.as("url_raw"))
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.urlNormalize(col("url_raw"))
+              .as("url_canon"),
+            graft.ext.TextAnalysis.urlHost(col("url_raw")).as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+                  '://' ||
+                  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+                  '.Example.COM' ||
+                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+                  '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
+                        WHEN doc_id % 4 = 1 THEN '?ref=home'
+                        WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+                  AS url_raw
+                FROM documents),
+              p AS (
+                SELECT doc_id, url_raw,
+                  lower(regexp_extract(url_raw,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', '') AS hostport,
+                  regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                FROM r),
+              n AS (
+                SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS host,
+                  regexp_replace(hostport, ':\d+$', '') AS bare_host,
+                  regexp_replace(regexp_replace(rest, '#.*$', ''),
+                    '\?.*$', '') AS path0,
+                  regexp_extract(regexp_replace(rest, '#.*$', ''),
+                    '\?(.*)$', 1) AS q0
+                FROM p),
+              f AS (
+                SELECT doc_id, scheme, host, bare_host,
+                  regexp_replace(path0, '^(/.+?)/$', '\1') AS path1,
+                  regexp_replace(regexp_replace(q0,
+                    '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q1
+                FROM n)
+              SELECT doc_id,
+                scheme || '://' || host || path1 ||
+                  (CASE WHEN length(q1) = 0 THEN '' ELSE '?' || q1 END)
+                  AS url_canon,
+                bare_host AS host
+              FROM f ORDER BY doc_id""")),
+
+    // x201 — per-host URL dedup stats: the read a crawl pipeline takes
+    // right after canonicalization — per host, how many raw URLs collapse
+    // onto how many canonical ones (the dup volume tracking params and
+    // case variants were hiding). One groupBy over the x200 projection;
+    // count_distinct partial-aggregates map-side.
+    QueryDef("x201_url_dedup_stats",
+      (s, d) => graft.SparkEntry.queries("x200_url_canon")(s, d)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          count_distinct(col("url_canon")).as("n_canonical"),
+          (count(lit(1)) - count_distinct(col("url_canon"))).as("n_dup"))
+        .orderBy("host"),
+      Some("""WITH r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+                  '://' ||
+                  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+                  '.Example.COM' ||
+                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+                  '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
+                        WHEN doc_id % 4 = 1 THEN '?ref=home'
+                        WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+                  AS url_raw
+                FROM documents),
+              p AS (
+                SELECT doc_id, url_raw,
+                  lower(regexp_extract(url_raw,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', '') AS hostport,
+                  regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                FROM r),
+              n AS (
+                SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS host,
+                  regexp_replace(hostport, ':\d+$', '') AS bare_host,
+                  regexp_replace(regexp_replace(rest, '#.*$', ''),
+                    '\?.*$', '') AS path0,
+                  regexp_extract(regexp_replace(rest, '#.*$', ''),
+                    '\?(.*)$', 1) AS q0
+                FROM p),
+              f AS (
+                SELECT doc_id, scheme, host, bare_host,
+                  regexp_replace(path0, '^(/.+?)/$', '\1') AS path1,
+                  regexp_replace(regexp_replace(q0,
+                    '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q1
+                FROM n),
+              c AS (
+                SELECT bare_host AS host,
+                  scheme || '://' || f.host || path1 ||
+                    (CASE WHEN length(q1) = 0 THEN '' ELSE '?' || q1 END)
+                    AS url_canon
+                FROM f)
+              SELECT host, count(*) AS n_urls,
+                count(DISTINCT url_canon) AS n_canonical,
+                count(*) - count(DISTINCT url_canon) AS n_dup
+              FROM c GROUP BY host ORDER BY host""")),
   )
 }

@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Fixture cases for URL canonicalization: every rule, its boundaries,
+  * and the pass-through contract for non-URL values. */
+class UrlSpec extends SparkSpec {
+
+  private def norm(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u")
+      .select(TextAnalysis.urlNormalize(org.apache.spark.sql.functions.col("u")))
+      .head().getString(0)
+  }
+
+  private def host(u: String): Option[String] = {
+    import spark.implicits._
+    Option(Seq(u).toDF("u")
+      .select(TextAnalysis.urlHost(org.apache.spark.sql.functions.col("u")))
+      .head().getString(0))
+  }
+
+  test("scheme and host lowercase; path and query case kept") {
+    assert(norm("HTTPS://WWW.Example.COM/Docs/Item?Q=Aa") ===
+      "https://www.example.com/Docs/Item?Q=Aa")
+  }
+
+  test("default ports strip; non-default ports stay") {
+    assert(norm("http://a.com:80/x") === "http://a.com/x")
+    assert(norm("https://a.com:443/x") === "https://a.com/x")
+    assert(norm("http://a.com:8080/x") === "http://a.com:8080/x")
+    assert(norm("https://a.com:80/x") === "https://a.com:80/x")
+  }
+
+  test("userinfo drops") {
+    assert(norm("http://user:pw@a.com/x") === "http://a.com/x")
+    assert(host("http://user:pw@a.com:8080/x") === Some("a.com"))
+  }
+
+  test("fragment drops; trailing slash trims except root") {
+    assert(norm("http://a.com/x/#frag") === "http://a.com/x")
+    assert(norm("http://a.com/") === "http://a.com/")
+    assert(norm("http://a.com/x/?q=1") === "http://a.com/x?q=1")
+  }
+
+  test("utm params die in every position; separators re-tidy") {
+    assert(norm("http://a.com/x?utm_source=f&ref=h&utm_medium=r") ===
+      "http://a.com/x?ref=h")
+    assert(norm("http://a.com/x?utm_a=1&utm_b=2") === "http://a.com/x")
+    assert(norm("http://a.com/x?utm_a=1&utm_b=2&c=3") === "http://a.com/x?c=3")
+    assert(norm("http://a.com/x?a=1&utm_b=2") === "http://a.com/x?a=1")
+  }
+
+  test("a param merely containing 'utm_' survives (anchored kill)") {
+    assert(norm("http://a.com/x?butm_x=1") === "http://a.com/x?butm_x=1")
+  }
+
+  test("values without an authority pass through unchanged") {
+    assert(norm("not a url") === "not a url")
+    assert(norm("mailto:a@b.com") === "mailto:a@b.com")
+    assert(host("not a url") === None)
+  }
+
+  test("canonical collisions: case/port/utm/fragment variants collapse") {
+    val variants = Seq(
+      "HTTP://A.com:80/x?utm_s=1",
+      "http://a.COM/x#top",
+      "http://a.com/x/")
+    assert(variants.map(norm).distinct === Seq("http://a.com/x"))
+  }
+}
