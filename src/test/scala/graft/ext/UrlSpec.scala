@@ -61,6 +61,41 @@ class UrlSpec extends SparkSpec {
     assert(host("not a url") === None)
   }
 
+  test("urlNormalize is idempotent and host-stable on 400 generated URLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // seeded component generators spanning the rule space: schemes,
+    // userinfo, case-mixed hosts, default/odd/absent ports, paths with
+    // and without trailing slashes, queries with utm in every position,
+    // fragments — plus raw non-URL strings
+    val rnd = new scala.util.Random(7)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val urls = (1 to 400).map { i =>
+      if (i % 10 == 0) pick(Seq("plain text", "mailto:a@b.c", "", "a/b?c=1"))
+      else {
+        val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp"))
+        val user = pick(Seq("", "u@", "u:p@"))
+        val host = pick(Seq("a.com", "A.Example.COM", "x-y.org"))
+        val port = pick(Seq("", ":80", ":443", ":8080"))
+        val path = pick(Seq("", "/", "/p", "/p/", "/p/q", "/p/q/"))
+        val query = pick(Seq("", "?a=1", "?utm_s=1", "?utm_s=1&b=2",
+          "?b=2&utm_s=1", "?utm_a=1&utm_b=2", "?butm_x=1&a=2"))
+        val frag = pick(Seq("", "#f", "#a/b?c"))
+        s"$scheme://$user$host$port$path$query$frag"
+      }
+    }
+    val df = urls.toDF("u").select(
+      col("u"),
+      TextAnalysis.urlNormalize(col("u")).as("n1"),
+      TextAnalysis.urlNormalize(TextAnalysis.urlNormalize(col("u"))).as("n2"),
+      TextAnalysis.urlHost(col("u")).as("h0"),
+      TextAnalysis.urlHost(TextAnalysis.urlNormalize(col("u"))).as("h1"))
+    val bad = df.filter(!(col("n1") <=> col("n2")) ||
+      !(col("h0") <=> col("h1"))).collect()
+    assert(bad.isEmpty, "normalization not a fixed point for:\n" +
+      bad.map(_.toString).mkString("\n"))
+  }
+
   test("canonical collisions: case/port/utm/fragment variants collapse") {
     val variants = Seq(
       "HTTP://A.com:80/x?utm_s=1",
