@@ -773,24 +773,35 @@ object Dedup {
     * collide massively), and ED-Join's rarest-prefix needs q·d+1 = 41 of
     * the 44 5-grams, i.e. no pruning. Banding is the right blocking for
     * this regime. At corpus scale run typo-level dedup per source or
-    * template subset (band occupancy is what matters), lower `dMax`
+    * template subset (band occupancy is what matters) — CALLABLE here via
+    * `groupCols`: the group keys prepend the band join key, so candidates
+    * form only inside a group and pair volume is quadratic in PER-GROUP
+    * band occupancy, not corpus band occupancy (measured near-linear at
+    * 10× data when groups bound occupancy — SOAK.md). Cross-group pairs
+    * are NOT produced, by design: a grouped run asserts "typo dups live
+    * inside a source/template subset". Alternatively lower `dMax`
     * (at d ≤ 2 prefix filters regain teeth), or use MinHash/SimHash
     * (x08/x111) — the corpus-scale near-dup answer. Output:
     * (`doc_a` < `doc_b`, `dist`). */
   def editDistPairs(docs: DataFrame, dMax: Int = 8, headLen: Int = 48,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    groupCols: Seq[String] = Nil): DataFrame = {
     require(dMax >= 1, s"dMax must be >= 1, got $dMax")
-    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      substring(col(textCol), 1, headLen).as("p"),
-      length(col(textCol)).as("lc"))
-    val a = keyed.select(col("doc_id").as("doc_a"), col("p").as("pa"),
-      col("lc").as("la"),
+    val reserved = Seq("doc_a", "doc_b", "pa", "pb", "la", "lb", "band")
+    require(groupCols.forall(g => !reserved.contains(g)),
+      s"groupCols may not use the reserved names ${reserved.mkString(",")}")
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id") +:
+      substring(col(textCol), 1, headLen).as("p") +:
+      length(col(textCol)).as("lc") +: groupCols.map(col): _*)
+    val a = keyed.select(col("doc_id").as("doc_a") +: col("p").as("pa") +:
+      col("lc").as("la") +:
       explode(expr(s"array(lc div $dMax - 1, lc div $dMax, lc div $dMax + 1)"))
-        .as("band"))
-    val b = keyed.select(col("doc_id").as("doc_b"), col("p").as("pb"),
-      col("lc").as("lb"), expr(s"lc div $dMax").as("band"))
-    a.join(b, "band")
+        .as("band") +: groupCols.map(col): _*)
+    val b = keyed.select(col("doc_id").as("doc_b") +: col("p").as("pb") +:
+      col("lc").as("lb") +: expr(s"lc div $dMax").as("band") +:
+      groupCols.map(col): _*)
+    a.join(b, "band" +: groupCols)
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("la") - col("lb")) <= dMax)
       .select(col("doc_a"), col("doc_b"),
@@ -811,26 +822,33 @@ object Dedup {
     * (`doc_id`, `n_neighbors`, `min_dist`, `is_dup`) — total over the
     * batch (`min_dist` null when clean). At 100 TB the banded corpus
     * table is (8B id, ≤96B head, 8B band) per doc and `close()` releases
-    * it when the corpus version is retired. */
+    * it when the corpus version is retired. `groupCols` (present in BOTH
+    * the corpus and every probe batch) prepends the band join key — the
+    * same per-group occupancy bound as [[editDistPairs]]; a probe then
+    * only flags against corpus docs in ITS OWN group. */
   def editDistFlagger(corpus: DataFrame, dMax: Int = 8,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): Retriever = {
+                      idCol: String = "doc_id",
+                      groupCols: Seq[String] = Nil): Retriever = {
     require(dMax >= 1, s"dMax must be >= 1, got $dMax")
-    val banded = corpus.select(col(idCol).cast("long").as("ref_id"),
-        substring(col(textCol), 1, 48).as("pb"),
-        length(col(textCol)).as("lb"))
+    val reserved = Seq("doc_id", "ref_id", "pa", "pb", "la", "lb", "band")
+    require(groupCols.forall(g => !reserved.contains(g)),
+      s"groupCols may not use the reserved names ${reserved.mkString(",")}")
+    val banded = corpus.select(col(idCol).cast("long").as("ref_id") +:
+        substring(col(textCol), 1, 48).as("pb") +:
+        length(col(textCol)).as("lb") +: groupCols.map(col): _*)
       .withColumn("band", expr(s"lb div $dMax"))
       .persist()
     // build-time job: materialize the banded table now, not on first batch
     banded.count()
     new Retriever(docs => {
-      val q = docs.select(col(idCol).cast("long").as("doc_id"),
-          substring(col(textCol), 1, 48).as("pa"),
-          length(col(textCol)).as("la"))
-        .select(col("doc_id"), col("pa"), col("la"),
+      val q = docs.select(col(idCol).cast("long").as("doc_id") +:
+          substring(col(textCol), 1, 48).as("pa") +:
+          length(col(textCol)).as("la") +: groupCols.map(col): _*)
+        .select(col("doc_id") +: col("pa") +: col("la") +:
           explode(expr(s"array(la div $dMax - 1, la div $dMax, la div $dMax + 1)"))
-            .as("band"))
-      val hits = q.join(banded, "band")
+            .as("band") +: groupCols.map(col): _*)
+      val hits = q.join(banded, "band" +: groupCols)
         .filter(col("doc_id") =!= col("ref_id") &&
           abs(col("la") - col("lb")) <= dMax)
         .select(col("doc_id"),

@@ -983,8 +983,11 @@ object TextAnalysis {
     * scheme and host lowercase (path/query case is significant and kept),
     * userinfo dropped, explicit default ports stripped (`:80` for http,
     * `:443` for https), the fragment removed, `utm_*` tracking parameters
-    * deleted (with `?`/`&` separators re-tidied; an emptied query drops
-    * its `?`), and a single trailing slash trimmed from a non-root path.
+    * deleted case-insensitively — crawls carry `UTM_SOURCE`/`Utm_campaign`
+    * variants — (with `?`/`&` separators re-tidied; an emptied query drops
+    * its `?`), and ALL trailing slashes trimmed from a non-root path
+    * (`/p//` and `/p/` must collapse to the same page, and re-normalizing
+    * a stored canonical URL must be a fixed point).
     * Values without a `scheme://` authority pass through unchanged —
     * canonicalization must never invent structure. */
   def urlNormalize(c: Column): Column = {
@@ -1004,8 +1007,8 @@ object TextAnalysis {
     val path0 = regexp_replace(noFrag, "\\?.*$", "")
     val q0 = regexp_extract(noFrag, "\\?(.*)$", 1)
     val q1 = regexp_replace(
-      regexp_replace(q0, "(^|&)utm_[^&]*", ""), "^&+", "")
-    val path1 = regexp_replace(path0, "^(/.+?)/$", "$1")
+      regexp_replace(q0, "(^|&)(?i:utm_)[^&]*", ""), "^&+", "")
+    val path1 = regexp_replace(path0, "^(/.+?)/+$", "$1")
     val rebuilt = when(length(q1) === 0, path1)
       .otherwise(concat(path1, lit("?"), q1))
     when(length(scheme) === 0, c)
@@ -1018,7 +1021,9 @@ object TextAnalysis {
     * its LINK DENSITY (anchor-visible chars ÷ block-visible chars) is at
     * most `maxLinkPct` percent, join the kept blocks' visible text with
     * single spaces. Density compares in integers (`alen·100 ≤ pct·vlen`)
-    * so the rule is engine-exact. Navigation bars, footers, and
+    * so the rule is engine-exact — in 64-bit arithmetic, so a pathological
+    * multi-megachar block cannot wrap the Int multiply in non-ANSI mode
+    * (the x199 DuckDB oracle's lengths are BIGINT already). Navigation bars, footers, and
     * link-farm asides die under the density rule; body paragraphs — even
     * with an inline citation link — survive.
     *
@@ -1049,8 +1054,9 @@ object TextAnalysis {
       .select(col(idCol),
         size(col("__vb")).as("n_blocks"),
         filter(col("__vb"), t =>
-          t.getField("a") * lit(100) <=
-            lit(maxLinkPct) * length(t.getField("v"))).as("__kept"))
+          t.getField("a").cast("long") * lit(100L) <=
+            lit(maxLinkPct.toLong) * length(t.getField("v")).cast("long"))
+          .as("__kept"))
       .select(col(idCol),
         col("n_blocks").cast("long").as("n_blocks"),
         size(col("__kept")).cast("long").as("n_kept"),

@@ -137,24 +137,40 @@ object BehavioralQueries {
         val fun = graft.SparkEntry.queries("x161_event_funnel")(s, d)
           .filter(col("t3_ms").isNotNull)
           .select((col("t3_ms") - col("t1_ms")).as("lat"))
-        // histogram-cumsum order statistics (the x76 idiom): group the
-        // per-user latencies into a (lat, cnt) histogram, cumulative-sum
-        // over the histogram, and read the k-th smallest as the first
-        // value whose running count reaches k. The one unpartitioned
-        // window runs over DISTINCT latency values — bounded by the
-        // latency range, not the user count — where the previous
-        // row_number form sorted a users-sized frame on one partition.
-        val hist = fun.groupBy(col("lat")).agg(count(lit(1)).as("cnt"))
-        val wcum = Window.orderBy(col("lat"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // total `n` via a second window over the SAME histogram rows (not
+        // TWO-PHASE order statistics (the Pack.packPlan bucket-subtotal
+        // idiom): at ms resolution latencies are near-unique, so a plain
+        // (lat, cnt) histogram approaches users-sized and an
+        // `orderBy(lat)` window over it is a users-sized single
+        // partition. Instead (1) bucket latencies by `lat div B` and
+        // cumsum the BUCKET SUBTOTALS — the only unpartitioned window,
+        // bounded by range/B rows (a 24 h ms-resolution window is ~1.3 k
+        // buckets at B = 65536), never by user count; (2) rank inside
+        // each bucket with a bkt-PARTITIONED window and add the bucket's
+        // base offset. Global cum = off + in-bucket cum, exactly the
+        // one-window cumsum's value, so the k-th-smallest reads (and the
+        // oracle hash) are unchanged.
+        val B = 65536L
+        val hist = fun
+          .groupBy(expr(s"lat div $B").as("bkt"), col("lat"))
+          .agg(count(lit(1)).as("cnt"))
+        val bsub = hist.groupBy(col("bkt")).agg(sum(col("cnt")).as("bcnt"))
+        val woff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // total `n` via a second window over the SAME subtotal rows (not
         // a crossJoin of a separate aggregate, which would recompute the
         // whole funnel subtree a second time)
         val wall = Window.partitionBy(lit(1))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val offs = bsub
+          .withColumn("off", coalesce(sum(col("bcnt")).over(woff), lit(0L)))
+          .withColumn("n", sum(col("bcnt")).over(wall))
+          .select(col("bkt"), col("off"), col("n"))
+        val win = Window.partitionBy(col("bkt")).orderBy(col("lat"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         hist
-          .withColumn("cum", sum(col("cnt")).over(wcum))
-          .withColumn("n", sum(col("cnt")).over(wall))
+          .withColumn("cumin", sum(col("cnt")).over(win))
+          .join(broadcast(offs), "bkt")
+          .withColumn("cum", col("off") + col("cumin"))
           .agg(coalesce(max(col("cum")), lit(0L)).as("n_completed"),
             min(col("lat")).as("min_ms"),
             min(when(col("cum") >= expr("(n + 1) div 2"), col("lat")))

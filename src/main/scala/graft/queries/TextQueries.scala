@@ -2146,11 +2146,11 @@ object TextQueries {
           when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
           lit(".Example.COM"))
         val path = concat(lit("/docs/item"), (id % 100).cast("string"),
-          when(id % 3 === 0, lit("/")).otherwise(lit("")))
+          when(id % 3 === 0, lit("//")).otherwise(lit("")))
         val query = when(id % 4 === 0,
             lit("?utm_source=feed&ref=home&utm_medium=rss"))
           .when(id % 4 === 1, lit("?ref=home"))
-          .when(id % 4 === 2, lit("?utm_campaign=x"))
+          .when(id % 4 === 2, lit("?UTM_Campaign=x"))
           .otherwise(lit(""))
         val frag = when(id % 7 === 0, lit("#section-2")).otherwise(lit(""))
         val raw = concat(scheme, lit("://"), host, port, path, query, frag)
@@ -2170,10 +2170,10 @@ object TextQueries {
                   '.Example.COM' ||
                   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
                   '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
-                  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '' END) ||
                   (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
                         WHEN doc_id % 4 = 1 THEN '?ref=home'
-                        WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                        WHEN doc_id % 4 = 2 THEN '?UTM_Campaign=x'
                         ELSE '' END) ||
                   (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
                   AS url_raw
@@ -2203,9 +2203,9 @@ object TextQueries {
                 FROM p),
               f AS (
                 SELECT doc_id, scheme, host, bare_host,
-                  regexp_replace(path0, '^(/.+?)/$', '\1') AS path1,
+                  regexp_replace(path0, '^(/.+?)/+$', '\1') AS path1,
                   regexp_replace(regexp_replace(q0,
-                    '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q1
+                    '(^|&)(?i:utm_)[^&]*', '', 'g'), '^&+', '') AS q1
                 FROM n)
               SELECT doc_id,
                 scheme || '://' || host || path1 ||
@@ -2234,10 +2234,10 @@ object TextQueries {
                   '.Example.COM' ||
                   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
                   '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
-                  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '' END) ||
                   (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
                         WHEN doc_id % 4 = 1 THEN '?ref=home'
-                        WHEN doc_id % 4 = 2 THEN '?utm_campaign=x'
+                        WHEN doc_id % 4 = 2 THEN '?UTM_Campaign=x'
                         ELSE '' END) ||
                   (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
                   AS url_raw
@@ -2267,9 +2267,9 @@ object TextQueries {
                 FROM p),
               f AS (
                 SELECT doc_id, scheme, host, bare_host,
-                  regexp_replace(path0, '^(/.+?)/$', '\1') AS path1,
+                  regexp_replace(path0, '^(/.+?)/+$', '\1') AS path1,
                   regexp_replace(regexp_replace(q0,
-                    '(^|&)utm_[^&]*', '', 'g'), '^&+', '') AS q1
+                    '(^|&)(?i:utm_)[^&]*', '', 'g'), '^&+', '') AS q1
                 FROM n),
               c AS (
                 SELECT bare_host AS host,

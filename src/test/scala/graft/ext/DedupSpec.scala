@@ -568,6 +568,47 @@ class DedupSpec extends SparkSpec {
     } finally flag.close()
   }
 
+  test("grouped editDistPairs equals ungrouped pairs restricted to same-group") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val src = all.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ungrouped = Dedup.editDistPairs(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ungrouped.filter(p => src(p._1) == src(p._2)).toSet
+    val grouped = Dedup.editDistPairs(all, groupCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // within-group pair sets are identical — grouping only removes the
+    // cross-group candidates (the scale lever), never a same-group pair
+    assert(expected.nonEmpty, "fixture must contain same-source typo dups")
+    assert(ungrouped.length > expected.size,
+      "fixture must contain cross-source typo dups for the restriction to bite")
+    assert(grouped === expected)
+  }
+
+  test("grouped editDistFlagger matches the grouped pair set on corpus-self") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val pairs = Dedup.editDistPairs(all, groupCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val neigh = pairs.flatMap(p => Seq(p._1 -> p._3, p._2 -> p._3))
+      .groupBy(_._1)
+      .map { case (id, ds) => id -> (ds.length.toLong, ds.map(_._2).min) }
+    val flag = Dedup.editDistFlagger(all, groupCols = Seq("source"))
+    try {
+      val got = flag(all).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      got.foreach { case (id, n, md, dup) =>
+        neigh.get(id) match {
+          case Some((en, emd)) => assert(dup && n === en && md === emd, s"doc $id")
+          case None => assert(!dup && n === 0L && md === -1L, s"doc $id")
+        }
+      }
+      assert(got.count(_._4) === neigh.size)
+    } finally flag.close()
+  }
+
   test("saved simhash index reloads to a flagger identical to the in-memory build") {
     val ref = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("shidx").toString

@@ -43,12 +43,26 @@ class UrlSpec extends SparkSpec {
     assert(norm("http://a.com/x/?q=1") === "http://a.com/x?q=1")
   }
 
+  test("ALL trailing slashes trim (multi-slash variants collapse)") {
+    assert(norm("http://a.com/p//") === "http://a.com/p")
+    assert(norm("http://a.com/p///") === "http://a.com/p")
+    assert(norm("http://a.com/p//?q=1") === "http://a.com/p?q=1")
+    // and the repair is a fixed point: re-normalizing cannot drift
+    assert(norm(norm("http://a.com/p//")) === norm("http://a.com/p//"))
+  }
+
   test("utm params die in every position; separators re-tidy") {
     assert(norm("http://a.com/x?utm_source=f&ref=h&utm_medium=r") ===
       "http://a.com/x?ref=h")
     assert(norm("http://a.com/x?utm_a=1&utm_b=2") === "http://a.com/x")
     assert(norm("http://a.com/x?utm_a=1&utm_b=2&c=3") === "http://a.com/x?c=3")
     assert(norm("http://a.com/x?a=1&utm_b=2") === "http://a.com/x?a=1")
+  }
+
+  test("utm kill is case-insensitive (UTM_SOURCE / Utm_campaign die)") {
+    assert(norm("http://a.com/x?UTM_SOURCE=f&ref=h") === "http://a.com/x?ref=h")
+    assert(norm("http://a.com/x?Utm_campaign=y") === "http://a.com/x")
+    assert(norm("http://a.com/x?a=1&uTm_b=2") === "http://a.com/x?a=1")
   }
 
   test("a param merely containing 'utm_' survives (anchored kill)") {
@@ -77,9 +91,11 @@ class UrlSpec extends SparkSpec {
         val user = pick(Seq("", "u@", "u:p@"))
         val host = pick(Seq("a.com", "A.Example.COM", "x-y.org"))
         val port = pick(Seq("", ":80", ":443", ":8080"))
-        val path = pick(Seq("", "/", "/p", "/p/", "/p/q", "/p/q/"))
+        val path = pick(Seq("", "/", "/p", "/p/", "/p//", "/p/q", "/p/q/",
+          "/p/q//"))
         val query = pick(Seq("", "?a=1", "?utm_s=1", "?utm_s=1&b=2",
-          "?b=2&utm_s=1", "?utm_a=1&utm_b=2", "?butm_x=1&a=2"))
+          "?b=2&utm_s=1", "?utm_a=1&utm_b=2", "?butm_x=1&a=2",
+          "?UTM_S=1&b=2", "?Utm_a=1"))
         val frag = pick(Seq("", "#f", "#a/b?c"))
         s"$scheme://$user$host$port$path$query$frag"
       }

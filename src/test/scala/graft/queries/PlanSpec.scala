@@ -414,18 +414,26 @@ class PlanSpec extends SparkSpec {
       s"runtime bloom filter was not injected into the fact-side scan:\n$p")
   }
 
-  test("x165 order statistics run over the latency histogram, never a users-sized frame") {
+  test("x165 order statistics: only the bucket-subtotal frame sees an unpartitioned window") {
     val p = plan("x165_funnel_latency")
-    // every Window input must carry the histogram's `cnt` column — a
-    // window whose input lacks it is the old row_number-per-user form, a
-    // single-partition sort of one row PER COMPLETED USER at 100 TB; the
-    // histogram frame is bounded by the distinct-latency range instead
-    val windowInputs = """\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]""".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(windowInputs.nonEmpty, s"x165 lost its window entirely:\n$p")
-    windowInputs.foreach(in =>
-      assert(in.contains("cnt#"),
-        s"x165 window runs over a non-histogram frame [$in]:\n$p"))
+    // two-phase form: the per-(bkt, lat) histogram can approach users-size
+    // at ms resolution, so any window over it MUST be partitioned by bkt;
+    // only the bucket-subtotal frame (carries bcnt, bounded by range/B
+    // rows) may run an unpartitioned / constant-partition window
+    val winBlocks = """\(\d+\) Window\nInput \[\d+\]: \[([^\]]*)\]\nArguments: (.*)""".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    assert(winBlocks.nonEmpty, s"x165 lost its windows entirely:\n$p")
+    winBlocks.foreach { case (in, args) =>
+      if (!in.contains("bcnt#")) {
+        // bucket-subtotal frames (bcnt) are bounded by range/B rows and
+        // may window however they like; everything else must be the
+        // histogram AND bkt-partitioned
+        assert(in.contains("cnt#"),
+          s"x165 window runs over a non-histogram frame [$in]:\n$p")
+        assert(args.contains("windowspecdefinition(bkt#"),
+          s"x165 histogram window is not bkt-partitioned [$args]:\n$p")
+      }
+    }
     // and the funnel subtree is computed once: no cross join re-deriving
     // the total from a second copy of the funnel
     assert(!p.contains("NestedLoopJoin"),
