@@ -648,6 +648,9 @@ object Export {
         throw new IllegalArgumentException(
           s"tfrecord manifest at $dir has no 'schema' field"))
       tfrecordShardFrame(spark, dir, ddl, shardCol, Set.empty)
+    } else if (fmt == "warc") {
+      val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+      warcShardFrame(spark, dir, key, shardCol)
     } else spark.read.parquet(dir)
   }
 
@@ -1649,5 +1652,409 @@ object Export {
       throw new IllegalArgumentException(
         s"tfrecord manifest at $dir has no 'schema' field"))
     tfrecordShardFrame(spark, dir, ddl, shardCol, shards.toSet)
+  }
+
+  // ── WARC shards ────────────────────────────────────────────────────────
+  //
+  // The crawl-container format (the public WARC 1.0 spec, ISO 28500 —
+  // Common Crawl's layout, and the one missing stage between a crawl dump
+  // and the pipeline's HTML layer: readWarcShards → htmlExtract →
+  // urlNormalize → dedup). A WARC file is a sequence of records: a
+  // `WARC/1.0` version line, CRLF-terminated named headers, a blank line,
+  // a content block of exactly Content-Length bytes, then CRLF CRLF. A
+  // `response` record's block is an HTTP/1.1 response message (status
+  // line + headers + blank line + body); `warcinfo`/`request`/`metadata`
+  // records share the framing and are skipped by length without
+  // allocation on read.
+
+  private val WarcDate = "1970-01-01T00:00:00Z" // pinned, like tarHeader's mtime
+  private val WarcIdPrefix = "urn:graft:"
+  private val CrlfCrlf = Array[Byte]('\r', '\n', '\r', '\n')
+
+  private def writeWarcRecord(out: java.io.OutputStream, kind: String,
+                              id: String, extra: Seq[(String, String)],
+                              block: Array[Byte]): Unit = {
+    val sb = new StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(kind).append("\r\n")
+    sb.append("WARC-Record-ID: <").append(WarcIdPrefix).append(id)
+      .append(">\r\n")
+    sb.append("WARC-Date: ").append(WarcDate).append("\r\n")
+    extra.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    out.write(sb.toString.getBytes("UTF-8"))
+    out.write(block)
+    out.write(CrlfCrlf)
+  }
+
+  /** Crawl-shard WARC export — the [[writeShards]] contract on the
+    * crawl-container format: each row becomes one WARC `response` record
+    * (WARC headers: deterministic record id `<urn:graft:<key>>`, pinned
+    * date, `WARC-Target-URI` = `url`; block: an HTTP/1.1 response with
+    * `status`, `Content-Type` = `mime`, and the `payload` bytes as body),
+    * preceded by one `warcinfo` record per file. One file per shard at
+    * `shard=N/part-00000.warc[.gz]`, records key-sorted, every header
+    * field pinned so the bytes are a pure function of the rows (the
+    * writeTarShards determinism discipline, including first-committer-wins
+    * rename). Required columns: `keyCol` string (unique per shard,
+    * angle-bracket/control-free), `url`/`mime` strings (CR/LF-free),
+    * `status` integral, `payload` binary (non-null; empty allowed),
+    * `shardCol` integral. The SAME manifest follows (per-shard counts,
+    * byte/file stats, content digests recounted from the WRITTEN files via
+    * a full decode pass, per-file xxhash64) extended with `format:
+    * "warc"`, so [[validateShards]]/[[validateShardsContent]]/
+    * [[readWarcShards]] work over it unchanged. Compression `"none"` or
+    * `"gzip"` (whole-file; Common Crawl's per-record gzip members read
+    * back fine too — the JDK gunzip stream handles concatenated members).
+    * Overwrite-only: a crawl export is a terminal artifact. */
+  def writeWarcShards(df: DataFrame, dir: String,
+                      keyCol: String = "key",
+                      shardCol: String = "shard",
+                      compression: String = "none"): Map[Long, Long] = {
+    val spark = df.sparkSession
+    require(compression == "none" || compression == "gzip",
+      s"writeWarcShards compression must be none|gzip, got '$compression'")
+    val needed = Seq(keyCol, "url", "status", "mime", "payload", shardCol)
+    needed.foreach(c => require(df.columns.contains(c),
+      s"writeWarcShards needs columns ${needed.mkString(",")}; missing '$c'"))
+    require(df.schema(keyCol).dataType == StringType &&
+      df.schema("url").dataType == StringType &&
+      df.schema("mime").dataType == StringType,
+      s"writeWarcShards: '$keyCol'/'url'/'mime' must be strings")
+    require(df.schema("payload").dataType == BinaryType,
+      "writeWarcShards: 'payload' must be binary")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(shardCol).dataType) &&
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema("status").dataType),
+      s"writeWarcShards: '$shardCol' and 'status' must be integral")
+    val (hfs, root) = fs(spark, dir)
+    if (hfs.exists(root)) hfs.delete(root, true)
+    hfs.mkdirs(root)
+    val rootUri = hfs.makeQualified(root).toString
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val fileName =
+      if (compression == "gzip") "part-00000.warc.gz" else "part-00000.warc"
+    val shardColName = shardCol
+    df.select(col(shardCol).cast("long").as("__shard"), col(keyCol).as("__key"),
+        col("url"), col("status").cast("int").as("status"), col("mime"),
+        col("payload"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__key"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = confB.value.value
+        val rootP = new Path(rootUri)
+        val tfs = rootP.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var shard = Long.MinValue
+        var lastKey: String = null
+        var out: java.io.OutputStream = null
+        var tmp: Path = null
+        var fin: Path = null
+        def closeCurrent(): Unit = if (out != null) {
+          out.close(); out = null
+          // first-committer-wins (see writeTarShards): deterministic bytes
+          // make losing the rename race equivalent to having committed
+          if (!tfs.rename(tmp, fin)) {
+            require(tfs.exists(fin),
+              s"writeWarcShards: could not move $tmp into place at $fin")
+            tfs.delete(tmp, false)
+          }
+        }
+        def clean(s: String, what: String): String = {
+          require(s != null && !s.exists(c => c == '\r' || c == '\n'),
+            s"writeWarcShards: $what must be non-null and CR/LF-free, " +
+              s"got '$s'")
+          s
+        }
+        try {
+          it.foreach { row =>
+            val s = row.getLong(0)
+            val key = row.getString(1)
+            require(key != null && key.nonEmpty &&
+              !key.exists(c => c == '<' || c == '>' || c.isControl),
+              s"writeWarcShards: record key '$key' in shard $s must be " +
+                "non-empty and free of angle brackets/control chars")
+            if (s != shard) {
+              closeCurrent()
+              shard = s; lastKey = null
+              val sdir = new Path(rootP, s"$shardColName=$s")
+              tfs.mkdirs(sdir)
+              fin = new Path(sdir, fileName)
+              tmp = new Path(sdir, s".$fileName.inprogress-$attempt")
+              val raw = tfs.create(tmp, true)
+              out =
+                if (fileName.endsWith(".gz"))
+                  new java.util.zip.GZIPOutputStream(raw)
+                else raw
+              writeWarcRecord(out, "warcinfo", s"warcinfo-$s",
+                Seq("Content-Type" -> "application/warc-fields"),
+                ("software: graft-export\r\n" +
+                  "format: WARC File Format 1.0\r\n").getBytes("UTF-8"))
+            }
+            require(key != lastKey,
+              s"writeWarcShards: duplicate record key '$key' in shard $s")
+            lastKey = key
+            val url = clean(row.getString(2), "url")
+            val status = row.getInt(3)
+            val mime = clean(row.getString(4), "mime")
+            val payload = row.get(5)
+            require(payload != null,
+              s"writeWarcShards: null payload for key '$key' — an empty " +
+                "body is an EMPTY byte array, not null")
+            val body = payload.asInstanceOf[Array[Byte]]
+            val httpHead =
+              (s"HTTP/1.1 $status OK\r\nContent-Type: $mime\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+            val block = new Array[Byte](httpHead.length + body.length)
+            System.arraycopy(httpHead, 0, block, 0, httpHead.length)
+            System.arraycopy(body, 0, block, httpHead.length, body.length)
+            writeWarcRecord(out, "response", key,
+              Seq("WARC-Target-URI" -> url,
+                "Content-Type" -> "application/http;msgtype=response"),
+              block)
+          }
+          closeCurrent()
+        } finally if (out != null) { out.close(); tfs.delete(tmp, false) }
+      }
+    def q(s: String): String =
+      com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
+    publishManifest(spark, dir, shardCol, "writeWarcShards",
+      d => warcShardFrame(spark, d, keyCol, shardCol),
+      epochs = Set.empty, priorHashes = Map.empty,
+      extra = Seq("format" -> "\"warc\"", "compression" -> q(compression),
+        "key" -> q(keyCol)))
+  }
+
+  /** One CRLF-terminated line as (text, bytes consumed incl. CRLF). */
+  private def warcLine(in: java.io.InputStream, what: String): (String, Long) = {
+    val buf = new java.io.ByteArrayOutputStream(96)
+    var c = in.read()
+    require(c >= 0, s"corrupt warc: EOF reading $what")
+    var n = 1L
+    while (c != '\n') {
+      buf.write(c)
+      c = in.read()
+      require(c >= 0, s"corrupt warc: EOF inside $what")
+      n += 1
+    }
+    val arr = buf.toByteArray
+    require(arr.nonEmpty && arr(arr.length - 1) == '\r',
+      s"corrupt warc: $what line not CRLF-terminated")
+    (new String(arr, 0, arr.length - 1, "UTF-8"), n)
+  }
+
+  private def readFullyOrFail(in: java.io.InputStream, len: Int,
+                              what: String): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val r = in.read(buf, off, len - off)
+      require(r >= 0, s"corrupt warc: EOF inside $what")
+      off += r
+    }
+    buf
+  }
+
+  /** The `response` records of a WARC stream as (key, url, status, mime,
+    * payload-or-null, payload byte length) — record-by-record, one record's
+    * headers + (when `readPayload`) body in memory at a time. Non-response
+    * records (warcinfo/request/metadata/...) and response bodies when
+    * `!readPayload` are SKIPPED by Content-Length without allocation (the
+    * readTarShards member-pruning discipline). Framing violations — a
+    * missing `WARC/` version line, a header without a colon, a missing
+    * Content-Length, a block overrunning EOF, a missing CRLF CRLF record
+    * tail — refuse loudly rather than resynchronize: a crawl shard is a
+    * terminal artifact, a corrupt one must fail ingest, not truncate it.
+    * Record ids of this writer's form `<urn:graft:key>` surface as the
+    * bare key; foreign ids (e.g. Common Crawl's `<urn:uuid:...>`) surface
+    * with only the angle brackets stripped. */
+  private[ext] def warcResponses(in0: java.io.InputStream,
+                                 readPayload: Boolean)
+      : Iterator[(String, String, Int, String, Array[Byte], Long)] = {
+    val in = new java.io.PushbackInputStream(in0, 1)
+    new Iterator[(String, String, Int, String, Array[Byte], Long)] {
+      private var nextRec: (String, String, Int, String, Array[Byte], Long) = _
+      private var done = false
+
+      private def recordTail(): Unit = {
+        val tail = readFullyOrFail(in, 4, "warc record tail")
+        require(java.util.Arrays.equals(tail, CrlfCrlf),
+          "corrupt warc: record block not followed by CRLF CRLF")
+      }
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          val first = in.read()
+          if (first < 0) { done = true; return }
+          in.unread(first)
+          val (ver, _) = warcLine(in, "warc version")
+          require(ver.startsWith("WARC/"),
+            s"corrupt warc: expected a WARC/ version line, got '$ver'")
+          var headers = Map.empty[String, String]
+          var line = warcLine(in, "warc header")._1
+          while (line.nonEmpty) {
+            val i = line.indexOf(':')
+            require(i > 0, s"corrupt warc: malformed header '$line'")
+            headers += line.substring(0, i).trim.toLowerCase ->
+              line.substring(i + 1).trim
+            line = warcLine(in, "warc header")._1
+          }
+          val blockLen = headers.getOrElse("content-length",
+            throw new IllegalArgumentException(
+              "corrupt warc: record has no Content-Length")).toLong
+          require(blockLen >= 0, s"corrupt warc: Content-Length $blockLen")
+          val kind = headers.getOrElse("warc-type", "")
+          val ctype = headers.getOrElse("content-type", "")
+          if (kind == "response" && ctype.startsWith("application/http")) {
+            val (statusLine, n0) = warcLine(in, "http status line")
+            require(statusLine.startsWith("HTTP/"),
+              s"corrupt warc: response block not HTTP: '$statusLine'")
+            val parts = statusLine.split(" ")
+            require(parts.length >= 2,
+              s"corrupt warc: malformed HTTP status line '$statusLine'")
+            val status = parts(1).toInt
+            var consumed = n0
+            var mime = ""
+            var t = warcLine(in, "http header")
+            consumed += t._2
+            while (t._1.nonEmpty) {
+              val hl = t._1
+              val i = hl.indexOf(':')
+              if (i > 0 &&
+                  hl.substring(0, i).trim.equalsIgnoreCase("content-type"))
+                mime = hl.substring(i + 1).trim
+              t = warcLine(in, "http header")
+              consumed += t._2
+            }
+            val bodyLen = blockLen - consumed
+            require(bodyLen >= 0,
+              "corrupt warc: HTTP headers overrun the record Content-Length")
+            val body =
+              if (readPayload) {
+                require(bodyLen <= Int.MaxValue,
+                  s"warc payload of $bodyLen bytes exceeds one array")
+                readFullyOrFail(in, bodyLen.toInt, "warc payload")
+              } else { skipFully(in, bodyLen, "warc payload"); null }
+            recordTail()
+            val rawId = headers.getOrElse("warc-record-id", "")
+            val noBrackets =
+              if (rawId.startsWith("<") && rawId.endsWith(">"))
+                rawId.substring(1, rawId.length - 1)
+              else rawId
+            val key =
+              if (noBrackets.startsWith(WarcIdPrefix))
+                noBrackets.substring(WarcIdPrefix.length)
+              else noBrackets
+            nextRec = (key, headers.getOrElse("warc-target-uri", ""),
+              status, mime, body, bodyLen)
+          } else {
+            skipFully(in, blockLen, "warc block")
+            recordTail()
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): (String, String, Int, String, Array[Byte], Long) = {
+        if (!hasNext) throw new NoSuchElementException("warc")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** WARC shard directory as a DataFrame — one executor task per file,
+    * one record in memory at a time; `wanted` prunes at the RECORD level
+    * (a scan without `payload` skips every body by length). */
+  private def warcShardFrame(spark: SparkSession, dir: String,
+                             keyCol: String, shardCol: String,
+                             only: Set[Long] = Set.empty,
+                             wanted: Set[String] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val (hfs, root) = fs(spark, dir)
+    val files = dataFileList(shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol))
+      .map { case (rel, p) =>
+        (rel.stripPrefix(s"$shardCol=").takeWhile(_ != '/').toLong,
+          hfs.makeQualified(p).toString)
+      }
+      .filter { case (shard, _) => only.isEmpty || only.contains(shard) }
+    val legal = Set(keyCol, shardCol, "url", "status", "mime", "payload",
+      "payload_len")
+    val unknown = wanted -- legal
+    require(unknown.isEmpty,
+      s"readWarcShards: unknown columns ${unknown.mkString(",")}; " +
+        s"export has ${legal.mkString(",")}")
+    val readPayload = wanted.isEmpty || wanted("payload")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val rows = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size, 64)))
+      .flatMap { case (shard, uri) =>
+        val p = new Path(uri)
+        val rawIn = p.getFileSystem(confB.value.value).open(p)
+        val in: java.io.InputStream =
+          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
+          else rawIn
+        val it = warcResponses(in, readPayload)
+        new Iterator[(String, String, Int, String, Array[Byte], Long, Long)] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; try in.close() finally () }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          override def next(): (String, String, Int, String, Array[Byte], Long, Long) = {
+            val (key, url, status, mime, body, plen) = it.next()
+            (key, url, status, mime, body, plen, shard)
+          }
+        }
+      }
+      .toDF("__key", "url", "status", "mime", "payload", "payload_len",
+        "__shard")
+    val all = Seq(
+      keyCol -> col("__key").as(keyCol),
+      "url" -> col("url"), "status" -> col("status"),
+      "mime" -> col("mime"), "payload" -> col("payload"),
+      "payload_len" -> col("payload_len"),
+      shardCol -> col("__shard").as(shardCol))
+    rows.select(all.collect {
+      case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
+        n == shardCol => c
+    }: _*)
+  }
+
+  /** Read named shards of a WARC export (all shards when `shards` is
+    * empty) — the [[readShards]] contract for the crawl-container format:
+    * only the named shards' files are opened; a non-empty `columns`
+    * prunes at the record level, so a metadata scan (url/status/mime)
+    * never allocates a single payload byte. The key and shard columns
+    * are identity and always present. Output: (key, url, status, mime,
+    * payload, payload_len, shard). */
+  def readWarcShards(spark: SparkSession, dir: String,
+                     shards: Seq[Long] = Nil,
+                     shardCol: String = "shard",
+                     columns: Seq[String] = Nil): DataFrame = {
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains("warc"),
+      s"manifest at $dir is not a writeWarcShards export")
+    val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+    warcShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
   }
 }

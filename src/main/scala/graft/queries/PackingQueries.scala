@@ -293,6 +293,61 @@ object PackingQueries {
                      CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x202 — the WARC crawl-container round trip: the x190/x191/x193
+    // synthesized-container discipline on the format a crawl actually
+    // arrives in (Common Crawl's WARC 1.0). Each document becomes one
+    // `response` record — deterministic record id from the doc key,
+    // WARC-Target-URI from an x200-style synthesized URL, HTTP status
+    // varying by id, text head as the body — written one WARC file per
+    // shard (plus the per-file warcinfo record readers must skip), then
+    // validateShardsContent (listing + decoded-row digest recount +
+    // per-file xxhash64 — the digest pass re-parses every record, so WARC
+    // framing, HTTP split, and payload bytes are all on the hash path),
+    // then readWarcShards and doc_id recovered from the key by synthesis
+    // arithmetic. The oracle recomputes every extracted field from the
+    // documents table: a framing bug, a header drift, or a payload flip
+    // all fail the row/hash compare. Scale: one record in memory at a
+    // time on both sides; a url/status metadata scan skips payloads
+    // without allocation (record-level pruning, pinned in ExportSpec).
+    QueryDef("x202_warc_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x202-warc")
+        val counts = Export.writeWarcShards(
+          Tables.documents(s, d).select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/docs/item"),
+              col("doc_id").cast("string")).as("url"),
+            when(col("doc_id") % 50 === 0, lit(404)).otherwise(lit(200))
+              .cast("int").as("status"),
+            lit("text/html").as("mime"),
+            encode(substring(col("text"), 1, 64), "UTF-8").as("payload"),
+            (col("doc_id") % 8).cast("int").as("shard")),
+          dir, compression = "gzip")
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"warc manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readWarcShards(s, dir)
+          .select(
+            expr("CAST(substring(key, 5, 8) AS BIGINT)").as("doc_id"),
+            col("url"), col("status").cast("long").as("status"), col("mime"),
+            decode(col("payload"), "UTF-8").as("payload_str"),
+            col("payload_len"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     'https://' || source || '.example.com/docs/item' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     CAST(CASE WHEN doc_id % 50 = 0 THEN 404 ELSE 200 END
+                       AS BIGINT) AS status,
+                     'text/html' AS mime,
+                     substr(text, 1, 64) AS payload_str,
+                     CAST(octet_length(encode(substr(text, 1, 64)))
+                       AS BIGINT) AS payload_len,
+                     CAST(doc_id % 8 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x196 — Z-order (Morton) layout key for two-dimensional scan
     // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
     // in pure BIGINT arithmetic, interleave via the mask ladder — all

@@ -710,4 +710,153 @@ class ExportSpec extends SparkSpec {
     }.toMap
     assert(merged === base)
   }
+
+  test("warc export round-trips response records under full validation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    try {
+      val df = Seq(
+        ("k-001", "https://a.example.com/1", 200, "text/html",
+          "<p>hello</p>".getBytes("UTF-8"), 0),
+        ("k-002", "https://a.example.com/2", 404, "text/plain",
+          Array.emptyByteArray, 0),
+        ("k-003", "https://b.example.com/3", 200, "text/html",
+          "body \u00e9\u00e8".getBytes("UTF-8"), 1))
+        .toDF("key", "url", "status", "mime", "payload", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      val counts = Export.writeWarcShards(df, dir, compression = "none")
+      assert(counts === Map(0L -> 2L, 1L -> 1L))
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      val got = Export.readWarcShards(spark, dir)
+        .orderBy("key").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8"),
+          r.getLong(5), r.getLong(6)))
+      assert(got === Array(
+        ("k-001", "https://a.example.com/1", 200, "text/html",
+          "<p>hello</p>", 12L, 0L),
+        ("k-002", "https://a.example.com/2", 404, "text/plain", "", 0L, 0L),
+        ("k-003", "https://b.example.com/3", 200, "text/html",
+          "body \u00e9\u00e8", 9L, 1L)))
+      // shard-selective read opens only that shard's file
+      assert(Export.readWarcShards(spark, dir, shards = Seq(1L)).count() === 1L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("warc reads prune payloads at the record level; gzip round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz").toString
+    try {
+      val df = (0 until 40).map(i =>
+        (f"k-$i%04d", s"https://h$i.example.com/", 200, "text/html",
+          ("x" * (100 + i)).getBytes("UTF-8"), i % 4))
+        .toDF("key", "url", "status", "mime", "payload", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWarcShards(df, dir, compression = "gzip")
+      assert(Export.validateShardsContent(spark, dir).values.sum === 40L)
+      // metadata scan: no payload column in the schema at all
+      val meta = Export.readWarcShards(spark, dir,
+        columns = Seq("url", "status", "payload_len"))
+      assert(meta.columns.toSeq ===
+        Seq("key", "url", "status", "payload_len", "shard"))
+      assert(meta.count() === 40L)
+      assert(meta.agg(sum(col("payload_len"))).first().getLong(0) ===
+        (0 until 40).map(100L + _).sum)
+      // unknown column refuses with the legal set
+      val e = intercept[IllegalArgumentException] {
+        Export.readWarcShards(spark, dir, columns = Seq("nope"))
+      }
+      assert(e.getMessage.contains("unknown columns"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("warc reader interop: independently-authored bytes parse; corrupt refuse") {
+    // hand-written per the public WARC 1.0 spec, NOT via writeWarcShards:
+    // a warcinfo record, a request record (both must be skipped), and a
+    // response with a foreign urn:uuid record id and extra HTTP headers
+    def rec(kind: String, id: String, extra: String, block: String): String = {
+      s"WARC/1.0\r\nWARC-Type: $kind\r\n" +
+        s"WARC-Record-ID: <$id>\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n" +
+        extra + s"Content-Length: ${block.getBytes("UTF-8").length}\r\n\r\n" +
+        block + "\r\n\r\n"
+    }
+    val http = "HTTP/1.1 301 Moved Permanently\r\nServer: other\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\nContent-Length: 4\r\n\r\nwxyz"
+    val warc =
+      rec("warcinfo", "urn:uuid:aaa", "Content-Type: application/warc-fields\r\n",
+        "software: elsewhere\r\n") +
+      rec("request", "urn:uuid:bbb",
+        "Content-Type: application/http;msgtype=request\r\n",
+        "GET / HTTP/1.1\r\nHost: x\r\n\r\n") +
+      rec("response", "urn:uuid:ccc",
+        "WARC-Target-URI: https://x.example.com/\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n", http)
+    val bytes = warc.getBytes("UTF-8")
+    val got = Export.warcResponses(
+      new java.io.ByteArrayInputStream(bytes), readPayload = true).toSeq
+    assert(got === Seq(("urn:uuid:ccc", "https://x.example.com/", 301,
+      "text/html; charset=utf-8", got.head._5, 4L)))
+    assert(new String(got.head._5, "UTF-8") === "wxyz")
+    // truncated mid-block: fail loudly, never resynchronize
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 20)
+    val e1 = intercept[IllegalArgumentException] {
+      Export.warcResponses(new java.io.ByteArrayInputStream(cut),
+        readPayload = true).toSeq
+    }
+    assert(e1.getMessage.contains("corrupt warc"))
+    // a non-WARC stream refuses on the version line
+    val e2 = intercept[IllegalArgumentException] {
+      Export.warcResponses(
+        new java.io.ByteArrayInputStream("HTTP/1.1 200 OK\r\n".getBytes),
+        readPayload = true).toSeq
+    }
+    assert(e2.getMessage.contains("version"))
+    // a record missing Content-Length refuses
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    val e3 = intercept[IllegalArgumentException] {
+      Export.warcResponses(
+        new java.io.ByteArrayInputStream(noLen.getBytes("UTF-8")),
+        readPayload = true).toSeq
+    }
+    assert(e3.getMessage.contains("Content-Length"))
+  }
+
+  test("warc writer refuses bad keys, dup keys, CR/LF header smuggling, null payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcbad").toString
+    def row(key: String, url: String) = Seq(
+      (key, url, 200, "text/html", "x".getBytes("UTF-8"), 0))
+      .toDF("key", "url", "status", "mime", "payload", "shard")
+      .withColumn("shard", col("shard").cast("int"))
+    try {
+      val eKey = intercept[org.apache.spark.SparkException] {
+        Export.writeWarcShards(row("a<b", "https://x/"), dir)
+      }
+      assert(eKey.getMessage.contains("angle brackets") ||
+        Option(eKey.getCause).exists(_.getMessage.contains("angle brackets")))
+      val eUrl = intercept[org.apache.spark.SparkException] {
+        Export.writeWarcShards(row("ok", "https://x/\r\nWARC-Type: smuggled"), dir)
+      }
+      assert(eUrl.getMessage.contains("CR/LF") ||
+        Option(eUrl.getCause).exists(_.getMessage.contains("CR/LF")))
+      val dup = row("same", "https://x/").union(row("same", "https://y/"))
+      val eDup = intercept[org.apache.spark.SparkException] {
+        Export.writeWarcShards(dup, dir)
+      }
+      assert(eDup.getMessage.contains("duplicate") ||
+        Option(eDup.getCause).exists(_.getMessage.contains("duplicate")))
+      val nul = Seq(("k", "https://x/", 200, "text/html",
+        null.asInstanceOf[Array[Byte]], 0))
+        .toDF("key", "url", "status", "mime", "payload", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      val eNul = intercept[org.apache.spark.SparkException] {
+        Export.writeWarcShards(nul, dir)
+      }
+      assert(eNul.getMessage.contains("null payload") ||
+        Option(eNul.getCause).exists(_.getMessage.contains("null payload")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
 }
