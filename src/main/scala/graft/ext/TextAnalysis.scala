@@ -1015,6 +1015,80 @@ object TextAnalysis {
       .otherwise(concat(scheme, lit("://"), host, rebuilt))
   }
 
+  // ---- Encoding validity + mojibake repair ----
+  // Between WARC ingest and htmlExtract: real crawls carry bytes whose
+  // declared charset lies. Two damage classes matter at corpus scale:
+  // invalid UTF-8 byte sequences (truncated multibyte at a content-length
+  // boundary, stray continuation bytes) — countable only on the BINARY
+  // payload, since a Spark string has already replaced them — and
+  // double-encoded text ("mojibake": UTF-8 bytes mis-decoded as
+  // cp1252/latin1 somewhere upstream and re-encoded, the `Ã©`/`â€™`
+  // signatures), which survives INTO strings and leaks duplicates through
+  // every dedup stage because the damaged and clean variants hash apart.
+  // All scan-local: a codegen'd byte scan and codegen'd
+  // translate/regexp/encode chains — no UDFs, no shuffle.
+
+  /** The 27 cp1252-only glyphs (bytes 0x80-0x9F that differ from
+    * latin1) and their byte values as chars — `translate` source/target
+    * for mapping a cp1252 MIS-DECODE back onto the latin1 one, after
+    * which one latin1-encode -> UTF-8-decode round trip repairs both
+    * classes. (Escaped, not literal: half of these are invisible
+    * control chars.) */
+  private val Cp1252Glyphs =
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+  private val Cp1252Bytes =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+
+  /** A UTF-8 multibyte sequence mis-decoded one-char-per-byte: a 2-byte
+    * lead char C2-DF followed by a continuation-range char, or a 3-byte
+    * lead E0-EF followed by two. Applied AFTER the cp1252->byte demap, so
+    * both latin1- and cp1252-class mojibake match. */
+  private val MojibakeSigPat =
+    "[\u00c2-\u00df][\u0080-\u00bf]|[\u00e0-\u00ef][\u0080-\u00bf]{2}"
+
+  private def cp1252Demap(c: Column): Column =
+    translate(c, Cp1252Glyphs, Cp1252Bytes)
+
+  /** Count of double-encoding signatures in a string column: UTF-8
+    * lead+continuation shapes showing up as CHARACTERS (`Ã©`, `Âº`,
+    * `â€¦`), counted after mapping cp1252-only glyphs back to their byte
+    * values so both mis-decode flavors register. 0 on clean text —
+    * including text that legitimately uses Ã/Â/â, since the following
+    * char must land in the continuation range. */
+  def mojibakeScore(c: Column): Column =
+    regexp_count(cp1252Demap(c), lit(MojibakeSigPat))
+
+  /** Repair cp1252/latin1 double-encoded text: map cp1252-only glyphs
+    * back to their 0x80-0x9F byte values, latin1-encode (recovering the
+    * original UTF-8 bytes), and UTF-8-decode. Applied ONLY when (1) the
+    * string carries at least one mojibake signature, (2) every char is
+    * latin1-representable after the demap (a char above U+00FF that is
+    * not a cp1252 glyph proves the string is NOT a pure mis-decode), and
+    * (3) the recovered bytes pass the strict UTF-8 validity scan —
+    * otherwise the value passes through UNTOUCHED. Guard (3) runs the
+    * codegen'd [[utf8InvalidBytes]] table on the bytes BEFORE any decode:
+    * Spark 4's `decode` THROWS on malformed UTF-8 rather than
+    * substituting U+FFFD, so decoding is only reached on provably-valid
+    * bytes (CaseWhen evaluates the branch value lazily). Clean text is a
+    * fixed point (EncodingSpec pins repair∘repair = repair and the
+    * passthrough cases). */
+  def mojibakeRepair(c: Column): Column = {
+    val demapped = cp1252Demap(c)
+    val sig = regexp_count(demapped, lit(MojibakeSigPat)) > 0
+    val latin1Safe = !demapped.rlike("[^\\u0000-\\u00ff]")
+    val recovered = encode(demapped, "ISO-8859-1")
+    val lossless = utf8InvalidBytes(recovered) === 0
+    when(sig && latin1Safe && lossless, decode(recovered, "UTF-8"))
+      .otherwise(c)
+  }
+
+  /** Codegen'd strict invalid-UTF-8 byte count of a BINARY column (see
+    * [[org.apache.spark.sql.graft.Utf8Data.invalidBytes]] for the exact
+    * table). Run it on the raw payload at ingest: rows with a nonzero
+    * count need byte-level repair or dropping before string-land. */
+  def utf8InvalidBytes(bin: Column): Column =
+    org.apache.spark.sql.graft.Utf8Functions.utf8InvalidBytesF(bin)
+
   /** Main-content extraction from an HTML column — the trafilatura-lite
     * pipeline: drop head/comments/script/style whole, split the rest into
     * blocks at block-level tags, keep a block iff it has visible text and

@@ -11,6 +11,11 @@ import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Pack, Retrieval, Sim
   * Split from the original monolithic ExtQueries catalog — entries
   * verbatim; shared frames and helpers live in [[ExtShared]]. */
 object TextQueries {
+
+  // x203's deterministic accent suffix: four 2-byte chars (e,o,u,s accents)
+  // + one 3-byte char (ellipsis), so both mojibake signature widths appear.
+  private val MojibakeSuffix =
+    " Caf\u00e9 n\u00ba \u00fcber stra\u00dfe\u2026"
   import ExtShared._
 
   val defs: Seq[QueryDef] = Seq(
@@ -2281,5 +2286,60 @@ object TextQueries {
                 count(DISTINCT url_canon) AS n_canonical,
                 count(*) - count(DISTINCT url_canon) AS n_dup
               FROM c GROUP BY host ORDER BY host""")),
+
+    // x203 — encoding validity + mojibake repair: the stage between WARC
+    // payload bytes and htmlExtract. Two damage classes, both synthesized
+    // deterministically so the oracle is pure arithmetic (the x183/x188/
+    // x191 discipline — DuckDB has no cp1252 codec, so it recomputes the
+    // EXPECTED repair output from the clean source instead of replaying
+    // the repair): (1) double encoding — even docs' text is corrupted by
+    // the exact upstream failure (UTF-8 bytes mis-decoded as cp1252:
+    // latin1 one-char-per-byte + the 27 cp1252 glyph remaps), carrying a
+    // five-char accent suffix so 2-byte (C3/C2 lead) AND 3-byte (E2 lead,
+    // the curly-quote class) signatures both appear; mojibakeRepair must
+    // recover the clean string exactly and leave odd (clean) docs
+    // UNTOUCHED; (2) invalid bytes — doc_id%3 stray C3 lead bytes
+    // appended to the clean UTF-8 payload, counted by the codegen'd
+    // strict-table byte scan, with the clean payload pinned at zero.
+    // Scan-local codegen end to end: translate/regexp/encode chains + a
+    // native Expression, no UDF, no shuffle.
+    QueryDef("x203_mojibake_repair",
+      (s, d) => {
+        val clean = concat(substring(col("text"), 1, 48),
+          lit(MojibakeSuffix))
+        val corrupt = when(col("doc_id") % 2 === 0,
+          translate(decode(encode(clean, "UTF-8"), "ISO-8859-1"),
+            "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f",
+            "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"))
+          .otherwise(clean)
+        val junk = when(col("doc_id") % 3 === 0,
+            lit(Array.emptyByteArray))
+          .when(col("doc_id") % 3 === 1, lit(Array(0xC3.toByte)))
+          .otherwise(lit(Array(0xC3.toByte, 0xC3.toByte)))
+        Tables.documents(s, d)
+          .select(col("doc_id"), clean.as("clean"), corrupt.as("corrupt"),
+            junk.as("junk"))
+          .select(col("doc_id"),
+            TextAnalysis.mojibakeScore(col("corrupt")).cast("long")
+              .as("n_sig"),
+            TextAnalysis.mojibakeRepair(col("corrupt")).as("repaired"),
+            (TextAnalysis.mojibakeRepair(col("corrupt")) === col("clean"))
+              .as("fixed"),
+            TextAnalysis.utf8InvalidBytes(
+              concat(encode(col("clean"), "UTF-8"), col("junk")))
+              .cast("long").as("n_invalid"),
+            TextAnalysis.utf8InvalidBytes(encode(col("clean"), "UTF-8"))
+              .cast("long").as("n_invalid_clean"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                     CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END
+                       AS BIGINT) AS n_sig,
+                     substr(text, 1, 48) ||
+                       '$MojibakeSuffix' AS repaired,
+                     CAST(1 AS BOOLEAN) AS fixed,
+                     CAST(doc_id % 3 AS BIGINT) AS n_invalid,
+                     CAST(0 AS BIGINT) AS n_invalid_clean
+              FROM documents ORDER BY doc_id""")),
   )
 }
