@@ -53,9 +53,22 @@ object Export {
     * manifest totals re-derive from the listing + a partition-column-only
     * scan (no data pages read), and every reader contract
     * ([[readManifest]], [[validateShards]], [[readShards]]) holds over the
-    * union. NOT idempotent by design — re-appending the same batch
-    * double-counts; dedupe upstream (x77's incremental dedup) and compare
-    * [[corpusDigest]]s when a replay is suspected.
+    * union.
+    *
+    * IDEMPOTENT when the caller supplies `epoch`: pass the streaming
+    * engine's batchId from `foreachBatch` and a replayed batch is
+    * DETECTED AND SKIPPED — the manifest's `epochs` list is the commit
+    * log, so an epoch already recorded there returns the current counts
+    * without writing a byte, and an epoch whose previous attempt died
+    * mid-write/mid-move is retracted (below) and rewritten exactly once.
+    * That closes the at-least-once gap: foreachBatch replays after a
+    * crash land on one of (a) epoch committed → skip, (b) epoch half-
+    * written → retract + rewrite, never a duplicate. Without `epoch`
+    * (ad-hoc daily appends) the next id is auto-assigned and a re-run of
+    * the same batch double-counts — dedupe upstream (x77) there. One id
+    * namespace: don't mix auto and explicit epochs on one directory
+    * unless the explicit ids are known to stay clear of the auto
+    * sequence (max+1).
     *
     * Each batch commits as an EPOCH: the batch stages under a `_staging-e<n>`
     * prefix (invisible to readers — Spark ignores `_`-prefixed paths), its
@@ -73,8 +86,9 @@ object Export {
     * (S3A) the per-file move is copy+delete — the commit window widens but
     * the retraction contract is unchanged. */
   def appendShards(df: DataFrame, dir: String,
-                   shardCol: String = "shard"): Map[Long, Long] =
-    shardWrite(df, dir, shardCol, SaveMode.Append)
+                   shardCol: String = "shard",
+                   epoch: Option[Long] = None): Map[Long, Long] =
+    shardWrite(df, dir, shardCol, SaveMode.Append, epoch)
 
   /** File prefix of a committed append epoch's data files. */
   private def epochPrefix(epoch: Long): String = s"e$epoch-"
@@ -136,7 +150,8 @@ object Export {
   }
 
   private def shardWrite(df: DataFrame, dir: String, shardCol: String,
-                         mode: SaveMode): Map[Long, Long] = {
+                         mode: SaveMode,
+                         explicitEpoch: Option[Long] = None): Map[Long, Long] = {
     val caller = if (mode == SaveMode.Append) "appendShards" else "writeShards"
     require(df.columns.contains(shardCol),
       s"$caller needs a '$shardCol' column; got ${df.columns.mkString(",")}")
@@ -171,7 +186,17 @@ object Export {
           priorHashes = stringLongMap(tree, "filehash")
           epochsOf(tree)
         } else Set.empty[Long]
+      explicitEpoch.foreach(e => require(e >= 0,
+        s"$caller: explicit epoch must be >= 0, got $e"))
       retractUncommitted(hfsPre, rootPre, shardCol, committed)
+      // Idempotent replay: an explicit epoch already in the manifest means
+      // this exact batch COMMITTED on a previous attempt — an at-least-once
+      // foreachBatch replay must SKIP, not double-write. (The retraction
+      // above already healed any OTHER epoch's strays; a half-written
+      // attempt of THIS epoch is by definition not in the manifest and
+      // falls through to the rewrite path.)
+      if (explicitEpoch.exists(committed.contains))
+        return readManifest(df.sparkSession, dir)
       //   2. no schema drift vs the existing export (path-based parquet
       //      append enforces nothing; a missing column would read back as
       //      null and silently corrupt every downstream epoch).
@@ -200,7 +225,7 @@ object Export {
       // data file into its live shard directory under the epoch's file
       // prefix. A death anywhere in this window leaves only retractable
       // state (see the appendShards scaladoc).
-      val next = (committed + 0L).max + 1
+      val next = explicitEpoch.getOrElse((committed + 0L).max + 1)
       val staging = new Path(rootPre, s"_staging-e$next")
       df.write.mode(SaveMode.Overwrite).partitionBy(shardCol)
         .parquet(staging.toString)

@@ -680,6 +680,65 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("explicit-epoch appendShards is idempotent: a replayed batch skips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appidem").toString
+    try {
+      Export.writeShards(
+        Seq((1L, 0L, "base")).toDF("doc_id", "shard", "text"), dir)
+      val batch = Seq((2L, 0L, "ep7 a"), (3L, 1L, "ep7 b"))
+        .toDF("doc_id", "shard", "text")
+      val c1 = Export.appendShards(batch, dir, epoch = Some(7L))
+      assert(c1 === Map(0L -> 2L, 1L -> 1L))
+      assert(Export.committedEpochs(spark, dir) === Set(7L))
+      val filesBefore = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).sorted.toSeq
+      // the at-least-once replay: same batchId again — skipped, byte-for-byte
+      val c2 = Export.appendShards(batch, dir, epoch = Some(7L))
+      assert(c2 === c1)
+      val filesAfter = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName).sorted.toSeq
+      assert(filesAfter === filesBefore)
+      assert(Export.validateShardsContent(spark, dir) === c1)
+      assert(Export.readShards(spark, dir, Seq(0L, 1L)).count() === 3L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a crash between epoch move and manifest publish replays to exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appcrash").toString
+    try {
+      Export.writeShards(
+        Seq((1L, 0L, "base")).toDF("doc_id", "shard", "text"), dir)
+      val manifestPath = java.nio.file.Paths.get(dir, "_graft_manifest.json")
+      val preCommit = java.nio.file.Files.readAllBytes(manifestPath)
+      val batch = Seq((2L, 0L, "ep3 a"), (3L, 1L, "ep3 b"))
+        .toDF("doc_id", "shard", "text")
+      val want = Export.appendShards(batch, dir, epoch = Some(3L))
+      // simulate the writer dying AFTER moving e3- files into the live
+      // shard dirs but BEFORE the manifest publish: restore the
+      // pre-append manifest over the post-append one, keeping the data
+      // (and drop the local-FS checksum sidecar the hand-edit invalidates)
+      java.nio.file.Files.write(manifestPath, preCommit)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "._graft_manifest.json.crc"))
+      assert(Export.committedEpochs(spark, dir) === Set.empty)
+      // loader-side gate refuses the half-committed state loudly
+      intercept[IllegalArgumentException](Export.validateShards(spark, dir))
+      // the streaming engine replays batch 3: the retry retracts the
+      // uncommitted e3- files and rewrites the epoch exactly once
+      val got = Export.appendShards(batch, dir, epoch = Some(3L))
+      assert(got === want)
+      assert(Export.committedEpochs(spark, dir) === Set(3L))
+      assert(Export.validateShardsContent(spark, dir) === want)
+      assert(Export.readShards(spark, dir, Seq(0L, 1L))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("corpusDigest is partitioning-invariant, content-sensitive, mergeable") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -1438,4 +1438,56 @@ class StreamingSpec extends SparkSpec {
       assert(acc.sorted.toSeq === expected)
     } finally flag.close()
   }
+
+  test("foreachBatch appendShards export: an engine-level batch replay lands exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp-ckpt-d").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-exp-ckpt-c").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    def startQuery() = mem.toDF().toDF("doc_id", "shard", "text")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the batchId IS the epoch: the manifest's epochs list becomes the
+        // sink-side commit log, replays skip (Export.appendShards contract)
+        graft.ext.Export.appendShards(b, dir, epoch = Some(id))
+        ()
+      }
+      .outputMode("append").start()
+    val first = (0 until 6).map(i => (i.toLong, (i % 2).toLong, s"doc $i"))
+    val second = (6 until 10).map(i => (i.toLong, (i % 2).toLong, s"doc $i"))
+    val q1 = startQuery()
+    try {
+      mem.addData(first)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(graft.ext.Export.committedEpochs(spark, dir) === Set(0L))
+    // CRASH WINDOW: the sink committed (manifest has epoch 0) but the
+    // ENGINE's commit marker for batch 0 is lost — delete commits/0, the
+    // exact at-least-once state after a driver death between sink write
+    // and checkpoint commit. On restart the engine MUST replay batch 0.
+    val commit0 = new java.io.File(ckpt, "commits/0")
+    assert(commit0.exists(), "engine commit marker missing before the test")
+    assert(commit0.delete())
+    // the local-FS checksum sidecar must go with it, or the engine reads
+    // the hand-deleted slot as a concurrent-writer corruption
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits/.0.crc"))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable() // replays batch 0 -> appendShards skips
+      mem.addData(second)
+      q2.processAllAvailable() // batch 1 appends normally
+    } finally q2.stop()
+    assert(graft.ext.Export.committedEpochs(spark, dir) === Set(0L, 1L))
+    // exactly-once: 10 rows, each doc_id once, deep validation green
+    val counts = graft.ext.Export.validateShardsContent(spark, dir)
+    assert(counts.values.sum === 10L)
+    val ids = graft.ext.Export.readShards(spark, dir, Seq(0L, 1L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 10L).toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
 }
