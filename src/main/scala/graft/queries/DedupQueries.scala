@@ -998,6 +998,31 @@ object DedupQueries {
               WHERE levenshtein(a.p, b.p) <= 8
               ORDER BY doc_a, doc_b""")),
 
+    // x101b — the SCALE form of x101 as a callable, oracle-checked entry:
+    // grouped banding (groupCols = source) prepends the group key to the
+    // length-band join, so candidate volume is quadratic in PER-GROUP band
+    // occupancy instead of corpus band occupancy — the scaladoc's "run
+    // typo dedup per source/template subset" guidance as code (r16 weak
+    // mark #1). Semantics: exactly x101's pair set RESTRICTED to
+    // same-source pairs (DedupSpec pins the restriction equality; the
+    // oracle recomputes it independently). Growth arriving as NEW groups
+    // (new crawl snapshots/sources) costs linear work — measured in
+    // SOAK.md's grouped-banding section.
+    QueryDef("x101b_editdist_grouped",
+      (s, d) => Dedup.editDistPairs(Tables.documents(s, d), dMax = 8,
+          groupCols = Seq("source"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH d AS (SELECT doc_id, source, substr(text, 1, 48) AS p,
+                     length(text) AS lc
+                   FROM documents)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+              FROM d a JOIN d b
+                ON a.doc_id < b.doc_id AND a.source = b.source
+                   AND abs(a.lc - b.lc) <= 8
+              WHERE levenshtein(a.p, b.p) <= 8
+              ORDER BY doc_a, doc_b""")),
+
     // x106 — intra-doc repeated-block scrub: drop any block whose content
     // already appeared EARLIER IN THE SAME DOC (keep-first), rejoin
     // survivors in order — the within-document companion to x97's
