@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Targeted soak probes for costs the bench harness can't isolate —
+  * committed so SOAK.md's numbers are reproducible.
+  *
+  * Modes (args: <mode> <sfDir>):
+  *  - `grouped-editdist`: time `Dedup.editDistPairs` with groupCols =
+  *    (source, replica) on a [[Soak]]-replicated directory. Replica =
+  *    doc_id div [[Soak.KeyBase]] (0 everywhere on an un-replicated
+  *    base dir, so base and soak runs use the SAME grouping). This is
+  *    the production claim measured: when data growth arrives as NEW
+  *    groups (new crawl snapshots/sources), per-group band occupancy is
+  *    constant and grouped banding costs linear work — vs the
+  *    corpus-occupancy quadratic of the ungrouped form.
+  *  - `pagerank`: materialize an exact k=5/minCos=0.2 knn edge list
+  *    once (persist + count, NOT in the timing), then time ONLY the 5
+  *    pageRankMicro iterations + top-20 collect — the iterative-closure
+  *    cost the bench attributes to the shared frame.
+  *
+  * Prints one line: `[probe] <mode> <sfDir> build=<s> timed=<s>`. */
+object SoakProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SoakProbe <mode> <sfDir>")
+    val (mode, sfDir) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .appName("graft-soak-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      mode match {
+        case "grouped-editdist" =>
+          val docs = Tables.documents(spark, sfDir)
+            .withColumn("rep", expr(s"doc_id div ${Soak.KeyBase}"))
+          // warm the input scan so the timing is the join, not the read
+          val (_, build) = timed(docs.count())
+          val (n, t) = timed(
+            ext.Dedup.editDistPairs(docs, dMax = 8,
+              groupCols = Seq("source", "rep")).count())
+          println(f"[probe] grouped-editdist $sfDir pairs=$n build=$build%.2f timed=$t%.2f")
+        case "pagerank" =>
+          val emb = Tables.embeddings(spark, sfDir)
+          val nodes = emb.select(col("vec_id")).persist()
+          // exact knn edges (the x159 input shape), built OUTSIDE the timing
+          val nrm = ext.Similarity.withNorms(emb)
+          val a = nrm.select(col("vec_id").as("src"), col("embedding").as("ea"),
+            col("nrm").as("na"))
+          val b = nrm.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+            col("nrm").as("nb"))
+          val scored = a.join(b, col("src") =!= col("dst"))
+            .select(col("src"), col("dst"),
+              (org.apache.spark.sql.graft.VectorFunctions.dotF(col("ea"), col("eb"))
+                / (col("na") * col("nb"))).as("cos"))
+            .filter(col("cos") >= 0.2)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+          val edges = scored
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 5)
+            .select(col("src"), col("dst")).persist()
+          val (ne, build) = timed(edges.count())
+          val (_, t) = timed {
+            val pr = ext.Graphs.pageRankMicro(edges, nodes, iters = 5)
+            pr.orderBy(col("pr").desc, col("vec_id")).limit(20).collect()
+          }
+          println(f"[probe] pagerank $sfDir edges=$ne build=$build%.2f timed=$t%.2f")
+        case other => sys.error(s"unknown probe mode '$other'")
+      }
+    } finally spark.stop()
+  }
+}
