@@ -605,19 +605,26 @@ object DedupQueries {
           // shared frame's threshold (sharing IS the contract, see
           // containmentPairsShared). The gate's original threshold was
           // 0.8, so a SECONDARY batch-mode parity case keeps the
-          // boundary pairs in [0.8, 0.9) covered: same frozen even-doc
-          // index, same probe rows, fresh 0.8 mine as the expectation.
+          // boundary pairs in [0.8, 0.9) covered: same frozen-index
+          // discipline, fresh 0.8 mine as the expectation — over a
+          // deterministic 40 % sub-universe (doc_id % 5 < 2), which is
+          // SOUND because containment is pairwise (a pair's score never
+          // depends on other docs, so restricted-universe pairs equal
+          // full-corpus pairs with both members in the universe) and
+          // keeps the extra mine inside the bench budget.
+          val uni = col("doc_id") % 5 < 2
           val flag08 = Dedup.containmentFlaggerOf(
-            sh.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+            sh.filter(uni && col("doc_id") % 2 === 0), "text", "doc_id",
             n = 3, threshold = 0.8)
           val boundaryOk = try {
-            val exp08 = Dedup.containmentPairsOf(sh, threshold = 0.8)
+            val exp08 = Dedup.containmentPairsOf(sh.filter(uni),
+                threshold = 0.8)
               .filter(col("ia") % 2 =!= col("ib") % 2)
               .collect()
               .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
               .map { case (a, b, c) =>
                 if (a % 2 == 1) (a, b, c) else (b, a, c) }.toSet
-            val got08 = flag08(docs.filter(col("doc_id") % 2 =!= 0)
+            val got08 = flag08(docs.filter(uni && col("doc_id") % 2 =!= 0)
               .select(col("doc_id"), col("text"))).collect()
               .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
             got08 == exp08 && exp08.nonEmpty
