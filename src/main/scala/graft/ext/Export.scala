@@ -34,6 +34,16 @@ object Export {
 
   private val ManifestName = "_graft_manifest.json"
 
+  /** Task count for a whole-file shard read (tar/TFRecord/WARC archives
+    * are consumed one task per file): one task per archive, capped at
+    * 2× the cluster's core count so a 100 k-file crawl neither creates
+    * 100 k tiny tasks nor — the old hardcoded 64 — serializes a
+    * 1000-executor cluster onto 64 readers. On local[32] this resolves
+    * to the same 64 as before. */
+  private def readTasks(spark: SparkSession, nFiles: Int): Int =
+    math.max(1, math.min(nFiles,
+      math.max(64, spark.sparkContext.defaultParallelism * 2)))
+
   /** The Hadoop FileSystem owning `dir` (local, hdfs://, s3a://, ...). */
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val path = new Path(dir)
@@ -1111,7 +1121,7 @@ object Export {
       if (wanted.isEmpty) _ => true
       else { val b = bins.toSet; e => (e == "json" && hasJson) || b(e) }
     val rows = spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 64)))
+      .repartition(readTasks(spark, files.size))
       .flatMap { case (shard, uri) =>
         val p = new Path(uri)
         val rawIn = p.getFileSystem(confB.value.value).open(p)
@@ -1626,7 +1636,7 @@ object Export {
     val fields = data.fields.map(f => (f.name, f.dataType)).toSeq
     val full = data.add(shardCol, LongType)
     val rows = spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 64)))
+      .repartition(readTasks(spark, files.size))
       .rdd.flatMap { case (shard, uri) =>
         val p = new Path(uri)
         val rawIn = p.getFileSystem(confB.value.value).open(p)
@@ -2026,7 +2036,7 @@ object Export {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
     val rows = spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 64)))
+      .repartition(readTasks(spark, files.size))
       .flatMap { case (shard, uri) =>
         val p = new Path(uri)
         val rawIn = p.getFileSystem(confB.value.value).open(p)
