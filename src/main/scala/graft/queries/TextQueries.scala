@@ -2341,5 +2341,46 @@ object TextQueries {
                      CAST(doc_id % 3 AS BIGINT) AS n_invalid,
                      CAST(0 AS BIGINT) AS n_invalid_clean
               FROM documents ORDER BY doc_id""")),
+
+    // x204 — per-source encoding health: the operational read right after
+    // x203 (which sources ship damaged text, and is it repairable) — the
+    // x201 relationship (canonicalize -> per-host stats) applied to the
+    // encoding stage. Same deterministic corruption as x203 (even docs
+    // cp1252-double-encoded), aggregated per source: docs carrying
+    // mojibake signatures, total signature volume, and docs the gated
+    // repair actually rewrites. Scan-local scoring + one groupBy;
+    // count/sum partial-aggregate map-side. Oracle is pure synthesis
+    // arithmetic (even-id counts and the 5-signature suffix).
+    QueryDef("x204_encoding_health",
+      (s, d) => {
+        val clean = concat(substring(col("text"), 1, 48),
+          lit(MojibakeSuffix))
+        val corrupt = when(col("doc_id") % 2 === 0,
+          translate(decode(encode(clean, "UTF-8"), "ISO-8859-1"),
+            "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009a\u009b\u009c\u009e\u009f",
+            "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"))
+          .otherwise(clean)
+        Tables.documents(s, d)
+          .select(col("source"), corrupt.as("t"))
+          .select(col("source"),
+            TextAnalysis.mojibakeScore(col("t")).cast("long").as("sig"),
+            (TextAnalysis.mojibakeRepair(col("t")) =!= col("t"))
+              .cast("long").as("rep"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("sig") > 0, 1L).otherwise(0L)).as("n_mojibake"),
+            sum(col("sig")).as("n_signatures"),
+            sum(col("rep")).as("n_repaired"))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_mojibake,
+                     CAST(5 * sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_signatures,
+                     CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_repaired
+              FROM documents GROUP BY source ORDER BY source""")),
   )
 }
