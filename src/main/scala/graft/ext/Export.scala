@@ -2092,4 +2092,54 @@ object Export {
     val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
     warcShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
   }
+
+  /** STREAMING WARC ingest: new `.warc`/`.warc.gz` files landing under
+    * `dir` (recursive) arrive as micro-batches of parsed response
+    * records — Spark's file source supplies exactly-once file tracking
+    * (checkpointed file log), [[warcResponses]] supplies the record
+    * framing, so the incremental crawl pipeline composes directly:
+    * `readWarcStream(...) → foreachBatch { mojibake gate → htmlExtract →
+    * flaggers → appendShards(epoch = batchId) }` is exactly-once end to
+    * end. Output schema matches [[readWarcShards]] minus the manifest
+    * shard column: (key, url, status, mime, payload, payload_len, path).
+    * The file source's `binaryFile` contract holds one FILE in memory
+    * per row (not one record) — size crawl shard files accordingly
+    * (Common Crawl's ~1 GB WARCs are fine at executor defaults);
+    * `maxFilesPerTrigger` is the ingest-rate lever. Also works as a
+    * BATCH reader over a manifest-less directory of foreign WARCs
+    * (`spark.read` path) via `streaming = false`. */
+  def readWarcStream(spark: SparkSession, dir: String,
+                     glob: String = "*.warc*",
+                     streaming: Boolean = true): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is FIXED by the format, but the streaming file
+    // source still demands it be declared up front (no inference pass)
+    val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    val reader =
+      if (streaming)
+        spark.readStream.format("binaryFile")
+          .schema(binSchema)
+          .option("pathGlobFilter", glob)
+          .option("recursiveFileLookup", "true")
+          .load(dir)
+      else
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", glob)
+          .option("recursiveFileLookup", "true")
+          .load(dir)
+    reader.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val in: java.io.InputStream = {
+          val raw = new java.io.ByteArrayInputStream(bytes)
+          if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        }
+        warcResponses(in, readPayload = true)
+          .map { case (key, url, status, mime, body, plen) =>
+            (key, url, status, mime, body, plen, path) }
+      }
+      .toDF("key", "url", "status", "mime", "payload", "payload_len", "path")
+  }
 }

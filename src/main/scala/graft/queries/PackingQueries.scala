@@ -348,6 +348,54 @@ object PackingQueries {
                      CAST(doc_id % 8 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x202b — streaming WARC ingest parity gate: the x161b discipline on
+    // the crawl reader. Re-read the x202 export through a REAL file-source
+    // streaming query (readWarcStream: binaryFile source + the same
+    // record parser, exactly-once file tracking from the checkpointed
+    // file log) and assert the streamed record set equals the batch
+    // readWarcShards read — so a drift between the streaming and batch
+    // ingest paths fails the correctness gate, not only CI. Bounded: the
+    // export is the x202 scratch (one micro-batch at gate scale).
+    QueryDef("x202b_warc_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        val dir = exportScratchDir(d, "x202b-warc")
+        Export.writeWarcShards(
+          Tables.documents(s, d).select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/docs/item"),
+              col("doc_id").cast("string")).as("url"),
+            lit(200).cast("int").as("status"),
+            lit("text/html").as("mime"),
+            encode(substring(col("text"), 1, 48), "UTF-8").as("payload"),
+            (col("doc_id") % 4).cast("int").as("shard")),
+          dir, compression = "gzip")
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+            new String(r.getAs[Array[Byte]](4), "UTF-8"), r.getLong(5))
+        val expected = Export.readWarcShards(s, dir)
+          .select(col("key"), col("url"), col("status"), col("mime"),
+            col("payload"), col("payload_len"))
+          .collect().map(keyOf).toSet
+        val acc = scala.collection.mutable.Set
+          .empty[(String, String, Int, String, String, Long)]
+        val q = Export.readWarcStream(s, dir).writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = b.select(col("key"), col("url"), col("status"),
+              col("mime"), col("payload"), col("payload_len"))
+              .collect().map(keyOf)
+            acc.synchronized { acc ++= got }
+            ()
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        Seq(acc.toSet == expected && expected.nonEmpty)
+          .toDF("warc_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS warc_stream_ok")),
+
     // x196 — Z-order (Morton) layout key for two-dimensional scan
     // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
     // in pure BIGINT arithmetic, interleave via the mask ladder — all

@@ -1490,4 +1490,47 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
+
+  test("readWarcStream picks up newly-landed WARC files exactly once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-warc-src").toString
+    val watch = java.nio.file.Files.createTempDirectory("graft-warc-watch").toString
+    val df = (0 until 12).map(i =>
+      (f"k-$i%04d", s"https://h$i.example.com/", 200, "text/html",
+        s"body $i".getBytes("UTF-8"), i % 4))
+      .toDF("key", "url", "status", "mime", "payload", "shard")
+      .withColumn("shard", col("shard").cast("int"))
+    graft.ext.Export.writeWarcShards(df, src, compression = "gzip")
+    val shardFiles = new java.io.File(src).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .sortBy(_.getParentFile.getName)
+    assert(shardFiles.length === 4)
+    def land(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(watch,
+        f.getParentFile.getName + "-" + f.getName))
+    }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = graft.ext.Export.readWarcStream(spark, watch).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keys = b.select("key").collect().map(_.getString(0))
+        acc.synchronized { acc ++= keys }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      // two shard files land, then two more: the checkpointed file log
+      // must deliver each file's records exactly once across triggers
+      land(shardFiles.take(2))
+      q.processAllAvailable()
+      val afterFirst = acc.size
+      assert(afterFirst > 0 && afterFirst < 12)
+      land(shardFiles.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.sorted.toSeq === (0 until 12).map(i => f"k-$i%04d"),
+      "streamed keys must be exactly the written records, no dups")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(watch))
+  }
 }
