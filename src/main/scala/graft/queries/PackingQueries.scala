@@ -396,6 +396,188 @@ object PackingQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS warc_stream_ok")),
 
+    // x205 — the crawl pipeline END TO END as one oracle-checked row:
+    // synthesize pages (the x199 HTML wrapper) and URLs (the x200 rule
+    // exerciser), pack them into REAL WARC response records, write one
+    // container per shard, read back through readWarcShards, then run
+    // the ingest chain on what came OUT of the container — htmlExtract
+    // on the decoded payload, urlNormalize/urlHost on the record's
+    // WARC-Target-URI. The oracle recomputes main_text and url_canon as
+    // pure functions of the documents table (the x199 + x200 oracle
+    // chains composed), so a WARC framing bug, an HTTP header drift, a
+    // payload flip, or an extraction/canonicalization regression
+    // ANYWHERE in the chain fails the hash. This is the integration
+    // proof the per-stage entries can't give: container -> bytes ->
+    // text -> canonical identity all on one hash path.
+    QueryDef("x205_crawl_pipeline",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x205-crawl")
+        val docs = Tables.documents(s, d)
+        val escT = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val inlineRef = when(col("doc_id") % 3 === 0,
+          lit(" See <a href=\"/ref\">the reference</a> for details."))
+          .otherwise(lit(""))
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>body{margin:0}</style>" +
+            "<script>if (a<b) { track(\"&x\"); }</script></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/all\">all docs</a></nav>" +
+            "<!-- rendered by graft -->" +
+            "<div id=\"main\"><p>"),
+          escT, inlineRef,
+          lit("</p><p>Tags: &lt;"), col("lang"),
+          lit("&gt; &amp; more</p></div>" +
+            "<aside><a href=\"/a\">one</a> <a href=\"/b\">two</a></aside>" +
+            "<footer>&copy; corpus <a href=\"/tos\">terms</a> " +
+            "<a href=\"/priv\">privacy</a></footer></body></html>"))
+        val id = col("doc_id")
+        val scheme = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+        val port = when(id % 2 === 0, lit(":80")).otherwise(lit(":443"))
+        val host = concat(
+          when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM"))
+        val path = concat(lit("/docs/item"), (id % 100).cast("string"),
+          when(id % 3 === 0, lit("//")).otherwise(lit("")))
+        val query = when(id % 4 === 0,
+            lit("?utm_source=feed&ref=home&utm_medium=rss"))
+          .when(id % 4 === 1, lit("?ref=home"))
+          .when(id % 4 === 2, lit("?UTM_Campaign=x"))
+          .otherwise(lit(""))
+        val frag = when(id % 7 === 0, lit("#section-2")).otherwise(lit(""))
+        val rawUrl = concat(scheme, lit("://"), host, port, path, query, frag)
+        Export.writeWarcShards(
+          docs.select(
+            concat(lit("doc-"),
+              lpad(id.cast("string"), 8, "0")).as("key"),
+            rawUrl.as("url"),
+            lit(200).cast("int").as("status"),
+            lit("text/html").as("mime"),
+            encode(html, "UTF-8").as("payload"),
+            (id % 8).cast("int").as("shard")),
+          dir, compression = "gzip")
+        val read = Export.readWarcShards(s, dir)
+          .select(
+            expr("CAST(substring(key, 5, 8) AS BIGINT)").as("doc_id"),
+            TextAnalysis.urlNormalize(col("url")).as("url_canon"),
+            TextAnalysis.urlHost(col("url")).as("host"),
+            decode(col("payload"), "UTF-8").as("html"))
+        val extracted = TextAnalysis.htmlExtract(
+          read.select(col("doc_id"), col("html")))
+        read.select(col("doc_id"), col("url_canon"), col("host"))
+          .join(extracted, "doc_id")
+          .select(col("doc_id"), col("url_canon"), col("host"),
+            col("n_blocks"), col("n_kept"), col("main_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title><style>body{margin:0}</style>' ||
+                  '<script>if (a<b) { track("&x"); }</script></head><body>' ||
+                  '<nav><a href="/">home</a> <a href="/all">all docs</a></nav>' ||
+                  '<!-- rendered by graft -->' ||
+                  '<div id="main"><p>' ||
+                  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN ' See <a href="/ref">the reference</a> for details.'
+                    ELSE '' END ||
+                  '</p><p>Tags: &lt;' || lang || '&gt; &amp; more</p></div>' ||
+                  '<aside><a href="/a">one</a> <a href="/b">two</a></aside>' ||
+                  '<footer>&copy; corpus <a href="/tos">terms</a> ' ||
+                  '<a href="/priv">privacy</a></footer></body></html>' AS html
+                FROM documents),
+              c AS (
+                SELECT doc_id, regexp_replace(html,
+                  '(?is)<head\b[^>]*>.*?</head\s*>|<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+                  ' ', 'g') AS ch FROM h),
+              b AS (
+                SELECT doc_id, string_split_regex(ch,
+                  '(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|main|figure|figcaption|pre|form|title|body|html)\b[^>]*|br\s*/?)>') AS blocks
+                FROM c),
+              t AS (
+                SELECT doc_id, list_filter(list_transform(blocks, bl ->
+                    struct_pack(
+                      v := trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g')),
+                      a := coalesce(length(trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(array_to_string(
+                            regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                            ' '), '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g'))), 0))),
+                  tt -> length(tt.v) > 0) AS vb
+                FROM b),
+              x AS (
+                SELECT doc_id,
+                  CAST(len(vb) AS BIGINT) AS n_blocks,
+                  CAST(len(list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v))) AS BIGINT) AS n_kept,
+                  array_to_string(list_transform(
+                    list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v)),
+                    tt -> tt.v), ' ') AS main_text
+                FROM t),
+              r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+                  '://' ||
+                  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+                  '.Example.COM' ||
+                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+                  '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '' END) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
+                        WHEN doc_id % 4 = 1 THEN '?ref=home'
+                        WHEN doc_id % 4 = 2 THEN '?UTM_Campaign=x'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+                  AS url_raw
+                FROM documents),
+              pp AS (
+                SELECT doc_id, url_raw,
+                  lower(regexp_extract(url_raw,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', '') AS hostport,
+                  regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                FROM r),
+              nn AS (
+                SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS host,
+                  regexp_replace(hostport, ':\d+$', '') AS bare_host,
+                  regexp_replace(regexp_replace(rest, '#.*$', ''),
+                    '\?.*$', '') AS path0,
+                  regexp_extract(regexp_replace(rest, '#.*$', ''),
+                    '\?(.*)$', 1) AS q0
+                FROM pp),
+              ff AS (
+                SELECT doc_id, scheme, host, bare_host,
+                  regexp_replace(path0, '^(/.+?)/+$', '\1') AS path1,
+                  regexp_replace(regexp_replace(q0,
+                    '(^|&)(?i:utm_)[^&]*', '', 'g'), '^&+', '') AS q1
+                FROM nn)
+              SELECT x.doc_id,
+                scheme || '://' || ff.host || path1 ||
+                  (CASE WHEN length(q1) = 0 THEN '' ELSE '?' || q1 END)
+                  AS url_canon,
+                bare_host AS host,
+                x.n_blocks, x.n_kept, x.main_text
+              FROM x JOIN ff ON ff.doc_id = x.doc_id
+              ORDER BY x.doc_id""")),
+
     // x196 — Z-order (Morton) layout key for two-dimensional scan
     // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
     // in pure BIGINT arithmetic, interleave via the mask ladder — all
