@@ -229,7 +229,7 @@ object PackingQueries {
           Tables.documents(s, d)
             .select(
               concat(lit("doc-"),
-                lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+                lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
               col("doc_id"), col("source"), col("lang"), col("text"),
               encode(substring(col("text"), 1, 48), "UTF-8").as("payload"),
               (col("doc_id") % 8).cast("int").as("shard")),
@@ -315,7 +315,7 @@ object PackingQueries {
         val counts = Export.writeWarcShards(
           Tables.documents(s, d).select(
             concat(lit("doc-"),
-              lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
             concat(lit("https://"), col("source"),
               lit(".example.com/docs/item"),
               col("doc_id").cast("string")).as("url"),
@@ -330,7 +330,7 @@ object PackingQueries {
           s"warc manifest/written-counts mismatch: $manifest vs $counts")
         Export.readWarcShards(s, dir)
           .select(
-            expr("CAST(substring(key, 5, 8) AS BIGINT)").as("doc_id"),
+            expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
             col("url"), col("status").cast("long").as("status"), col("mime"),
             decode(col("payload"), "UTF-8").as("payload_str"),
             col("payload_len"), col("shard"))
@@ -363,7 +363,7 @@ object PackingQueries {
         Export.writeWarcShards(
           Tables.documents(s, d).select(
             concat(lit("doc-"),
-              lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
             concat(lit("https://"), col("source"),
               lit(".example.com/docs/item"),
               col("doc_id").cast("string")).as("url"),
@@ -449,7 +449,7 @@ object PackingQueries {
         Export.writeWarcShards(
           docs.select(
             concat(lit("doc-"),
-              lpad(id.cast("string"), 8, "0")).as("key"),
+              lpad(id.cast("string"), 12, "0")).as("key"),
             rawUrl.as("url"),
             lit(200).cast("int").as("status"),
             lit("text/html").as("mime"),
@@ -458,7 +458,7 @@ object PackingQueries {
           dir, compression = "gzip")
         val read = Export.readWarcShards(s, dir)
           .select(
-            expr("CAST(substring(key, 5, 8) AS BIGINT)").as("doc_id"),
+            expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
             TextAnalysis.urlNormalize(col("url")).as("url_canon"),
             TextAnalysis.urlHost(col("url")).as("host"),
             decode(col("payload"), "UTF-8").as("html"))
