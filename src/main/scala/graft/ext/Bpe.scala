@@ -182,4 +182,28 @@ object Bpe {
   def bpeTokenCount(tokens: Column, merges: Seq[String]): Column =
     when(size(tokens) === 0, lit(0)).otherwise(
       size(filter(split(applyMerges(tokens, merges), " "), s => s =!= "·§·")))
+
+  /** DECODE a token-id stream back to text — the inverse of the x157
+    * encode, and the integrity check a training shard wants before it
+    * ships: ids + vocab must preserve every character in order. `enc` is
+    * the encode output (`idCol`, `pos`, `tok_id`); `vocab` the id table
+    * (`sym`, `tok_id`). Per doc: ids join back to their symbols
+    * (broadcast — the vocab is |V|-sized by construction), positions
+    * sort INSIDE the collected array (array_sort on (pos, sym) structs —
+    * no window, no single partition), wrappers strip off. Word
+    * boundaries are not represented in the id stream (the `·§·`
+    * separators are dropped at encode, like a boundary-markerless
+    * tokenizer), so the decode reconstructs the WHITESPACE-STRIPPED
+    * text: decode(encode(text)) = concat of text's tokens — exactly what
+    * the x206 oracle pins. */
+  def decodeIds(enc: DataFrame, vocab: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    enc.join(broadcast(vocab.select(col("tok_id"), col("sym"))), "tok_id")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sym"))))
+        .as("seq"))
+      .select(col(idCol),
+        translate(
+          array_join(transform(col("seq"), t => t.getField("sym")), ""),
+          "·", "").as("decoded"))
 }

@@ -2012,6 +2012,54 @@ object TextQueries {
               SELECT enc.doc_id, CAST(enc.pos AS BIGINT) AS pos, vid.tok_id
               FROM enc JOIN vid USING (sym) ORDER BY enc.doc_id, enc.pos""")),
 
+    // x206 — BPE DECODE round trip: the tokenizer loop closed. Rebuild
+    // x157's id stream (same shared merges, same deterministic vocab),
+    // then reconstruct each sampled doc from NOTHING BUT (pos, tok_id) +
+    // the vocab — Bpe.decodeIds: broadcast id→symbol join, array_sort on
+    // collected (pos, sym) structs (no window, no single partition),
+    // wrapper strip. Word boundaries are not represented in the id
+    // stream (boundary-markerless tokenizer), so the invariant is
+    // character preservation: decode(encode(text)) equals the
+    // whitespace-stripped text, which the oracle computes as a pure
+    // function of `documents` — so an id collision, a vocab drift, a
+    // lost position, or a merge-table change anywhere in the
+    // train→encode→decode loop fails the hash.
+    QueryDef("x206_bpe_decode",
+      (s, d) => {
+        val merges = bpeMergesShared(s, d)
+        val symsOf = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            filter(split(graft.ext.Bpe.applyMerges(
+              TextAnalysis.tokens(col("text")), merges), " "),
+              x => x =!= "·§·").as("ss"))
+        val vocab = symsOf.select(explode(col("ss")).as("sym"))
+          .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+          .withColumn("tok_id", row_number().over(
+            Window.orderBy(col("cnt").desc, col("sym"))).cast("long"))
+          .select(col("sym"), col("tok_id"))
+        val enc = symsOf.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"), posexplode(col("ss")).as(Seq("pos", "sym")))
+          .join(vocab, "sym")
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("tok_id"))
+        val expected = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0 && col("doc_id") % 25 === 0)
+          .select(col("doc_id"),
+            concat_ws("", TextAnalysis.tokens(col("text"))).as("want"))
+        graft.ext.Bpe.decodeIds(enc, vocab)
+          .join(expected, "doc_id")
+          .select(col("doc_id"), col("decoded"),
+            (col("decoded") === col("want")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     regexp_replace(trim(text), '\s+', '', 'g') AS decoded,
+                     CAST(1 AS BOOLEAN) AS roundtrip_ok
+              FROM documents
+              WHERE length(trim(text)) > 0 AND doc_id % 25 = 0
+              ORDER BY doc_id""")),
+
     // x192 — mergeable-sketch distinct-shingle cardinality: per-source
     // Datasketches-HLL(lgK=12) sketches of 3-token shingles, estimates
     // beside exact counts, and a '<ALL>' corpus row whose estimate comes

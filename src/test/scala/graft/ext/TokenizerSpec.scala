@@ -55,4 +55,37 @@ class TokenizerSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](TextAnalysis.tokens(col("text"), "bpe"))
   }
+
+  test("Bpe.decodeIds inverts the encode stream, independent of row order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the merger emerged here"),
+      (2L, "remember the ember"),
+      (3L, "x")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+    assert(merges.nonEmpty)
+    val symsOf = docs
+      .select(col("doc_id"),
+        filter(split(Bpe.applyMerges(TextAnalysis.tokens(col("text")),
+          merges), " "), x => x =!= "\u00b7\u00a7\u00b7").as("ss"))
+    val vocab = symsOf.select(explode(col("ss")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("sym"))).cast("long"))
+      .select(col("sym"), col("tok_id"))
+    val enc = symsOf
+      .select(col("doc_id"), posexplode(col("ss")).as(Seq("pos", "sym")))
+      .join(vocab, "sym")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("tok_id"))
+    // scramble the stream's row order: decode must re-sort by pos itself
+    val scrambled = enc.orderBy(col("tok_id"), col("pos").desc)
+    val got = Bpe.decodeIds(scrambled, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "themergeremergedhere",
+      2L -> "remembertheember",
+      3L -> "x"))
+  }
 }
