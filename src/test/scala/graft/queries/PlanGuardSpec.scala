@@ -68,6 +68,8 @@ class PlanGuardSpec extends SparkSpec {
       "rank over per-shard stats - |shards|-bounded",
     "x157_bpe_encode" ->
       "rank over symbol counts - |V|-bounded merge table",
+    "x206_bpe_decode" ->
+      "same vocab-id rank as x157 (|V|-bounded); the decode itself sorts inside collected arrays, never a window",
     "x165_funnel_latency" ->
       "cumsum over lat-div-B bucket SUBTOTALS - range/B rows (the r17 two-phase rewrite; PlanSpec pins the in-bucket window is bkt-partitioned)")
 
