@@ -2110,7 +2110,8 @@ object Export {
     * (`spark.read` path) via `streaming = false`. */
   def readWarcStream(spark: SparkSession, dir: String,
                      glob: String = "*.warc*",
-                     streaming: Boolean = true): DataFrame = {
+                     streaming: Boolean = true,
+                     options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     // binaryFile's schema is FIXED by the format, but the streaming file
     // source still demands it be declared up front (no inference pass)
@@ -2122,11 +2123,13 @@ object Export {
           .schema(binSchema)
           .option("pathGlobFilter", glob)
           .option("recursiveFileLookup", "true")
+          .options(options)
           .load(dir)
       else
         spark.read.format("binaryFile")
           .option("pathGlobFilter", glob)
           .option("recursiveFileLookup", "true")
+          .options(options)
           .load(dir)
     reader.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
