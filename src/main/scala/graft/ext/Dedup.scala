@@ -755,6 +755,25 @@ object Dedup {
       () => capped.unpersist())
   }
 
+  /** Refuse null group keys up front (the Export shard-null discipline):
+    * the grouped band join is an INNER using-column join, so a row whose
+    * group column is NULL matches nothing and would silently drop out of
+    * dedup entirely — no pairs, never flagged. The check short-circuits on
+    * the first null and reads only the group columns (column-pruned), so
+    * it costs one pruned scan, not a second full pass. Probe batches in
+    * [[editDistFlagger]] are NOT re-checked per batch (a per-batch driver
+    * action inside foreachBatch would serialize the stream): a probe row
+    * with a null group flags as clean — scrub group keys upstream. */
+  private def requireNonNullGroups(df: DataFrame, groupCols: Seq[String],
+                                   caller: String): Unit =
+    if (groupCols.nonEmpty) {
+      val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
+      require(df.filter(anyNull).limit(1).count() == 0L,
+        s"$caller: group columns ${groupCols.mkString(",")} contain " +
+          "nulls — null-group rows match nothing in the inner band join " +
+          "and would silently escape dedup; filter or fill them first")
+    }
+
   /** Bounded edit-distance near-dup pairs over `headLen`-char heads —
     * x101's pair search as a library operator. Sound two-level blocking:
     * a qualifying pair must satisfy |length diff| ≤ `dMax`, so rows
@@ -791,6 +810,7 @@ object Dedup {
     val reserved = Seq("doc_a", "doc_b", "pa", "pb", "la", "lb", "band")
     require(groupCols.forall(g => !reserved.contains(g)),
       s"groupCols may not use the reserved names ${reserved.mkString(",")}")
+    requireNonNullGroups(docs, groupCols, "editDistPairs")
     val keyed = docs.select(col(idCol).cast("long").as("doc_id") +:
       substring(col(textCol), 1, headLen).as("p") +:
       length(col(textCol)).as("lc") +: groupCols.map(col): _*)
@@ -834,6 +854,7 @@ object Dedup {
     val reserved = Seq("doc_id", "ref_id", "pa", "pb", "la", "lb", "band")
     require(groupCols.forall(g => !reserved.contains(g)),
       s"groupCols may not use the reserved names ${reserved.mkString(",")}")
+    requireNonNullGroups(corpus, groupCols, "editDistFlagger")
     val banded = corpus.select(col(idCol).cast("long").as("ref_id") +:
         substring(col(textCol), 1, 48).as("pb") +:
         length(col(textCol)).as("lb") +: groupCols.map(col): _*)

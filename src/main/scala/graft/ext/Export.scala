@@ -80,6 +80,23 @@ object Export {
     * unless the explicit ids are known to stay clear of the auto
     * sequence (max+1).
     *
+    * WRITER IDENTITY: the epoch commit log is meaningful only for ONE
+    * logical writer. A stream restarted from a FRESH checkpoint resets
+    * batchIds to 0, and a second query appending to the same directory
+    * starts its own batchId sequence — either one would find its epochs
+    * "already committed" and silently skip REAL data while returning
+    * success-looking counts. Pass `writerId` (the streaming query's
+    * stable `query.id` — it survives checkpoint restarts — or any
+    * caller-chosen stable token) and the manifest records it: a later
+    * append with a DIFFERENT writerId is REFUSED loudly instead of
+    * silently skipping, forcing the operator to choose a new directory,
+    * dedupe upstream, or explicitly adopt the old writer id. Without
+    * `writerId` the bare-epoch behavior (and its fresh-checkpoint /
+    * second-writer data-loss hazard) is unchanged. Writes cannot safely
+    * PROCEED under a new writer with colliding epoch numbers — the
+    * `e<n>-` file prefixes and the retraction protocol key on the bare
+    * epoch id — hence refusal, not a scoped second log.
+    *
     * Each batch commits as an EPOCH: the batch stages under a `_staging-e<n>`
     * prefix (invisible to readers — Spark ignores `_`-prefixed paths), its
     * data files then move into the live shard directories under an
@@ -97,8 +114,9 @@ object Export {
     * the retraction contract is unchanged. */
   def appendShards(df: DataFrame, dir: String,
                    shardCol: String = "shard",
-                   epoch: Option[Long] = None): Map[Long, Long] =
-    shardWrite(df, dir, shardCol, SaveMode.Append, epoch)
+                   epoch: Option[Long] = None,
+                   writerId: Option[String] = None): Map[Long, Long] =
+    shardWrite(df, dir, shardCol, SaveMode.Append, epoch, writerId)
 
   /** File prefix of a committed append epoch's data files. */
   private def epochPrefix(epoch: Long): String = s"e$epoch-"
@@ -161,8 +179,12 @@ object Export {
 
   private def shardWrite(df: DataFrame, dir: String, shardCol: String,
                          mode: SaveMode,
-                         explicitEpoch: Option[Long] = None): Map[Long, Long] = {
+                         explicitEpoch: Option[Long] = None,
+                         writerId: Option[String] = None): Map[Long, Long] = {
     val caller = if (mode == SaveMode.Append) "appendShards" else "writeShards"
+    writerId.foreach(w => require(
+      w.nonEmpty && w.forall(c => c.isLetterOrDigit || "._:-".contains(c)),
+      s"$caller: writerId must be non-empty [A-Za-z0-9._:-]+, got '$w'"))
     require(df.columns.contains(shardCol),
       s"$caller needs a '$shardCol' column; got ${df.columns.mkString(",")}")
     val field = df.schema(shardCol)
@@ -172,6 +194,7 @@ object Export {
         s"shard ids); got ${field.dataType.simpleString}")
     var epochs = Set.empty[Long]
     var priorHashes = Map.empty[String, Long]
+    var writer = writerId
     if (mode == SaveMode.Append) {
       // Input contracts hold BEFORE any file lands (both checks are
       // batch-sized, not corpus-sized — an epoch batch is the small side):
@@ -194,6 +217,22 @@ object Export {
           // would re-read the full corpus's bytes just to republish hashes
           // it already recorded
           priorHashes = stringLongMap(tree, "filehash")
+          // Writer-identity gate (see the appendShards scaladoc): the epoch
+          // commit log belongs to one logical writer. A different writerId
+          // arriving with its own epoch sequence would either silently skip
+          // real data (epoch collision) or collide e<n>- file prefixes with
+          // a committed epoch's — refuse loudly before any file lands.
+          val prior = Option(tree.get("writer")).map(_.asText)
+          (writerId, prior) match {
+            case (Some(w), Some(p)) => require(w == p,
+              s"$caller: this export's epoch commit log belongs to writer " +
+                s"'$p' but this append carries writerId '$w' — a fresh-" +
+                "checkpoint restart or a second query must not reuse this " +
+                "directory's epoch namespace; use a new directory, or pass " +
+                "the recorded writerId to resume ITS log deliberately")
+            case (None, Some(p)) => writer = Some(p) // carry forward
+            case _ => () // adopt the supplied id (or stay legacy/unscoped)
+          }
           epochsOf(tree)
         } else Set.empty[Long]
       explicitEpoch.foreach(e => require(e >= 0,
@@ -257,7 +296,8 @@ object Export {
     } else
       df.write.mode(mode).partitionBy(shardCol).parquet(dir)
     publishManifest(df.sparkSession, dir, shardCol, caller,
-      d => df.sparkSession.read.parquet(d), epochs, priorHashes)
+      d => df.sparkSession.read.parquet(d), epochs, priorHashes,
+      extra = writer.map(w => "writer" -> s""""$w"""").toSeq)
   }
 
   /** Recount the WRITTEN files and publish the manifest — the shared tail
@@ -1950,8 +1990,14 @@ object Export {
             val (statusLine, n0) = warcLine(in, "http status line")
             require(statusLine.startsWith("HTTP/"),
               s"corrupt warc: response block not HTTP: '$statusLine'")
-            val parts = statusLine.split(" ")
-            require(parts.length >= 2,
+            // split on whitespace RUNS and demand a bounded all-digit
+            // status: a foreign WARC with 'HTTP/1.1  200' (double space)
+            // or a non-numeric status must get the same loud 'corrupt
+            // warc' refusal as every other framing violation, not a bare
+            // NumberFormatException out of toInt
+            val parts = statusLine.split("\\s+")
+            require(parts.length >= 2 && parts(1).nonEmpty &&
+                parts(1).length <= 9 && parts(1).forall(_.isDigit),
               s"corrupt warc: malformed HTTP status line '$statusLine'")
             val status = parts(1).toInt
             var consumed = n0

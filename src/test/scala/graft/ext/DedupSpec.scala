@@ -586,6 +586,28 @@ class DedupSpec extends SparkSpec {
     assert(grouped === expected)
   }
 
+  test("grouped editDist paths refuse null group keys loudly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha", "the quick brown fox"),
+      (2L, null.asInstanceOf[String], "the quick brown fox!"),
+      (3L, "alpha", "the quick brown fox?"))
+      .toDF("doc_id", "source", "text")
+    // null-group rows would match NOTHING in the inner band join and
+    // silently escape dedup — both entry points refuse up front instead
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.editDistPairs(docs, groupCols = Seq("source")))
+    assert(e1.getMessage.contains("editDistPairs") &&
+      e1.getMessage.contains("null"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.editDistFlagger(docs, groupCols = Seq("source")))
+    assert(e2.getMessage.contains("editDistFlagger"))
+    // clean groups still build and pair as before
+    val clean = docs.filter(col("source").isNotNull)
+    assert(Dedup.editDistPairs(clean, groupCols = Seq("source"))
+      .count() === 1L)
+  }
+
   test("grouped editDistFlagger matches the grouped pair set on corpus-self") {
     val d = "/root/testdata/sf0.001"
     val all = graft.Tables.documents(spark, d)

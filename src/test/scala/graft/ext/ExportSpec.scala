@@ -705,6 +705,49 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("writerId scopes the epoch commit log: mismatch refuses, match skips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("appwriter").toString
+    try {
+      val batch = Seq((1L, 0L, "w1 e0")).toDF("doc_id", "shard", "text")
+      // first writer adopts the directory
+      val c1 = Export.appendShards(batch, dir, epoch = Some(0L),
+        writerId = Some("query-aaaa"))
+      assert(c1 === Map(0L -> 1L))
+      // same writer, same epoch: the legitimate checkpoint-resume replay —
+      // skipped byte-for-byte as before
+      val c2 = Export.appendShards(batch, dir, epoch = Some(0L),
+        writerId = Some("query-aaaa"))
+      assert(c2 === c1)
+      // a FRESH-CHECKPOINT restart (new query.id, batchIds reset to 0)
+      // must refuse loudly, not silently skip real data
+      val fresh = Seq((2L, 0L, "w2 e0")).toDF("doc_id", "shard", "text")
+      val e1 = intercept[IllegalArgumentException] {
+        Export.appendShards(fresh, dir, epoch = Some(0L),
+          writerId = Some("query-bbbb"))
+      }
+      assert(e1.getMessage.contains("query-aaaa") &&
+        e1.getMessage.contains("query-bbbb"))
+      assert(Export.readShards(spark, dir, Seq(0L)).count() === 1L)
+      // writerId-less append on a writer-scoped directory carries the
+      // recorded writer forward (legacy call sites keep working)
+      val c3 = Export.appendShards(
+        Seq((3L, 0L, "auto")).toDF("doc_id", "shard", "text"), dir)
+      assert(c3 === Map(0L -> 2L))
+      val e2 = intercept[IllegalArgumentException] {
+        Export.appendShards(fresh, dir, epoch = Some(9L),
+          writerId = Some("query-bbbb"))
+      }
+      assert(e2.getMessage.contains("query-aaaa"))
+      // malformed writer ids refuse before touching the directory
+      intercept[IllegalArgumentException] {
+        Export.appendShards(fresh, dir, writerId = Some("bad\"id"))
+      }
+      assert(Export.validateShardsContent(spark, dir) === c3)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("a crash between epoch move and manifest publish replays to exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("appcrash").toString
@@ -880,6 +923,27 @@ class ExportSpec extends SparkSpec {
         readPayload = true).toSeq
     }
     assert(e3.getMessage.contains("Content-Length"))
+    // a multi-space status line (legal per RFC whitespace tolerance in the
+    // wild) PARSES; a non-numeric status REFUSES as corrupt warc, not a
+    // bare NumberFormatException
+    def statusRec(statusLine: String): Array[Byte] = {
+      val http = statusLine + "\r\nContent-Length: 2\r\n\r\nok"
+      rec("response", "urn:uuid:ddd",
+        "WARC-Target-URI: https://y/\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n", http)
+        .getBytes("UTF-8")
+    }
+    val multi = Export.warcResponses(
+      new java.io.ByteArrayInputStream(statusRec("HTTP/1.1  200")),
+      readPayload = true).toSeq
+    assert(multi.head._3 === 200)
+    val e4 = intercept[IllegalArgumentException] {
+      Export.warcResponses(
+        new java.io.ByteArrayInputStream(statusRec("HTTP/1.1 abc OK")),
+        readPayload = true).toSeq
+    }
+    assert(e4.getMessage.contains("corrupt warc") &&
+      e4.getMessage.contains("status"))
   }
 
   test("warc writer refuses bad keys, dup keys, CR/LF header smuggling, null payloads") {
