@@ -412,62 +412,9 @@ object PackingQueries {
     QueryDef("x205_crawl_pipeline",
       (s, d) => {
         val dir = exportScratchDir(d, "x205-crawl")
-        val docs = Tables.documents(s, d)
-        val escT = regexp_replace(regexp_replace(regexp_replace(col("text"),
-          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-        val inlineRef = when(col("doc_id") % 3 === 0,
-          lit(" See <a href=\"/ref\">the reference</a> for details."))
-          .otherwise(lit(""))
-        val html = concat(
-          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-          lit("</title><style>body{margin:0}</style>" +
-            "<script>if (a<b) { track(\"&x\"); }</script></head><body>" +
-            "<nav><a href=\"/\">home</a> <a href=\"/all\">all docs</a></nav>" +
-            "<!-- rendered by graft -->" +
-            "<div id=\"main\"><p>"),
-          escT, inlineRef,
-          lit("</p><p>Tags: &lt;"), col("lang"),
-          lit("&gt; &amp; more</p></div>" +
-            "<aside><a href=\"/a\">one</a> <a href=\"/b\">two</a></aside>" +
-            "<footer>&copy; corpus <a href=\"/tos\">terms</a> " +
-            "<a href=\"/priv\">privacy</a></footer></body></html>"))
-        val id = col("doc_id")
-        val scheme = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
-        val port = when(id % 2 === 0, lit(":80")).otherwise(lit(":443"))
-        val host = concat(
-          when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
-          lit(".Example.COM"))
-        val path = concat(lit("/docs/item"), (id % 100).cast("string"),
-          when(id % 3 === 0, lit("//")).otherwise(lit("")))
-        val query = when(id % 4 === 0,
-            lit("?utm_source=feed&ref=home&utm_medium=rss"))
-          .when(id % 4 === 1, lit("?ref=home"))
-          .when(id % 4 === 2, lit("?UTM_Campaign=x"))
-          .otherwise(lit(""))
-        val frag = when(id % 7 === 0, lit("#section-2")).otherwise(lit(""))
-        val rawUrl = concat(scheme, lit("://"), host, port, path, query, frag)
-        Export.writeWarcShards(
-          docs.select(
-            concat(lit("doc-"),
-              lpad(id.cast("string"), 12, "0")).as("key"),
-            rawUrl.as("url"),
-            lit(200).cast("int").as("status"),
-            lit("text/html").as("mime"),
-            encode(html, "UTF-8").as("payload"),
-            (id % 8).cast("int").as("shard")),
-          dir, compression = "gzip")
-        val read = Export.readWarcShards(s, dir)
-          .select(
-            expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
-            TextAnalysis.urlNormalize(col("url")).as("url_canon"),
-            TextAnalysis.urlHost(col("url")).as("host"),
-            decode(col("payload"), "UTF-8").as("html"))
-        val extracted = TextAnalysis.htmlExtract(
-          read.select(col("doc_id"), col("html")))
-        read.select(col("doc_id"), col("url_canon"), col("host"))
-          .join(extracted, "doc_id")
-          .select(col("doc_id"), col("url_canon"), col("host"),
-            col("n_blocks"), col("n_kept"), col("main_text"))
+        Export.writeWarcShards(crawlSynthFrame(s, d), dir,
+          compression = "gzip")
+        crawlExtractChain(Export.readWarcShards(s, dir))
           .orderBy("doc_id")
       },
       Some("""WITH h AS (
@@ -577,6 +524,71 @@ object PackingQueries {
                 x.n_blocks, x.n_kept, x.main_text
               FROM x JOIN ff ON ff.doc_id = x.doc_id
               ORDER BY x.doc_id""")),
+
+    // x205b — the STREAMING crawl-ingest pipeline end to end, with a
+    // crash injected in the at-least-once window: readWarcStream pulls
+    // the x205-synthesized WARC containers in ≥2 UNEVEN micro-batches
+    // (8 files, maxFilesPerTrigger=3 → 3/3/2), each batch runs the full
+    // ingest chain (utf8 validity gate → mojibake repair → htmlExtract →
+    // urlNormalize) and lands via appendShards(epoch = batchId, writerId)
+    // — and the FIRST attempt of batch 0 dies AFTER the sink committed
+    // its epoch but BEFORE the engine wrote its commit marker, so the
+    // restart from the same checkpoint REPLAYS batch 0 into the epoch
+    // log's skip path. The gate: the read-back union of all streamed
+    // epochs hash-equals the x205 batch frame computed over the same
+    // containers. This is the README's flagship exactly-once claim as a
+    // driver-visible oracle row — container → stream → extract →
+    // canonical → idempotent export on ONE comparison. Bounded: gate
+    // runs at fixture scale; every stage's scale posture is its batch
+    // entry's (x202b, x199, x200, ExportSpec epochs).
+    QueryDef("x205b_crawl_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        val root = exportScratchDir(d, "x205b-crawl")
+        val src = s"$root/src"
+        val out = s"$root/out"
+        val ckpt = s"$root/ckpt"
+        // out + checkpoint must be FRESH per run (a stale epoch log would
+        // skip every batch and compare garbage); the src export overwrites
+        Seq(out, ckpt).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        Export.writeWarcShards(crawlSynthFrame(s, d, onlyEvery = 10), src,
+          compression = "gzip")
+        val expected = crawlExtractChain(Export.readWarcShards(s, src))
+          .withColumn("shard", (col("doc_id") % 4).cast("int"))
+          .collect().map(_.toSeq).toSet
+        val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def runStream(): Unit = {
+          val q = Export.readWarcStream(s, src,
+              options = Map("maxFilesPerTrigger" -> "3"))
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              Export.appendShards(
+                crawlExtractChain(b)
+                  .withColumn("shard", (col("doc_id") % 4).cast("int")),
+                out, epoch = Some(id), writerId = Some("x205b-ingest"))
+              // first attempt of batch 0: die in the window between the
+              // sink's epoch commit and the engine's commit marker — the
+              // restart must replay batch 0 and the epoch log must skip it
+              if (id == 0L && killed.compareAndSet(false, true))
+                throw new RuntimeException("x205b injected crash")
+              ()
+            }
+            .start()
+          try q.processAllAvailable()
+          catch { case _: Exception => () }
+          finally q.stop()
+        }
+        runStream() // dies after batch 0's sink commit
+        runStream() // resumes: replays batch 0 (skipped), runs the rest
+        val got = Export.readShards(s, out, Seq(0L, 1L, 2L, 3L))
+          .collect().map(_.toSeq).toSet
+        val epochs = Export.committedEpochs(s, out)
+        Seq(killed.get() && epochs.size >= 2 &&
+            got == expected && expected.nonEmpty)
+          .toDF("crawl_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS crawl_stream_ok")),
 
     // x196 — Z-order (Morton) layout key for two-dimensional scan
     // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
@@ -1896,4 +1908,86 @@ object PackingQueries {
             FROM b GROUP BY 1, 2 ORDER BY len_bucket, q_band"""
       }),
   )
+
+  /** x205/x205b's synthesized crawl: the documents table wrapped in the
+    * x199 HTML shape with x200 rule-exercising URLs, as the (key, url,
+    * status, mime, payload, shard) frame [[graft.ext.Export.writeWarcShards]]
+    * packs into real WARC response records — ONE definition so the batch
+    * pipeline entry and the streaming gate ingest byte-identical
+    * containers and cannot drift. */
+  private def crawlSynthFrame(s: SparkSession, d: String,
+                              onlyEvery: Int = 1): DataFrame = {
+    val docs0 = Tables.documents(s, d)
+    // gate entries bound their fixtures: x205b streams a 1-in-onlyEvery
+    // subset (the streaming engine's fixed per-batch costs dominate the
+    // gate; parity strength does not grow with fixture rows)
+    val docs = if (onlyEvery <= 1) docs0
+      else docs0.filter(col("doc_id") % onlyEvery === 0)
+    val escT = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val inlineRef = when(col("doc_id") % 3 === 0,
+      lit(" See <a href=\"/ref\">the reference</a> for details."))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style>" +
+        "<script>if (a<b) { track(\"&x\"); }</script></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/all\">all docs</a></nav>" +
+        "<!-- rendered by graft -->" +
+        "<div id=\"main\"><p>"),
+      escT, inlineRef,
+      lit("</p><p>Tags: &lt;"), col("lang"),
+      lit("&gt; &amp; more</p></div>" +
+        "<aside><a href=\"/a\">one</a> <a href=\"/b\">two</a></aside>" +
+        "<footer>&copy; corpus <a href=\"/tos\">terms</a> " +
+        "<a href=\"/priv\">privacy</a></footer></body></html>"))
+    val id = col("doc_id")
+    val scheme = when(id % 2 === 0, lit("HTTP")).otherwise(lit("https"))
+    val port = when(id % 2 === 0, lit(":80")).otherwise(lit(":443"))
+    val host = concat(
+      when(id % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"))
+    val path = concat(lit("/docs/item"), (id % 100).cast("string"),
+      when(id % 3 === 0, lit("//")).otherwise(lit("")))
+    val query = when(id % 4 === 0,
+        lit("?utm_source=feed&ref=home&utm_medium=rss"))
+      .when(id % 4 === 1, lit("?ref=home"))
+      .when(id % 4 === 2, lit("?UTM_Campaign=x"))
+      .otherwise(lit(""))
+    val frag = when(id % 7 === 0, lit("#section-2")).otherwise(lit(""))
+    val rawUrl = concat(scheme, lit("://"), host, port, path, query, frag)
+    docs.select(
+      concat(lit("doc-"),
+        lpad(id.cast("string"), 12, "0")).as("key"),
+      rawUrl.as("url"),
+      lit(200).cast("int").as("status"),
+      lit("text/html").as("mime"),
+      encode(html, "UTF-8").as("payload"),
+      (id % 8).cast("int").as("shard"))
+  }
+
+  /** The crawl INGEST chain over WARC reader output (key, url, payload):
+    * byte-level UTF-8 validity gate BEFORE string-land (Spark 4's decode
+    * throws on malformed bytes), then main-content extraction and URL
+    * canonicalization → (doc_id, url_canon, host, n_blocks, n_kept,
+    * main_text). Shared verbatim by x205 (batch over readWarcShards) and
+    * x205b (per micro-batch over readWarcStream in foreachBatch), so the
+    * two entries compare the SAME computation across the two ingest
+    * paths. Scan-local expression chains + one broadcast-sized join; no
+    * UDFs, no extra shuffle. */
+  private def crawlExtractChain(records: DataFrame): DataFrame = {
+    val read = records
+      .filter(TextAnalysis.utf8InvalidBytes(col("payload")) === 0)
+      .select(
+        expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
+        TextAnalysis.urlNormalize(col("url")).as("url_canon"),
+        TextAnalysis.urlHost(col("url")).as("host"),
+        decode(col("payload"), "UTF-8").as("html"))
+    val extracted = TextAnalysis.htmlExtract(
+      read.select(col("doc_id"), col("html")))
+    read.select(col("doc_id"), col("url_canon"), col("host"))
+      .join(extracted, "doc_id")
+      .select(col("doc_id"), col("url_canon"), col("host"),
+        col("n_blocks"), col("n_kept"), col("main_text"))
+  }
 }

@@ -1491,6 +1491,70 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("composed WARC-ingest stream: crash between epoch move and manifest publish lands exactly once") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-wcrash-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-wcrash-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wcrash-ck").toString
+    val df = (0 until 12).map(i =>
+      (f"k-$i%04d", s"https://h$i.example.com/", 200, "text/html",
+        s"body $i".getBytes("UTF-8"), i % 4))
+      .toDF("key", "url", "status", "mime", "payload", "shard")
+      .withColumn("shard", col("shard").cast("int"))
+    graft.ext.Export.writeWarcShards(df, src, compression = "gzip")
+    // the x205b composition: stream the containers in 2 micro-batches
+    // (4 files, maxFilesPerTrigger=2), project, land via epoch-keyed
+    // appendShards. foreachBatch snapshots the post-epoch-0 manifest so
+    // the test can rewind epoch 1 to its mid-commit state.
+    val manifestAfter0 = new java.util.concurrent.atomic.AtomicReference[Array[Byte]]()
+    def startQuery() = graft.ext.Export.readWarcStream(spark, src,
+        options = Map("maxFilesPerTrigger" -> "2")).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ext.Export.appendShards(
+          b.select(col("key"), col("url"), col("payload_len"),
+            expr("CAST(substring(key, 3, 4) AS INT) % 2").as("shard")),
+          out, epoch = Some(id), writerId = Some("warc-ingest"))
+        if (id == 0L) manifestAfter0.set(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out, "_graft_manifest.json")))
+        ()
+      }
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(graft.ext.Export.committedEpochs(spark, out) === Set(0L, 1L))
+    // CRASH WINDOW for epoch 1: its e1- data files moved into the live
+    // shard dirs, but the writer died BEFORE the manifest publish — and
+    // the engine's commit marker for batch 1 is gone too (driver death).
+    // Restore the post-epoch-0 manifest over the live one and drop
+    // commits/1 (+ local-FS .crc sidecars).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_graft_manifest.json"), manifestAfter0.get())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out, "._graft_manifest.json.crc"))
+    val commit1 = new java.io.File(ckpt, "commits/1")
+    assert(commit1.exists() && commit1.delete())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits/.1.crc"))
+    assert(graft.ext.Export.committedEpochs(spark, out) === Set(0L))
+    // loader-side gate refuses the half-committed state loudly meanwhile
+    intercept[IllegalArgumentException](
+      graft.ext.Export.validateShards(spark, out))
+    // RESUME: the engine replays batch 1; appendShards retracts the
+    // stranded e1- files and rewrites the epoch exactly once
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.ext.Export.committedEpochs(spark, out) === Set(0L, 1L))
+    val counts = graft.ext.Export.validateShardsContent(spark, out)
+    assert(counts.values.sum === 12L)
+    val keys = graft.ext.Export.readShards(spark, out, Seq(0L, 1L))
+      .select("key").collect().map(_.getString(0)).sorted.toSeq
+    assert(keys === (0 until 12).map(i => f"k-$i%04d"),
+      "each WARC record must land exactly once across the crash-resume")
+    Seq(src, out, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("readWarcStream picks up newly-landed WARC files exactly once") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-warc-src").toString
