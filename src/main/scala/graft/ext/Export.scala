@@ -1780,8 +1780,19 @@ object Export {
     * a full decode pass, per-file xxhash64) extended with `format:
     * "warc"`, so [[validateShards]]/[[validateShardsContent]]/
     * [[readWarcShards]] work over it unchanged. Compression `"none"` or
-    * `"gzip"` (whole-file; Common Crawl's per-record gzip members read
-    * back fine too — the JDK gunzip stream handles concatenated members).
+    * `"gzip"` — gzip writes one gzip MEMBER PER RECORD (the Common Crawl
+    * layout; the JDK gunzip stream decompresses member concatenations
+    * transparently, so sequential readers are unchanged), which makes
+    * every record independently addressable by compressed byte offset.
+    * The writer exploits that: each shard file gets a dot-hidden CDX
+    * sidecar (`.part-00000.warc[.gz].cdx`, one JSON line per response
+    * record: key, url, offset, length) so [[readWarcRecords]] can fetch
+    * single records by key with one seek, no shard scan — and a huge
+    * file's SELECTIVE reads parallelize across tasks even though the
+    * sequential scan is one task. Sidecars are invisible to the
+    * manifest's byte/file stats and to every sequential reader (the
+    * dot prefix), and their bytes are a pure function of the rows like
+    * the containers themselves.
     * Overwrite-only: a crawl export is a terminal artifact. */
   def writeWarcShards(df: DataFrame, dir: String,
                       keyCol: String = "key",
@@ -1828,19 +1839,45 @@ object Export {
           .map(_.taskAttemptId()).getOrElse(0L)
         var shard = Long.MinValue
         var lastKey: String = null
-        var out: java.io.OutputStream = null
+        var out: CountingOutputStream = null
+        var cdx: java.io.Writer = null
         var tmp: Path = null
         var fin: Path = null
+        var cdxTmp: Path = null
+        var cdxFin: Path = null
+        val gzip = fileName.endsWith(".gz")
+        // first-committer-wins (see writeTarShards): deterministic bytes
+        // make losing the rename race equivalent to having committed
+        def commit(t: Path, f: Path): Unit =
+          if (!tfs.rename(t, f)) {
+            require(tfs.exists(f),
+              s"writeWarcShards: could not move $t into place at $f")
+            tfs.delete(t, false)
+          }
         def closeCurrent(): Unit = if (out != null) {
           out.close(); out = null
-          // first-committer-wins (see writeTarShards): deterministic bytes
-          // make losing the rename race equivalent to having committed
-          if (!tfs.rename(tmp, fin)) {
-            require(tfs.exists(fin),
-              s"writeWarcShards: could not move $tmp into place at $fin")
-            tfs.delete(tmp, false)
-          }
+          cdx.close(); cdx = null
+          commit(tmp, fin)
+          commit(cdxTmp, cdxFin)
         }
+        // gzip mode writes ONE MEMBER PER RECORD (finish() seals the
+        // member without closing the file stream) so the returned
+        // (offset, length) bound a self-contained gunzip unit — the CDX
+        // contract readWarcRecords seeks on. Uncompressed mode returns
+        // the raw record bounds, same contract.
+        def writeRec(kind: String, key: String,
+                     headers: Seq[(String, String)],
+                     block: Array[Byte]): (Long, Long) = {
+          val start = out.count
+          if (gzip) {
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            writeWarcRecord(gz, kind, key, headers, block)
+            gz.finish()
+          } else writeWarcRecord(out, kind, key, headers, block)
+          (start, out.count - start)
+        }
+        def jq(s: String): String =
+          com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
         def clean(s: String, what: String): String = {
           require(s != null && !s.exists(c => c == '\r' || c == '\n'),
             s"writeWarcShards: $what must be non-null and CR/LF-free, " +
@@ -1862,12 +1899,12 @@ object Export {
               tfs.mkdirs(sdir)
               fin = new Path(sdir, fileName)
               tmp = new Path(sdir, s".$fileName.inprogress-$attempt")
-              val raw = tfs.create(tmp, true)
-              out =
-                if (fileName.endsWith(".gz"))
-                  new java.util.zip.GZIPOutputStream(raw)
-                else raw
-              writeWarcRecord(out, "warcinfo", s"warcinfo-$s",
+              cdxFin = new Path(sdir, s".$fileName.cdx")
+              cdxTmp = new Path(sdir, s".$fileName.cdx.inprogress-$attempt")
+              out = new CountingOutputStream(tfs.create(tmp, true))
+              cdx = new java.io.OutputStreamWriter(
+                tfs.create(cdxTmp, true), "UTF-8")
+              writeRec("warcinfo", s"warcinfo-$s",
                 Seq("Content-Type" -> "application/warc-fields"),
                 ("software: graft-export\r\n" +
                   "format: WARC File Format 1.0\r\n").getBytes("UTF-8"))
@@ -1889,13 +1926,18 @@ object Export {
             val block = new Array[Byte](httpHead.length + body.length)
             System.arraycopy(httpHead, 0, block, 0, httpHead.length)
             System.arraycopy(body, 0, block, httpHead.length, body.length)
-            writeWarcRecord(out, "response", key,
+            val (off, len) = writeRec("response", key,
               Seq("WARC-Target-URI" -> url,
                 "Content-Type" -> "application/http;msgtype=response"),
               block)
+            cdx.write(s"""{"key": ${jq(key)}, "url": ${jq(url)}, """ +
+              s""""offset": $off, "length": $len}""" + "\n")
           }
           closeCurrent()
-        } finally if (out != null) { out.close(); tfs.delete(tmp, false) }
+        } finally if (out != null) {
+          out.close(); if (cdx != null) cdx.close()
+          tfs.delete(tmp, false); tfs.delete(cdxTmp, false)
+        }
       }
     def q(s: String): String =
       com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
@@ -1903,7 +1945,21 @@ object Export {
       d => warcShardFrame(spark, d, keyCol, shardCol),
       epochs = Set.empty, priorHashes = Map.empty,
       extra = Seq("format" -> "\"warc\"", "compression" -> q(compression),
-        "key" -> q(keyCol)))
+        "key" -> q(keyCol), "cdx" -> "true"))
+  }
+
+  /** Byte-counting pass-through: the compressed-offset source for the
+    * CDX sidecar (gzip members deflate through it, so `count` after
+    * `finish()` is the member's END offset in the file). */
+  private final class CountingOutputStream(u: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { u.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      u.write(b, off, len); count += len
+    }
+    override def flush(): Unit = u.flush()
+    override def close(): Unit = u.close()
   }
 
   /** One CRLF-terminated line as (text, bytes consumed incl. CRLF). */
@@ -2052,6 +2108,42 @@ object Export {
     }
   }
 
+  /** Open one WARC file off its filesystem and stream its response
+    * records — one record in memory at a time, NEVER the file (the
+    * gzip/raw stream is pulled through [[warcResponses]] incrementally,
+    * so a multi-GiB or unsharded foreign WARC costs one record's bytes
+    * of task memory, not the file's). Multi-member gzip concatenations
+    * (each record its own member, the Common Crawl layout) decompress
+    * transparently (GZIPInputStream consumes member sequences). The
+    * stream closes on exhaustion AND on task completion, whichever
+    * comes first (a limit/take that abandons the iterator must not leak
+    * the file handle). Shared by the batch shard reader and the
+    * streaming file source — the ONE file→records seam. */
+  private def warcFileRecords(conf: org.apache.hadoop.conf.Configuration,
+                              uri: String, readPayload: Boolean)
+      : Iterator[(String, String, Int, String, Array[Byte], Long)] = {
+    val p = new Path(uri)
+    val rawIn = p.getFileSystem(conf).open(p)
+    val in: java.io.InputStream =
+      if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
+      else rawIn
+    val it = warcResponses(in, readPayload)
+    new Iterator[(String, String, Int, String, Array[Byte], Long)] {
+      private var closed = false
+      private def closeOnce(): Unit =
+        if (!closed) { closed = true; try in.close() finally () }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      override def next(): (String, String, Int, String, Array[Byte], Long) =
+        it.next()
+    }
+  }
+
   /** WARC shard directory as a DataFrame — one executor task per file,
     * one record in memory at a time; `wanted` prunes at the RECORD level
     * (a scan without `payload` skips every body by length). */
@@ -2084,28 +2176,9 @@ object Export {
     val rows = spark.createDataset(files)
       .repartition(readTasks(spark, files.size))
       .flatMap { case (shard, uri) =>
-        val p = new Path(uri)
-        val rawIn = p.getFileSystem(confB.value.value).open(p)
-        val in: java.io.InputStream =
-          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
-          else rawIn
-        val it = warcResponses(in, readPayload)
-        new Iterator[(String, String, Int, String, Array[Byte], Long, Long)] {
-          private var closed = false
-          private def closeOnce(): Unit =
-            if (!closed) { closed = true; try in.close() finally () }
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) closeOnce()
-            h
-          }
-          override def next(): (String, String, Int, String, Array[Byte], Long, Long) = {
-            val (key, url, status, mime, body, plen) = it.next()
-            (key, url, status, mime, body, plen, shard)
-          }
-        }
+        warcFileRecords(confB.value.value, uri, readPayload)
+          .map { case (key, url, status, mime, body, plen) =>
+            (key, url, status, mime, body, plen, shard) }
       }
       .toDF("__key", "url", "status", "mime", "payload", "payload_len",
         "__shard")
@@ -2139,6 +2212,134 @@ object Export {
     warcShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
   }
 
+  /** The CDX sidecar rows of a WARC export, with the owning container
+    * file threaded through as `__uri` — the one parse of the sidecar
+    * layout, shared by [[readWarcRecordIndex]] (drops `__uri`) and
+    * [[readWarcRecords]] (seeks on it). */
+  private def cdxFrame(spark: SparkSession, dir: String,
+                       only: Set[Long], shardCol: String): DataFrame = {
+    import spark.implicits._
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains("warc"),
+      s"manifest at $dir is not a writeWarcShards export")
+    require(Option(tree.get("cdx")).exists(_.asBoolean),
+      s"the WARC export at $dir predates the CDX record index — " +
+        "re-export to get keyed record access")
+    val (hfs, root) = fs(spark, dir)
+    val files = shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol)
+      .filter { case (shard, _, _) => only.isEmpty || only.contains(shard) }
+      .flatMap { case (shard, _, fs_) => fs_.map { f =>
+        val warc = hfs.makeQualified(f.getPath)
+        val cdxP = new Path(f.getPath.getParent, s".${f.getPath.getName}.cdx")
+        require(hfs.exists(cdxP),
+          s"writeWarcShards CDX sidecar missing for $warc — " +
+            "the export is corrupt or was pruned by a dot-file-stripping copy")
+        (shard, warc.toString, hfs.makeQualified(cdxP).toString)
+      } }
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(files)
+      .repartition(readTasks(spark, files.size))
+      .flatMap { case (shard, warcUri, cdxUri) =>
+        val conf = confB.value.value
+        val p = new Path(cdxUri)
+        val in = p.getFileSystem(conf).open(p)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().map { line =>
+          val n = mapper.readTree(line)
+          (n.get("key").asText, n.get("url").asText, shard, warcUri,
+            n.get("offset").asLong, n.get("length").asLong)
+        }.toVector // sidecar is metadata-sized; the payloads stay on disk
+        finally in.close()
+      }
+      .toDF("key", "url", "shard", "__uri", "offset", "length")
+  }
+
+  /** The export's record index as a DataFrame — (key, url, shard,
+    * offset, length), one row per response record, read from the
+    * dot-hidden CDX sidecars [[writeWarcShards]] writes beside each
+    * container. Metadata-scaled (no payload byte is touched): the
+    * url-dedup/blocklist passes that only need (key, url) run here
+    * instead of a record-level container scan. */
+  def readWarcRecordIndex(spark: SparkSession, dir: String,
+                          shards: Seq[Long] = Nil,
+                          shardCol: String = "shard"): DataFrame =
+    cdxFrame(spark, dir, shards.toSet, shardCol)
+      .select("key", "url", "shard", "offset", "length")
+
+  /** Fetch NAMED records of a WARC export by key — one seek + one
+    * member read per record, never a shard scan: the CDX sidecar maps
+    * each key to its container file and (offset, length), gzip exports
+    * are one MEMBER per record so the byte range is a self-contained
+    * gunzip unit, and rows co-locate per container file (sorted by
+    * offset, so a task's reads walk each file forward). This is the
+    * selective re-read path a 100 TB crawl store needs — pulling k
+    * records costs O(k) reads regardless of corpus size, and a single
+    * huge container's selective reads PARALLELIZE across tasks even
+    * though its sequential scan is one task. Output matches
+    * [[readWarcShards]]: (key, url, status, mime, payload, payload_len,
+    * shard). Unknown keys return no row (validate against
+    * [[readWarcRecordIndex]] when presence matters). */
+  def readWarcRecords(spark: SparkSession, dir: String,
+                      keys: Seq[String],
+                      shardCol: String = "shard"): DataFrame = {
+    import spark.implicits._
+    require(keys.nonEmpty, "readWarcRecords: pass at least one key")
+    val keyCol = Option(manifestTree(spark, dir).get("key"))
+      .map(_.asText).getOrElse("key")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val hits = cdxFrame(spark, dir, Set.empty, shardCol)
+      .filter(col("key").isin(keys: _*))
+      // hash on (uri, offset) so ONE huge container's reads spread
+      // across tasks; the within-partition sort still walks each file
+      // forward between reopens
+      .repartition(readTasks(spark, keys.size), col("__uri"), col("offset"))
+      .sortWithinPartitions(col("__uri"), col("offset"))
+      .select("key", "url", "shard", "__uri", "offset", "length")
+      .as[(String, String, Long, String, Long, Long)]
+    hits.mapPartitions { it =>
+      val conf = confB.value.value
+      var curUri: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      def closeIn(): Unit = if (in != null) { in.close(); in = null }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+      it.map { case (key, _, shard, uri, off, len) =>
+        if (uri != curUri) {
+          closeIn()
+          val p = new Path(uri)
+          in = p.getFileSystem(conf).open(p)
+          curUri = uri
+        }
+        require(len <= Int.MaxValue,
+          s"cdx record of $len bytes exceeds one read buffer")
+        in.seek(off)
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(buf)
+        val recIn: java.io.InputStream = {
+          val raw = new java.io.ByteArrayInputStream(buf)
+          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        }
+        val recs = warcResponses(recIn, readPayload = true).toVector
+        require(recs.length == 1 && recs.head._1 == key,
+          s"cdx mismatch at $uri:$off — expected one record for key " +
+            s"'$key', got ${recs.map(_._1).mkString(",")}")
+        val (k, u, st, mime, body, plen) = recs.head
+        (k, u, st, mime, body, plen, shard)
+      }
+    }.toDF(keyCol, "url", "status", "mime", "payload", "payload_len",
+      shardCol)
+  }
+
   /** STREAMING WARC ingest: new `.warc`/`.warc.gz` files landing under
     * `dir` (recursive) arrive as micro-batches of parsed response
     * records — Spark's file source supplies exactly-once file tracking
@@ -2148,11 +2349,18 @@ object Export {
     * flaggers → appendShards(epoch = batchId) }` is exactly-once end to
     * end. Output schema matches [[readWarcShards]] minus the manifest
     * shard column: (key, url, status, mime, payload, payload_len, path).
-    * The file source's `binaryFile` contract holds one FILE in memory
-    * per row (not one record) — size crawl shard files accordingly
-    * (Common Crawl's ~1 GB WARCs are fine at executor defaults);
-    * `maxFilesPerTrigger` is the ingest-rate lever. Also works as a
-    * BATCH reader over a manifest-less directory of foreign WARCs
+    *
+    * RECORD-GRANULAR memory: the binaryFile source supplies only FILE
+    * TRACKING here — the projection keeps `path` alone, which the
+    * binaryFile format prunes to a metadata listing (no `content`
+    * column requested → the source reads no byte) — and the records
+    * are then streamed off the filesystem by [[warcFileRecords]], one
+    * record in memory at a time. A multi-GiB or unsharded foreign WARC
+    * therefore neither hits binaryFile's 2 GiB single-cell ceiling nor
+    * OOMs an executor; its only cost is PARALLELISM (one sequential
+    * task per file), so shard crawl dumps for throughput, not for
+    * memory. `maxFilesPerTrigger` is the ingest-rate lever. Also works
+    * as a BATCH reader over a manifest-less directory of foreign WARCs
     * (`spark.read` path) via `streaming = false`. */
   def readWarcStream(spark: SparkSession, dir: String,
                      glob: String = "*.warc*",
@@ -2177,15 +2385,13 @@ object Export {
           .option("recursiveFileLookup", "true")
           .options(options)
           .load(dir)
-    reader.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val in: java.io.InputStream = {
-          val raw = new java.io.ByteArrayInputStream(bytes)
-          if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
-          else raw
-        }
-        warcResponses(in, readPayload = true)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    reader.select(col("path"))
+      .as[String]
+      .flatMap { path =>
+        warcFileRecords(confB.value.value, path, readPayload = true)
           .map { case (key, url, status, mime, body, plen) =>
             (key, url, status, mime, body, plen, path) }
       }

@@ -874,6 +874,75 @@ class ExportSpec extends SparkSpec {
       new java.io.File(dir))
   }
 
+  test("warc CDX index: keyed record fetch seeks one gzip member, no shard scan") {
+    import spark.implicits._
+    for (comp <- Seq("gzip", "none")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-cdx-$comp").toString
+      try {
+        val df = (0 until 30).map(i =>
+          (f"k-$i%04d", s"https://h$i.example.com/p$i", 200, "text/html",
+            (s"body-$i-" + "y" * (50 + i)).getBytes("UTF-8"), i % 3))
+          .toDF("key", "url", "status", "mime", "payload", "shard")
+          .withColumn("shard", col("shard").cast("int"))
+        Export.writeWarcShards(df, dir, compression = comp)
+        // the sidecars are invisible to the manifest's stats and gates
+        assert(Export.validateShardsContent(spark, dir).values.sum === 30L)
+        // index covers every response record, metadata only
+        val idx = Export.readWarcRecordIndex(spark, dir)
+        assert(idx.columns.toSeq ===
+          Seq("key", "url", "shard", "offset", "length"))
+        assert(idx.count() === 30L)
+        assert(idx.select("key").collect().map(_.getString(0)).sorted.toSeq
+          === (0 until 30).map(i => f"k-$i%04d"))
+        // shard-selective index read
+        assert(Export.readWarcRecordIndex(spark, dir, shards = Seq(1L))
+          .count() === 10L)
+        // keyed fetch: exactly the asked records, payload bytes intact,
+        // schema identical to the sequential reader's
+        val want = Seq("k-0007", "k-0013", "k-0029")
+        val got = Export.readWarcRecords(spark, dir, want)
+          .orderBy("key").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+            r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8"),
+            r.getLong(5), r.getLong(6)))
+        val full = Export.readWarcShards(spark, dir)
+          .filter(col("key").isin(want: _*))
+          .orderBy("key").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+            r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8"),
+            r.getLong(5), r.getLong(6)))
+        assert(got === full && got.length === 3)
+        // unknown keys return no row, known ones still come back
+        assert(Export.readWarcRecords(spark, dir, Seq("nope", "k-0001"))
+          .count() === 1L)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
+    }
+  }
+
+  test("readWarcStream's file source reads paths only (record-granular memory)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wpath").toString
+    try {
+      val df = (0 until 6).map(i =>
+        (f"k-$i%04d", s"https://h$i/", 200, "text/html",
+          s"b$i".getBytes("UTF-8"), i % 2))
+        .toDF("key", "url", "status", "mime", "payload", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWarcShards(df, dir, compression = "gzip")
+      val frame = Export.readWarcStream(spark, dir, streaming = false)
+      // the binaryFile scan must be pruned to the path column — content
+      // never materializes a file in memory; records stream off the FS
+      val scan = frame.queryExecution.executedPlan.toString()
+      assert(scan.contains("ReadSchema: struct<path:string>"),
+        s"binaryFile scan not pruned to path:\n$scan")
+      assert(frame.count() === 6L)
+      assert(frame.select("key").collect().map(_.getString(0)).sorted.toSeq
+        === (0 until 6).map(i => f"k-$i%04d"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("warc reader interop: independently-authored bytes parse; corrupt refuse") {
     // hand-written per the public WARC 1.0 spec, NOT via writeWarcShards:
     // a warcinfo record, a request record (both must be skipped), and a
