@@ -74,6 +74,71 @@ object SoakProbe {
             pr.orderBy(col("pr").desc, col("vec_id")).limit(20).collect()
           }
           println(f"[probe] pagerank $sfDir edges=$ne build=$build%.2f timed=$t%.2f")
+        case "mining-audit" =>
+          // VERDICT r17 "what's wrong" #2: the soak's scale adjudication
+          // (noise vs growth) must be separable by DIFFING ARTIFACTS, not
+          // by trusting prose — emit the candidate/bucket counters of the
+          // flagged mining frames as one JSON line per sf dir. Candidate
+          // counts are pure functions of the DATA (not of load, JVM
+          // traffic, or AQE), so a soak ratio that moves while these stay
+          // put is noise by construction.
+          val docs = Tables.documents(spark, sfDir)
+          val emb = Tables.embeddings(spark, sfDir)
+          def rowJson(df: org.apache.spark.sql.DataFrame): String = {
+            val r = df.collect().head
+            df.columns.zipWithIndex
+              .map { case (c, i) => s""""$c": ${r.get(i)}""" }
+              .mkString("{", ", ", "}")
+          }
+          val lsh = rowJson(ext.Similarity.lshBucketStats(emb))
+          val shingle = rowJson(ext.Dedup.postingsDfStats(
+            docs, "text", "doc_id", n = 3))
+          println(s"""[probe-json] {"probe": "mining-audit", """ +
+            s""""sf": "$sfDir", "lsh_t035": $lsh, """ +
+            s""""shingle_df_n3": $shingle}""")
+        case "warc-rate" =>
+          // VERDICT r17 next-round #8: the streaming-ingest rate curve.
+          // Synthesize one WARC container per shard from the documents
+          // table, then stream the directory under maxFilesPerTrigger in
+          // {1, 8}, reporting the ENGINE's own per-batch latency
+          // (triggerExecution from the progress log) against the 5 s
+          // per-pipeline budget.
+          val docs = Tables.documents(spark, sfDir)
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-warc-rate").toString
+          val src = s"$tmp/src"
+          val nShards = 32
+          ext.Export.writeWarcShards(docs.select(
+              concat(lit("doc-"),
+                lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+              concat(lit("https://h.example.com/"),
+                col("doc_id").cast("string")).as("url"),
+              lit(200).cast("int").as("status"),
+              lit("text/html").as("mime"),
+              encode(col("text"), "UTF-8").as("payload"),
+              (col("doc_id") % nShards).cast("int").as("shard")),
+            src, compression = "gzip")
+          for (mfpt <- Seq(1, 8)) {
+            val ckpt = s"$tmp/ckpt-$mfpt"
+            val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+            val q = ext.Export.readWarcStream(spark, src,
+                options = Map("maxFilesPerTrigger" -> mfpt.toString))
+              .writeStream.option("checkpointLocation", ckpt)
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                rows.addAndGet(b.count()); ()
+              }
+              .start()
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val total = (System.nanoTime() - t0) / 1e9
+            val lat = q.recentProgress.filter(_.numInputRows > 0)
+              .map(_.durationMs.get("triggerExecution").toDouble / 1000)
+            q.stop()
+            println(f"[probe] warc-rate $sfDir mfpt=$mfpt files=$nShards " +
+              f"batches=${lat.length} rows=${rows.get()} total=$total%.2f " +
+              f"maxBatch=${lat.max}%.2f meanBatch=${lat.sum / lat.length}%.2f")
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         case other => sys.error(s"unknown probe mode '$other'")
       }
     } finally spark.stop()

@@ -126,11 +126,26 @@ object Dedup {
     * subtree — measured ~2 s per join at sf0.1). One evaluation, two
     * key-partitioned shuffles. Quadratic only in per-shingle document
     * frequency, which an opt-in `maxDf` ([[recommendedScaleMaxDf]]) caps. */
+  /** Hash-partition on `keys` with an EXPLICIT partition count (the
+    * session's shuffle parallelism) — the SOAK-measured AQE lever for the
+    * hashed-shingle mining family, baked into the plan: AQE never
+    * coalesces a user-numbered repartition, so the stage that READS this
+    * shuffle (the postings pair explosion + verification — the family's
+    * CPU-heaviest work) keeps full parallelism even when its shuffle
+    * BYTES look small enough to coalesce. Shuffle bytes are a bad proxy
+    * for the quadratic per-row work downstream: AQE's byte-sized
+    * coalescing made this family 1.4–1.9× slower at the 10× soak (r17).
+    * With AQE off the plan is the same single shuffle as before, just
+    * user-pinned, so nothing changes there. */
+  private def pinForMining(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
   private def pairIntersections(sh: DataFrame, maxDf: Int): DataFrame = {
     val ex = sh
       .select(col("doc_id"), col("n_sh"), explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
-    val postings = ex
+    val postings = pinForMining(ex, col("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -222,7 +237,9 @@ object Dedup {
     val prefix = prefixPostings(sh, threshold)
     val cands = prefix
       .select(col("doc_id").as("pid"), col("n_sh").as("pn"), col("g"))
-      .join(ex.select(col("doc_id").as("fid"), col("n_sh").as("fn"), col("g")),
+      .join(pinForMining(
+          ex.select(col("doc_id").as("fid"), col("n_sh").as("fn"), col("g")),
+          col("g")),
         "g")
       .filter(col("pid") =!= col("fid"))
       .select(
@@ -295,7 +312,7 @@ object Dedup {
   /** [[ngramJaccardPairsPrefix]] over a prebuilt [[hashedShingles]] frame
     * (see [[ngramJaccardPairsOf]] for why the shingle scan is shared). */
   def ngramJaccardPairsPrefixOf(sh: DataFrame, threshold: Double): DataFrame = {
-    val cands = prefixPostings(sh, threshold)
+    val cands = pinForMining(prefixPostings(sh, threshold), col("g"))
       .groupBy(col("g"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -379,7 +396,7 @@ object Dedup {
     // postings form makes the blowup visible as one array whose size the
     // same maxDf cap bounds (an over-cap bucket means near-identical
     // boilerplate, which the shingle-postings cap drops anyway).
-    val buckets = banded
+    val buckets = pinForMining(banded, col("band"), col("bh"))
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

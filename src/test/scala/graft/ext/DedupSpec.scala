@@ -586,6 +586,25 @@ class DedupSpec extends SparkSpec {
     assert(grouped === expected)
   }
 
+  test("mining postings shuffles are user-pinned so AQE cannot coalesce them") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // the SOAK-measured AQE lever as default behavior: the shuffle feeding
+    // the pair explosion/verification stage must be a user-NUMBERED
+    // repartition (REPARTITION_BY_NUM), which AQE's partition coalescing
+    // skips — byte-sized coalescing starved exactly that stage at 10x
+    val miners = Seq(
+      "jaccard" -> Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.6),
+      "prefix" -> Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, 0.8),
+      "lsh" -> Dedup.minHashLshPairs(docs, "text", "doc_id", 3, 0.6),
+      "containment" ->
+        Dedup.containmentPairsPrefix(docs, "text", "doc_id", 3, 0.9))
+    miners.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$name miner lost its pinned postings shuffle:\n${p.take(1500)}")
+    }
+  }
+
   test("grouped editDist paths refuse null group keys loudly") {
     import spark.implicits._
     val docs = Seq(
