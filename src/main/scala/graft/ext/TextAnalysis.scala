@@ -69,31 +69,56 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Language stopword profiles for the n-gram/stopword language-ID
-    * heuristic. Alphabetical by language code; ties resolve to the first. */
+  /** DEFAULT language stopword profiles for the n-gram/stopword
+    * language-ID heuristic — alphabetical by language code; ties resolve
+    * to the FIRST profile in sequence order. Every lang-ID entry point
+    * ([[langGuess]], [[langScores]]) takes a `profiles` parameter with
+    * this as its default (the x160 configurable category→term-list
+    * pattern), so a production corpus swaps or widens language coverage
+    * without touching the plan shape: the profile list compiles into the
+    * same scan-local regex-count expressions whatever its contents, and
+    * the cost is linear in the number of profiles, never in corpus rows.
+    * Order profiles by tie-break priority (the default is alphabetical). */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "nicht"),
     "en" -> Seq("the", "and", "of", "to", "is"),
     "es" -> Seq("el", "la", "de", "que", "los"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  private def requireProfiles(profiles: Seq[(String, Seq[String])]): Unit = {
+    require(profiles.nonEmpty, "language profiles must be non-empty")
+    require(profiles.map(_._1).distinct.size == profiles.size,
+      s"duplicate language codes in profiles: " +
+        profiles.map(_._1).mkString(","))
+    require(profiles.forall(_._2.nonEmpty),
+      "every language profile needs at least one stopword")
+  }
+
   private def stopHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),
       lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
 
   /** Heuristic language-ID: stopword hit count per profile, argmax with
-    * alphabetical tie-break (total and deterministic). */
-  def langGuess(text: Column): Column = {
-    val scores = langProfiles.map { case (code, words) => code -> stopHits(text, words) }
-    val best = greatest(scores.map(_._2): _*)
+    * first-in-sequence tie-break (total and deterministic). */
+  def langGuess(text: Column,
+                profiles: Seq[(String, Seq[String])] = langProfiles): Column = {
+    requireProfiles(profiles)
+    val scores = profiles.map { case (code, words) => code -> stopHits(text, words) }
+    val best =
+      if (scores.size == 1) scores.head._2
+      else greatest(scores.map(_._2): _*)
     scores.init.foldRight(lit(scores.last._1): Column) { case ((code, s), acc) =>
       when(s === best, code).otherwise(acc)
     }
   }
 
   /** Per-profile stopword scores, for exposing alongside the guess. */
-  def langScores(text: Column): Seq[(String, Column)] =
-    langProfiles.map { case (code, words) => code -> stopHits(text, words) }
+  def langScores(text: Column,
+                 profiles: Seq[(String, Seq[String])] = langProfiles)
+      : Seq[(String, Column)] = {
+    requireProfiles(profiles)
+    profiles.map { case (code, words) => code -> stopHits(text, words) }
+  }
 
   /** Document quality score in [0,1]: length saturation (40%), stopword
     * density (30%), low punctuation (20%), low uppercase (10%). Rounded to 4

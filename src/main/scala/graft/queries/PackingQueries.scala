@@ -396,6 +396,49 @@ object PackingQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS warc_stream_ok")),
 
+    // x202c — CDX keyed-fetch parity gate: the selective re-read path
+    // (readWarcRecords: CDX sidecar → one seek + one gzip-member read
+    // per key) must return byte-identical rows to the sequential
+    // readWarcShards scan for the same keys, and the index must cover
+    // every response record. A wrong offset, a member-boundary bug, a
+    // sidecar/container drift, or a key mapped to the wrong record all
+    // fail the gate. Bounded: 1-in-5 docs, ~1-in-7 keys probed.
+    QueryDef("x202c_warc_cdx_gate",
+      (s, d) => {
+        import s.implicits._
+        val dir = exportScratchDir(d, "x202c-cdx")
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        val total = docs.count()
+        Export.writeWarcShards(
+          docs.select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/d"), col("doc_id").cast("string")).as("url"),
+            lit(200).cast("int").as("status"),
+            lit("text/html").as("mime"),
+            encode(substring(col("text"), 1, 96), "UTF-8").as("payload"),
+            (col("doc_id") % 4).cast("int").as("shard")),
+          dir, compression = "gzip")
+        val idx = Export.readWarcRecordIndex(s, dir)
+        val nIdx = idx.count()
+        val probe = idx.filter(pmod(xxhash64(col("key")), lit(7)) === 0)
+          .select("key").collect().map(_.getString(0)).toSeq
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+            java.util.Base64.getEncoder.encodeToString(
+              r.getAs[Array[Byte]](4)), r.getLong(5), r.getLong(6))
+        val seeked = Export.readWarcRecords(s, dir, probe)
+          .collect().map(keyOf).toSet
+        val scanned = Export.readWarcShards(s, dir)
+          .filter(col("key").isin(probe: _*))
+          .collect().map(keyOf).toSet
+        Seq(probe.nonEmpty && nIdx == total &&
+            seeked == scanned && seeked.size == probe.size)
+          .toDF("warc_cdx_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS warc_cdx_ok")),
+
     // x205 — the crawl pipeline END TO END as one oracle-checked row:
     // synthesize pages (the x199 HTML wrapper) and URLs (the x200 rule
     // exerciser), pack them into REAL WARC response records, write one

@@ -69,6 +69,33 @@ object TextQueries {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // x04b — pluggable-profile gate: langGuess with the default set
+    // WIDENED by one profile ('nl', appended last in tie-break order)
+    // must change a doc's prediction ONLY to 'nl', and only when the nl
+    // score strictly beats the previous best — i.e. swapping profile
+    // sets is a pure parameter of the same plan, with no collateral
+    // drift on docs the new profile doesn't win. The catalog's x04 rows
+    // stay hash-stable because the default set is untouched.
+    QueryDef("x04b_lang_profiles_gate",
+      (s, d) => {
+        import s.implicits._
+        val nl = Seq("nl" -> Seq("de", "het", "een", "en", "zijn"))
+        val widened = TextAnalysis.langProfiles ++ nl
+        val oldBest = greatest(
+          TextAnalysis.langScores(col("text")).map(_._2): _*)
+        val nlScore = TextAnalysis.langScores(col("text"), widened)
+          .toMap.apply("nl")
+        val bad = Tables.documents(s, d).select(
+            TextAnalysis.langGuess(col("text")).as("g0"),
+            TextAnalysis.langGuess(col("text"), widened).as("g1"),
+            oldBest.as("b0"), nlScore.as("snl"))
+          .filter(col("g1") =!= col("g0") &&
+            (col("g1") =!= "nl" || col("snl") <= col("b0")))
+          .count()
+        Seq(bad == 0L).toDF("lang_profiles_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS lang_profiles_ok")),
+
     // x05 — document quality score.
     QueryDef("x05_quality_score",
       (s, d) => Tables.documents(s, d)

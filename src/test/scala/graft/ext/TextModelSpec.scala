@@ -21,6 +21,40 @@ class TextModelSpec extends SparkSpec {
 
   // ---- nbScorer --------------------------------------------------------
 
+  test("language profiles are pluggable: swapped set changes predictions, default intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog is happy"),
+      (2L, "de kat en de hond zijn blij en tevreden"),
+      (3L, "le chat et les chiens des villes"))
+      .toDF("doc_id", "text")
+    def guesses(p: Seq[(String, Seq[String])]) =
+      docs.select(col("doc_id"), TextAnalysis.langGuess(col("text"), p).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // default 4-profile set: doc 2's Dutch has no profile — it lands on
+    // whatever stopwords collide; the swapped set must FIX that without
+    // any plan change
+    val default = guesses(TextAnalysis.langProfiles)
+    assert(default(1L) === "en" && default(3L) === "fr")
+    val withNl = (TextAnalysis.langProfiles ++
+      Seq("nl" -> Seq("de", "het", "een", "en", "zijn"))).sortBy(_._1)
+    val swapped = guesses(withNl)
+    assert(swapped(2L) === "nl", s"nl profile must win on Dutch: $swapped")
+    assert(swapped(1L) === "en" && swapped(3L) === "fr",
+      "existing predictions must not drift when a profile is added")
+    // langScores exposes one column per profile, in profile order
+    assert(TextAnalysis.langScores(col("text"), withNl).map(_._1) ===
+      withNl.map(_._1))
+    // malformed profile sets refuse loudly
+    intercept[IllegalArgumentException](
+      TextAnalysis.langGuess(col("text"), Nil))
+    intercept[IllegalArgumentException](
+      TextAnalysis.langGuess(col("text"),
+        Seq("en" -> Seq("the"), "en" -> Seq("a"))))
+    intercept[IllegalArgumentException](
+      TextAnalysis.langGuess(col("text"), Seq("xx" -> Nil)))
+  }
+
   test("nbScorer separates classes with distinct vocabularies") {
     val ref = docs(1L -> "cat feline purr whiskers", 2L -> "feline cat purr",
       3L -> "purr whiskers feline cat")

@@ -74,6 +74,67 @@ class ZorderSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("a predicate on either dimension prunes parquet reads on the z layout") {
+    // The CONSUMER-side proof the layout test can't give: run a real
+    // filtered count over the written files and measure what the parquet
+    // reader actually DECODED (task input recordsRead) — row-group
+    // min/max pruning must let the z layout skip most of the data on a
+    // narrow predicate on EITHER dimension, while the random layout's
+    // every-file-spans-everything stats force a full decode.
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zprune").toString
+    def recordsRead(action: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        action
+        // listener delivery is async: poll until the counter stabilizes
+        var last = -1L
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline && acc.get() != last) {
+          last = acc.get(); Thread.sleep(150)
+        }
+        acc.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    try {
+      // many small files -> many row groups, so stats-range pruning has
+      // units to skip; identical file count on both layouts
+      Zorder.clusterByZ(li, "l_partkey", "l_suppkey", 16)
+        .write.mode("overwrite").parquet(s"$base/z")
+      li.repartition(16).write.mode("overwrite").parquet(s"$base/r")
+      val total = li.count()
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      def narrow(lo: Long, hi: Long): (Long, Long) =
+        (lo, lo + math.max(1L, (hi - lo) / 20))
+      for (dim <- Seq("l_partkey", "l_suppkey")) {
+        val (lo, hi) =
+          if (dim == "l_partkey") narrow(b.getLong(0), b.getLong(1))
+          else narrow(b.getLong(2), b.getLong(3))
+        def run(dir: String): Long = recordsRead {
+          spark.read.parquet(dir)
+            .filter(col(dim).between(lo, hi)).count()
+        }
+        val (zRead, rRead) = (run(s"$base/z"), run(s"$base/r"))
+        // random layout: every file's stats span the predicate -> full decode
+        assert(rRead >= (total * 0.9).toLong,
+          s"$dim: random layout unexpectedly pruned ($rRead of $total)")
+        // z layout: a 5% slice on either dimension must skip well over half
+        assert(zRead <= (total * 0.5).toLong,
+          s"$dim: z layout did not prune ($zRead of $total read)")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("a z-clustered write is narrow on BOTH dimensions per file where a " +
     "random layout is wide") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
