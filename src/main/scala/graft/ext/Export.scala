@@ -2200,16 +2200,157 @@ object Export {
     * prunes at the record level, so a metadata scan (url/status/mime)
     * never allocates a single payload byte. The key and shard columns
     * are identity and always present. Output: (key, url, status, mime,
-    * payload, payload_len, shard). */
+    * payload, payload_len, shard).
+    *
+    * `splitRecords` > 0 turns the scan RECORD-SPLIT: the CDX sidecars
+    * slice each container into runs of ≤ `splitRecords` records, and
+    * each slice becomes its own unit of work — so ONE huge (even
+    * unsharded) container parallelizes across the cluster instead of
+    * serializing onto one task. Slices align to record bounds by
+    * construction (gzip exports are one member per record, so a slice's
+    * byte range is a self-contained member sequence a task stream-parses
+    * with zero per-record seeks). Default 0 keeps one task per file —
+    * right when shard files are already cluster-width. */
   def readWarcShards(spark: SparkSession, dir: String,
                      shards: Seq[Long] = Nil,
                      shardCol: String = "shard",
-                     columns: Seq[String] = Nil): DataFrame = {
+                     columns: Seq[String] = Nil,
+                     splitRecords: Int = 0): DataFrame = {
     val tree = manifestTree(spark, dir)
     require(Option(tree.get("format")).map(_.asText).contains("warc"),
       s"manifest at $dir is not a writeWarcShards export")
     val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
-    warcShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
+    if (splitRecords > 0)
+      warcSliceFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet,
+        splitRecords)
+    else
+      warcShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
+  }
+
+  /** Byte-bounded view of an open stream — a CDX slice's framing. EOF
+    * after exactly `remaining` bytes, so the multi-member gunzip and the
+    * WARC parser both stop at the slice edge instead of running into the
+    * next task's records. */
+  private final class SliceInputStream(in: java.io.InputStream,
+                                       private var remaining: Long)
+      extends java.io.InputStream {
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int =
+      if (remaining <= 0) -1
+      else {
+        val n = in.read(buf, off, math.min(len.toLong, remaining).toInt)
+        if (n > 0) remaining -= n
+        n
+      }
+    override def available(): Int =
+      math.min(remaining, Int.MaxValue.toLong).toInt
+    override def close(): Unit = in.close()
+  }
+
+  /** The record-split WARC scan behind `readWarcShards(splitRecords)`:
+    * stage 1 walks each container's CDX sidecar (streamed, constant
+    * memory) and emits one (shard, uri, startOffset, byteLen) SLICE per
+    * `splitRecords` run; stage 2 spreads the slices across tasks, each
+    * seeking once and stream-parsing its byte range — [[warcResponses]]
+    * framing, record-level payload pruning, one record in memory at a
+    * time. Both stages live in one lazy plan: the sidecar walk is a
+    * metadata job proportional to record COUNT, never payload bytes. */
+  private def warcSliceFrame(spark: SparkSession, dir: String,
+                             keyCol: String, shardCol: String,
+                             only: Set[Long], wanted: Set[String],
+                             splitRecords: Int): DataFrame = {
+    import spark.implicits._
+    val legal = Set(keyCol, shardCol, "url", "status", "mime", "payload",
+      "payload_len")
+    val unknown = wanted -- legal
+    require(unknown.isEmpty,
+      s"readWarcShards: unknown columns ${unknown.mkString(",")}; " +
+        s"export has ${legal.mkString(",")}")
+    val readPayload = wanted.isEmpty || wanted("payload")
+    val (hfs, root) = fs(spark, dir)
+    val files = shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol)
+      .filter { case (shard, _, _) => only.isEmpty || only.contains(shard) }
+      .flatMap { case (shard, _, fs_) => fs_.map { f =>
+        val cdxP = new Path(f.getPath.getParent, s".${f.getPath.getName}.cdx")
+        require(hfs.exists(cdxP),
+          s"record-split read needs the CDX sidecar beside " +
+            s"${f.getPath} — the export predates it; re-export or read " +
+            "with splitRecords = 0")
+        (shard, hfs.makeQualified(f.getPath).toString,
+          hfs.makeQualified(cdxP).toString)
+      } }
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val slices = spark.createDataset(files)
+      .repartition(readTasks(spark, files.size))
+      .flatMap { case (shard, warcUri, cdxUri) =>
+        val conf = confB.value.value
+        val p = new Path(cdxUri)
+        val in = p.getFileSystem(conf).open(p)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().map { line =>
+          val n = mapper.readTree(line)
+          (n.get("offset").asLong, n.get("length").asLong)
+        }.grouped(splitRecords).map { run =>
+          val start = run.head._1
+          (shard, warcUri, start, run.last._1 + run.last._2 - start)
+        }.toVector
+        finally in.close()
+      }
+    slices
+      // spread slices cluster-wide; same-file slices hash apart on their
+      // start offset, which is the whole point of the split
+      .repartition(math.max(64, spark.sparkContext.defaultParallelism * 2),
+        col("_2"), col("_3"))
+      .flatMap { case (shard, uri, start, len) =>
+        val conf = confB.value.value
+        val p = new Path(uri)
+        val raw = p.getFileSystem(conf).open(p)
+        raw.seek(start)
+        val bounded = new SliceInputStream(raw, len)
+        val in: java.io.InputStream =
+          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(bounded)
+          else bounded
+        val it = warcResponses(in, readPayload)
+        new Iterator[(String, String, Int, String, Array[Byte], Long, Long)] {
+          private var closed = false
+          private def closeOnce(): Unit =
+            if (!closed) { closed = true; try in.close() finally () }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          override def next(): (String, String, Int, String, Array[Byte], Long, Long) = {
+            val (key, url, status, mime, body, plen) = it.next()
+            (key, url, status, mime, body, plen, shard)
+          }
+        }
+      }
+      .toDF("__key", "url", "status", "mime", "payload", "payload_len",
+        "__shard")
+      .select({
+        val all = Seq(
+          keyCol -> col("__key").as(keyCol),
+          "url" -> col("url"), "status" -> col("status"),
+          "mime" -> col("mime"), "payload" -> col("payload"),
+          "payload_len" -> col("payload_len"),
+          shardCol -> col("__shard").as(shardCol))
+        all.collect {
+          case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
+            n == shardCol => c
+        }
+      }: _*)
   }
 
   /** The CDX sidecar rows of a WARC export, with the owning container

@@ -433,8 +433,15 @@ object PackingQueries {
         val scanned = Export.readWarcShards(s, dir)
           .filter(col("key").isin(probe: _*))
           .collect().map(keyOf).toSet
+        // and the record-SPLIT full scan (CDX slices as task units — the
+        // unsharded-dump parallelism path) must equal the sequential scan
+        val full = Export.readWarcShards(s, dir)
+          .collect().map(keyOf).toSet
+        val splitScan = Export.readWarcShards(s, dir, splitRecords = 25)
+          .collect().map(keyOf).toSet
         Seq(probe.nonEmpty && nIdx == total &&
-            seeked == scanned && seeked.size == probe.size)
+            seeked == scanned && seeked.size == probe.size &&
+            splitScan == full && full.size == total)
           .toDF("warc_cdx_ok")
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS warc_cdx_ok")),

@@ -920,6 +920,40 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("record-split WARC scan equals the sequential read and splits one file across tasks") {
+    import spark.implicits._
+    for (comp <- Seq("gzip", "none")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-split-$comp").toString
+      try {
+        // ONE file (one shard): the unsharded-dump shape whose sequential
+        // scan is a single task — the split must parallelize it anyway
+        val df = (0 until 53).map(i =>
+          (f"k-$i%04d", s"https://h$i/p", 200, "text/html",
+            (s"payload-$i-" + "z" * (40 + i)).getBytes("UTF-8"), 0))
+          .toDF("key", "url", "status", "mime", "payload", "shard")
+          .withColumn("shard", col("shard").cast("int"))
+        Export.writeWarcShards(df, dir, compression = comp)
+        def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+            r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8"),
+            r.getLong(5), r.getLong(6))).toSet
+        val seq_ = rows(Export.readWarcShards(spark, dir))
+        val split = Export.readWarcShards(spark, dir, splitRecords = 7)
+        assert(rows(split) === seq_ && seq_.size === 53)
+        // the split plan carries ceil(53/7) = 8 independent slices — a
+        // direct task-parallelism witness for the single container
+        assert(split.rdd.getNumPartitions > 1)
+        // record-level payload pruning holds on the split path too
+        val meta = Export.readWarcShards(spark, dir,
+          columns = Seq("url", "payload_len"), splitRecords = 7)
+        assert(meta.columns.toSeq === Seq("key", "url", "payload_len", "shard"))
+        assert(meta.agg(sum(col("payload_len"))).head.getLong(0) ===
+          (0 until 53).map(i => s"payload-$i-".length + 40L + i).sum)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
+    }
+  }
+
   test("readWarcStream's file source reads paths only (record-granular memory)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-wpath").toString
