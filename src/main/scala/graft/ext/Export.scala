@@ -726,6 +726,9 @@ object Export {
     } else if (fmt == "warc") {
       val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
       warcShardFrame(spark, dir, key, shardCol)
+    } else if (fmt == "wet") {
+      val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+      wetShardFrame(spark, dir, key, shardCol)
     } else spark.read.parquet(dir)
   }
 
@@ -1816,6 +1819,110 @@ object Export {
       Seq(ByteType, ShortType, IntegerType, LongType)
         .contains(df.schema("status").dataType),
       s"writeWarcShards: '$shardCol' and 'status' must be integral")
+    writeWarcContainers(
+      df.select(col(shardCol).cast("long").as("__shard"),
+        col(keyCol).as("__key"), col("url"),
+        col("status").cast("int").as("status"), col("mime"), col("payload")),
+      dir, keyCol, shardCol, compression,
+      caller = "writeWarcShards", format = "warc", kind = "response",
+      loader = d => warcShardFrame(spark, d, keyCol, shardCol),
+      build = row => {
+        val key = row.getString(1)
+        val url = crlfFree(row.getString(2), "url", "writeWarcShards")
+        val status = row.getInt(3)
+        val mime = crlfFree(row.getString(4), "mime", "writeWarcShards")
+        val payload = row.get(5)
+        require(payload != null,
+          s"writeWarcShards: null payload for key '$key' — an empty " +
+            "body is an EMPTY byte array, not null")
+        val body = payload.asInstanceOf[Array[Byte]]
+        val httpHead =
+          (s"HTTP/1.1 $status OK\r\nContent-Type: $mime\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+        val block = new Array[Byte](httpHead.length + body.length)
+        System.arraycopy(httpHead, 0, block, 0, httpHead.length)
+        System.arraycopy(body, 0, block, httpHead.length, body.length)
+        (url, Seq("WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http;msgtype=response"), block)
+      })
+  }
+
+  /** WET extracted-text export — the Common Crawl WARC→WET derivation as
+    * a first-class container: each row becomes one WARC `conversion`
+    * record (Content-Type `text/plain`, `WARC-Target-URI` = `url`,
+    * `WARC-Refers-To` = `<urn:graft:key>` — the response record the text
+    * was extracted FROM in the sibling WARC export) whose block is the
+    * UTF-8 bytes of `text`. Everything else is the [[writeWarcShards]]
+    * contract verbatim and literally the same code path: one key-sorted
+    * file per shard, pinned headers, warcinfo lead record, per-record
+    * gzip members, CDX sidecars, deterministic bytes, first-committer-
+    * wins rename, and the SAME manifest gates (digest recount re-parses
+    * every record via [[wetShardFrame]]) with `format: "wet"`. Required
+    * columns: `keyCol`/`url`/`text` strings (key unique per shard,
+    * bracket/control-free; url CR/LF-free; text non-null — CR/LF INSIDE
+    * text is legal, Content-Length frames the block), `shardCol`
+    * integral. Read back with [[readWetShards]]. */
+  def writeWetShards(df: DataFrame, dir: String,
+                     keyCol: String = "key",
+                     shardCol: String = "shard",
+                     compression: String = "none"): Map[Long, Long] = {
+    val spark = df.sparkSession
+    require(compression == "none" || compression == "gzip",
+      s"writeWetShards compression must be none|gzip, got '$compression'")
+    val needed = Seq(keyCol, "url", "text", shardCol)
+    needed.foreach(c => require(df.columns.contains(c),
+      s"writeWetShards needs columns ${needed.mkString(",")}; missing '$c'"))
+    require(df.schema(keyCol).dataType == StringType &&
+      df.schema("url").dataType == StringType &&
+      df.schema("text").dataType == StringType,
+      s"writeWetShards: '$keyCol'/'url'/'text' must be strings")
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(shardCol).dataType),
+      s"writeWetShards: '$shardCol' must be integral")
+    writeWarcContainers(
+      df.select(col(shardCol).cast("long").as("__shard"),
+        col(keyCol).as("__key"), col("url"), col("text")),
+      dir, keyCol, shardCol, compression,
+      caller = "writeWetShards", format = "wet", kind = "conversion",
+      loader = d => wetShardFrame(spark, d, keyCol, shardCol),
+      build = row => {
+        val key = row.getString(1)
+        val url = crlfFree(row.getString(2), "url", "writeWetShards")
+        val text = row.getString(3)
+        require(text != null,
+          s"writeWetShards: null text for key '$key' — an empty " +
+            "conversion is an EMPTY string, not null")
+        (url, Seq("WARC-Target-URI" -> url,
+          "WARC-Refers-To" -> s"<$WarcIdPrefix$key>",
+          "Content-Type" -> "text/plain"), text.getBytes("UTF-8"))
+      })
+  }
+
+  /** Non-null, CR/LF-free header value — the WARC-family writers' header
+    * smuggling guard. */
+  private def crlfFree(s: String, what: String, caller: String): String = {
+    require(s != null && !s.exists(c => c == '\r' || c == '\n'),
+      s"$caller: $what must be non-null and CR/LF-free, got '$s'")
+    s
+  }
+
+  /** The shared WARC-family container writer behind [[writeWarcShards]]
+    * and [[writeWetShards]]: shard-file lifecycle (temp + first-
+    * committer-wins rename), warcinfo lead record, per-record gzip
+    * members, CDX sidecars, key ordering/uniqueness checks, and the
+    * manifest publish — everything except what a RECORD is. `sel` must
+    * lead with (`__shard` long, `__key` string); `build` turns each row
+    * into (cdx url, extra WARC headers, block bytes) and owns the
+    * format-specific validation. */
+  private def writeWarcContainers(sel: DataFrame, dir: String,
+                                  keyCol: String, shardCol: String,
+                                  compression: String, caller: String,
+                                  format: String, kind: String,
+                                  loader: String => DataFrame,
+                                  build: Row => (String, Seq[(String, String)], Array[Byte]))
+      : Map[Long, Long] = {
+    val spark = sel.sparkSession
     val (hfs, root) = fs(spark, dir)
     if (hfs.exists(root)) hfs.delete(root, true)
     hfs.mkdirs(root)
@@ -1826,9 +1933,7 @@ object Export {
     val fileName =
       if (compression == "gzip") "part-00000.warc.gz" else "part-00000.warc"
     val shardColName = shardCol
-    df.select(col(shardCol).cast("long").as("__shard"), col(keyCol).as("__key"),
-        col("url"), col("status").cast("int").as("status"), col("mime"),
-        col("payload"))
+    sel
       .repartition(col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__key"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -1851,7 +1956,7 @@ object Export {
         def commit(t: Path, f: Path): Unit =
           if (!tfs.rename(t, f)) {
             require(tfs.exists(f),
-              s"writeWarcShards: could not move $t into place at $f")
+              s"$caller: could not move $t into place at $f")
             tfs.delete(t, false)
           }
         def closeCurrent(): Unit = if (out != null) {
@@ -1878,19 +1983,13 @@ object Export {
         }
         def jq(s: String): String =
           com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
-        def clean(s: String, what: String): String = {
-          require(s != null && !s.exists(c => c == '\r' || c == '\n'),
-            s"writeWarcShards: $what must be non-null and CR/LF-free, " +
-              s"got '$s'")
-          s
-        }
         try {
           it.foreach { row =>
             val s = row.getLong(0)
             val key = row.getString(1)
             require(key != null && key.nonEmpty &&
               !key.exists(c => c == '<' || c == '>' || c.isControl),
-              s"writeWarcShards: record key '$key' in shard $s must be " +
+              s"$caller: record key '$key' in shard $s must be " +
                 "non-empty and free of angle brackets/control chars")
             if (s != shard) {
               closeCurrent()
@@ -1910,26 +2009,10 @@ object Export {
                   "format: WARC File Format 1.0\r\n").getBytes("UTF-8"))
             }
             require(key != lastKey,
-              s"writeWarcShards: duplicate record key '$key' in shard $s")
+              s"$caller: duplicate record key '$key' in shard $s")
             lastKey = key
-            val url = clean(row.getString(2), "url")
-            val status = row.getInt(3)
-            val mime = clean(row.getString(4), "mime")
-            val payload = row.get(5)
-            require(payload != null,
-              s"writeWarcShards: null payload for key '$key' — an empty " +
-                "body is an EMPTY byte array, not null")
-            val body = payload.asInstanceOf[Array[Byte]]
-            val httpHead =
-              (s"HTTP/1.1 $status OK\r\nContent-Type: $mime\r\n" +
-                s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
-            val block = new Array[Byte](httpHead.length + body.length)
-            System.arraycopy(httpHead, 0, block, 0, httpHead.length)
-            System.arraycopy(body, 0, block, httpHead.length, body.length)
-            val (off, len) = writeRec("response", key,
-              Seq("WARC-Target-URI" -> url,
-                "Content-Type" -> "application/http;msgtype=response"),
-              block)
+            val (url, headers, block) = build(row)
+            val (off, len) = writeRec(kind, key, headers, block)
             cdx.write(s"""{"key": ${jq(key)}, "url": ${jq(url)}, """ +
               s""""offset": $off, "length": $len}""" + "\n")
           }
@@ -1941,10 +2024,9 @@ object Export {
       }
     def q(s: String): String =
       com.fasterxml.jackson.databind.node.TextNode.valueOf(s).toString
-    publishManifest(spark, dir, shardCol, "writeWarcShards",
-      d => warcShardFrame(spark, d, keyCol, shardCol),
+    publishManifest(spark, dir, shardCol, caller, loader,
       epochs = Set.empty, priorHashes = Map.empty,
-      extra = Seq("format" -> "\"warc\"", "compression" -> q(compression),
+      extra = Seq("format" -> q(format), "compression" -> q(compression),
         "key" -> q(keyCol), "cdx" -> "true"))
   }
 
@@ -1992,6 +2074,117 @@ object Export {
     buf
   }
 
+  /** One record's WARC header block as (headers lowercased, block byte
+    * length), or None at clean EOF — the framing prelude shared by the
+    * response ([[warcResponses]]) and conversion ([[warcConversions]])
+    * walkers; every violation refuses loudly. */
+  private def warcRecordHead(in: java.io.PushbackInputStream)
+      : Option[(Map[String, String], Long)] = {
+    val first = in.read()
+    if (first < 0) return None
+    in.unread(first)
+    val (ver, _) = warcLine(in, "warc version")
+    require(ver.startsWith("WARC/"),
+      s"corrupt warc: expected a WARC/ version line, got '$ver'")
+    var headers = Map.empty[String, String]
+    var line = warcLine(in, "warc header")._1
+    while (line.nonEmpty) {
+      val i = line.indexOf(':')
+      require(i > 0, s"corrupt warc: malformed header '$line'")
+      headers += line.substring(0, i).trim.toLowerCase ->
+        line.substring(i + 1).trim
+      line = warcLine(in, "warc header")._1
+    }
+    val blockLen = headers.getOrElse("content-length",
+      throw new IllegalArgumentException(
+        "corrupt warc: record has no Content-Length")).toLong
+    require(blockLen >= 0, s"corrupt warc: Content-Length $blockLen")
+    Some((headers, blockLen))
+  }
+
+  /** Record id → reader key: this writer's `<urn:graft:key>` ids surface
+    * as the bare key; foreign ids surface with only the brackets
+    * stripped. */
+  private def warcKeyOf(headers: Map[String, String]): String = {
+    val rawId = headers.getOrElse("warc-record-id", "")
+    val noBrackets =
+      if (rawId.startsWith("<") && rawId.endsWith(">"))
+        rawId.substring(1, rawId.length - 1)
+      else rawId
+    if (noBrackets.startsWith(WarcIdPrefix))
+      noBrackets.substring(WarcIdPrefix.length)
+    else noBrackets
+  }
+
+  /** The `conversion` records of a WET stream as (key, url,
+    * text-bytes-or-null, byte length) — the [[warcResponses]] discipline
+    * on the extracted-text container: record-by-record, one body in
+    * memory at a time, non-conversion records AND bodies under
+    * `!readPayload` skipped by Content-Length without allocation,
+    * framing violations refusing loudly. A conversion block is the text
+    * itself (no HTTP message to parse). */
+  private[ext] def warcConversions(in0: java.io.InputStream,
+                                   readPayload: Boolean)
+      : Iterator[(String, String, Array[Byte], Long)] = {
+    val in = new java.io.PushbackInputStream(in0, 1)
+    new Iterator[(String, String, Array[Byte], Long)] {
+      private var nextRec: (String, String, Array[Byte], Long) = _
+      private var done = false
+
+      private def recordTail(): Unit = {
+        val tail = readFullyOrFail(in, 4, "warc record tail")
+        require(java.util.Arrays.equals(tail, CrlfCrlf),
+          "corrupt warc: record block not followed by CRLF CRLF")
+      }
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          val head = warcRecordHead(in)
+          if (head.isEmpty) { done = true; return }
+          val (headers, blockLen) = head.get
+          if (headers.getOrElse("warc-type", "") == "conversion") {
+            val body =
+              if (readPayload) {
+                require(blockLen <= Int.MaxValue,
+                  s"wet text of $blockLen bytes exceeds one array")
+                readFullyOrFail(in, blockLen.toInt, "wet text")
+              } else { skipFully(in, blockLen, "wet text"); null }
+            recordTail()
+            nextRec = (warcKeyOf(headers),
+              headers.getOrElse("warc-target-uri", ""), body, blockLen)
+          } else {
+            skipFully(in, blockLen, "warc block")
+            recordTail()
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): (String, String, Array[Byte], Long) = {
+        if (!hasNext) throw new NoSuchElementException("wet")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** STRICT UTF-8 decode of a conversion payload — malformed bytes
+    * refuse loudly (the JVM default silently substitutes U+FFFD, which
+    * would corrupt training text while reporting success). */
+  private def strictUtf8(b: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          "corrupt wet: conversion payload is not valid UTF-8", e)
+    }
+  }
+
   /** The `response` records of a WARC stream as (key, url, status, mime,
     * payload-or-null, payload byte length) — record-by-record, one record's
     * headers + (when `readPayload`) body in memory at a time. Non-response
@@ -2021,25 +2214,9 @@ object Export {
 
       private def advance(): Unit = {
         while (nextRec == null && !done) {
-          val first = in.read()
-          if (first < 0) { done = true; return }
-          in.unread(first)
-          val (ver, _) = warcLine(in, "warc version")
-          require(ver.startsWith("WARC/"),
-            s"corrupt warc: expected a WARC/ version line, got '$ver'")
-          var headers = Map.empty[String, String]
-          var line = warcLine(in, "warc header")._1
-          while (line.nonEmpty) {
-            val i = line.indexOf(':')
-            require(i > 0, s"corrupt warc: malformed header '$line'")
-            headers += line.substring(0, i).trim.toLowerCase ->
-              line.substring(i + 1).trim
-            line = warcLine(in, "warc header")._1
-          }
-          val blockLen = headers.getOrElse("content-length",
-            throw new IllegalArgumentException(
-              "corrupt warc: record has no Content-Length")).toLong
-          require(blockLen >= 0, s"corrupt warc: Content-Length $blockLen")
+          val head = warcRecordHead(in)
+          if (head.isEmpty) { done = true; return }
+          val (headers, blockLen) = head.get
           val kind = headers.getOrElse("warc-type", "")
           val ctype = headers.getOrElse("content-type", "")
           if (kind == "response" && ctype.startsWith("application/http")) {
@@ -2079,16 +2256,8 @@ object Export {
                 readFullyOrFail(in, bodyLen.toInt, "warc payload")
               } else { skipFully(in, bodyLen, "warc payload"); null }
             recordTail()
-            val rawId = headers.getOrElse("warc-record-id", "")
-            val noBrackets =
-              if (rawId.startsWith("<") && rawId.endsWith(">"))
-                rawId.substring(1, rawId.length - 1)
-              else rawId
-            val key =
-              if (noBrackets.startsWith(WarcIdPrefix))
-                noBrackets.substring(WarcIdPrefix.length)
-              else noBrackets
-            nextRec = (key, headers.getOrElse("warc-target-uri", ""),
+            nextRec = (warcKeyOf(headers),
+              headers.getOrElse("warc-target-uri", ""),
               status, mime, body, bodyLen)
           } else {
             skipFully(in, blockLen, "warc block")
@@ -2121,14 +2290,29 @@ object Export {
     * streaming file source — the ONE file→records seam. */
   private def warcFileRecords(conf: org.apache.hadoop.conf.Configuration,
                               uri: String, readPayload: Boolean)
-      : Iterator[(String, String, Int, String, Array[Byte], Long)] = {
+      : Iterator[(String, String, Int, String, Array[Byte], Long)] =
+    containerFileRecords(conf, uri, in => warcResponses(in, readPayload))
+
+  /** [[warcFileRecords]] for the WET container: conversion records,
+    * same one-record-at-a-time memory posture and close discipline. */
+  private def wetFileRecords(conf: org.apache.hadoop.conf.Configuration,
+                             uri: String, readPayload: Boolean)
+      : Iterator[(String, String, Array[Byte], Long)] =
+    containerFileRecords(conf, uri, in => warcConversions(in, readPayload))
+
+  /** Open one WARC-family file and stream records through `parse` —
+    * gzip (multi-member) or raw by extension; the stream closes on
+    * exhaustion AND on task completion, whichever comes first. */
+  private def containerFileRecords[T](
+      conf: org.apache.hadoop.conf.Configuration, uri: String,
+      parse: java.io.InputStream => Iterator[T]): Iterator[T] = {
     val p = new Path(uri)
     val rawIn = p.getFileSystem(conf).open(p)
     val in: java.io.InputStream =
       if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(rawIn)
       else rawIn
-    val it = warcResponses(in, readPayload)
-    new Iterator[(String, String, Int, String, Array[Byte], Long)] {
+    val it = parse(in)
+    new Iterator[T] {
       private var closed = false
       private def closeOnce(): Unit =
         if (!closed) { closed = true; try in.close() finally () }
@@ -2139,8 +2323,7 @@ object Export {
         if (!h) closeOnce()
         h
       }
-      override def next(): (String, String, Int, String, Array[Byte], Long) =
-        it.next()
+      override def next(): T = it.next()
     }
   }
 
@@ -2152,17 +2335,7 @@ object Export {
                              only: Set[Long] = Set.empty,
                              wanted: Set[String] = Set.empty): DataFrame = {
     import spark.implicits._
-    val (hfs, root) = fs(spark, dir)
-    val files = dataFileList(shardListing(hfs,
-      hfs.listStatus(root).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$shardCol=") &&
-        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
-      shardCol))
-      .map { case (rel, p) =>
-        (rel.stripPrefix(s"$shardCol=").takeWhile(_ != '/').toLong,
-          hfs.makeQualified(p).toString)
-      }
-      .filter { case (shard, _) => only.isEmpty || only.contains(shard) }
+    val files = shardFileUris(spark, dir, shardCol, only)
     val legal = Set(keyCol, shardCol, "url", "status", "mime", "payload",
       "payload_len")
     val unknown = wanted -- legal
@@ -2192,6 +2365,80 @@ object Export {
       case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
         n == shardCol => c
     }: _*)
+  }
+
+  /** (shard, qualified file uri) for every data file of a WARC-family
+    * export — shared listing behind the warc and wet shard frames. */
+  private def shardFileUris(spark: SparkSession, dir: String,
+                            shardCol: String, only: Set[Long])
+      : Seq[(Long, String)] = {
+    val (hfs, root) = fs(spark, dir)
+    dataFileList(shardListing(hfs,
+      hfs.listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$shardCol=") &&
+        !st.getPath.getName.endsWith("__HIVE_DEFAULT_PARTITION__")),
+      shardCol))
+      .map { case (rel, p) =>
+        (rel.stripPrefix(s"$shardCol=").takeWhile(_ != '/').toLong,
+          hfs.makeQualified(p).toString)
+      }
+      .filter { case (shard, _) => only.isEmpty || only.contains(shard) }
+  }
+
+  /** WET shard directory as a DataFrame — one task per file, one record
+    * in memory at a time; without `text` in `wanted`, every conversion
+    * body is skipped by length (a key/url scan allocates zero text
+    * bytes). Text decodes STRICTLY ([[strictUtf8]]). */
+  private def wetShardFrame(spark: SparkSession, dir: String,
+                            keyCol: String, shardCol: String,
+                            only: Set[Long] = Set.empty,
+                            wanted: Set[String] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val files = shardFileUris(spark, dir, shardCol, only)
+    val legal = Set(keyCol, shardCol, "url", "text", "text_len")
+    val unknown = wanted -- legal
+    require(unknown.isEmpty,
+      s"readWetShards: unknown columns ${unknown.mkString(",")}; " +
+        s"export has ${legal.mkString(",")}")
+    val readPayload = wanted.isEmpty || wanted("text")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val rows = spark.createDataset(files)
+      .repartition(readTasks(spark, files.size))
+      .flatMap { case (shard, uri) =>
+        wetFileRecords(confB.value.value, uri, readPayload)
+          .map { case (key, url, body, tlen) =>
+            (key, url, if (body == null) null else strictUtf8(body),
+              tlen, shard) }
+      }
+      .toDF("__key", "url", "text", "text_len", "__shard")
+    val all = Seq(
+      keyCol -> col("__key").as(keyCol),
+      "url" -> col("url"), "text" -> col("text"),
+      "text_len" -> col("text_len"),
+      shardCol -> col("__shard").as(shardCol))
+    rows.select(all.collect {
+      case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
+        n == shardCol => c
+    }: _*)
+  }
+
+  /** Read named shards of a WET export (all when `shards` is empty) —
+    * the [[readWarcShards]] contract on the extracted-text container:
+    * only named shards' files open; a non-empty `columns` prunes at the
+    * record level (a key/url scan never allocates a text byte); `text`
+    * is the strictly-decoded UTF-8 conversion payload, `text_len` its
+    * BYTE length. Output: (key, url, text, text_len, shard). */
+  def readWetShards(spark: SparkSession, dir: String,
+                    shards: Seq[Long] = Nil,
+                    shardCol: String = "shard",
+                    columns: Seq[String] = Nil): DataFrame = {
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains("wet"),
+      s"manifest at $dir is not a writeWetShards export")
+    val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
+    wetShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
   }
 
   /** Read named shards of a WARC export (all shards when `shards` is

@@ -446,6 +446,50 @@ object PackingQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS warc_cdx_ok")),
 
+    // x210 — WET extracted-text container roundtrip: the Common Crawl
+    // WARC→WET derivation's OUTPUT format as a first-class export.
+    // Documents become WARC `conversion` records (text/plain blocks,
+    // WARC-Refers-To the sibling response record) through the SAME
+    // writer lifecycle as x202 (deterministic bytes, per-record gzip
+    // members, CDX sidecars, manifest digest gates — validated here via
+    // validateShardsContent's full re-parse), read back record-by-record
+    // with strict UTF-8 decode. The fixture text carries newlines and
+    // non-ASCII, so CRLF-inside-block framing and multi-byte decode are
+    // both on the oracle hash path (text_len is the BYTE length — it
+    // differs from the char count exactly when multi-byte chars are
+    // present). ExportSpec adds extraction-composition, pruning, interop
+    // and refusal cases.
+    QueryDef("x210_wet_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x210-wet")
+        val counts = Export.writeWetShards(
+          Tables.documents(s, d).select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/docs/item"),
+              col("doc_id").cast("string")).as("url"),
+            substring(col("text"), 1, 120).as("text"),
+            (col("doc_id") % 6).cast("int").as("shard")),
+          dir, compression = "gzip")
+        val manifest = Export.validateShardsContent(s, dir)
+        require(manifest == counts,
+          s"wet manifest/written-counts mismatch: $manifest vs $counts")
+        Export.readWetShards(s, dir)
+          .select(
+            expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
+            col("url"), col("text"), col("text_len"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     'https://' || source || '.example.com/docs/item' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     substr(text, 1, 120) AS text,
+                     CAST(octet_length(encode(substr(text, 1, 120)))
+                       AS BIGINT) AS text_len,
+                     CAST(doc_id % 6 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x205 — the crawl pipeline END TO END as one oracle-checked row:
     // synthesize pages (the x199 HTML wrapper) and URLs (the x200 rule
     // exerciser), pack them into REAL WARC response records, write one

@@ -1085,4 +1085,156 @@ class ExportSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir))
   }
+
+  test("wet export round-trips conversion records under full validation") {
+    import spark.implicits._
+    for (comp <- Seq("none", "gzip")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-wet-$comp").toString
+      try {
+        // newline INSIDE text exercises Content-Length framing (CR/LF is
+        // legal in a block); unicode exercises strict multi-byte decode;
+        // empty text is an empty block, not null
+        val df = Seq(
+          ("k-001", "https://a.example.com/1", "line one\nline two", 0),
+          ("k-002", "https://a.example.com/2", "", 0),
+          ("k-003", "https://b.example.com/3", "café 中文", 1))
+          .toDF("key", "url", "text", "shard")
+          .withColumn("shard", col("shard").cast("int"))
+        val counts = Export.writeWetShards(df, dir, compression = comp)
+        assert(counts === Map(0L -> 2L, 1L -> 1L))
+        assert(Export.validateShardsContent(spark, dir) === counts)
+        val got = Export.readWetShards(spark, dir).orderBy("key").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4)))
+        assert(got === Array(
+          ("k-001", "https://a.example.com/1", "line one\nline two", 17L, 0L),
+          ("k-002", "https://a.example.com/2", "", 0L, 0L),
+          ("k-003", "https://b.example.com/3", "café 中文",
+            12L, 1L)))
+        // format gates cut both ways
+        val eWarc = intercept[IllegalArgumentException] {
+          Export.readWarcShards(spark, dir)
+        }
+        assert(eWarc.getMessage.contains("not a writeWarcShards"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
+    }
+  }
+
+  test("wet reads prune text at the record level; writer refuses bad input") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wetpr").toString
+    try {
+      val df = (0 until 30).map(i =>
+        (f"k-$i%04d", s"https://h$i.example.com/", "t" * (50 + i), i % 3))
+        .toDF("key", "url", "text", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWetShards(df, dir, compression = "gzip")
+      val meta = Export.readWetShards(spark, dir,
+        columns = Seq("url", "text_len"))
+      assert(meta.columns.toSeq === Seq("key", "url", "text_len", "shard"))
+      assert(meta.agg(sum(col("text_len"))).first().getLong(0) ===
+        (0 until 30).map(50L + _).sum)
+      val eCol = intercept[IllegalArgumentException] {
+        Export.readWetShards(spark, dir, columns = Seq("payload"))
+      }
+      assert(eCol.getMessage.contains("unknown columns"))
+      // writer refusals: null text, CR/LF url
+      val eNul = intercept[org.apache.spark.SparkException] {
+        Export.writeWetShards(Seq(("k", "https://x/",
+          null.asInstanceOf[String], 0))
+          .toDF("key", "url", "text", "shard")
+          .withColumn("shard", col("shard").cast("int")), dir + "-b")
+      }
+      assert(eNul.getMessage.contains("null text") ||
+        Option(eNul.getCause).exists(_.getMessage.contains("null text")))
+      val eUrl = intercept[org.apache.spark.SparkException] {
+        Export.writeWetShards(Seq(("k", "https://x/\r\nEvil: 1", "t", 0))
+          .toDF("key", "url", "text", "shard")
+          .withColumn("shard", col("shard").cast("int")), dir + "-c")
+      }
+      assert(eUrl.getMessage.contains("CR/LF") ||
+        Option(eUrl.getCause).exists(_.getMessage.contains("CR/LF")))
+    } finally Seq("", "-b", "-c").foreach(s =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + s)))
+  }
+
+  test("wet reader interop: foreign conversion records parse; bad UTF-8 refuses") {
+    // hand-written per the public WARC 1.0 / WET convention, NOT via
+    // writeWetShards: a warcinfo record and a response record (both
+    // skipped), then a conversion record with a foreign urn:uuid id and
+    // a WARC-Refers-To header
+    def rec(kind: String, id: String, extra: String,
+            block: Array[Byte]): Array[Byte] = {
+      val head = (s"WARC/1.0\r\nWARC-Type: $kind\r\n" +
+        s"WARC-Record-ID: <$id>\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n" +
+        extra + s"Content-Length: ${block.length}\r\n\r\n").getBytes("UTF-8")
+      head ++ block ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val wet =
+      rec("warcinfo", "urn:uuid:aaa",
+        "Content-Type: application/warc-fields\r\n",
+        "software: elsewhere\r\n".getBytes("UTF-8")) ++
+      rec("response", "urn:uuid:bbb",
+        "Content-Type: application/http;msgtype=response\r\n",
+        ("HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi").getBytes("UTF-8")) ++
+      rec("conversion", "urn:uuid:ccc",
+        "WARC-Target-URI: https://x.example.com/\r\n" +
+          "WARC-Refers-To: <urn:uuid:bbb>\r\n" +
+          "Content-Type: text/plain\r\n",
+        "extracted text".getBytes("UTF-8"))
+    val got = Export.warcConversions(
+      new java.io.ByteArrayInputStream(wet), readPayload = true).toSeq
+    assert(got.map(t => (t._1, t._2, new String(t._3, "UTF-8"), t._4)) ===
+      Seq(("urn:uuid:ccc", "https://x.example.com/", "extracted text", 14L)))
+    // payload skipped entirely under !readPayload
+    val meta = Export.warcConversions(
+      new java.io.ByteArrayInputStream(wet), readPayload = false).toSeq
+    assert(meta.map(t => (t._1, t._3, t._4)) ===
+      Seq(("urn:uuid:ccc", null, 14L)))
+    // truncation refuses loudly (no resynchronization)
+    val cut = java.util.Arrays.copyOf(wet, wet.length - 6)
+    val e = intercept[IllegalArgumentException] {
+      Export.warcConversions(new java.io.ByteArrayInputStream(cut),
+        readPayload = true).toSeq
+    }
+    assert(e.getMessage.contains("corrupt warc"))
+  }
+
+  test("wet write composes with WARC ingest: extract -> WET -> read-back") {
+    import spark.implicits._
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-wetchain-a").toString
+    val wetDir = java.nio.file.Files
+      .createTempDirectory("graft-wetchain-b").toString
+    try {
+      val crawl = Seq(
+        ("d-01", "https://a.example.com/1", 200, "text/html",
+          "<html><body><p>alpha beta</p></body></html>".getBytes("UTF-8"), 0),
+        ("d-02", "https://a.example.com/2", 200, "text/html",
+          "<html><body><p>gamma</p></body></html>".getBytes("UTF-8"), 0))
+        .toDF("key", "url", "status", "mime", "payload", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWarcShards(crawl, warcDir)
+      // the WARC->WET derivation: read responses, extract visible text,
+      // write conversion records keyed like their source records
+      val extracted = TextAnalysis.htmlExtract(
+        Export.readWarcShards(spark, warcDir)
+          .select(col("key").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("html")),
+        idCol = "doc_id")
+        .join(Export.readWarcShards(spark, warcDir,
+          columns = Seq("url")).withColumnRenamed("key", "doc_id"),
+          "doc_id")
+        .select(col("doc_id").as("key"), col("url"),
+          col("main_text").as("text"), lit(0).cast("int").as("shard"))
+      Export.writeWetShards(extracted, wetDir, compression = "gzip")
+      val got = Export.readWetShards(spark, wetDir).orderBy("key")
+        .select("key", "text").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(got === Array(("d-01", "alpha beta"), ("d-02", "gamma")))
+    } finally Seq(warcDir, wetDir).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
 }
