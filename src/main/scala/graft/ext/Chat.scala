@@ -1,0 +1,221 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversational / SFT data assembly — the multi-turn surface an
+  * instruction-tuning pipeline needs between raw turn logs and the
+  * packer: render ordered turns into one training string, validate the
+  * conversation shape (alternation, role bookends, empty turns), and
+  * compute the character spans supervised-finetuning loss masks train
+  * on (assistant turns train, everything else is context).
+  *
+  * Rendering convention (the fixed serialization every function here
+  * shares, so spans computed from turn arithmetic index into the
+  * rendered string exactly): each turn serializes to
+  * `<|role|>` + text + `<|end|>`, turns concatenated in `idxCol` order
+  * with no separator. Markers are pinned — a training pipeline that
+  * wants different control tokens re-renders; it must NOT get a
+  * half-configurable template whose spans silently disagree with the
+  * renderer.
+  *
+  * Scale shape: everything is keyed by conversation — one groupBy for
+  * rendering, keyed windows (lag / bounded running sum) for validation
+  * and spans. No global window, no driver state; a conversation's turn
+  * list is the only per-group payload (bounded by dialog length, not
+  * corpus size). All expressions are built-in codegen'd functions — no
+  * UDFs.
+  */
+object Chat {
+
+  /** One turn's rendered form. Character count = len(role) + len(text)
+    * + [[MarkerOverhead]]. */
+  private def piece(role: Column, text: Column): Column =
+    concat(lit("<|"), role, lit("|>"), text, lit("<|end|>"))
+
+  /** `<|` + `|>` + `<|end|>` — the per-turn marker characters around
+    * (role, text). */
+  val MarkerOverhead: Int = 11
+
+  /** Characters between a turn's start and its text: `<|` + role +
+    * `|>`. */
+  private def headLen(role: Column): Column = length(role) + lit(4)
+
+  private def checkCols(turns: DataFrame, cols: Seq[String],
+                        caller: String): Unit =
+    cols.foreach(c => require(turns.columns.contains(c),
+      s"$caller needs columns ${cols.mkString(", ")}; missing '$c'"))
+
+  /** Render each conversation's turns (ordered by `idxCol`) into ONE
+    * training string. Output: (`conv_id`, `n_turns`, `n_chars`,
+    * `rendered`) — one row per conversation.
+    *
+    * One hash aggregate per conversation; the sort is per-group
+    * (`sort_array` over the collected turn structs — dialog-length
+    * bounded, never a shuffle of its own). Ties on `idxCol` order by
+    * (role, text) struct comparison, so rendering is deterministic even
+    * on dirty inputs — but duplicate indexes are a shape violation
+    * [[validateConversations]] reports (`unique_idx`). */
+  def renderConversations(turns: DataFrame,
+                          convCol: String = "conv_id",
+                          idxCol: String = "turn_idx",
+                          roleCol: String = "role",
+                          textCol: String = "text"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "renderConversations")
+    turns
+      .groupBy(col(convCol).as("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col(idxCol).as("i"), col(roleCol).as("r"),
+              col(textCol).as("t")))),
+            t => piece(t.getField("r"), t.getField("t"))),
+          "").as("rendered"))
+      .select(col("conv_id"), col("n_turns"),
+        length(col("rendered")).cast("long").as("n_chars"), col("rendered"))
+  }
+
+  /** Per-conversation shape verdicts — the gate between raw turn logs
+    * and training: (`conv_id`, `n_turns`, `starts_user`,
+    * `ends_assistant`, `alternates`, `no_empty`, `unique_idx`, `valid`).
+    *
+    * - `starts_user` / `ends_assistant`: role bookends by `idxCol`
+    *   order (an SFT example must open with context and close with a
+    *   supervised turn).
+    * - `alternates`: no two consecutive turns share a role (lag window
+    *   keyed by conversation).
+    * - `no_empty`: every turn has non-whitespace text.
+    * - `unique_idx`: turn indexes are distinct (a duplicate index makes
+    *   order — and therefore the rendered bytes — data-dependent).
+    * - `valid` = all of the above.
+    *
+    * Roles beyond `userRole`/`assistantRole` (tool, system) are legal
+    * anywhere in the middle; only the bookends are role-pinned. */
+  def validateConversations(turns: DataFrame,
+                            convCol: String = "conv_id",
+                            idxCol: String = "turn_idx",
+                            roleCol: String = "role",
+                            textCol: String = "text",
+                            userRole: String = "user",
+                            assistantRole: String = "assistant"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "validateConversations")
+    // the lag window runs over the RENAMED projection below
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("idx"))
+    turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("idx"),
+        col(roleCol).as("role"), col(textCol).as("text"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        (min_by(col("role"), col("idx")) === lit(userRole))
+          .as("starts_user"),
+        (max_by(col("role"), col("idx")) === lit(assistantRole))
+          .as("ends_assistant"),
+        (count(when(col("prev_role") === col("role"), 1)) === 0)
+          .as("alternates"),
+        (count(when(length(trim(col("text"))) === 0 ||
+          col("text").isNull, 1)) === 0).as("no_empty"),
+        (count(lit(1)) === countDistinct(col("idx"))).as("unique_idx"))
+      .select(col("conv_id"), col("n_turns"), col("starts_user"),
+        col("ends_assistant"), col("alternates"), col("no_empty"),
+        col("unique_idx"),
+        (col("starts_user") && col("ends_assistant") && col("alternates") &&
+          col("no_empty") && col("unique_idx")).as("valid"))
+  }
+
+  /** Character spans of each turn's TEXT inside the
+    * [[renderConversations]] string, with the SFT loss-mask flag.
+    * Output: one row per turn — (`conv_id`, `turn_idx`, `role`,
+    * `span_start` 0-based inclusive, `span_end` exclusive, `trainable` =
+    * role == `assistantRole`). `substring(rendered, span_start + 1,
+    * span_end - span_start)` is exactly the turn's text (ChatSpec pins
+    * the invariant corpus-wide against the rendered strings).
+    *
+    * The only window is the per-conversation running sum of rendered
+    * piece lengths (rows-bounded lag cumsum, dialog-length bounded) — the
+    * same discipline as the x135 pack plan. Spans are CHARACTER offsets
+    * (codepoints), the unit both Spark `length` and the downstream
+    * tokenizer-offset join speak. */
+  def lossMaskSpans(turns: DataFrame,
+                    convCol: String = "conv_id",
+                    idxCol: String = "turn_idx",
+                    roleCol: String = "role",
+                    textCol: String = "text",
+                    assistantRole: String = "assistant"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "lossMaskSpans")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("turn_idx"),
+        col(roleCol).as("role"), col(textCol).as("text"))
+      .withColumn("piece_len",
+        (length(col("role")) + length(col("text")) + lit(MarkerOverhead))
+          .cast("long"))
+      .withColumn("span_start",
+        (coalesce(sum(col("piece_len")).over(w), lit(0L)) +
+          headLen(col("role"))).cast("long"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("span_start"),
+        (col("span_start") + length(col("text"))).cast("long")
+          .as("span_end"),
+        (col("role") === lit(assistantRole)).as("trainable"))
+  }
+
+  /** The packed-SFT artifact: [[lossMaskSpans]] carried THROUGH the
+    * [[Pack.packPlan]] concat-and-chunk packer in CHARACTER space, so a
+    * fixed-shape dataloader gets, per packed sequence, the trainable
+    * [start, end) ranges to mask loss with. Conversations pack by their
+    * rendered length (computed as the SUM of piece lengths — the
+    * rendered strings themselves are never materialized here), spans
+    * intersect each (sequence, conversation-slice) segment and shift
+    * into sequence coordinates. Output: (`seq_id`, `conv_id`,
+    * `turn_idx`, `seq_start`, `seq_end`) — one row per surviving
+    * (assistant turn × segment) overlap; a span cut by a sequence
+    * boundary yields one clipped row per side.
+    *
+    * Scale shape: the length frame is one keyed aggregate; the plan is
+    * packPlan's two-phase bucket cumsum (the only single-partition
+    * window is the ≤16^bucketHexChars bucket-subtotal frame); the final
+    * join keys on conversation with both sides conversation-bounded
+    * (segments per conversation ≤ n_chars/capacity + 1, spans per
+    * conversation ≤ dialog length). */
+  def packedLossMasks(turns: DataFrame,
+                      capacity: Long = 2048L,
+                      seed: Long = 42L,
+                      convCol: String = "conv_id",
+                      idxCol: String = "turn_idx",
+                      roleCol: String = "role",
+                      textCol: String = "text",
+                      assistantRole: String = "assistant"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "packedLossMasks")
+    val lens = turns
+      .select(col(convCol).as("conv_id"),
+        (length(col(roleCol)) + length(col(textCol)) + lit(MarkerOverhead))
+          .cast("long").as("piece_len"))
+      .groupBy(col("conv_id"))
+      .agg(sum(col("piece_len")).as("n_chars"))
+    val segs = Pack.packSegments(
+      Pack.packPlan(lens, capacity, seed, idCol = "conv_id",
+        lengthCol = Some("n_chars")),
+      capacity)
+      .withColumnRenamed("doc_id", "conv_id")
+    val spans = lossMaskSpans(turns, convCol, idxCol, roleCol, textCol,
+      assistantRole)
+      .filter(col("trainable"))
+    spans.join(segs, "conv_id")
+      .select(col("seq_id"), col("conv_id"), col("turn_idx"),
+        greatest(col("span_start"), col("doc_off")).as("o_start"),
+        least(col("span_end"), col("doc_off") + col("seg_len")).as("o_end"),
+        col("seq_off"), col("doc_off"))
+      .filter(col("o_start") < col("o_end"))
+      .select(col("seq_id"), col("conv_id"), col("turn_idx"),
+        (col("seq_off") + col("o_start") - col("doc_off")).as("seq_start"),
+        (col("seq_off") + col("o_end") - col("doc_off")).as("seq_end"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling — the step between URL canonicalization
+  * (x200) / frontier dedup (x201) and the fetcher fleet: decide WHAT to
+  * fetch in what order without hammering any single host.
+  */
+object Crawl {
+
+  /** Politeness-wave assignment: within each host, rank URLs by
+    * (`prioCol` desc, `urlCol` asc — a total order, so the schedule is
+    * a pure function of the frontier), then cut the ranking into waves
+    * of `perHostPerWave` URLs. A polite fetcher fleet processes wave 0
+    * across ALL hosts, then wave 1, … — every host serves at most
+    * `perHostPerWave` fetches per round regardless of how skewed the
+    * frontier is toward one domain. Output: (`host`, `url`, `prio`,
+    * `host_rank` 1-based, `wave` 0-based).
+    *
+    * Scale: ONE shuffle keyed on host; the rank window is
+    * host-partitioned (never global). A mega-host (the en.wikipedia case
+    * — one host holding a double-digit share of the frontier) serializes
+    * its own ranking onto one task: if that bites, cap the frontier per
+    * host FIRST (`maxPerHost`, applied inside the same window — the
+    * filter costs nothing extra) so the per-task payload is bounded by
+    * policy, not by the crawl's skew. A politeness schedule is
+    * inherently a per-host sequence; the cap is the lever, not a
+    * different plan shape. */
+  def frontierWaves(urls: DataFrame,
+                    hostCol: String = "host",
+                    urlCol: String = "url",
+                    prioCol: String = "prio",
+                    perHostPerWave: Int = 8,
+                    maxPerHost: Int = Int.MaxValue): DataFrame = {
+    require(perHostPerWave > 0,
+      s"frontierWaves: perHostPerWave must be positive, got $perHostPerWave")
+    require(maxPerHost > 0,
+      s"frontierWaves: maxPerHost must be positive, got $maxPerHost")
+    Seq(hostCol, urlCol, prioCol).foreach(c =>
+      require(urls.columns.contains(c),
+        s"frontierWaves needs columns $hostCol, $urlCol, $prioCol; " +
+          s"missing '$c'"))
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(prioCol).desc, col(urlCol))
+    urls
+      .select(col(hostCol).as("host"), col(urlCol).as("url"),
+        col(prioCol).as("prio"))
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .filter(col("host_rank") <= maxPerHost)
+      // floor over an exact small-integer ratio (rank < 2^53): integer
+      // wave index without leaving codegen'd arithmetic
+      .withColumn("wave",
+        floor((col("host_rank") - 1) / lit(perHostPerWave)).cast("long"))
+  }
+}

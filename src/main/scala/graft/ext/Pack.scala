@@ -43,17 +43,34 @@ object Pack {
     * n_segs` where `start_seq = cum_before div capacity`, `start_off =
     * cum_before mod capacity`, `end_seq = (cum_before + n_tokens - 1) div
     * capacity` and `n_segs = end_seq - start_seq + 1`.
-    */
+    *
+    * The length UNIT is pluggable: by default each doc weighs its
+    * whitespace token count of `textCol`; pass `lengthCol` to pack by a
+    * PRECOMPUTED additive length instead (BPE token counts, character
+    * counts — the x212 chat packer packs rendered conversations by
+    * chars so the x209 loss-mask spans stay in the same coordinate
+    * space). Rows with non-positive length are out of domain either
+    * way; `n_tokens` keeps its name as "length units". */
   def packPlan(docs: DataFrame, capacity: Long = 2048L, seed: Long = 42L,
                bucketHexChars: Int = 2, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
+               idCol: String = "doc_id",
+               lengthCol: Option[String] = None): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(bucketHexChars >= 1 && bucketHexChars <= 8,
       s"bucketHexChars must be in [1,8], got $bucketHexChars")
-    val base = docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    lengthCol.foreach(c => require(docs.columns.contains(c),
+      s"packPlan: lengthCol '$c' not in ${docs.columns.mkString(",")}"))
+    val sized = lengthCol match {
+      case Some(c) => docs
+        .filter(col(c) > 0)
+        .select(col(idCol).cast("long").as("doc_id"),
+          col(c).cast("long").as("n_tokens"))
+      case None => docs
+        .filter(length(trim(col(textCol))) > 0)
+        .select(col(idCol).cast("long").as("doc_id"),
+          TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    }
+    val base = sized
       .withColumn("okey",
         md5(concat(col("doc_id").cast("string"), lit(":" + seed))))
       .withColumn("bucket",

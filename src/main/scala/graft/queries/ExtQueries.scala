@@ -15,7 +15,7 @@ import graft.ext.{Curation, Dedup, Export, Ivf, Multimodal, Pack, Retrieval, Sim
   * shared-frame hooks). */
 object ExtQueries {
   val defs: Seq[QueryDef] =
-    DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++ MediaQueries.defs ++ PackingQueries.defs ++ BehavioralQueries.defs ++ AuditQueries.defs
+    DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++ MediaQueries.defs ++ PackingQueries.defs ++ BehavioralQueries.defs ++ AuditQueries.defs ++ ChatQueries.defs
 
   /** Bench hooks, forwarded (see [[ExtShared]]). */
   def clearSharedFrames(): Unit = ExtShared.clearSharedFrames()

@@ -71,7 +71,9 @@ class PlanGuardSpec extends SparkSpec {
     "x206_bpe_decode" ->
       "same vocab-id rank as x157 (|V|-bounded); the decode itself sorts inside collected arrays, never a window",
     "x165_funnel_latency" ->
-      "cumsum over lat-div-B bucket SUBTOTALS - range/B rows (the r17 two-phase rewrite; PlanSpec pins the in-bucket window is bkt-partitioned)")
+      "cumsum over lat-div-B bucket SUBTOTALS - range/B rows (the r17 two-phase rewrite; PlanSpec pins the in-bucket window is bkt-partitioned)",
+    "x212_chat_packed_masks" ->
+      "packPlan's phase-1 cumsum over pack-bucket SUBTOTALS - <=16^bucketHexChars rows by construction (the same two-phase shape x135 runs behind its shared-frame materialization; the span and in-bucket windows are conv/bucket-partitioned)")
 
   test("no catalog entry plans an unconditioned non-one-row cartesian join") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
