@@ -280,6 +280,77 @@ object StreamingOps {
         "start_off", "end_seq", "n_segs")
   }
 
+  /** Streaming conversation-shape monitor — the x208 verdicts computed
+    * INCREMENTALLY as turns arrive: per conversation the state is the
+    * accumulated (turn_idx, role, is_empty) triples — bounded by DIALOG
+    * length, never stream length — and each micro-batch that touches a
+    * conversation re-emits its CURRENT verdict row recomputed from that
+    * state, so the last emission per conversation always equals the
+    * batch [[graft.ext.Chat.validateConversations]] row over the turns
+    * seen so far. Because verdicts are recomputed from the full
+    * (index-sorted) turn set, ARRIVAL ORDER IS IRRELEVANT — shuffled or
+    * cross-batch-straggling turns converge to the same verdicts with no
+    * watermark buffering (StreamingSpec pins shuffled two-chop parity
+    * against batch x208). Input columns: (`conv_id`, `turn_idx`, `role`,
+    * `text`); output matches x208.
+    *
+    * STATE RETENTION: per-conversation state is dialog-bounded, but
+    * distinct conversations grow with the stream — `stateTimeoutMs > 0`
+    * evicts conversations idle past the processing-time horizon (the
+    * [[funnelMonitor]] trade: a late turn for an evicted conversation
+    * restarts it). Default 0 keeps state for bounded replays. */
+  def conversationMonitor(stream: DataFrame,
+                          userRole: String = "user",
+                          assistantRole: String = "assistant",
+                          stateTimeoutMs: Long = 0L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (stateTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    stream
+      .select(col("conv_id").cast("long"), col("turn_idx").cast("int"),
+        col("role"), col("text"))
+      .as[(Long, Int, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (conv: Long, rows: Iterator[(Long, Int, String, String)],
+         state: GroupState[List[(Int, String, Boolean)]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // empty = null or all-spaces: Spark's trim strips ' ' ONLY
+            // (Scala's String.trim would also strip \n/\t and drift from
+            // the batch entry's length(trim(text)) = 0 rule)
+            val arrivals = rows
+              .map(r => (r._2, r._3,
+                r._4 == null || r._4.forall(_ == ' '))).toList
+            if (arrivals.isEmpty) Iterator.empty
+            else {
+              val all = state.getOption.getOrElse(Nil) ++ arrivals
+              state.update(all)
+              if (stateTimeoutMs > 0) state.setTimeoutDuration(stateTimeoutMs)
+              // identical duplicate rows make every tie deterministic —
+              // the same discipline the batch entry's synthesis relies on
+              val sorted = all.sortBy(identity)
+              val startsUser = sorted.head._2 == userRole
+              val endsAssistant = sorted.last._2 == assistantRole
+              val alternates = sorted.size < 2 ||
+                sorted.sliding(2).forall(w => w.head._2 != w(1)._2)
+              val noEmpty = all.forall(!_._3)
+              val uniqueIdx = all.map(_._1).distinct.size == all.size
+              Iterator((conv, all.size.toLong, startsUser, endsAssistant,
+                alternates, noEmpty, uniqueIdx,
+                startsUser && endsAssistant && alternates && noEmpty &&
+                  uniqueIdx))
+            }
+          }
+        })
+      .toDF("conv_id", "n_turns", "starts_user", "ends_assistant",
+        "alternates", "no_empty", "unique_idx", "valid")
+  }
+
   /** Streaming funnel monitor — the x161 view → click → purchase funnel
     * computed INCREMENTALLY: per user, THREE Longs of
     * `flatMapGroupsWithState` state (earliest view, first later click,

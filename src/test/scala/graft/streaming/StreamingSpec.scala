@@ -967,6 +967,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming conversation monitor converges to batch x208 verdicts under SHUFFLED chops") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("x208_chat_validate")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7))).sorted.toSeq
+    assert(expected.nonEmpty && expected.exists(!_._8) && expected.exists(_._8))
+    val rows = graft.queries.ChatQueries.synthTurns(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3))).toSeq
+    // verdicts recompute from accumulated state, so arrival order must
+    // be IRRELEVANT: deliver the turns shuffled, split across two chops
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val mem = MemoryStream[(Long, Int, String, String)]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+    val query = graft.streaming.StreamingOps.conversationMonitor(
+        mem.toDF().toDF("conv_id", "turn_idx", "role", "text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7)))
+        acc.synchronized { acc ++= got }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(shuffled.take(shuffled.length / 3))
+      query.processAllAvailable()
+      mem.addData(shuffled.drop(shuffled.length / 3))
+      query.processAllAvailable()
+      val last = acc.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, g) => g.maxBy(_._2)._1 }.toSeq.sorted
+      assert(last === expected)
+    } finally query.stop()
+  }
+
   test("streaming transitions via transitionMonitor aggregate to batch x163 counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
