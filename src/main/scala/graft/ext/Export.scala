@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, ByteType, FloatType, IntegerType, LongType, ShortType, StringType}
 
@@ -1885,6 +1885,7 @@ object Export {
         col(keyCol).as("__key"), col("url"), col("text")),
       dir, keyCol, shardCol, compression,
       caller = "writeWetShards", format = "wet", kind = "conversion",
+      fileBase = "part-00000.warc.wet",
       loader = d => wetShardFrame(spark, d, keyCol, shardCol),
       build = row => {
         val key = row.getString(1)
@@ -1920,7 +1921,8 @@ object Export {
                                   compression: String, caller: String,
                                   format: String, kind: String,
                                   loader: String => DataFrame,
-                                  build: Row => (String, Seq[(String, String)], Array[Byte]))
+                                  build: Row => (String, Seq[(String, String)], Array[Byte]),
+                                  fileBase: String = "part-00000.warc")
       : Map[Long, Long] = {
     val spark = sel.sparkSession
     val (hfs, root) = fs(spark, dir)
@@ -1931,7 +1933,7 @@ object Export {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
     val fileName =
-      if (compression == "gzip") "part-00000.warc.gz" else "part-00000.warc"
+      if (compression == "gzip") s"$fileBase.gz" else fileBase
     val shardColName = shardCol
     sel
       .repartition(col("__shard"))
@@ -2755,6 +2757,53 @@ object Export {
                      streaming: Boolean = true,
                      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    containerPathSource(spark, dir, glob, streaming, options)
+      .flatMap { path =>
+        warcFileRecords(confB.value.value, path, readPayload = true)
+          .map { case (key, url, status, mime, body, plen) =>
+            (key, url, status, mime, body, plen, path) }
+      }
+      .toDF("key", "url", "status", "mime", "payload", "payload_len", "path")
+  }
+
+  /** [[readWarcStream]] for the WET container: the same checkpointed
+    * path-only file tracking (no content column materialized, records
+    * streamed one at a time off the filesystem), conversion records
+    * surfacing as (key, url, text, text_len, path) with the
+    * [[readWetShards]] strict-UTF-8 decode. The default glob matches
+    * this writer's `part-00000.warc.wet[.gz]` files and Common Crawl's
+    * `*.warc.wet.gz` naming. `streaming = false` returns the same frame
+    * as a batch scan over the identical code path. */
+  def readWetStream(spark: SparkSession, dir: String,
+                    glob: String = "*.wet*",
+                    streaming: Boolean = true,
+                    options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    containerPathSource(spark, dir, glob, streaming, options)
+      .flatMap { path =>
+        wetFileRecords(confB.value.value, path, readPayload = true)
+          .map { case (key, url, body, tlen) =>
+            (key, url, strictUtf8(body), tlen, path) }
+      }
+      .toDF("key", "url", "text", "text_len", "path")
+  }
+
+  /** The WARC-family file-tracking source: a `binaryFile` scan used for
+    * PATHS ONLY (the content column is never selected, so the 2 GiB
+    * single-cell ceiling and whole-file memory never apply) — streaming
+    * mode rides the checkpointed file log for exactly-once file
+    * delivery; batch mode is the same path-pruned scan. */
+  private def containerPathSource(spark: SparkSession, dir: String,
+                                  glob: String, streaming: Boolean,
+                                  options: Map[String, String])
+      : Dataset[String] = {
+    import spark.implicits._
     // binaryFile's schema is FIXED by the format, but the streaming file
     // source still demands it be declared up front (no inference pass)
     val binSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -2773,16 +2822,6 @@ object Export {
           .option("recursiveFileLookup", "true")
           .options(options)
           .load(dir)
-    val confB = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    reader.select(col("path"))
-      .as[String]
-      .flatMap { path =>
-        warcFileRecords(confB.value.value, path, readPayload = true)
-          .map { case (key, url, status, mime, body, plen) =>
-            (key, url, status, mime, body, plen, path) }
-      }
-      .toDF("key", "url", "status", "mime", "payload", "payload_len", "path")
+    reader.select(col("path")).as[String]
   }
 }

@@ -1202,6 +1202,46 @@ class ExportSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt warc"))
   }
 
+  test("readWetStream: file-source streaming ingest equals the batch WET scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wetst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wetst-ck").toString
+    try {
+      val df = (0 until 20).map(i =>
+        (f"k-$i%04d", s"https://h$i.example.com/", s"text $i é", i % 4))
+        .toDF("key", "url", "text", "shard")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWetShards(df, dir, compression = "gzip")
+      // Common Crawl naming: the containers are part-00000.warc.wet.gz
+      val names = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(!_.startsWith("."))
+      assert(names.nonEmpty && names.forall(_ == "part-00000.warc.wet.gz"))
+      val expected = Export.readWetShards(spark, dir)
+        .select("key", "url", "text", "text_len").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      val acc = scala.collection.mutable.Set
+        .empty[(String, String, String, Long)]
+      val q = Export.readWetStream(spark, dir,
+          options = Map("maxFilesPerTrigger" -> "2"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("key", "url", "text", "text_len").collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2),
+              r.getLong(3)))
+          acc.synchronized { acc ++= got }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(acc.toSet === expected)
+      // batch mode of the same code path agrees too
+      assert(Export.readWetStream(spark, dir, streaming = false)
+        .count() === 20L)
+    } finally Seq(dir, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
   test("wet write composes with WARC ingest: extract -> WET -> read-back") {
     import spark.implicits._
     val warcDir = java.nio.file.Files
