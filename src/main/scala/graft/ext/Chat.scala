@@ -166,6 +166,39 @@ object Chat {
         (col("role") === lit(assistantRole)).as("trainable"))
   }
 
+  /** Context-window trimming: per conversation, flag the LONGEST SUFFIX
+    * of turns whose total rendered length fits `budget` characters — the
+    * standard chat-window policy (drop oldest turns first, never split a
+    * turn). Output: every input turn plus `suffix_cost` (the rendered
+    * cost of this turn and everything after it, the quantity compared to
+    * the budget) and `kept`. A conversation whose LAST turn alone
+    * exceeds the budget keeps nothing — the caller decides whether that
+    * is a drop or an error.
+    *
+    * One conversation-keyed reverse running sum (rows-bounded, dialog-
+    * length bounded) — no global window, no UDFs. Costs are rendered
+    * piece lengths ([[renderConversations]]' serialization), so trimming
+    * then rendering is guaranteed to fit the budget. */
+  def trimToBudget(turns: DataFrame, budget: Long,
+                   convCol: String = "conv_id",
+                   idxCol: String = "turn_idx",
+                   roleCol: String = "role",
+                   textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"trimToBudget: budget must be positive, got $budget")
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol), "trimToBudget")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("turn_idx"),
+        col(roleCol).as("role"), col(textCol).as("text"))
+      .withColumn("piece_len",
+        (length(col("role")) + length(col("text")) + lit(MarkerOverhead))
+          .cast("long"))
+      .withColumn("suffix_cost", sum(col("piece_len")).over(w))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("suffix_cost"), (col("suffix_cost") <= budget).as("kept"))
+  }
+
   /** The packed-SFT artifact: [[lossMaskSpans]] carried THROUGH the
     * [[Pack.packPlan]] concat-and-chunk packer in CHARACTER space, so a
     * fixed-shape dataloader gets, per packed sequence, the trainable

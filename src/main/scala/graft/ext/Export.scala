@@ -1971,15 +1971,22 @@ object Export {
         // member without closing the file stream) so the returned
         // (offset, length) bound a self-contained gunzip unit — the CDX
         // contract readWarcRecords seeks on. Uncompressed mode returns
-        // the raw record bounds, same contract.
+        // the raw record bounds, same contract. The member's Deflater is
+        // end()ed EXPLICITLY: finish() alone leaves each member's native
+        // zlib state to the GC's cleaner, and at one member per record
+        // that is tens of thousands of leaked native buffers per shard —
+        // the r18 soak measured the x210 writer 49× (not 10×) at 10×
+        // data before this (close() is not an option: it would close the
+        // shared file stream).
         def writeRec(kind: String, key: String,
                      headers: Seq[(String, String)],
                      block: Array[Byte]): (Long, Long) = {
           val start = out.count
           if (gzip) {
-            val gz = new java.util.zip.GZIPOutputStream(out)
+            val gz = new MemberGzipOutputStream(out)
             writeWarcRecord(gz, kind, key, headers, block)
             gz.finish()
+            gz.endDeflater()
           } else writeWarcRecord(out, kind, key, headers, block)
           (start, out.count - start)
         }
@@ -2030,6 +2037,15 @@ object Export {
       epochs = Set.empty, priorHashes = Map.empty,
       extra = Seq("format" -> q(format), "compression" -> q(compression),
         "key" -> q(keyCol), "cdx" -> "true"))
+  }
+
+  /** Per-record gzip member whose native zlib state can be released
+    * without closing the shared underlying file stream (DeflaterOutput-
+    * Stream exposes the deflater as a protected field; GZIPOutputStream
+    * offers no end hook of its own). */
+  private final class MemberGzipOutputStream(u: java.io.OutputStream)
+      extends java.util.zip.GZIPOutputStream(u) {
+    def endDeflater(): Unit = `def`.end()
   }
 
   /** Byte-counting pass-through: the compressed-offset source for the
@@ -2719,7 +2735,11 @@ object Export {
           if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
           else raw
         }
-        val recs = warcResponses(recIn, readPayload = true).toVector
+        // close() releases the member's native Inflater immediately (the
+        // underlying stream is a byte array — nothing shared to protect)
+        val recs =
+          try warcResponses(recIn, readPayload = true).toVector
+          finally recIn.close()
         require(recs.length == 1 && recs.head._1 == key,
           s"cdx mismatch at $uri:$off — expected one record for key " +
             s"'$key', got ${recs.map(_._1).mkString(",")}")

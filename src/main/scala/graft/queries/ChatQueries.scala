@@ -161,6 +161,31 @@ object ChatQueries {
                      CAST((host_rank - 1) // 3 AS BIGINT) AS wave
               FROM r ORDER BY host, host_rank""")),
 
+    // x213 — context-window trimming: per conversation, the longest
+    // suffix of turns whose rendered cost fits a 200-char budget (the
+    // drop-oldest-first chat-window policy; a turn is never split). One
+    // conversation-keyed reverse running sum; the 200-char budget keeps
+    // some-but-not-all turns of most conversations at every SF, so the
+    // kept flag flips both ways on the hash path. text is dropped from
+    // the output (suffix_cost pins it transitively via piece lengths).
+    QueryDef("x213_chat_window_trim",
+      (s, d) => graft.ext.Chat.trimToBudget(synthTurns(s, d), budget = 200L)
+        .drop("text")
+        .orderBy("conv_id", "turn_idx", "suffix_cost"),
+      Some(s"""WITH $turnsSql,
+                 p AS (SELECT conv_id, turn_idx, role,
+                         CAST(length(role) + length(text) + 11 AS BIGINT) AS piece_len
+                       FROM turns),
+                 c AS (SELECT conv_id, turn_idx, role,
+                         CAST(sum(piece_len) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS suffix_cost
+                       FROM p)
+               SELECT conv_id, turn_idx, role, suffix_cost,
+                      suffix_cost <= 200 AS kept
+               FROM c ORDER BY conv_id, turn_idx, suffix_cost""")),
+
     // x212 — packed SFT with loss masks: the x209 spans carried THROUGH
     // the x135 packer in character space — per packed sequence, the
     // trainable [start,end) ranges a fixed-shape dataloader masks loss
