@@ -102,6 +102,63 @@ object ChatQueries {
                        AND count(*) = count(DISTINCT turn_idx)) AS valid
                FROM l GROUP BY conv_id ORDER BY conv_id""")),
 
+    // x208b — streaming conversation-shape parity gate: replay the x208
+    // turns through a REAL MemoryStream query into
+    // StreamingOps.conversationMonitor in two chops with the DELIVERY
+    // ORDER SHUFFLED (seeded) — the monitor recomputes verdicts from
+    // accumulated per-conversation state, so arrival order must be
+    // irrelevant by construction; the converged last emission per
+    // conversation must equal the batch x208 frame. The x161b discipline
+    // on the SFT surface, driver-visible. Replay runs on a cloned
+    // session with pinned shuffle partitions (the replayMonitor
+    // rationale: state-store rounds price per partition per chop).
+    QueryDef("x208b_chat_stream_gate",
+      (s, d) => {
+        val expected = Chat.validateConversations(synthTurns(s, d))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+            r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+            r.getBoolean(6), r.getBoolean(7))).toSet
+        val rows = synthTurns(s, d).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getString(3))).toSeq
+        val shuffled = new scala.util.Random(11).shuffle(rows)
+        // the replay runs on a cloned session scoped to this block so
+        // its implicits never collide with the result-building session's
+        val ok = {
+          val ss = s.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "2")
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          implicit val sq = ss.sqlContext
+          import ss.implicits._
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Int, String, String)]
+          val acc = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+              Boolean)]
+          val query = graft.streaming.StreamingOps.conversationMonitor(
+              mem.toDF().toDF("conv_id", "turn_idx", "role", "text"))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              val got = b.collect().map(r => (r.getLong(0), r.getLong(1),
+                r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+                r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+              acc.synchronized { acc ++= got }
+              ()
+            }
+            .outputMode("append").start()
+          try Seq(shuffled.take(shuffled.length / 3),
+              shuffled.drop(shuffled.length / 3))
+            .foreach { c => mem.addData(c); query.processAllAvailable() }
+          finally query.stop()
+          val last = acc.zipWithIndex.groupBy(_._1._1)
+            .map { case (_, g) => g.maxBy(_._2)._1 }.toSet
+          last == expected && expected.nonEmpty
+        }
+        import s.implicits._
+        Seq(ok).toDF("chat_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS chat_stream_ok")),
+
     // x209 — SFT loss-mask spans: 0-based character spans of each turn's
     // text inside the x207 rendered string, trainable = assistant. The
     // only window is the conversation-keyed rows-bounded cumsum of piece

@@ -511,105 +511,7 @@ object PackingQueries {
         crawlExtractChain(Export.readWarcShards(s, dir))
           .orderBy("doc_id")
       },
-      Some("""WITH h AS (
-                SELECT doc_id,
-                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-                  '</title><style>body{margin:0}</style>' ||
-                  '<script>if (a<b) { track("&x"); }</script></head><body>' ||
-                  '<nav><a href="/">home</a> <a href="/all">all docs</a></nav>' ||
-                  '<!-- rendered by graft -->' ||
-                  '<div id="main"><p>' ||
-                  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
-                  CASE WHEN doc_id % 3 = 0
-                    THEN ' See <a href="/ref">the reference</a> for details.'
-                    ELSE '' END ||
-                  '</p><p>Tags: &lt;' || lang || '&gt; &amp; more</p></div>' ||
-                  '<aside><a href="/a">one</a> <a href="/b">two</a></aside>' ||
-                  '<footer>&copy; corpus <a href="/tos">terms</a> ' ||
-                  '<a href="/priv">privacy</a></footer></body></html>' AS html
-                FROM documents),
-              c AS (
-                SELECT doc_id, regexp_replace(html,
-                  '(?is)<head\b[^>]*>.*?</head\s*>|<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
-                  ' ', 'g') AS ch FROM h),
-              b AS (
-                SELECT doc_id, string_split_regex(ch,
-                  '(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|main|figure|figcaption|pre|form|title|body|html)\b[^>]*|br\s*/?)>') AS blocks
-                FROM c),
-              t AS (
-                SELECT doc_id, list_filter(list_transform(blocks, bl ->
-                    struct_pack(
-                      v := trim(regexp_replace(
-                        replace(replace(replace(replace(replace(replace(replace(
-                          regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
-                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
-                          '&amp;', '&'),
-                        '\s+', ' ', 'g')),
-                      a := coalesce(length(trim(regexp_replace(
-                        replace(replace(replace(replace(replace(replace(replace(
-                          regexp_replace(array_to_string(
-                            regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
-                            ' '), '(?s)<[^>]*>', ' ', 'g'),
-                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
-                          '&amp;', '&'),
-                        '\s+', ' ', 'g'))), 0))),
-                  tt -> length(tt.v) > 0) AS vb
-                FROM b),
-              x AS (
-                SELECT doc_id,
-                  CAST(len(vb) AS BIGINT) AS n_blocks,
-                  CAST(len(list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v))) AS BIGINT) AS n_kept,
-                  array_to_string(list_transform(
-                    list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v)),
-                    tt -> tt.v), ' ') AS main_text
-                FROM t),
-              r AS (
-                SELECT doc_id,
-                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
-                  '://' ||
-                  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
-                  '.Example.COM' ||
-                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
-                  '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
-                  (CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '' END) ||
-                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
-                        WHEN doc_id % 4 = 1 THEN '?ref=home'
-                        WHEN doc_id % 4 = 2 THEN '?UTM_Campaign=x'
-                        ELSE '' END) ||
-                  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
-                  AS url_raw
-                FROM documents),
-              pp AS (
-                SELECT doc_id, url_raw,
-                  lower(regexp_extract(url_raw,
-                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                  regexp_replace(lower(regexp_extract(url_raw,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-                    '^[^@]*@', '') AS hostport,
-                  regexp_extract(url_raw,
-                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
-                FROM r),
-              nn AS (
-                SELECT doc_id, scheme,
-                  CASE WHEN scheme = 'http'
-                         THEN regexp_replace(hostport, ':80$', '')
-                       WHEN scheme = 'https'
-                         THEN regexp_replace(hostport, ':443$', '')
-                       ELSE hostport END AS host,
-                  regexp_replace(hostport, ':\d+$', '') AS bare_host,
-                  regexp_replace(regexp_replace(rest, '#.*$', ''),
-                    '\?.*$', '') AS path0,
-                  regexp_extract(regexp_replace(rest, '#.*$', ''),
-                    '\?(.*)$', 1) AS q0
-                FROM pp),
-              ff AS (
-                SELECT doc_id, scheme, host, bare_host,
-                  regexp_replace(path0, '^(/.+?)/+$', '\1') AS path1,
-                  regexp_replace(regexp_replace(q0,
-                    '(^|&)(?i:utm_)[^&]*', '', 'g'), '^&+', '') AS q1
-                FROM nn)
+      Some(s"""WITH $crawlOracleCtes
               SELECT x.doc_id,
                 scheme || '://' || ff.host || path1 ||
                   (CASE WHEN length(q1) = 0 THEN '' ELSE '?' || q1 END)
@@ -683,6 +585,51 @@ object PackingQueries {
           .toDF("crawl_stream_ok")
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS crawl_stream_ok")),
+
+    // x214 — the full WARC→WET derivation on ONE hash path: Common
+    // Crawl's actual production step. Synthesized pages pack into real
+    // WARC response records, read back through readWarcShards, run the
+    // x205 ingest chain (utf8 gate → htmlExtract → urlNormalize), and
+    // the EXTRACTED text goes back OUT as a real WET container
+    // (conversion records keyed like their source responses, canonical
+    // URL as the target URI) — then the WET read-back is what gets
+    // hashed. The oracle recomputes main_text and url_canon as pure
+    // functions of documents (the shared crawlOracleCtes chain), plus
+    // the WET byte length — so a framing bug, extraction drift,
+    // canonicalization drift, conversion-record corruption, or a strict-
+    // decode regression ANYWHERE across BOTH containers fails one hash.
+    QueryDef("x214_crawl_wet_pipeline",
+      (s, d) => {
+        val warcDir = exportScratchDir(d, "x214-warc")
+        val wetDir = exportScratchDir(d, "x214-wet")
+        Export.writeWarcShards(crawlSynthFrame(s, d), warcDir,
+          compression = "gzip")
+        val extracted = crawlExtractChain(Export.readWarcShards(s, warcDir))
+        Export.writeWetShards(
+          extracted.select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+            col("url_canon").as("url"),
+            col("main_text").as("text"),
+            (col("doc_id") % 4).cast("int").as("shard")),
+          wetDir, compression = "gzip")
+        Export.readWetShards(s, wetDir)
+          .select(
+            expr("CAST(substring(key, 5, 12) AS BIGINT)").as("doc_id"),
+            col("url").as("url_canon"), col("text").as("main_text"),
+            col("text_len"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $crawlOracleCtes
+              SELECT x.doc_id,
+                scheme || '://' || ff.host || path1 ||
+                  (CASE WHEN length(q1) = 0 THEN '' ELSE '?' || q1 END)
+                  AS url_canon,
+                x.main_text,
+                CAST(octet_length(encode(x.main_text)) AS BIGINT) AS text_len,
+                CAST(x.doc_id % 4 AS BIGINT) AS shard
+              FROM x JOIN ff ON ff.doc_id = x.doc_id
+              ORDER BY x.doc_id""")),
 
     // x196 — Z-order (Morton) layout key for two-dimensional scan
     // pruning: min-max normalize (l_partkey, l_suppkey) onto 16 bits each
@@ -2009,6 +1956,118 @@ object PackingQueries {
     * packs into real WARC response records — ONE definition so the batch
     * pipeline entry and the streaming gate ingest byte-identical
     * containers and cannot drift. */
+  /** The x199+x200 oracle chains composed - the DuckDB CTE body shared
+    * by x205 (WARC crawl pipeline) and x214 (WET derivation): page
+    * synthesis, head/comment/script/style strip, block split,
+    * visible-text + link-density structs, kept-block fold, and the URL
+    * canonicalization chain. Ends with CTEs `x` (doc_id, n_blocks,
+    * n_kept, main_text) and `ff` (canonical url parts). Kept as a PLAIN
+    * (non-interpolated) literal: it carries regex backslashes the
+    * s-interpolator would reject; the final SELECTs that splice it in
+    * are backslash-free. */
+  // lazy: `defs` interpolates this during object init and is declared
+  // ABOVE — a strict val here would still be null at that point
+  private lazy val crawlOracleCtes: String =
+    """h AS (
+                SELECT doc_id,
+                  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+                  '</title><style>body{margin:0}</style>' ||
+                  '<script>if (a<b) { track("&x"); }</script></head><body>' ||
+                  '<nav><a href="/">home</a> <a href="/all">all docs</a></nav>' ||
+                  '<!-- rendered by graft -->' ||
+                  '<div id="main"><p>' ||
+                  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+                  CASE WHEN doc_id % 3 = 0
+                    THEN ' See <a href="/ref">the reference</a> for details.'
+                    ELSE '' END ||
+                  '</p><p>Tags: &lt;' || lang || '&gt; &amp; more</p></div>' ||
+                  '<aside><a href="/a">one</a> <a href="/b">two</a></aside>' ||
+                  '<footer>&copy; corpus <a href="/tos">terms</a> ' ||
+                  '<a href="/priv">privacy</a></footer></body></html>' AS html
+                FROM documents),
+              c AS (
+                SELECT doc_id, regexp_replace(html,
+                  '(?is)<head\b[^>]*>.*?</head\s*>|<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>',
+                  ' ', 'g') AS ch FROM h),
+              b AS (
+                SELECT doc_id, string_split_regex(ch,
+                  '(?i)<(?:/?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section|article|header|footer|nav|aside|main|figure|figcaption|pre|form|title|body|html)\b[^>]*|br\s*/?)>') AS blocks
+                FROM c),
+              t AS (
+                SELECT doc_id, list_filter(list_transform(blocks, bl ->
+                    struct_pack(
+                      v := trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(bl, '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g')),
+                      a := coalesce(length(trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(replace(
+                          regexp_replace(array_to_string(
+                            regexp_extract_all(bl, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+                            ' '), '(?s)<[^>]*>', ' ', 'g'),
+                          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                          '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                          '&amp;', '&'),
+                        '\s+', ' ', 'g'))), 0))),
+                  tt -> length(tt.v) > 0) AS vb
+                FROM b),
+              x AS (
+                SELECT doc_id,
+                  CAST(len(vb) AS BIGINT) AS n_blocks,
+                  CAST(len(list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v))) AS BIGINT) AS n_kept,
+                  array_to_string(list_transform(
+                    list_filter(vb, tt -> tt.a * 100 <= 40 * length(tt.v)),
+                    tt -> tt.v), ' ') AS main_text
+                FROM t),
+              r AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+                  '://' ||
+                  (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+                  '.Example.COM' ||
+                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+                  '/docs/item' || CAST(doc_id % 100 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN '//' ELSE '' END) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=home&utm_medium=rss'
+                        WHEN doc_id % 4 = 1 THEN '?ref=home'
+                        WHEN doc_id % 4 = 2 THEN '?UTM_Campaign=x'
+                        ELSE '' END) ||
+                  (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+                  AS url_raw
+                FROM documents),
+              pp AS (
+                SELECT doc_id, url_raw,
+                  lower(regexp_extract(url_raw,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                  regexp_replace(lower(regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                    '^[^@]*@', '') AS hostport,
+                  regexp_extract(url_raw,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+                FROM r),
+              nn AS (
+                SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END AS host,
+                  regexp_replace(hostport, ':\d+$', '') AS bare_host,
+                  regexp_replace(regexp_replace(rest, '#.*$', ''),
+                    '\?.*$', '') AS path0,
+                  regexp_extract(regexp_replace(rest, '#.*$', ''),
+                    '\?(.*)$', 1) AS q0
+                FROM pp),
+              ff AS (
+                SELECT doc_id, scheme, host, bare_host,
+                  regexp_replace(path0, '^(/.+?)/+$', '\1') AS path1,
+                  regexp_replace(regexp_replace(q0,
+                    '(^|&)(?i:utm_)[^&]*', '', 'g'), '^&+', '') AS q1
+                FROM nn)"""
+
   private def crawlSynthFrame(s: SparkSession, d: String,
                               onlyEvery: Int = 1): DataFrame = {
     val docs0 = Tables.documents(s, d)
