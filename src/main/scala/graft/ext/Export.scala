@@ -2447,16 +2447,23 @@ object Export {
     * only named shards' files open; a non-empty `columns` prunes at the
     * record level (a key/url scan never allocates a text byte); `text`
     * is the strictly-decoded UTF-8 conversion payload, `text_len` its
-    * BYTE length. Output: (key, url, text, text_len, shard). */
+    * BYTE length. Output: (key, url, text, text_len, shard).
+    * `splitRecords > 0` record-splits the scan exactly like
+    * [[readWarcShards]] (CDX slices of ≤N records as task units). */
   def readWetShards(spark: SparkSession, dir: String,
                     shards: Seq[Long] = Nil,
                     shardCol: String = "shard",
-                    columns: Seq[String] = Nil): DataFrame = {
+                    columns: Seq[String] = Nil,
+                    splitRecords: Int = 0): DataFrame = {
     val tree = manifestTree(spark, dir)
     require(Option(tree.get("format")).map(_.asText).contains("wet"),
       s"manifest at $dir is not a writeWetShards export")
     val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
-    wetShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
+    if (splitRecords > 0)
+      wetSliceFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet,
+        splitRecords)
+    else
+      wetShardFrame(spark, dir, key, shardCol, shards.toSet, columns.toSet)
   }
 
   /** Read named shards of a WARC export (all shards when `shards` is
@@ -2522,18 +2529,16 @@ object Export {
     * framing, record-level payload pruning, one record in memory at a
     * time. Both stages live in one lazy plan: the sidecar walk is a
     * metadata job proportional to record COUNT, never payload bytes. */
-  private def warcSliceFrame(spark: SparkSession, dir: String,
-                             keyCol: String, shardCol: String,
-                             only: Set[Long], wanted: Set[String],
-                             splitRecords: Int): DataFrame = {
+  /** Stage 1 of the record-split scans, format-neutral: walk each
+    * container's CDX sidecar (streamed, constant memory — a metadata job
+    * proportional to record COUNT, never payload bytes) and emit one
+    * (shard, container uri, startOffset, byteLen) SLICE per
+    * `splitRecords` run, spread cluster-wide (same-file slices hash
+    * apart on their start offset — the whole point of the split). */
+  private def cdxSlices(spark: SparkSession, dir: String, shardCol: String,
+                        only: Set[Long], splitRecords: Int)
+      : Dataset[(Long, String, Long, Long)] = {
     import spark.implicits._
-    val legal = Set(keyCol, shardCol, "url", "status", "mime", "payload",
-      "payload_len")
-    val unknown = wanted -- legal
-    require(unknown.isEmpty,
-      s"readWarcShards: unknown columns ${unknown.mkString(",")}; " +
-        s"export has ${legal.mkString(",")}")
-    val readPayload = wanted.isEmpty || wanted("payload")
     val (hfs, root) = fs(spark, dir)
     val files = shardListing(hfs,
       hfs.listStatus(root).filter(st => st.isDirectory &&
@@ -2553,9 +2558,9 @@ object Export {
     val confB = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
-    val slices = spark.createDataset(files)
+    spark.createDataset(files)
       .repartition(readTasks(spark, files.size))
-      .flatMap { case (shard, warcUri, cdxUri) =>
+      .flatMap { case (shard, dataUri, cdxUri) =>
         val conf = confB.value.value
         val p = new Path(cdxUri)
         val in = p.getFileSystem(conf).open(p)
@@ -2566,41 +2571,104 @@ object Export {
           (n.get("offset").asLong, n.get("length").asLong)
         }.grouped(splitRecords).map { run =>
           val start = run.head._1
-          (shard, warcUri, start, run.last._1 + run.last._2 - start)
+          (shard, dataUri, start, run.last._1 + run.last._2 - start)
         }.toVector
         finally in.close()
       }
-    slices
-      // spread slices cluster-wide; same-file slices hash apart on their
-      // start offset, which is the whole point of the split
       .repartition(math.max(64, spark.sparkContext.defaultParallelism * 2),
         col("_2"), col("_3"))
+  }
+
+  /** Stage 2 of the record-split scans: one seek into the container,
+    * then a byte-bounded stream-parse of the slice (gzip members align
+    * to record bounds, so zero per-record seeks); the stream closes on
+    * exhaustion AND task completion. */
+  private def sliceRecords[T](conf: org.apache.hadoop.conf.Configuration,
+                              uri: String, start: Long, len: Long,
+                              parse: java.io.InputStream => Iterator[T])
+      : Iterator[T] = {
+    val p = new Path(uri)
+    val raw = p.getFileSystem(conf).open(p)
+    raw.seek(start)
+    val bounded = new SliceInputStream(raw, len)
+    val in: java.io.InputStream =
+      if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(bounded)
+      else bounded
+    val it = parse(in)
+    new Iterator[T] {
+      private var closed = false
+      private def closeOnce(): Unit =
+        if (!closed) { closed = true; try in.close() finally () }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) closeOnce()
+        h
+      }
+      override def next(): T = it.next()
+    }
+  }
+
+  /** The record-split WET scan behind `readWetShards(splitRecords)` —
+    * the [[warcSliceFrame]] shape on conversion records. */
+  private def wetSliceFrame(spark: SparkSession, dir: String,
+                            keyCol: String, shardCol: String,
+                            only: Set[Long], wanted: Set[String],
+                            splitRecords: Int): DataFrame = {
+    import spark.implicits._
+    val legal = Set(keyCol, shardCol, "url", "text", "text_len")
+    val unknown = wanted -- legal
+    require(unknown.isEmpty,
+      s"readWetShards: unknown columns ${unknown.mkString(",")}; " +
+        s"export has ${legal.mkString(",")}")
+    val readPayload = wanted.isEmpty || wanted("text")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    cdxSlices(spark, dir, shardCol, only, splitRecords)
       .flatMap { case (shard, uri, start, len) =>
-        val conf = confB.value.value
-        val p = new Path(uri)
-        val raw = p.getFileSystem(conf).open(p)
-        raw.seek(start)
-        val bounded = new SliceInputStream(raw, len)
-        val in: java.io.InputStream =
-          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(bounded)
-          else bounded
-        val it = warcResponses(in, readPayload)
-        new Iterator[(String, String, Int, String, Array[Byte], Long, Long)] {
-          private var closed = false
-          private def closeOnce(): Unit =
-            if (!closed) { closed = true; try in.close() finally () }
-          Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-          override def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h) closeOnce()
-            h
-          }
-          override def next(): (String, String, Int, String, Array[Byte], Long, Long) = {
-            val (key, url, status, mime, body, plen) = it.next()
-            (key, url, status, mime, body, plen, shard)
-          }
+        sliceRecords(confB.value.value, uri, start, len,
+          in => warcConversions(in, readPayload))
+          .map { case (key, url, body, tlen) =>
+            (key, url, if (body == null) null else strictUtf8(body),
+              tlen, shard) }
+      }
+      .toDF("__key", "url", "text", "text_len", "__shard")
+      .select({
+        val all = Seq(
+          keyCol -> col("__key").as(keyCol),
+          "url" -> col("url"), "text" -> col("text"),
+          "text_len" -> col("text_len"),
+          shardCol -> col("__shard").as(shardCol))
+        all.collect {
+          case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
+            n == shardCol => c
         }
+      }: _*)
+  }
+
+  private def warcSliceFrame(spark: SparkSession, dir: String,
+                             keyCol: String, shardCol: String,
+                             only: Set[Long], wanted: Set[String],
+                             splitRecords: Int): DataFrame = {
+    import spark.implicits._
+    val legal = Set(keyCol, shardCol, "url", "status", "mime", "payload",
+      "payload_len")
+    val unknown = wanted -- legal
+    require(unknown.isEmpty,
+      s"readWarcShards: unknown columns ${unknown.mkString(",")}; " +
+        s"export has ${legal.mkString(",")}")
+    val readPayload = wanted.isEmpty || wanted("payload")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    cdxSlices(spark, dir, shardCol, only, splitRecords)
+      .flatMap { case (shard, uri, start, len) =>
+        sliceRecords(confB.value.value, uri, start, len,
+          in => warcResponses(in, readPayload))
+          .map { case (key, url, status, mime, body, plen) =>
+            (key, url, status, mime, body, plen, shard) }
       }
       .toDF("__key", "url", "status", "mime", "payload", "payload_len",
         "__shard")
@@ -2626,10 +2694,14 @@ object Export {
                        only: Set[Long], shardCol: String): DataFrame = {
     import spark.implicits._
     val tree = manifestTree(spark, dir)
-    require(Option(tree.get("format")).map(_.asText).contains("warc"),
-      s"manifest at $dir is not a writeWarcShards export")
+    // both WARC-family formats carry the same sidecar shape; the keyed
+    // FETCHERS gate on the specific format (cdxFormatKey), the index
+    // itself is format-neutral
+    require(Option(tree.get("format")).map(_.asText)
+        .exists(f => f == "warc" || f == "wet"),
+      s"manifest at $dir is not a WARC-family (warc/wet) export")
     require(Option(tree.get("cdx")).exists(_.asBoolean),
-      s"the WARC export at $dir predates the CDX record index — " +
+      s"the WARC-family export at $dir predates the CDX record index — " +
         "re-export to get keyed record access")
     val (hfs, root) = fs(spark, dir)
     val files = shardListing(hfs,
@@ -2696,58 +2768,107 @@ object Export {
                       keys: Seq[String],
                       shardCol: String = "shard"): DataFrame = {
     import spark.implicits._
-    require(keys.nonEmpty, "readWarcRecords: pass at least one key")
-    val keyCol = Option(manifestTree(spark, dir).get("key"))
-      .map(_.asText).getOrElse("key")
-    val confB = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
-    val hits = cdxFrame(spark, dir, Set.empty, shardCol)
-      .filter(col("key").isin(keys: _*))
-      // hash on (uri, offset) so ONE huge container's reads spread
-      // across tasks; the within-partition sort still walks each file
-      // forward between reopens
-      .repartition(readTasks(spark, keys.size), col("__uri"), col("offset"))
-      .sortWithinPartitions(col("__uri"), col("offset"))
-      .select("key", "url", "shard", "__uri", "offset", "length")
-      .as[(String, String, Long, String, Long, Long)]
-    hits.mapPartitions { it =>
-      val conf = confB.value.value
-      var curUri: String = null
-      var in: org.apache.hadoop.fs.FSDataInputStream = null
-      def closeIn(): Unit = if (in != null) { in.close(); in = null }
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
-      it.map { case (key, _, shard, uri, off, len) =>
-        if (uri != curUri) {
-          closeIn()
-          val p = new Path(uri)
-          in = p.getFileSystem(conf).open(p)
-          curUri = uri
-        }
-        require(len <= Int.MaxValue,
-          s"cdx record of $len bytes exceeds one read buffer")
-        in.seek(off)
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(buf)
-        val recIn: java.io.InputStream = {
-          val raw = new java.io.ByteArrayInputStream(buf)
-          if (uri.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
-          else raw
-        }
-        // close() releases the member's native Inflater immediately (the
-        // underlying stream is a byte array — nothing shared to protect)
-        val recs =
-          try warcResponses(recIn, readPayload = true).toVector
-          finally recIn.close()
+    val keyCol = cdxFormatKey(spark, dir, "warc", "readWarcRecords")
+    cdxMemberBytes(spark, dir, keys, shardCol)
+      .map { case (key, _, shard, uri, off, buf, gz) =>
+        val recs = parseMember(buf, gz, in => warcResponses(in, true))
         require(recs.length == 1 && recs.head._1 == key,
           s"cdx mismatch at $uri:$off — expected one record for key " +
             s"'$key', got ${recs.map(_._1).mkString(",")}")
         val (k, u, st, mime, body, plen) = recs.head
         (k, u, st, mime, body, plen, shard)
       }
-    }.toDF(keyCol, "url", "status", "mime", "payload", "payload_len",
-      shardCol)
+      .toDF(keyCol, "url", "status", "mime", "payload", "payload_len",
+        shardCol)
+  }
+
+  /** [[readWarcRecords]] for the WET container: fetch named conversion
+    * records by key — one seek + one member read each, spread across
+    * tasks by (file, offset). Output matches [[readWetShards]]:
+    * (key, url, text, text_len, shard). */
+  def readWetRecords(spark: SparkSession, dir: String,
+                     keys: Seq[String],
+                     shardCol: String = "shard"): DataFrame = {
+    import spark.implicits._
+    val keyCol = cdxFormatKey(spark, dir, "wet", "readWetRecords")
+    cdxMemberBytes(spark, dir, keys, shardCol)
+      .map { case (key, _, shard, uri, off, buf, gz) =>
+        val recs = parseMember(buf, gz, in => warcConversions(in, true))
+        require(recs.length == 1 && recs.head._1 == key,
+          s"cdx mismatch at $uri:$off — expected one record for key " +
+            s"'$key', got ${recs.map(_._1).mkString(",")}")
+        val (k, u, body, tlen) = recs.head
+        (k, u, strictUtf8(body), tlen, shard)
+      }
+      .toDF(keyCol, "url", "text", "text_len", shardCol)
+  }
+
+  /** Manifest format gate for the keyed-fetch readers (a WET dir fed to
+    * the response fetch would fail with a confusing zero-record
+    * mismatch); returns the export's key column name. */
+  private def cdxFormatKey(spark: SparkSession, dir: String,
+                           want: String, caller: String): String = {
+    val tree = manifestTree(spark, dir)
+    require(Option(tree.get("format")).map(_.asText).contains(want),
+      s"$caller: manifest at $dir is not a $want export")
+    Option(tree.get("key")).map(_.asText).getOrElse("key")
+  }
+
+  /** One self-contained member per row, parsed off a byte array (gzip
+    * exports are one member per record); close() releases the member's
+    * native Inflater immediately — the underlying stream is a byte
+    * array, nothing shared to protect. */
+  private def parseMember[T](buf: Array[Byte], gz: Boolean,
+                             parse: java.io.InputStream => Iterator[T])
+      : Vector[T] = {
+    val raw = new java.io.ByteArrayInputStream(buf)
+    val in: java.io.InputStream =
+      if (gz) new java.util.zip.GZIPInputStream(raw) else raw
+    try parse(in).toVector finally in.close()
+  }
+
+  /** The keyed-fetch seek machinery shared by the warc and wet record
+    * readers: CDX rows for the requested keys, hashed on (uri, offset)
+    * so ONE huge container's reads spread across tasks, each partition
+    * walking its files forward between reopens, one seek + one bounded
+    * read per record. Emits (key, url, shard, uri, offset, member
+    * bytes, isGzip). */
+  private def cdxMemberBytes(spark: SparkSession, dir: String,
+                             keys: Seq[String], shardCol: String)
+      : Dataset[(String, String, Long, String, Long, Array[Byte], Boolean)] = {
+    import spark.implicits._
+    require(keys.nonEmpty, "keyed record fetch: pass at least one key")
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    cdxFrame(spark, dir, Set.empty, shardCol)
+      .filter(col("key").isin(keys: _*))
+      .repartition(readTasks(spark, keys.size), col("__uri"), col("offset"))
+      .sortWithinPartitions(col("__uri"), col("offset"))
+      .select("key", "url", "shard", "__uri", "offset", "length")
+      .as[(String, String, Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val conf = confB.value.value
+        var curUri: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeIn()))
+        it.map { case (key, url, shard, uri, off, len) =>
+          if (uri != curUri) {
+            closeIn()
+            val p = new Path(uri)
+            in = p.getFileSystem(conf).open(p)
+            curUri = uri
+          }
+          require(len <= Int.MaxValue,
+            s"cdx record of $len bytes exceeds one read buffer")
+          in.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          (key, url, shard, uri, off, buf, uri.endsWith(".gz"))
+        }
+      }
   }
 
   /** STREAMING WARC ingest: new `.warc`/`.warc.gz` files landing under

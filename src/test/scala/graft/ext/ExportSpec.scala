@@ -1242,6 +1242,40 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
 
+  test("wet CDX: keyed conversion fetch and record-split scan equal the sequential read") {
+    import spark.implicits._
+    for (comp <- Seq("gzip", "none")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-wetcdx-$comp").toString
+      try {
+        val df = (0 until 24).map(i =>
+          (f"k-$i%04d", s"https://h$i.example.com/", s"body $i é", i % 2))
+          .toDF("key", "url", "text", "shard")
+          .withColumn("shard", col("shard").cast("int"))
+        Export.writeWetShards(df, dir, compression = comp)
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => (r.getString(0), r.getString(1),
+            r.getString(2), r.getLong(3), r.getLong(4))).toSet
+        val seq = rows(Export.readWetShards(spark, dir))
+        // keyed fetch byte-equals the sequential scan on a probe set
+        val probe = Seq("k-0003", "k-0010", "k-0021")
+        assert(rows(Export.readWetRecords(spark, dir, probe)) ===
+          seq.filter(t => probe.contains(t._1)))
+        // record-split full scan set-equals the sequential scan
+        assert(rows(Export.readWetShards(spark, dir, splitRecords = 5)) ===
+          seq)
+        // the index covers every conversion record
+        assert(Export.readWarcRecordIndex(spark, dir).count() === 24L)
+        // format gate: the response fetch refuses a wet export loudly
+        val e = intercept[IllegalArgumentException] {
+          Export.readWarcRecords(spark, dir, probe)
+        }
+        assert(e.getMessage.contains("not a warc export"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
+    }
+  }
+
   test("wet write composes with WARC ingest: extract -> WET -> read-back") {
     import spark.implicits._
     val warcDir = java.nio.file.Files
