@@ -139,6 +139,45 @@ object SoakProbe {
               f"maxBatch=${lat.max}%.2f meanBatch=${lat.sum / lat.length}%.2f")
           }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        case "wet-rate" =>
+          // the warc-rate discipline on the extracted-text container:
+          // one WET container per shard from documents, streamed via
+          // readWetStream (strict UTF-8 decode on the hot path) under
+          // maxFilesPerTrigger in {1, 8}, engine-reported batch latency.
+          val docs = Tables.documents(spark, sfDir)
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-wet-rate").toString
+          val src = s"$tmp/src"
+          val nShards = 32
+          ext.Export.writeWetShards(docs.select(
+              concat(lit("doc-"),
+                lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+              concat(lit("https://h.example.com/"),
+                col("doc_id").cast("string")).as("url"),
+              col("text"),
+              (col("doc_id") % nShards).cast("int").as("shard")),
+            src, compression = "gzip")
+          for (mfpt <- Seq(1, 8)) {
+            val ckpt = s"$tmp/ckpt-$mfpt"
+            val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+            val q = ext.Export.readWetStream(spark, src,
+                options = Map("maxFilesPerTrigger" -> mfpt.toString))
+              .writeStream.option("checkpointLocation", ckpt)
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                rows.addAndGet(b.count()); ()
+              }
+              .start()
+            val t0 = System.nanoTime()
+            q.processAllAvailable()
+            val total = (System.nanoTime() - t0) / 1e9
+            val lat = q.recentProgress.filter(_.numInputRows > 0)
+              .map(_.durationMs.get("triggerExecution").toDouble / 1000)
+            q.stop()
+            println(f"[probe] wet-rate $sfDir mfpt=$mfpt files=$nShards " +
+              f"batches=${lat.length} rows=${rows.get()} total=$total%.2f " +
+              f"maxBatch=${lat.max}%.2f meanBatch=${lat.sum / lat.length}%.2f")
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
         case other => sys.error(s"unknown probe mode '$other'")
       }
     } finally spark.stop()
