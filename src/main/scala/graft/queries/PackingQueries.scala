@@ -396,6 +396,50 @@ object PackingQueries {
       },
       Some("SELECT CAST(1 AS BOOLEAN) AS warc_stream_ok")),
 
+    // x210b — streaming WET ingest parity gate: the x202b discipline on
+    // the extracted-text container. Re-read a WET export through a REAL
+    // file-source streaming query (readWetStream: path-only binaryFile
+    // tracking + the conversion-record parser + strict UTF-8 decode) in
+    // ≥2 micro-batches and assert the streamed record set equals the
+    // batch readWetShards read — a drift between the streaming and batch
+    // WET paths fails the correctness gate, not only CI. Bounded: a
+    // 1-in-3 doc subset, 4 shard files under maxFilesPerTrigger=2.
+    QueryDef("x210b_wet_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        val dir = exportScratchDir(d, "x210b-wet")
+        Export.writeWetShards(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0).select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+            concat(lit("https://"), col("source"),
+              lit(".example.com/docs/item"),
+              col("doc_id").cast("string")).as("url"),
+            substring(col("text"), 1, 96).as("text"),
+            (col("doc_id") % 4).cast("int").as("shard")),
+          dir, compression = "gzip")
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+        val expected = Export.readWetShards(s, dir)
+          .select(col("key"), col("url"), col("text"), col("text_len"))
+          .collect().map(keyOf).toSet
+        val acc = scala.collection.mutable.Set
+          .empty[(String, String, String, Long)]
+        val q = Export.readWetStream(s, dir,
+            options = Map("maxFilesPerTrigger" -> "2")).writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = b.select(col("key"), col("url"), col("text"),
+              col("text_len")).collect().map(keyOf)
+            acc.synchronized { acc ++= got }
+            ()
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        Seq(acc.toSet == expected && expected.nonEmpty)
+          .toDF("wet_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS wet_stream_ok")),
+
     // x202c — CDX keyed-fetch parity gate: the selective re-read path
     // (readWarcRecords: CDX sidecar → one seek + one gzip-member read
     // per key) must return byte-identical rows to the sequential
