@@ -148,7 +148,8 @@ object Chat {
                     assistantRole: String = "assistant"): DataFrame = {
     checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
       "lossMaskSpans")
-    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    // the cumsum window runs over the RENAMED projection below
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     turns
       .select(col(convCol).as("conv_id"), col(idxCol).as("turn_idx"),
@@ -250,5 +251,190 @@ object Chat {
       .select(col("seq_id"), col("conv_id"), col("turn_idx"),
         (col("seq_off") + col("o_start") - col("doc_off")).as("seq_start"),
         (col("seq_off") + col("o_end") - col("doc_off")).as("seq_end"))
+  }
+
+  // ------------------------------------------------------------------
+  // TOKEN-space SFT output — the loss-mask family composed with the
+  // in-engine BPE tokenizer (graft.ext.Bpe), so a trainer that consumes
+  // token ids gets masks in the SAME unit. Token layout per turn:
+  // one control token `<|role|>`, then the BPE symbols of the turn's
+  // text under the trained merge table, then one control token
+  // `<|end|>` — so a turn costs bpeTokenCount(text) + 2 tokens and the
+  // trainable range of an assistant turn is exactly its text tokens
+  // (control tokens are context, mirroring the character-space contract
+  // where spans cover text only). Control markers can never collide
+  // with BPE symbols: trained symbols stay wrapped in '·' markers
+  // ("·er·"), control markers are not.
+  // ------------------------------------------------------------------
+
+  /** Per-turn token-symbol array: [`<|role|>`] ++ BPE symbols of text ++
+    * [`<|end|>`]. Empty/whitespace-only text contributes only the two
+    * control tokens. Map-side only (the applyMerges nested-replace
+    * projection — no shuffle, whatever the corpus size). */
+  private def turnSymbols(role: Column, text: Column,
+                          merges: Seq[String]): Column = {
+    val textSyms = when(length(trim(text)) === 0,
+      array().cast("array<string>"))
+      .otherwise(filter(
+        split(Bpe.applyMerges(TextAnalysis.tokens(text), merges), " "),
+        s => s =!= "·§·"))
+    concat(array(concat(lit("<|"), role, lit("|>"))), textSyms,
+      array(lit("<|end|>")))
+  }
+
+  /** The projected per-turn frame every token-space function shares:
+    * (`conv_id`, `turn_idx`, `role`, `syms`, `cost` = size(syms)). */
+  private def turnSymFrame(turns: DataFrame, merges: Seq[String],
+                           convCol: String, idxCol: String,
+                           roleCol: String, textCol: String): DataFrame =
+    turns
+      .select(col(convCol).as("conv_id"), col(idxCol).as("turn_idx"),
+        col(roleCol).as("role"),
+        turnSymbols(col(roleCol), col(textCol), merges).as("syms"))
+      .withColumn("cost", size(col("syms")).cast("long"))
+
+  /** Deterministic id table over the chat corpus's token symbols
+    * (control markers included): (`sym`, `tok_id`), ranked by corpus
+    * count desc then symbol asc — the x157 vocab discipline, so ids are
+    * a pure function of the corpus + merge table. The ranking window is
+    * global but |V|-bounded (vocabulary-sized, never corpus-sized). */
+  def chatVocab(turns: DataFrame, merges: Seq[String],
+                convCol: String = "conv_id",
+                idxCol: String = "turn_idx",
+                roleCol: String = "role",
+                textCol: String = "text"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol), "chatVocab")
+    turnSymFrame(turns, merges, convCol, idxCol, roleCol, textCol)
+      .select(explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("sym"))).cast("long"))
+      .select(col("sym"), col("tok_id"))
+  }
+
+  /** The per-conversation TOKEN-ID stream a trainer reads: (`conv_id`,
+    * `pos` 0-based over the whole conversation, `tok_id` from
+    * [[chatVocab]]). Turn order is `idxCol`; each turn's tokens are
+    * contiguous at base = sum of prior turn costs (conversation-keyed
+    * rows-bounded cumsum — the lossMaskSpans window in token units).
+    * The id join keys on the symbol against the |V|-bounded vocab. */
+  def encodeConversations(turns: DataFrame, merges: Seq[String],
+                          convCol: String = "conv_id",
+                          idxCol: String = "turn_idx",
+                          roleCol: String = "role",
+                          textCol: String = "text"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "encodeConversations")
+    val syms = turnSymFrame(turns, merges, convCol, idxCol, roleCol, textCol)
+    val vocab = chatVocab(turns, merges, convCol, idxCol, roleCol, textCol)
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    syms
+      .withColumn("base", coalesce(sum(col("cost")).over(w), lit(0L)))
+      .select(col("conv_id"), col("base"),
+        posexplode(col("syms")).as(Seq("i", "sym")))
+      .join(broadcast(vocab), "sym")
+      .select(col("conv_id"), (col("base") + col("i")).as("pos"),
+        col("tok_id"))
+  }
+
+  /** [[lossMaskSpans]] in TOKEN units: one row per turn — (`conv_id`,
+    * `turn_idx`, `role`, `tok_start` 0-based inclusive, `tok_end`
+    * exclusive, `trainable`). `tok_start` skips the turn's `<|role|>`
+    * control token; the range covers exactly the turn's text tokens, so
+    * ids [tok_start, tok_end) of the [[encodeConversations]] stream
+    * decode to the turn's text (ChatSpec pins the invariant). Same
+    * single conversation-keyed cumsum window. */
+  def tokenLossMasks(turns: DataFrame, merges: Seq[String],
+                     convCol: String = "conv_id",
+                     idxCol: String = "turn_idx",
+                     roleCol: String = "role",
+                     textCol: String = "text",
+                     assistantRole: String = "assistant"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "tokenLossMasks")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turnSymFrame(turns, merges, convCol, idxCol, roleCol, textCol)
+      .withColumn("tok_start",
+        coalesce(sum(col("cost")).over(w), lit(0L)) + lit(1L))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("tok_start"),
+        (col("tok_start") + col("cost") - lit(2L)).as("tok_end"),
+        (col("role") === lit(assistantRole)).as("trainable"))
+  }
+
+  /** The conversation→segment layout shared by [[packedTokenMasks]] and
+    * [[packedTokenIds]]: conversations packed by their TOKEN cost
+    * (sum of per-turn costs) through the x135 two-phase packer. */
+  private def tokenSegments(syms: DataFrame, capacity: Long,
+                            seed: Long): DataFrame = {
+    val lens = syms.groupBy(col("conv_id"))
+      .agg(sum(col("cost")).as("n_toks"))
+    Pack.packSegments(
+      Pack.packPlan(lens, capacity, seed, idCol = "conv_id",
+        lengthCol = Some("n_toks")),
+      capacity)
+      .withColumnRenamed("doc_id", "conv_id")
+  }
+
+  /** [[packedLossMasks]] in TOKEN units — the mask artifact matching
+    * [[packedTokenIds]]' sequences: conversations pack by token count
+    * (packPlan lengthCol = token cost), assistant-turn token ranges
+    * intersect each (sequence, conversation-slice) segment and shift
+    * into sequence coordinates. Output: (`seq_id`, `conv_id`,
+    * `turn_idx`, `seq_start`, `seq_end`) in token units; a range cut by
+    * a sequence boundary yields one clipped row per side. */
+  def packedTokenMasks(turns: DataFrame, merges: Seq[String],
+                       capacity: Long = 2048L,
+                       seed: Long = 42L,
+                       convCol: String = "conv_id",
+                       idxCol: String = "turn_idx",
+                       roleCol: String = "role",
+                       textCol: String = "text",
+                       assistantRole: String = "assistant"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "packedTokenMasks")
+    val syms = turnSymFrame(turns, merges, convCol, idxCol, roleCol, textCol)
+    val segs = tokenSegments(syms, capacity, seed)
+    val spans = tokenLossMasks(turns, merges, convCol, idxCol, roleCol,
+      textCol, assistantRole)
+      .filter(col("trainable"))
+    spans.join(segs, "conv_id")
+      .select(col("seq_id"), col("conv_id"), col("turn_idx"),
+        greatest(col("tok_start"), col("doc_off")).as("o_start"),
+        least(col("tok_end"), col("doc_off") + col("seg_len")).as("o_end"),
+        col("seq_off"), col("doc_off"))
+      .filter(col("o_start") < col("o_end"))
+      .select(col("seq_id"), col("conv_id"), col("turn_idx"),
+        (col("seq_off") + col("o_start") - col("doc_off")).as("seq_start"),
+        (col("seq_off") + col("o_end") - col("doc_off")).as("seq_end"))
+  }
+
+  /** The packed TOKEN-ID sequences themselves — the training shard a
+    * fixed-shape dataloader reads next to [[packedTokenMasks]]:
+    * (`seq_id`, `pos` 0-based within the sequence, `tok_id`). Each
+    * conversation's [[encodeConversations]] stream lands at its
+    * segments' sequence coordinates; the join keys on conversation with
+    * both sides conversation-bounded (tokens per conversation ≤ dialog
+    * token count, segments per conversation ≤ n_toks/capacity + 1). */
+  def packedTokenIds(turns: DataFrame, merges: Seq[String],
+                     capacity: Long = 2048L,
+                     seed: Long = 42L,
+                     convCol: String = "conv_id",
+                     idxCol: String = "turn_idx",
+                     roleCol: String = "role",
+                     textCol: String = "text"): DataFrame = {
+    checkCols(turns, Seq(convCol, idxCol, roleCol, textCol),
+      "packedTokenIds")
+    val syms = turnSymFrame(turns, merges, convCol, idxCol, roleCol, textCol)
+    val segs = tokenSegments(syms, capacity, seed)
+    encodeConversations(turns, merges, convCol, idxCol, roleCol, textCol)
+      .join(segs, "conv_id")
+      .filter(col("pos") >= col("doc_off") &&
+        col("pos") < col("doc_off") + col("seg_len"))
+      .select(col("seq_id"),
+        (col("seq_off") + col("pos") - col("doc_off")).as("pos"),
+        col("tok_id"))
   }
 }

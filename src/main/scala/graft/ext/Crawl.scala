@@ -42,8 +42,9 @@ object Crawl {
       require(urls.columns.contains(c),
         s"frontierWaves needs columns $hostCol, $urlCol, $prioCol; " +
           s"missing '$c'"))
-    val w = Window.partitionBy(col(hostCol))
-      .orderBy(col(prioCol).desc, col(urlCol))
+    // the rank window runs over the RENAMED projection below
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("prio").desc, col("url"))
     urls
       .select(col(hostCol).as("host"), col(urlCol).as("url"),
         col(prioCol).as("prio"))

@@ -1896,7 +1896,8 @@ object Export {
             "conversion is an EMPTY string, not null")
         (url, Seq("WARC-Target-URI" -> url,
           "WARC-Refers-To" -> s"<$WarcIdPrefix$key>",
-          "Content-Type" -> "text/plain"), text.getBytes("UTF-8"))
+          "Content-Type" -> "text/plain"),
+          strictUtf8Bytes(text, s"text for key '$key'", "writeWetShards"))
       })
   }
 
@@ -2200,6 +2201,26 @@ object Export {
       case e: java.nio.charset.CharacterCodingException =>
         throw new IllegalArgumentException(
           "corrupt wet: conversion payload is not valid UTF-8", e)
+    }
+  }
+
+  /** STRICT UTF-8 encode of a conversion payload — the write-side mirror
+    * of [[strictUtf8]]: unencodable chars (unpaired surrogates) refuse
+    * loudly instead of the JVM default's silent '?' substitution, which
+    * would corrupt the very text the strict reader protects while the
+    * round-trip reports success. */
+  private[ext] def strictUtf8Bytes(s: String, what: String, caller: String): Array[Byte] = {
+    val enc = java.nio.charset.StandardCharsets.UTF_8.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](bb.remaining()); bb.get(out); out
+    } catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"$caller: $what is not encodable as UTF-8 (unpaired " +
+            "surrogate?) — refusing rather than silently substituting", e)
     }
   }
 

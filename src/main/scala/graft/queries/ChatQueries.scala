@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Chat, Crawl}
+import graft.ext.{Chat, Crawl, Dedup}
+import ExtShared.{bpeMergesShared, bpeOracleCtes}
 
 /** Conversational/SFT + crawl-frontier catalog entries (x207–x209,
   * x211): render multi-turn conversations into training strings,
@@ -55,6 +56,86 @@ object ChatQueries {
                  UNION ALL
                  SELECT conv_id, turn_idx, role, text FROM base
                  WHERE doc_id % 164 = 41)"""
+
+  /** Shared DuckDB CTE suffix for the TOKEN-space entries (x215–x218):
+    * per-turn BPE symbol lists under the x157-trained 4-merge table —
+    * `<|role|>` head + text symbols + `<|end|>` tail, empty text
+    * contributing only the control tokens — and the deterministic
+    * (count desc, sym asc) vocab id table over every symbol. Composes
+    * after `bpeOracleCtes(4)` (which opens the WITH and trains m1..m4
+    * on `documents`) and [[turnsSql]]. */
+  private val chatTokSql: String =
+    """tsym AS (SELECT conv_id, turn_idx, role,
+                  CASE WHEN length(trim(text)) = 0 THEN NULL
+                       ELSE array_to_string(list_transform(
+                              string_split_regex(trim(text), '\s+'),
+                              t -> array_to_string(list_transform(range(0, length(t)),
+                                     i -> '·' || substr(t, i + 1, 1) || '·'), ' ')),
+                            ' ·§· ')
+                  END AS sym
+                FROM turns),
+       tap AS (SELECT conv_id, turn_idx, role,
+                 replace(replace(replace(replace(sym,
+                   coalesce((SELECT pair FROM m1), chr(1)),
+                   coalesce((SELECT replace(pair, '· ·', '') FROM m1), '')),
+                   coalesce((SELECT pair FROM m2), chr(1)),
+                   coalesce((SELECT replace(pair, '· ·', '') FROM m2), '')),
+                   coalesce((SELECT pair FROM m3), chr(1)),
+                   coalesce((SELECT replace(pair, '· ·', '') FROM m3), '')),
+                   coalesce((SELECT pair FROM m4), chr(1)),
+                   coalesce((SELECT replace(pair, '· ·', '') FROM m4), '')) AS sym
+               FROM tsym),
+       tls AS (SELECT conv_id, turn_idx, role,
+                 CASE WHEN sym IS NULL THEN ['<|' || role || '|>', '<|end|>']
+                      ELSE ['<|' || role || '|>'] ||
+                           list_filter(string_split(sym, ' '), x -> x <> '·§·') ||
+                           ['<|end|>'] END AS syms
+               FROM tap),
+       cvoc AS (SELECT sym, count(*) AS cnt
+                FROM (SELECT unnest(syms) AS sym FROM tls) GROUP BY sym),
+       cvid AS (SELECT sym,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, sym) AS BIGINT) AS tok_id
+                FROM cvoc)"""
+
+  /** The per-turn token-range chain shared by x216/x217: cost and
+    * exclusive prefix sum per conversation. */
+  private val tokRangeSql: String =
+    """tc AS (SELECT conv_id, turn_idx, role,
+                CAST(len(syms) AS BIGINT) AS cost FROM tls),
+       tr AS (SELECT conv_id, turn_idx, role, cost,
+                COALESCE(CAST(sum(cost) OVER (PARTITION BY conv_id
+                  ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS prev
+              FROM tc)"""
+
+  /** The md5 pack-plan + segment chain shared by x217/x218 (capacity
+    * 48 token units — conversations run ~40–70 tokens, so most cross a
+    * sequence boundary and the clipped-range path is exercised at every
+    * SF). The x212 arithmetic with n = token cost. */
+  private val tokSegSql: String =
+    """lens AS (SELECT conv_id, CAST(sum(len(syms)) AS BIGINT) AS n
+                FROM tls GROUP BY conv_id),
+       k AS (SELECT conv_id, n,
+               md5(CAST(conv_id AS VARCHAR) || ':42') AS okey
+             FROM lens),
+       cc AS (SELECT conv_id, n,
+                CAST(COALESCE(sum(n) OVER (ORDER BY okey, conv_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cb
+              FROM k),
+       seg AS (SELECT conv_id, n, cb, cb // 48 AS ss,
+                 cb % 48 AS so, u.s AS seq_id
+               FROM cc, unnest(range(cb // 48, (cb + n - 1) // 48 + 1))
+                 AS u(s)),
+       segs AS (SELECT CAST(seq_id AS BIGINT) AS seq_id, conv_id,
+                  CAST(CASE WHEN seq_id = ss THEN so
+                       ELSE 0 END AS BIGINT) AS seq_off,
+                  CAST(CASE WHEN seq_id = ss THEN 0
+                       ELSE seq_id * 48 - cb END AS BIGINT) AS doc_off,
+                  CAST(least(cb + n, (seq_id + 1) * 48)
+                       - greatest(cb, seq_id * 48) AS BIGINT) AS seg_len
+                FROM seg)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -302,5 +383,155 @@ object ChatQueries {
                FROM segs g JOIN spans sp USING (conv_id)
                WHERE greatest(sp.span_start, g.doc_off)
                      < least(sp.span_end, g.doc_off + g.seg_len)
-               ORDER BY seq_id, conv_id, turn_idx, seq_start""")))
+               ORDER BY seq_id, conv_id, turn_idx, seq_start""")),
+
+    // x215 — conversation TOKEN-ID stream: the x209/x212 chat family
+    // composed with the x157 BPE tokenizer. Each turn encodes as one
+    // <|role|> control token + the text's BPE symbols under the shared
+    // 4-merge table + one <|end|> control token; ids come from the
+    // deterministic (count desc, sym asc) vocab over the whole chat
+    // corpus (control markers included — they can never collide with
+    // trained symbols, which stay ·-wrapped). Positions are the
+    // conversation-keyed cumsum of turn costs. The oracle replays the
+    // ENTIRE chain — BPE training on documents, per-turn merge
+    // application, vocab ranking, position arithmetic — in DuckDB (the
+    // x121/x157 whole-loop hash discipline). Output sampled to
+    // conv_id % 25 (the x157 rationale: the full stream is
+    // corpus-token-sized); vocab and positions are computed over the
+    // FULL corpus either way.
+    QueryDef("x215_chat_token_ids",
+      (s, d) => Chat.encodeConversations(synthTurns(s, d),
+        bpeMergesShared(s, d))
+        .filter(col("conv_id") % 25 === 0)
+        .orderBy("conv_id", "pos"),
+      Some(s"""${bpeOracleCtes(4)},
+               $turnsSql,
+               $chatTokSql,
+               tbase AS (SELECT conv_id, turn_idx, syms,
+                           COALESCE(CAST(sum(len(syms)) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS BIGINT), 0) AS base
+                         FROM tls),
+               enc AS (SELECT conv_id, base + i AS pos, syms[i + 1] AS sym
+                       FROM tbase, unnest(range(0, len(syms))) AS u(i))
+               SELECT enc.conv_id, CAST(enc.pos AS BIGINT) AS pos, cvid.tok_id
+               FROM enc JOIN cvid USING (sym)
+               WHERE enc.conv_id % 25 = 0
+               ORDER BY conv_id, pos""")),
+
+    // x216 — TOKEN-space loss masks: x209's spans in the unit a trainer
+    // actually consumes. One row per turn with [tok_start, tok_end)
+    // covering exactly the turn's TEXT tokens inside the x215 stream
+    // (tok_start skips the <|role|> control token; control tokens are
+    // context, mirroring the character-space contract). Same single
+    // conversation-keyed cumsum window; the oracle recomputes the token
+    // costs from the replayed merge table.
+    QueryDef("x216_chat_token_masks",
+      (s, d) => Chat.tokenLossMasks(synthTurns(s, d), bpeMergesShared(s, d))
+        .orderBy("conv_id", "turn_idx", "tok_start"),
+      Some(s"""${bpeOracleCtes(4)},
+               $turnsSql,
+               $chatTokSql,
+               $tokRangeSql
+               SELECT conv_id, turn_idx, role, prev + 1 AS tok_start,
+                      prev + cost - 1 AS tok_end,
+                      role = 'assistant' AS trainable
+               FROM tr ORDER BY conv_id, turn_idx, tok_start""")),
+
+    // x217 — packed TOKEN masks: the x212 packer run in TOKEN units
+    // (packPlan lengthCol = per-conversation token cost, capacity 48)
+    // emitting per-sequence trainable token ranges — the mask artifact
+    // matching x218's packed id sequences. A range cut by a sequence
+    // boundary yields one clipped row per side (capacity 48 vs ~40–70
+    // token conversations forces cuts at every SF). The oracle replays
+    // BPE train + token costs + the md5 two-phase pack + the interval
+    // intersection as one chain.
+    QueryDef("x217_chat_packed_token_masks",
+      (s, d) => Chat.packedTokenMasks(synthTurns(s, d),
+        bpeMergesShared(s, d), capacity = 48L)
+        .orderBy("seq_id", "conv_id", "turn_idx", "seq_start"),
+      Some(s"""${bpeOracleCtes(4)},
+               $turnsSql,
+               $chatTokSql,
+               $tokRangeSql,
+               spans AS (SELECT conv_id, turn_idx, prev + 1 AS tok_start,
+                           prev + cost - 1 AS tok_end
+                         FROM tr WHERE role = 'assistant'
+                           AND cost > 2),
+               $tokSegSql
+               SELECT g.seq_id, g.conv_id, sp.turn_idx,
+                      g.seq_off + greatest(sp.tok_start, g.doc_off)
+                        - g.doc_off AS seq_start,
+                      g.seq_off + least(sp.tok_end, g.doc_off + g.seg_len)
+                        - g.doc_off AS seq_end
+               FROM segs g JOIN spans sp USING (conv_id)
+               WHERE greatest(sp.tok_start, g.doc_off)
+                     < least(sp.tok_end, g.doc_off + g.seg_len)
+               ORDER BY seq_id, conv_id, turn_idx, seq_start""")),
+
+    // x218 — packed TOKEN-ID sequences: the training shard itself.
+    // Every conversation's x215 id stream lands at its x217 segments'
+    // sequence coordinates — (seq_id, pos, tok_id) with pos tiling
+    // [0, 48) in every full sequence. The conv-keyed join is bounded on
+    // both sides (tokens ≤ dialog token count, segments ≤ n/48 + 1 per
+    // conversation). Output sampled to seq_id % 25 (corpus-token-sized
+    // otherwise); the pack plan, vocab, and positions are computed over
+    // the FULL corpus.
+    QueryDef("x218_chat_packed_token_ids",
+      (s, d) => Chat.packedTokenIds(synthTurns(s, d),
+        bpeMergesShared(s, d), capacity = 48L)
+        .filter(col("seq_id") % 25 === 0)
+        .orderBy("seq_id", "pos"),
+      Some(s"""${bpeOracleCtes(4)},
+               $turnsSql,
+               $chatTokSql,
+               $tokSegSql,
+               tbase AS (SELECT conv_id, turn_idx, syms,
+                           COALESCE(CAST(sum(len(syms)) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS BIGINT), 0) AS base
+                         FROM tls),
+               enc AS (SELECT conv_id, base + i AS pos, syms[i + 1] AS sym
+                       FROM tbase, unnest(range(0, len(syms))) AS u(i))
+               SELECT g.seq_id,
+                      CAST(g.seq_off + enc.pos - g.doc_off AS BIGINT) AS pos,
+                      cvid.tok_id
+               FROM enc JOIN cvid USING (sym) JOIN segs g USING (conv_id)
+               WHERE enc.pos >= g.doc_off AND enc.pos < g.doc_off + g.seg_len
+                 AND g.seq_id % 25 = 0
+               ORDER BY seq_id, pos""")),
+
+    // x219 — conversation-level dedup: x01's exact dedup run over the
+    // x207 rendered strings. SFT corpora duplicate whole conversations
+    // with trivial drift — here every 13th conversation reappears with
+    // conv_id offset by 1e6 and turn indexes shifted by 10, which
+    // renders BYTE-IDENTICALLY (rendering depends on turn ORDER, not
+    // index values), so those clusters dedup together at every SF
+    // (keep_id = the original, n_copies = 2). A composition, not a new
+    // miner: renderConversations → sha2 groupBy.
+    QueryDef("x219_conv_dedup",
+      (s, d) => {
+        val t = synthTurns(s, d)
+        val shifted = t.filter(col("conv_id") % 13 === 0)
+          .select((col("conv_id") + lit(1000000L)).as("conv_id"),
+            (col("turn_idx") + lit(10)).cast("int").as("turn_idx"),
+            col("role"), col("text"))
+        Dedup.exactDedup(
+          Chat.renderConversations(t.union(shifted)), "rendered", "conv_id")
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH $turnsSql,
+                 allt AS (SELECT conv_id, turn_idx, role, text FROM turns
+                          UNION ALL
+                          SELECT conv_id + 1000000,
+                                 CAST(turn_idx + 10 AS INT), role, text
+                          FROM turns WHERE conv_id % 13 = 0),
+                 r AS (SELECT conv_id,
+                         string_agg('<|' || role || '|>' || text || '<|end|>',
+                           '' ORDER BY turn_idx) AS rendered
+                       FROM allt GROUP BY conv_id)
+               SELECT min(conv_id) AS keep_id, count(*) AS n_copies
+               FROM r GROUP BY rendered ORDER BY keep_id""")))
 }

@@ -40,6 +40,20 @@ class CrawlSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("wave")).max === 2L)
   }
 
+  test("frontierWaves honors non-default column names") {
+    import spark.implicits._
+    val f = Seq(
+      ("a.com", "https://a.com/1", 10L),
+      ("a.com", "https://a.com/2", 30L),
+      ("b.com", "https://b.com/x", 5L)).toDF("h", "u", "p")
+    val got = Chats.sortedRows(Crawl.frontierWaves(f, hostCol = "h",
+      urlCol = "u", prioCol = "p", perHostPerWave = 1))
+    assert(got === Seq(
+      ("a.com", "https://a.com/2", 30L, 1L, 0L),
+      ("a.com", "https://a.com/1", 10L, 2L, 1L),
+      ("b.com", "https://b.com/x", 5L, 1L, 0L)))
+  }
+
   test("frontierWaves refuses nonpositive knobs and missing columns") {
     val f = frontier(("a.com", "u", 1L))
     intercept[IllegalArgumentException] {

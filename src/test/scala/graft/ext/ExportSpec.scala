@@ -1156,6 +1156,18 @@ class ExportSpec extends SparkSpec {
       }
       assert(eUrl.getMessage.contains("CR/LF") ||
         Option(eUrl.getCause).exists(_.getMessage.contains("CR/LF")))
+      // unencodable text (unpaired surrogate) refuses loudly at WRITE
+      // time — the write-side mirror of the strict reader, instead of
+      // the JVM default's silent '?' substitution. Catalyst itself
+      // normalizes surrogates at DataFrame creation (UTF8String stores
+      // UTF-8 bytes), so the encoder is tested directly: it is the
+      // guard for any future raw-String path into the writer.
+      val eSur = intercept[IllegalArgumentException] {
+        Export.strictUtf8Bytes("a\ud800b", "text", "writeWetShards")
+      }
+      assert(eSur.getMessage.contains("not encodable"))
+      assert(Export.strictUtf8Bytes("héllo €", "text", "t").toSeq ===
+        "héllo €".getBytes("UTF-8").toSeq)
     } finally Seq("", "-b", "-c").foreach(s =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + s)))
   }

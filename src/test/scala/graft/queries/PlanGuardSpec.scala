@@ -73,7 +73,13 @@ class PlanGuardSpec extends SparkSpec {
     "x165_funnel_latency" ->
       "cumsum over lat-div-B bucket SUBTOTALS - range/B rows (the r17 two-phase rewrite; PlanSpec pins the in-bucket window is bkt-partitioned)",
     "x212_chat_packed_masks" ->
-      "packPlan's phase-1 cumsum over pack-bucket SUBTOTALS - <=16^bucketHexChars rows by construction (the same two-phase shape x135 runs behind its shared-frame materialization; the span and in-bucket windows are conv/bucket-partitioned)")
+      "packPlan's phase-1 cumsum over pack-bucket SUBTOTALS - <=16^bucketHexChars rows by construction (the same two-phase shape x135 runs behind its shared-frame materialization; the span and in-bucket windows are conv/bucket-partitioned)",
+    "x215_chat_token_ids" ->
+      "chatVocab id rank over symbol counts - |V|-bounded (the x157 vocab discipline); the position cumsum is conv-partitioned",
+    "x217_chat_packed_token_masks" ->
+      "packPlan's phase-1 cumsum over pack-bucket SUBTOTALS - <=16^bucketHexChars rows (the x212 shape in token units); span and in-bucket windows conv/bucket-partitioned",
+    "x218_chat_packed_token_ids" ->
+      "chatVocab |V|-bounded id rank + packPlan phase-1 bucket-subtotal cumsum (x157 + x212 shapes composed); all other windows conv/bucket-partitioned")
 
   test("no catalog entry plans an unconditioned non-one-row cartesian join") {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
