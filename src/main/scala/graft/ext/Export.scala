@@ -725,7 +725,7 @@ object Export {
       tfrecordShardFrame(spark, dir, ddl, shardCol, Set.empty)
     } else if (fmt == "warc") {
       val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
-      warcShardFrame(spark, dir, key, shardCol)
+      warcDigestFrame(spark, dir, key, shardCol)
     } else if (fmt == "wet") {
       val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
       wetShardFrame(spark, dir, key, shardCol)
@@ -1800,7 +1800,8 @@ object Export {
   def writeWarcShards(df: DataFrame, dir: String,
                       keyCol: String = "key",
                       shardCol: String = "shard",
-                      compression: String = "none"): Map[Long, Long] = {
+                      compression: String = "none",
+                      revisitOfCol: Option[String] = None): Map[Long, Long] = {
     val spark = df.sparkSession
     require(compression == "none" || compression == "gzip",
       s"writeWarcShards compression must be none|gzip, got '$compression'")
@@ -1819,31 +1820,61 @@ object Export {
       Seq(ByteType, ShortType, IntegerType, LongType)
         .contains(df.schema("status").dataType),
       s"writeWarcShards: '$shardCol' and 'status' must be integral")
+    revisitOfCol.foreach { c =>
+      require(df.columns.contains(c),
+        s"writeWarcShards: revisitOfCol '$c' not in ${df.columns.mkString(",")}")
+      require(df.schema(c).dataType == StringType,
+        s"writeWarcShards: revisitOfCol '$c' must be a string")
+    }
+    val revisitExpr = revisitOfCol.map(col)
+      .getOrElse(lit(null).cast("string"))
     writeWarcContainers(
       df.select(col(shardCol).cast("long").as("__shard"),
         col(keyCol).as("__key"), col("url"),
-        col("status").cast("int").as("status"), col("mime"), col("payload")),
+        col("status").cast("int").as("status"), col("mime"), col("payload"),
+        revisitExpr.as("__revisit_of")),
       dir, keyCol, shardCol, compression,
-      caller = "writeWarcShards", format = "warc", kind = "response",
-      loader = d => warcShardFrame(spark, d, keyCol, shardCol),
+      caller = "writeWarcShards", format = "warc",
+      loader = d => warcDigestFrame(spark, d, keyCol, shardCol),
       build = row => {
         val key = row.getString(1)
         val url = crlfFree(row.getString(2), "url", "writeWarcShards")
-        val status = row.getInt(3)
-        val mime = crlfFree(row.getString(4), "mime", "writeWarcShards")
-        val payload = row.get(5)
-        require(payload != null,
-          s"writeWarcShards: null payload for key '$key' — an empty " +
-            "body is an EMPTY byte array, not null")
-        val body = payload.asInstanceOf[Array[Byte]]
-        val httpHead =
-          (s"HTTP/1.1 $status OK\r\nContent-Type: $mime\r\n" +
-            s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
-        val block = new Array[Byte](httpHead.length + body.length)
-        System.arraycopy(httpHead, 0, block, 0, httpHead.length)
-        System.arraycopy(body, 0, block, httpHead.length, body.length)
-        (url, Seq("WARC-Target-URI" -> url,
-          "Content-Type" -> "application/http;msgtype=response"), block)
+        if (!row.isNullAt(6)) {
+          // revisit record: the crawler's duplicate signal. No payload —
+          // the capture it refers to carries the bytes; a non-empty
+          // payload here is a caller bug, refused loudly.
+          val ref = row.getString(6)
+          require(ref.nonEmpty &&
+            !ref.exists(c => c == '<' || c == '>' || c.isControl),
+            s"writeWarcShards: revisit_of for key '$key' must be " +
+              "non-empty and free of angle brackets/control chars")
+          val payload = row.get(5)
+          require(payload == null ||
+            payload.asInstanceOf[Array[Byte]].isEmpty,
+            s"writeWarcShards: revisit record '$key' must carry no " +
+              "payload (the referred-to capture owns the bytes)")
+          ("revisit", url, Seq("WARC-Target-URI" -> url,
+            "WARC-Refers-To" -> s"<$WarcIdPrefix$ref>",
+            "WARC-Profile" ->
+              "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+            Array.emptyByteArray)
+        } else {
+          val status = row.getInt(3)
+          val mime = crlfFree(row.getString(4), "mime", "writeWarcShards")
+          val payload = row.get(5)
+          require(payload != null,
+            s"writeWarcShards: null payload for key '$key' — an empty " +
+              "body is an EMPTY byte array, not null")
+          val body = payload.asInstanceOf[Array[Byte]]
+          val httpHead =
+            (s"HTTP/1.1 $status OK\r\nContent-Type: $mime\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+          val block = new Array[Byte](httpHead.length + body.length)
+          System.arraycopy(httpHead, 0, block, 0, httpHead.length)
+          System.arraycopy(body, 0, block, httpHead.length, body.length)
+          ("response", url, Seq("WARC-Target-URI" -> url,
+            "Content-Type" -> "application/http;msgtype=response"), block)
+        }
       })
   }
 
@@ -1884,7 +1915,7 @@ object Export {
       df.select(col(shardCol).cast("long").as("__shard"),
         col(keyCol).as("__key"), col("url"), col("text")),
       dir, keyCol, shardCol, compression,
-      caller = "writeWetShards", format = "wet", kind = "conversion",
+      caller = "writeWetShards", format = "wet",
       fileBase = "part-00000.warc.wet",
       loader = d => wetShardFrame(spark, d, keyCol, shardCol),
       build = row => {
@@ -1894,7 +1925,7 @@ object Export {
         require(text != null,
           s"writeWetShards: null text for key '$key' — an empty " +
             "conversion is an EMPTY string, not null")
-        (url, Seq("WARC-Target-URI" -> url,
+        ("conversion", url, Seq("WARC-Target-URI" -> url,
           "WARC-Refers-To" -> s"<$WarcIdPrefix$key>",
           "Content-Type" -> "text/plain"),
           strictUtf8Bytes(text, s"text for key '$key'", "writeWetShards"))
@@ -1915,14 +1946,14 @@ object Export {
     * members, CDX sidecars, key ordering/uniqueness checks, and the
     * manifest publish — everything except what a RECORD is. `sel` must
     * lead with (`__shard` long, `__key` string); `build` turns each row
-    * into (cdx url, extra WARC headers, block bytes) and owns the
-    * format-specific validation. */
+    * into (record kind, cdx url, extra WARC headers, block bytes) and
+    * owns the format-specific validation. */
   private def writeWarcContainers(sel: DataFrame, dir: String,
                                   keyCol: String, shardCol: String,
                                   compression: String, caller: String,
-                                  format: String, kind: String,
+                                  format: String,
                                   loader: String => DataFrame,
-                                  build: Row => (String, Seq[(String, String)], Array[Byte]),
+                                  build: Row => (String, String, Seq[(String, String)], Array[Byte]),
                                   fileBase: String = "part-00000.warc")
       : Map[Long, Long] = {
     val spark = sel.sparkSession
@@ -2021,7 +2052,7 @@ object Export {
             require(key != lastKey,
               s"$caller: duplicate record key '$key' in shard $s")
             lastKey = key
-            val (url, headers, block) = build(row)
+            val (kind, url, headers, block) = build(row)
             val (off, len) = writeRec(kind, key, headers, block)
             cdx.write(s"""{"key": ${jq(key)}, "url": ${jq(url)}, """ +
               s""""offset": $off, "length": $len}""" + "\n")
@@ -2124,8 +2155,12 @@ object Export {
   /** Record id → reader key: this writer's `<urn:graft:key>` ids surface
     * as the bare key; foreign ids surface with only the brackets
     * stripped. */
-  private def warcKeyOf(headers: Map[String, String]): String = {
-    val rawId = headers.getOrElse("warc-record-id", "")
+  private def warcKeyOf(headers: Map[String, String]): String =
+    stripWarcId(headers.getOrElse("warc-record-id", ""))
+
+  /** `<urn:graft:key>` → `key`; foreign ids (`<urn:uuid:...>`) lose only
+    * the angle brackets — shared by record-id and refers-to headers. */
+  private def stripWarcId(rawId: String): String = {
     val noBrackets =
       if (rawId.startsWith("<") && rawId.endsWith(">"))
         rawId.substring(1, rawId.length - 1)
@@ -2133,6 +2168,50 @@ object Export {
     if (noBrackets.startsWith(WarcIdPrefix))
       noBrackets.substring(WarcIdPrefix.length)
     else noBrackets
+  }
+
+  /** The `revisit` records of a WARC stream as (key, target url,
+    * refers-to id, profile) — the crawler's OWN dedup signal (Common
+    * Crawl writes one per re-fetched URL whose payload digest matched a
+    * prior capture; a pipeline wants these as rows feeding the
+    * incremental-dedup/corpus-diff operators, not silently dropped).
+    * Every block — revisit blocks carry at most the re-fetch's HTTP
+    * headers, never payload bytes this reader needs — and every
+    * non-revisit record is SKIPPED by Content-Length without
+    * allocation. Same loud framing refusals as [[warcResponses]];
+    * `<urn:graft:...>` ids surface bare, foreign ids lose only the
+    * brackets (both record-id and refers-to). */
+  private[ext] def warcRevisits(in0: java.io.InputStream)
+      : Iterator[(String, String, String, String)] = {
+    val in = new java.io.PushbackInputStream(in0, 1)
+    new Iterator[(String, String, String, String)] {
+      private var nextRec: (String, String, String, String) = _
+      private var done = false
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          val head = warcRecordHead(in)
+          if (head.isEmpty) { done = true; return }
+          val (headers, blockLen) = head.get
+          skipFully(in, blockLen, "warc block")
+          val tail = readFullyOrFail(in, 4, "warc record tail")
+          require(java.util.Arrays.equals(tail, CrlfCrlf),
+            "corrupt warc: record block not followed by CRLF CRLF")
+          if (headers.getOrElse("warc-type", "") == "revisit")
+            nextRec = (warcKeyOf(headers),
+              headers.getOrElse("warc-target-uri", ""),
+              stripWarcId(headers.getOrElse("warc-refers-to", "")),
+              headers.getOrElse("warc-profile", ""))
+        }
+      }
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): (String, String, String, String) = {
+        if (!hasNext) throw new NoSuchElementException("warc")
+        val r = nextRec; nextRec = null; r
+      }
+    }
   }
 
   /** The `conversion` records of a WET stream as (key, url,
@@ -2339,6 +2418,12 @@ object Export {
       : Iterator[(String, String, Array[Byte], Long)] =
     containerFileRecords(conf, uri, in => warcConversions(in, readPayload))
 
+  /** [[warcFileRecords]] for `revisit` records: same posture. */
+  private def warcRevisitFileRecords(
+      conf: org.apache.hadoop.conf.Configuration, uri: String)
+      : Iterator[(String, String, String, String)] =
+    containerFileRecords(conf, uri, warcRevisits)
+
   /** Open one WARC-family file and stream records through `parse` —
     * gzip (multi-member) or raw by extension; the stream closes on
     * exhaustion AND on task completion, whichever comes first. */
@@ -2404,6 +2489,60 @@ object Export {
       case (n, c) if wanted.isEmpty || wanted(n) || n == keyCol ||
         n == shardCol => c
     }: _*)
+  }
+
+  /** The `revisit` records of a WARC shard export as a DataFrame —
+    * (keyCol, url, refers_to, profile, shardCol), one row per revisit
+    * record: the crawler-side duplicate signal (refers_to names the
+    * capture whose payload the re-fetch matched), exactly the
+    * (incoming key → canonical key) pair shape the incremental-dedup
+    * (x77) and corpus-diff (x89) operators consume. Same execution
+    * shape as [[readWarcShards]]: one task per file, one record's
+    * headers in memory at a time, every block skipped by length (a
+    * revisit scan allocates zero payload bytes). */
+  def readWarcRevisits(spark: SparkSession, dir: String,
+                       keyCol: String = "key",
+                       shardCol: String = "shard"): DataFrame =
+    warcRevisitFrame(spark, dir, keyCol, shardCol)
+
+  private def warcRevisitFrame(spark: SparkSession, dir: String,
+                               keyCol: String, shardCol: String,
+                               only: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val files = shardFileUris(spark, dir, shardCol, only)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    spark.createDataset(files)
+      .repartition(readTasks(spark, files.size))
+      .flatMap { case (shard, uri) =>
+        warcRevisitFileRecords(confB.value.value, uri)
+          .map { case (key, url, refersTo, profile) =>
+            (key, url, refersTo, profile, shard) }
+      }
+      .toDF("__key", "url", "refers_to", "profile", "__shard")
+      .select(col("__key").as(keyCol), col("url"), col("refers_to"),
+        col("profile"), col("__shard").as(shardCol))
+  }
+
+  /** The WARC export's DIGEST frame: responses AND revisit records, so
+    * a flipped refers-to or a dropped revisit record fails the manifest
+    * recount like any payload corruption. Revisit rows digest as
+    * (key, url, 0, "revisit:"+refers_to, profile bytes, 0, shard) — the
+    * response row shape. Used at both manifest publish and
+    * validateShardsContent (the two must agree or every recount
+    * fails); a pure-response export digests identically to before
+    * revisit support (the revisit frame contributes zero rows, and its
+    * pass skips every block by length). */
+  private def warcDigestFrame(spark: SparkSession, dir: String,
+                              keyCol: String, shardCol: String): DataFrame = {
+    val resp = warcShardFrame(spark, dir, keyCol, shardCol)
+    val rev = warcRevisitFrame(spark, dir, keyCol, shardCol)
+      .select(col(keyCol), col("url"), lit(0).as("status"),
+        concat(lit("revisit:"), col("refers_to")).as("mime"),
+        encode(col("profile"), "UTF-8").as("payload"),
+        lit(0L).as("payload_len"), col(shardCol))
+    resp.unionByName(rev)
   }
 
   /** (shard, qualified file uri) for every data file of a WARC-family
@@ -2954,6 +3093,29 @@ object Export {
             (key, url, strictUtf8(body), tlen, path) }
       }
       .toDF("key", "url", "text", "text_len", "path")
+  }
+
+  /** [[readWarcStream]]'s `revisit` twin: the same checkpointed
+    * path-only file tracking, surfacing revisit records as (key, url,
+    * refers_to, profile, path) — so a streaming crawl ingest can feed
+    * the crawler's own dup signal to the incremental-dedup path in the
+    * same micro-batch cadence as the response rows. */
+  def readWarcRevisitStream(spark: SparkSession, dir: String,
+                            glob: String = "*.warc*",
+                            streaming: Boolean = true,
+                            options: Map[String, String] = Map.empty)
+      : DataFrame = {
+    import spark.implicits._
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    containerPathSource(spark, dir, glob, streaming, options)
+      .flatMap { path =>
+        warcRevisitFileRecords(confB.value.value, path)
+          .map { case (key, url, refersTo, profile) =>
+            (key, url, refersTo, profile, path) }
+      }
+      .toDF("key", "url", "refers_to", "profile", "path")
   }
 
   /** The WARC-family file-tracking source: a `binaryFile` scan used for

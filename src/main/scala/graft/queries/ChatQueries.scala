@@ -533,5 +533,75 @@ object ChatQueries {
                            '' ORDER BY turn_idx) AS rendered
                        FROM allt GROUP BY conv_id)
                SELECT min(conv_id) AS keep_id, count(*) AS n_copies
-               FROM r GROUP BY rendered ORDER BY keep_id""")))
+               FROM r GROUP BY rendered ORDER BY keep_id""")),
+
+    // x220 — WARC revisit ingest: the crawler's OWN dup signal as rows.
+    // A crawl export where every doc_id ≡ 1 (mod 4) also emits a
+    // `revisit` record re-fetching doc_id−1 (writeWarcShards
+    // revisitOfCol; Common Crawl identical-payload-digest profile) —
+    // read back SPLIT BY KIND: readWarcShards must see only responses,
+    // readWarcRevisits surfaces (key, url, refers_to) rows, exactly the
+    // incoming→canonical pair shape x77/x89 consume. Output: per source,
+    // response count, revisit count, and the count of revisits whose
+    // refers_to round-tripped to the expected target key (n_refers_ok ≡
+    // n_revisit on the hash path — a flipped refers-to fails the
+    // oracle). One record's headers in memory at a time on both read
+    // paths; the revisit scan allocates zero payload bytes.
+    QueryDef("x220_warc_revisit_stats",
+      (s, d) => {
+        val dir = ExtShared.exportScratchDir(d, "x220-revisit")
+        val docs = Tables.documents(s, d)
+        val responses = docs.select(
+          concat(lit("doc-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+          concat(lit("https://"), col("source"), lit(".example.com/d"),
+            col("doc_id").cast("string")).as("url"),
+          lit(200).cast("int").as("status"),
+          lit("text/html").as("mime"),
+          encode(substring(col("text"), 1, 48), "UTF-8").as("payload"),
+          (col("doc_id") % 8).cast("int").as("shard"),
+          lit(null).cast("string").as("revisit_of"))
+        val revisits = docs.filter(col("doc_id") % 4 === 1).select(
+          concat(lit("rev-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+          concat(lit("https://"), col("source"), lit(".example.com/d"),
+            (col("doc_id") - 1).cast("string")).as("url"),
+          lit(0).cast("int").as("status"),
+          lit("").as("mime"),
+          lit(null).cast("binary").as("payload"),
+          (col("doc_id") % 8).cast("int").as("shard"),
+          concat(lit("doc-"),
+            lpad((col("doc_id") - 1).cast("string"), 12, "0"))
+            .as("revisit_of"))
+        val counts = graft.ext.Export.writeWarcShards(
+          responses.unionByName(revisits), dir, compression = "gzip",
+          revisitOfCol = Some("revisit_of"))
+        require(counts.values.sum > 0, "x220: empty export")
+        val resp = graft.ext.Export.readWarcShards(s, dir,
+          columns = Seq("url"))
+          .select(regexp_extract(col("url"), "https://([^.]+)\\.example", 1)
+            .as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n_response"))
+        val rev = graft.ext.Export.readWarcRevisits(s, dir)
+          .select(regexp_extract(col("url"), "https://([^.]+)\\.example", 1)
+            .as("source"),
+            (col("refers_to") === concat(lit("doc-"),
+              lpad((expr("CAST(substring(key, 5, 12) AS BIGINT)") - 1)
+                .cast("string"), 12, "0"))).cast("long").as("ok"))
+          .groupBy("source").agg(count(lit(1)).as("n_revisit"),
+            sum(col("ok")).as("n_refers_ok"))
+        resp.join(rev, Seq("source"), "left")
+          .select(col("source"), col("n_response"),
+            coalesce(col("n_revisit"), lit(0L)).as("n_revisit"),
+            coalesce(col("n_refers_ok"), lit(0L)).as("n_refers_ok"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, count(*) AS n_response
+                         FROM documents GROUP BY source),
+                   v AS (SELECT source, count(*) AS n_revisit
+                         FROM documents WHERE doc_id % 4 = 1 GROUP BY source)
+              SELECT r.source, r.n_response,
+                     COALESCE(v.n_revisit, 0) AS n_revisit,
+                     COALESCE(v.n_revisit, 0) AS n_refers_ok
+              FROM r LEFT JOIN v USING (source) ORDER BY source""")))
 }

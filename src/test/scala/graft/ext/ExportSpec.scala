@@ -1049,6 +1049,94 @@ class ExportSpec extends SparkSpec {
       e4.getMessage.contains("status"))
   }
 
+  test("warc revisit interop: foreign-authored revisit records surface; responses unaffected") {
+    // hand-written per the public WARC 1.0 spec: a Common Crawl-style
+    // revisit record (urn:uuid ids, identical-payload-digest profile,
+    // HTTP headers of the re-fetch as the block) between a warcinfo and
+    // a response — warcRevisits must surface exactly the revisit row,
+    // warcResponses exactly the response, each skipping the other.
+    def rec(kind: String, id: String, extra: String, block: String): String =
+      s"WARC/1.0\r\nWARC-Type: $kind\r\n" +
+        s"WARC-Record-ID: <$id>\r\nWARC-Date: 2020-01-01T00:00:00Z\r\n" +
+        extra + s"Content-Length: ${block.getBytes("UTF-8").length}\r\n\r\n" +
+        block + "\r\n\r\n"
+    val warc =
+      rec("warcinfo", "urn:uuid:aaa",
+        "Content-Type: application/warc-fields\r\n", "software: other\r\n") +
+      rec("revisit", "urn:uuid:rrr",
+        "WARC-Target-URI: https://x.example.com/page\r\n" +
+          "WARC-Refers-To: <urn:uuid:ccc>\r\n" +
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n",
+        "HTTP/1.1 304 Not Modified\r\nServer: other\r\n\r\n") +
+      rec("response", "urn:uuid:ccc",
+        "WARC-Target-URI: https://x.example.com/page\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Length: 2\r\n\r\nhi")
+    val bytes = warc.getBytes("UTF-8")
+    val revs = Export.warcRevisits(
+      new java.io.ByteArrayInputStream(bytes)).toSeq
+    assert(revs === Seq(("urn:uuid:rrr", "https://x.example.com/page",
+      "urn:uuid:ccc",
+      "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")))
+    val resp = Export.warcResponses(
+      new java.io.ByteArrayInputStream(bytes), readPayload = true).toSeq
+    assert(resp.map(r => (r._1, r._3)) === Seq(("urn:uuid:ccc", 200)))
+  }
+
+  test("warc revisit round trip: writer emits revisit records; readers split kinds; digest covers both") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcrev").toString
+    try {
+      val rows = (0 until 20).map { i =>
+        (f"doc-$i%04d", s"https://h.example.com/$i", 200, "text/html",
+          s"body-$i".getBytes("UTF-8"), i % 3, null.asInstanceOf[String])
+      } ++ (0 until 20).filter(_ % 4 == 1).map { i =>
+        (f"rev-$i%04d", s"https://h.example.com/$i", 0, "",
+          null.asInstanceOf[Array[Byte]], i % 3, f"doc-${i - 1}%04d")
+      }
+      val df = rows.toDF("key", "url", "status", "mime", "payload",
+        "shard", "revisit_of")
+        .withColumn("shard", col("shard").cast("int"))
+      val counts = Export.writeWarcShards(df, dir, compression = "gzip",
+        revisitOfCol = Some("revisit_of"))
+      // counts include revisit rows; the digest recount re-parses BOTH
+      // kinds (validateShardsContent == written counts proves it)
+      assert(counts.values.sum === 25L)
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      val resp = Export.readWarcShards(spark, dir)
+      assert(resp.count() === 20L)
+      assert(resp.filter(col("key").startsWith("rev-")).count() === 0L)
+      val revs = Export.readWarcRevisits(spark, dir).collect()
+      assert(revs.length === 5)
+      assert(revs.map(r => (r.getAs[String]("key"),
+        r.getAs[String]("refers_to"))).sorted.toSeq ===
+        (0 until 20).filter(_ % 4 == 1)
+          .map(i => (f"rev-$i%04d", f"doc-${i - 1}%04d")).sorted)
+      assert(revs.forall(_.getAs[String]("profile").contains(
+        "identical-payload-digest")))
+      // streaming twin returns the same revisit set
+      val streamed = Export.readWarcRevisitStream(spark, dir,
+        streaming = false)
+        .select("key", "url", "refers_to", "profile")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === revs.map(r => r.toSeq.take(4)).toSet)
+      // a revisit row smuggling payload bytes refuses loudly
+      val bad = Seq(("rev-bad", "https://h/", 0, "",
+        "x".getBytes("UTF-8"), 0, "doc-0000"))
+        .toDF("key", "url", "status", "mime", "payload", "shard", "revisit_of")
+        .withColumn("shard", col("shard").cast("int"))
+      val e = intercept[org.apache.spark.SparkException] {
+        Export.writeWarcShards(bad, dir + "-b",
+          revisitOfCol = Some("revisit_of"))
+      }
+      assert(e.getMessage.contains("no payload") ||
+        Option(e.getCause).exists(_.getMessage.contains("no payload")))
+    } finally Seq("", "-b").foreach(s =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir + s)))
+  }
+
   test("warc writer refuses bad keys, dup keys, CR/LF header smuggling, null payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warcbad").toString
