@@ -118,9 +118,137 @@ object Export {
                    writerId: Option[String] = None): Map[Long, Long] =
     shardWrite(df, dir, shardCol, SaveMode.Append, epoch, writerId)
 
+  /** COMPACT an appended export: merge each shard's accumulated per-epoch
+    * files into one file per shard, collapse the manifest's `epochs` list
+    * to a compaction watermark, and carry the content digests forward by
+    * the x109 fold (a compaction rewrites FILES, never rows — the
+    * per-shard count/xor/sum are the old manifest's verbatim, no recount
+    * scan). The daily-ingest companion to [[appendShards]]: without it an
+    * append-heavy export accumulates one file set per epoch forever and
+    * its manifest lists every epoch.
+    *
+    * Commit protocol (single-writer, like every manifest write; each
+    * step leaves only self-healing state):
+    *  1. the compacted data stages under `_staging-c<g>` (g = previous
+    *     compaction generation + 1) — a death here strands only staging,
+    *     retracted by the next append/compact;
+    *  2. every live data file renames to a hidden
+    *     `.compact-trash-<g>-<name>` — invisible to readers instantly,
+    *     no byte copied; a death here RESTORES from trash on the next
+    *     append/compact (g is uncommitted);
+    *  3. staged files move into the live shard directories under the
+    *     `c<g>-` prefix — a death still restores: uncommitted `c<g>-`
+    *     files retract, trash restores;
+    *  4. the manifest republishes: `epochs` → `[]`, `compacted_through` =
+    *     max epoch folded in (the watermark), `compaction` = g, writer id
+    *     carried, per-file checksums recomputed for the NEW files only;
+    *  5. the trash deletes (g is now committed).
+    *
+    * EXACTLY-ONCE SURVIVES: a replayed epoch at or below the watermark is
+    * REFUSED by [[appendShards]] (it cannot be told apart from a new
+    * batch with a recycled id — skipping would silently drop real data),
+    * and auto-assigned epochs resume above the watermark. Each shard
+    * compacts to ONE file (the shard is the parallelism unit across a
+    * compaction; pick shard granularity accordingly — the same lever
+    * every reader of this export already sizes by). */
+  def compactShards(spark: SparkSession, dir: String,
+                    shardCol: String = "shard",
+                    writerId: Option[String] = None): Map[Long, Long] = {
+    val tree = manifestTree(spark, dir)
+    val fmt = Option(tree.get("format")).map(_.asText).getOrElse("parquet")
+    require(fmt == "parquet",
+      s"compactShards compacts parquet shard exports; the manifest at " +
+        s"$dir records format '$fmt'")
+    val prior = Option(tree.get("writer")).map(_.asText)
+    (writerId, prior) match {
+      case (Some(w), Some(p)) => require(w == p,
+        s"compactShards: this export's commit log belongs to writer '$p' " +
+          s"but this compaction carries writerId '$w'")
+      case _ => ()
+    }
+    val (hfs, root) = fs(spark, dir)
+    val committed = epochsOf(tree)
+    val priorGen = Option(tree.get("compaction")).map(_.asLong).getOrElse(0L)
+    val priorWm = Option(tree.get("compacted_through"))
+      .map(_.asLong).getOrElse(-1L)
+    retractUncommitted(hfs, root, shardCol, committed, priorGen)
+    val counts = fieldMap(tree, "shards", dir)
+    val xor = fieldMap(tree, "xor", dir)
+    val sum = fieldMap(tree, "sum", dir)
+    val g = priorGen + 1
+    val wm = (committed + priorWm).max
+    val writerExtra = prior.orElse(writerId)
+      .map(w => "writer" -> s""""$w"""").toSeq
+    val extra = writerExtra ++ Seq(
+      "compacted_through" -> wm.toString, "compaction" -> g.toString)
+    val digests = counts.map { case (k, n) => k -> ((n, xor(k), sum(k))) }
+    if (counts.isEmpty) {
+      // nothing to rewrite; still collapse the log so the watermark
+      // semantics are uniform
+      return publishManifest(spark, dir, shardCol, "compactShards",
+        d => spark.read.parquet(d), epochs = Set.empty,
+        priorHashes = Map.empty, extra = extra,
+        precomputed = Some(digests))
+    }
+    // 1. stage the full compacted data (one partition per shard: the
+    //    repartition hashes on the shard column, so each shard's rows
+    //    land in one task → one file per shard directory)
+    val staging = new Path(root, s"_staging-c$g")
+    spark.read.parquet(dir).repartition(col(shardCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol)
+      .parquet(staging.toString)
+    val shardDirsOf = (p: Path) => hfs.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol="))
+    // 2. park every live data file in hidden per-generation trash
+    shardDirsOf(root).foreach { sd =>
+      hfs.listStatus(sd.getPath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          require(hfs.rename(f.getPath,
+            new Path(sd.getPath, s".compact-trash-$g-$n")),
+            s"compactShards: could not park $n in ${sd.getPath}")
+      }
+    }
+    // 3. move the staged files into the live shard directories
+    shardDirsOf(staging).foreach { sd =>
+      val live = new Path(root, sd.getPath.getName)
+      hfs.mkdirs(live)
+      hfs.listStatus(sd.getPath).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          require(hfs.rename(f.getPath,
+            new Path(live, compactPrefix(g) + n)),
+            s"compactShards: could not move staged $n into $live")
+      }
+    }
+    hfs.delete(staging, true)
+    // 4. commit: collapsed epochs, watermark, fold-carried digests,
+    //    fresh per-file checksums (priorHashes empty — every file is new)
+    val out = publishManifest(spark, dir, shardCol, "compactShards",
+      d => spark.read.parquet(d), epochs = Set.empty,
+      priorHashes = Map.empty, extra = extra, precomputed = Some(digests))
+    // 5. the generation is committed — drop the trash
+    shardDirsOf(root).foreach { sd =>
+      hfs.listStatus(sd.getPath).foreach { f =>
+        CompactTrash.findFirstMatchIn(f.getPath.getName).foreach { m =>
+          if (f.isFile && m.group(1).toLong <= g)
+            hfs.delete(f.getPath, false)
+        }
+      }
+    }
+    out
+  }
+
   /** File prefix of a committed append epoch's data files. */
   private def epochPrefix(epoch: Long): String = s"e$epoch-"
   private val EpochFile = "^e([0-9]+)-".r
+
+  /** File prefix of a committed compaction generation's data files, and
+    * the hidden trash name a compaction parks retired files under until
+    * its manifest commits ([[compactShards]]). */
+  private def compactPrefix(gen: Long): String = s"c$gen-"
+  private val CompactFile = "^c([0-9]+)-".r
+  private val CompactTrash = "^\\.compact-trash-([0-9]+)-(.+)$".r
 
   /** The append epochs the manifest records as committed (empty for a
     * fresh/overwrite export or a pre-epoch manifest — base files carry no
@@ -156,24 +284,53 @@ object Export {
     }
   }
 
-  /** Delete stranded files from append epochs that never committed: any
-    * `_staging-*` directory, and any `e<n>-` data file whose epoch is not
-    * in `committed`. Prefix matching only — no data scan. */
+  /** Delete stranded files from append epochs and compactions that never
+    * committed: any `_staging-*` directory, any `e<n>-` data file whose
+    * epoch is not in `committed`, any `c<g>-` data file whose compaction
+    * generation exceeds the manifest's (`committedGen`), and any
+    * `.compact-trash-<g>-<orig>` file — deleted when generation `g`
+    * committed (the compaction finished, the trash is its retired
+    * pre-compaction file), RESTORED to `orig` when it did not (the
+    * compaction died mid-swap; the trash IS the data). Prefix matching
+    * and renames only — no data scan. Restores run after `e`/`c`
+    * retractions in the same listing pass, so a half-swapped shard heals
+    * to exactly its pre-compaction state. */
   private def retractUncommitted(hfs: FileSystem, root: Path,
                                  shardCol: String,
-                                 committed: Set[Long]): Unit = {
+                                 committed: Set[Long],
+                                 committedGen: Long = 0L): Unit = {
     if (!hfs.exists(root)) return
     hfs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("_staging-"))
         hfs.delete(st.getPath, true)
-      else if (st.isDirectory && name.startsWith(s"$shardCol="))
-        hfs.listStatus(st.getPath).foreach { f =>
-          EpochFile.findFirstMatchIn(f.getPath.getName).foreach { m =>
-            if (f.isFile && !committed.contains(m.group(1).toLong))
-              hfs.delete(f.getPath, false)
+      else if (st.isDirectory && name.startsWith(s"$shardCol=")) {
+        val files = hfs.listStatus(st.getPath)
+        files.foreach { f =>
+          val n = f.getPath.getName
+          if (f.isFile) {
+            EpochFile.findFirstMatchIn(n).foreach { m =>
+              if (!committed.contains(m.group(1).toLong))
+                hfs.delete(f.getPath, false)
+            }
+            CompactFile.findFirstMatchIn(n).foreach { m =>
+              if (m.group(1).toLong > committedGen)
+                hfs.delete(f.getPath, false)
+            }
           }
         }
+        files.foreach { f =>
+          val n = f.getPath.getName
+          if (f.isFile) CompactTrash.findFirstMatchIn(n).foreach { m =>
+            if (m.group(1).toLong <= committedGen)
+              hfs.delete(f.getPath, false)
+            else require(
+              hfs.rename(f.getPath, new Path(st.getPath, m.group(2))),
+              s"could not restore pre-compaction file ${m.group(2)} " +
+                s"from stranded trash $n in ${st.getPath}")
+          }
+        }
+      }
     }
   }
 
@@ -195,6 +352,8 @@ object Export {
     var epochs = Set.empty[Long]
     var priorHashes = Map.empty[String, Long]
     var writer = writerId
+    var watermark = -1L
+    var compactGen = 0L
     if (mode == SaveMode.Append) {
       // Input contracts hold BEFORE any file lands (both checks are
       // batch-sized, not corpus-sized — an epoch batch is the small side):
@@ -217,6 +376,10 @@ object Export {
           // would re-read the full corpus's bytes just to republish hashes
           // it already recorded
           priorHashes = stringLongMap(tree, "filehash")
+          watermark = Option(tree.get("compacted_through"))
+            .map(_.asLong).getOrElse(-1L)
+          compactGen = Option(tree.get("compaction"))
+            .map(_.asLong).getOrElse(0L)
           // Writer-identity gate (see the appendShards scaladoc): the epoch
           // commit log belongs to one logical writer. A different writerId
           // arriving with its own epoch sequence would either silently skip
@@ -237,7 +400,19 @@ object Export {
         } else Set.empty[Long]
       explicitEpoch.foreach(e => require(e >= 0,
         s"$caller: explicit epoch must be >= 0, got $e"))
-      retractUncommitted(hfsPre, rootPre, shardCol, committed)
+      // Pre-compaction replay gate: epochs at or below the compaction
+      // watermark were collapsed out of the commit log — a replayed one
+      // cannot be distinguished from a new batch carrying a recycled id,
+      // so it REFUSES (skipping would be right for a true replay but
+      // silently drop a genuinely new batch; refusal forces the operator
+      // to decide). Commit-log semantics survive compaction.
+      explicitEpoch.foreach(e => require(e > watermark,
+        s"$caller: epoch $e is at or below this export's compaction " +
+          s"watermark $watermark — pre-compaction epochs were collapsed " +
+          "by compactShards and a replay cannot be told apart from a new " +
+          "batch; a true replay is already committed (safe to drop), a " +
+          "new batch must carry an epoch above the watermark"))
+      retractUncommitted(hfsPre, rootPre, shardCol, committed, compactGen)
       // Idempotent replay: an explicit epoch already in the manifest means
       // this exact batch COMMITTED on a previous attempt — an at-least-once
       // foreachBatch replay must SKIP, not double-write. (The retraction
@@ -274,7 +449,8 @@ object Export {
       // data file into its live shard directory under the epoch's file
       // prefix. A death anywhere in this window leaves only retractable
       // state (see the appendShards scaladoc).
-      val next = explicitEpoch.getOrElse((committed + 0L).max + 1)
+      val next = explicitEpoch.getOrElse(
+        math.max((committed + 0L).max, watermark) + 1)
       val staging = new Path(rootPre, s"_staging-e$next")
       df.write.mode(SaveMode.Overwrite).partitionBy(shardCol)
         .parquet(staging.toString)
@@ -297,7 +473,11 @@ object Export {
       df.write.mode(mode).partitionBy(shardCol).parquet(dir)
     publishManifest(df.sparkSession, dir, shardCol, caller,
       d => df.sparkSession.read.parquet(d), epochs, priorHashes,
-      extra = writer.map(w => "writer" -> s""""$w"""").toSeq)
+      extra = writer.map(w => "writer" -> s""""$w"""").toSeq ++
+        (if (compactGen > 0)
+          Seq("compacted_through" -> watermark.toString,
+            "compaction" -> compactGen.toString)
+        else Nil))
   }
 
   /** Recount the WRITTEN files and publish the manifest — the shared tail
@@ -313,7 +493,8 @@ object Export {
                               loader: String => DataFrame,
                               epochs: Set[Long],
                               priorHashes: Map[String, Long],
-                              extra: Seq[(String, String)] = Nil)
+                              extra: Seq[(String, String)] = Nil,
+                              precomputed: Option[Map[Long, (Long, Long, Long)]] = None)
       : Map[Long, Long] = {
     val (hfs, root) = fs(spark, dir)
     // ONE root listing answers the null-shard check, the any-rows check,
@@ -343,9 +524,14 @@ object Export {
     // already pays). The digest rides the manifest so
     // [[validateShardsContent]] can catch a same-length bit-flip that the
     // byte/file-count gate cannot see.
-    val digests =
+    // `precomputed` is the compaction fold-carry: a compaction rewrites
+    // FILES, never rows, so its per-shard (count, xor, sum) are the old
+    // manifest's verbatim — the x109 fold's commutativity is what makes
+    // carrying them sound, and it saves the full recount scan.
+    val digests = precomputed.getOrElse {
       if (shardDirs.isEmpty) Map.empty[Long, (Long, Long, Long)]
       else shardDigests(loader(dir), shardCol)
+    }
     val counts = digests.map { case (k, v) => k -> v._1 }
     val listing = shardListing(hfs, shardDirs, shardCol)
     val stats = statsFor(listing)

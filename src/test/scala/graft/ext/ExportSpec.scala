@@ -615,6 +615,105 @@ class ExportSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("compactShards merges epochs, preserves digests by fold-carry, keeps the commit log") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compshard").toString
+    try {
+      def batch(ids: Seq[Long]) =
+        ids.map(i => (i, i % 2, s"text-$i")).toDF("doc_id", "shard", "text")
+      Export.writeShards(batch(Seq(1L, 2L)), dir)
+      Export.appendShards(batch(Seq(3L, 4L)), dir, epoch = Some(7L))
+      Export.appendShards(batch(Seq(5L, 6L)), dir, epoch = Some(8L))
+      Export.appendShards(batch(Seq(7L, 8L)), dir, epoch = Some(9L))
+      val before = Export.readManifest(spark, dir)
+      val beforeRows = Export.readShards(spark, dir, before.keys.toSeq)
+        .select("doc_id", "text").collect().map(_.toSeq).toSet
+      val beforeTree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(dir, "_graft_manifest.json"))
+      assert(Export.committedEpochs(spark, dir) === Set(7L, 8L, 9L))
+      // compact: counts unchanged, epochs collapsed to the watermark
+      val counts = Export.compactShards(spark, dir)
+      assert(counts === before)
+      assert(Export.readManifest(spark, dir) === before)
+      assert(Export.committedEpochs(spark, dir) === Set.empty)
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(dir, "_graft_manifest.json"))
+      assert(tree.get("compacted_through").asLong === 9L)
+      assert(tree.get("compaction").asLong === 1L)
+      // digest fold-carry: xor/sum are the pre-compaction values verbatim
+      assert(tree.get("xor").toString === beforeTree.get("xor").toString)
+      assert(tree.get("sum").toString === beforeTree.get("sum").toString)
+      // rows byte-identical; one data file per shard; full validation
+      // (recount + per-file checksums) passes on the compacted state
+      val afterRows = Export.readShards(spark, dir, before.keys.toSeq)
+        .select("doc_id", "text").collect().map(_.toSeq).toSet
+      assert(afterRows === beforeRows)
+      val shardFiles = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard="))
+        .map(d => d.getName -> d.listFiles().count { f =>
+          !f.getName.startsWith(".") && !f.getName.startsWith("_")
+        }).toMap
+      assert(shardFiles.values.toSet === Set(1))
+      assert(Export.validateShardsContent(spark, dir) === before)
+      // replayed PRE-COMPACTION epoch refuses (commit-log semantics
+      // survive the collapse); a fresh epoch above the watermark lands
+      val e = intercept[IllegalArgumentException](
+        Export.appendShards(batch(Seq(9L)), dir, epoch = Some(8L)))
+      assert(e.getMessage.contains("watermark"))
+      val after = Export.appendShards(batch(Seq(9L, 10L)), dir,
+        epoch = Some(10L))
+      assert(after.values.sum === 10L)
+      // auto-assigned epochs also resume above the watermark
+      Export.appendShards(batch(Seq(11L)), dir)
+      assert(Export.committedEpochs(spark, dir) === Set(10L, 11L))
+      // a second compaction folds the new epochs under generation 2
+      val c2 = Export.compactShards(spark, dir)
+      assert(c2.values.sum === 11L)
+      val tree2 = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(dir, "_graft_manifest.json"))
+      assert(tree2.get("compacted_through").asLong === 11L)
+      assert(tree2.get("compaction").asLong === 2L)
+      assert(Export.validateShardsContent(spark, dir) === c2)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("compactShards death windows self-heal: stranded trash restores, uncommitted files retract") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("comphealshard").toString
+    try {
+      def batch(ids: Seq[Long]) =
+        ids.map(i => (i, i % 2, s"text-$i")).toDF("doc_id", "shard", "text")
+      Export.writeShards(batch(Seq(1L, 2L)), dir)
+      Export.appendShards(batch(Seq(3L, 4L)), dir)
+      val before = Export.readManifest(spark, dir)
+      // simulate a compaction (generation 1, never committed) dying
+      // mid-swap: every live file parked in trash, one uncommitted c1-
+      // file present — the exact state between steps 2 and 4
+      val shard0 = new java.io.File(dir, "shard=0")
+      for (f <- shard0.listFiles() if f.getName.endsWith(".parquet")) {
+        assert(f.renameTo(new java.io.File(shard0,
+          s".compact-trash-1-${f.getName}")))
+        val crc = new java.io.File(shard0, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+      java.nio.file.Files.write(
+        new java.io.File(shard0, "c1-bogus.parquet").toPath,
+        "not parquet".getBytes("UTF-8"))
+      // the next append heals: c1- retracts (gen 1 uncommitted), trash
+      // restores, and the append lands on the restored state
+      val after = Export.appendShards(batch(Seq(5L, 6L)), dir)
+      assert(after.values.sum === 6L)
+      assert(Export.readShards(spark, dir, after.keys.toSeq)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(!new java.io.File(shard0, "c1-bogus.parquet").exists())
+      assert(!shard0.listFiles().exists(_.getName.startsWith(".compact-trash")))
+      assert(before.keySet.subsetOf(after.keySet))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("appendShards rejects null shards and schema drift BEFORE writing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("appguard").toString
