@@ -352,8 +352,13 @@ object Pq {
 
   /** Persist a built IVF-PQ index — the [[Ivf.saveIndex]] layout with
     * codes instead of vectors:
-    *   - `dir/encoded`: (vec_id, codes, rnorm) `partitionBy("cluster")`,
-    *     so a reloaded probe's cell filter prunes FILES;
+    *   - `dir/encoded`: (vec_id, codes, rnorm) through the EXPORT SINK
+    *     with `cluster` as the shard column — the same `cluster=N` layout
+    *     probes prune on, PLUS the writeShards manifest (per-cell counts,
+    *     digests, per-file checksums), so a fresh index validates with
+    *     `Export.validateShards` immediately and [[appendToIndex]]'s
+    *     schema-drift/self-healing guards hold from the first append
+    *     (the [[Ivf.saveIndex]] rationale);
     *   - `dir/codebooks`: one tiny parquet of (s, c, centroid) rows plus
     *     the (m, k, subDim) shape on every row — self-describing;
     *   - `dir/centroids`: the coarse-quantizer matrix, [[Ivf.saveIndex]]'s
@@ -377,10 +382,10 @@ object Pq {
         .parquet(s"$dir/centroids")
       return
     }
-    index.indexed
-      .select(col("vec_id"), col("codes"), col("rnorm"), col("cluster"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cluster").parquet(s"$dir/encoded")
+    Export.writeShards(
+      index.indexed
+        .select(col("vec_id"), col("codes"), col("rnorm"), col("cluster")),
+      s"$dir/encoded", shardCol = "cluster")
     (for (s <- 0 until model.m; c <- 0 until model.k) yield {
       val base = (s * model.k + c) * model.subDim
       (s, c, model.m, model.k, model.subDim,
@@ -393,6 +398,40 @@ object Pq {
       .toDF("cluster_id", "centroid").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/centroids")
+  }
+
+  /** Encode a NEW batch against a persisted index's FROZEN codebooks and
+    * coarse quantizer and land it through the export sink —
+    * [[Ivf.appendToIndex]]'s PQ counterpart, the daily-ingest path. The
+    * codebooks are frozen BY DESIGN (stored codes and ADC tables are only
+    * comparable under one codebook set), which is exactly what makes
+    * append sound: append ≡ rebuild-with-the-same-models over the union,
+    * pinned by PqSpec. Codebooks + centroids are driver reads (tiny); the
+    * batch encodes map-side and appends as an epoch into the manifest'd
+    * `dir/encoded` export (schema drift refused, failed appends
+    * self-heal, counts republished). `nAssign` must match the build's
+    * (both default to the corpus-independent [[Ivf.resolveAssign]] of the
+    * index's own cell count, so defaults always agree). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession,
+                    batch: DataFrame, dir: String,
+                    nAssign: Int = 0): Map[Long, Long] = {
+    val index = loadPqIndex(spark, dir)
+    require(index.centroids.nonEmpty && !index.model.isEmpty,
+      s"appendToIndex: index at $dir is empty — buildPqIndex/savePqIndex " +
+        "on the first real corpus instead")
+    val na = Ivf.resolveAssign(nAssign, index.centroids.length)
+    val rows = Ivf.assignTop(
+      batch.select(col("vec_id"), col("embedding")), index.centroids, na)
+      .select(col("vec_id"),
+        col("cluster").cast("int").as("cluster"),
+        PqFunctions.pqCodeF(col("embedding"), index.model).as("codes"))
+      .withColumn("rnorm", rnormOf(col("codes"), index.model))
+      // parquet reads arrays back containsNull=true; align the batch's
+      // non-null codes type so the append schema gate compares values,
+      // not codegen nullability
+      .select(col("vec_id"), col("codes").cast("array<int>").as("codes"),
+        col("rnorm"), col("cluster"))
+    Export.appendShards(rows, s"$dir/encoded", shardCol = "cluster")
   }
 
   /** Reload a [[savePqIndex]] index: codebooks + centroids are one-small-

@@ -151,6 +151,67 @@ class PqSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("appendToIndex: append ≡ frozen-codebook rebuild; reload parity; recall holds") {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val base = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 3 =!= 1)
+    val batch = emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 3 === 1)
+    val corpus = base.unionByName(batch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
+    try {
+      val built = Pq.buildPqIndex(base, m = 16, k = 16)
+      Pq.savePqIndex(built, dir)
+      // a FRESH index already carries the export-sink manifest
+      val fresh = Export.validateShards(spark, s"$dir/encoded", "cluster")
+      assert(fresh.values.sum === built.indexed.count())
+      val counts = Pq.appendToIndex(spark,
+        batch.select(col("vec_id"), col("embedding")), dir)
+      val appended = Pq.loadPqIndex(spark, dir)
+      // codebooks and coarse centroids stay FROZEN through the append
+      assert(appended.model.flat.toSeq === built.model.flat.toSeq)
+      assert(appended.centroids.zip(built.centroids).forall {
+        case (a, b) => a.sameElements(b) })
+      // append ≡ rebuild: the appended table equals the frozen-model
+      // encode+assign of the union (multi-assign rows and all)
+      val na = Ivf.resolveAssign(0, built.centroids.length)
+      val rebuiltIndexed = Ivf.assignTop(
+        corpus.select(col("vec_id"), col("embedding")),
+        built.centroids, na)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .join(Pq.encode(corpus, built.model), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("codes"), col("rnorm"))
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("cluster"), col("codes"), col("rnorm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Int](2).toList, r.getDouble(3))).toSet
+      val gotRows = rowsOf(appended.indexed)
+      assert(counts.values.sum === gotRows.size)
+      assert(gotRows === rowsOf(rebuiltIndexed))
+      // probe parity on several queries, pure compressed domain
+      val rebuilt = Pq.PqIndex(built.model, built.centroids, rebuiltIndexed)
+      val probeQ = q.limit(3)
+      val a = Pq.retrieverFromPqIndex(appended, 3, 0.0)(probeQ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Pq.retrieverFromPqIndex(rebuilt, 3, 0.0)(probeQ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a.nonEmpty && a === b)
+      // the x119b recall contract holds on the APPENDED index: refined
+      // retrieval vs the exact per-query top-3 over the same corpus
+      val refined = Pq.retrieverFromPqIndex(appended, 3, 0.0,
+        refine = 16, refineSrc = Some(corpus))(probeQ)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val qids = probeQ.select("vec_id").collect().map(_.getLong(0))
+      val exact = qids.flatMap { qid =>
+        Similarity.cosineTopK(corpus.unionByName(q.filter(col("vec_id") === qid)),
+          qid, 3).collect().map(r => (qid, r.getLong(0)))
+      }.toSet
+      val hit = (refined & exact).size
+      assert(hit * 10 >= exact.size * 5,
+        s"appended-index refined recall too low: $hit/${exact.size}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("pqStats reports full code utilization and bounded error on the fixture") {
     val model = Pq.train(emb, m = 16, k = 16)
     val rows = Pq.pqStats(emb, model).collect()
