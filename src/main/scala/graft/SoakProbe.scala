@@ -96,6 +96,40 @@ object SoakProbe {
           println(s"""[probe-json] {"probe": "mining-audit", """ +
             s""""sf": "$sfDir", "lsh_t035": $lsh, """ +
             s""""shingle_df_n3": $shingle}""")
+        case "frontier-skew" =>
+          // VERDICT r18 next-round #6: the x211 mega-host posture,
+          // measured. Synthesize a frontier where ONE host holds ~30% of
+          // all URLs (the en.wikipedia shape) at 20 URLs per document,
+          // then time frontierWaves uncapped vs maxPerHost=1000. The cap
+          // is a rank-filter over the host window, which Spark rewrites
+          // to a WindowGroupLimit — rows beyond the cap prune BEFORE the
+          // mega-host partition sorts, so the cap should bound the
+          // straggler task, and this probe reports whether it does.
+          val docs = Tables.documents(spark, sfDir)
+          val urls = docs
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              explode(sequence(lit(0), lit(19))).as("i"))
+            .select(
+              when(col("doc_id") % 10 < 3, lit("mega.example.com"))
+                .otherwise(concat(col("source"),
+                  (col("doc_id") % 97).cast("string"),
+                  lit(".example.com"))).as("host"),
+              concat(lit("https://p/"), col("doc_id").cast("string"),
+                lit("/"), col("i").cast("string")).as("url"),
+              (col("n_chars") + col("i")).cast("long").as("prio"))
+            .persist()
+          val n = urls.count() // materialize outside the timings
+          val mega = urls.filter(col("host") === "mega.example.com").count()
+          for (cap <- Seq(Int.MaxValue, 1000)) {
+            val (rows, t) = timed(
+              ext.Crawl.frontierWaves(urls, perHostPerWave = 8,
+                maxPerHost = cap).count())
+            val capTxt = if (cap == Int.MaxValue) "none" else cap.toString
+            println(f"[probe] frontier-skew $sfDir urls=$n " +
+              f"megaShare=${mega.toDouble / n}%.2f cap=$capTxt " +
+              f"rows=$rows timed=$t%.2f")
+          }
+          urls.unpersist()
         case "warc-rate" =>
           // VERDICT r17 next-round #8: the streaming-ingest rate curve.
           // Synthesize one WARC container per shard from the documents

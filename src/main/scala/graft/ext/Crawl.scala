@@ -23,11 +23,17 @@ object Crawl {
     * host-partitioned (never global). A mega-host (the en.wikipedia case
     * — one host holding a double-digit share of the frontier) serializes
     * its own ranking onto one task: if that bites, cap the frontier per
-    * host FIRST (`maxPerHost`, applied inside the same window — the
-    * filter costs nothing extra) so the per-task payload is bounded by
-    * policy, not by the crawl's skew. A politeness schedule is
-    * inherently a per-host sequence; the cap is the lever, not a
-    * different plan shape. */
+    * host FIRST (`maxPerHost`). The cap plans as a two-phase
+    * WindowGroupLimit (measured, SOAK.md frontier-skew): each MAP
+    * partition truncates a host's rows to the cap BEFORE the shuffle, so
+    * the straggler task's input is bounded by cap × map-partitions
+    * instead of the host's full frontier — the property that matters
+    * when one host holds billions of URLs. The price is an extra
+    * map-side sort pass: at a 300k-row mega host (10× soak) that
+    * overhead DOMINATES (capped 2.0 s vs uncapped 0.3 s, both flat in
+    * data size), so leave the cap off until per-host cardinality
+    * threatens task memory; the politeness schedule itself is inherently
+    * a per-host sequence either way. */
   def frontierWaves(urls: DataFrame,
                     hostCol: String = "host",
                     urlCol: String = "url",
