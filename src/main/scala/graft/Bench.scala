@@ -37,7 +37,13 @@ object Bench {
     // driver runs) — so EVERY query runs once at the smallest SF first. The
     // parquet schemas are identical across SFs, so each sf0.001 plan
     // generates the same codegen source the timed sf run compiles.
-    val warmDir = sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001")
+    // SPARK_GRAFT_WARM_DIR overrides the derived warm-up directory — the
+    // soak runs need it (a /tmp replica dir has no sf0.001 sibling, and a
+    // soak pass that skips warm-up measures JIT on its first keys while
+    // the base pass measured steady state: r19 saw x207 read 18× from
+    // exactly that asymmetry before this knob).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001"))
     val warmOk = warmDir != sfDir && new java.io.File(warmDir).isDirectory
     if (!warmOk)
       // Warming at the timed SF would roughly double wall time (the
