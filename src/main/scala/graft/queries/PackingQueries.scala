@@ -757,6 +757,57 @@ object PackingQueries {
       },
       Some(curationOracle)),
 
+    // x221 — export COMPACTION on the board as an oracle row: the daily
+    // append → nightly compact lifecycle end-to-end. Three epochs land
+    // (writeShards + two explicit-epoch appends), compactShards merges
+    // each shard's files to one, and the READ-BACK OF THE COMPACTED
+    // STATE is what gets hashed against a pure function of documents —
+    // so a lost row, a doubled row, a digest drift, or a broken swap all
+    // fail the row/hash compare. The entry additionally requires, inline:
+    // counts unchanged by compaction, full revalidation green on the
+    // compacted state (recount + per-file checksums — proving the
+    // fold-carried digests match what a recount derives), and a REPLAYED
+    // pre-compaction epoch refusing at the watermark (the commit log's
+    // exactly-once contract surviving the collapse, driver-visible).
+    QueryDef("x221_compact_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x221-compact")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("doc_id") % 5).cast("long").as("shard"))
+        Export.writeShards(docs.filter(col("doc_id") % 3 === 0), dir)
+        Export.appendShards(docs.filter(col("doc_id") % 3 === 1), dir,
+          epoch = Some(1L))
+        Export.appendShards(docs.filter(col("doc_id") % 3 === 2), dir,
+          epoch = Some(2L))
+        val before = Export.readManifest(s, dir)
+        val counts = Export.compactShards(s, dir)
+        require(counts == before,
+          s"x221: compaction changed counts: $counts vs $before")
+        require(Export.validateShardsContent(s, dir) == counts,
+          "x221: post-compaction revalidation mismatch")
+        require(Export.committedEpochs(s, dir).isEmpty,
+          "x221: epochs did not collapse to the watermark")
+        val refused =
+          try {
+            Export.appendShards(docs.filter(col("doc_id") % 3 === 1), dir,
+              epoch = Some(1L))
+            false
+          } catch {
+            case e: IllegalArgumentException =>
+              e.getMessage.contains("watermark")
+          }
+        require(refused,
+          "x221: replayed pre-compaction epoch did not refuse")
+        Export.readShards(s, dir, counts.keySet.toSeq.sorted)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("shard").cast("long").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+                     CAST(doc_id % 5 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x75 — packing-efficiency curve: the x135 packPlan layout evaluated
     // at several sequence budgets at once — n_seqs, packed tokens, and the
     // utilization fraction per budget — the diagnostic that picks a

@@ -499,6 +499,49 @@ object SimilarityQueries {
       (s, d) => pqStatsShared(s, d).orderBy("s"),
       None),
 
+    // x222 — PQ index APPEND gate: the daily-ingest path for the
+    // compressed index, driver-visible. Build on two-thirds of the
+    // corpus, persist, append the held-out third against the FROZEN
+    // codebooks (Pq.appendToIndex → manifest epoch in dir/encoded), and
+    // gate that the reloaded index equals the frozen-model
+    // encode+assign of the UNION row-for-row (computed independently
+    // from the public primitives with the same explicit nAssign) and
+    // that the codebooks and coarse centroids round-tripped untouched.
+    // Set-difference runs distributed (exceptAll both ways); doubles
+    // compare exactly because both sides run the identical codegen'd
+    // expressions over the same codes. Boolean gate (trained codebooks
+    // are engine-specific; the x48/x120b pattern).
+    QueryDef("x222_pq_append_gate",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(col("vec_id") % 3 =!= 2)
+        val batch = emb.filter(col("vec_id") % 3 === 2)
+        val dir = exportScratchDir(d, "x222-pq") + "/idx"
+        val built = graft.ext.Pq.buildPqIndex(base, m = 16, k = 16,
+          nAssign = 3)
+        graft.ext.Pq.savePqIndex(built, dir)
+        graft.ext.Pq.appendToIndex(s, batch, dir, nAssign = 3)
+        val appended = graft.ext.Pq.loadPqIndex(s, dir)
+        val modelsOk =
+          appended.model.flat.sameElements(built.model.flat) &&
+            appended.centroids.zip(built.centroids).forall {
+              case (a, b) => a.sameElements(b) }
+        val cols = Seq(col("vec_id"), col("cluster"), col("codes"),
+          col("rnorm"))
+        val got = appended.indexed.select(cols: _*)
+        val rebuilt = Ivf.assignTop(
+          emb.select(col("vec_id"), col("embedding")),
+          built.centroids, 3)
+          .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+          .join(graft.ext.Pq.encode(emb, built.model), "vec_id")
+          .select(cols: _*)
+        val drift = got.exceptAll(rebuilt).count() +
+          rebuilt.exceptAll(got).count()
+        Seq(modelsOk && drift == 0L).toDF("pq_append_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS pq_append_ok")),
+
     // x120b — codebook-health gate: every subspace uses ≥ k/2 codes, no
     // code holds a majority, and mean relative reconstruction error is
     // bounded (measured: 16/16 codes used, top share ≈ 0.1, rel err
