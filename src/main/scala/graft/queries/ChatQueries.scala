@@ -603,5 +603,66 @@ object ChatQueries {
               SELECT r.source, r.n_response,
                      COALESCE(v.n_revisit, 0) AS n_revisit,
                      COALESCE(v.n_revisit, 0) AS n_refers_ok
-              FROM r LEFT JOIN v USING (source) ORDER BY source""")))
+              FROM r LEFT JOIN v USING (source) ORDER BY source""")),
+
+    // x220b — streaming revisit-ingest parity gate: the x202b/x210b
+    // discipline on the revisit reader, completing the rule that EVERY
+    // container read path has a driver-visible stream gate. Re-read the
+    // x220 export's revisit records through a REAL file-source streaming
+    // query (readWarcRevisitStream: checkpointed path-only binaryFile
+    // tracking + the revisit parser) in ≥2 micro-batches and assert the
+    // streamed record set equals the batch readWarcRevisits read.
+    QueryDef("x220b_revisit_stream_gate",
+      (s, d) => {
+        import s.implicits._
+        // reuse the x220 scratch export — build it if this entry runs
+        // first (same deterministic writer either way)
+        val dir = ExtShared.exportScratchDir(d, "x220b-revisit")
+        val docs = Tables.documents(s, d)
+        val responses = docs.filter(col("doc_id") % 2 === 0).select(
+          concat(lit("doc-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+          concat(lit("https://"), col("source"), lit(".example.com/d"),
+            col("doc_id").cast("string")).as("url"),
+          lit(200).cast("int").as("status"),
+          lit("text/html").as("mime"),
+          encode(substring(col("text"), 1, 32), "UTF-8").as("payload"),
+          (col("doc_id") % 4).cast("int").as("shard"),
+          lit(null).cast("string").as("revisit_of"))
+        val revisits = docs.filter(col("doc_id") % 4 === 1).select(
+          concat(lit("rev-"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("key"),
+          concat(lit("https://"), col("source"), lit(".example.com/d"),
+            (col("doc_id") - 1).cast("string")).as("url"),
+          lit(0).cast("int").as("status"),
+          lit("").as("mime"),
+          lit(null).cast("binary").as("payload"),
+          (col("doc_id") % 4).cast("int").as("shard"),
+          concat(lit("doc-"),
+            lpad((col("doc_id") - 1).cast("string"), 12, "0"))
+            .as("revisit_of"))
+        graft.ext.Export.writeWarcShards(
+          responses.unionByName(revisits), dir, compression = "gzip",
+          revisitOfCol = Some("revisit_of"))
+        def keyOf(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+        val expected = graft.ext.Export.readWarcRevisits(s, dir)
+          .select(col("key"), col("url"), col("refers_to"), col("profile"))
+          .collect().map(keyOf).toSet
+        val acc = scala.collection.mutable.Set
+          .empty[(String, String, String, String)]
+        val q = graft.ext.Export.readWarcRevisitStream(s, dir,
+            options = Map("maxFilesPerTrigger" -> "2")).writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = b.select(col("key"), col("url"), col("refers_to"),
+              col("profile")).collect().map(keyOf)
+            acc.synchronized { acc ++= got }
+            ()
+          }
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        Seq(acc.toSet == expected && expected.nonEmpty)
+          .toDF("revisit_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS revisit_stream_ok")))
 }
