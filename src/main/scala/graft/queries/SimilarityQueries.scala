@@ -514,14 +514,17 @@ object SimilarityQueries {
     QueryDef("x222_pq_append_gate",
       (s, d) => {
         import s.implicits._
-        val emb = Tables.embeddings(s, d)
+        // a half-corpus fixture: the gate proves the append MECHANISM
+        // (frozen-model parity), which is size-independent — the full
+        // corpus would only re-prove it slower
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)
         val base = emb.filter(col("vec_id") % 3 =!= 2)
         val batch = emb.filter(col("vec_id") % 3 === 2)
         val dir = exportScratchDir(d, "x222-pq") + "/idx"
-        val built = graft.ext.Pq.buildPqIndex(base, m = 16, k = 16,
-          nAssign = 3)
+        val built = graft.ext.Pq.buildPqIndex(base, nClusters = 8,
+          m = 8, k = 16, nAssign = 2)
         graft.ext.Pq.savePqIndex(built, dir)
-        graft.ext.Pq.appendToIndex(s, batch, dir, nAssign = 3)
+        graft.ext.Pq.appendToIndex(s, batch, dir, nAssign = 2)
         val appended = graft.ext.Pq.loadPqIndex(s, dir)
         val modelsOk =
           appended.model.flat.sameElements(built.model.flat) &&
@@ -532,7 +535,7 @@ object SimilarityQueries {
         val got = appended.indexed.select(cols: _*)
         val rebuilt = Ivf.assignTop(
           emb.select(col("vec_id"), col("embedding")),
-          built.centroids, 3)
+          built.centroids, 2)
           .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
           .join(graft.ext.Pq.encode(emb, built.model), "vec_id")
           .select(cols: _*)
