@@ -664,5 +664,58 @@ object ChatQueries {
         Seq(acc.toSet == expected && expected.nonEmpty)
           .toDF("revisit_stream_ok")
       },
-      Some("SELECT CAST(1 AS BOOLEAN) AS revisit_stream_ok")))
+      Some("SELECT CAST(1 AS BOOLEAN) AS revisit_stream_ok")),
+
+    // x223 — the TRAINING SHARD ON DISK, end to end: x218's packed
+    // token-id sequences grouped into per-sequence int64 arrays, written
+    // through the TFRecord export (real tf.train.Example framing, masked
+    // CRC32C, manifest digest gates), read back, re-exploded, and the
+    // READ-BACK is what gets hashed — against x218's own whole-chain
+    // oracle (the container round trip is identity, so the same SQL
+    // adjudicates; a proto encode bug, a CRC drift, a lost sequence, or
+    // any upstream tokenizer/pack drift fails one hash). This is the
+    // repo's full story on one row: raw turns → BPE → vocab → pack →
+    // dataloader-format shard → bytes → back.
+    QueryDef("x223_token_shard_roundtrip",
+      (s, d) => {
+        val dir = ExtShared.exportScratchDir(d, "x223-tokshard")
+        val packed = Chat.packedTokenIds(synthTurns(s, d),
+          bpeMergesShared(s, d), capacity = 48L)
+        val seqs = packed
+          .groupBy(col("seq_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("tok_id"))))
+            .as("ps"))
+          .select(col("seq_id"),
+            transform(col("ps"), x => x.getField("tok_id")).as("tok_ids"),
+            (col("seq_id") % 8).cast("int").as("shard"))
+        val counts = graft.ext.Export.writeTfrecordShards(seqs, dir,
+          compression = "gzip")
+        require(counts.values.sum > 0, "x223: empty shard export")
+        graft.ext.Export.readTfrecordShards(s, dir)
+          .select(col("seq_id"),
+            posexplode(col("tok_ids")).as(Seq("pos", "tok_id")))
+          .filter(col("seq_id") % 25 === 0)
+          .select(col("seq_id"), col("pos").cast("long").as("pos"),
+            col("tok_id"))
+          .orderBy("seq_id", "pos")
+      },
+      Some(s"""${bpeOracleCtes(4)},
+               $turnsSql,
+               $chatTokSql,
+               $tokSegSql,
+               tbase AS (SELECT conv_id, turn_idx, syms,
+                           COALESCE(CAST(sum(len(syms)) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                             AS BIGINT), 0) AS base
+                         FROM tls),
+               enc AS (SELECT conv_id, base + i AS pos, syms[i + 1] AS sym
+                       FROM tbase, unnest(range(0, len(syms))) AS u(i))
+               SELECT g.seq_id,
+                      CAST(g.seq_off + enc.pos - g.doc_off AS BIGINT) AS pos,
+                      cvid.tok_id
+               FROM enc JOIN cvid USING (sym) JOIN segs g USING (conv_id)
+               WHERE enc.pos >= g.doc_off AND enc.pos < g.doc_off + g.seg_len
+                 AND g.seq_id % 25 = 0
+               ORDER BY seq_id, pos""")))
 }
