@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 293-entry catalog persists ~45 shared frames per
+  // pass; under 8g the storage pool evicted early frames mid-pass and
+  // their consumers silently recomputed the corpus-sized explode (the
+  // r19 bigram-family floor drift on untouched code reads exactly like
+  // eviction-driven recompute). The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // 346 codegen'd plans in a two-pass bench run overflow the JVM's default
   // 240 MB code cache; exhaustion silently disables the JIT and the tail
   // of the run (the AQE twin) degrades 4-5x. Headroom keeps late-pass

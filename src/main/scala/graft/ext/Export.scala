@@ -133,9 +133,9 @@ object Export {
     *     compaction generation + 1) — a death here strands only staging,
     *     retracted by the next append/compact;
     *  2. every live data file renames to a hidden
-    *     `.compact-trash-<g>-<name>` — invisible to readers instantly,
-    *     no byte copied; a death here RESTORES from trash on the next
-    *     append/compact (g is uncommitted);
+    *     `.compact-trash-<g>-<name>` — no byte copied; a death here
+    *     RESTORES from trash on the next append/compact (g is
+    *     uncommitted);
     *  3. staged files move into the live shard directories under the
     *     `c<g>-` prefix — a death still restores: uncommitted `c<g>-`
     *     files retract, trash restores;
@@ -150,7 +150,20 @@ object Export {
     * and auto-assigned epochs resume above the watermark. Each shard
     * compacts to ONE file (the shard is the parallelism unit across a
     * compaction; pick shard granularity accordingly — the same lever
-    * every reader of this export already sizes by). */
+    * every reader of this export already sizes by).
+    *
+    * READERS DURING THE SWAP: the single-writer contract extends to
+    * concurrent PLAIN DIRECTORY readers — between steps 2 and 3 every
+    * shard directory is transiently empty, so a bare
+    * `spark.read.parquet(dir)` issued in that window (e.g. a loaded PQ
+    * index's lazily-read encoded table) silently sees missing rows while
+    * the manifest still records full counts. Manifest-pinned readers
+    * ([[readShards]], [[exportFrame]]-based gates like
+    * [[validateShardsContent]]) are safe-by-failure instead: they load
+    * exactly the pinned file list and REFUSE LOUDLY on a parked file.
+    * Schedule compactions in a reader quiet window, or read through the
+    * pinned/validated paths — never assume the swap is
+    * reader-transparent. */
   def compactShards(spark: SparkSession, dir: String,
                     shardCol: String = "shard",
                     writerId: Option[String] = None): Map[Long, Long] = {
@@ -171,7 +184,18 @@ object Export {
     val priorGen = Option(tree.get("compaction")).map(_.asLong).getOrElse(0L)
     val priorWm = Option(tree.get("compacted_through"))
       .map(_.asLong).getOrElse(-1L)
+    val priorExp = Option(tree.get("expired_through"))
+      .map(_.asLong).getOrElse(-1L)
     retractUncommitted(hfs, root, shardCol, committed, priorGen)
+    // a WELL-FORMED manifest that merely predates the content-digest
+    // fields must refuse with the real cause, not fieldMap's generic
+    // "not a writeShards manifest" corruption diagnostic
+    require(Option(tree.get("xor")).exists(_.isObject) &&
+        Option(tree.get("sum")).exists(_.isObject),
+      s"compactShards: the manifest at $dir predates per-shard content " +
+        "digests (no xor/sum fields) — the fold-carry needs them; " +
+        "rewrite the export via writeShards (or append one epoch) to " +
+        "upgrade the manifest, then compact")
     val counts = fieldMap(tree, "shards", dir)
     val xor = fieldMap(tree, "xor", dir)
     val sum = fieldMap(tree, "sum", dir)
@@ -180,7 +204,8 @@ object Export {
     val writerExtra = prior.orElse(writerId)
       .map(w => "writer" -> s""""$w"""").toSeq
     val extra = writerExtra ++ Seq(
-      "compacted_through" -> wm.toString, "compaction" -> g.toString)
+      "compacted_through" -> wm.toString, "compaction" -> g.toString) ++
+      (if (priorExp >= 0) Seq("expired_through" -> priorExp.toString) else Nil)
     val digests = counts.map { case (k, n) => k -> ((n, xor(k), sum(k))) }
     if (counts.isEmpty) {
       // nothing to rewrite; still collapse the log so the watermark
@@ -239,6 +264,155 @@ object Export {
     out
   }
 
+  /** EXPIRE committed append epochs by retention policy and drop their
+    * files — [[compactShards]]'s machinery with digest SUBTRACTION
+    * instead of merge. The retention companion to [[appendShards]]: a
+    * daily-ingest export otherwise keeps every epoch's files forever.
+    *
+    * Retention: an epoch expires when BOTH supplied rules agree —
+    * `keepLast = Some(n)` protects the n newest epoch ids;
+    * `olderThan = Some(w)` marks epochs strictly below the watermark w
+    * as old enough. At least one rule is required. Expired ids are
+    * always a down-set (every expired id below every survivor), so ONE
+    * scalar — `expired_through`, the max expired id — carries the
+    * refusal contract forward exactly like the compaction watermark.
+    *
+    * DIGESTS SUBTRACT, NEVER RESCAN: the expired epochs' per-shard
+    * (rows, xor, sum) are recounted from ONLY the files being dropped
+    * (the small side — they were going to be read never again), then
+    * folded OUT of the manifest's digests (xor is self-inverse; the
+    * modular sum subtracts; counts subtract). The surviving corpus is
+    * never re-read, so expiry costs O(expired), not O(export) — at
+    * 100 TB that is the difference between a retention job and a
+    * full-corpus pass.
+    *
+    * Commit protocol (single-writer; every step leaves self-healing
+    * state, and the same reader caveat as [[compactShards]] applies):
+    *  1. expired files park under hidden `.expire-trash-<epoch>-<name>`
+    *     — a death here restores from trash on the next
+    *     append/compact/expire (the epochs are still in the manifest);
+    *  2. the manifest republishes: surviving `epochs`, subtracted
+    *     digests, `expired_through` watermark, writer id carried;
+    *  3. the trash deletes (the expiry is committed — the epochs left
+    *     the commit log).
+    *
+    * EXACTLY-ONCE SURVIVES EXPIRY: a replayed epoch at or below
+    * `expired_through` is REFUSED by [[appendShards]] — expired data
+    * must not silently resurrect through an at-least-once replay, and a
+    * recycled id cannot be told apart from a new batch. Auto-assigned
+    * epochs resume above the watermark. Epochs already folded into a
+    * compaction no longer exist as file sets (the compaction dissolved
+    * their boundaries) — expiry applies to epochs still in the commit
+    * log; expire BEFORE compacting when both are scheduled. */
+  def expireEpochs(spark: SparkSession, dir: String,
+                   keepLast: Option[Int] = None,
+                   olderThan: Option[Long] = None,
+                   shardCol: String = "shard",
+                   writerId: Option[String] = None): Map[Long, Long] = {
+    require(keepLast.nonEmpty || olderThan.nonEmpty,
+      "expireEpochs needs a retention rule: keepLast and/or olderThan")
+    keepLast.foreach(n => require(n >= 0,
+      s"expireEpochs: keepLast must be >= 0, got $n"))
+    val tree = manifestTree(spark, dir)
+    val fmt = Option(tree.get("format")).map(_.asText).getOrElse("parquet")
+    require(fmt == "parquet",
+      s"expireEpochs expires parquet shard exports; the manifest at " +
+        s"$dir records format '$fmt'")
+    val prior = Option(tree.get("writer")).map(_.asText)
+    (writerId, prior) match {
+      case (Some(w), Some(p)) => require(w == p,
+        s"expireEpochs: this export's commit log belongs to writer '$p' " +
+          s"but this expiry carries writerId '$w'")
+      case _ => ()
+    }
+    require(Option(tree.get("xor")).exists(_.isObject) &&
+        Option(tree.get("sum")).exists(_.isObject),
+      s"expireEpochs: the manifest at $dir predates per-shard content " +
+        "digests (no xor/sum fields) — the digest subtraction needs " +
+        "them; rewrite the export via writeShards (or append one epoch) " +
+        "to upgrade the manifest, then expire")
+    val (hfs, root) = fs(spark, dir)
+    val committed = epochsOf(tree)
+    val priorGen = Option(tree.get("compaction")).map(_.asLong).getOrElse(0L)
+    val priorWm = Option(tree.get("compacted_through"))
+      .map(_.asLong).getOrElse(-1L)
+    val priorExp = Option(tree.get("expired_through"))
+      .map(_.asLong).getOrElse(-1L)
+    // self-heal first: a previous crashed expiry's trash restores (its
+    // epochs are still committed), stranded staging/epoch files retract
+    retractUncommitted(hfs, root, shardCol, committed, priorGen)
+    val byAge = committed.toSeq.sorted
+    val protectedIds = keepLast.map(n => byAge.takeRight(n).toSet)
+      .getOrElse(Set.empty[Long])
+    val oldEnough = olderThan.map(w => committed.filter(_ < w))
+      .getOrElse(committed)
+    val expired = (committed -- protectedIds) & oldEnough
+    val survivors = committed -- expired
+    // down-set invariant (see scaladoc): both rules only ever expire the
+    // oldest ids, so the single expired_through watermark is sound
+    require(expired.isEmpty || survivors.isEmpty ||
+      expired.max < survivors.min,
+      s"expireEpochs: internal invariant violated — expired ${expired.toSeq.sorted} " +
+        s"interleaves survivors ${survivors.toSeq.sorted}")
+    val counts = fieldMap(tree, "shards", dir)
+    if (expired.isEmpty) return counts
+    val xor = fieldMap(tree, "xor", dir)
+    val sum = fieldMap(tree, "sum", dir)
+    val qroot = hfs.makeQualified(root)
+    val shardDirs = hfs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$shardCol="))
+    // (epoch, live path) of every file being dropped — the subtraction
+    // scan's input AND the park list, from one listing pass
+    val expiredFiles: Seq[(Long, Path)] = shardDirs.toSeq.flatMap { sd =>
+      hfs.listStatus(sd.getPath).toSeq.flatMap { f =>
+        val n = f.getPath.getName
+        if (!f.isFile) None
+        else EpochFile.findFirstMatchIn(n)
+          .map(_.group(1).toLong).filter(expired.contains)
+          .map(e => (e, f.getPath))
+      }
+    }
+    val dropped: Map[Long, (Long, Long, Long)] =
+      if (expiredFiles.isEmpty) Map.empty
+      else shardDigests(
+        spark.read.option("basePath", qroot.toString)
+          .parquet(expiredFiles.map(_._2.toString): _*), shardCol)
+    val Mod = 2305843009213693952L // 2^61, the digest fold's modulus
+    val newDigests = counts.map { case (k, n) =>
+      val (dn, dx, ds) = dropped.getOrElse(k, (0L, 0L, 0L))
+      require(dn <= n,
+        s"expireEpochs: shard $k drops $dn rows but the manifest records " +
+          s"only $n — the export and its manifest have diverged")
+      k -> ((n - dn, xor(k) ^ dx, (((sum(k) - ds) % Mod) + Mod) % Mod))
+    }
+    // 1. park the expired files (hidden names: out of every directory
+    //    listing, every manifest stat, every pinned file list)
+    expiredFiles.foreach { case (e, p) =>
+      require(hfs.rename(p,
+        new Path(p.getParent, s".expire-trash-$e-${p.getName}")),
+        s"expireEpochs: could not park ${p.getName} in ${p.getParent}")
+    }
+    // 2. commit: surviving epochs, subtracted digests, expiry watermark;
+    //    surviving files' checksums carry forward (nothing re-hashes)
+    val expTh = math.max(priorExp, expired.max)
+    val extra = prior.orElse(writerId)
+      .map(w => "writer" -> s""""$w"""").toSeq ++
+      (if (priorGen > 0)
+        Seq("compacted_through" -> priorWm.toString,
+          "compaction" -> priorGen.toString)
+      else Nil) ++
+      Seq("expired_through" -> expTh.toString)
+    val out = publishManifest(spark, dir, shardCol, "expireEpochs",
+      d => spark.read.parquet(d), epochs = survivors,
+      priorHashes = stringLongMap(tree, "filehash"), extra = extra,
+      precomputed = Some(newDigests))
+    // 3. the expiry is committed — drop the trash
+    expiredFiles.foreach { case (e, p) =>
+      hfs.delete(new Path(p.getParent, s".expire-trash-$e-${p.getName}"), false)
+    }
+    out
+  }
+
   /** File prefix of a committed append epoch's data files. */
   private def epochPrefix(epoch: Long): String = s"e$epoch-"
   private val EpochFile = "^e([0-9]+)-".r
@@ -249,6 +423,9 @@ object Export {
   private def compactPrefix(gen: Long): String = s"c$gen-"
   private val CompactFile = "^c([0-9]+)-".r
   private val CompactTrash = "^\\.compact-trash-([0-9]+)-(.+)$".r
+  /** Hidden name an expiry parks a dropped epoch file under until its
+    * manifest commits ([[expireEpochs]]); group 1 is the epoch id. */
+  private val ExpireTrash = "^\\.expire-trash-([0-9]+)-(.+)$".r
 
   /** The append epochs the manifest records as committed (empty for a
     * fresh/overwrite export or a pre-epoch manifest — base files carry no
@@ -291,10 +468,14 @@ object Export {
     * `.compact-trash-<g>-<orig>` file — deleted when generation `g`
     * committed (the compaction finished, the trash is its retired
     * pre-compaction file), RESTORED to `orig` when it did not (the
-    * compaction died mid-swap; the trash IS the data). Prefix matching
-    * and renames only — no data scan. Restores run after `e`/`c`
-    * retractions in the same listing pass, so a half-swapped shard heals
-    * to exactly its pre-compaction state. */
+    * compaction died mid-swap; the trash IS the data). The same
+    * contract heals `.expire-trash-<n>-<orig>` files by the epoch
+    * commit log: epoch `n` still in `committed` means the expiry never
+    * republished the manifest — the trash restores; `n` gone means the
+    * expiry committed and the trash is its retired file — deleted.
+    * Prefix matching and renames only — no data scan. Restores run
+    * after `e`/`c` retractions in the same listing pass, so a
+    * half-swapped shard heals to exactly its pre-compaction state. */
   private def retractUncommitted(hfs: FileSystem, root: Path,
                                  shardCol: String,
                                  committed: Set[Long],
@@ -321,13 +502,23 @@ object Export {
         }
         files.foreach { f =>
           val n = f.getPath.getName
-          if (f.isFile) CompactTrash.findFirstMatchIn(n).foreach { m =>
-            if (m.group(1).toLong <= committedGen)
-              hfs.delete(f.getPath, false)
-            else require(
-              hfs.rename(f.getPath, new Path(st.getPath, m.group(2))),
-              s"could not restore pre-compaction file ${m.group(2)} " +
-                s"from stranded trash $n in ${st.getPath}")
+          if (f.isFile) {
+            CompactTrash.findFirstMatchIn(n).foreach { m =>
+              if (m.group(1).toLong <= committedGen)
+                hfs.delete(f.getPath, false)
+              else require(
+                hfs.rename(f.getPath, new Path(st.getPath, m.group(2))),
+                s"could not restore pre-compaction file ${m.group(2)} " +
+                  s"from stranded trash $n in ${st.getPath}")
+            }
+            ExpireTrash.findFirstMatchIn(n).foreach { m =>
+              if (!committed.contains(m.group(1).toLong))
+                hfs.delete(f.getPath, false)
+              else require(
+                hfs.rename(f.getPath, new Path(st.getPath, m.group(2))),
+                s"could not restore pre-expiry file ${m.group(2)} " +
+                  s"from stranded trash $n in ${st.getPath}")
+            }
           }
         }
       }
@@ -354,6 +545,7 @@ object Export {
     var writer = writerId
     var watermark = -1L
     var compactGen = 0L
+    var expiredThrough = -1L
     if (mode == SaveMode.Append) {
       // Input contracts hold BEFORE any file lands (both checks are
       // batch-sized, not corpus-sized — an epoch batch is the small side):
@@ -380,6 +572,8 @@ object Export {
             .map(_.asLong).getOrElse(-1L)
           compactGen = Option(tree.get("compaction"))
             .map(_.asLong).getOrElse(0L)
+          expiredThrough = Option(tree.get("expired_through"))
+            .map(_.asLong).getOrElse(-1L)
           // Writer-identity gate (see the appendShards scaladoc): the epoch
           // commit log belongs to one logical writer. A different writerId
           // arriving with its own epoch sequence would either silently skip
@@ -412,6 +606,16 @@ object Export {
           "by compactShards and a replay cannot be told apart from a new " +
           "batch; a true replay is already committed (safe to drop), a " +
           "new batch must carry an epoch above the watermark"))
+      // Expiry replay gate: epochs at or below the expiry watermark had
+      // their DATA DROPPED by expireEpochs — an at-least-once replay of
+      // one must not silently resurrect expired rows, and a new batch
+      // carrying a recycled id cannot be told apart from that replay.
+      // Refuse, same posture as the compaction watermark above.
+      explicitEpoch.foreach(e => require(e > expiredThrough,
+        s"$caller: epoch $e is at or below this export's expiry " +
+          s"watermark $expiredThrough — expireEpochs dropped those " +
+          "epochs' data; a replay must not resurrect it, and a new batch " +
+          "must carry an epoch above the watermark"))
       retractUncommitted(hfsPre, rootPre, shardCol, committed, compactGen)
       // Idempotent replay: an explicit epoch already in the manifest means
       // this exact batch COMMITTED on a previous attempt — an at-least-once
@@ -450,7 +654,8 @@ object Export {
       // prefix. A death anywhere in this window leaves only retractable
       // state (see the appendShards scaladoc).
       val next = explicitEpoch.getOrElse(
-        math.max((committed + 0L).max, watermark) + 1)
+        math.max(math.max((committed + 0L).max, watermark),
+          expiredThrough) + 1)
       val staging = new Path(rootPre, s"_staging-e$next")
       df.write.mode(SaveMode.Overwrite).partitionBy(shardCol)
         .parquet(staging.toString)
@@ -477,6 +682,9 @@ object Export {
         (if (compactGen > 0)
           Seq("compacted_through" -> watermark.toString,
             "compaction" -> compactGen.toString)
+        else Nil) ++
+        (if (expiredThrough >= 0)
+          Seq("expired_through" -> expiredThrough.toString)
         else Nil))
   }
 
@@ -870,13 +1078,65 @@ object Export {
     counts
   }
 
+  /** The export's parquet data files pinned to the CURRENT manifest's
+    * per-file checksum map — reader snapshot isolation. A directory
+    * listing is a moving target: a concurrent [[compactShards]] or
+    * [[expireEpochs]] mid-swap leaves every shard directory transiently
+    * empty (files parked under hidden names), and a plain
+    * `spark.read.parquet(dir)` there silently returns missing rows while
+    * the manifest still records full counts. A reader pinned to the
+    * manifest's file list instead fails LOUDLY (the scan names the
+    * missing file) — no silent short read, ever. None when the export
+    * has no manifest, predates the `filehash` field, or is not parquet
+    * (container formats read through their own CDX-gated readers). */
+  private def pinnedParquetFiles(spark: SparkSession, dir: String,
+                                 tree: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Seq[String]] = {
+    val fmt = Option(tree.get("format")).map(_.asText).getOrElse("parquet")
+    val fh = tree.get("filehash")
+    if (fmt != "parquet" || fh == null || !fh.isObject) None
+    else {
+      val (hfs, root) = fs(spark, dir)
+      val qroot = hfs.makeQualified(root)
+      val names = fh.fieldNames()
+      val b = Seq.newBuilder[String]
+      while (names.hasNext) b += new Path(qroot, names.next()).toString
+      Some(b.result().sorted)
+    }
+  }
+
+  /** [[pinnedParquetFiles]] as a frame (partition column recovered via
+    * basePath), or the plain directory read when the export cannot be
+    * pinned. Empty pinned list (a committed 0-row export) falls back to
+    * the directory read, which fails schema inference exactly as it
+    * always did — a 0-row export is read via [[readManifest]] first. */
+  private def pinnedOrDirFrame(spark: SparkSession, dir: String,
+                               tree: com.fasterxml.jackson.databind.JsonNode)
+      : DataFrame =
+    pinnedParquetFiles(spark, dir, tree) match {
+      case Some(files) if files.nonEmpty =>
+        val (hfs, root) = fs(spark, dir)
+        spark.read.option("basePath", hfs.makeQualified(root).toString)
+          .parquet(files: _*)
+      case _ => spark.read.parquet(dir)
+    }
+
   /** Read only the named shards — the filter is on the partition column,
     * so the scan prunes to those directories (a loader rank reads exactly
-    * the shards it owns). */
+    * the shards it owns). MANIFEST-PINNED: when the manifest carries the
+    * per-file checksum map, exactly those files are read (see
+    * [[pinnedParquetFiles]] — a concurrent compaction/expiry can make the
+    * read refuse loudly, never return silently short); directory reads
+    * remain only for manifest-less or pre-`filehash` dirs. */
   def readShards(spark: SparkSession, dir: String,
-                 shards: Seq[Long], shardCol: String = "shard"): DataFrame =
-    spark.read.parquet(dir)
-      .filter(col(shardCol).isin(shards: _*))
+                 shards: Seq[Long], shardCol: String = "shard"): DataFrame = {
+    val (hfs, root) = fs(spark, dir)
+    val frame =
+      if (hfs.exists(new Path(root, ManifestName)))
+        pinnedOrDirFrame(spark, dir, manifestTree(spark, dir))
+      else spark.read.parquet(dir)
+    frame.filter(col(shardCol).isin(shards: _*))
+  }
 
   /** The export's frame per its manifest `format` field: JSONL exports
     * read back under the manifest's recorded schema (JSON carries no
@@ -915,7 +1175,7 @@ object Export {
     } else if (fmt == "wet") {
       val key = Option(tree.get("key")).map(_.asText).getOrElse("key")
       wetShardFrame(spark, dir, key, shardCol)
-    } else spark.read.parquet(dir)
+    } else pinnedOrDirFrame(spark, dir, tree)
   }
 
   /** JSONL shard directory as a DataFrame: the data columns under the
@@ -3086,11 +3346,15 @@ object Export {
   }
 
   /** The export's record index as a DataFrame — (key, url, shard,
-    * offset, length), one row per response record, read from the
+    * offset, length), one row per record — response AND revisit records
+    * both index (an export written with `revisitOfCol` interleaves the
+    * two kinds; the CDX covers every keyed record) — read from the
     * dot-hidden CDX sidecars [[writeWarcShards]] writes beside each
     * container. Metadata-scaled (no payload byte is touched): the
     * url-dedup/blocklist passes that only need (key, url) run here
-    * instead of a record-level container scan. */
+    * instead of a record-level container scan. Payload fetches of
+    * revisit keys refuse in [[readWarcRecords]] (revisits carry no
+    * payload) — read them via [[readWarcRevisits]]. */
   def readWarcRecordIndex(spark: SparkSession, dir: String,
                           shards: Seq[Long] = Nil,
                           shardCol: String = "shard"): DataFrame =
@@ -3109,7 +3373,10 @@ object Export {
     * though its sequential scan is one task. Output matches
     * [[readWarcShards]]: (key, url, status, mime, payload, payload_len,
     * shard). Unknown keys return no row (validate against
-    * [[readWarcRecordIndex]] when presence matters). */
+    * [[readWarcRecordIndex]] when presence matters). A key naming a
+    * REVISIT record refuses loudly by name — revisits carry no payload
+    * for this reader to fetch; read them via [[readWarcRevisits]] /
+    * [[readWarcRevisitStream]]. */
   def readWarcRecords(spark: SparkSession, dir: String,
                       keys: Seq[String],
                       shardCol: String = "shard"): DataFrame = {
@@ -3118,6 +3385,17 @@ object Export {
     cdxMemberBytes(spark, dir, keys, shardCol)
       .map { case (key, _, shard, uri, off, buf, gz) =>
         val recs = parseMember(buf, gz, in => warcResponses(in, true))
+        if (recs.isEmpty) {
+          // the member holds no response record — if it is a REVISIT the
+          // CDX is fine and the CALLER asked for the wrong reader; say
+          // so instead of surfacing a corruption-style cdx mismatch
+          val revs = parseMember(buf, gz, warcRevisits)
+          require(!revs.exists(_._1 == key),
+            s"readWarcRecords: key '$key' names a REVISIT record " +
+              s"(refers_to=${revs.find(_._1 == key).map(_._3).getOrElse("?")}) " +
+              "— revisit records carry no payload to fetch; read them " +
+              "via readWarcRevisits/readWarcRevisitStream")
+        }
         require(recs.length == 1 && recs.head._1 == key,
           s"cdx mismatch at $uri:$off — expected one record for key " +
             s"'$key', got ${recs.map(_._1).mkString(",")}")

@@ -1510,4 +1510,183 @@ class ExportSpec extends SparkSpec {
     } finally Seq(warcDir, wetDir).foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
   }
+
+  test("expireEpochs drops old epochs by subtraction: retention rules, digests, replay refusal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("expshard").toString
+    try {
+      def batch(ids: Seq[Long]) =
+        ids.map(i => (i, i % 2, s"text-$i")).toDF("doc_id", "shard", "text")
+      // append x4 (epochs 1..4), two shards each
+      Export.appendShards(batch(Seq(1L, 2L)), dir, epoch = Some(1L))
+      Export.appendShards(batch(Seq(3L, 4L)), dir, epoch = Some(2L))
+      Export.appendShards(batch(Seq(5L, 6L)), dir, epoch = Some(3L))
+      Export.appendShards(batch(Seq(7L, 8L)), dir, epoch = Some(4L))
+      assert(Export.committedEpochs(spark, dir) === Set(1L, 2L, 3L, 4L))
+      // a retention rule is required; a vacuous one is a no-op
+      intercept[IllegalArgumentException](Export.expireEpochs(spark, dir))
+      val noop = Export.expireEpochs(spark, dir, keepLast = Some(10))
+      assert(Export.committedEpochs(spark, dir) === Set(1L, 2L, 3L, 4L))
+      assert(noop === Export.readManifest(spark, dir))
+      // keepLast = 2: epochs 1,2 expire; exactly epochs 3,4's rows survive
+      val counts = Export.expireEpochs(spark, dir, keepLast = Some(2))
+      assert(Export.committedEpochs(spark, dir) === Set(3L, 4L))
+      assert(counts.values.sum === 4L)
+      assert(Export.readShards(spark, dir, counts.keys.toSeq)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(5L, 6L, 7L, 8L))
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(dir, "_graft_manifest.json"))
+      assert(tree.get("expired_through").asLong === 2L)
+      // subtracted digests re-verify against a full content recount,
+      // and the per-file checksums carried forward for the survivors
+      assert(Export.validateShardsContent(spark, dir) === counts)
+      // replay of an expired epoch REFUSES (no silent resurrection),
+      // pre-expiry epochs' files are gone from disk
+      val e = intercept[IllegalArgumentException](
+        Export.appendShards(batch(Seq(9L)), dir, epoch = Some(2L)))
+      assert(e.getMessage.contains("expiry watermark"))
+      val stray = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles())
+        .filter(f => f.getName.startsWith("e1-") || f.getName.startsWith("e2-"))
+      assert(stray.isEmpty, s"expired files survive: ${stray.mkString(",")}")
+      // auto-assigned epochs resume above the expiry watermark
+      Export.appendShards(batch(Seq(9L, 10L)), dir)
+      assert(Export.committedEpochs(spark, dir) === Set(3L, 4L, 5L))
+      // olderThan alone: epochs strictly below the watermark expire
+      val c2 = Export.expireEpochs(spark, dir, olderThan = Some(4L))
+      assert(Export.committedEpochs(spark, dir) === Set(4L, 5L))
+      assert(c2.values.sum === 4L)
+      assert(Export.validateShardsContent(spark, dir) === c2)
+      // combined rules: keepLast PROTECTS the newest even when olderThan
+      // marks everything — both rules must agree to expire
+      val c3 = Export.expireEpochs(spark, dir,
+        keepLast = Some(1), olderThan = Some(100L))
+      assert(Export.committedEpochs(spark, dir) === Set(5L))
+      assert(c3.values.sum === 2L)
+      assert(Export.readShards(spark, dir, c3.keys.toSeq)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(9L, 10L))
+      assert(Export.validateShardsContent(spark, dir) === c3)
+      // the expiry watermark survives a compaction
+      Export.compactShards(spark, dir)
+      val tree2 = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(dir, "_graft_manifest.json"))
+      assert(tree2.get("expired_through").asLong === 4L)
+      assert(Export.validateShardsContent(spark, dir) === c3)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("expireEpochs death windows self-heal: uncommitted trash restores, committed trash drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("exphealshard").toString
+    try {
+      def batch(ids: Seq[Long]) =
+        ids.map(i => (i, i % 2, s"text-$i")).toDF("doc_id", "shard", "text")
+      Export.appendShards(batch(Seq(1L, 2L)), dir, epoch = Some(1L))
+      Export.appendShards(batch(Seq(3L, 4L)), dir, epoch = Some(2L))
+      // simulate an expiry of epoch 1 dying AFTER the park, BEFORE the
+      // manifest republish: epoch 1 is still committed, its files hidden
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard="))
+      for (sd <- shardDirs; f <- sd.listFiles() if f.getName.startsWith("e1-")) {
+        assert(f.renameTo(new java.io.File(sd, s".expire-trash-1-${f.getName}")))
+        val crc = new java.io.File(sd, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+      // the next append heals by RESTORING the trash (expiry uncommitted)
+      Export.appendShards(batch(Seq(5L, 6L)), dir, epoch = Some(3L))
+      assert(Export.readShards(spark, dir,
+          Export.readManifest(spark, dir).keys.toSeq)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(Export.validateShardsContent(spark, dir).values.sum === 6L)
+      // now a COMMITTED expiry's stranded trash (epoch no longer in the
+      // log) is retired garbage: the next append drops it, rows unchanged
+      Export.expireEpochs(spark, dir, olderThan = Some(2L))
+      for (sd <- shardDirs; f <- sd.listFiles() if f.getName.startsWith("e2-")) {
+        val twin = new java.io.File(sd, s".expire-trash-1-stale-${f.getName}")
+        java.nio.file.Files.copy(f.toPath, twin.toPath)
+      }
+      Export.appendShards(batch(Seq(7L, 8L)), dir, epoch = Some(4L))
+      assert(!shardDirs.flatMap(_.listFiles())
+        .exists(_.getName.startsWith(".expire-trash")))
+      assert(Export.validateShardsContent(spark, dir).values.sum === 6L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("manifest-pinned reads refuse loudly mid-swap instead of a silent short read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pinshard").toString
+    try {
+      val df = (0L until 40L).map(i => (i, s"doc $i", i % 4))
+        .toDF("doc_id", "text", "shard")
+      val counts = Export.writeShards(df, dir)
+      // healthy export: the pinned read returns exactly the manifest rows
+      assert(Export.readShards(spark, dir, counts.keys.toSeq).count() === 40L)
+      // simulate a compaction mid-swap (between park and move-in): every
+      // live data file renamed to hidden trash, directories transiently
+      // empty while the manifest still records full counts
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard="))
+      for (sd <- shardDirs; f <- sd.listFiles()
+           if f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")) {
+        assert(f.renameTo(new java.io.File(sd, s".compact-trash-1-${f.getName}")))
+        val crc = new java.io.File(sd, s".${f.getName}.crc")
+        if (crc.exists()) crc.delete()
+      }
+      // a plain directory read would silently return 0 rows here; the
+      // manifest-pinned read REFUSES, naming a missing pinned file
+      val e = intercept[Throwable](
+        Export.readShards(spark, dir, counts.keys.toSeq).count())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("not exist") || m.contains("FileNotFound"))),
+        s"expected a loud missing-file refusal, got: $e")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("keyed WARC fetch of a revisit key refuses by name, not as cdx corruption") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcrevfetch").toString
+    try {
+      val rows = Seq(
+        ("doc-0001", "https://h.example.com/1", 200, "text/html",
+          "body-1".getBytes("UTF-8"), 0, null.asInstanceOf[String]),
+        ("rev-0001", "https://h.example.com/1", 0, "",
+          null.asInstanceOf[Array[Byte]], 0, "doc-0001"))
+        .toDF("key", "url", "status", "mime", "payload", "shard", "revisit_of")
+        .withColumn("shard", col("shard").cast("int"))
+      Export.writeWarcShards(rows, dir, compression = "gzip",
+        revisitOfCol = Some("revisit_of"))
+      // the CDX indexes BOTH kinds; response fetch works
+      val idx = Export.readWarcRecordIndex(spark, dir)
+        .select("key").collect().map(_.getString(0)).sorted
+      assert(idx === Array("doc-0001", "rev-0001"))
+      val got = Export.readWarcRecords(spark, dir, Seq("doc-0001"))
+        .select("key").collect().map(_.getString(0))
+      assert(got === Array("doc-0001"))
+      // fetching the revisit key names the real cause and the right reader
+      val e = intercept[org.apache.spark.SparkException](
+        Export.readWarcRecords(spark, dir, Seq("rev-0001")).collect())
+      val msg = chainMsg(e)
+      assert(msg.contains("REVISIT") && msg.contains("readWarcRevisits"),
+        s"wrong refusal: $msg")
+      assert(msg.contains("doc-0001"), s"refers_to missing from refusal: $msg")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  private def chainMsg(t: Throwable): String = {
+    val b = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { b.append(Option(c.getMessage).getOrElse("")).append(" | "); c = c.getCause }
+    b.toString
+  }
 }
