@@ -227,6 +227,50 @@ object Multimodal {
     // and delete a temp FILE on the executor per decoded payload
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Baseline JPEG encode of a GRAYSCALE plane through the JDK's
+      * production writer (java.desktop, headless-safe) at explicit
+      * `quality` — the [[imageIoPixels]] bridge's WRITE side, so a
+      * JPEG round trip can be driven entirely from library code. The
+      * plane rides all THREE RGB channels (R=G=B=v): the YCbCr
+      * transform then carries Y=v with FLAT chroma (Cb=Cr=128, every
+      * offset term zero), and at quality 1.0 the scaled quantization
+      * tables are all-ones — making the round trip PIXEL-EXACT for
+      * images constant within each 8×8 block (DC-only blocks —
+      * MultimodalSpec and the x166b catalog row pin exactly this).
+      * A single-channel TYPE_BYTE_GRAY image would NOT have that
+      * property: the decoder's linear-gray → sRGB colorspace
+      * conversion inside getRGB remaps every sample (measured: gamma
+      * shift on the whole range). General images remain lossy per the
+      * codec's nature. */
+    def jpegEncodeGray(width: Int, height: Int, gray: Array[Byte],
+                       quality: Float = 1.0f): Array[Byte] = {
+      require(width > 0 && height > 0 && gray.length == width * height,
+        s"jpegEncodeGray: ${gray.length} bytes for ${width}x$height")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = gray(y * width + x) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(out)
+        w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { w.dispose(); out.close() }
+      bos.toByteArray
+    }
+
     def imageIoPixels(b: Array[Byte]): Option[Raster] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))

@@ -283,6 +283,75 @@ object MediaQueries {
                      CAST(sum(bit) AS BIGINT) AS bits
               FROM p GROUP BY 1, 2 ORDER BY doc_id, row_no""")),
 
+    // x166b — JPEG pixel-exact fingerprints: the x166 contract driven
+    // through a REAL LOSSY CODEC — each doc's 9×8 char-code grid rendered
+    // as a 72×64 BLOCK-FLAT RGB JPEG (every 8×8 JPEG block one flat
+    // value, written by the JDK encoder at quality 1.0), decoded through
+    // the PRODUCTION ImageIO bridge (the JDK's Huffman+IDCT, not our PNG
+    // path), luma → dHash. Pixel-exactness is engineered, not hoped for:
+    // DC-only blocks + all-ones quantization tables + flat chroma make
+    // the JPEG round trip lossless for exactly this image class, and
+    // dHash's 9×8 box average samples each flat block whole — so the
+    // DuckDB oracle recomputes the same hash from char codes having seen
+    // neither a JPEG nor the JDK, and a drift ANYWHERE in the bridge
+    // (subsampling default, IDCT variant, color conversion) fails the
+    // hash row, not a prose claim. Same map-side scale posture as x166.
+    QueryDef("x166b_jpeg_dhash",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              // codepoint indexing — the pixelDHashShared rationale
+              val cps = text.codePoints().toArray
+              val px = new Array[Byte](72 * 64)
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 9) {
+                  val v = (cps((gy * 9 + gx) % cps.length) % 256).toByte
+                  var y = gy * 8
+                  while (y < gy * 8 + 8) {
+                    var x = gx * 8
+                    while (x < gx * 8 + 8) { px(y * 72 + x) = v; x += 1 }
+                    y += 1
+                  }
+                  gx += 1
+                }
+                gy += 1
+              }
+              Multimodal.MediaFile(id, "image",
+                Multimodal.MediaCodecs.jpegEncodeGray(72, 64, px), Map.empty)
+            }
+          }
+        Multimodal.perceptualHashes(media)
+          .filter(col("phash").isNotNull)
+          .select(col("media_id").as("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, 7), g -> shiftright(phash, 8 * g) & 255L)"))
+              .as(Seq("row_no", "bits")))
+          .select(col("doc_id"), col("row_no").cast("long").as("row_no"),
+            col("bits"))
+          .orderBy("doc_id", "row_no")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+                         FROM documents WHERE length(text) > 0),
+                   g AS (SELECT doc_id, gy.range AS gy, gx.range AS gx,
+                           ord(substr(text,
+                             CAST(((gy.range * 9 + gx.range) % n) + 1 AS BIGINT),
+                             1)) % 256 AS v
+                         FROM d, range(0, 8) gy, range(0, 9) gx),
+                   p AS (SELECT a.doc_id, a.gy, a.gx,
+                           CASE WHEN b.v > a.v THEN 1 << a.gx ELSE 0 END AS bit
+                         FROM g a JOIN g b ON a.doc_id = b.doc_id
+                           AND a.gy = b.gy AND b.gx = a.gx + 1
+                         WHERE a.gx < 8)
+              SELECT doc_id, CAST(gy AS BIGINT) AS row_no,
+                     CAST(sum(bit) AS BIGINT) AS bits
+              FROM p GROUP BY 1, 2 ORDER BY doc_id, row_no""")),
+
     // x167 — pixel near-dup pairs: banded Hamming pairing over the x166
     // dHashes through the SAME 4×16-bit machinery as text SimHash (x111)
     // — complete for hamming ≤ 3 by pigeonhole, bucket-capped, one

@@ -1312,6 +1312,79 @@ object PackingQueries {
                        AS capacity_ok
               FROM per CROSS JOIN m""")),
 
+    // x135c — streaming packer parity gate: replay the x135 corpus
+    // through a REAL MemoryStream query into
+    // StreamingOps.streamingPacker in THREE UNEVEN chops (the x161b
+    // discipline — boundary-straddling state must carry across
+    // micro-batches) and require every doc's packing coordinates to
+    // equal the batch packPlan layout (capacity 128, seed 42) —
+    // PackSpec's one-doc-per-batch parity made driver-visible AND
+    // strengthened: multi-doc chops exercise exactly the cross-chop
+    // cumulative-count carry the one-doc replay cannot. Key-ordered
+    // delivery: the packer's contract is arrival-order packing with
+    // within-batch doc_id ordering, and the plan's md5-shuffled layout
+    // order is NOT doc_id-monotonic — so the replay feeds docs under a
+    // surrogate key (the doc's layout rank), making arrival order = plan
+    // order hold for ANY chop boundaries, then maps coordinates back to
+    // real doc_ids for the equality. Lane state: ONE Long. Replay runs
+    // on a cloned session with pinned shuffle partitions (the
+    // replayMonitor rationale).
+    QueryDef("x135c_pack_stream_gate",
+      (s, d) => {
+        val plan = packPlanShared(s, d)
+        // the layout-order sort comes AFTER the join — a join does not
+        // preserve its input's order, and plan order IS the contract here
+        val ordered = plan
+          .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id")
+          .select(col("doc_id"), col("text"), col("n_tokens"),
+            col("cum_before"), col("start_seq"), col("start_off"),
+            col("end_seq"), col("n_segs"))
+          .orderBy("cum_before")
+          .collect()
+        val expected = ordered.map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7)))).toMap
+        val feed: Seq[(Long, String)] = ordered.zipWithIndex
+          .map { case (r, rank) => (rank.toLong, r.getString(1)) }.toSeq
+        val rankToDoc = ordered.zipWithIndex
+          .map { case (r, rank) => rank.toLong -> r.getLong(0) }.toMap
+        val ok = {
+          val ss = s.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "2")
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          implicit val sq = ss.sqlContext
+          import ss.implicits._
+          val mem = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, String)]
+          val acc = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, (Long, Long, Long, Long, Long, Long))]
+          val query = graft.streaming.StreamingOps.streamingPacker(
+              mem.toDF().toDF("doc_id", "text"),
+              capacity = 128L, shards = 1)
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              val got = b.collect().map(r => (r.getLong(1),
+                (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+                  r.getLong(6), r.getLong(7))))
+              acc.synchronized { acc ++= got }
+              ()
+            }
+            .outputMode("append").start()
+          try Seq(feed.take(feed.length / 3),
+              feed.slice(feed.length / 3, feed.length / 2),
+              feed.drop(feed.length / 2))
+            .foreach { c => mem.addData(c); query.processAllAvailable() }
+          finally query.stop()
+          val got = acc.map { case (rank, coords) =>
+            rankToDoc(rank) -> coords }.toMap
+          got == expected && expected.nonEmpty
+        }
+        import s.implicits._
+        Seq(ok).toDF("pack_stream_ok")
+      },
+      Some("SELECT CAST(1 AS BOOLEAN) AS pack_stream_ok")),
+
     // x142 — pack rehydration: the packing family closed end-to-end —
     // x136's layout coordinates joined back to the corpus, token arrays
     // sliced at (doc_off, seg_len), sequences reassembled in slice order.

@@ -653,4 +653,35 @@ class MultimodalSpec extends SparkSpec {
     bad(idx + 4) = (bad(idx + 4) ^ 0x01).toByte
     assert(MediaCodecs.aviFrames(bad).isEmpty)
   }
+
+  test("jpegEncodeGray round-trips block-flat planes pixel-exactly through the ImageIO bridge") {
+    val rnd = new scala.util.Random(23)
+    // block-flat 72x64: each 8x8 JPEG block one value -> DC-only blocks,
+    // all-ones quant tables at quality 1.0, flat chroma => lossless
+    val block = Array.fill(8, 9)(rnd.nextInt(256))
+    val px = new Array[Byte](72 * 64)
+    for (y <- 0 until 64; x <- 0 until 72)
+      px(y * 72 + x) = block(y / 8)(x / 8).toByte
+    val jpeg = MediaCodecs.jpegEncodeGray(72, 64, px)
+    // it IS a JPEG (SOI marker) and the header parse sees the dims
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+    assert(MediaCodecs.imageDimensions(jpeg) === Some((72, 64)))
+    val r = MediaCodecs.imageIoPixels(jpeg).get
+    assert(r.width === 72 && r.height === 64 && r.channels === 3)
+    for (y <- 0 until 64; x <- 0 until 72; c <- 0 until 3)
+      assert((r.pixels((y * 72 + x) * 3 + c) & 0xff) === block(y / 8)(x / 8),
+        s"pixel ($x,$y,$c)")
+    // dHash through the codec equals dHash of the raw plane: the 9x8 box
+    // average samples each flat block whole
+    assert(MediaCodecs.dHash64(r) ===
+      MediaCodecs.dHash64(Raster(72, 64, 1, px)))
+    // general (non-flat) images are lossy, and the codec says so: decoded
+    // bytes differ, no silent exactness claim outside the flat class
+    val noisy = Array.fill(72 * 64)(rnd.nextInt(256).toByte)
+    val back = MediaCodecs.imageIoPixels(
+      MediaCodecs.jpegEncodeGray(72, 64, noisy)).get
+    val exact = (0 until 72 * 64).forall(i =>
+      (back.pixels(i * 3) & 0xff) === (noisy(i) & 0xff))
+    assert(!exact, "random-noise JPEG round trip cannot be lossless")
+  }
 }

@@ -152,6 +152,41 @@ class PackSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer carries lane state across uneven multi-doc chops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // plan-order delivery under a surrogate rank key (the packer sorts
+    // within a batch by doc_id, and plan order is not doc_id-monotonic) —
+    // the x135c catalog gate's replay shape, pinned here at fixture scale
+    val plan = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
+      .orderBy("cum_before").collect()
+    val texts = fixture.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feed = plan.zipWithIndex.map { case (r, rank) =>
+      (rank.toLong, texts(r.getAs[Long]("doc_id"))) }.toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.streamingPacker(
+        in.toDF().toDF("doc_id", "text"), capacity = 8L, shards = 1)
+      .writeStream.format("memory").queryName("pack_stream_chops")
+      .outputMode("append").start()
+    try {
+      // three UNEVEN chops: the cumulative count must carry across
+      // micro-batch boundaries (one-doc-per-batch cannot check that)
+      Seq(feed.take(2), feed.slice(2, 3), feed.drop(3))
+        .foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("pack_stream_chops")
+        .orderBy("doc_id")
+        .select("n_tokens", "cum_before", "start_seq", "start_off",
+          "end_seq", "n_segs")
+        .collect().map(_.toSeq).toSeq
+      val batch = plan.map(r => Seq(
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_before"),
+        r.getAs[Long]("start_seq"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("end_seq"), r.getAs[Long]("n_segs"))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("prefix sum is two-phase: doc windows partition by bucket, only the " +
        "bucket-subtotal window is single-partition") {
     val plan = Pack.packPlan(fixture, capacity = 8L, seed = 7L)
