@@ -106,6 +106,15 @@ object Bench {
       sfDir.replaceAll("/+$", "").replaceAll("sf[0-9.]+$", "sf0.001"))
     val warmOk = warmDir != sfDir && new java.io.File(warmDir).isDirectory
     val warmSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
+    // Local-iteration filter, same contract as Verify: SPARK_GRAFT_ONLY=
+    // "x119,x42" times only queries whose name starts with one of the
+    // prefixes. Unset (the driver) = the full catalog. Warm-up warms the
+    // SAME filtered set — only selected queries get timed, so warming the
+    // other ~290 shapes is pure wall-clock (a scoped solo re-measure paid
+    // ~300 s of full-catalog warm-up to time one key before this).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(n: String) = only.forall(_.exists(n.startsWith))
     if (!warmOk)
       // Warming at the timed SF would roughly double wall time (the
       // quadratic pair queries run twice) and pre-warm OS caches with the
@@ -117,7 +126,8 @@ object Bench {
       val nThreads =
         math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
-      val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, q) =>
+      val tasks = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(p => selected(p._1)).map { case (name, q) =>
         pool.submit(new Runnable {
           def run(): Unit = {
             val t0 = System.nanoTime()
@@ -156,17 +166,12 @@ object Bench {
         }
       }
     }
-    // Local-iteration filter, same contract as Verify: SPARK_GRAFT_ONLY=
-    // "x119,x42" times only queries whose name starts with one of the
-    // prefixes. Unset (the driver) = the full catalog.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     // Most-expensive-first (warm-up seconds are the proxy — same plan
     // shapes, smaller data): a driver kill mid-pass then truncates the
     // cheap tail, not the headline keys. Alphabetical when warm-up was
     // skipped, and as the tie-break, so the order stays deterministic.
     val names = SparkEntry.queries.keys.toSeq
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(selected)
       .sortBy(n => (-warmSecs.getOrElse(n, 0.0), n))
     // shared-frame attribution: each one-time shared build (persisted frame,
     // BPE training, PCA model) is reported as its OWN `frame:<tag>` timing
