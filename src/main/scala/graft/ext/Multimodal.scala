@@ -242,24 +242,33 @@ object Multimodal {
       * conversion inside getRGB remaps every sample (measured: gamma
       * shift on the whole range). General images remain lossy per the
       * codec's nature. */
+    // One cached JPEG ImageWriter per thread: writers are not
+    // thread-safe, and the per-call registry scan + dispose cost
+    // dominates a corpus-sized encode loop (one writer instance per
+    // executor thread for the JVM's lifetime is the standard reuse).
+    private val jpegWriterTL =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+
     def jpegEncodeGray(width: Int, height: Int, gray: Array[Byte],
                        quality: Float = 1.0f): Array[Byte] = {
       require(width > 0 && height > 0 && gray.length == width * height,
         s"jpegEncodeGray: ${gray.length} bytes for ${width}x$height")
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val v = gray(y * width + x) & 0xff
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
+      // one bulk ARGB store, not width*height per-pixel setRGB calls
+      // (each of which re-checks the color model) — the imageIoPixels
+      // read side already does the mirror-image bulk getRGB
+      val argb = new Array[Int](width * height)
+      var i = 0
+      while (i < argb.length) {
+        val v = gray(i) & 0xff
+        argb(i) = (v << 16) | (v << 8) | v
+        i += 1
       }
+      img.setRGB(0, 0, width, height, argb, 0, width)
       val bos = new java.io.ByteArrayOutputStream()
-      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val w = jpegWriterTL.get()
       val p = w.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
@@ -267,7 +276,10 @@ object Multimodal {
       try {
         w.setOutput(out)
         w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      } finally { w.dispose(); out.close() }
+      } finally {
+        w.setOutput(null)
+        out.close()
+      }
       bos.toByteArray
     }
 

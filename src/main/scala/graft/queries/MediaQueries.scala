@@ -301,7 +301,14 @@ object MediaQueries {
         import s.implicits._
         val media = Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text"))
+          // the fixture table is one parquet file = ONE scan partition,
+          // and ~1 ms/doc of per-image JDK codec work on a single task
+          // is the whole wall time — spread the encode/decode loop
+          // across the executor threads (x166's pure-JVM PNG codec is
+          // an order of magnitude cheaper per doc and never needed this)
+          .repartition(col("doc_id"))
+          .as[(Long, String)]
           .mapPartitions { it =>
             it.map { case (id, text) =>
               // codepoint indexing — the pixelDHashShared rationale
