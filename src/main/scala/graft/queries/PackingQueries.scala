@@ -808,6 +808,81 @@ object PackingQueries {
                      CAST(doc_id % 5 AS BIGINT) AS shard
               FROM documents ORDER BY doc_id""")),
 
+    // x224 — epoch RETENTION on the board as an oracle row: the daily
+    // append → retention-expire → re-ingest lifecycle end-to-end,
+    // completing x221's compaction story (every export lifecycle op now
+    // has a driver-visible row). A base write plus two appended epochs
+    // land (each lifecycle action is fixed driver overhead, not data
+    // cost — the fixture carries the minimum that still exercises
+    // every contract; ExportSpec covers the richer rule combinations);
+    // expireEpochs(keepLast = 1) drops epoch 1's files by digest
+    // SUBTRACTION (only the dropped files re-read — O(expired), never a
+    // corpus rescan); full revalidation (recount + per-file checksums)
+    // then proves the subtracted digests match what a recount derives.
+    // The expired epoch's documents RE-INGEST without an explicit epoch
+    // id and must land ABOVE the expiry watermark (auto-epoch resume —
+    // a recycled id would be indistinguishable from a resurrecting
+    // replay, which the inline require proves refuses). The READ-BACK OF
+    // THE FINAL STATE is what gets hashed: base + surviving epochs +
+    // re-ingested batch ≡ the whole documents table, so a row lost to
+    // the swap, a digest drift, a watermark bug, or a broken park/heal
+    // all fail the row/hash compare — while the intermediate state
+    // really did have epoch 1's rows gone (the post-expiry revalidation
+    // counts say so, inline).
+    QueryDef("x224_expire_roundtrip",
+      (s, d) => {
+        val dir = exportScratchDir(d, "x224-expire")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (col("doc_id") % 5).cast("long").as("shard"))
+        Export.writeShards(docs.filter(col("doc_id") % 3 === 0), dir)
+        Export.appendShards(docs.filter(col("doc_id") % 3 === 1), dir,
+          epoch = Some(1L))
+        Export.appendShards(docs.filter(col("doc_id") % 3 === 2), dir,
+          epoch = Some(2L))
+        val epoch1 = docs.filter(col("doc_id") % 3 === 1)
+        val before = Export.readManifest(s, dir)
+        val counts = Export.expireEpochs(s, dir, keepLast = Some(1))
+        require(Export.committedEpochs(s, dir) == Set(2L),
+          "x224: keepLast = 1 must leave exactly epoch 2")
+        val droppedRows = before.values.sum - counts.values.sum
+        require(droppedRows > 0 && counts.values.sum > 0,
+          s"x224: expiry must drop epoch 1's rows and keep the rest " +
+            s"(dropped $droppedRows of ${before.values.sum})")
+        require(Export.validateShardsContent(s, dir) == counts,
+          "x224: post-expiry revalidation mismatch — digest subtraction " +
+            "does not match a recount of the surviving files")
+        val refused =
+          try {
+            Export.appendShards(epoch1, dir, epoch = Some(1L)); false
+          } catch {
+            case e: IllegalArgumentException =>
+              e.getMessage.contains("expiry")
+          }
+        require(refused,
+          "x224: replayed expired epoch did not refuse at the expiry " +
+            "watermark")
+        Export.appendShards(epoch1, dir)
+        require(Export.committedEpochs(s, dir) == Set(2L, 3L),
+          "x224: re-ingest must auto-assign the epoch above the expiry " +
+            "watermark (expected 3)")
+        // final-state content proof is the ORACLE HASH below (plus the
+        // manifest counts here) — a second full revalidation would
+        // recount+rehash the whole export again for rows the hash row
+        // already adjudicates; the expensive recount proof belongs to
+        // the subtraction step above
+        require(Export.readManifest(s, dir) == before,
+          "x224: final manifest counts do not match the pre-expiry state " +
+            "after re-ingest")
+        Export.readShards(s, dir, before.keySet.toSeq.sorted)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("shard").cast("long").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars,
+                     CAST(doc_id % 5 AS BIGINT) AS shard
+              FROM documents ORDER BY doc_id""")),
+
     // x75 — packing-efficiency curve: the x135 packPlan layout evaluated
     // at several sequence budgets at once — n_seqs, packed tokens, and the
     // utilization fraction per budget — the diagnostic that picks a
