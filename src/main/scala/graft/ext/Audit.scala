@@ -78,6 +78,18 @@ object Audit {
       struct(vl.as("vl"), vd.as("vd"), vs.as("vs")))
   }
 
+  /** Does [[canon]] render this type as a STRING (vs a bigint)? String
+    * min/max buffers are not HashAggregate-mutable, and ONE of them in an
+    * aggregate list demotes the whole global aggregate to interpreted
+    * SortAggregate (the x198 lesson, measured 2.4×) — so the profile
+    * passes below split on exactly this predicate. */
+  private def canonIsString(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | TimestampType | TimestampNTZType |
+         DateType => false
+    case _ => true
+  }
+
   /** Per-column profile of `df` in ONE aggregation: row count, null count,
     * exact distinct count, and canonicalized min/max ([[canon]]) rendered
     * as strings. One output row per column, ordered by name. */
@@ -118,16 +130,42 @@ object Audit {
       case StringType => col(f.name)
       case _ => col(f.name).cast("string")
     }
-    val aggs = fields.flatMap { f =>
+    // Counts + HLL sketches + NUMERIC-canon min/max in one codegen'd
+    // HashAggregate pass (HLL++ buffers are fixed-width, so they stay
+    // hash-aggregable); STRING-canon min/max — the buffers that demote a
+    // global aggregate to interpreted SortAggregate — run as a second
+    // column-pruned pass over just those columns, crossJoined back (both
+    // are one-row frames). See [[canonIsString]].
+    val strFields =
+      if (df.isStreaming) Seq.empty[StructField]
+      else fields.filter(f => canonIsString(f.dataType))
+    val splitSet = strFields.map(_.name).toSet
+    // Fan-out + ReuseExchange: see profileFrame.
+    val src = Par.fanOutScan(df)
+    val aggsA = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(lit(1)).as(s"${f.name}__n"),
         (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
-        approx_count_distinct(acdChild(f), rsd).as(s"${f.name}__nd"),
-        min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
-        max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+        approx_count_distinct(acdChild(f), rsd).as(s"${f.name}__nd")) ++
+        (if (splitSet.contains(f.name)) Nil
+         else Seq(
+           min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+           max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max")))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    val one0 = src.agg(aggsA.head, aggsA.tail: _*)
+    val one =
+      if (strFields.isEmpty) one0
+      else {
+        val aggsB = strFields.flatMap { f =>
+          val c = col(f.name)
+          Seq(
+            min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+            max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+        }
+        one0.crossJoin(src.agg(aggsB.head, aggsB.tail: _*))
+      }
+    one
       .select(explode(array(fields.map(f => struct(
         lit(f.name).as("col_name"),
         col(s"${f.name}__n").as("n_rows"),
@@ -142,15 +180,46 @@ object Audit {
   private def profileFrame(df: DataFrame, distinct: Boolean): DataFrame = {
     val fields = df.schema.fields.toSeq.sortBy(_.name)
     require(fields.nonEmpty, "profile of a zero-column frame")
-    val aggs = fields.flatMap { f =>
+    // Same split as approxProfile: counts + numeric-canon min/max stay in
+    // one codegen'd HashAggregate; string-canon min/max (SortAggregate-
+    // forcing buffers) run as a second column-pruned pass, crossJoined
+    // back (both one-row frames). See [[canonIsString]]. STREAMING frames
+    // keep the original single aggregate: a complete-mode stream supports
+    // exactly one aggregation (x194b runs mergeableProfile that way), and
+    // the SortAggregate penalty is per-micro-batch increments there, not
+    // a corpus scan. Both shapes compute identical rows.
+    val strFields =
+      if (df.isStreaming) Seq.empty[StructField]
+      else fields.filter(f => canonIsString(f.dataType))
+    val splitSet = strFields.map(_.name).toSet
+    // Fan a starved single-split scan out across the cores (no-op for
+    // streams and for well-split 100 TB inputs); the identical exchange
+    // subtree under every pass below is deduped by ReuseExchange, so the
+    // source is scanned+shuffled once however many passes consume it.
+    val src = Par.fanOutScan(df)
+    val aggsA = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(lit(1)).as(s"${f.name}__n"),
-        (count(lit(1)) - count(c)).as(s"${f.name}__nnull"),
-        min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
-        max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+        (count(lit(1)) - count(c)).as(s"${f.name}__nnull")) ++
+        (if (splitSet.contains(f.name)) Nil
+         else Seq(
+           min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+           max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max")))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = {
+      val a = src.agg(aggsA.head, aggsA.tail: _*)
+      if (strFields.isEmpty) a
+      else {
+        val aggsB = strFields.flatMap { f =>
+          val c = col(f.name)
+          Seq(
+            min(canon(c, f.dataType)).cast("string").as(s"${f.name}__min"),
+            max(canon(c, f.dataType)).cast("string").as(s"${f.name}__max"))
+        }
+        a.crossJoin(src.agg(aggsB.head, aggsB.tail: _*))
+      }
+    }
     val stats = one.select(explode(array(fields.map(f => struct(
         lit(f.name).as("col_name"),
         col(s"${f.name}__n").as("n_rows"),
@@ -166,7 +235,7 @@ object Audit {
     // this shape runs in ~1 s). Values render via [[injective]], then
     // two-phase aggregate: (col, value) partial-dedups map-side, count
     // per col.
-    val kv = df.select(explode(array(fields.map(f => struct(
+    val kv = src.select(explode(array(fields.map(f => struct(
         lit(f.name).as("c"),
         injective(f).as("v"))): _*)).as("kv"))
       .select(col("kv.c").as("c"), col("kv.v").as("v"))

@@ -57,7 +57,11 @@ object Retrieval {
     * statistics both BM25 entry points build on. */
   private def corpusStats(docs: DataFrame, textCol: String,
                           idCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val tokenizable = docs.filter(length(trim(col(textCol))) > 0)
+    // Fan a starved single-split scan out across the cores (Par scaladoc);
+    // both tokenize passes below consume the SAME exchange via
+    // ReuseExchange, so the corpus is scanned once either way.
+    val tokenizable = Par.fanOutScan(docs)
+      .filter(length(trim(col(textCol))) > 0)
     // dl from the codegen'd token count — no second tokenize of the corpus
     val dl = tokenizable.select(col(idCol),
       TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))

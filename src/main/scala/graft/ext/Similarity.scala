@@ -35,7 +35,8 @@ object Similarity {
     * that is 4M redundant array folds avoided; at 100 TB it is the
     * difference between O(pairs·dim) and O(3·pairs·dim) work. */
   def withNorms(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    Par.fanOutScan(emb)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
   /** Exact top-k by cosine against the embedding of `queryId`. The single
     * query row broadcasts (its norm precomputed once); `orderBy(limit)`
@@ -240,7 +241,7 @@ object Similarity {
       }
       struct(lit(t).as("t"), bucket.as("bucket"))
     }
-    emb.select(col("vec_id"), col("embedding"),
+    Par.fanOutScan(emb).select(col("vec_id"), col("embedding"),
         explode(array(bandCols: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
@@ -324,7 +325,7 @@ object Similarity {
   val srpBits = 64
 
   def srpSketches(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
+    Par.fanOutScan(emb).select(col("vec_id"),
       org.apache.spark.sql.graft.VectorFunctions.srpSketchF(col("embedding"), srpBits).as("sketch"))
 
   /** Exploded (vec_id, t, bucket) rows from the 64-bit SRP sketch: `bandsN`

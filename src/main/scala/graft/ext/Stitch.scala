@@ -47,7 +47,7 @@ object Stitch {
     * every occurrence). */
   private def ends(docs: DataFrame, k: Int, textCol: String,
                    idCol: String): DataFrame =
-    docs
+    Par.fanOutScan(docs)
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -61,16 +61,31 @@ object Stitch {
     * semantics: a tail string appearing in > maxDf docs is dropped from the
     * TAIL side, and likewise for heads — each side capped independently on
     * its own 48-bit hash df (hash, not string, so the cap is an 8-byte
-    * aggregate at scale; the oracle mirrors the hash exactly). */
+    * aggregate at scale; the oracle mirrors the hash exactly).
+    *
+    * Plan shape (r20, guide §2.4): the df-cap is a count WINDOW over `h`
+    * on each side's rows instead of a groupBy-then-self-join — the
+    * rows-join-keep shape re-ran the tokenize subtree TWICE PER SIDE
+    * (once for the rows, once for the df aggregate; 4 parquet scans in
+    * the x144 physical plan). Now each side is one tokenize pass feeding
+    * one hash(h) exchange, and because Window preserves its child's
+    * partitioning, [[stitchPairs]]'s tail=head candidate join reuses
+    * that very partitioning — no further exchange. Window-vs-aggregate
+    * is safe here: the partition key is the df-cap's own key, so
+    * post-filter no partition holds more than maxDf rows per hash, and
+    * the pre-filter fan-in per key is the corpus's df distribution —
+    * the same rows the aggregate hashed, sorted once instead of scanned
+    * twice. */
   private def cappedEnds(docs: DataFrame, k: Int, maxDf: Long, textCol: String,
                          idCol: String): (DataFrame, DataFrame) = {
     val e = ends(docs, k, textCol, idCol)
     def capped(side: String): DataFrame = {
       val rows = e.select(col("doc_id"), col(side).as("ov"),
         h48(col(side)).as("h"))
-      val keep = rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("h"))
-      rows.join(keep, Seq("h"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      rows.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= maxDf)
+        .select(col("h"), col("doc_id"), col("ov"))
     }
     (capped("tail"), capped("head"))
   }

@@ -281,7 +281,7 @@ object TextAnalysis {
     * filter on the OUTPUT attribute — the InferFiltersFromGenerate dodge. */
   def tokenBlocks(docs: DataFrame, blockTokens: Int = 16,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs
+    Par.fanOutScan(docs)
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
@@ -605,7 +605,7 @@ object TextAnalysis {
     * exactly — no xxhash64 divergence). */
   private def dsirFeatures(docs: DataFrame, tgt: Column, buckets: Int,
                            textCol: String, idCol: String): DataFrame =
-    docs
+    Par.fanOutScan(docs)
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"), tgt.as("tgt"),
         tokens(col(textCol)).as("toks"))

@@ -243,7 +243,7 @@ private[queries] object ExtShared {
     * are the second pass the sketch exists to avoid). */
   private[queries] def hllShinglesShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "hll-shingles") {
-      val sh = Tables.documents(s, d)
+      val sh = graft.ext.Par.fanOutScan(Tables.documents(s, d))
         .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
         .filter(size(col("ts")) >= 3)
         .select(col("source"), explode(expr(
@@ -400,7 +400,7 @@ private[queries] object ExtShared {
     * never-share-across-algorithm-variants rule. */
   private[queries] def tokensShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "tokens-exploded")(
-      Tables.documents(s, d)
+      graft.ext.Par.fanOutScan(Tables.documents(s, d))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("tok")))
@@ -413,7 +413,7 @@ private[queries] object ExtShared {
     * in x92). */
   private[queries] def bigramsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "bigrams-exploded")(
-      Tables.documents(s, d)
+      graft.ext.Par.fanOutScan(Tables.documents(s, d))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokens(col("text")).as("t"))
