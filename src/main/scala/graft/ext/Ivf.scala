@@ -208,7 +208,7 @@ object Ivf {
   def assign(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     if (centroids.isEmpty)
       emb.filter(lit(false)).withColumn("cluster", lit(0))
-    else Par.fanOutScan(emb).withColumn("cluster", clusterOf(centroids))
+    else emb.withColumn("cluster", clusterOf(centroids))
 
   /** A built IVF index: the k×dim centroid matrix (driver-side, tiny) plus
     * the cell-assigned, norm-carrying vector table. The production shape is
@@ -391,7 +391,7 @@ object Ivf {
     * ONE shared cell among the two top-`nAssign` sets to be found). */
   def assignTop(emb: DataFrame, centroids: Array[Array[Double]],
                 nAssign: Int): DataFrame =
-    Par.fanOutScan(emb).select(col("vec_id"), col("embedding"),
+    emb.select(col("vec_id"), col("embedding"),
         explode(topCells(centroids, math.min(nAssign, centroids.length))).as("sc"))
       .select(col("vec_id"), col("embedding"), (-col("sc.negj")).as("cluster"))
 

@@ -34,8 +34,25 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def fanOutScan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val cur = df.rdd.getNumPartitions
-    if (cur * 2 <= target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sessionState.conf.numShufflePartitions
+    // Decide from the ANALYZED plan's leaves, not from df.rdd: planning
+    // the physical RDD here would run the whole analyzer/optimizer/
+    // planner a second time per call (measured as +0.5–3 s regressions
+    // on operators that build probe plans repeatedly, r20 b1), and it
+    // would fire on MemoryStream batches and cached frames where the
+    // exchange is pure overhead. Only all-file-relation plans qualify;
+    // split count is estimated from file bytes vs maxPartitionBytes —
+    // an OVERestimate for single-row-group files (row groups are atomic,
+    // so the true task count can be lower), which only makes the fan-out
+    // trigger more conservative, never at scale.
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rels = leaves.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    if (rels.isEmpty || rels.size != leaves.size) return df
+    val maxPB = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = rels.map(r => math.max(1L, r.relation.sizeInBytes / maxPB)).sum
+    if (est * 2 <= target) df.repartition(target) else df
   }
 }

@@ -172,8 +172,18 @@ object Retrieval {
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(seedTerms.nonEmpty, "bm25Prf needs at least one seed term")
     val (postings, stats) = buildPostings(docs, textCol, idCol)
-    val feedback = bm25(docs, seedTerms, k1, b, textCol, idCol)
-      .orderBy(col("score_micro").desc, col(idCol)).limit(kDocs)
+    val prfSession = docs.sparkSession
+    import prfSession.implicits._
+    // Stage-1 seed scoring runs off the SAME postings stage-2 uses —
+    // calling bm25(docs, ...) here re-built tf/df/dl from a second
+    // corpus tokenize (r20; two redundant passes measured on x132).
+    // scoreTerms over postings is selection-identical: postings' per-term
+    // df equals bm25's filtered-tf df for every matched term, the
+    // contribution expression is the shared contributionMicro, and the
+    // (score desc, id) tie-break matches the orderBy+limit.
+    val seedQt = seedTerms.distinct.toDF("tok")
+      .select(lit(0L).as("query_id"), col("tok"))
+    val feedback = scoreTerms(postings, stats, kDocs, k1, b, idCol)(seedQt)
       .select(col(idCol))
     val idfMicro = expr(
       """CAST(round(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
@@ -186,8 +196,6 @@ object Retrieval {
       .agg(sum(col("tf") * idfMicro).as("w"))
       .orderBy(col("w").desc, col("tok")).limit(kExpand)
       .select(col("tok"))
-    val session = docs.sparkSession
-    import session.implicits._
     val qt = seedTerms.distinct.toDF("tok").union(expansion).distinct()
       .select(lit(0L).as("query_id"), col("tok"))
     scoreTerms(postings, stats, kTop, k1, b, idCol)(qt)

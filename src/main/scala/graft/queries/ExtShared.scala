@@ -523,7 +523,7 @@ private[queries] object ExtShared {
 
   private[queries] def trigramsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "trigrams-exploded")(
-      Tables.documents(s, d)
+      graft.ext.Par.fanOutScan(Tables.documents(s, d))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokens(col("text")).as("t"))
