@@ -55,13 +55,17 @@ object Par {
     val bytes = rels.map(r => math.max(0L, r.relation.sizeInBytes)).sum
     val est = math.max(1L, bytes / maxPB)
     if (est * 2 <= target) {
-      // Partition count follows the INPUT SIZE (~128 KB of source bytes
+      // Partition count follows the INPUT SIZE (~16 KB of source bytes
       // per task, clamped to [4, shuffle parallelism]): the compute-heavy
-      // passes this helper serves want one task per core at the bench SF,
-      // while the tiny correctness SFs (50-row sf0.001 frames) must not
-      // pay a 32-empty-task stage per query — measured as whole minutes
-      // across a 300-query Verify sweep.
-      val n = math.max(4L, math.min(target.toLong, bytes >> 17)).toInt
+      // passes this helper serves want one task per core at the bench SF
+      // — COMPRESSED bytes badly understate per-row compute (tokenize,
+      // vector math), so the per-task quantum must be small; 128 KB/task
+      // fanned the 594 KB documents fixture only 4 wide and re-serialized
+      // the tokenize passes (measured +0.5–2 s on the shingle/sketch
+      // family). The tiny correctness SFs (50-row sf0.001 frames) still
+      // stay at the 4-task floor instead of 32 empty tasks per query —
+      // measured as whole minutes across a 300-query Verify sweep.
+      val n = math.max(4L, math.min(target.toLong, bytes >> 14)).toInt
       df.repartition(n)
     } else df
   }
