@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim instead of logging it with
+// an "[info] " prefix: the driver parses Bench's one-line JSON from captured
+// stdout, and a prefixed line is not valid JSON (every BENCH_r* artifact
+// through r20 shows `[info] {"metric":...` and `parsed: null`).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

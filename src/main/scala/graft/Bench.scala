@@ -324,7 +324,7 @@ object Bench {
     // and the keys still over budget after retries — no prose floor, no
     // judge-side scheduling. Originals are never overwritten. Budget via
     // SPARK_GRAFT_RETRY_BUDGET seconds (default 5.0; 0 disables).
-    val (retryJson, adjudicatedJson) = {
+    val (retryJson, adjudicatedJson, overBudget) = {
       val rounds = sys.env.getOrElse("SPARK_GRAFT_RETRY_ROUNDS", "2").toInt
       val defMap = results.toMap
       val aqeMapOpt = aqeResultsOpt.map(_._1.toMap)
@@ -345,7 +345,8 @@ object Bench {
           .toSeq.sorted
       val need = allKeys
         .flatMap(k => origFloor(k).filter(_._1 > budget).map(k -> _))
-      if (budget <= 0 || rounds <= 0 || need.isEmpty) ("null", "null")
+      if (budget <= 0 || rounds <= 0 || need.isEmpty)
+        ("null", "null", Seq.empty[(String, Double)])
       else {
         if (need.size > 16)
           System.err.println(s"[bench] WARN: ${need.size} keys over the " +
@@ -402,10 +403,12 @@ object Bench {
         val floors = need.map { case (k, (f0, _)) => k -> bestOf(k, f0) }
         val floorRows = floors
           .map { case (k, f) => s""""$k":${f"$f%.4f"}""" }.mkString("{", ",", "}")
-        val over = floors.collect { case (k, f) if f > budget => "\"" + k + "\"" }
+        val overPairs = floors.filter { case (_, f) => f > budget }
+        val over = overPairs.map { case (k, _) => "\"" + k + "\"" }
           .mkString("[", ",", "]")
         (if (retryRows.isEmpty) "null" else retryRows.mkString("{", ",", "}"),
-          s"""{"budget":$budget,"floors":$floorRows,"over_budget":$over}""")
+          s"""{"budget":$budget,"floors":$floorRows,"over_budget":$over}""",
+          overPairs)
       }
     }
     // Candidate-volume audit for the banded/celled near-pair paths — the
@@ -444,6 +447,20 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] WARN: could not write $out: $e") }
+    // Compact summary line, printed AFTER the full line: at 341 keys the
+    // full line is ~15 KB and the driver's ~2 KB stdout-tail capture slices
+    // it mid-line (BENCH_r19/r20 both rc-completed yet `parsed: null`).
+    // This line repeats the run's verdict fields — total, errors, the
+    // adjudicated over-budget floors, wall — in well under 1 KB so a tail
+    // capture always holds at least one complete, parseable JSON line. The
+    // per-key map stays in the full line above and in bench.json.
+    val errCompact = errors.sorted.take(20).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val overCompact = overBudget.take(24)
+      .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val floorCompact = overBudget.take(24)
+      .map { case (k, f) => s""""$k":${f"$f%.2f"}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_keys":${results.size},"n_errors":${errors.size},"errors":$errCompact,"budget":$budget,"over_budget":$overCompact,"floors":$floorCompact,"truncated":$truncJson,"wall_sec":${f"$elapsedS%.1f"},"detail":"$out","sf":"$sfDir"}""")
     partial.foreach(_.close())
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
