@@ -43,7 +43,7 @@ object Bpe {
   /** The occurrence-weighted token-type vocabulary with each type's
     * initial symbol sequence (space-joined wrapped characters). */
   private def vocabSyms(docs: DataFrame, textCol: String): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(textCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

@@ -67,7 +67,7 @@ object Dedup {
     * Jaccard operators run on this form; set semantics are identical modulo
     * ~q²/2⁶⁴ hash collisions. */
   def hashedShingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorFunctions.shingleHashF(col("toks"), n).as("shs"))
@@ -1047,7 +1047,7 @@ object Dedup {
     * null text → null simhash (row retained — callers filter or keep).
     * Every input doc emits exactly one output row. */
   def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.VectorFunctions.simHashF(col("toks")).as("simhash"))

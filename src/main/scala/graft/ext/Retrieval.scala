@@ -53,6 +53,33 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
   }
 
+  /** [[bm25]] over a PREBUILT [[buildPostings]] postings frame (columns
+    * `idCol`, `tok`, `tf`, `df`, `dl`) plus its one-row stats. Selection-
+    * identical to [[bm25]]: postings' per-term `df` equals the filtered-tf
+    * df for every matched term (both count the docs containing the term),
+    * `tf`/`dl` and the (n_docs, sum_dl) totals are the same values, and
+    * the contribution is the shared [[contributionMicro]] — so a catalog
+    * that persists ONE postings frame serves every BM25 entry point from
+    * cache instead of re-tokenizing the corpus per query (r21). */
+  def bm25Of(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+             k1: Double = 1.2, b: Double = 0.75,
+             idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    postings.filter(col("tok").isin(terms: _*))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", contributionMicro(k1, b))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("c_micro")).as("score_micro"))
+  }
+
+  /** The one-row (n_docs, sum_dl) totals recomputed from a postings frame
+    * — identical to [[corpusStats]]'s stats: postings hold one row per
+    * (tokenizable doc, distinct term), so distinct (id, dl) is exactly the
+    * per-doc length frame (every tokenizable doc has ≥ 1 token). */
+  def statsOfPostings(postings: DataFrame, idCol: String = "doc_id"): DataFrame =
+    postings.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
   /** (per-doc lengths, corpus totals, tokenizable docs) — the corpus-side
     * statistics both BM25 entry points build on. */
   private def corpusStats(docs: DataFrame, textCol: String,
@@ -60,7 +87,7 @@ object Retrieval {
     // Fan a starved single-split scan out across the cores (Par scaladoc);
     // both tokenize passes below consume the SAME exchange via
     // ReuseExchange, so the corpus is scanned once either way.
-    val tokenizable = Par.fanOutScan(docs)
+    val tokenizable = Par.fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
     // dl from the codegen'd token count — no second tokenize of the corpus
     val dl = tokenizable.select(col(idCol),
@@ -116,6 +143,20 @@ object Retrieval {
     scoreBatch(postings, stats, kTop, k1, b, idCol)(queries)
   }
 
+  /** [[bm25CrossTopK]] over a PREBUILT (postings, stats) pair — the
+    * cached-frame entry (see [[bm25Of]]). */
+  def bm25CrossTopKOf(postings: DataFrame, stats: DataFrame,
+                      queries: DataFrame, kTop: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      idCol: String = "doc_id"): DataFrame =
+    scoreBatch(postings, stats, kTop, k1, b, idCol)(queries)
+
+  /** The corpus-side (postings, stats) pair as a public build — what the
+    * catalog's shared postings frame materializes once (r21). */
+  def bm25Postings(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    buildPostings(docs, textCol, idCol)
+
   /** Corpus-side BM25 state: postings (doc, term, tf) with the term's df
     * and the doc's length attached, plus the (n_docs, sum_dl) totals. */
   private def buildPostings(docs: DataFrame, textCol: String,
@@ -124,8 +165,15 @@ object Retrieval {
     val tf = tokenizable
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // ONE per-term aggregate carries BOTH background statistics — df
+    // (BM25's) and cf (QL's) — so a single shared postings frame serves
+    // both rankers (r21); each scorer's plan prunes the column it
+    // ignores. cf over all (id, tok) rows equals cf over any term-filtered
+    // subset that retains the term: docs without the term contribute no
+    // rows either way.
     val postings = tf
-      .join(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+      .join(tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")), "tok")
       .join(dl, idCol)
     (postings, stats)
   }
@@ -170,9 +218,22 @@ object Retrieval {
               kDocs: Int = 3, kExpand: Int = 2, kTop: Int = 10,
               k1: Double = 1.2, b: Double = 0.75,
               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(seedTerms.nonEmpty, "bm25Prf needs at least one seed term")
     val (postings, stats) = buildPostings(docs, textCol, idCol)
-    val prfSession = docs.sparkSession
+    bm25PrfOf(postings, stats, seedTerms, kDocs, kExpand, kTop, k1, b, idCol)
+  }
+
+  /** [[bm25Prf]] over a PREBUILT (postings, stats) pair — the r21
+    * structural-reuse entry: a pipeline that persists its postings (the
+    * catalog's shared frame) runs the whole PRF chain on the cached
+    * table, so the three postings references (seed scoring, expansion,
+    * final scoring) are cache scans in the STATIC plan instead of three
+    * corpus tokenizes deduplicated only by runtime exchange reuse. */
+  def bm25PrfOf(postings: DataFrame, stats: DataFrame, seedTerms: Seq[String],
+                kDocs: Int = 3, kExpand: Int = 2, kTop: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id"): DataFrame = {
+    require(seedTerms.nonEmpty, "bm25Prf needs at least one seed term")
+    val prfSession = postings.sparkSession
     import prfSession.implicits._
     // Stage-1 seed scoring runs off the SAME postings stage-2 uses —
     // calling bm25(docs, ...) here re-built tf/df/dl from a second
@@ -251,7 +312,7 @@ object Retrieval {
                   textCol: String = "text",
                   idCol: String = "doc_id"): Retriever = {
     require(mu > 0, s"Dirichlet mu must be positive, got $mu")
-    val (postings, stats) = buildQlPostings(docs, textCol, idCol)
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
     val postingsP = postings.persist()
     val statsP = stats.persist()
     new Retriever(
@@ -265,23 +326,17 @@ object Retrieval {
                   mu: Double = 300.0, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     require(mu > 0, s"Dirichlet mu must be positive, got $mu")
-    val (postings, stats) = buildQlPostings(docs, textCol, idCol)
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
     qlScoreBatch(postings, stats, kTop, mu, idCol)(queries)
   }
 
-  /** Corpus-side QL state: postings (doc, term, tf) with the term's
-    * COLLECTION frequency (Σ tf — QL's background statistic, where BM25
-    * carries df) and the doc length attached, plus (n_docs, sum_dl). */
-  private def buildQlPostings(docs: DataFrame, textCol: String,
-                              idCol: String): (DataFrame, DataFrame) = {
-    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
-    val tf = tokenizable
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val postings = tf
-      .join(tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf")), "tok")
-      .join(dl, idCol)
-    (postings, stats)
+  /** [[qlCrossTopK]] over a PREBUILT (postings, stats) pair — the
+    * cached-frame entry (see [[bm25Of]]). */
+  def qlCrossTopKOf(postings: DataFrame, stats: DataFrame,
+                    queries: DataFrame, kTop: Int, mu: Double = 300.0,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    qlScoreBatch(postings, stats, kTop, mu, idCol)(queries)
   }
 
   /** The per-(doc, term) QL contribution in integer micro-nats, over
@@ -319,17 +374,21 @@ object Retrieval {
   def qlTopK(docs: DataFrame, terms: Seq[String], mu: Double = 300.0,
              kTop: Int = 10, textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {
+    val (postings, stats) = buildPostings(docs, textCol, idCol)
+    qlTopKOf(postings, stats, terms, mu, kTop, idCol)
+  }
+
+  /** [[qlTopK]] over a PREBUILT [[buildPostings]] (postings, stats) pair —
+    * the cached-frame entry (see [[bm25Of]]); postings' `cf` equals the
+    * filtered build's (docs without a term contribute no rows to its Σ tf
+    * either way). */
+  def qlTopKOf(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+               mu: Double = 300.0, kTop: Int = 10,
+               idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty, "qlTopK needs at least one query term")
     require(mu > 0, s"Dirichlet mu must be positive, got $mu")
     val nTerms = terms.distinct.size
-    val (dl, stats, tokenizable) = corpusStats(docs, textCol, idCol)
-    val tf = tokenizable
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cf"))
-    tf.join(broadcast(cf), "tok")
-      .join(dl, idCol)
+    postings.filter(col("tok").isin(terms: _*))
       .crossJoin(broadcast(stats))
       .withColumn("c_micro", qlContributionMicro(mu))
       .withColumn("norm_micro", qlNormMicro(mu))

@@ -35,7 +35,7 @@ object Similarity {
     * that is 4M redundant array folds avoided; at 100 TB it is the
     * difference between O(pairs·dim) and O(3·pairs·dim) work. */
   def withNorms(emb: DataFrame): DataFrame =
-    Par.fanOutScan(emb)
+    Par.fanOutScan(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
   /** Exact top-k by cosine against the embedding of `queryId`. The single
@@ -241,7 +241,7 @@ object Similarity {
       }
       struct(lit(t).as("t"), bucket.as("bucket"))
     }
-    Par.fanOutScan(emb).select(col("vec_id"), col("embedding"),
+    Par.fanOutScan(emb, col("vec_id")).select(col("vec_id"), col("embedding"),
         explode(array(bandCols: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
@@ -325,7 +325,7 @@ object Similarity {
   val srpBits = 64
 
   def srpSketches(emb: DataFrame): DataFrame =
-    Par.fanOutScan(emb).select(col("vec_id"),
+    Par.fanOutScan(emb, col("vec_id")).select(col("vec_id"),
       org.apache.spark.sql.graft.VectorFunctions.srpSketchF(col("embedding"), srpBits).as("sketch"))
 
   /** Exploded (vec_id, t, bucket) rows from the 64-bit SRP sketch: `bandsN`

@@ -78,7 +78,7 @@ object Sketch {
     * [[sketches]] expects when starting from raw text. */
   def docTrigrams(docs: DataFrame, textCol: String = "text",
                   grpCol: String = "source"): DataFrame =
-    Par.fanOutScan(docs).filter(length(trim(col(textCol))) > 0)
+    Par.fanOutScan(docs, col(textCol)).filter(length(trim(col(textCol))) > 0)
       .select(col(grpCol), TextAnalysis.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col(grpCol), explode(expr(

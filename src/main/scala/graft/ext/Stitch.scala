@@ -47,7 +47,7 @@ object Stitch {
     * every occurrence). */
   private def ends(docs: DataFrame, k: Int, textCol: String,
                    idCol: String): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -63,31 +63,37 @@ object Stitch {
     * its own 48-bit hash df (hash, not string, so the cap is an 8-byte
     * aggregate at scale; the oracle mirrors the hash exactly).
     *
-    * Plan shape (r20, guide §2.4): the df-cap is a count WINDOW over `h`
-    * on each side's rows instead of a groupBy-then-self-join — the
-    * rows-join-keep shape re-ran the tokenize subtree TWICE PER SIDE
-    * (once for the rows, once for the df aggregate; 4 parquet scans in
-    * the x144 physical plan). Now each side is one tokenize pass feeding
-    * one hash(h) exchange, and because Window preserves its child's
-    * partitioning, [[stitchPairs]]'s tail=head candidate join reuses
-    * that very partitioning — no further exchange. Window-vs-aggregate
-    * is safe here: the partition key is the df-cap's own key, so
-    * post-filter no partition holds more than maxDf rows per hash, and
-    * the pre-filter fan-in per key is the corpus's df distribution —
-    * the same rows the aggregate hashed, sorted once instead of scanned
-    * twice. */
+    * Plan shape (r21, guide §2.3 "aggregate before you shuffle"): the
+    * df-cap mines the OVER-CAP hashes with a partial-aggregating
+    * groupBy over ONE exploded both-sides pass, then drops their rows
+    * with a broadcast anti-join. The r20 count-window form shuffled
+    * every UNCAPPED (doc_id, ov, h) row by `h` and buffered each key's
+    * full row set in WindowExec before filtering — at corpus scale a
+    * boilerplate tail/head with df ≫ maxDf is a single straggler/spill
+    * partition, exactly the skew the cap exists to guard against. Here
+    * hash aggregation partial-combines map-side (per-key fan-in to the
+    * final count is ≤ n_map_tasks partial rows, never the row set), the
+    * broadcast side is only the hashes OVER the cap (|rows|/maxDf worst
+    * case, boilerplate-sized in practice), and rows first concentrate
+    * by `h` in [[stitchPairs]]'s candidate join — AFTER the cap bounds
+    * every key to ≤ maxDf rows. */
   private def cappedEnds(docs: DataFrame, k: Int, maxDf: Long, textCol: String,
                          idCol: String): (DataFrame, DataFrame) = {
     val e = ends(docs, k, textCol, idCol)
-    def capped(side: String): DataFrame = {
-      val rows = e.select(col("doc_id"), col(side).as("ov"),
-        h48(col(side)).as("h"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-      rows.withColumn("df", count(lit(1)).over(w))
-        .filter(col("df") <= maxDf)
-        .select(col("h"), col("doc_id"), col("ov"))
-    }
-    (capped("tail"), capped("head"))
+    // (doc_id, side, ov, h) — both sides in one exploded pass, so the
+    // hot-hash mining tokenizes the corpus once for tail AND head.
+    val rows = e.select(col("doc_id"), explode(array(
+        struct(lit("t").as("side"), col("tail").as("ov")),
+        struct(lit("h").as("side"), col("head").as("ov")))).as("x"))
+      .select(col("doc_id"), col("x.side").as("side"), col("x.ov").as("ov"),
+        h48(col("x.ov")).as("h"))
+    val hot = rows.groupBy(col("side"), col("h"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select(col("side"), col("h"))
+    val kept = rows.join(broadcast(hot), Seq("side", "h"), "left_anti")
+    def side(s: String): DataFrame = kept.filter(col("side") === s)
+      .select(col("h"), col("doc_id"), col("ov"))
+    (side("t"), side("h"))
   }
 
   /** Directed stitch pairs: (`prev_id`, `next_id`, `overlap`) — prev's last

@@ -281,7 +281,7 @@ object TextAnalysis {
     * filter on the OUTPUT attribute — the InferFiltersFromGenerate dodge. */
   def tokenBlocks(docs: DataFrame, blockTokens: Int = 16,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
@@ -319,18 +319,24 @@ object TextAnalysis {
     boiler.count()
     new Retriever(
       docs => {
+        // ONE aggregate over a boiler-marked left join computes n_blocks,
+        // n_kept AND the rebuild (r21; the kept/nb split re-tokenized the
+        // batch once per aggregate). The boiler set is distinct blocks, so
+        // the left join never multiplies rows; collect_list skips the
+        // CASE WHEN's nulls, reproducing the old anti-join's kept set.
         val b = tokenBlocks(docs, blockTokens, textCol, idCol)
           .select(col("doc_id").cast("long").as("doc_id"),
             col("block_no"), col("block"))
-        val kept = b.join(boiler, Seq("block"), "left_anti")
+        val agg = b
+          .join(boiler.withColumn("is_boiler", lit(true)), Seq("block"), "left")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            expr("""array_join(transform(array_sort(collect_list(struct(block_no, block))),
+          .agg(count(lit(1)).as("n_blocks"),
+            count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+            expr("""array_join(transform(array_sort(collect_list(
+                      CASE WHEN is_boiler IS NULL THEN struct(block_no, block) END)),
                                          x -> x.block), ' ')""").as("scrub_text"))
-        val nb = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
         docs.select(col(idCol).cast("long").as("doc_id"))
-          .join(nb, Seq("doc_id"), "left")
-          .join(kept, Seq("doc_id"), "left")
+          .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -605,7 +611,7 @@ object TextAnalysis {
     * exactly — no xxhash64 divergence). */
   private def dsirFeatures(docs: DataFrame, tgt: Column, buckets: Int,
                            textCol: String, idCol: String): DataFrame =
-    Par.fanOutScan(docs)
+    Par.fanOutScan(docs, col(idCol))
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"), tgt.as("tgt"),
         tokens(col(textCol)).as("toks"))

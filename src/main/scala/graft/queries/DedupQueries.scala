@@ -892,17 +892,25 @@ object DedupQueries {
     // WITHIN each doc's collected block array, never globally.
     QueryDef("x97_block_scrub",
       (s, d) => {
+        // ONE aggregate computes n_blocks, n_kept AND the kept-block
+        // rebuild from the same occ-joined rows (r21; the kept/nb split
+        // re-ran the tokenize subtree once per aggregate — 3 tokenize
+        // passes in the r20 plan). collect_list skips the CASE WHEN's
+        // nulls, so the rebuild collects exactly the occ<2 rows the old
+        // filter kept; a doc whose every block is boilerplate aggregates
+        // to n_kept=0 / scrub_text='' — the same rows the old shape's
+        // left-join coalesce produced.
         val b = TextAnalysis.tokenBlocks(Tables.documents(s, d))
         val occ = b.groupBy(col("block")).agg(count(lit(1)).as("occ"))
-        val kept = b.join(occ, "block").filter(col("occ") < 2)
+        val agg = b.join(occ, "block")
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            expr("""array_join(transform(array_sort(collect_list(struct(block_no, block))),
+          .agg(count(lit(1)).as("n_blocks"),
+            count(when(col("occ") < 2, 1)).as("n_kept"),
+            expr("""array_join(transform(array_sort(collect_list(
+                      CASE WHEN occ < 2 THEN struct(block_no, block) END)),
                                          x -> x.block), ' ')""").as("scrub_text"))
-        val nb = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
         Tables.documents(s, d).select(col("doc_id"))
-          .join(nb, Seq("doc_id"), "left")
-          .join(kept, Seq("doc_id"), "left")
+          .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),

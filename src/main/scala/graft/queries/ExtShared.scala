@@ -243,7 +243,7 @@ private[queries] object ExtShared {
     * are the second pass the sketch exists to avoid). */
   private[queries] def hllShinglesShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "hll-shingles") {
-      val sh = graft.ext.Par.fanOutScan(Tables.documents(s, d))
+      val sh = graft.ext.Par.fanOutScan(Tables.documents(s, d), col("doc_id"))
         .select(col("source"), TextAnalysis.tokens(col("text")).as("ts"))
         .filter(size(col("ts")) >= 3)
         .select(col("source"), explode(expr(
@@ -400,7 +400,7 @@ private[queries] object ExtShared {
     * never-share-across-algorithm-variants rule. */
   private[queries] def tokensShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "tokens-exploded")(
-      graft.ext.Par.fanOutScan(Tables.documents(s, d))
+      graft.ext.Par.fanOutScan(Tables.documents(s, d), col("doc_id"))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("tok")))
@@ -413,7 +413,7 @@ private[queries] object ExtShared {
     * in x92). */
   private[queries] def bigramsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "bigrams-exploded")(
-      graft.ext.Par.fanOutScan(Tables.documents(s, d))
+      graft.ext.Par.fanOutScan(Tables.documents(s, d), col("doc_id"))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokens(col("text")).as("t"))
@@ -450,25 +450,30 @@ private[queries] object ExtShared {
     * projects the columns it needs). */
   /** x112 (catalog row) and x151b (sketch-accuracy gate): the EXACT
     * per-source-pair shingle Jaccard — full distinct-(source, trigram)
-    * postings self-join. */
-  private[queries] def sourceShingleJaccard(s: SparkSession, d: String): DataFrame = {
-    val g = trigramsShared(s, d)
-      .select(col("source"), col("tri").as("sh"))
-      .distinct()
-    val n = g.groupBy(col("source")).agg(count(lit(1)).as("ns"))
-    g.select(col("source").as("source_a"), col("sh"))
-      .join(g.select(col("source").as("source_b"), col("sh")), "sh")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(n.select(col("source").as("source_a"), col("ns").as("n_a")),
-        "source_a")
-      .join(n.select(col("source").as("source_b"), col("ns").as("n_b")),
-        "source_b")
-      .select(col("source_a"), col("source_b"), col("inter"),
-        col("n_a"), col("n_b"),
-        expr("inter * 1000000 div (n_a + n_b - inter)").as("jacc_ppm"))
-  }
+    * postings self-join. Shared as a FRAME (r21): the self-join is the
+    * family's corpus-sized pass and its output is |sources|²/2 rows, so
+    * the two consumers read a tiny cached table instead of re-mining —
+    * same input-frame-sharing discipline as [[shinglesShared]], with the
+    * build timed under its own `frame:` key. */
+  private[queries] def sourceShingleJaccard(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "src-tri-jacc-exact") {
+      val g = trigramsShared(s, d)
+        .select(col("source"), col("tri").as("sh"))
+        .distinct()
+      val n = g.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      g.select(col("source").as("source_a"), col("sh"))
+        .join(g.select(col("source").as("source_b"), col("sh")), "sh")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(n.select(col("source").as("source_a"), col("ns").as("n_a")),
+          "source_a")
+        .join(n.select(col("source").as("source_b"), col("ns").as("n_b")),
+          "source_b")
+        .select(col("source_a"), col("source_b"), col("inter"),
+          col("n_a"), col("n_b"),
+          expr("inter * 1000000 div (n_a + n_b - inter)").as("jacc_ppm"))
+    }
 
   /** x151 (estimator row) and x151b (gate): per-source BOTTOM-K minhash
     * sketches (k = 256 smallest md5-48 trigram hashes — deterministic AND
@@ -482,7 +487,33 @@ private[queries] object ExtShared {
     * sources×sources pair seed is a broadcast nested loop over the tiny
     * source list (the x53 deliberate-bounded shape). */
   private[queries] def sourceSketchJaccard(s: SparkSession, d: String): DataFrame =
-    graft.ext.Sketch.pairEstimates(
+    graft.ext.Sketch.pairEstimates(sketchesShared(s, d))
+
+  /** Corpus lexical postings — (doc_id, tok, tf, df, cf, dl) — shared by
+    * x127, x128, x130, x132 (BM25, via df) and x147, x152 (QL, via cf)
+    * (r21): the postings build is the family's one corpus tokenize + two
+    * aggregates, and every consumer's scoring is a filter/join over it,
+    * so the six queries read ONE cached table where each previously
+    * re-tokenized the corpus (x132's three postings references relied on
+    * runtime exchange reuse; now they are cache scans in the static
+    * plan). Selection-identical to the per-query builds — see
+    * Retrieval.bm25Of/qlTopKOf. The one-row stats recompute from the
+    * cached postings per consumer (Retrieval.statsOfPostings). */
+  private[queries] def bm25PostingsShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "lex-postings")(
+      Retrieval.bm25Postings(Tables.documents(s, d))._1)
+
+  /** Per-source bottom-k sketch frame (|sources| × k rows of 8-byte
+    * hashes) shared by x151 and x151b. Without the cache every one of
+    * [[graft.ext.Sketch.estimates]]'s FOUR references to the sketch frame
+    * (pair seed left/right, contribution union left/right) re-ran the
+    * corpus-sized distinct + md5 + bottom-k window chain — the x151 plan
+    * carried 4 copies of the sketch subtree (48 Exchanges, r21 measured
+    * x151 4.4 s / x151b 6.3 s scoped); on the cached form the estimate
+    * math runs on k-row frames, which is the operator's whole scale
+    * story anyway (the sketch IS the persistent artifact at 100 TB). */
+  private[queries] def sketchesShared(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "src-sketch-k256")(
       graft.ext.Sketch.sketches(
         trigramsShared(s, d).select(col("source"), col("tri"))))
 
@@ -523,7 +554,7 @@ private[queries] object ExtShared {
 
   private[queries] def trigramsShared(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "trigrams-exploded")(
-      graft.ext.Par.fanOutScan(Tables.documents(s, d))
+      graft.ext.Par.fanOutScan(Tables.documents(s, d), col("doc_id"))
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokens(col("text")).as("t"))

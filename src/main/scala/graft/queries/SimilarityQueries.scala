@@ -639,8 +639,9 @@ object SimilarityQueries {
     // (the x92/x96 trick) — exact BIGINT scores, hash-matched oracle.
     QueryDef("x127_bm25_topk",
       (s, d) => {
-        val scored = Retrieval.bm25(Tables.documents(s, d),
-          Seq("dup", "vector", "stream"))
+        val post = ExtShared.bm25PostingsShared(s, d)
+        val scored = Retrieval.bm25Of(post,
+          Retrieval.statsOfPostings(post), Seq("dup", "vector", "stream"))
         scored.orderBy(col("score_micro").desc, col("doc_id")).limit(10)
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("score_micro").desc, col("doc_id"))))
@@ -682,8 +683,9 @@ object SimilarityQueries {
     // integers (round(1e9/(60+rnk))), so the oracle hash-matches.
     QueryDef("x128_hybrid_rrf",
       (s, d) => {
-        val lex = Retrieval.bm25(Tables.documents(s, d),
-            Seq("dup", "vector", "stream"))
+        val post = ExtShared.bm25PostingsShared(s, d)
+        val lex = Retrieval.bm25Of(post,
+            Retrieval.statsOfPostings(post), Seq("dup", "vector", "stream"))
           .orderBy(col("score_micro").desc, col("doc_id")).limit(100)
           .withColumn("rnk", row_number().over(
             Window.orderBy(col("score_micro").desc, col("doc_id"))))
@@ -779,7 +781,9 @@ object SimilarityQueries {
           (2L, Seq("customer", "query")), (3L, Seq("merge", "sort", "window")),
           (4L, Seq("data")))
           .toDF("query_id", "terms")
-        Retrieval.bm25CrossTopK(Tables.documents(s, d), qs, kTop = 3)
+        val post = ExtShared.bm25PostingsShared(s, d)
+        Retrieval.bm25CrossTopKOf(post, Retrieval.statsOfPostings(post),
+          qs, kTop = 3)
           .orderBy("query_id", "rnk")
       },
       Some("""WITH qs AS (SELECT * FROM (VALUES
@@ -849,8 +853,12 @@ object SimilarityQueries {
     // no driver collect); every stage quantizes to exact integers, so the
     // chosen terms — and the final ranking — hash-match the unrolled SQL.
     QueryDef("x132_bm25_prf",
-      (s, d) => Retrieval.bm25Prf(Tables.documents(s, d), Seq("dup", "vector"))
-        .orderBy("rnk"),
+      (s, d) => {
+        val post = ExtShared.bm25PostingsShared(s, d)
+        Retrieval.bm25PrfOf(post, Retrieval.statsOfPostings(post),
+          Seq("dup", "vector"))
+          .orderBy("rnk")
+      },
       Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
                      WHERE length(trim(text)) > 0),
                   dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
@@ -904,9 +912,13 @@ object SimilarityQueries {
     // the exploded scan, cf from the same filtered rows, broadcast stats);
     // micro-nat quantization before the sum → exact integer scores.
     QueryDef("x147_ql_topk",
-      (s, d) => graft.ext.Retrieval.qlTopK(Tables.documents(s, d),
-          Seq("dup", "vector", "stream"))
-        .orderBy("rnk"),
+      (s, d) => {
+        val post = ExtShared.bm25PostingsShared(s, d)
+        graft.ext.Retrieval.qlTopKOf(post,
+            graft.ext.Retrieval.statsOfPostings(post),
+            Seq("dup", "vector", "stream"))
+          .orderBy("rnk")
+      },
       Some("""WITH u AS (SELECT doc_id, trim(text) AS t FROM documents
                          WHERE length(trim(text)) > 0),
                    dl AS (SELECT doc_id, len(string_split_regex(t, '\s+')) AS dl FROM u),
@@ -940,8 +952,9 @@ object SimilarityQueries {
         val queries = Seq(
           (0L, Seq("dup", "vector", "stream")),
           (1L, Seq("graph", "join"))).toDF("query_id", "terms")
-        graft.ext.Retrieval.qlCrossTopK(Tables.documents(s, d), queries,
-            kTop = 5)
+        val post = ExtShared.bm25PostingsShared(s, d)
+        graft.ext.Retrieval.qlCrossTopKOf(post,
+            graft.ext.Retrieval.statsOfPostings(post), queries, kTop = 5)
           .orderBy("query_id", "rnk")
       },
       Some("""WITH q AS (SELECT * FROM (VALUES
