@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.Plans <sfDir> <outDir> <suffix> key1,key2,...
   * Writes <outDir>/<key>_<suffix>.txt per key. Keys are exact catalog
-  * names or `frame:<tag>` is not supported — pass the forcing query.
+  * names; `frame:<tag>` keys are not supported — pass the forcing query
+  * instead.
   * Planning only (no job runs), so this is safe to run beside other work.
   */
 object Plans {

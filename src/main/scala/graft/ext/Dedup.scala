@@ -630,9 +630,17 @@ object Dedup {
       .select(col("doc_id").as("ref_id"), col("n_sh").as("nb"),
         explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
-    val dfc = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    postings.join(dfc.filter(col("df") <= maxDf), "g")
-      .select(col("g"), col("ref_id"), col("nb"))
+    // An unbounded cap keeps every posting — skip the df aggregate + join
+    // outright instead of computing a filter that never fires (r21;
+    // measured ~0.4 s per flagger build at sf0.1, and at scale it is a
+    // full postings aggregate for nothing).
+    if (maxDf == Int.MaxValue)
+      postings.select(col("g"), col("ref_id"), col("nb"))
+    else {
+      val dfc = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      postings.join(dfc.filter(col("df") <= maxDf), "g")
+        .select(col("g"), col("ref_id"), col("nb"))
+    }
   }
 
   /** The probe side of the flagger lifecycle: flag `docs` against a
@@ -645,8 +653,18 @@ object Dedup {
                             n: Int, threshold: Double, scoreName: String)(
       score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
               org.apache.spark.sql.Column) => org.apache.spark.sql.Column)(
-      docs: DataFrame): DataFrame =
-    hashedShingles(docs, textCol, idCol, n)
+      docs: DataFrame): DataFrame = {
+    // Probe batches arrive as MemoryStream/local frames, where
+    // Par.fanOutScan deliberately declines (no file stats to size by) —
+    // so the batch tokenize+shingle ran 1-wide (r21, measured ~1 s per
+    // x186b probe batch at sf0.1). A keyed repartition costs one tiny
+    // exchange of the raw batch and parallelizes the shingle pass; probe
+    // consumers (join + aggregate) are partition-insensitive.
+    val fanned =
+      if (docs.isStreaming) docs
+      else docs.repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    hashedShingles(fanned, textCol, idCol, n)
       .select(col("doc_id"), col("n_sh").as("na"),
         explode_outer(col("shs")).as("g"))
       .filter(col("g").isNotNull)
@@ -657,6 +675,7 @@ object Dedup {
       .filter(col(scoreName) >= threshold)
       .select(col("doc_id"), col("ref_id"),
         round(col(scoreName), 4).as(scoreName))
+  }
 
   private def flagAgainst(capped: DataFrame, textCol: String, idCol: String,
                           n: Int, threshold: Double)(docs: DataFrame): DataFrame =

@@ -70,13 +70,20 @@ object Pca {
     while (i < dim) { mean(i) /= n; i += 1 }
     // sample covariance (biased 1/n — only ratios matter downstream)
     val cov = Array.ofDim[Double](dim, dim)
+    // preallocated centered-row scratch (identical values/order to the old
+    // per-row tabulate — r21 drops the per-sample allocation, not the math)
+    val dScratch = new Array[Double](dim)
     sample.foreach { v =>
-      val d = Array.tabulate(dim)(j => (if (j < v.length) v(j) else 0.0) - mean(j))
+      var j = 0
+      while (j < dim) {
+        dScratch(j) = (if (j < v.length) v(j) else 0.0) - mean(j); j += 1
+      }
       var a = 0
       while (a < dim) {
-        val da = d(a)
+        val da = dScratch(a)
+        val rowA = cov(a)
         var b = a
-        while (b < dim) { cov(a)(b) += da * d(b); b += 1 }
+        while (b < dim) { rowA(b) += da * dScratch(b); b += 1 }
         a += 1
       }
     }
@@ -100,14 +107,27 @@ object Pca {
     // eigenvalues, descending order enforced, sign convention applied
     val withEig = basis.map { b =>
       val cb = matVec(cov, b)
-      val eig = b.zip(cb).map { case (x, y) => x * y }.sum
+      val eig = dot(b, cb)
       (signFix(b), eig)
     }.sortBy { case (_, e) => -e }
     PcaModel(mean, withEig.flatMap(_._1.toSeq), withEig.map(_._2), totalVar)
   }
 
+  /** Left-to-right dot product — the exact summation order of the old
+    * `zip.map.sum` chain (sequential fold), so every model this file
+    * trains stays BIT-IDENTICAL to the pre-r21 kernels (PcaSpec pins
+    * round-trips); the while form just drops the boxing and the three
+    * intermediate arrays per call. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
-    m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    m.map(row => dot(row, v))
 
   /** Gram–Schmidt with re-normalization; a vector that collapses to ~zero
     * (degenerate covariance) is replaced by the zero vector and carries
@@ -117,11 +137,11 @@ object Pca {
     vs.foreach { v0 =>
       val v = v0.clone()
       out.foreach { u =>
-        val d = v.zip(u).map { case (a, b) => a * b }.sum
+        val d = dot(v, u)
         var i = 0
         while (i < v.length) { v(i) -= d * u(i); i += 1 }
       }
-      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val nrm = math.sqrt(dot(v, v))
       out += (if (nrm < 1e-12) new Array[Double](v.length) else v.map(_ / nrm))
     }
     out.toArray

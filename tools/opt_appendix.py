@@ -12,9 +12,9 @@ aqe = (fin.get("aqe") or {}).get("queries", {}) if isinstance(fin.get("aqe"), di
 
 print("## Appendix: every bench key, baseline -> final default-pass seconds")
 print()
-print(f"Baseline total {base['value']:.1f} s / wall {base['wall_sec']} s;"
-      f" final total {fin['value']:.1f} s / wall {fin['wall_sec']} s."
-      f" Final errors: {fin['errors']}; over-budget after adjudication:"
+print(f"Baseline total {base['value']:.1f} s / wall {base.get('wall_sec', '?')} s;"
+      f" final total {fin['value']:.1f} s / wall {fin.get('wall_sec', '?')} s."
+      f" Final errors: {fin.get('errors', [])}; over-budget after adjudication:"
       f" {(fin.get('adjudicated') or {}).get('over_budget', []) if isinstance(fin.get('adjudicated'), dict) else []}.")
 print()
 print("| key | baseline s | final s | final AQE s | floor s |")
